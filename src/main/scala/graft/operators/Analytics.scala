@@ -1,0 +1,443 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch analytics core (SURVEY.md §2.B).
+  *
+  * Oracle-parity rules (SURVEY.md §6):
+  *  - double aggregates accumulate as DECIMAL(18,4) then cast to double,
+  *    so summation order can't flip low-order bits vs DuckDB;
+  *  - event time is canonical epoch-MICROSECONDS BIGINT (`ts div 1000`
+  *    in Spark ≡ `epoch_us(ts)` in DuckDB — both truncate the parquet
+  *    ns value), so all time arithmetic is exact integer math;
+  *  - every output integer is BIGINT, every rank/count cast to long;
+  *  - deterministic ORDER BY with unique tie-breakers on both sides.
+  *
+  * Scale notes (SURVEY.md §5): dim tables (region/nation/supplier/part/
+  * customer) carry an explicit `broadcast` hint; fact-side groupBys
+  * shuffle once on their keys with map-side partial aggregation; AQE
+  * handles skew/coalescing at runtime.
+  */
+object Analytics {
+  private val D = DecimalType(18, 4)
+  private val S = DecimalType(9, 4)
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  // Products of doubles have long decimal tails that can round differently
+  // across engines at the DECIMAL(,4) boundary; casting each *input* to
+  // decimal first makes the multiplication exact and engine-independent.
+  private def revenueTerm: Column =
+    col("l_extendedprice").cast(D) * (lit(1.0) - col("l_discount")).cast(S)
+  private def chargeTerm: Column =
+    revenueTerm * (lit(1.0) + col("l_tax")).cast(S)
+
+  /** events with exact-parity microsecond epoch column `ts_us`. */
+  private def eventsUs(t: Tables): DataFrame =
+    t.events.withColumn("ts_us", expr("ts div 1000"))
+
+  // B1: filtered multi-key aggregation (TPC-H Q1 shape).
+  val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenueTerm).cast("double").as("sum_disc_price"),
+          sum(chargeTerm).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(9,4)) * CAST(1.0 + l_tax AS DECIMAL(9,4))) AS DOUBLE) AS sum_charge,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // B2: join + agg + deterministic top-k.
+  val q02 = Q(
+    "q02_revenue_topk",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+        .limit(10)
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+      LIMIT 10"""))
+
+  // B3: multi-way join, dims broadcast, date-range filter pushed down.
+  val q03 = Q(
+    "q03_region_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+    Some("""
+      SELECT r_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name
+      ORDER BY r_name"""))
+
+  // B4: EXISTS via left_semi.
+  val q04 = Q(
+    "q04_semi_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // B5: NOT EXISTS via left_anti.
+  val q05 = Q(
+    "q05_anti_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name, COUNT(*) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  // B6: window rank — top-3 parts per brand by price.
+  val q06 = Q(
+    "q06_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables(s, dir).part
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+        .orderBy(col("p_brand"), col("rnk"))
+    },
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        FROM part) t
+      WHERE rnk <= 3
+      ORDER BY p_brand, rnk"""))
+
+  // B7: running total per customer (decimal-exact window sum).
+  val q07 = Q(
+    "q07_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("run_total", sum(col("o_totalprice").cast(D)).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // B8: distinct + INTERSECT/EXCEPT set algebra.
+  val q08 = Q(
+    "q08_distinct_setops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")).distinct()
+      val big = t.orders.filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val negBal = t.customer.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      urgent.intersect(big).except(negBal).orderBy(col("custkey"))
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      ORDER BY custkey"""))
+
+  // B9: ROLLUP aggregation.
+  val q09 = Q(
+    "q09_rollup",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  // B10: exact interpolated percentiles per group.
+  val q10 = Q(
+    "q10_percentiles",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          expr("round(percentile(value, 0.5D), 4)").as("p50"),
+          expr("round(percentile(value, 0.9D), 4)").as("p90"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        ROUND(quantile_cont(value, 0.9), 4) AS p90
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // B11: JSON field extraction from events.props.
+  val q11 = Q(
+    "q11_json_extract",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          sum(k).as("sum_k"),
+          count(when(k > 50, lit(1))).as("n_big"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_big
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // B12: time bucketing on exact integer microseconds.
+  val q12 = Q(
+    "q12_time_bucket",
+    (s, dir) => {
+      eventsUs(Tables(s, dir))
+        .withColumn("day_epoch", expr("(ts_us div 86400000000) * 86400"))
+        .groupBy(col("day_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("day_epoch"), col("event_type"))
+    },
+    Some("""
+      SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_epoch, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day_epoch, event_type"""))
+
+  // B13: as-of join — most recent order at or before each event.
+  val q13 = Q(
+    "q13_asof_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = eventsUs(t).select(col("event_id"), col("user_id"), col("ts_us"))
+      val o = t.orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("od_us").desc, col("o_orderkey").desc)
+      e.join(o, col("user_id") === col("o_custkey") && col("od_us") <= col("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"), col("o_totalprice").as("asof_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, asof_orderkey, asof_totalprice FROM (
+        SELECT e.event_id AS event_id, o.o_orderkey AS asof_orderkey,
+               o.o_totalprice AS asof_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON e.user_id = o.o_custkey
+         AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)) t
+      WHERE rn = 1
+      ORDER BY event_id"""))
+
+  // B14: time-range self-join — follow-up events within 5 minutes.
+  val q14 = Q(
+    "q14_range_join",
+    (s, dir) => {
+      val e = eventsUs(Tables(s, dir)).select(col("user_id"), col("ts_us"))
+      val e1 = e.as("e1")
+      val e2 = e.as("e2")
+      e1.join(e2,
+          col("e1.user_id") === col("e2.user_id") &&
+          col("e2.ts_us") > col("e1.ts_us") &&
+          col("e2.ts_us") <= col("e1.ts_us") + lit(300000000L))
+        .groupBy(col("e1.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+      FROM events e1
+      JOIN events e2 ON e1.user_id = e2.user_id
+       AND epoch_us(e2.ts) > epoch_us(e1.ts)
+       AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+      GROUP BY e1.user_id
+      ORDER BY user_id"""))
+
+  // B15: gap-based sessionization (30-minute inactivity gap).
+  val q15 = Q(
+    "q15_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      eventsUs(Tables(s, dir))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, lit(1)).otherwise(lit(0)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+        SELECT user_id,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) t
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  // B16: exact distinct (oracle) — approx variant is q16_approx (spec-bounded).
+  val q16 = Q(
+    "q16_distinct_exact",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // B16b: HLL sketch distinct — no SQL oracle (engine-specific sketch);
+  // bounds asserted in AnalyticsSpec.
+  val q16b = Q(
+    "q16_approx_distinct",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_uniq"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
+  // B17: pivot-style conditional aggregation per user.
+  val q17 = Q(
+    "q17_conditional_pivot",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      def n(tpe: String) = count(when(col("event_type") === tpe, lit(1))).as(s"n_$tpe")
+      ev.groupBy(col("user_id"))
+        .agg(n("purchase"), n("click"), n("view"), n("error"), n("signup"),
+             sum(when(col("event_type") === "purchase", col("value")).cast(D)).cast("double").as("purchase_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  // B18: correlated scalar (per-brand average) via exact window math.
+  val q18 = Q(
+    "q18_above_brand_avg",
+    (s, dir) => {
+      val wb = Window.partitionBy(col("p_brand"))
+      Tables(s, dir).part
+        .withColumn("brand_avg",
+          sum(col("p_retailprice").cast(D)).over(wb).cast("double") /
+            count(lit(1)).over(wb).cast("double"))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_above FROM (
+        SELECT p_brand, p_retailprice,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) OVER (PARTITION BY p_brand) AS DOUBLE)
+            / CAST(COUNT(*) OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_avg
+        FROM part) t
+      WHERE p_retailprice > brand_avg
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q16b, q17, q18)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics
+
+object SparkTest {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  for (q <- Analytics.all) {
+    test(s"${q.name} runs and returns rows") {
+      assert(q.fn(spark, sf).count() > 0)
+    }
+  }
+
+  test("q16 approx distinct within 5% of exact") {
+    val exact = Analytics.q16.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Analytics.q16b.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val plan = executedPlan(Analytics.q01.fn(spark, sf)).toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q01 prunes columns: scan reads only needed lineitem columns") {
+    val plan = executedPlan(Analytics.q01.fn(spark, sf)).toString
+    assert(!plan.contains("l_orderkey"), "unused column not pruned from scan")
+  }
+
+  test("q02 broadcasts the dim tables") {
+    val plan = executedPlan(Analytics.q02.fn(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q01 stays inside whole-stage codegen") {
+    // With AQE the codegen stages only materialize in the final plan,
+    // so execute first and inspect the post-adaptive executedPlan.
+    val df = Analytics.q01.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // toString renders WholeStageCodegen stages as "*(n)" prefixes.
+    assert(plan.contains("*("), plan.take(2000))
+  }
+
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle name has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
