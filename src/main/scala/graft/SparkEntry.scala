@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Analytics
+import graft.logs.LogQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every registered query module (SURVEY.md §2). */
-  private def registry: Seq[Q] = Analytics.all
+  private def registry: Seq[Q] = Analytics.all ++ LogQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -19,5 +20,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+    registry.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

@@ -1,0 +1,120 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Log-line parsing and enhancement as pure Column expressions
+  * (SURVEY.md §2.A1-A5).
+  *
+  * Re-expresses the reference's per-record decode step
+  * (/root/reference/sender/firehose_sender.go:59-74, which delegates to
+  * the public kayvee `decode.ParseAndEnhance`) as codegen'd Catalyst
+  * expressions: everything here is `regexp_extract`/`get_json_object`/
+  * string built-ins, so parsing stays inside whole-stage codegen and
+  * scales linearly with no UDF serialization cost — the Spark-first
+  * answer to the reference's per-line Go parsing loop.
+  *
+  * Two rsyslog shapes are supported (both appear in
+  * /root/reference/sender/firehose_sender_test.go:29-43):
+  *   - RFC3339:  `2017-08-16T04:37:52.901092+00:00 host prog[pid]: msg`
+  *   - RFC3164:  `Apr  5 21:45:54 host prog[pid]: msg`
+  * Program names carrying ECS metadata look like
+  *   `production--haproxy-logs/arn%3Aaws%3Aecs%3A...%3Atask%2F<task-id>[pid]`
+  * and yield container_env / container_app / container_task.
+  */
+object LogColumns {
+
+  /** `timestamp host prog[pid]: message` with a single-token timestamp. */
+  private val R3339 = "^(\\S+) (\\S+) ([^\\[ ]+)\\[(\\d+)\\]: ?(.*)$"
+
+  /** RFC3164 `Mmm dd HH:MM:SS host prog[pid]: message`. */
+  private val R3164 =
+    "^([A-Z][a-z]{2} {1,2}\\d{1,2} \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^\\[ ]+)\\[(\\d+)\\]: ?(.*)$"
+
+  /** ""-guarded long cast: regexp_extract yields "" on no-match, which
+    * ANSI mode would otherwise turn into a hard CAST error — a malformed
+    * line must drop to null, not kill the job (the reference skips bad
+    * records, firehose_sender.go:61-63). */
+  private def safeLong(c: Column): Column =
+    when(c === "", lit(null)).otherwise(c).cast("long")
+
+  def rawTimestamp3339(line: Column): Column = regexp_extract(line, R3339, 1)
+  def hostname(line: Column): Column        = regexp_extract(line, R3339, 2)
+  def programname(line: Column): Column     = regexp_extract(line, R3339, 3)
+  def pid(line: Column): Column             = safeLong(regexp_extract(line, R3339, 4))
+  def message(line: Column): Column         = regexp_extract(line, R3339, 5)
+
+  def rawTimestamp3164(line: Column): Column = regexp_extract(line, R3164, 1)
+  def hostname3164(line: Column): Column     = regexp_extract(line, R3164, 2)
+  def programname3164(line: Column): Column  = regexp_extract(line, R3164, 3)
+  def pid3164(line: Column): Column          = safeLong(regexp_extract(line, R3164, 4))
+  def message3164(line: Column): Column      = regexp_extract(line, R3164, 5)
+
+  /** RFC3164 timestamps carry no year; the reference's decoder assumes
+    * the current year — callers inject it explicitly for determinism. */
+  def timestamp3164(line: Column, year: Int): Column =
+    to_timestamp(concat(lit(s"$year "), rawTimestamp3164(line)), "yyyy MMM [ ]d HH:mm:ss")
+
+  // --- ECS program-name metadata (A3) ----------------------------------
+
+  def containerEnv(prog: Column): Column = regexp_extract(prog, "^([^/]*?)--", 1)
+  def containerApp(prog: Column): Column = regexp_extract(prog, "^[^/]*?--([^/]*)", 1)
+
+  /** Task id: the part after `task/` in the URL-decoded ARN suffix.
+    * try_url_decode: stray `%` in a garbage line must not abort the
+    * pipeline. */
+  def containerTask(prog: Column): Column =
+    regexp_extract(
+      coalesce(call_function("try_url_decode", regexp_extract(prog, "/(.*)$", 1)), lit("")),
+      "task/(.*)$", 1)
+
+  // --- kayvee payload (A2) ---------------------------------------------
+
+  /** The embedded `{...}` JSON span of a message (greedy: first `{` to
+    * last `}`), "" when absent — mirrors kayvee's payload scan. */
+  def kayveePayload(msg: Column): Column = regexp_extract(msg, "(\\{.*\\})", 1)
+
+  /** A single field of the kayvee payload as string (null if absent). */
+  def kayveeField(msg: Column, field: String): Column =
+    get_json_object(kayveePayload(msg), s"$$.$field")
+
+  /** Log level with the reference's default: absent/empty → "debug"
+    * (sender/stats/stats.go:53-56). */
+  def level(msg: Column): Column = {
+    val l = kayveeField(msg, "level")
+    when(l.isNull || l === "", lit("debug")).otherwise(l)
+  }
+
+  /** container_app with the reference's `_UNKNOWN_` default
+    * (sender/stats/stats.go:49-52). */
+  def appOrUnknown(prog: Column): Column = {
+    val a = containerApp(prog)
+    when(a.isNull || a === "", lit("_UNKNOWN_")).otherwise(a)
+  }
+
+  // --- parse + enhance (A1/A4) -----------------------------------------
+
+  /** Full parse+enhance of an RFC3339-timestamped rsyslog line column:
+    * the batch/streaming-shared core of the forwarder. Mirrors the field
+    * surface of the reference's ParseAndEnhance call.
+    */
+  def enhance(df: DataFrame, line: Column, deployEnv: String): DataFrame = {
+    val prog = programname(line)
+    df.withColumn("rawlog", line)
+      .withColumn("timestamp", try_to_timestamp(rawTimestamp3339(line)))
+      .withColumn("hostname", hostname(line))
+      .withColumn("programname", prog)
+      .withColumn("pid", pid(line))
+      .withColumn("container_env", containerEnv(prog))
+      .withColumn("container_app", appOrUnknown(prog))
+      .withColumn("container_task", containerTask(prog))
+      .withColumn("title", kayveeField(message(line), "title"))
+      .withColumn("level", level(message(line)))
+      .withColumn("deploy_env", lit(deployEnv))
+  }
+
+  /** NDJSON serialization (A5): one JSON object per record, mirroring
+    * firehose_sender.go:65-72 (json.Marshal + '\n' is the sink's framing;
+    * the object itself is this column). */
+  def toNdjson(cols: Column*): Column = to_json(struct(cols: _*))
+}

@@ -1,0 +1,148 @@
+package graft.logs
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed queries for the log-ETL surface (SURVEY.md §2.A).
+  *
+  * The driver provides no raw-log table, so these queries synthesize
+  * deterministic rsyslog lines from `events` with identical string
+  * construction on the Spark and DuckDB sides, then run the LIBRARY's
+  * parse path (LogColumns) on the Spark side against plain-SQL regexp
+  * extraction on the DuckDB side — the parser itself is what's being
+  * oracle-checked.
+  */
+object LogQueries {
+
+  /** Deterministic rsyslog lines from events: RFC3339 ts, ECS-style
+    * program name carrying env/app/task, kayvee JSON payload. */
+  private def lines(t: Tables): DataFrame = {
+    val e = t.events.withColumn("ts_us", expr("ts div 1000"))
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val lvl = when(col("event_type") === "error", lit("error")).otherwise(lit("info"))
+    e.select(
+      concat(
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"),
+        lit(" host-"), col("user_id").cast("string"),
+        lit(" production--app"), (col("user_id") % 3).cast("string"),
+        lit("/arn%3Aaws%3Aecs%3Aus-west-1%3A589690932525%3Atask%2Ft-"), col("event_id").cast("string"),
+        lit("["), (col("event_id") % 4999).cast("string"), lit("]: "),
+        lit("{\"title\":\""), col("event_type"),
+        lit("\",\"level\":\""), lvl,
+        lit("\",\"k\":"), k.cast("string"), lit("}")).as("line"))
+  }
+
+  /** DuckDB mirror of the line construction (shared CTE). */
+  private val LinesCte = """
+    WITH lines AS (
+      SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%dT%H:%M:%S') || '+00:00'
+        || ' host-' || CAST(user_id AS VARCHAR)
+        || ' production--app' || CAST(user_id % 3 AS VARCHAR)
+        || '/arn%3Aaws%3Aecs%3Aus-west-1%3A589690932525%3Atask%2Ft-' || CAST(event_id AS VARCHAR)
+        || '[' || CAST(event_id % 4999 AS VARCHAR) || ']: '
+        || '{"title":"' || event_type
+        || '","level":"' || (CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END)
+        || '","k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}'
+        AS line
+      FROM events)"""
+
+  // A1+A2+A3: full parse of every syslog component + ECS metadata +
+  // kayvee fields, recovered per line.
+  val qParse = Q(
+    "qlog_syslog_parse",
+    (s, dir) => {
+      val line = col("line")
+      val prog = LogColumns.programname(line)
+      val msg  = LogColumns.message(line)
+      val task = LogColumns.containerTask(prog)
+      lines(Tables(s, dir)).select(
+        regexp_extract(task, "^t-(\\d+)$", 1).cast("long").as("event_id"),
+        LogColumns.hostname(line).as("host"),
+        LogColumns.containerEnv(prog).as("cenv"),
+        LogColumns.appOrUnknown(prog).as("app"),
+        task.as("task"),
+        LogColumns.pid(line).as("pid"),
+        LogColumns.kayveeField(msg, "title").as("title"),
+        LogColumns.level(msg).as("level"),
+        LogColumns.kayveeField(msg, "k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some(LinesCte + """
+      , p AS (
+        SELECT
+          regexp_extract(line, '^(\S+) (\S+) ([^\[ ]+)\[(\d+)\]: ?(.*)$', 2) AS host,
+          regexp_extract(line, '^(\S+) (\S+) ([^\[ ]+)\[(\d+)\]: ?(.*)$', 3) AS prog,
+          CAST(regexp_extract(line, '^(\S+) (\S+) ([^\[ ]+)\[(\d+)\]: ?(.*)$', 4) AS BIGINT) AS pid,
+          regexp_extract(line, '^(\S+) (\S+) ([^\[ ]+)\[(\d+)\]: ?(.*)$', 5) AS msg
+        FROM lines),
+      q AS (
+        SELECT host, pid,
+          regexp_extract(prog, '^([^/]*?)--', 1) AS cenv,
+          regexp_extract(prog, '^[^/]*?--([^/]*)', 1) AS app,
+          regexp_extract(replace(replace(regexp_extract(prog, '/(.*)$', 1), '%3A', ':'), '%2F', '/'), 'task/(.*)$', 1) AS task,
+          json_extract_string(regexp_extract(msg, '(\{.*\})', 1), '$.title') AS title,
+          json_extract_string(regexp_extract(msg, '(\{.*\})', 1), '$.level') AS level,
+          CAST(json_extract_string(regexp_extract(msg, '(\{.*\})', 1), '$.k') AS BIGINT) AS k
+        FROM p)
+      SELECT CAST(regexp_extract(task, '^t-(\d+)$', 1) AS BIGINT) AS event_id,
+             host, cenv, app, task, pid, title, level, k
+      FROM q
+      ORDER BY event_id"""))
+
+  // A11 (batch analogue): the reference's drop-stats — per-minute counts
+  // grouped by container_app and level, with _UNKNOWN_/debug defaults
+  // (sender/stats/stats.go:18-58).
+  val qDropStats = Q(
+    "qlog_drop_stats",
+    (s, dir) => {
+      val line = col("line")
+      lines(Tables(s, dir)).select(
+          substring(LogColumns.rawTimestamp3339(line), 1, 16).as("minute"),
+          LogColumns.appOrUnknown(LogColumns.programname(line)).as("app"),
+          LogColumns.level(LogColumns.message(line)).as("level"))
+        .groupBy(col("minute"), col("app"), col("level"))
+        .agg(count(lit(1)).as("n_dropped"))
+        .orderBy(col("minute"), col("app"), col("level"))
+    },
+    Some(LinesCte + """
+      SELECT substr(regexp_extract(line, '^(\S+) (\S+) ([^\[ ]+)\[(\d+)\]: ?(.*)$', 1), 1, 16) AS minute,
+             regexp_extract(line, '^[^/]*?--([^/]*)', 1) AS app,
+             json_extract_string(regexp_extract(line, '(\{.*\})', 1), '$.level') AS level,
+             COUNT(*) AS n_dropped
+      FROM lines
+      GROUP BY 1, 2, 3
+      ORDER BY minute, app, level"""))
+
+  // A5: NDJSON serialize → reparse roundtrip; the DuckDB side reads the
+  // same fields straight from events, so the oracle pins the roundtrip
+  // to the source values.
+  val qNdjson = Q(
+    "qlog_ndjson_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events
+      val enhanced = e.select(
+        col("event_id"),
+        col("event_type").as("title"),
+        when(col("event_type") === "error", lit("error")).otherwise(lit("info")).as("level"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val nd = enhanced.select(
+        LogColumns.toNdjson(col("event_id"), col("title"), col("level"), col("k")).as("json"))
+      nd.select(
+          get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("json"), "$.title").as("title"),
+          get_json_object(col("json"), "$.level").as("level"),
+          get_json_object(col("json"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, event_type AS title,
+             CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson)
+}
