@@ -1,13 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Analytics
+import graft.operators.{Analytics, DedupQueries}
 import graft.logs.LogQueries
+import graft.functions.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every registered query module (SURVEY.md §2). */
-  private def registry: Seq[Q] = Analytics.all ++ LogQueries.all
+  private def registry: Seq[Q] =
+    Analytics.all ++ LogQueries.all ++ TextQueries.all ++ DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

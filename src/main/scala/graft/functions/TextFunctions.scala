@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data pipelines
+  * (SURVEY.md §2.C8-C10): language ID, quality scoring, token counting.
+  *
+  * Everything is built from codegen'd built-ins (`regexp_count`, string
+  * ops, exact integer/double arithmetic) so the hot path stays inside
+  * whole-stage codegen — at 100 TB these run as a single map stage over
+  * the corpus with no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count (documents.text is single-space separated;
+    * use tokenCountWsRegex for free-form whitespace). */
+  def tokenCountWs(text: Column): Column = size(split(text, " "))
+
+  /** Free-form whitespace token count. */
+  def tokenCountWsRegex(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword segment count: runs of letters, runs of digits,
+    * and single non-space symbols — the shape of a byte-pair pre-tokenizer
+    * split, as a cheap proxy for LLM token budgeting. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  // --- language ID (C8) -------------------------------------------------
+
+  /** Public high-frequency stopword profiles per language. */
+  val StopwordProfiles: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|to|in|is|that|it|for|on|with|as|was|at|by)",
+    "de" -> "(der|die|das|und|ist|von|zu|mit|den|nicht|ein|eine|auf|im)",
+    "es" -> "(el|la|de|que|y|en|un|una|es|los|las|por|con|para)",
+    "fr" -> "(le|les|de|des|et|est|un|une|dans|que|pour|sur|avec|au)")
+
+  /** Count of profile-stopword hits for one language. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val pat = StopwordProfiles.toMap.getOrElse(
+      lang, sys.error(s"no stopword profile for $lang"))
+    regexp_count(lower(text), lit("\\b" + pat + "\\b"))
+  }
+
+  /** CJK character count (the zh signal — Latin profiles score 0 on CJK
+    * text and vice versa). */
+  def cjkHits(text: Column): Column =
+    regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+
+  /** Predicted language: argmax of profile hits, ties broken by the
+    * fixed profile order en,de,es,fr,zh → first maximal wins. */
+  def langId(text: Column): Column = {
+    val scores: Seq[(String, Column)] =
+      StopwordProfiles.map { case (l, _) => l -> stopwordHits(text, l) } :+ ("zh" -> cjkHits(text))
+    val best = greatest(scores.map(_._2): _*)
+    // Built back-to-front so the FIRST maximal lang wins the tie.
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  // --- quality scoring (C9) ---------------------------------------------
+
+  /** distinct-token ratio: 1.0 = no repetition, →0 = degenerate repeats. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Mean token length over whitespace tokens. */
+  def meanTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      tokenCountWs(text).cast("double")
+
+  /** English-stopword density per token. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, "en").cast("double") / tokenCountWs(text).cast("double")
+
+  /** Composite quality score in [0,1]:
+    * 0.4·distinct_ratio + 0.3·min(mean_len/8, 1) + 0.3·min(stop_ratio·5, 1).
+    * The exact weights are a heuristic; the value is deterministic. */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * distinctTokenRatio(text) +
+      lit(0.3) * least(meanTokenLength(text) / lit(8.0), lit(1.0)) +
+      lit(0.3) * least(stopwordRatio(text) * lit(5.0), lit(1.0)), 4)
+
+  /** Normalization for exact dedup: lowercase, trim, collapse runs of
+    * whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+}

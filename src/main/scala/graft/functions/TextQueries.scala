@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed text-analysis queries over `documents`
+  * (SURVEY.md §2.C8-C11). */
+object TextQueries {
+
+  val qTokens = Q(
+    "qtext_tokens",
+    (s, dir) => {
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+          TextFunctions.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      FROM documents
+      ORDER BY doc_id"""))
+
+  private def langHitsSql(pat: String) =
+    s"CAST(length(regexp_extract_all(lower(text), '\\b$pat\\b')) AS BIGINT)"
+
+  val qLangid = Q(
+    "qtext_langid",
+    (s, dir) => {
+      val t = col("text")
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          TextFunctions.stopwordHits(t, "en").cast("long").as("en_hits"),
+          TextFunctions.stopwordHits(t, "de").cast("long").as("de_hits"),
+          TextFunctions.stopwordHits(t, "es").cast("long").as("es_hits"),
+          TextFunctions.stopwordHits(t, "fr").cast("long").as("fr_hits"),
+          TextFunctions.cjkHits(t).cast("long").as("zh_hits"),
+          TextFunctions.langId(t).as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          ${langHitsSql(TextFunctions.StopwordProfiles.toMap.apply("en"))} AS en_hits,
+          ${langHitsSql(TextFunctions.StopwordProfiles.toMap.apply("de"))} AS de_hits,
+          ${langHitsSql(TextFunctions.StopwordProfiles.toMap.apply("es"))} AS es_hits,
+          ${langHitsSql(TextFunctions.StopwordProfiles.toMap.apply("fr"))} AS fr_hits,
+          CAST(length(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS zh_hits
+        FROM documents)
+      SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+        CASE WHEN en_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'en'
+             WHEN de_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'de'
+             WHEN es_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'es'
+             WHEN fr_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits, zh_hits) THEN 'fr'
+             ELSE 'zh' END AS predicted
+      FROM h
+      ORDER BY doc_id"""))
+
+  val qQuality = Q(
+    "qtext_quality",
+    (s, dir) => {
+      val t = col("text")
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          TextFunctions.tokenCountWs(t).cast("long").as("n_tokens"),
+          round(TextFunctions.distinctTokenRatio(t), 4).as("distinct_ratio"),
+          round(TextFunctions.meanTokenLength(t), 4).as("mean_token_len"),
+          round(TextFunctions.stopwordRatio(t), 4).as("stopword_ratio"),
+          TextFunctions.qualityScore(t).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / length(string_split(text, ' ')) AS dr,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / length(string_split(text, ' ')) AS mtl,
+          CAST(${langHitsSql(TextFunctions.StopwordProfiles.toMap.apply("en"))} AS DOUBLE)
+            / length(string_split(text, ' ')) AS sr
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        ROUND(dr, 4) AS distinct_ratio,
+        ROUND(mtl, 4) AS mean_token_len,
+        ROUND(sr, 4) AS stopword_ratio,
+        ROUND(0.4 * dr + 0.3 * LEAST(mtl / 8.0, 1.0) + 0.3 * LEAST(sr * 5.0, 1.0), 4) AS quality
+      FROM m
+      ORDER BY doc_id"""))
+
+  // Custom-Expression fingerprint: no SQL oracle (FNV-1a isn't a DuckDB
+  // built-in); hash vectors are pinned in HashSpec.
+  val qFingerprint = Q(
+    "qtext_fingerprint",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          call_function("fnv1a64", TextFunctions.normalizeText(col("text"))).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint)
+}

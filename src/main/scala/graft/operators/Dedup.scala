@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.C1-C5).
+  *
+  * Scale design (§5): every variant is candidate-generation + verify —
+  * candidates come from an inverted index (shared shingle / LSH bucket /
+  * simhash band), never from a cross join, so cost is
+  * O(docs·shingles) map-side plus one shuffle on the bucket key. Bucket
+  * sizes are capped (`maxBucket`) so a degenerate key can't blow up an
+  * executor — the overflow guard drops pathological buckets rather than
+  * letting one reducer own the job.
+  */
+object Dedup {
+
+  // --- C1: exact dedup --------------------------------------------------
+
+  /** Exact duplicate groups over normalized text: one row per distinct
+    * normalized content, keeping the smallest id. md5 is used as the
+    * group key so the (long) text itself never shuffles. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), md5(TextFunctions.normalizeText(text)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Survivors only (keep-first semantics). */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
+    exactGroups(df, id, text).select(col("keep_id").as("doc_id"))
+
+  // --- shingling shared by minhash / ngram-jaccard ----------------------
+
+  /** Distinct n-word shingles of a single-space-separated text column.
+    * Docs shorter than n tokens yield an empty array — without the guard,
+    * `sequence(0, size-n)` turns DESCENDING for short docs and the
+    * out-of-range `element_at` is a hard error under ANSI mode. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(typedLit(Array.empty[String]))
+  }
+
+  /** Jaccard similarity of two pre-distinct string arrays; two empty
+    * sets are defined as 0.0 (an integer 0/0 is a hard ANSI error, and
+    * "no content" shouldn't read as "identical"). */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
+  }
+
+  // --- C4: n-gram Jaccard via inverted-index candidates -----------------
+
+  /** Near-duplicate pairs by n-word-shingle Jaccard ≥ threshold.
+    * Candidates are pairs sharing ≥1 shingle (explode + self-join on the
+    * shingle — the inverted index), then verified with the true Jaccard.
+    * `maxBucket` drops shingles shared by more than that many docs
+    * (stopword-like shingles that would explode the candidate set while
+    * contributing only low-Jaccard pairs).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        n: Int = 2, threshold: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    val docs = df.select(id.as("doc_id"), wordShingles(text, n).as("sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val capped = inv
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // --- C2: MinHash + banded LSH -----------------------------------------
+
+  /** k-permutation MinHash signature over n-word shingles, as an
+    * array<long> column. Each "permutation" re-hashes the shingle hash
+    * with a distinct xxhash64 seed — native, codegen'd, and free of the
+    * ANSI-mode overflow that wrapped a·h+b arithmetic would trip. */
+  def minhashSignature(text: Column, n: Int = 2, k: Int = 64,
+                       seed: Long = 42L): Column = {
+    val hashes = transform(wordShingles(text, n), s => xxhash64(s))
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64(lit(seed + i), h)))
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via banded MinHash-LSH, verified by true
+    * shingle Jaccard. bands·rows must equal the signature length k.
+    * One shuffle on (band, band-hash); per-bucket self-join generates
+    * candidates; verification joins back the shingle sets.
+    */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      n: Int = 2, bands: Int = 16, rows: Int = 4,
+                      threshold: Double = 0.5, seed: Long = 42L,
+                      maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rows
+    // Shingle-less docs (shorter than n tokens) all share the null
+    // signature — without this filter they'd pile into one degenerate
+    // bucket and quadratically self-join there.
+    val docs = df.select(id.as("doc_id"), wordShingles(text, n).as("sh"),
+        minhashSignature(text, n, k, seed).as("sig"))
+      .filter(size(col("sh")) > 0)
+    val banded = docs.select(col("doc_id"), posexplode(
+        array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*))
+        }: _*)).as(Seq("band", "band_hash")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // --- C3: SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: bit j is set when the sum of
+    * ±1 votes (per token, from bit j of the token's xxhash64) is
+    * positive. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-duplicate pairs with simhash Hamming distance ≤ maxDist.
+    * Candidates via the pigeonhole principle: split the 64-bit signature
+    * into (maxDist+1) chunks — any pair within maxDist shares at least
+    * one exact chunk, so an equi-join on (chunk-index, chunk-value)
+    * finds all of them with one shuffle. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val docs = df.select(id.as("doc_id"), simhash64(text).as("sig"))
+    val banded = docs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until chunks).map { c =>
+        shiftrightunsigned(col("sig"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1L))
+      }: _*)).as(Seq("chunk", "chunk_val")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    capped.as("a").join(capped.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // --- C5: embedding-cosine near-dup ------------------------------------
+
+  /** Pairs of vectors with cosine similarity ≥ threshold (brute
+    * correctness baseline; the LSH scale path is Similarity.lshTopK). */
+  def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
+                           threshold: Double): DataFrame = {
+    val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.dot(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

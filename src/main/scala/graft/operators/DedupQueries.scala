@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed dedup queries over `documents`/`embeddings`
+  * (SURVEY.md §2.C1-C5). The DuckDB oracles for the near-dup variants
+  * compute the ground truth by brute force (feasible at the sf0.01
+  * oracle scale), so they also double as recall proofs for the
+  * candidate-generation paths. */
+object DedupQueries {
+
+  val qExact = Q(
+    "qdedup_exact",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.exactGroups(t.documents, col("doc_id"), col("text"))
+        .orderBy(col("content_hash"))
+    },
+    Some("""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY content_hash"""))
+
+  private val BruteJaccardSql = """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, length(w))]) s
+             FROM d),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               length(list_intersect(a.s, b.s)) AS n_inter,
+               ROUND(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / length(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard
+      FROM pairs
+      WHERE n_inter > 0 AND jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""
+
+  val qNgram = Q(
+    "qdedup_ngram_jaccard",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), n = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(BruteJaccardSql))
+
+  // MinHash-LSH at 32 bands × 2 rows: P(candidate | j=0.5) ≈ 1-0.75^32
+  // ≈ 0.9999, so on this data the verified output equals the brute-force
+  // truth — the same oracle doubles as a 100%-recall check.
+  val qMinhash = Q(
+    "qdedup_minhash_lsh",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.minhashLshPairs(t.documents, col("doc_id"), col("text"),
+          n = 2, bands = 32, rows = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(BruteJaccardSql))
+
+  // SimHash signatures use xxhash64 (not a DuckDB built-in) → rows-only;
+  // semantics pinned in DedupSpec.
+  val qSimhash = Q(
+    "qdedup_simhash",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  val qEmbedding = Q(
+    "qdedup_embedding",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.embeddingCosinePairs(t.embeddings, col("vec_id"), col("embedding"), threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cosine
+      FROM pairs
+      WHERE cosine >= 0.4
+      ORDER BY vec_a, vec_b"""))
+
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding)
+}

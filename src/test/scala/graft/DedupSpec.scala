@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.{Fnv1a64, TextFunctions}
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps first id per normalized-content group") {
+    val df = docs(
+      1L -> "Hello  World",
+      2L -> "hello world",
+      3L -> "something else",
+      4L -> "HELLO WORLD ")
+    val survivors = Dedup.exactDedup(df, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(1L, 3L))
+  }
+
+  test("ngram jaccard finds planted near-dups and skips distinct docs") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river bend" // 1 word off
+    val c = "completely different content with no overlap whatsoever at all here"
+    val pairs = Dedup.ngramJaccardPairs(
+        docs(1L -> a, 2L -> b, 3L -> c), col("doc_id"), col("text"), n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
+    val t = graft.sources.Tables(spark, sf)
+    val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(t.documents, col("doc_id"), col("text"), 2, 32, 2, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "expected planted near-dups in test data")
+    assert(lsh == brute)
+  }
+
+  test("identical token multisets get identical simhash; disjoint texts differ") {
+    val df = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "delta gamma beta alpha", // permutation → same multiset
+      3L -> "epsilon zeta eta theta iota kappa")
+    val sigs = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash pairs finds the permuted near-dup") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "zeta epsilon delta gamma beta alpha",
+      3L -> "totally unrelated words here only once")
+    val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxDist = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embedding cosine pairs: identical vectors hit 1.0, orthogonal excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, col("vec_id"), col("embedding"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("fnv1a64 matches published FNV-1a test vectors") {
+    // Public vectors: fnv1a64("") = 0xcbf29ce484222325,
+    // fnv1a64("a") = 0xaf63dc4c8601ec8c, fnv1a64("foobar") = 0x85944171f73967e8
+    assert(Fnv1a64.hash("".getBytes("UTF-8")) == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hash("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    assert(Fnv1a64.hash("foobar".getBytes("UTF-8")) == 0x85944171f73967e8L)
+  }
+
+  test("fnv1a64 SQL function is registered and codegen path agrees with eval") {
+    import spark.implicits._
+    val got = Seq("", "a", "foobar").toDF("s")
+      .select(call_function("fnv1a64", col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L))
+  }
+
+  test("langId picks the profile with most hits") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog sat on the mat with it",
+      "der hund und die katze ist nicht auf der couch",
+      "el perro y la casa es una de las cosas").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "es"))
+  }
+}
