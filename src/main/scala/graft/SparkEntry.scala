@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, DedupQueries}
+import graft.operators.{Analytics, DedupQueries, SimilarityQueries}
 import graft.logs.LogQueries
 import graft.functions.TextQueries
 
@@ -9,7 +9,8 @@ import graft.functions.TextQueries
 object SparkEntry {
   /** Every registered query module (SURVEY.md §2). */
   private def registry: Seq[Q] =
-    Analytics.all ++ LogQueries.all ++ TextQueries.all ++ DedupQueries.all
+    Analytics.all ++ LogQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

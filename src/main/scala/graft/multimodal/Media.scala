@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.C12): media as opaque
+  * `binary` columns with typed metadata, processed by per-partition
+  * batch operators.
+  *
+  * The container has no image/audio codecs, so `MediaCodec.decode` is a
+  * STUB — a clearly-marked deterministic fake deriving metadata from the
+  * byte stream. Everything around it is the real Spark shape a production
+  * codec would plug into: binary columns, a typed `Dataset` boundary, a
+  * `mapPartitions` batch loop (amortizing per-batch codec init exactly
+  * like a Pandas-UDF batch would), and frame-level column operators.
+  */
+object Media {
+
+  /** Typed metadata a decoder emits per media blob. */
+  final case class MediaMeta(width: Long, height: Long, channels: Long, nBytes: Long)
+
+  /** STUB CODEC — deterministic fake standing in for a real image
+    * decoder; formulas are arbitrary but fixed, so pipelines are
+    * testable end-to-end. A real deployment swaps `decode` only. */
+  object MediaCodec {
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length.toLong
+      MediaMeta(width = 16L + n % 113L, height = 16L + (n * 7L) % 97L,
+        channels = 3L, nBytes = n)
+    }
+  }
+
+  /** Attach a binary media column derived from a text column (the test
+    * corpus carries no real media; UTF-8 bytes stand in for a blob). */
+  def withFakeBlob(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("media", encode(text, "UTF-8"))
+
+  /** Decode via the per-partition batch path: the typed Dataset boundary
+    * and partition-at-a-time loop are the real pattern (codec init once
+    * per partition, rows streamed through it). */
+  def decodeMeta(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real codecs initialize here, once per partition
+        it.map { case (mid, bytes) =>
+          val m = MediaCodec.decode(bytes)
+          (mid, m.width, m.height, m.channels, m.nBytes)
+        }
+      }
+      .toDF("media_id", "width", "height", "channels", "n_bytes")
+  }
+
+  /** Fixed-size frame split of a blob (video-style), as an array of
+    * binary frames — pure column ops, no codec needed. */
+  def frames(blob: Column, frameBytes: Int): Column = {
+    val n = ceil(length(blob).cast("double") / frameBytes).cast("int")
+    transform(sequence(lit(1), n),
+      i => substring(blob, (i - lit(1)) * frameBytes + 1, lit(frameBytes)))
+  }
+
+  /** Every `stride`-th frame (frame-sampling for video pipelines). */
+  def sampleFrames(framesCol: Column, stride: Int): Column =
+    filter(framesCol, (_, i) => i % stride === 0)
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+
+/** Oracle-backed similarity-search and multimodal queries
+  * (SURVEY.md §2.C6-C7, C12). */
+object SimilarityQueries {
+
+  /** Query set: vec_id < 10 against the full corpus (self excluded). */
+  val qBrute = Q(
+    "qann_brute_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.bruteTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(c.v, q.v) AS cos
+        FROM e c JOIN q ON c.vec_id != q.vec_id),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM scored)
+      SELECT query_id, neighbor_id, rank, cosine
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  // LSH signatures aren't SQL-expressible → rows-only; recall vs the
+  // brute-force truth is asserted in SimilaritySpec.
+  val qLsh = Q(
+    "qann_lsh_bucketed",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.lshTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  val qDecode = Q(
+    "qmm_decode_meta",
+    (s, dir) => {
+      val docs = Media.withFakeBlob(Tables(s, dir).documents, col("text"))
+      Media.decodeMeta(docs, col("doc_id"), col("media"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+        16 + octet_length(encode(text)) % 113 AS width,
+        16 + (octet_length(encode(text)) * 7) % 97 AS height,
+        CAST(3 AS BIGINT) AS channels,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+      ORDER BY media_id"""))
+
+  val qFrames = Q(
+    "qmm_frame_sample",
+    (s, dir) => {
+      val docs = Media.withFakeBlob(Tables(s, dir).documents, col("text"))
+      val fr = Media.frames(col("media"), 256)
+      docs.select(
+          col("doc_id").as("media_id"),
+          size(fr).cast("long").as("n_frames"),
+          size(Media.sampleFrames(fr, 4)).cast("long").as("n_sampled"),
+          length(element_at(fr, -1)).cast("long").as("last_frame_bytes"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                        CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
+                 FROM documents)
+      SELECT doc_id AS media_id, nf AS n_frames,
+        (nf + 3) // 4 AS n_sampled,
+        n - (nf - 1) * 256 AS last_frame_bytes
+      FROM f
+      ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(qBrute, qLsh, qDecode, qFrames)
+}

