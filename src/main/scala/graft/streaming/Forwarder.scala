@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.logs.LogColumns
+import graft.sinks.{Delivery, FileDelivery, NdjsonBatchSink, SinkConfig}
+
+/** The end-to-end forwarder (SURVEY.md §2.A13): the reference's
+  * consume → ParseAndEnhance → NDJSON → batched-deliver pipeline
+  * (/root/reference/main.go) as a Structured Streaming job.
+  *
+  * Source rate limiting (A9) maps to `maxFilesPerTrigger`; KCL
+  * checkpointing (A10) maps to `checkpointLocation` (offset tracking +
+  * replay on restart); routing (A12) is a Column producing the target
+  * stream name per record (the reference's tags,
+  * firehose_sender.go:73).
+  */
+object Forwarder {
+
+  final case class Config(
+      inputDir: String,
+      checkpointDir: String,
+      deployEnv: String = "production",
+      streamName: String = "main",
+      maxFilesPerTrigger: Int = 10,
+      sink: SinkConfig = SinkConfig())
+
+  /** The batch/streaming-shared transform: raw `value` lines →
+    * enhanced fields + (stream, json) delivery columns. Routing
+    * defaults to one stream; pass e.g.
+    * `when(col("level") === "error", lit("errors")).otherwise(lit("main"))`
+    * to demux. */
+  def transform(lines: DataFrame, deployEnv: String,
+                route: Column): DataFrame = {
+    val enhanced = LogColumns.enhance(lines, col("value"), deployEnv)
+    enhanced.withColumn("stream", route)
+      .withColumn("json", LogColumns.toNdjson(
+        col("timestamp"), col("hostname"), col("programname"), col("pid"),
+        col("container_env"), col("container_app"), col("container_task"),
+        col("title"), col("level"), col("deploy_env"), col("rawlog")))
+  }
+
+  /** Start the streaming forwarder reading text lines from a directory
+    * (the zero-egress stand-in for a Kinesis shard iterator — swap the
+    * source, keep the pipeline). */
+  def start(spark: SparkSession, conf: Config, delivery: Delivery,
+            route: Column = null): StreamingQuery = {
+    val r = Option(route).getOrElse(lit(conf.streamName))
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
+      .text(conf.inputDir)
+    val out = transform(lines, conf.deployEnv, r)
+    val sink = new NdjsonBatchSink(delivery, conf.sink)
+    out.writeStream
+      .option("checkpointLocation", conf.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))
+      .start()
+  }
+
+  /** Convenience: forward to local NDJSON files. */
+  def startToFiles(spark: SparkSession, conf: Config, outDir: String): StreamingQuery =
+    start(spark, conf, new FileDelivery(outDir))
+}

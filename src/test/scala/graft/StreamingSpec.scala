@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.{Delivery, FileDelivery, NdjsonBatchSink, SinkConfig}
+import graft.streaming.{DropStats, Forwarder}
+
+/** Delivery doubles with JVM-static state (tests run local — executor
+  * and driver share the JVM). */
+object TestDeliveries {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  val attempts = new AtomicInteger(0)
+
+  /** Fails every record once, succeeds on retry. */
+  class FlakyOnce extends Delivery {
+    override def deliver(stream: String, records: Seq[Array[Byte]]): Seq[Int] =
+      if (attempts.getAndIncrement() == 0) records.indices else Nil
+  }
+
+  /** Permanently rejects records containing the marker. */
+  class RejectMarked(marker: String) extends Delivery {
+    val accepted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    override def deliver(stream: String, records: Seq[Array[Byte]]): Seq[Int] =
+      records.zipWithIndex.flatMap { case (r, i) =>
+        val s = new String(r, "UTF-8")
+        if (s.contains(marker)) Some(i) else { accepted.add(s); None }
+      }
+  }
+
+  /** Records chunk sizes. */
+  class ChunkRecorder extends Delivery {
+    override def deliver(stream: String, records: Seq[Array[Byte]]): Seq[Int] = {
+      calls.add(records.size); Nil
+    }
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  private def sampleLines(n: Int): Seq[String] =
+    (0 until n).map { i =>
+      val lvl = if (i % 5 == 0) "error" else "info"
+      s"2024-01-01T00:0${i % 10}:00+00:00 host-$i production--app${i % 3}/" +
+        s"arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-$i[$i]: " +
+        s"""{"title":"t$i","level":"$lvl"}"""
+    }
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), lines.asJava)
+
+  test("forwarder e2e: lines → parse/enhance → NDJSON files") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(20))
+    val q = Forwarder.startToFiles(spark, Forwarder.Config(in, ck), out)
+    q.awaitTermination()
+
+    val files = Files.walk(Paths.get(out, "main")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson")).toSeq
+    assert(files.nonEmpty)
+    val lines = files.flatMap(f => Files.readAllLines(f).asScala)
+    assert(lines.size == 20)
+    val parsed = spark.read.json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.filter(col("container_app") === "app0").count() > 0)
+    assert(parsed.filter(col("level") === "error").count() == 4)
+    assert(parsed.columns.contains("deploy_env"))
+  }
+
+  test("router demuxes records to per-stream directories") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(10))
+    val route = when(col("level") === "error", lit("errors")).otherwise(lit("main"))
+    val q = Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out), route)
+    q.awaitTermination()
+    def count(stream: String) =
+      Files.walk(Paths.get(out, stream)).iterator().asScala
+        .filter(_.toString.endsWith(".ndjson"))
+        .flatMap(f => Files.readAllLines(f).asScala.iterator).size
+    assert(count("errors") == 2)
+    assert(count("main") == 8)
+  }
+
+  test("retry with backoff redelivers failed subset, nothing dead-letters") {
+    TestDeliveries.attempts.set(0)
+    val sink = new NdjsonBatchSink(new TestDeliveries.FlakyOnce,
+      SinkConfig(baseBackoffMs = 1, dlqDir = Some(tmp())))
+    sink.sendWithRetry("s", Seq("a".getBytes, "b".getBytes))
+    assert(TestDeliveries.attempts.get() == 2) // initial + one retry
+  }
+
+  test("exhausted retries dead-letter only the failing records") {
+    val dlq = tmp()
+    val d = new TestDeliveries.RejectMarked("poison")
+    val sink = new NdjsonBatchSink(d, SinkConfig(maxRetries = 2, baseBackoffMs = 1, dlqDir = Some(dlq)))
+    sink.sendWithRetry("s", Seq("ok-1".getBytes, "poison-x".getBytes, "ok-2".getBytes))
+    val dead = Files.walk(Paths.get(dlq)).iterator().asScala
+      .filter(_.toString.contains("failed-"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(dead == Seq("poison-x"))
+    // accepted exactly the two good records (first attempt), no dupes of them
+    assert(d.accepted.asScala.toSeq.sorted == Seq("ok-1", "ok-2"))
+  }
+
+  test("chunking respects count and byte bounds") {
+    TestDeliveries.calls.clear()
+    val sink = new NdjsonBatchSink(new TestDeliveries.ChunkRecorder,
+      SinkConfig(batchCount = 3, batchBytes = 1000))
+    sink.sendWithRetry("s", Nil) // empty batch → no delivery call at all
+    val recs = (0 until 10).map(i => s"rec-$i".getBytes("UTF-8"))
+    sink.chunk(recs).foreach(c => sink.sendWithRetry("s", c))
+    assert(TestDeliveries.calls.asScala.toSeq == Seq(3, 3, 3, 1))
+    val big = Seq(Array.fill(600)('x'.toByte), Array.fill(600)('x'.toByte))
+    assert(sink.chunk(big).map(_.size) == Seq(1, 1)) // byte bound splits
+  }
+
+  test("drop-stats windowed aggregation matches the batch equivalent") {
+    val in = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(30))
+    val q = DropStats.start(spark, in, ck, "production", "dropstats_test")
+    q.awaitTermination()
+    val got = spark.table("dropstats_test")
+      .select("app", "level", "n_dropped")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = graft.logs.LogColumns
+      .enhance(spark.read.text(in), col("value"), "production")
+      .groupBy(date_trunc("minute", col("timestamp")), col("container_app"), col("level"))
+      .count()
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.exists(_._2 == "error"))
+  }
+
+  test("checkpoint resume processes only new files (no reprocessing)") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(5))
+    Forwarder.startToFiles(spark, Forwarder.Config(in, ck), out).awaitTermination()
+    writeLines(in, "b.log", sampleLines(3))
+    Forwarder.startToFiles(spark, Forwarder.Config(in, ck), out).awaitTermination()
+    val total = Files.walk(Paths.get(out, "main")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).size
+    assert(total == 8) // 5 + 3, a.log not replayed on resume
+  }
+}
