@@ -1,19 +1,38 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark (driver contract): runs every registered query on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Queries execute into the `noop` sink — a plain `.count()` would let
+  * Catalyst prune projections and under-report map-heavy queries (a
+  * pure-projection pipeline would measure ~0). A warmup query absorbs
+  * one-time session/codegen cost so per-query numbers are comparable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup: first query pays session + codegen startup; don't let that
+    // land on an arbitrary query's number.
+    run("q01_pricing_summary")
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

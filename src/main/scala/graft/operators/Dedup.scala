@@ -54,50 +54,83 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
   }
 
+  /** Sorted xxhash64 set of the n-word shingles — the compact shingle
+    * representation the near-dup verifiers join on: 8 bytes per shingle
+    * instead of the string, and sortedness lets the codegen'd
+    * merge-intersect kernel compute overlaps without allocation. */
+  def shingleHashSet(text: Column, n: Int): Column =
+    sort_array(transform(wordShingles(text, n), s => xxhash64(s)))
+
+  /** Jaccard over two sorted hash sets via the native merge-intersect
+    * kernel: |∩| / (|a| + |b| − |∩|). Numerically equal to the
+    * string-set Jaccard (hash collisions aside, P ≈ |pairs|·|s|²/2⁶⁴). */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = call_function("graft_sorted_intersect_count", a, b)
+    val union = size(a).cast("long") + size(b).cast("long") - inter
+    when(union === 0L, lit(0.0))
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+
   // --- C4: n-gram Jaccard via inverted-index candidates -----------------
 
-  /** Near-duplicate pairs by n-word-shingle Jaccard ≥ threshold.
-    * Candidates are pairs sharing ≥1 shingle (explode + self-join on the
-    * shingle — the inverted index), then verified with the true Jaccard.
-    * `maxBucket` drops shingles shared by more than that many docs
-    * (stopword-like shingles that would explode the candidate set while
-    * contributing only low-Jaccard pairs).
+  /** Near-duplicate pairs by n-word-shingle Jaccard ≥ threshold, found
+    * with PPJoin-style prefix filtering (lossless): under a global
+    * shingle order (ascending document frequency), two sets with
+    * Jaccard ≥ t MUST share a shingle within each one's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles — so only those prefixes enter the
+    * inverted index, and the rare-shingle prefixes keep bucket sizes
+    * small even on corpora where every doc pair shares SOME shingle.
+    * Candidates are then verified with the exact Jaccard over sorted
+    * hash sets (codegen merge-intersect).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int = 2, threshold: Double = 0.5,
-                        maxBucket: Int = 1000): DataFrame = {
-    val docs = df.select(id.as("doc_id"), wordShingles(text, n).as("sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val capped = inv
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val cand = capped.as("a").join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+                        maxBucket: Int = 10000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val docs = df.select(id.as("doc_id"), shingleHashSet(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = docs.select(col("doc_id"), size(col("sh")).as("sh_n"),
+      explode(col("sh")).as("shingle"))
+    // global document frequency defines the prefix order (rarest first)
+    val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBucket)
+    val ranked = inv.join(freq, "shingle")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+    val prefix = ranked.filter(
+      col("pos") <= col("sh_n") - ceil(col("sh_n") * threshold) + 1)
+    // length filter (also lossless): j(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sh_n") >= col("a.sh_n") * threshold &&
+          col("b.sh_n") * threshold <= col("a.sh_n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // --- C2: MinHash + banded LSH -----------------------------------------
 
-  /** k-permutation MinHash signature over n-word shingles, as an
-    * array<long> column. Each "permutation" re-hashes the shingle hash
-    * with a distinct xxhash64 seed — native, codegen'd, and free of the
-    * ANSI-mode overflow that wrapped a·h+b arithmetic would trip. */
-  def minhashSignature(text: Column, n: Int = 2, k: Int = 64,
-                       seed: Long = 42L): Column = {
-    val hashes = transform(wordShingles(text, n), s => xxhash64(s))
+  /** k-permutation MinHash signature over a shingle-hash set column.
+    * Each "permutation" re-hashes the shingle hash with a distinct
+    * xxhash64 seed — native, codegen'd, and free of the ANSI-mode
+    * overflow that wrapped a·h+b arithmetic would trip. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int = 64,
+                                 seed: Long = 42L): Column =
     array((0 until k).map { i =>
       array_min(transform(hashes, h => xxhash64(lit(seed + i), h)))
     }: _*)
-  }
+
+  /** k-permutation MinHash signature over n-word shingles. */
+  def minhashSignature(text: Column, n: Int = 2, k: Int = 64,
+                       seed: Long = 42L): Column =
+    minhashSignatureFromHashes(shingleHashSet(text, n), k, seed)
 
   /** Near-duplicate pairs via banded MinHash-LSH, verified by true
     * shingle Jaccard. bands·rows must equal the signature length k.
@@ -108,13 +141,14 @@ object Dedup {
                       n: Int = 2, bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5, seed: Long = 42L,
                       maxBucket: Int = 1000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val k = bands * rows
     // Shingle-less docs (shorter than n tokens) all share the null
     // signature — without this filter they'd pile into one degenerate
     // bucket and quadratically self-join there.
-    val docs = df.select(id.as("doc_id"), wordShingles(text, n).as("sh"),
-        minhashSignature(text, n, k, seed).as("sig"))
+    val docs = df.select(id.as("doc_id"), shingleHashSet(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
     val banded = docs.select(col("doc_id"), posexplode(
         array((0 until bands).map { b =>
           xxhash64(concat_ws(",", (0 until rows).map(r =>
@@ -133,7 +167,7 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -187,6 +221,7 @@ object Dedup {
     * correctness baseline; the LSH scale path is Similarity.lshTopK). */
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
                            threshold: Double): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

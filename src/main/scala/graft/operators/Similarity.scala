@@ -21,6 +21,7 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                 queries: DataFrame, queryId: Column, queryVec: Column,
                 k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(corpusId.as("neighbor_id"), VectorFunctions.normalized(corpusVec).as("cv"))
     val q = queries.select(queryId.as("query_id"), VectorFunctions.normalized(queryVec).as("qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
@@ -43,9 +44,7 @@ object Similarity {
   /** Sign-bit signature of a vector against one table's hyperplanes. */
   private def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, typedLit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      val d = VectorFunctions.dot(vec, typedLit(p))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -56,6 +55,7 @@ object Similarity {
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, dim: Int, tables: Int = 8, planesPerTable: Int = 4,
               seed: Long = 42L): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     def bucketed(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame = {
       val v = df.select(id.as(idName), VectorFunctions.normalized(vec).as(s"${idName}_v"))
       v.select(col(idName), col(s"${idName}_v"), posexplode(array(
