@@ -8,8 +8,10 @@ import graft.functions.{Fnv1a64, SortedIntersectCount, VecDot}
   * GraftExtensions)` — GraftSession does this by default).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -25,5 +27,8 @@ object GraftExtensions {
     descriptors.foreach { case (ident, info, builder) =>
       if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

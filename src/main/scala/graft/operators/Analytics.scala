@@ -316,6 +316,29 @@ object Analytics {
       WHERE rn = 1
       ORDER BY event_id"""))
 
+  // B13b: the same as-of semantics through the CUSTOM physical operator
+  // (graft.plans.AsOfJoin — LogicalPlan + Strategy + sort-merge exec).
+  // Same oracle as q13: the hash-match proves the native operator agrees
+  // with both the window-based composition and DuckDB.
+  val q13b = Q(
+    "q13b_asof_custom",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      val t = Tables(s, dir)
+      val e = eventsUs(t).select(col("event_id"), col("user_id"), col("ts_us"))
+      val o = t.orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      graft.plans.AsOfJoin.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_us", rightTime = "od_us",
+          rightTieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"),
+          col("o_totalprice").as("asof_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    q13.oracle)
+
   // B14: time-range self-join — follow-up events within 5 minutes.
   val q14 = Q(
     "q14_range_join",
@@ -439,5 +462,5 @@ object Analytics {
       ORDER BY p_brand"""))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q16b, q17, q18)
+    q11, q12, q13, q13b, q14, q15, q16, q16b, q17, q18)
 }

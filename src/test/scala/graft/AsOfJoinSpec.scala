@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+import graft.operators.Analytics
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("picks greatest right time <= left time, ties broken by greatest tiebreak") {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    val left = Seq((1L, 100L), (1L, 50L), (2L, 10L), (3L, 100L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 40L, 900L), (1L, 90L, 901L), (1L, 90L, 902L), (1L, 120L, 903L),
+      (2L, 20L, 904L)).toDF("k2", "t2", "v")
+    val got = AsOfJoin.join(left, right, "k", "k2", "t", "t2", Seq("v"))
+      .select("k", "t", "t2", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq == Seq(
+      (1L, 50L, 40L, 900L),   // only t2=40 <= 50
+      (1L, 100L, 90L, 902L)   // ties at t2=90 → greatest v wins
+      // k=2: t=10 has no t2<=10 → dropped (inner)
+      // k=3: no right rows → dropped
+    ))
+  }
+
+  test("custom operator agrees with the window-based composition on sf0.001") {
+    GraftExtensions.ensureRegistered(spark)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows("q13b_asof_custom") == rows("q13_asof_join"))
+    assert(rows("q13b_asof_custom").nonEmpty)
+  }
+
+  test("physical plan is the custom exec with one shuffle+sort per side") {
+    GraftExtensions.ensureRegistered(spark)
+    val df = Analytics.q13b.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan.take(1500)) // exec prints without the Exec suffix
+    assert(!plan.contains("SortMergeJoin"), "should use the native exec, not a join+window")
+  }
+}
