@@ -461,6 +461,38 @@ object Analytics {
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
+  // B19: skew-resilient two-phase salted aggregation — the oracle is the
+  // UNSALTED group-by, proving the salting is value-transparent.
+  val q19 = Q(
+    "q19_salted_agg",
+    (s, dir) => {
+      Skew.saltedAgg(Tables(s, dir).events,
+          col("event_type"), col("value"), col("event_id"))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // B20: the SQL surface — Spark executes the IDENTICAL SQL text the
+  // DuckDB oracle runs (ANSI subset), through GraftSql temp views.
+  private val Q20Sql = """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+
+  val q20 = Q(
+    "q20_sql_api",
+    (s, dir) => graft.GraftSql.run(s, dir, Q20Sql),
+    Some(Q20Sql))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q13b, q14, q15, q16, q16b, q17, q18)
+    q11, q12, q13, q13b, q14, q15, q16, q16b, q17, q18, q19, q20)
 }

@@ -62,6 +62,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan.take(2000))
   }
 
+  test("q19 salting produces a two-stage aggregation over (key, salt)") {
+    val df = Analytics.q19.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pmod"), "salt expression missing from plan")
+    // two HashAggregate pairs: (partial+final) × two stages
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan.take(1500))
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

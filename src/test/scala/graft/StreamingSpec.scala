@@ -135,6 +135,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2 == "error"))
   }
 
+  test("source rate limit: maxFilesPerTrigger bounds each micro-batch") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(4))
+    writeLines(in, "b.log", sampleLines(4))
+    writeLines(in, "c.log", sampleLines(4))
+    val q = Forwarder.startToFiles(spark,
+      Forwarder.Config(in, ck, maxFilesPerTrigger = 1), out)
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length == 3, s"expected 3 rate-limited batches, got ${progress.length}")
+    assert(progress.forall(_.numInputRows == 4))
+  }
+
   test("checkpoint resume processes only new files (no reprocessing)") {
     val in = tmp(); val out = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(5))
