@@ -100,11 +100,17 @@ object Dedup {
           .orderBy(col("df"), col("shingle"))))
     val prefix = ranked.filter(
       col("pos") <= col("sh_n") - ceil(col("sh_n") * threshold) + 1)
-    // length filter (also lossless): j(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t
+    // length filter (lossless): j(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t.
+    // positional filter (lossless, PPJoin): a shared shingle at ranks
+    // (i, j) bounds the overlap by 1 + min(|a|−i, |b|−j), which must
+    // reach the Jaccard-implied minimum overlap ⌈t/(1+t)·(|a|+|b|)⌉.
+    val minOverlap =
+      ceil(lit(threshold) / (1.0 + threshold) * (col("a.sh_n") + col("b.sh_n")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           col("b.sh_n") >= col("a.sh_n") * threshold &&
-          col("b.sh_n") * threshold <= col("a.sh_n"))
+          col("b.sh_n") * threshold <= col("a.sh_n") &&
+          lit(1) + least(col("a.sh_n") - col("a.pos"), col("b.sh_n") - col("b.pos")) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
