@@ -32,8 +32,11 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query (-1 marker) must not make the headline number look
+    // FASTER: report total=-1 plus an explicit failure count
+    val failures = results.count(_._2 < 0)
+    val total = if (failures > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,8 +57,12 @@ object Media {
     * binary frames — pure column ops, no codec needed. */
   def frames(blob: Column, frameBytes: Int): Column = {
     val n = ceil(length(blob).cast("double") / frameBytes).cast("int")
-    transform(sequence(lit(1), n),
-      i => substring(blob, (i - lit(1)) * frameBytes + 1, lit(frameBytes)))
+    // empty blob: sequence(1, 0) would run DESCENDING [1, 0] and emit two
+    // bogus frames — guard to an empty array instead
+    when(length(blob) > 0,
+      transform(sequence(lit(1), n),
+        i => substring(blob, (i - lit(1)) * frameBytes + 1, lit(frameBytes))))
+      .otherwise(typedLit(Array.empty[Array[Byte]]))
   }
 
   /** Every `stride`-th frame (frame-sampling for video pipelines). */

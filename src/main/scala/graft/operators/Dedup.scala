@@ -74,14 +74,24 @@ object Dedup {
   // --- C4: n-gram Jaccard via inverted-index candidates -----------------
 
   /** Near-duplicate pairs by n-word-shingle Jaccard ≥ threshold, found
-    * with PPJoin-style prefix filtering (lossless): under a global
-    * shingle order (ascending document frequency), two sets with
-    * Jaccard ≥ t MUST share a shingle within each one's first
-    * |s| − ⌈t·|s|⌉ + 1 shingles — so only those prefixes enter the
-    * inverted index, and the rare-shingle prefixes keep bucket sizes
-    * small even on corpora where every doc pair shares SOME shingle.
+    * with PPJoin-style prefix filtering: under a global shingle order
+    * (ascending document frequency), two sets with Jaccard ≥ t MUST
+    * share a shingle within each one's first |s| − ⌈t·|s|⌉ + 1
+    * shingles — so only those prefixes enter the inverted index, and
+    * the rare-shingle prefixes keep bucket sizes small even on corpora
+    * where every doc pair shares SOME shingle.
+    *
+    * The prefix + length + positional filters themselves are lossless;
+    * the `maxBucket` cap is NOT — shingles whose document frequency
+    * exceeds it are evicted from the index, so a pair whose every
+    * shared shingle is that frequent is missed. That is a deliberate
+    * recall/stability tradeoff (a degenerate shingle shared by the
+    * whole corpus would otherwise quadratically self-join one bucket);
+    * call [[overCapShingles]] with the same (n, maxBucket) to measure
+    * how many shingles — and how much document coverage — the cap
+    * evicts on a given corpus before trusting the recall.
     * Candidates are then verified with the exact Jaccard over sorted
-    * hash sets (codegen merge-intersect).
+    * hash sets (codegen merge-intersect), so precision is always exact.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int = 2, threshold: Double = 0.5,
@@ -91,7 +101,9 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val inv = docs.select(col("doc_id"), size(col("sh")).as("sh_n"),
       explode(col("sh")).as("shingle"))
-    // global document frequency defines the prefix order (rarest first)
+    // global document frequency defines the prefix order (rarest first);
+    // the df > maxBucket eviction here is the recall tradeoff documented
+    // above (measured by overCapShingles)
     val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxBucket)
     val ranked = inv.join(freq, "shingle")
@@ -119,6 +131,22 @@ object Dedup {
       .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Diagnostic for the `maxBucket` recall tradeoff in
+    * [[ngramJaccardPairs]]: one row per shingle the cap would evict from
+    * the inverted index, with its document frequency — plus how many
+    * documents contain at least one such shingle (`docs_touched`,
+    * constant across rows). Empty result ⇒ the cap evicted nothing and
+    * the pair search was fully lossless on this corpus. */
+  def overCapShingles(df: DataFrame, id: Column, text: Column,
+                      n: Int = 2, maxBucket: Int = 10000): DataFrame = {
+    val inv = df.select(id.as("doc_id"), explode(shingleHashSet(text, n)).as("shingle"))
+    val over = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucket)
+    val touched = inv.join(over.select(col("shingle")), Seq("shingle"), "left_semi")
+      .agg(count_distinct(col("doc_id")).as("docs_touched"))
+    over.crossJoin(touched)
   }
 
   // --- C2: MinHash + banded LSH -----------------------------------------

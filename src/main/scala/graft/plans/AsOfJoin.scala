@@ -81,6 +81,8 @@ final case class AsOfJoinExec(
     require(lTimeIdx >= 0 && rTimeIdx >= 0, "as-of time columns must come from the join children")
     require(leftTime.dataType == LongType && rightTime.dataType == LongType,
       "as-of time columns must be BIGINT (epoch micros)")
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
     val keyTypes = Seq(leftKey.dataType)
     val schemaOut = output
 
@@ -104,7 +106,9 @@ final case class AsOfJoinExec(
           rHead = null
           while (rHead == null && rIt.hasNext) {
             val r = rIt.next().asInstanceOf[UnsafeRow]
-            if (!r.isNullAt(rTimeIdx)) {
+            // null keys never match (SQL equi-join semantics), null times
+            // can't be ordered — drop both here
+            if (!r.isNullAt(rTimeIdx) && !rKeyProj(r).isNullAt(0)) {
               rHead = r.copy()
               rHeadKey = rKeyProj(rHead).copy()
             }
@@ -115,8 +119,8 @@ final case class AsOfJoinExec(
           nextRow = null
           while (nextRow == null && lIt.hasNext) {
             val l = lIt.next()
-            if (!l.isNullAt(lTimeIdx)) {
-              val lKey = lKeyProj(l)
+            val lKey = if (l.isNullAt(lTimeIdx)) null else lKeyProj(l)
+            if (lKey != null && !lKey.isNullAt(0)) {
               val lTime = l.getLong(lTimeIdx)
               if (candKey != null && keyOrd.compare(candKey, lKey) != 0) {
                 cand = null; candKey = null

@@ -53,12 +53,33 @@ class NdjsonBatchSink(delivery: Delivery, conf: SinkConfig = SinkConfig())
     extends Serializable {
 
   /** foreachBatch entry point: expects columns (stream STRING, json
-    * STRING); rows are framed as `json`+'\n' per record downstream. */
+    * STRING); rows are framed as `json`+'\n' per record downstream.
+    *
+    * The iterator is consumed incrementally: per-stream chunk buffers are
+    * flushed the moment they hit the count/byte bound, so executor memory
+    * holds at most one in-flight chunk per stream — never the whole
+    * partition.
+    */
   def process(df: DataFrame, batchId: Long): Unit =
     df.select("stream", "json").foreachPartition { (rows: Iterator[Row]) =>
-      rows.toSeq.groupBy(_.getString(0)).foreach { case (stream, rs) =>
-        chunk(rs.map(_.getString(1).getBytes("UTF-8")))
-          .foreach(c => sendWithRetry(stream, c))
+      final class Buf {
+        val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var bytes = 0L
+      }
+      val bufs = scala.collection.mutable.HashMap.empty[String, Buf]
+      rows.foreach { row =>
+        val stream = row.getString(0)
+        val rec = row.getString(1).getBytes("UTF-8")
+        val b = bufs.getOrElseUpdate(stream, new Buf)
+        if (b.recs.nonEmpty &&
+            (b.recs.length >= conf.batchCount || b.bytes + rec.length > conf.batchBytes)) {
+          sendWithRetry(stream, b.recs.toSeq)
+          b.recs.clear(); b.bytes = 0L
+        }
+        b.recs += rec; b.bytes += rec.length
+      }
+      bufs.foreach { case (stream, b) =>
+        if (b.recs.nonEmpty) sendWithRetry(stream, b.recs.toSeq)
       }
     }
 

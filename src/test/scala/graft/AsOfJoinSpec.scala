@@ -26,6 +26,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("null keys never match (SQL equi-join semantics) and null times drop") {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    val left = Seq(
+      (Some(1L), Some(100L)), (None, Some(100L)), (Some(1L), None)
+    ).toDF("k", "t")
+    val right = Seq(
+      (Some(1L), Some(40L), 900L), (None, Some(40L), 666L), (Some(1L), None, 667L)
+    ).toDF("k2", "t2", "v")
+    val got = AsOfJoin.join(left, right, "k", "k2", "t", "t2", Seq("v"))
+      .select("k", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // only the non-null (1, 100) left row matches, and only the non-null
+    // right row can be its match — null keys on either side never pair up
+    assert(got == Seq((1L, 100L, 900L)))
+  }
+
+  test("mismatched key types are rejected, not compared byte-wise") {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1, 40L, 900L)).toDF("k2", "t2", "v") // k2 is INT, not BIGINT
+    val ex = intercept[Exception] {
+      AsOfJoin.join(left, right, "k", "k2", "t", "t2", Seq("v")).collect()
+    }
+    assert(ex.getMessage.contains("key types must match"), ex.getMessage)
+  }
+
   test("custom operator agrees with the window-based composition on sf0.001") {
     GraftExtensions.ensureRegistered(spark)
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()

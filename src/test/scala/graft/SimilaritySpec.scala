@@ -59,4 +59,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getInt(1) == 1)
     assert(r.getInt(2) == 232)
   }
+
+  test("empty blob yields zero frames, not a descending-sequence artifact") {
+    import spark.implicits._
+    val df = Media.withFakeBlob(Seq((1L, "")).toDF("doc_id", "text"), col("text"))
+    val r = df.select(size(Media.frames(col("media"), 256))).head()
+    assert(r.getInt(0) == 0)
+  }
 }
