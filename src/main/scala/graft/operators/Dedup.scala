@@ -251,15 +251,101 @@ object Dedup {
 
   // --- C5: embedding-cosine near-dup ------------------------------------
 
-  /** Pairs of vectors with cosine similarity ≥ threshold (brute
-    * correctness baseline; the LSH scale path is Similarity.lshTopK). */
+  /** Pairs of vectors with cosine similarity ≥ threshold — EXACT, via a
+    * block-partitioned all-pairs join (the registered `qdedup_embedding`
+    * path).
+    *
+    * Why exact and not LSH here: whether bucketed candidate generation
+    * can beat exact all-pairs depends on the data having a similarity
+    * GAP at the threshold. Measured on the test corpus (all SFs), the
+    * smallest above-threshold pair cosine is ~0.4005 and the largest
+    * below-threshold is ~0.3999 — the 0.4 threshold slices the bulk of
+    * the background cosine distribution, so the LSH gap ratio is ~1:
+    * capturing every truth pair at cosine≈0.40 (plane-collision
+    * p≈0.63) needs so many hyperplane tables that >99.8% of ALL pairs
+    * become candidates, i.e. all-pairs with extra shuffles. On gapless
+    * data, exact-and-distributed is the optimal plan; on genuinely
+    * near-duplicate corpora (threshold ≥ ~0.8 with a sparse tail) use
+    * [[embeddingCosinePairsLsh]] instead.
+    *
+    * The blocking scheme makes the O(n²) comparisons DISTRIBUTE instead
+    * of running as one BroadcastNestedLoopJoin: each vector gets a
+    * random block p ∈ [0, blocks); each unordered block pair (i ≤ j) is
+    * a join cell; a vector in block p replicates to the `blocks` cells
+    * containing p. The self-equi-join on (bi, bj) then computes each
+    * cell's cross product with bounded memory (~2n/blocks vectors per
+    * key group) and even spread — a shuffle hash/merge join, never a
+    * cartesian. Same-block pairs share all `blocks` cells, so they are
+    * counted only in the diagonal cell (bi == bj). Shuffle volume is
+    * n·blocks rows vs n² comparisons — pick blocks ≈ n·bytes_per_vec /
+    * target_cell_memory at scale. */
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
-                           threshold: Double): DataFrame = {
+                           threshold: Double, blocks: Int = 16): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"),
+      pmod(xxhash64(id), lit(blocks)).cast("int").as("blk"))
+    val cells = v.select(col("vec_id"), col("v"), col("blk"),
+        explode(array((0 until blocks).map(q =>
+          struct(least(col("blk"), lit(q)).as("bi"),
+                 greatest(col("blk"), lit(q)).as("bj"))): _*)).as("cell"))
+      .select(col("cell.bi").as("bi"), col("cell.bj").as("bj"),
+        col("vec_id"), col("v"), col("blk"))
+    cells.as("a").join(cells.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          // same-block pairs co-occur in every cell containing their
+          // block — count them only once, in the diagonal cell
+          (col("a.blk") =!= col("b.blk") || col("a.bi") === col("a.bj")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.dot(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The naive all-pairs θ-join (BroadcastNestedLoopJoin) — kept ONLY as
+    * the tiny-corpus cross-check baseline for specs; never register or
+    * run this at scale. */
+  private[graft] def embeddingCosinePairsBrute(df: DataFrame, id: Column, vec: Column,
+                                               threshold: Double): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(VectorFunctions.dot(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH candidate
+    * generation + exact cosine verify — the scale path for SELECTIVE
+    * thresholds (a sparse high-similarity tail, the real near-dup
+    * regime). Candidate pairs come from per-(table, bucket) self-joins
+    * carrying ids only; vectors are re-attached by equi-join for the
+    * exact verify, so precision is always exact and recall is the LSH
+    * OR-construction's 1 − (1 − p^b)^T with p = 1 − θ/π. At cosine 0.9
+    * (p≈0.857, b=4, T=16) recall ≈ 0.9998; at cosine 0.4 on gapless
+    * data it degrades by design — see [[embeddingCosinePairs]] for why
+    * exact blocking is the right plan there. */
+  def embeddingCosinePairsLsh(df: DataFrame, id: Column, vec: Column,
+                              threshold: Double, dim: Int,
+                              tables: Int = 16, planesPerTable: Int = 4,
+                              seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"))
+    val bucketRows = Similarity.bucketRows(v, "vec_id", "v", dim, tables, planesPerTable, seed)
+    val capped = bucketRows
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("table_id"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.dot(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

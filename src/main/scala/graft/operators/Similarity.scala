@@ -41,38 +41,52 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
   }
 
-  /** Sign-bit signature of a vector against one table's hyperplanes. */
-  private def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Sign-bit signature of a vector against one table's hyperplanes
+    * (shared with Dedup's embedding LSH candidate generation). */
+  private[operators] def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val d = VectorFunctions.dot(vec, typedLit(p))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All (table_id, bucket) rows for a vector column: one row per LSH
+    * table, bucket = that table's sign-bit signature. */
+  private[operators] def bucketRows(v: DataFrame, idName: String, vecName: String,
+                                    dim: Int, tables: Int, planesPerTable: Int,
+                                    seed: Long): DataFrame =
+    v.select(col(idName), posexplode(array(
+      (0 until tables).map { t =>
+        signature(col(vecName), hyperplanes(planesPerTable, dim, seed + t))
+      }: _*)).as(Seq("table_id", "bucket")))
+
   /** Approximate top-k: `tables` independent hyperplane tables of
     * `planesPerTable` bits each; a corpus vector is a candidate for a
-    * query if they share a bucket in ANY table (OR-construction). */
+    * query if they share a bucket in ANY table (OR-construction).
+    *
+    * Shuffle discipline: the bucket join and the candidate `distinct()`
+    * carry (query_id, neighbor_id) ids only — never the vectors — so the
+    * shuffle rows are ~16 bytes, not ~1 KB of 64-dim doubles. Vectors are
+    * re-attached afterwards: corpus side by one equi-join on neighbor_id,
+    * query side broadcast. */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, dim: Int, tables: Int = 8, planesPerTable: Int = 4,
+              k: Int, dim: Int, tables: Int = 16, planesPerTable: Int = 4,
               seed: Long = 42L): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    def bucketed(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame = {
-      val v = df.select(id.as(idName), VectorFunctions.normalized(vec).as(s"${idName}_v"))
-      v.select(col(idName), col(s"${idName}_v"), posexplode(array(
-        (0 until tables).map { t =>
-          signature(col(s"${idName}_v"), hyperplanes(planesPerTable, dim, seed + t))
-        }: _*)).as(Seq("table_id", "bucket")))
-    }
-    val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id")
-    val q = bucketed(queries, queryId, queryVec, "query_id")
-    val cand = c.join(broadcast(q), Seq("table_id", "bucket"))
+    val c = corpus.select(corpusId.as("neighbor_id"), VectorFunctions.normalized(corpusVec).as("cv"))
+    val q = queries.select(queryId.as("query_id"), VectorFunctions.normalized(queryVec).as("qv"))
+    val cand = bucketRows(c, "neighbor_id", "cv", dim, tables, planesPerTable, seed)
+      .join(broadcast(bucketRows(q, "query_id", "qv", dim, tables, planesPerTable, seed)),
+        Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_id_v"), col("neighbor_id_v"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand
-      .withColumn("cosine", VectorFunctions.dot(col("neighbor_id_v"), col("query_id_v")))
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", VectorFunctions.dot(col("cv"), col("qv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))

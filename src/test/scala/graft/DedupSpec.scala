@@ -76,6 +76,71 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("blocked embedding pairs equal the brute all-pairs truth on sf0.001") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val brute = pairSet(Dedup.embeddingCosinePairsBrute(e, col("vec_id"), col("embedding"), 0.4))
+    val blocked = pairSet(Dedup.embeddingCosinePairs(e, col("vec_id"), col("embedding"), 0.4))
+    assert(brute.nonEmpty)
+    assert(blocked == brute)
+  }
+
+  test("blocked embedding pairs counts same-block pairs exactly once (blocks > n)") {
+    import spark.implicits._
+    // 3 vectors, 16 blocks: exercises the diagonal-cell dedup guard
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val rows = Dedup.embeddingCosinePairs(df, col("vec_id"), col("embedding"), 0.5)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length)
+    assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("registered qdedup_embedding plan has no nested-loop or cartesian join") {
+    val plan = graft.operators.DedupQueries.qEmbedding.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("LSH embedding pairs recover planted high-cosine near-dups exactly") {
+    import spark.implicits._
+    // selective regime: 40 random base vectors + 10 planted near-dups
+    // (base + small noise → cosine ≈ 0.99); threshold 0.9 has a real gap
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val dups = (0 until 10).map { i =>
+      val b = base(i)._2
+      (100L + i, b.map(x => x + (rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = pairSet(Dedup.embeddingCosinePairsBrute(df, col("vec_id"), col("embedding"), 0.9))
+    val lsh = pairSet(Dedup.embeddingCosinePairsLsh(df, col("vec_id"), col("embedding"), 0.9, dim = 64))
+    assert(brute.size == 10)
+    assert(lsh == brute) // exact verify ⇒ precision 1; OR-construction recall ≈ 1 at this gap
+  }
+
+  test("simhash pairs equal the all-pairs Hamming truth on sf0.001 documents") {
+    val t = graft.sources.Tables(spark, sf)
+    val sigs = t.documents.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole banding is provably complete for ≤ maxDist and the
+    // verify filter is exact, so equality (not ⊆) must hold
+    assert(got == truth)
+    assert(truth.nonEmpty, "expected at least one close signature pair in test data")
+  }
+
   test("fnv1a64 matches published FNV-1a test vectors") {
     // Public vectors: fnv1a64("") = 0xcbf29ce484222325,
     // fnv1a64("a") = 0xaf63dc4c8601ec8c, fnv1a64("foobar") = 0x85944171f73967e8

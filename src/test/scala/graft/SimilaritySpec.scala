@@ -31,8 +31,12 @@ class SimilaritySpec extends AnyFunSuite {
       q, col("vec_id"), col("embedding"), 5))
     val lsh = pairs(Similarity.lshTopK(e, col("vec_id"), col("embedding"),
       q, col("vec_id"), col("embedding"), 5, dim = 64))
+    // measured 0.88 at the 16×4 defaults on this corpus (deterministic:
+    // fixed hyperplane seed); bound pinned at measured − 0.1 so a
+    // bucketing regression can't hide behind a loose threshold
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall@5 = $recall (LSH candidates too sparse)")
+    info(s"measured recall@5 = $recall")
+    assert(recall >= 0.78, s"recall@5 = $recall (LSH candidates too sparse)")
     // every LSH hit must carry the true cosine rank order property:
     assert(lsh.nonEmpty)
   }
