@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune projections and under-report map-heavy queries (a
   * pure-projection pipeline would measure ~0). A warmup query absorbs
   * one-time session/codegen cost so per-query numbers are comparable.
+  *
+  * Each query is timed TWICE and the min reported: a single-shot timer
+  * conflates per-query JIT/page-cache variance and transient machine
+  * load with code cost (a noisy host once turned a 13 s query into a
+  * phantom 64 s "regression"). The min of two runs is the standard
+  * noise-robust point estimate for a deterministic workload.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,7 +23,7 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -25,9 +31,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Min of two runs; a failure on either run marks the query failed. */
+    def run(name: String): Double = {
+      val a = runOnce(name)
+      if (a < 0) return -1.0
+      val b = runOnce(name)
+      if (b < 0) -1.0 else math.min(a, b)
+    }
+
     // warmup: first query pays session + codegen startup; don't let that
     // land on an arbitrary query's number.
-    run("q01_pricing_summary")
+    runOnce("q01_pricing_summary")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -54,14 +54,17 @@ object Media {
   }
 
   /** Fixed-size frame split of a blob (video-style), as an array of
-    * binary frames — pure column ops, no codec needed. */
+    * binary frames — pure column ops, no codec needed. NULL blob ("no
+    * media") passes through as NULL — distinct from a zero-byte blob,
+    * which is an empty frame array. */
   def frames(blob: Column, frameBytes: Int): Column = {
     val n = ceil(length(blob).cast("double") / frameBytes).cast("int")
     // empty blob: sequence(1, 0) would run DESCENDING [1, 0] and emit two
     // bogus frames — guard to an empty array instead
-    when(length(blob) > 0,
-      transform(sequence(lit(1), n),
-        i => substring(blob, (i - lit(1)) * frameBytes + 1, lit(frameBytes))))
+    when(blob.isNull, lit(null).cast("array<binary>"))
+      .when(length(blob) > 0,
+        transform(sequence(lit(1), n),
+          i => substring(blob, (i - lit(1)) * frameBytes + 1, lit(frameBytes))))
       .otherwise(typedLit(Array.empty[Array[Byte]]))
   }
 

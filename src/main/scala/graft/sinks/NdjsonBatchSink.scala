@@ -33,10 +33,13 @@ class FileDelivery(dir: String) extends Delivery {
 }
 
 /** Delivery semantics mirroring the reference's batch consumer config
-  * (main.go:47-53) and retry loop (firehose_sender.go:91-130). */
+  * (main.go:47-53) and retry loop (firehose_sender.go:91-130).
+  * `batchIntervalMs` is the reference's 10 s BatchInterval (main.go:48):
+  * a partial chunk never stays open longer than this. */
 final case class SinkConfig(
     batchCount: Int = 500,
     batchBytes: Long = 4L * 1024 * 1024,
+    batchIntervalMs: Long = 10000,
     maxRetries: Int = 5,
     baseBackoffMs: Long = 250,
     dlqDir: Option[String] = None)
@@ -52,45 +55,65 @@ final case class SinkConfig(
 class NdjsonBatchSink(delivery: Delivery, conf: SinkConfig = SinkConfig())
     extends Serializable {
 
+  /** The ONE flush-before-append predicate every path shares: flush when
+    * the buffer is full by count, would overflow by bytes with the next
+    * record, or has been open past the batch interval (the reference's
+    * 10 s BatchInterval, main.go:48). */
+  private[graft] def shouldFlush(n: Int, bytes: Long, nextLen: Int,
+                                 openedAtMs: Long, nowMs: Long): Boolean =
+    n > 0 && (n >= conf.batchCount || bytes + nextLen > conf.batchBytes ||
+      nowMs - openedAtMs >= conf.batchIntervalMs)
+
   /** foreachBatch entry point: expects columns (stream STRING, json
-    * STRING); rows are framed as `json`+'\n' per record downstream.
-    *
-    * The iterator is consumed incrementally: per-stream chunk buffers are
-    * flushed the moment they hit the count/byte bound, so executor memory
-    * holds at most one in-flight chunk per stream — never the whole
-    * partition.
-    */
+    * STRING); rows are framed as `json`+'\n' per record downstream. */
   def process(df: DataFrame, batchId: Long): Unit =
     df.select("stream", "json").foreachPartition { (rows: Iterator[Row]) =>
-      final class Buf {
-        val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        var bytes = 0L
-      }
-      val bufs = scala.collection.mutable.HashMap.empty[String, Buf]
-      rows.foreach { row =>
-        val stream = row.getString(0)
-        val rec = row.getString(1).getBytes("UTF-8")
-        val b = bufs.getOrElseUpdate(stream, new Buf)
-        if (b.recs.nonEmpty &&
-            (b.recs.length >= conf.batchCount || b.bytes + rec.length > conf.batchBytes)) {
-          sendWithRetry(stream, b.recs.toSeq)
-          b.recs.clear(); b.bytes = 0L
-        }
-        b.recs += rec; b.bytes += rec.length
-      }
-      bufs.foreach { case (stream, b) =>
-        if (b.recs.nonEmpty) sendWithRetry(stream, b.recs.toSeq)
-      }
+      processRows(rows.map(r => (r.getString(0), r.getString(1).getBytes("UTF-8"))),
+        () => System.currentTimeMillis())
     }
 
-  /** Count/byte-bounded chunking (4 MiB / 500 records by default). */
+  /** The per-partition production loop (specs drive this directly with a
+    * fake clock): the iterator is consumed incrementally into per-stream
+    * buffers, flushed via [[shouldFlush]] the moment a bound is hit — so
+    * executor memory holds at most one in-flight chunk per stream, never
+    * the whole partition, and a slow source can't hold a partial chunk
+    * open past the interval. Interval enforcement is at record-arrival
+    * granularity (a pull-based iterator can't flush while blocked in
+    * `next()`); the end of every micro-batch always flushes, so at most
+    * one interval of latency is ever added on top of the trigger's. */
+  private[graft] def processRows(rows: Iterator[(String, Array[Byte])],
+                                 nowMs: () => Long): Unit = {
+    final class Buf {
+      val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var bytes = 0L
+      var openedAt = 0L
+    }
+    val bufs = scala.collection.mutable.HashMap.empty[String, Buf]
+    rows.foreach { case (stream, rec) =>
+      val now = nowMs()
+      val b = bufs.getOrElseUpdate(stream, new Buf)
+      if (shouldFlush(b.recs.length, b.bytes, rec.length, b.openedAt, now)) {
+        sendWithRetry(stream, b.recs.toSeq)
+        b.recs.clear(); b.bytes = 0L
+      }
+      if (b.recs.isEmpty) b.openedAt = now
+      b.recs += rec; b.bytes += rec.length
+    }
+    bufs.foreach { case (stream, b) =>
+      if (b.recs.nonEmpty) sendWithRetry(stream, b.recs.toSeq)
+    }
+  }
+
+  /** Count/byte-bounded chunking of a pre-materialized batch — same
+    * [[shouldFlush]] predicate with the time dimension pinned to zero
+    * (a batch has no arrival times). */
   private[graft] def chunk(records: Seq[Array[Byte]]): Seq[Seq[Array[Byte]]] = {
     val out = Seq.newBuilder[Seq[Array[Byte]]]
     var cur = Seq.newBuilder[Array[Byte]]
     var n = 0
     var bytes = 0L
     records.foreach { r =>
-      if (n > 0 && (n >= conf.batchCount || bytes + r.length > conf.batchBytes)) {
+      if (shouldFlush(n, bytes, r.length, 0L, 0L)) {
         out += cur.result(); cur = Seq.newBuilder; n = 0; bytes = 0L
       }
       cur += r; n += 1; bytes += r.length

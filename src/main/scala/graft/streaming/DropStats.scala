@@ -27,6 +27,31 @@ object DropStats {
       .agg(count(lit(1)).as("n_dropped"))
       .select(col("window.start").as("minute"), col("app"), col("level"), col("n_dropped"))
 
+  /** The reference's per-minute summary RECORD shape
+    * (/root/reference/sender/stats/stats.go:31-38): one row per minute
+    * with `total_dropped`, `app_count`, an apps→count map and a
+    * levels→count map — computed FROM [[aggregate]]'s per-(minute, app,
+    * level) rows (which stay the granular, oracle-checked form; this is
+    * the emission shape an operator of the reference expects). Map
+    * entries are sorted by key so the record is deterministic. Use under
+    * `foreachBatch` in streaming, or directly on the batch equivalent. */
+  def summary(perAppLevel: DataFrame): DataFrame = {
+    val totals = perAppLevel.groupBy(col("minute"))
+      .agg(sum(col("n_dropped")).as("total_dropped"))
+    val apps = perAppLevel.groupBy(col("minute"), col("app"))
+      .agg(sum(col("n_dropped")).as("n"))
+      .groupBy(col("minute"))
+      .agg(
+        count(lit(1)).as("app_count"),
+        map_from_entries(array_sort(collect_list(struct(col("app"), col("n"))))).as("apps"))
+    val levels = perAppLevel.groupBy(col("minute"), col("level"))
+      .agg(sum(col("n_dropped")).as("n"))
+      .groupBy(col("minute"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("level"), col("n"))))).as("level"))
+    totals.join(apps, "minute").join(levels, "minute")
+      .select(col("minute"), col("total_dropped"), col("app_count"), col("apps"), col("level"))
+  }
+
   /** Streaming entry: raw text lines → parse → windowed counts into an
     * in-memory table (swap the sink format for kafka/parquet in prod). */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,

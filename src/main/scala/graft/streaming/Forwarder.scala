@@ -41,16 +41,17 @@ object Forwarder {
         col("title"), col("level"), col("deploy_env"), col("rawlog")))
   }
 
-  /** Start the streaming forwarder reading text lines from a directory
-    * (the zero-egress stand-in for a Kinesis shard iterator — swap the
-    * source, keep the pipeline). */
+  /** Start the streaming forwarder. The record source defaults to
+    * [[FileLinesSource]] over `conf.inputDir`; pass any other
+    * [[RecordSource]] to swap the consumer without touching the
+    * pipeline — the same seam where the reference wires its KCL batch
+    * consumer to the sender (/root/reference/main.go:63-64). */
   def start(spark: SparkSession, conf: Config, delivery: Delivery,
-            route: Column = null): StreamingQuery = {
+            route: Column = null, source: RecordSource = null): StreamingQuery = {
     val r = Option(route).getOrElse(lit(conf.streamName))
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
-      .text(conf.inputDir)
-    val out = transform(lines, conf.deployEnv, r)
+    val src = Option(source)
+      .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
+    val out = transform(src.stream(spark), conf.deployEnv, r)
     val sink = new NdjsonBatchSink(delivery, conf.sink)
     out.writeStream
       .option("checkpointLocation", conf.checkpointDir)

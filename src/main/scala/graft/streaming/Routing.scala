@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Declarative routing config (SURVEY.md §2.A12): the reference routes
+  * records to delivery streams via a `kvconfig.yml` routing table loaded
+  * at startup (/root/reference/main.go:42, `SetGlobalRouting`), where
+  * each named route lists per-field value matchers
+  * (/root/reference/kvconfig.yml). Graft's pipeline routes by a Column
+  * expression — strictly more expressive — and this object is the
+  * config-file surface on top: a parsed route table compiles to that
+  * Column, so an operator migrating from the reference can bring their
+  * routing file instead of writing expressions.
+  */
+object Routing {
+
+  /** One route: records whose fields match ALL matchers (value ∈ list
+    * per field) go to stream `name`. */
+  final case class Route(name: String, matchers: Map[String, Seq[String]])
+
+  /** Compile an ordered route table to a routing Column for
+    * [[Forwarder.start]]: first matching route wins, `default`
+    * otherwise. Pure codegen'd predicates — routing adds no shuffle. */
+  def column(routes: Seq[Route], default: String = "main"): Column =
+    routes.foldRight(lit(default)) { (route, fallthrough) =>
+      val cond = route.matchers.toSeq
+        .map { case (field, vals) => col(field).isin(vals: _*) }
+        .reduceOption(_ && _)
+        .getOrElse(lit(true))
+      when(cond, lit(route.name)).otherwise(fallthrough)
+    }
+
+  /** Parse the `routes:` section of a kvconfig.yml-shaped document
+    * (two-space indentation, `field: ["v1", "v2"]` matcher lists — the
+    * exact shape of /root/reference/kvconfig.yml). This is a minimal
+    * purpose-built reader, not a YAML engine: only `routes.*.matchers`
+    * is interpreted; `output:` blocks (alert sinks in the reference)
+    * are ignored. Routes keep file order (first match wins). */
+  def parseKvConfig(text: String): Seq[Route] = {
+    val routes = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Seq[String]]]
+    var inRoutes = false
+    var route: String = null
+    var inMatchers = false
+    for (raw <- text.linesIterator; line = raw.replaceAll("#.*$", "") if line.trim.nonEmpty) {
+      val indent = line.takeWhile(_ == ' ').length
+      val body = line.trim
+      if (indent == 0) inRoutes = body == "routes:"
+      else if (inRoutes && indent == 2 && body.endsWith(":")) {
+        route = body.dropRight(1)
+        routes(route) = Map.empty
+        inMatchers = false
+      } else if (inRoutes && route != null && indent == 4) {
+        inMatchers = body == "matchers:"
+      } else if (inRoutes && route != null && inMatchers && indent == 6) {
+        body.split(":", 2) match {
+          case Array(field, rhs) =>
+            val vals = "\"([^\"]*)\"".r.findAllMatchIn(rhs).map(_.group(1)).toSeq
+            if (vals.nonEmpty) routes(route) = routes(route) + (field.trim -> vals)
+          case _ => ()
+        }
+      }
+    }
+    routes.map { case (n, m) => Route(n, m) }.toSeq
+  }
+
+  /** Load + compile a routing file in one step (driver-side IO). */
+  def fromKvConfigFile(path: String, default: String = "main"): Column =
+    column(parseKvConfig(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8")), default)
+}

@@ -70,4 +70,14 @@ class SimilaritySpec extends AnyFunSuite {
     val r = df.select(size(Media.frames(col("media"), 256))).head()
     assert(r.getInt(0) == 0)
   }
+
+  test("NULL blob passes through frames as NULL, distinct from zero-byte media") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]]), (2L, Some(Array.empty[Byte])))
+      .toDF("media_id", "media")
+    val rows = df.select(col("media_id"), Media.frames(col("media"), 256).as("f"))
+      .orderBy("media_id").collect()
+    assert(rows(0).isNullAt(1), "no media must stay NULL")
+    assert(rows(1).getSeq[Array[Byte]](1).isEmpty, "zero-byte media is an empty frame array")
+  }
 }

@@ -106,6 +106,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(d.accepted.asScala.toSeq.sorted == Seq("ok-1", "ok-2"))
   }
 
+  test("process path delivers count-bounded chunks (production loop, not the helper)") {
+    TestDeliveries.calls.clear()
+    val sink = new NdjsonBatchSink(new TestDeliveries.ChunkRecorder,
+      SinkConfig(batchCount = 3, batchBytes = 1000))
+    val rows = (0 until 10).map(i => ("s", s"rec-$i".getBytes("UTF-8")))
+    sink.processRows(rows.iterator, () => 0L)
+    assert(TestDeliveries.calls.asScala.toSeq == Seq(3, 3, 3, 1))
+  }
+
+  test("interval flush: a slow trickle flushes the partial chunk at the bound") {
+    TestDeliveries.calls.clear()
+    val sink = new NdjsonBatchSink(new TestDeliveries.ChunkRecorder,
+      SinkConfig(batchCount = 100, batchBytes = 1000000, batchIntervalMs = 10000))
+    // one record every 6 s: the buffer opened at t=0 exceeds the 10 s
+    // interval when the t=12 s record arrives → [r0, r1] flushes and the
+    // new record opens a fresh buffer; end-of-partition flushes the rest
+    var t = -6000L
+    val clock = () => { t += 6000L; t }
+    val rows = (0 until 4).map(i => ("s", s"r$i".getBytes("UTF-8")))
+    sink.processRows(rows.iterator, clock)
+    assert(TestDeliveries.calls.asScala.toSeq == Seq(2, 2),
+      s"got ${TestDeliveries.calls.asScala.toSeq}")
+  }
+
   test("chunking respects count and byte bounds") {
     TestDeliveries.calls.clear()
     val sink = new NdjsonBatchSink(new TestDeliveries.ChunkRecorder,
@@ -116,6 +140,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(TestDeliveries.calls.asScala.toSeq == Seq(3, 3, 3, 1))
     val big = Seq(Array.fill(600)('x'.toByte), Array.fill(600)('x'.toByte))
     assert(sink.chunk(big).map(_.size) == Seq(1, 1)) // byte bound splits
+  }
+
+  test("kvconfig-shaped routing file parses and demuxes through the forwarder") {
+    val yml =
+      """routes:
+        |  error-stream:
+        |    matchers:
+        |      level: ["error", "critical"]
+        |    output:
+        |      type: "alerts"
+        |      series: "ignored.by.routing"
+        |  app-two:
+        |    matchers:
+        |      container_app: ["app2"]
+        |      level: ["info"]
+        |""".stripMargin
+    val routes = graft.streaming.Routing.parseKvConfig(yml)
+    assert(routes.map(_.name) == Seq("error-stream", "app-two"))
+    assert(routes.head.matchers == Map("level" -> Seq("error", "critical")))
+    assert(routes(1).matchers == Map("container_app" -> Seq("app2"), "level" -> Seq("info")))
+
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(10))
+    val q = Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out),
+      graft.streaming.Routing.column(routes))
+    q.awaitTermination()
+    def count(stream: String) =
+      Files.walk(Paths.get(out, stream)).iterator().asScala
+        .filter(_.toString.endsWith(".ndjson"))
+        .flatMap(f => Files.readAllLines(f).asScala.iterator).size
+    // sampleLines: i%5==0 → error (i=0,5); app_i = i%3, info+app2 → i=2,8 (5 is error)
+    assert(count("error-stream") == 2)
+    assert(count("app-two") == 2)
+    assert(count("main") == 6)
+  }
+
+  test("drop-stats summary emits the reference's per-minute record shape") {
+    val in = tmp()
+    writeLines(in, "a.log", sampleLines(30))
+    val perAppLevel = graft.logs.LogColumns
+      .enhance(spark.read.text(in), col("value"), "production")
+      .groupBy(date_trunc("minute", col("timestamp")).as("minute"),
+        col("container_app").as("app"), col("level"))
+      .agg(count(lit(1)).as("n_dropped"))
+    val rows = graft.streaming.DropStats.summary(perAppLevel)
+      .orderBy("minute").collect()
+    // sampleLines(30): minutes 0..9 each carry 3 records (i%10 cycles);
+    // every minute m has apps {app(m%3), app((m+10)%3), app((m+20)%3)} = all 3
+    assert(rows.length == 10)
+    val r0 = rows.head
+    assert(r0.getLong(r0.fieldIndex("total_dropped")) == 3L)
+    assert(r0.getLong(r0.fieldIndex("app_count")) == 3L)
+    val apps = r0.getMap[String, Long](r0.fieldIndex("apps"))
+    assert(apps == Map("app0" -> 1L, "app1" -> 1L, "app2" -> 1L))
+    val levels = r0.getMap[String, Long](r0.fieldIndex("level"))
+    // minute 0 holds i = 0, 10, 20 → levels error(0,10,20 % 5 == 0) — all three are i%5==0
+    assert(levels == Map("error" -> 3L))
   }
 
   test("drop-stats windowed aggregation matches the batch equivalent") {
@@ -146,6 +227,25 @@ class StreamingSpec extends AnyFunSuite {
     val progress = q.recentProgress.filter(_.numInputRows > 0)
     assert(progress.length == 3, s"expected 3 rate-limited batches, got ${progress.length}")
     assert(progress.forall(_.numInputRows == 4))
+  }
+
+  test("a second RecordSource (in-memory) runs the same pipeline through the seam") {
+    import spark.implicits._
+    val out = tmp(); val ck = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    mem.addData(sampleLines(6): _*)
+    val src = new graft.streaming.RecordSource {
+      override def stream(s: org.apache.spark.sql.SparkSession) = mem.toDF()
+    }
+    val q = Forwarder.start(spark, Forwarder.Config("unused-input-dir", ck),
+      new FileDelivery(out), source = src)
+    q.awaitTermination()
+    val lines = Files.walk(Paths.get(out, "main")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(lines.size == 6)
+    val parsed = spark.read.json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.filter(col("container_app") === "app1").count() > 0)
   }
 
   test("checkpoint resume processes only new files (no reprocessing)") {
