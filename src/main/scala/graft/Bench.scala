@@ -43,7 +43,13 @@ object Bench {
     // land on an arbitrary query's number.
     runOnce("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // SPARK_GRAFT_ONLY=q1,q2 narrows to named queries for local iteration;
+    // unset (the driver's mode) runs everything
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) => list.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+    val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query (-1 marker) must not make the headline number look

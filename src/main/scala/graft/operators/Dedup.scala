@@ -270,33 +270,36 @@ object Dedup {
     *
     * The blocking scheme makes the O(n²) comparisons DISTRIBUTE instead
     * of running as one BroadcastNestedLoopJoin: each vector gets a
-    * random block p ∈ [0, blocks); each unordered block pair (i ≤ j) is
-    * a join cell; a vector in block p replicates to the `blocks` cells
-    * containing p. The self-equi-join on (bi, bj) then computes each
-    * cell's cross product with bounded memory (~2n/blocks vectors per
-    * key group) and even spread — a shuffle hash/merge join, never a
-    * cartesian. Same-block pairs share all `blocks` cells, so they are
-    * counted only in the diagonal cell (bi == bj). Shuffle volume is
-    * n·blocks rows vs n² comparisons — pick blocks ≈ n·bytes_per_vec /
-    * target_cell_memory at scale. */
+    * random block p ∈ [0, blocks); each ORDERED block pair (i ≤ j) is a
+    * join cell. A vector plays the LEFT role in the cells of its block
+    * row {(p, j): j ≥ p} and the RIGHT role in its block column
+    * {(i, p): i ≤ p}, so cell (i, j) holds exactly block-i vectors on
+    * the left and block-j vectors on the right — every unordered vector
+    * pair meets in exactly one cell (the diagonal i == j additionally
+    * dedupes same-block pairs by id order). The equi-join on (bi, bj)
+    * then computes each cell's n/blocks × n/blocks cross product with
+    * bounded memory and even spread — a shuffle hash/merge join, never
+    * a cartesian — and materializes only ~n²/2 candidate rows (a
+    * symmetric both-roles-everywhere scheme costs ~2n²). Replication
+    * is blocks+1 copies per vector vs n²/2 comparisons — pick blocks ≈
+    * n·bytes_per_vec / target_cell_memory at scale. */
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
                            threshold: Double, blocks: Int = 16): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"),
       pmod(xxhash64(id), lit(blocks)).cast("int").as("blk"))
-    val cells = v.select(col("vec_id"), col("v"), col("blk"),
-        explode(array((0 until blocks).map(q =>
-          struct(least(col("blk"), lit(q)).as("bi"),
-                 greatest(col("blk"), lit(q)).as("bj"))): _*)).as("cell"))
-      .select(col("cell.bi").as("bi"), col("cell.bj").as("bj"),
-        col("vec_id"), col("v"), col("blk"))
-    cells.as("a").join(cells.as("b"),
+    val lefts = v.select(col("vec_id"), col("v"), col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val rights = v.select(col("vec_id"), col("v"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    lefts.as("a").join(rights.as("b"),
         col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
-          col("a.vec_id") < col("b.vec_id") &&
-          // same-block pairs co-occur in every cell containing their
-          // block — count them only once, in the diagonal cell
-          (col("a.blk") =!= col("b.blk") || col("a.bi") === col("a.bj")))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          // off-diagonal cells hold disjoint blocks (no dupes, no self
+          // pairs); the diagonal needs the id-order guard for both
+          (col("a.bi") =!= col("a.bj") || col("a.vec_id") < col("b.vec_id")))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         round(VectorFunctions.dot(col("a.v"), col("b.v")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
