@@ -19,7 +19,11 @@ object LogQueries {
   /** Deterministic rsyslog lines from events: RFC3339 ts, ECS-style
     * program name carrying env/app/task, kayvee JSON payload. */
   private def lines(t: Tables): DataFrame = {
-    val e = t.events.withColumn("ts_us", expr("ts div 1000"))
+    // repartition before the per-line construction + downstream regex
+    // parse so the map stages parallelize by cluster size even when the
+    // events input is one small file
+    val e = t.events.repartition(col("event_id"))
+      .withColumn("ts_us", expr("ts div 1000"))
     val k = get_json_object(col("props"), "$.k").cast("long")
     val lvl = when(col("event_type") === "error", lit("error")).otherwise(lit("info"))
     e.select(
@@ -122,7 +126,7 @@ object LogQueries {
     "qlog_ndjson_roundtrip",
     (s, dir) => {
       val t = Tables(s, dir)
-      val e = t.events
+      val e = t.events.repartition(col("event_id"))
       val enhanced = e.select(
         col("event_id"),
         col("event_type").as("title"),

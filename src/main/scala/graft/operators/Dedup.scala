@@ -97,8 +97,17 @@ object Dedup {
                         n: Int = 2, threshold: Double = 0.5,
                         maxBucket: Int = 10000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    val docs = df.select(id.as("doc_id"), shingleHashSet(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // repartition BEFORE the shingle/hash map stage: per-doc work then
+    // parallelizes by cluster size, not by input file count (a small or
+    // unsplittable input otherwise serializes the most expensive stage);
+    // the raw-text shuffle is minor next to the shingle explode below.
+    // The shingle-less guard is the CHEAP equivalent `tokens >= n` (sh is
+    // non-empty iff the doc has ≥ n tokens) so predicate pushdown can't
+    // drag a recomputation of the whole shingle expression below the
+    // exchange onto the unparallelized scan.
+    val docs = df.select(id.as("doc_id"), text.as("doc_text"))
+      .filter(size(split(col("doc_text"), " ")) >= n)
+      .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
     val inv = docs.select(col("doc_id"), size(col("sh")).as("sh_n"),
       explode(col("sh")).as("shingle"))
     // global document frequency defines the prefix order (rarest first);
@@ -178,10 +187,15 @@ object Dedup {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val k = bands * rows
     // Shingle-less docs (shorter than n tokens) all share the null
-    // signature — without this filter they'd pile into one degenerate
-    // bucket and quadratically self-join there.
-    val docs = df.select(id.as("doc_id"), shingleHashSet(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // signature — without the guard they'd pile into one degenerate
+    // bucket and quadratically self-join there; the guard is the cheap
+    // `tokens >= n` equivalent, applied BEFORE the repartition so the
+    // k-permutation signature stage (the cost center) parallelizes by
+    // cluster size with no pushed-down recompute on the raw scan.
+    val docs = df.select(id.as("doc_id"), text.as("doc_text"))
+      .filter(size(split(col("doc_text"), " ")) >= n)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
     val banded = docs.select(col("doc_id"), posexplode(
         array((0 until bands).map { b =>
@@ -229,7 +243,10 @@ object Dedup {
                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val docs = df.select(id.as("doc_id"), simhash64(text).as("sig"))
+    // repartition first: the 64-bit vote accumulation parallelizes by
+    // cluster size, not input file layout
+    val docs = df.repartition(id)
+      .select(id.as("doc_id"), simhash64(text).as("sig"))
     val banded = docs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until chunks).map { c =>
         shiftrightunsigned(col("sig"), c * bitsPer)
