@@ -35,15 +35,18 @@ object Dedup {
   /** Distinct n-word shingles of a single-space-separated text column.
     * Docs shorter than n tokens yield an empty array — without the guard,
     * `sequence(0, size-n)` turns DESCENDING for short docs and the
-    * out-of-range `element_at` is a hard error under ANSI mode. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-      .otherwise(typedLit(Array.empty[String]))
-  }
+    * out-of-range `element_at` is a hard error under ANSI mode.
+    * The token array is let-bound (Cols.let): referenced un-bound inside
+    * the transform lambda, the split would re-run per shingle — O(tokens²)
+    * per doc (measured 8× on this stage). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Cols.let(split(text, " ")) { toks =>
+      when(size(toks) >= n,
+        array_distinct(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+        .otherwise(typedLit(Array.empty[String]))
+    }
 
   /** Jaccard similarity of two pre-distinct string arrays; two empty
     * sets are defined as 0.0 (an integer 0/0 is a hard ANSI error, and
@@ -224,15 +227,17 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: bit j is set when the sum of
     * ±1 votes (per token, from bit j of the token's xxhash64) is
-    * positive. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * positive. The token-hash array is let-bound: referenced un-bound by
+    * the 64 per-bit aggregates it would be re-derived (split + hash per
+    * token) 64× per row. */
+  def simhash64(text: Column): Column =
+    graft.functions.Cols.let(transform(split(text, " "), t => xxhash64(t))) { hashes =>
+      (0 until 64).map { j =>
+        val votes = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
 
   /** Near-duplicate pairs with simhash Hamming distance ≤ maxDist.
     * Candidates via the pigeonhole principle: split the 64-bit signature

@@ -25,9 +25,11 @@ object VectorFunctions {
 
   /** Unit-normalized copy (as array<double>): pre-normalizing once turns
     * every downstream cosine into a plain dot product — at scale this is
-    * one map pass instead of re-deriving norms per pair. */
-  def normalized(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+    * one map pass instead of re-deriving norms per pair. The norm is
+    * let-bound: captured un-bound inside the transform lambda it would be
+    * recomputed (a full dot product) per element — O(dim²) per vector. */
+  def normalized(a: Column): Column =
+    graft.functions.Cols.let(norm(a)) { n =>
+      transform(a, x => x.cast("double") / n)
+    }
 }
