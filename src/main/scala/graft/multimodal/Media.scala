@@ -21,12 +21,29 @@ object Media {
 
   /** STUB CODEC — deterministic fake standing in for a real image
     * decoder; formulas are arbitrary but fixed, so pipelines are
-    * testable end-to-end. A real deployment swaps `decode` only. */
+    * testable end-to-end. A real deployment swaps `decode`/`resize`
+    * only. */
   object MediaCodec {
     def decode(bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length.toLong
       MediaMeta(width = 16L + n % 113L, height = 16L + (n * 7L) % 97L,
         channels = 3L, nBytes = n)
+    }
+
+    /** STUB resize — nearest-neighbor stride-sample of the byte stream
+      * into a w×h×3 buffer (a real codec decodes, interpolates, and
+      * re-encodes; the Spark-side contract — fixed-size output derived
+      * per blob inside the partition batch loop — is identical). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = bytes(((i.toLong * bytes.length) / out.length).toInt)
+          i += 1
+        }
+      }
+      out
     }
   }
 
@@ -51,6 +68,45 @@ object Media {
         }
       }
       .toDF("media_id", "width", "height", "channels", "n_bytes")
+  }
+
+  /** Resize every blob to w×h×3 bytes via the per-partition codec
+    * boundary (same seam as [[decodeMeta]]). */
+  def resize(df: DataFrame, id: Column, blob: Column, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mid, bytes) => (mid, MediaCodec.resize(bytes, w, h)) }
+      }
+      .toDF("media_id", "resized")
+  }
+
+  /** Feature extraction — a REAL computation, not a stub: the
+    * L1-normalized 256-bin byte histogram of each blob as
+    * `array<float>`, shaped exactly like an embedding column so it
+    * feeds the similarity operators (Similarity.bruteTopK/lshTopK,
+    * Dedup.embeddingCosinePairs*) directly. Runs in the same
+    * partition-batch loop a learned feature extractor would. */
+  def byteHistogram(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mid, bytes) =>
+          val counts = new Array[Float](256)
+          var i = 0
+          while (i < bytes.length) { counts(bytes(i) & 0xff) += 1f; i += 1 }
+          if (bytes.length > 0) {
+            var j = 0
+            while (j < 256) { counts(j) /= bytes.length; j += 1 }
+          }
+          (mid, counts)
+        }
+      }
+      .toDF("media_id", "features")
   }
 
   /** Fixed-size frame split of a blob (video-style), as an array of

@@ -22,17 +22,23 @@ object Layout {
     * size it so one bucket of the LARGEST co-bucketed table fits an
     * executor core's working set (at cluster scale: hundreds to
     * thousands), and keep it identical across tables meant to join. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    key: String, sortCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
+  /** Drop `table` and delete its default managed location. With the
+    * in-memory catalog a previous process can leave the location behind
+    * with no catalog entry, and table creation then refuses with
+    * LOCATION_ALREADY_EXISTS — call this before (re)creating a managed
+    * table whose name may have been used before. */
+  def reclaimManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // with the in-memory catalog a previous process can leave the managed
-    // location behind with no catalog entry; reclaim it so CTAS-overwrite
-    // doesn't refuse with LOCATION_ALREADY_EXISTS
     val loc = new org.apache.hadoop.fs.Path(
       s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    reclaimManagedTable(spark, table)
     val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)

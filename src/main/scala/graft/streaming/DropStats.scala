@@ -66,4 +66,26 @@ object DropStats {
       .queryName(queryName)
       .start()
   }
+
+  /** Streaming emission of the reference-shaped [[summary]] records:
+    * the watermarked per-(minute, app, level) aggregation emits
+    * FINALIZED minutes (append mode), and `foreachBatch` rolls each
+    * batch of finalized rows up into one summary record per minute —
+    * the streaming analogue of the reference's fire-and-reset minute
+    * ticker (stats.go:24-43). Records append to a managed table named
+    * `queryName` (swap for a kafka/alerts sink in prod). */
+  def startSummary(spark: SparkSession, inputDir: String, checkpointDir: String,
+                   deployEnv: String, queryName: String): StreamingQuery = {
+    graft.sources.Layout.reclaimManagedTable(spark, queryName)
+    val lines = spark.readStream.text(inputDir)
+    val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
+    aggregate(parsed).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        summary(batch).write.mode("append").saveAsTable(queryName)
+      }
+      .start()
+  }
 }

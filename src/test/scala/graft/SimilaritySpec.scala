@@ -71,6 +71,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getInt(0) == 0)
   }
 
+  test("resize emits fixed-size buffers via the codec boundary; empty blob zero-fills") {
+    import spark.implicits._
+    val df = Media.withFakeBlob(Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text"), col("text"))
+    val rows = Media.resize(df, col("doc_id"), col("media"), w = 2, h = 2)
+      .orderBy("media_id").collect()
+    val r1 = rows(0).getAs[Array[Byte]]("resized")
+    assert(r1.length == 2 * 2 * 3)
+    // nearest-neighbor stride over "abcd": byte i = src((i*4)/12) = src(i/3)
+    assert(r1.toSeq == Seq(0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3).map(i => "abcd".getBytes("UTF-8")(i)))
+    assert(rows(1).getAs[Array[Byte]]("resized").toSeq == Seq.fill(12)(0.toByte))
+  }
+
+  test("byte histogram is an exact L1-normalized feature vector that feeds ANN") {
+    import spark.implicits._
+    val df = Media.withFakeBlob(
+      Seq((1L, "ab"), (2L, "ab"), (3L, "zzzz")).toDF("doc_id", "text"), col("text"))
+    val feats = Media.byteHistogram(df, col("doc_id"), col("media"))
+    val h1 = feats.filter(col("media_id") === 1).head().getSeq[Float](1)
+    assert(h1('a'.toInt) == 0.5f && h1('b'.toInt) == 0.5f)
+    assert(math.abs(h1.sum - 1.0f) < 1e-6)
+    // composes with the similarity operators: identical-content blobs
+    // are each other's top-1 neighbor at cosine 1.0
+    val top = Similarity.bruteTopK(
+        feats, col("media_id"), col("features"),
+        feats.filter(col("media_id") === 1), col("media_id"), col("features"), k = 1)
+      .head()
+    assert(top.getLong(1) == 2L)
+    assert(top.getDouble(3) == 1.0)
+  }
+
   test("NULL blob passes through frames as NULL, distinct from zero-byte media") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Array[Byte]]), (2L, Some(Array.empty[Byte])))

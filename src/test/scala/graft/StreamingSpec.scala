@@ -199,6 +199,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(levels == Map("error" -> 3L))
   }
 
+  test("streaming drop-stats summary emits one reference-shaped record per minute") {
+    val in = tmp(); val ck = tmp()
+    writeLines(in, "a.log", sampleLines(30))
+    val q = graft.streaming.DropStats.startSummary(
+      spark, in, ck, "production", "dropstats_summary_test")
+    q.awaitTermination()
+    val rows = spark.table("dropstats_summary_test").orderBy("minute").collect()
+    // input spans minutes 0..9; append mode only FINALIZES windows past
+    // the 2-minute watermark (max event 00:09 → watermark 00:07 →
+    // minutes 0..6 emit; 7..9 stay in state for the next run)
+    assert(rows.length == 7)
+    val r0 = rows.head
+    assert(r0.getLong(r0.fieldIndex("total_dropped")) == 3L)
+    assert(r0.getLong(r0.fieldIndex("app_count")) == 3L)
+    assert(r0.getMap[String, Long](r0.fieldIndex("level")) == Map("error" -> 3L))
+  }
+
   test("drop-stats windowed aggregation matches the batch equivalent") {
     val in = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(30))
