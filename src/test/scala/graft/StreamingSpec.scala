@@ -176,6 +176,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(count("main") == 6)
   }
 
+  test("routing config edges: comments, matcher-less routes, empty docs") {
+    import graft.streaming.Routing
+    // a matcher-less route matches everything → routes later entries dead
+    val all = Routing.parseKvConfig(
+      """routes:
+        |  catch-all:
+        |    matchers:
+        |  never-reached:
+        |    matchers:
+        |      level: ["error"]
+        |""".stripMargin)
+    assert(all.map(_.name) == Seq("catch-all", "never-reached"))
+    assert(all.head.matchers.isEmpty)
+    // comments and blank lines are ignored; no routes: section → empty
+    assert(Routing.parseKvConfig("# just a comment\n\nother:\n  x: 1\n").isEmpty)
+    // compiled column: catch-all wins for every record
+    import spark.implicits._
+    val got = Seq(("error"), ("info")).toDF("level")
+      .select(Routing.column(all).as("stream")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("catch-all", "catch-all"))
+  }
+
   test("drop-stats summary emits the reference's per-minute record shape") {
     val in = tmp()
     writeLines(in, "a.log", sampleLines(30))
