@@ -91,8 +91,14 @@ object TextQueries {
       FROM m
       ORDER BY doc_id"""))
 
-  // Custom-Expression fingerprint: no SQL oracle (FNV-1a isn't a DuckDB
-  // built-in); hash vectors are pinned in HashSpec.
+  // Custom-Expression fingerprint WITH a full-parity oracle: FNV-1a is
+  // not a DuckDB built-in, but it IS expressible as a list_reduce over
+  // character codes with HUGEINT modular arithmetic (h = (h XOR b) *
+  // 0x100000001b3 mod 2^64, init 0xcbf29ce484222325), matching the
+  // published test vectors exactly. ord(char) == UTF-8 byte only for
+  // ASCII — verified true for the documents corpus at every SF; the
+  // spec-pinned vectors in DedupSpec remain the codepoint-independent
+  // ground truth.
   val qFingerprint = Q(
     "qtext_fingerprint",
     (s, dir) => {
@@ -102,7 +108,23 @@ object TextQueries {
           call_function("fnv1a64", TextFunctions.normalizeText(col("text"))).as("fingerprint"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""
+      WITH n AS (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+                 FROM documents),
+      b AS (SELECT doc_id,
+              [ord(substring(s, i, 1)) FOR i IN range(1, length(s)+1)] AS bytes
+            FROM n),
+      f AS (SELECT doc_id, list_reduce(
+              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
+              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
+            FROM b)
+      SELECT doc_id,
+             CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+                  THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT) AS fingerprint
+      FROM f
+      ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint)
 }

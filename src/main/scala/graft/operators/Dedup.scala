@@ -226,12 +226,16 @@ object Dedup {
   // --- C3: SimHash ------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: bit j is set when the sum of
-    * ±1 votes (per token, from bit j of the token's xxhash64) is
-    * positive. The token-hash array is let-bound: referenced un-bound by
-    * the 64 per-bit aggregates it would be re-derived (split + hash per
-    * token) 64× per row. */
+    * ±1 votes (per token, from bit j of the token's hash) is positive.
+    * Tokens are hashed with graft's own FNV-1a expression — a standard
+    * simhash token hash whose arithmetic is also exactly reproducible in
+    * the DuckDB oracle (list_reduce with HUGEINT mod-2⁶⁴), which is what
+    * makes `qdedup_simhash` fully oracle-checkable. The token-hash array
+    * is let-bound: referenced un-bound by the 64 per-bit aggregates it
+    * would be re-derived (split + hash per token) 64× per row. */
   def simhash64(text: Column): Column =
-    graft.functions.Cols.let(transform(split(text, " "), t => xxhash64(t))) { hashes =>
+    graft.functions.Cols.let(
+        transform(split(text, " "), t => call_function("fnv1a64", t))) { hashes =>
       (0 until 64).map { j =>
         val votes = aggregate(hashes, lit(0L),
           (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
@@ -246,6 +250,7 @@ object Dedup {
     * finds all of them with one shuffle. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // repartition first: the 64-bit vote accumulation parallelizes by

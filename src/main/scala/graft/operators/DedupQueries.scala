@@ -63,8 +63,38 @@ object DedupQueries {
     },
     Some(BruteJaccardSql))
 
-  // SimHash signatures use xxhash64 (not a DuckDB built-in) → rows-only;
-  // semantics pinned in DedupSpec.
+  /** Full-parity simhash oracle: tokens hashed with FNV-1a (list_reduce
+    * + HUGEINT mod-2⁶⁴ — bit-identical to graft's fnv1a64 expression,
+    * proven on the published test vectors), 64 per-bit vote sums, and
+    * brute-force all-pairs Hamming ≤ maxDist as the truth the banded
+    * Spark path must equal (the pigeonhole banding is complete and no
+    * sf0.01 bucket reaches the cap, so equality MUST hold). ASCII-only
+    * corpus assumption as in qtext_fingerprint's oracle. */
+  private def simhashOracleSql(maxDist: Int): String = {
+    val votes = (0 until 64).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << j}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      th AS (SELECT doc_id,
+               list_transform(w, t ->
+                 list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                list_transform(range(1, length(t)+1), i -> CAST(ord(substring(t, i, 1)) AS HUGEINT))),
+                   (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT)) AS hs
+             FROM d),
+      sig AS (SELECT doc_id, ($votes) AS s FROM th),
+      sigb AS (SELECT doc_id,
+                 CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sb
+               FROM sig),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.sb, b.sb)) AS BIGINT) AS hamming
+                FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxDist
+      ORDER BY doc_a, doc_b"""
+  }
+
   val qSimhash = Q(
     "qdedup_simhash",
     (s, dir) => {
@@ -72,7 +102,7 @@ object DedupQueries {
       Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    Some(simhashOracleSql(maxDist = 3)))
 
   val qEmbedding = Q(
     "qdedup_embedding",

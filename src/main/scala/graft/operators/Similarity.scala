@@ -75,8 +75,14 @@ object Similarity {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(corpusId.as("neighbor_id"), VectorFunctions.normalized(corpusVec).as("cv"))
     val q = queries.select(queryId.as("query_id"), VectorFunctions.normalized(queryVec).as("qv"))
-    val cand = bucketRows(c, "neighbor_id", "cv", dim, tables, planesPerTable, seed)
-      .join(broadcast(bucketRows(q, "query_id", "qv", dim, tables, planesPerTable, seed)),
+    // bucket on the RAW (double-cast) vectors: the sign of dot(v, plane)
+    // is scale-invariant, and hashing the unnormalized values keeps the
+    // signature arithmetic bit-reproducible outside Spark (the DuckDB
+    // oracle re-derives identical buckets from the same plane literals)
+    val cRaw = corpus.select(corpusId.as("neighbor_id"), corpusVec.cast("array<double>").as("craw"))
+    val qRaw = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("qraw"))
+    val cand = bucketRows(cRaw, "neighbor_id", "craw", dim, tables, planesPerTable, seed)
+      .join(broadcast(bucketRows(qRaw, "query_id", "qraw", dim, tables, planesPerTable, seed)),
         Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))

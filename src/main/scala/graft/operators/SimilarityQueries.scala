@@ -35,8 +35,50 @@ object SimilarityQueries {
       FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
-  // LSH signatures aren't SQL-expressible → rows-only; recall vs the
-  // brute-force truth is asserted in SimilaritySpec.
+  /** Full-parity DuckDB oracle for the LSH path: the deterministic
+    * hyperplanes are embedded as double literals (Double.toString
+    * round-trips bit-exactly) and each signature dot product is an
+    * explicit LEFT-ASSOCIATED sum chain, matching `graft_vec_dot`'s
+    * accumulation order — so both engines compute bit-identical float64
+    * dots, identical signs, identical buckets, identical candidates.
+    * Spark buckets on the raw double-cast vectors for the same reason.
+    * Cosine/rank parity is the same formulation qann_brute_topk's green
+    * oracle already proves. */
+  private def lshOracleSql(dim: Int, tables: Int, planesPerTable: Int,
+                           seed: Long, k: Int): String = {
+    def chain(p: Seq[Double]): String =
+      p.zipWithIndex.map { case (w, i) => s"v[${i + 1}]*($w)" }.mkString(" + ")
+    val bcols = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed + t)
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN (${chain(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }.mkString(", ")
+    val orCond = (0 until tables).map(t => s"c.b$t = q.b$t").mkString(" OR ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      sig AS (SELECT vec_id, $bcols FROM e),
+      qs AS (SELECT * FROM sig WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sig c JOIN qs q ON ($orCond)
+        WHERE c.vec_id != q.vec_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(c.v, q.v) AS cos
+        FROM cand
+        JOIN e c ON c.vec_id = cand.neighbor_id
+        JOIN e q ON q.vec_id = cand.query_id),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM scored)
+      SELECT query_id, neighbor_id, rank, cosine
+      FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
   val qLsh = Q(
     "qann_lsh_bucketed",
     (s, dir) => {
@@ -47,7 +89,7 @@ object SimilarityQueries {
           k = 5, dim = 64)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some(lshOracleSql(dim = 64, tables = 16, planesPerTable = 4, seed = 42L, k = 5)))
 
   val qDecode = Q(
     "qmm_decode_meta",
