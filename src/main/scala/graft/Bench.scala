@@ -44,9 +44,16 @@ object Bench {
     runOnce("q01_pricing_summary")
 
     // SPARK_GRAFT_ONLY=q1,q2 narrows to named queries for local iteration;
-    // unset (the driver's mode) runs everything
+    // unset (the driver's mode) runs everything. Unknown names warn loudly
+    // instead of silently shrinking the run (a typo must not read as a
+    // clean bench).
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(list) => list.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case Some(list) =>
+        val asked = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (known, unknown) = asked.partition(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] WARNING: unknown SPARK_GRAFT_ONLY queries ignored: ${unknown.mkString(", ")}")
+        known.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     val results = names.map(n => n -> run(n))

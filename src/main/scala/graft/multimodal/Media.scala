@@ -78,7 +78,10 @@ object Media {
     df.select(id.cast("long").as("media_id"), blob.as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (mid, bytes) => (mid, MediaCodec.resize(bytes, w, h)) }
+        // NULL blob ("no media") propagates as NULL, same contract as frames()
+        it.map { case (mid, bytes) =>
+          (mid, if (bytes == null) null else MediaCodec.resize(bytes, w, h))
+        }
       }
       .toDF("media_id", "resized")
   }
@@ -95,15 +98,19 @@ object Media {
     df.select(id.cast("long").as("media_id"), blob.as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // NULL blob ("no media") propagates as NULL, same contract as frames()
         it.map { case (mid, bytes) =>
-          val counts = new Array[Float](256)
-          var i = 0
-          while (i < bytes.length) { counts(bytes(i) & 0xff) += 1f; i += 1 }
-          if (bytes.length > 0) {
-            var j = 0
-            while (j < 256) { counts(j) /= bytes.length; j += 1 }
+          if (bytes == null) (mid, null)
+          else {
+            val counts = new Array[Float](256)
+            var i = 0
+            while (i < bytes.length) { counts(bytes(i) & 0xff) += 1f; i += 1 }
+            if (bytes.length > 0) {
+              var j = 0
+              while (j < 256) { counts(j) /= bytes.length; j += 1 }
+            }
+            (mid, counts)
           }
-          (mid, counts)
         }
       }
       .toDF("media_id", "features")

@@ -100,14 +100,14 @@ object Dedup {
                         n: Int = 2, threshold: Double = 0.5,
                         maxBucket: Int = 10000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    // repartition BEFORE the shingle/hash map stage: per-doc work then
-    // parallelizes by cluster size, not by input file count (a small or
-    // unsplittable input otherwise serializes the most expensive stage);
-    // the raw-text shuffle is minor next to the shingle explode below.
     // The shingle-less guard is the CHEAP equivalent `tokens >= n` (sh is
-    // non-empty iff the doc has ≥ n tokens) so predicate pushdown can't
-    // drag a recomputation of the whole shingle expression below the
-    // exchange onto the unparallelized scan.
+    // non-empty iff the doc has ≥ n tokens): a filter on the projected sh
+    // alias gets its expression inlined by predicate pushdown and would
+    // recompute the whole shingle pipeline a second time at the scan.
+    // Deliberately NO repartition here (unlike minhash/simhash): this
+    // plan re-reads the docs subtree six times (self-join + verify), so
+    // an added exchange multiplies into six shuffles — measured 2× SLOWER
+    // at sf0.1; shingling itself is cheap post let-binding.
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
       .filter(size(split(col("doc_text"), " ")) >= n)
       .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))

@@ -71,8 +71,11 @@ object DedupQueries {
     * sf0.01 bucket reaches the cap, so equality MUST hold). ASCII-only
     * corpus assumption as in qtext_fingerprint's oracle. */
   private def simhashOracleSql(maxDist: Int): String = {
+    // BigInt, not 1L << j: at j=63 a Long literal interpolates as
+    // -2^63 and the oracle's sign-bit vote would be dead
     val votes = (0 until 64).map { j =>
-      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << j}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::HUGEINT ELSE 0::HUGEINT END)"
+      val bit = BigInt(1) << j
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $bit::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $bit::HUGEINT ELSE 0::HUGEINT END)"
     }.mkString(" + ")
     s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

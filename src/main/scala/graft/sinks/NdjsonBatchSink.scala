@@ -58,11 +58,12 @@ class NdjsonBatchSink(delivery: Delivery, conf: SinkConfig = SinkConfig())
   /** The ONE flush-before-append predicate every path shares: flush when
     * the buffer is full by count, would overflow by bytes with the next
     * record, or has been open past the batch interval (the reference's
-    * 10 s BatchInterval, main.go:48). */
+    * 10 s BatchInterval, main.go:48). `batchIntervalMs <= 0` disables
+    * the interval bound (it must not degrade to flush-every-record). */
   private[graft] def shouldFlush(n: Int, bytes: Long, nextLen: Int,
                                  openedAtMs: Long, nowMs: Long): Boolean =
     n > 0 && (n >= conf.batchCount || bytes + nextLen > conf.batchBytes ||
-      nowMs - openedAtMs >= conf.batchIntervalMs)
+      (conf.batchIntervalMs > 0 && nowMs - openedAtMs >= conf.batchIntervalMs))
 
   /** foreachBatch entry point: expects columns (stream STRING, json
     * STRING); rows are framed as `json`+'\n' per record downstream. */
@@ -98,6 +99,14 @@ class NdjsonBatchSink(delivery: Delivery, conf: SinkConfig = SinkConfig())
       }
       if (b.recs.isEmpty) b.openedAt = now
       b.recs += rec; b.bytes += rec.length
+      // sweep the OTHER streams' buffers too: a busy stream must not let
+      // a quiet stream's partial chunk age past the interval
+      if (conf.batchIntervalMs > 0) bufs.foreach { case (s2, b2) =>
+        if (s2 != stream && b2.recs.nonEmpty && now - b2.openedAt >= conf.batchIntervalMs) {
+          sendWithRetry(s2, b2.recs.toSeq)
+          b2.recs.clear(); b2.bytes = 0L
+        }
+      }
     }
     bufs.foreach { case (stream, b) =>
       if (b.recs.nonEmpty) sendWithRetry(stream, b.recs.toSeq)

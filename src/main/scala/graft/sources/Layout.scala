@@ -17,11 +17,6 @@ import org.apache.spark.sql.DataFrame
   */
 object Layout {
 
-  /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet
-    * table in the session catalog. `buckets` is a layout-time choice:
-    * size it so one bucket of the LARGEST co-bucketed table fits an
-    * executor core's working set (at cluster scale: hundreds to
-    * thousands), and keep it identical across tables meant to join. */
   /** Drop `table` and delete its default managed location. With the
     * in-memory catalog a previous process can leave the location behind
     * with no catalog entry, and table creation then refuses with
@@ -35,6 +30,11 @@ object Layout {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet
+    * table in the session catalog. `buckets` is a layout-time choice:
+    * size it so one bucket of the LARGEST co-bucketed table fits an
+    * executor core's working set (at cluster scale: hundreds to
+    * thousands), and keep it identical across tables meant to join. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     key: String, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession

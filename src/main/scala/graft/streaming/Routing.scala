@@ -38,11 +38,26 @@ object Routing {
     * is interpreted; `output:` blocks (alert sinks in the reference)
     * are ignored. Routes keep file order (first match wins). */
   def parseKvConfig(text: String): Seq[Route] = {
+    // strip a trailing comment only at a '#' OUTSIDE double quotes — a
+    // '#' inside a quoted matcher value is data, not a comment
+    def stripComment(s: String): String = {
+      var inQuote = false
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"' => inQuote = !inQuote
+          case '#' if !inQuote => return s.substring(0, i)
+          case _ => ()
+        }
+        i += 1
+      }
+      s
+    }
     val routes = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Seq[String]]]
     var inRoutes = false
     var route: String = null
     var inMatchers = false
-    for (raw <- text.linesIterator; line = raw.replaceAll("#.*$", "") if line.trim.nonEmpty) {
+    for (raw <- text.linesIterator; line = stripComment(raw) if line.trim.nonEmpty) {
       val indent = line.takeWhile(_ == ' ').length
       val body = line.trim
       if (indent == 0) inRoutes = body == "routes:"

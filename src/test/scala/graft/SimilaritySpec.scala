@@ -83,6 +83,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(1).getAs[Array[Byte]]("resized").toSeq == Seq.fill(12)(0.toByte))
   }
 
+  test("NULL media propagates as NULL through resize and byteHistogram") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]]), (2L, Some("x".getBytes("UTF-8"))))
+      .toDF("media_id", "media")
+    val rz = Media.resize(df, col("media_id"), col("media"), 2, 2).orderBy("media_id").collect()
+    assert(rz(0).isNullAt(1) && !rz(1).isNullAt(1))
+    val ft = Media.byteHistogram(df, col("media_id"), col("media")).orderBy("media_id").collect()
+    assert(ft(0).isNullAt(1) && !ft(1).isNullAt(1))
+  }
+
   test("byte histogram is an exact L1-normalized feature vector that feeds ANN") {
     import spark.implicits._
     val df = Media.withFakeBlob(

@@ -36,6 +36,14 @@ object TestDeliveries {
       calls.add(records.size); Nil
     }
   }
+
+  /** Records (stream, chunk size) pairs. */
+  class StreamChunkRecorder extends Delivery {
+    val streamCalls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    override def deliver(stream: String, records: Seq[Array[Byte]]): Seq[Int] = {
+      streamCalls.add((stream, records.size)); Nil
+    }
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
@@ -130,6 +138,32 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${TestDeliveries.calls.asScala.toSeq}")
   }
 
+  test("interval sweep covers quiet streams starved behind a busy one") {
+    val d = new TestDeliveries.StreamChunkRecorder
+    val sink = new NdjsonBatchSink(d,
+      SinkConfig(batchCount = 100, batchBytes = 1000000, batchIntervalMs = 10000))
+    var t = -6000L
+    val clock = () => { t += 6000L; t }
+    // one lone record for stream A at t=0, then only-B traffic: A's
+    // partial chunk must flush when B's t=12s record arrives (sweep),
+    // not wait for end of partition
+    val rows = Seq(("A", "a1".getBytes("UTF-8"))) ++
+      (1 to 3).map(i => ("B", s"b$i".getBytes("UTF-8")))
+    sink.processRows(rows.iterator, clock)
+    import scala.jdk.CollectionConverters._
+    assert(d.streamCalls.asScala.toSeq == Seq(("A", 1), ("B", 2), ("B", 1)),
+      s"got ${d.streamCalls.asScala.toSeq}")
+  }
+
+  test("batchIntervalMs <= 0 disables the interval bound, not batching") {
+    TestDeliveries.calls.clear()
+    val sink = new NdjsonBatchSink(new TestDeliveries.ChunkRecorder,
+      SinkConfig(batchCount = 3, batchBytes = 1000, batchIntervalMs = 0))
+    val recs = (0 until 10).map(i => s"rec-$i".getBytes("UTF-8"))
+    sink.chunk(recs).foreach(c => sink.sendWithRetry("s", c))
+    assert(TestDeliveries.calls.asScala.toSeq == Seq(3, 3, 3, 1))
+  }
+
   test("chunking respects count and byte bounds") {
     TestDeliveries.calls.clear()
     val sink = new NdjsonBatchSink(new TestDeliveries.ChunkRecorder,
@@ -191,6 +225,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.head.matchers.isEmpty)
     // comments and blank lines are ignored; no routes: section → empty
     assert(Routing.parseKvConfig("# just a comment\n\nother:\n  x: 1\n").isEmpty)
+    // '#' inside a quoted matcher value is data, not a comment
+    val hashed = Routing.parseKvConfig(
+      """routes:
+        |  r1:
+        |    matchers:
+        |      title: ["err#1", "warn"]  # trailing comment still stripped
+        |""".stripMargin)
+    assert(hashed.head.matchers == Map("title" -> Seq("err#1", "warn")))
     // compiled column: catch-all wins for every record
     import spark.implicits._
     val got = Seq(("error"), ("info")).toDF("level")
