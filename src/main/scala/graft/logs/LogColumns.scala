@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object LogColumns {
 
-  /** `timestamp host prog[pid]: message` with a single-token timestamp. */
-  private val R3339 = "^(\\S+) (\\S+) ([^\\[ ]+)\\[(\\d+)\\]: ?(.*)$"
+  // The RFC3339 shape `timestamp host prog[pid]: message` is parsed by
+  // graft.functions.SyslogParse (one-pass native expression, see
+  // `parsed` below).
 
   /** RFC3164 `Mmm dd HH:MM:SS host prog[pid]: message`. */
   private val R3164 =
@@ -38,11 +39,21 @@ object LogColumns {
   private def safeLong(c: Column): Column =
     when(c === "", lit(null)).otherwise(c).cast("long")
 
-  def rawTimestamp3339(line: Column): Column = regexp_extract(line, R3339, 1)
-  def hostname(line: Column): Column        = regexp_extract(line, R3339, 2)
-  def programname(line: Column): Column     = regexp_extract(line, R3339, 3)
-  def pid(line: Column): Column             = safeLong(regexp_extract(line, R3339, 4))
-  def message(line: Column): Column         = regexp_extract(line, R3339, 5)
+  /** One-pass parse of the RFC3339 shape via the native SyslogParse
+    * expression: the per-field accessors below all build the identical
+    * `graft_syslog_parse(line)` subtree, which codegen subexpression
+    * elimination computes ONCE per row — versus five separate regex
+    * executions for five `regexp_extract(line, R3339, g)` nodes (they
+    * differ in the group index, so CSE can't merge them). Same pattern,
+    * same find()/""-on-no-match contract, identical outputs. */
+  private def parsed(line: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_syslog_parse", line)
+
+  def rawTimestamp3339(line: Column): Column = parsed(line).getField("ts")
+  def hostname(line: Column): Column        = parsed(line).getField("host")
+  def programname(line: Column): Column     = parsed(line).getField("prog")
+  def pid(line: Column): Column             = safeLong(parsed(line).getField("pid"))
+  def message(line: Column): Column         = parsed(line).getField("msg")
 
   def rawTimestamp3164(line: Column): Column = regexp_extract(line, R3164, 1)
   def hostname3164(line: Column): Column     = regexp_extract(line, R3164, 2)

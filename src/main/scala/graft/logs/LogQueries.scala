@@ -57,6 +57,7 @@ object LogQueries {
   val qParse = Q(
     "qlog_syslog_parse",
     (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
       val line = col("line")
       val prog = LogColumns.programname(line)
       val msg  = LogColumns.message(line)
@@ -101,6 +102,7 @@ object LogQueries {
   val qDropStats = Q(
     "qlog_drop_stats",
     (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
       val line = col("line")
       lines(Tables(s, dir)).select(
           substring(LogColumns.rawTimestamp3339(line), 1, 16).as("minute"),

@@ -56,6 +56,7 @@ object DropStats {
     * in-memory table (swap the sink format for kafka/parquet in prod). */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
             deployEnv: String, queryName: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
     val lines = spark.readStream.text(inputDir)
     val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
     aggregate(parsed).writeStream
@@ -76,6 +77,7 @@ object DropStats {
     * `queryName` (swap for a kafka/alerts sink in prod). */
   def startSummary(spark: SparkSession, inputDir: String, checkpointDir: String,
                    deployEnv: String, queryName: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
     graft.sources.Layout.reclaimManagedTable(spark, queryName)
     val lines = spark.readStream.text(inputDir)
     val parsed = LogColumns.enhance(lines, col("value"), deployEnv)

@@ -33,6 +33,7 @@ object Forwarder {
     * to demux. */
   def transform(lines: DataFrame, deployEnv: String,
                 route: Column): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(lines.sparkSession)
     val enhanced = LogColumns.enhance(lines, col("value"), deployEnv)
     enhanced.withColumn("stream", route)
       .withColumn("json", LogColumns.toNdjson(
