@@ -339,6 +339,45 @@ object Analytics {
     },
     q13.oracle)
 
+  // B13c: the native as-of join with a bounded lookback (pandas
+  // merge_asof `tolerance`): a left row matches only when the latest
+  // right row is within toleranceUs. Equivalent to restricting the
+  // oracle's join to the tolerance window — the latest overall IS the
+  // closest, so "latest, then check tolerance" and "latest within
+  // tolerance" coincide. 8500 days keeps roughly half the sf matches
+  // (measured gap distribution ~8200-8800 days), so the bound is
+  // actually exercised.
+  val q13c = Q(
+    "q13c_asof_tolerance",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      val t = Tables(s, dir)
+      val e = eventsUs(t).select(col("event_id"), col("user_id"), col("ts_us"))
+      val o = t.orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      graft.plans.AsOfJoin.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_us", rightTime = "od_us",
+          rightTieBreak = Seq("o_orderkey"),
+          toleranceUs = Some(8500L * 86400000000L))
+        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"),
+          col("o_totalprice").as("asof_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, asof_orderkey, asof_totalprice FROM (
+        SELECT e.event_id AS event_id, o.o_orderkey AS asof_orderkey,
+               o.o_totalprice AS asof_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON e.user_id = o.o_custkey
+         AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+         AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 734400000000000) t
+      WHERE rn = 1
+      ORDER BY event_id"""))
+
   // B14: time-range self-join — follow-up events within 5 minutes.
   val q14 = Q(
     "q14_range_join",
@@ -494,5 +533,5 @@ object Analytics {
     Some(Q20Sql))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q13b, q14, q15, q16, q16b, q17, q18, q19, q20)
+    q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20)
 }

@@ -32,7 +32,8 @@ final case class AsOfJoinPlan(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    rightTieBreak: Seq[Attribute])
+    rightTieBreak: Seq[Attribute],
+    toleranceUs: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -44,8 +45,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ties) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ties, tol) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +58,8 @@ final case class AsOfJoinExec(
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
-    rightTieBreak: Seq[Attribute])
+    rightTieBreak: Seq[Attribute],
+    toleranceUs: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -85,6 +87,10 @@ final case class AsOfJoinExec(
       s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
     val keyTypes = Seq(leftKey.dataType)
     val schemaOut = output
+    // -1 = unbounded lookback; the merge keeps only the LATEST right row
+    // ≤ left time, so if that one is outside tolerance no earlier row
+    // can be inside it — a single check at emit time suffices
+    val tol = toleranceUs.getOrElse(-1L)
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(Seq(leftKey), leftOut)
@@ -134,7 +140,9 @@ final case class AsOfJoinExec(
                   advanceRightHead()
                 } else advancing = false
               }
-              if (cand != null) nextRow = resultProj(joined(l, cand))
+              if (cand != null &&
+                  (tol < 0L || lTime - cand.getLong(rTimeIdx) <= tol))
+                nextRow = resultProj(joined(l, cand))
             }
           }
         }
@@ -165,12 +173,15 @@ object AsOfJoin {
   /** Inner as-of join: one output row per left row that has a right
     * match with equal `key` and greatest `rightTime ≤ leftTime` (ties on
     * right time resolved by greatest `rightTieBreak`). Time columns must
-    * be BIGINT epoch-micros.
+    * be BIGINT epoch-micros. `toleranceUs` bounds the lookback (pandas
+    * merge_asof-style): a left row only matches when
+    * `leftTime − rightTime ≤ toleranceUs`.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightTieBreak: Seq[String] = Nil): DataFrame = {
+           rightTieBreak: Seq[String] = Nil,
+           toleranceUs: Option[Long] = None): DataFrame = {
     val spark: SparkSession = left.sparkSession
     val lPlan = PlanBridge.analyzed(left)
     val rPlan = PlanBridge.analyzed(right)
@@ -181,6 +192,6 @@ object AsOfJoin {
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightTieBreak.map(attr(rPlan, _))))
+      rightTieBreak.map(attr(rPlan, _)), toleranceUs))
   }
 }

@@ -62,6 +62,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows("q13b_asof_custom").nonEmpty)
   }
 
+  test("tolerance bounds the lookback: latest-but-stale rows stop matching") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val l = Seq((1L, 100L), (2L, 100L)).toDF("lk", "lt")
+    val r = Seq((1L, 10L), (1L, 60L), (2L, 5L)).toDF("rk", "rt")
+    def ids(tol: Option[Long]) = graft.plans.AsOfJoin
+      .join(l, r, "lk", "rk", "lt", "rt", toleranceUs = tol)
+      .select("lk", "rt").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // unbounded: k=1 matches rt=60 (latest ≤ 100), k=2 matches rt=5
+    assert(ids(None) == Set((1L, 60L), (2L, 5L)))
+    // tolerance 50: k=1 gap 40 ok; k=2 gap 95 too stale — no fallback to
+    // even-older rows, the row simply doesn't match
+    assert(ids(Some(50L)) == Set((1L, 60L)))
+    // tolerance 10: nothing within bound
+    assert(ids(Some(10L)) == Set.empty)
+  }
+
   test("physical plan is the custom exec with one shuffle+sort per side") {
     GraftExtensions.ensureRegistered(spark)
     val df = Analytics.q13b.fn(spark, sf)
