@@ -62,9 +62,12 @@ object LogColumns {
   def message3164(line: Column): Column      = regexp_extract(line, R3164, 5)
 
   /** RFC3164 timestamps carry no year; the reference's decoder assumes
-    * the current year — callers inject it explicitly for determinism. */
+    * the current year — callers inject it explicitly for determinism.
+    * try_to_timestamp: a line matching neither shape must yield null,
+    * not an ANSI cast error (the reference skips bad records). */
   def timestamp3164(line: Column, year: Int): Column =
-    to_timestamp(concat(lit(s"$year "), rawTimestamp3164(line)), "yyyy MMM [ ]d HH:mm:ss")
+    try_to_timestamp(concat(lit(s"$year "), rawTimestamp3164(line)),
+      lit("yyyy MMM [ ]d HH:mm:ss"))
 
   // --- ECS program-name metadata (A3) ----------------------------------
 
@@ -105,22 +108,32 @@ object LogColumns {
 
   // --- parse + enhance (A1/A4) -----------------------------------------
 
-  /** Full parse+enhance of an RFC3339-timestamped rsyslog line column:
-    * the batch/streaming-shared core of the forwarder. Mirrors the field
-    * surface of the reference's ParseAndEnhance call.
-    */
-  def enhance(df: DataFrame, line: Column, deployEnv: String): DataFrame = {
-    val prog = programname(line)
+  /** Full parse+enhance of a rsyslog line column — the batch/streaming-
+    * shared core of the forwarder, mirroring the field surface of the
+    * reference's ParseAndEnhance call. The line SHAPE is auto-detected
+    * per record like the reference's decoder (both RFC3339 and RFC3164
+    * forms appear in its test fixtures): when the one-pass 3339 parse
+    * doesn't match, the 3164 extraction is used. `rfc3164Year` stands in
+    * for the reference's current-year assumption (3164 timestamps carry
+    * no year) — explicit for determinism. */
+  def enhance(df: DataFrame, line: Column, deployEnv: String,
+              rfc3164Year: Int = 2024): DataFrame = {
+    val is3339 = hostname(line) =!= ""
+    def pick(f3339: Column, f3164: Column): Column = when(is3339, f3339).otherwise(f3164)
+    val prog = pick(programname(line), programname3164(line))
+    val msg = pick(message(line), message3164(line))
     df.withColumn("rawlog", line)
-      .withColumn("timestamp", try_to_timestamp(rawTimestamp3339(line)))
-      .withColumn("hostname", hostname(line))
+      .withColumn("timestamp",
+        when(is3339, try_to_timestamp(rawTimestamp3339(line)))
+          .otherwise(timestamp3164(line, rfc3164Year)))
+      .withColumn("hostname", pick(hostname(line), hostname3164(line)))
       .withColumn("programname", prog)
-      .withColumn("pid", pid(line))
+      .withColumn("pid", pick(pid(line), pid3164(line)))
       .withColumn("container_env", containerEnv(prog))
       .withColumn("container_app", appOrUnknown(prog))
       .withColumn("container_task", containerTask(prog))
-      .withColumn("title", kayveeField(message(line), "title"))
-      .withColumn("level", level(message(line)))
+      .withColumn("title", kayveeField(msg, "title"))
+      .withColumn("level", level(msg))
       .withColumn("deploy_env", lit(deployEnv))
   }
 

@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.columns.contains("deploy_env"))
   }
 
+  test("enhance auto-detects RFC3339 and RFC3164 shapes per record") {
+    import spark.implicits._
+    val lines = Seq(
+      "2024-01-01T00:05:00+00:00 host-a production--appX/arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-1[11]: " +
+        """{"title":"t1","level":"error"}""",
+      "Apr  5 21:45:54 host-b staging--appY/arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-2[22]: " +
+        """{"title":"t2","level":"info"}""",
+      "not a syslog line at all")
+    val got = graft.logs.LogColumns
+      .enhance(lines.toDF("value"), col("value"), "production", rfc3164Year = 2017)
+      .select("hostname", "container_app", "pid", "level", "timestamp")
+      .collect()
+    assert(got(0).getString(0) == "host-a" && got(0).getString(1) == "appX" &&
+      got(0).getLong(2) == 11L && got(0).getString(3) == "error")
+    assert(got(1).getString(0) == "host-b" && got(1).getString(1) == "appY" &&
+      got(1).getLong(2) == 22L && got(1).getString(3) == "info")
+    assert(got(1).getTimestamp(4).toString.startsWith("2017-04-05"))
+    // malformed line: empty/unknown fields and null timestamp, no error
+    assert(got(2).getString(0) == "" && got(2).getString(1) == "_UNKNOWN_")
+    assert(got(2).isNullAt(4))
+  }
+
   test("router demuxes records to per-stream directories") {
     val in = tmp(); val out = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(10))
