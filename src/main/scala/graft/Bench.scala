@@ -24,10 +24,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
+      // some queries persist an intermediate frame (e.g. the ngram shingle
+      // cache); every timed run must recompute it or min-of-two would
+      // report a warm-cache number
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

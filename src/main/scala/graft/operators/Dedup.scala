@@ -104,13 +104,22 @@ object Dedup {
     // non-empty iff the doc has ≥ n tokens): a filter on the projected sh
     // alias gets its expression inlined by predicate pushdown and would
     // recompute the whole shingle pipeline a second time at the scan.
-    // Deliberately NO repartition here (unlike minhash/simhash): this
-    // plan re-reads the docs subtree six times (self-join + verify), so
-    // an added exchange multiplies into six shuffles — measured 2× SLOWER
-    // at sf0.1; shingling itself is cheap post let-binding.
+    //
+    // The shingled frame is PERSISTED: six consumers read it (freq
+    // ranking, both self-join sides, both verify joins) and without the
+    // cache boundary each re-runs split+shingle+hash from the raw scan —
+    // 6× the corpus I/O and CPU at cluster scale. Persisting also makes
+    // the repartition safe (it runs once, not six times), so the
+    // shingling map stage parallelizes by cluster size instead of by
+    // input file layout. At 100 TB, write this frame as an intermediate
+    // table instead of caching it (same plan shape, durable storage).
+    // The cache is dropped by `spark.catalog.clearCache()`; the frame is
+    // compact (id + 8-byte hashes, no text).
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
       .filter(size(split(col("doc_text"), " ")) >= n)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = docs.select(col("doc_id"), size(col("sh")).as("sh_n"),
       explode(col("sh")).as("shingle"))
     // global document frequency defines the prefix order (rarest first);
