@@ -22,8 +22,12 @@ object GraftExtensions {
   /** Idempotent runtime registration for sessions that already existed
     * before graft was on the classpath (`withExtensions` only applies at
     * session construction — a `getOrCreate` that finds a live session
-    * silently skips it). */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * silently skips it). Synchronized: the check-then-append on
+    * `extraStrategies` is not atomic, and two threads registering
+    * concurrently would otherwise grow the strategy list without bound
+    * (functionRegistry is internally synchronized; the strategy list is
+    * a plain var). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     descriptors.foreach { case (ident, info, builder) =>
       if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)

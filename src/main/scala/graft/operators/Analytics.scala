@@ -289,6 +289,11 @@ object Analytics {
       ORDER BY day_epoch, event_type"""))
 
   // B13: as-of join — most recent order at or before each event.
+  // NOTE: this windowed formulation buffers ALL candidate (event, order)
+  // pairs per event before ranking — it exists as the composition
+  // cross-check baseline that triangulates the native operator's oracle.
+  // At scale use graft.plans.AsOfJoin.join (q13b/q13c): one shuffle+sort
+  // per side, O(n+m) streaming merge, O(1) state per key.
   val q13 = Q(
     "q13_asof_join",
     (s, dir) => {

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import graft.logs.LogColumns
+import graft.sinks.{Delivery, NdjsonBatchSink, SinkConfig}
 
 /** The reference's drop-stats aggregation (SURVEY.md §2.A11):
   * per-minute tumbling counts of records grouped by container_app and
@@ -52,6 +53,49 @@ object DropStats {
       .select(col("minute"), col("total_dropped"), col("app_count"), col("apps"), col("level"))
   }
 
+  /** [[summary]] rows shaped as the reference's emission RECORD: the
+    * stats goroutine logs the per-minute rollup under the kayvee title
+    * `"drop-stats"` (/root/reference/sender/stats/stats.go:31-38,
+    * `log.TraceD("drop-stats", tmp)`), which is exactly the field the
+    * shipped kvconfig matches on (/root/reference/kvconfig.yml:4). */
+  def emissionRecords(summaryRows: DataFrame): DataFrame =
+    summaryRows.select(lit("drop-stats").as("title"), col("minute"),
+      col("total_dropped"), col("app_count"), col("apps"), col("level"))
+
+  /** Route [[emissionRecords]] by a kvconfig route table and attach the
+    * matched route's `output:` alert metadata — `series`, `stat_type`,
+    * and `value` read from the record's `value_field` column
+    * (/root/reference/kvconfig.yml:5-10). Records whose route carries no
+    * output block get null metadata; unmatched records go to `default`.
+    * Wiring-wise this is the reference's `SetGlobalRouting`
+    * (/root/reference/main.go:42) applied to the stats emission. */
+  def routedSummary(summaryRows: DataFrame, routes: Seq[Routing.Route],
+                    default: String = "main"): DataFrame = {
+    val withOut = routes.filter(_.output.isDefined)
+    def meta(nullType: String)(f: Routing.Output => Column): Column =
+      withOut.foldRight(lit(null).cast(nullType)) { (r, acc) =>
+        when(col("stream") === r.name, f(r.output.get)).otherwise(acc)
+      }
+    emissionRecords(summaryRows)
+      .withColumn("stream", Routing.column(routes, default))
+      .withColumn("series", meta("string")(o => lit(o.series)))
+      .withColumn("stat_type", meta("string")(o => lit(o.statType)))
+      .withColumn("value", meta("double")(o => col(o.valueField).cast("double")))
+  }
+
+  /** Deliver routed summary records through the batched sink — the full
+    * A11 (drop-stats) → A12 (kvconfig routing) → A6 (batched delivery)
+    * wiring of the reference's alerting path. */
+  def deliverSummary(summaryRows: DataFrame, routes: Seq[Routing.Route],
+                     delivery: Delivery, conf: SinkConfig = SinkConfig(),
+                     default: String = "main", batchId: Long = 0L): Unit = {
+    val routed = routedSummary(summaryRows, routes, default)
+    val out = routed.withColumn("json", to_json(struct(
+      col("title"), col("minute"), col("total_dropped"), col("app_count"),
+      col("apps"), col("level"), col("series"), col("stat_type"), col("value"))))
+    new NdjsonBatchSink(delivery, conf).process(out, batchId)
+  }
+
   /** Streaming entry: raw text lines → parse → windowed counts into an
     * in-memory table (swap the sink format for kafka/parquet in prod). */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
@@ -87,6 +131,29 @@ object DropStats {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         summary(batch).write.mode("append").saveAsTable(queryName)
+      }
+      .start()
+  }
+
+  /** Streaming emission of [[summary]] records ROUTED by a kvconfig
+    * table to a batched delivery — the complete analogue of the
+    * reference process: the stats ticker's per-minute record
+    * (stats.go:24-43) flows through `SetGlobalRouting`'s route table
+    * (main.go:42, kvconfig.yml) into the delivery stream named by the
+    * matched route, alert metadata attached from its `output:` block. */
+  def startSummaryRouted(spark: SparkSession, inputDir: String,
+                         checkpointDir: String, deployEnv: String,
+                         routes: Seq[Routing.Route], delivery: Delivery,
+                         conf: SinkConfig = SinkConfig()): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val lines = spark.readStream.text(inputDir)
+    val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
+    aggregate(parsed).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        deliverSummary(summary(batch), routes, delivery, conf, batchId = id)
       }
       .start()
   }

@@ -48,9 +48,10 @@ object Forwarder {
     * pipeline — the same seam where the reference wires its KCL batch
     * consumer to the sender (/root/reference/main.go:63-64). */
   def start(spark: SparkSession, conf: Config, delivery: Delivery,
-            route: Column = null, source: RecordSource = null): StreamingQuery = {
-    val r = Option(route).getOrElse(lit(conf.streamName))
-    val src = Option(source)
+            route: Option[Column] = None,
+            source: Option[RecordSource] = None): StreamingQuery = {
+    val r = route.getOrElse(lit(conf.streamName))
+    val src = source
       .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
     val out = transform(src.stream(spark), conf.deployEnv, r)
     val sink = new NdjsonBatchSink(delivery, conf.sink)

@@ -16,8 +16,18 @@ import org.apache.spark.sql.functions._
 object Routing {
 
   /** One route: records whose fields match ALL matchers (value ∈ list
-    * per field) go to stream `name`. */
-  final case class Route(name: String, matchers: Map[String, Seq[String]])
+    * per field) go to stream `name`. `output` carries the route's alert
+    * sink metadata when the config declares an `output:` block. */
+  final case class Route(name: String, matchers: Map[String, Seq[String]],
+                         output: Option[Output] = None)
+
+  /** A route's `output:` block — the reference's alert-sink declaration
+    * (/root/reference/kvconfig.yml:5-10): the routed record becomes a
+    * metric point on `series` with `statType` semantics, reading the
+    * numeric value from the record's `valueField`. */
+  final case class Output(sinkType: String = "", series: String = "",
+                          dimensions: Seq[String] = Nil, statType: String = "",
+                          valueField: String = "")
 
   /** Compile an ordered route table to a routing Column for
     * [[Forwarder.start]]: first matching route wins, `default`
@@ -34,9 +44,9 @@ object Routing {
   /** Parse the `routes:` section of a kvconfig.yml-shaped document
     * (two-space indentation, `field: ["v1", "v2"]` matcher lists — the
     * exact shape of /root/reference/kvconfig.yml). This is a minimal
-    * purpose-built reader, not a YAML engine: only `routes.*.matchers`
-    * is interpreted; `output:` blocks (alert sinks in the reference)
-    * are ignored. Routes keep file order (first match wins). */
+    * purpose-built reader, not a YAML engine: `routes.*.matchers` and
+    * `routes.*.output` (type/series/dimensions/stat_type/value_field)
+    * are interpreted. Routes keep file order (first match wins). */
   def parseKvConfig(text: String): Seq[Route] = {
     // strip a trailing comment only at a '#' OUTSIDE double quotes — a
     // '#' inside a quoted matcher value is data, not a comment
@@ -54,9 +64,12 @@ object Routing {
       s
     }
     val routes = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Seq[String]]]
+    val outputs = scala.collection.mutable.HashMap.empty[String, Output]
     var inRoutes = false
     var route: String = null
-    var inMatchers = false
+    var section: String = null // "matchers" | "output" | null
+    def quoted(rhs: String): Seq[String] =
+      "\"([^\"]*)\"".r.findAllMatchIn(rhs).map(_.group(1)).toSeq
     for (raw <- text.linesIterator; line = stripComment(raw) if line.trim.nonEmpty) {
       val indent = line.takeWhile(_ == ' ').length
       val body = line.trim
@@ -64,19 +77,40 @@ object Routing {
       else if (inRoutes && indent == 2 && body.endsWith(":")) {
         route = body.dropRight(1)
         routes(route) = Map.empty
-        inMatchers = false
+        section = null
       } else if (inRoutes && route != null && indent == 4) {
-        inMatchers = body == "matchers:"
-      } else if (inRoutes && route != null && inMatchers && indent == 6) {
+        section = body match {
+          case "matchers:" => "matchers"
+          case "output:"   => outputs(route) = Output(); "output"
+          case _           => null
+        }
+      } else if (inRoutes && route != null && section == "matchers" && indent == 6) {
         body.split(":", 2) match {
           case Array(field, rhs) =>
-            val vals = "\"([^\"]*)\"".r.findAllMatchIn(rhs).map(_.group(1)).toSeq
+            val vals = quoted(rhs)
             if (vals.nonEmpty) routes(route) = routes(route) + (field.trim -> vals)
+          case _ => ()
+        }
+      } else if (inRoutes && route != null && section == "output" && indent == 6) {
+        body.split(":", 2) match {
+          case Array(key, rhs) =>
+            // scalar values may be quoted or bare; dimensions is a
+            // (possibly empty) inline list of quoted strings
+            val scalar = quoted(rhs).headOption.getOrElse(rhs.trim)
+            val o = outputs(route)
+            outputs(route) = key.trim match {
+              case "type"        => o.copy(sinkType = scalar)
+              case "series"      => o.copy(series = scalar)
+              case "dimensions"  => o.copy(dimensions = quoted(rhs))
+              case "stat_type"   => o.copy(statType = scalar)
+              case "value_field" => o.copy(valueField = scalar)
+              case _             => o
+            }
           case _ => ()
         }
       }
     }
-    routes.map { case (n, m) => Route(n, m) }.toSeq
+    routes.map { case (n, m) => Route(n, m, outputs.get(n)) }.toSeq
   }
 
   /** Load + compile a routing file in one step (driver-side IO). */

@@ -79,6 +79,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(ids(Some(10L)) == Set.empty)
   }
 
+  test("concurrent ensureRegistered leaves exactly one AsOfJoinStrategy") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val threads = 8
+    val pool = Executors.newFixedThreadPool(threads)
+    val go = new CountDownLatch(1)
+    try {
+      val futures = (0 until threads).map { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = { go.await(); GraftExtensions.ensureRegistered(spark) }
+        })
+      }
+      go.countDown() // all threads hit the check-then-append together
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val n = spark.experimental.extraStrategies
+      .count(_ eq graft.plans.AsOfJoinStrategy)
+    assert(n == 1, s"strategy registered $n times")
+  }
+
   test("physical plan is the custom exec with one shuffle+sort per side") {
     GraftExtensions.ensureRegistered(spark)
     val df = Analytics.q13b.fn(spark, sf)

@@ -105,7 +105,7 @@ class StreamingSpec extends AnyFunSuite {
     val in = tmp(); val out = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(10))
     val route = when(col("level") === "error", lit("errors")).otherwise(lit("main"))
-    val q = Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out), route)
+    val q = Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out), Some(route))
     q.awaitTermination()
     def count(stream: String) =
       Files.walk(Paths.get(out, stream)).iterator().asScala
@@ -216,11 +216,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(routes.map(_.name) == Seq("error-stream", "app-two"))
     assert(routes.head.matchers == Map("level" -> Seq("error", "critical")))
     assert(routes(1).matchers == Map("container_app" -> Seq("app2"), "level" -> Seq("info")))
+    assert(routes.head.output.map(_.series).contains("ignored.by.routing"))
+    assert(routes(1).output.isEmpty)
 
     val in = tmp(); val out = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(10))
     val q = Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out),
-      graft.streaming.Routing.column(routes))
+      Some(graft.streaming.Routing.column(routes)))
     q.awaitTermination()
     def count(stream: String) =
       Files.walk(Paths.get(out, stream)).iterator().asScala
@@ -302,6 +304,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(r0.getMap[String, Long](r0.fieldIndex("level")) == Map("error" -> 3L))
   }
 
+  test("kvconfig output: block routes drop-stats summaries to the alert stream") {
+    // the reference's shipped config verbatim (/root/reference/kvconfig.yml)
+    val yml =
+      """routes:
+        |  dropped-logs-alert:
+        |    matchers:
+        |      title: ["drop-stats"]
+        |    output:
+        |      type: "alerts"
+        |      series: "kinesis-to-firehose-log-search.drop-stats"
+        |      dimensions: []
+        |      stat_type: "gauge"
+        |      value_field: "total_dropped"
+        |""".stripMargin
+    val routes = graft.streaming.Routing.parseKvConfig(yml)
+    assert(routes.map(_.name) == Seq("dropped-logs-alert"))
+    val out = routes.head.output.get
+    assert(out.sinkType == "alerts")
+    assert(out.series == "kinesis-to-firehose-log-search.drop-stats")
+    assert(out.dimensions.isEmpty)
+    assert(out.statType == "gauge")
+    assert(out.valueField == "total_dropped")
+
+    val in = tmp(); val ck = tmp(); val dest = tmp()
+    writeLines(in, "a.log", sampleLines(30))
+    val q = DropStats.startSummaryRouted(
+      spark, in, ck, "production", routes, new FileDelivery(dest))
+    q.awaitTermination()
+    // every summary record has title "drop-stats" → all match the alert
+    // route; minutes 0..6 finalize (2-minute watermark, max event 00:09)
+    val lines = Files.walk(Paths.get(dest, "dropped-logs-alert")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(lines.size == 7)
+    val parsed = spark.read.json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.filter(col("title") === "drop-stats").count() == 7)
+    // alert metadata from the output: block, value read from value_field
+    assert(parsed.filter(col("series") === "kinesis-to-firehose-log-search.drop-stats")
+      .count() == 7)
+    assert(parsed.filter(col("stat_type") === "gauge").count() == 7)
+    val r = parsed.select("total_dropped", "value", "app_count").collect()
+    assert(r.forall(row => row.getLong(0) == 3L && row.getDouble(1) == 3.0 &&
+      row.getLong(2) == 3L))
+  }
+
   test("drop-stats windowed aggregation matches the batch equivalent") {
     val in = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(30))
@@ -341,7 +388,7 @@ class StreamingSpec extends AnyFunSuite {
       override def stream(s: org.apache.spark.sql.SparkSession) = mem.toDF()
     }
     val q = Forwarder.start(spark, Forwarder.Config("unused-input-dir", ck),
-      new FileDelivery(out), source = src)
+      new FileDelivery(out), source = Some(src))
     q.awaitTermination()
     val lines = Files.walk(Paths.get(out, "main")).iterator().asScala
       .filter(_.toString.endsWith(".ndjson"))
