@@ -10,7 +10,7 @@ object SparkEntry {
   /** Every registered query module (SURVEY.md §2). */
   private def registry: Seq[Q] =
     Analytics.all ++ LogQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all
+      SimilarityQueries.all ++ graft.sources.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

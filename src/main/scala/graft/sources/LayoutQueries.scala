@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.Q
+import org.apache.spark.sql.functions._
+
+/** Driver-gated proof of the bucketed layout (SURVEY.md §2.D2b): write
+  * two tables co-bucketed on the join key via [[Layout.writeBucketed]],
+  * join them bucket-to-bucket, and aggregate. The layout is
+  * value-transparent (like q19's salting), so the DuckDB oracle is the
+  * same join over the PLAIN parquet tables — a hash match proves the
+  * bucketed storage path changes nothing but the plan, while
+  * LayoutSpec separately asserts the plan it buys (zero Exchange on
+  * the join and on bucket-key aggregation).
+  */
+object LayoutQueries {
+
+  private val D = org.apache.spark.sql.types.DecimalType(18, 4)
+
+  val qBucketedJoin = Q(
+    "qlayout_bucketed_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // layout step: one shuffle each, amortized into storage — at
+      // cluster scale this runs once per ingest, not per query
+      Layout.writeBucketed(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_q_orders_bucketed", buckets = 8, key = "o_custkey")
+      Layout.writeBucketed(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        "graft_q_customer_bucketed", buckets = 8, key = "c_custkey")
+      val o = s.table("graft_q_orders_bucketed")
+      val c = s.table("graft_q_customer_bucketed")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+        .orderBy(col("mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+      ORDER BY mktsegment"""))
+
+  val all: Seq[Q] = Seq(qBucketedJoin)
+}
