@@ -398,6 +398,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.filter(col("container_app") === "app1").count() > 0)
   }
 
+  test("connector adapters map consumer config to source options (compile-only)") {
+    import graft.streaming.Connectors
+    val kafka = Connectors.KafkaSource("broker-1:9092,broker-2:9092", "logs",
+      groupId = "fwd", startAt = "earliest", maxRecordsPerTrigger = Some(5000L))
+    assert(kafka.format == "kafka")
+    assert(kafka.options == Map(
+      "kafka.bootstrap.servers" -> "broker-1:9092,broker-2:9092",
+      "subscribe" -> "logs",
+      "kafka.group.id" -> "fwd",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "5000"))
+    val kinesis = Connectors.KinesisSource("log-stream", "us-west-1",
+      initialPosition = "TRIM_HORIZON", maxFetchRatePerShard = Some(2))
+    assert(kinesis.format == "kinesis")
+    assert(kinesis.options == Map(
+      "streamName" -> "log-stream",
+      "region" -> "us-west-1",
+      "initialPosition" -> "TRIM_HORIZON",
+      "shardFetchRatePerSec" -> "2"))
+    // both satisfy the RecordSource seam Forwarder.start accepts
+    assert(Seq[graft.streaming.RecordSource](kafka, kinesis).nonEmpty)
+  }
+
   test("checkpoint resume processes only new files (no reprocessing)") {
     val in = tmp(); val out = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(5))
