@@ -204,11 +204,17 @@ object Dedup {
     // `tokens >= n` equivalent, applied BEFORE the repartition so the
     // k-permutation signature stage (the cost center) parallelizes by
     // cluster size with no pushed-down recompute on the raw scan.
+    // persisted: three consumers (banding + both verify joins) would
+    // otherwise each re-run shingling AND the k-permutation signature
+    // from the raw scan — the plan's cost center, 3× over (A/B at
+    // sf0.1: 4.47s → 3.49s). At 100 TB, write this frame as an
+    // intermediate table instead of caching.
     val docs = df.select(id.as("doc_id"), text.as("doc_text"))
       .filter(size(split(col("doc_text"), " ")) >= n)
       .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("doc_id"), posexplode(
         array((0 until bands).map { b =>
           xxhash64(concat_ws(",", (0 until rows).map(r =>
@@ -263,9 +269,13 @@ object Dedup {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // repartition first: the 64-bit vote accumulation parallelizes by
-    // cluster size, not input file layout
+    // cluster size, not input file layout. Persisted: the banded frame
+    // self-joins (a × b), and without the cache boundary each side
+    // re-runs the 64 vote aggregates from the raw scan (A/B at sf0.1:
+    // 3.08s → 1.56s). The cached frame is tiny: (doc_id, 8-byte sig).
     val docs = df.repartition(id)
       .select(id.as("doc_id"), simhash64(text).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until chunks).map { c =>
         shiftrightunsigned(col("sig"), c * bitsPer)
@@ -322,6 +332,13 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
                            threshold: Double, blocks: Int = 16): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    // NOT persisted, deliberately: both join roles recompute the
+    // normalization (one extra pass over the raw vectors), but an A/B at
+    // sf0.1 showed caching the full normalized frame LOSES (3.46s plain
+    // vs 3.78s persisted) — the frame is the corpus itself (full float
+    // vectors, no reduction), so the cache write costs more than the
+    // single recompute it saves. Unlike the shingle/signature frames,
+    // there is no expensive per-row derivation to amortize.
     val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"),
       pmod(xxhash64(id), lit(blocks)).cast("int").as("blk"))
     val lefts = v.select(col("vec_id"), col("v"), col("blk").as("bi"),
