@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed curation queries (SURVEY.md §2.C14-C15).
+  *
+  * The sampling oracles reimplement graft's FNV-1a keyed hash in
+  * DuckDB (same list_reduce + HUGEINT recipe as qtext_fingerprint's
+  * oracle, then the signed-BIGINT cast) so bucket membership and hash
+  * ORDER are bit-identical across engines — pmod on Spark's signed
+  * long equals `((sb % m) + m) % m` on the signed DuckDB value.
+  *
+  * The cluster oracle resolves connected components with a recursive
+  * CTE (min reachable id) over the SAME pair CTEs as qdedup_simhash's
+  * proven oracle, so a cluster mismatch isolates the component
+  * resolution, not the pair generation.
+  */
+object CurationQueries {
+
+  /** FNV-1a(salt:doc_id) as a signed BIGINT `sb`, carried with
+    * (doc_id, lang) through a CTE chain ending in `g`. */
+  private def fnvKeyCtes(salt: String): String =
+    s"""ks AS (SELECT doc_id, lang, '$salt:' || CAST(doc_id AS VARCHAR) AS k FROM documents),
+      by AS (SELECT doc_id, lang,
+               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
+             FROM ks),
+      f AS (SELECT doc_id, lang, list_reduce(
+              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
+              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
+            FROM by),
+      g AS (SELECT doc_id, lang,
+              CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+                   THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT) AS sb
+            FROM f)"""
+
+  val qSampleHash = Q(
+    "qsample_hash",
+    (s, dir) => {
+      Curation.sampleByHash(
+          Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+          col("doc_id"), pct = 37)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${fnvKeyCtes("graft")}
+      SELECT doc_id, lang, ((sb % 100) + 100) % 100 AS bucket
+      FROM g
+      WHERE ((sb % 100) + 100) % 100 < 37
+      ORDER BY doc_id"""))
+
+  val qSampleGroupTopK = Q(
+    "qsample_group_topk",
+    (s, dir) => {
+      Curation.samplePerGroup(
+          Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), k = 20)
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+    Some(s"""
+      WITH ${fnvKeyCtes("strat")},
+      r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang ORDER BY sb, doc_id) AS sample_rank
+            FROM g)
+      SELECT doc_id, lang, sample_rank FROM r
+      WHERE sample_rank <= 20
+      ORDER BY lang, sample_rank"""))
+
+  val qClusters = Q(
+    "qdedup_clusters",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach AS (SELECT s AS id, s AS lbl FROM e
+                UNION
+                SELECT e.s AS id, r.lbl AS lbl
+                FROM e JOIN reach r ON r.id = e.t),
+      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters)
+}

@@ -69,16 +69,20 @@ object DedupQueries {
     * brute-force all-pairs Hamming ≤ maxDist as the truth the banded
     * Spark path must equal (the pigeonhole banding is complete and no
     * sf0.01 bucket reaches the cap, so equality MUST hold). ASCII-only
-    * corpus assumption as in qtext_fingerprint's oracle. */
-  private def simhashOracleSql(maxDist: Int): String = {
+    * corpus assumption as in qtext_fingerprint's oracle.
+    *
+    * Shaped as a reusable CTE chain (ends in a `pairs(doc_a, doc_b,
+    * hamming)` CTE already filtered to ≤ maxDist) so downstream
+    * oracles — e.g. `qdedup_clusters`' recursive component
+    * resolution — can build on the same proven truth. */
+  private[operators] def simhashPairCtes(maxDist: Int): String = {
     // BigInt, not 1L << j: at j=63 a Long literal interpolates as
     // -2^63 and the oracle's sign-bit vote would be dead
     val votes = (0 until 64).map { j =>
       val bit = BigInt(1) << j
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $bit::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $bit::HUGEINT ELSE 0::HUGEINT END)"
     }.mkString(" + ")
-    s"""
-      WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
       th AS (SELECT doc_id,
                list_transform(w, t ->
                  list_reduce(
@@ -93,10 +97,15 @@ object DedupQueries {
                FROM sig),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(bit_count(xor(a.sb, b.sb)) AS BIGINT) AS hamming
-                FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxDist
-      ORDER BY doc_a, doc_b"""
+                FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sb, b.sb)) <= $maxDist)"""
   }
+
+  private def simhashOracleSql(maxDist: Int): String =
+    s"""
+      WITH ${simhashPairCtes(maxDist)}
+      SELECT doc_a, doc_b, hamming FROM pairs
+      ORDER BY doc_a, doc_b"""
 
   val qSimhash = Q(
     "qdedup_simhash",

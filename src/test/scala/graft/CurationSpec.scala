@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def pairs(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("a", "b")
+  }
+
+  test("connected components resolve a chain, a triangle, and an isolated edge") {
+    // the 6-node chain has diameter 5, so min-label propagation MUST
+    // run multiple rounds to converge — this catches a broken fixpoint
+    val df = pairs(
+      1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, // chain → 1
+      10L -> 11L, 11L -> 12L, 10L -> 12L,               // triangle → 10
+      20L -> 21L)                                       // edge → 20
+    val got = Curation.connectedComponents(df, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters emit min-id canonical and the true component size") {
+    val got = Curation.clusters(pairs(1L -> 2L, 2L -> 3L, 7L -> 8L), col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
+  test("hash sample is deterministic and bucket-bounded") {
+    val t = graft.sources.Tables(spark, sf)
+    val one = Curation.sampleByHash(t.documents.select(col("doc_id")), col("doc_id"), 37)
+    val ids1 = one.collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.sampleByHash(t.documents.select(col("doc_id")), col("doc_id"), 37)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    val buckets = one.select(col("bucket")).collect().map(_.getLong(0))
+    assert(buckets.forall(x => x >= 0 && x < 37))
+    // a different salt must draw a different sample (seed independence)
+    val salted = Curation.sampleByHash(t.documents.select(col("doc_id")), col("doc_id"),
+      37, salt = "other").collect().map(_.getLong(0)).toSet
+    assert(salted != ids1)
+  }
+
+  test("per-group sample returns exactly min(k, group size) rows per group") {
+    val t = graft.sources.Tables(spark, sf)
+    val sizes = t.documents.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 5
+    val got = Curation.samplePerGroup(
+        t.documents.select(col("doc_id"), col("lang")), col("lang"), col("doc_id"), k)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == sizes.map { case (g, n) => g -> math.min(k.toLong, n) })
+  }
+}
