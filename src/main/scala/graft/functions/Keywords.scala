@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction (SURVEY.md §2.C16): top-k terms per
+  * document. Two shuffles total (doc-term aggregation, then the
+  * per-doc top-k window re-using the doc key); the document-frequency
+  * frame and corpus count are broadcast back — term payloads, not
+  * documents, are all that moves after tokenization.
+  *
+  * Ranking is INTEGER-exact on (tf desc, df asc, term asc), never on
+  * the float score: `ln` is libm-dependent, and a 1-ulp divergence
+  * between engines could flip a float-ordered top-k boundary. The
+  * tf-idf score is still emitted (rounded) — it rides along; it just
+  * doesn't decide membership.
+  */
+object Keywords {
+
+  def tfIdfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+        explode(split(lower(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // (doc_id, term) is unique in tf, so count(*) per term IS the
+    // document frequency — no second distinct needed
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("kw_rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tf").desc, col("df").asc, col("term").asc))
+        .cast("long"))
+      .filter(col("kw_rank") <= k)
+      .select(col("doc_id"), col("kw_rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+}

@@ -126,5 +126,30 @@ object TextQueries {
       FROM f
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint)
+  /** Top-5 tf-idf keywords per doc. Membership/order is decided by the
+    * integer-exact (tf desc, df asc, term asc) key — see [[Keywords]]
+    * for why the float score must not decide the top-k boundary. */
+  val qTfIdf = Q(
+    "qtext_tfidf",
+    (s, dir) => {
+      Keywords.tfIdfTopK(Tables(s, dir).documents, col("doc_id"), col("text"), k = 5)
+        .orderBy(col("doc_id"), col("kw_rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      t AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+              ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf,
+              row_number() OVER (PARTITION BY t.doc_id
+                                 ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS kw_rank
+            FROM t JOIN d USING (term) CROSS JOIN n)
+      SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, term, tf, df, tfidf
+      FROM r WHERE kw_rank <= 5
+      ORDER BY doc_id, kw_rank"""))
+
+  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf)
 }

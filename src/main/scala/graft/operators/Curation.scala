@@ -113,7 +113,56 @@ object Curation {
       labels = next
       iter += 1
     }
+    // one line per resolution (not per row): round count is the health
+    // signal for this algorithm — a count at maxIter means unconverged
+    System.err.println(s"[curation] connectedComponents: $iter rounds, converged=$converged")
     labels
+  }
+
+  /** Deterministic shuffle + greedy shard packing (SURVEY.md §2.C17):
+    * order the corpus by a keyed hash (the reproducible global shuffle
+    * every training run needs), then cut it into contiguous shards of
+    * ~`budget` tokens — a doc is assigned to the shard its starting
+    * offset falls in, so no doc is ever split and shards overflow by
+    * at most one doc. Emits `(doc_id, pos, n_tokens, cum, shard)`.
+    *
+    * The global order/prefix-sum is computed as a DISTRIBUTED two-pass
+    * prefix sum, not a global window (a partition-less window pulls
+    * the whole corpus through ONE task — the canonical Spark scale
+    * trap): pass 1 buckets rows by the top 8 unsigned bits of the
+    * hash (256 ordered ranges) and computes per-bucket positions and
+    * running sums in parallel; pass 2 prefix-sums the 256 per-bucket
+    * totals (a tiny frame — the only single-partition window) and
+    * broadcasts the offsets back. Within a bucket all hashes share
+    * their sign bit, so signed per-bucket ordering equals unsigned
+    * global ordering.
+    */
+  def packShards(df: DataFrame, id: Column, sizeCol: Column, budget: Long,
+                 salt: String = "shuffle"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val h = call_function("fnv1a64", concat(lit(salt + ":"), id.cast("string")))
+    val rows = df.select(id.as("doc_id"), sizeCol.cast("long").as("n_tokens"))
+      .withColumn("h", h)
+      .withColumn("bucket", shiftrightunsigned(col("h"), 56).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    val local = rows
+      .withColumn("local_pos", row_number().over(inBucket).cast("long"))
+      .withColumn("local_cum", sum(col("n_tokens")).over(inBucket))
+    val bucketTotals = rows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("b_rows"), sum(col("n_tokens")).as("b_tokens"))
+    val off = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("pos_off", coalesce(sum(col("b_rows")).over(off), lit(0L)))
+      .withColumn("cum_off", coalesce(sum(col("b_tokens")).over(off), lit(0L)))
+      .select(col("bucket").as("ob"), col("pos_off"), col("cum_off"))
+    local.join(broadcast(offsets), col("bucket") === col("ob"))
+      .select(col("doc_id"),
+        (col("pos_off") + col("local_pos")).as("pos"),
+        col("n_tokens"),
+        (col("cum_off") + col("local_cum")).as("cum"))
+      .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
   }
 
   /** Near-dup cluster resolution: run [[connectedComponents]] over a

@@ -91,5 +91,43 @@ object CurationQueries {
       FROM cc
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters)
+  /** Deterministic shuffle + token-budget shard packing. The oracle
+    * computes the same unsigned-hash global order with a plain window
+    * (fine at oracle scale); the Spark side uses the distributed
+    * two-pass prefix sum — order parity holds because per-bucket
+    * signed order equals unsigned global order (hashes in a bucket
+    * share their sign bit). */
+  val qPackShards = Q(
+    "qpack_shards",
+    (s, dir) => {
+      Curation.packShards(
+          Tables(s, dir).documents,
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 1000L)
+        .orderBy(col("pos"))
+    },
+    Some(s"""
+      WITH ks AS (SELECT doc_id,
+                    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    'shuffle:' || CAST(doc_id AS VARCHAR) AS k
+                  FROM documents),
+      by AS (SELECT doc_id, n_tokens,
+               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
+             FROM ks),
+      f AS (SELECT doc_id, n_tokens, list_reduce(
+              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
+              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
+            FROM by),
+      o AS (SELECT doc_id, n_tokens,
+              CAST(row_number() OVER (ORDER BY fh, doc_id) AS BIGINT) AS pos,
+              CAST(SUM(n_tokens) OVER (ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM f)
+      SELECT doc_id, pos, n_tokens, cum, (cum - n_tokens) // 1000 AS shard
+      FROM o
+      ORDER BY pos"""))
+
+  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qPackShards)
 }

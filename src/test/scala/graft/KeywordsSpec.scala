@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Keywords
+import graft.operators.Curation
+
+class KeywordsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("tf-idf ranks rare high-frequency terms first, integer-exact tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "apple apple banana common",
+      2L -> "banana cherry common",
+      3L -> "common cherry cherry").toDF("doc_id", "text")
+    val top = Keywords.tfIdfTopK(df, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // d1: apple (tf 2, df 1) then banana (tf 1, df 2) over common (df 3)
+    // d3: cherry (tf 2, df 2) then common (tf 1, df 3)
+    assert(top == Set(
+      (1L, 1L, "apple"), (1L, 2L, "banana"),
+      (2L, 1L, "banana"), (2L, 2L, "cherry"),
+      (3L, 1L, "cherry"), (3L, 2L, "common")))
+  }
+
+  test("tf-idf score is zero for corpus-wide terms and positive otherwise") {
+    import spark.implicits._
+    val df = Seq(1L -> "a b", 2L -> "a c").toDF("doc_id", "text")
+    val scores = Keywords.tfIdfTopK(df, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => r.getString(2) -> r.getDouble(5)).toMap
+    assert(scores("a") == 0.0) // df = n_docs
+    assert(scores("b") > 0.0 && scores("c") > 0.0)
+  }
+
+  test("distributed shard packing equals the single-window prefix sum") {
+    val t = graft.sources.Tables(spark, sf)
+    val sized = t.documents.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    val got = Curation.packShards(t.documents, col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")), budget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+
+    // oracle: the naive global window over the same unsigned-hash order
+    graft.GraftExtensions.ensureRegistered(spark)
+    val h = call_function("fnv1a64", concat(lit("shuffle:"), col("doc_id").cast("string")))
+    val ub = shiftrightunsigned(col("h"), 56) // unsigned order = (top byte, signed rest)
+    val w = Window.orderBy(ub, col("h"), col("doc_id"))
+    val want = sized.withColumn("h", h)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr("(cum - n_tokens) div 1000L"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._2)
+    assert(got.toSeq == want.toSeq)
+
+    // packing contract: pos is the permutation 1..n and cum is strictly
+    // increasing (no doc lost or double-counted by the offset join)
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq)
+    got.zip(got.drop(1)).foreach { case ((_, _, c1, _), (_, _, c2, _)) =>
+      assert(c2 > c1)
+    }
+  }
+}
