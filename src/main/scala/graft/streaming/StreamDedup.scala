@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication (SURVEY.md §2.C18) — the streaming
+  * face of `Dedup.exactDedup`: drop records whose normalized-content
+  * hash has already been seen. Both variants keep only the md5 key in
+  * state — never the document payload — so state size is bounded by
+  * distinct-key count (bounded variant: keys inside the watermark
+  * horizon), not corpus bytes.
+  *
+  * [[withinWatermark]] is the scale path: Spark evicts state for keys
+  * older than the event-time watermark, so a continuous ingest run has
+  * bounded state; dups separated by more than `delay` are NOT caught —
+  * that is the documented tradeoff, and batch `Dedup.exactDedup` over
+  * the landed corpus is the backstop. [[unbounded]] keeps state
+  * forever (exact across the whole stream) for finite backfills.
+  */
+object StreamDedup {
+
+  /** The batch operator's normalization, verbatim (Dedup.exactGroups),
+    * so stream and batch agree on what is a duplicate. */
+  def contentKey(text: Column): Column =
+    md5(graft.functions.TextFunctions.normalizeText(text))
+
+  def withinWatermark(df: DataFrame, ts: Column, text: Column,
+                      delay: String): DataFrame =
+    df.withColumn("content_hash", contentKey(text))
+      .withColumn("event_ts", ts)
+      .withWatermark("event_ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  def unbounded(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("content_hash", contentKey(text))
+      .dropDuplicates("content_hash")
+}
