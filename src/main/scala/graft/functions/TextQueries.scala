@@ -24,7 +24,7 @@ object TextQueries {
       FROM documents
       ORDER BY doc_id"""))
 
-  private def langHitsSql(pat: String) =
+  private[graft] def langHitsSql(pat: String) =
     s"CAST(length(regexp_extract_all(lower(text), '\\b$pat\\b')) AS BIGINT)"
 
   val qLangid = Q(

@@ -20,18 +20,20 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
 
   /** FNV-1a(salt:doc_id) as a signed BIGINT `sb`, carried with
-    * (doc_id, lang) through a CTE chain ending in `g`. */
-  private def fnvKeyCtes(salt: String): String =
-    s"""ks AS (SELECT doc_id, lang, '$salt:' || CAST(doc_id AS VARCHAR) AS k FROM documents),
-      by AS (SELECT doc_id, lang,
+    * (doc_id, `carry`) from CTE/table `src` through a chain ending in
+    * `g`. */
+  private def fnvKeyCtes(salt: String, carry: String = "lang",
+                         src: String = "documents"): String =
+    s"""ks AS (SELECT doc_id, $carry, '$salt:' || CAST(doc_id AS VARCHAR) AS k FROM $src),
+      by AS (SELECT doc_id, $carry,
                [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
              FROM ks),
-      f AS (SELECT doc_id, lang, list_reduce(
+      f AS (SELECT doc_id, $carry, list_reduce(
               list_prepend(CAST(14695981039346656037 AS HUGEINT),
                            list_transform(bytes, x -> CAST(x AS HUGEINT))),
               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
             FROM by),
-      g AS (SELECT doc_id, lang,
+      g AS (SELECT doc_id, $carry,
               CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
                    THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT) AS sb
             FROM f)"""
@@ -129,5 +131,50 @@ object CurationQueries {
       FROM o
       ORDER BY pos"""))
 
-  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qPackShards)
+  /** The end-to-end curation story in ONE oracle-checked query:
+    * language filter → length filter → exact dedup → deterministic 50%
+    * sample. Every filter is INTEGER-exact (predicted-language argmax
+    * over hit counts, token count, md5 group, FNV bucket) — the float
+    * quality score deliberately stays out of the cut line (known 1-ulp
+    * round-boundary rows at sf0.001 would make the gate flaky). */
+  val qPipeline = Q(
+    "qcuration_pipeline",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables(s, dir).documents
+      val filtered = docs.filter(
+        TextFunctions.langId(col("text")) === "en" &&
+        TextFunctions.tokenCountWs(col("text")) >= 30)
+      val keep = Dedup.exactDedup(filtered, col("doc_id"), col("text"))
+      val kept = filtered.join(keep, "doc_id")
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Curation.sampleByHash(kept, col("doc_id"), pct = 50, salt = "pipeline")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.{TextFunctions, TextQueries}
+      val profiles = TextFunctions.StopwordProfiles.toMap
+      s"""
+      WITH lh AS (SELECT doc_id, text,
+              ${TextQueries.langHitsSql(profiles("en"))} AS en,
+              ${TextQueries.langHitsSql(profiles("de"))} AS de,
+              ${TextQueries.langHitsSql(profiles("es"))} AS es,
+              ${TextQueries.langHitsSql(profiles("fr"))} AS fr,
+              CAST(length(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS zh,
+              CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+      flt AS (SELECT doc_id, text, n_tokens FROM lh
+              WHERE en = GREATEST(en, de, es, fr, zh) AND n_tokens >= 30),
+      ded AS (SELECT MIN(doc_id) AS doc_id FROM flt
+              GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+      kept AS (SELECT f.doc_id, f.n_tokens FROM flt f JOIN ded USING (doc_id)),
+      ${fnvKeyCtes("pipeline", carry = "n_tokens", src = "kept")}
+      SELECT doc_id, n_tokens, ((sb % 100) + 100) % 100 AS bucket
+      FROM g
+      WHERE ((sb % 100) + 100) % 100 < 50
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qPackShards, qPipeline)
 }
