@@ -34,6 +34,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF-style ANN (SURVEY.md §2.C7b): a coarse quantizer of `nlist`
+    * centroid cells; each corpus vector is indexed in its nearest cell,
+    * and a query scores only the vectors in its `nprobe` nearest cells.
+    * Centroids come from [[VectorFunctions.groupCentroids]] over the
+    * supplied partition column (a stand-in for the offline k-means
+    * train step — at scale the quantizer is trained once and reused;
+    * recomputing it per query run would be wrong as well as slow).
+    *
+    * Scale shape: the centroid frame is one row per CELL (bounded by
+    * nlist, never corpus-sized) and is broadcast — the corpus is
+    * scored map-side and assigned via one combiner-friendly
+    * max-of-struct aggregation (no window over the corpus). Candidate
+    * generation joins (id, cell) rows against the broadcast probe set,
+    * so shuffles carry ids only; vectors re-attach by equi-join
+    * exactly as in [[lshTopK]].
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              cellSeed: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cvecs = VectorFunctions.groupCentroids(corpus, cellSeed, corpusVec)
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      corpusVec.cast("array<double>").as("v"))
+    val q = queries.select(queryId.as("query_id"),
+      queryVec.cast("array<double>").as("v"))
+    def cellScores(df: DataFrame, idName: String): DataFrame =
+      df.crossJoin(broadcast(cvecs))
+        .select(col(idName), col("grp"),
+          VectorFunctions.cosine(col("v"), col("cv")).as("s"))
+    // argmax cell with grp-asc tie-break via max(struct(s, -grp)):
+    // struct max compares s first, then -grp max = smallest grp
+    val corpusCells = cellScores(c, "neighbor_id")
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
+      .select(col("neighbor_id"), (-col("m.ng")).as("cell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("grp"))
+    val qProbes = cellScores(q, "query_id")
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("grp").as("cell"))
+    val cand = corpusCells.join(broadcast(qProbes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val cn = corpus.select(corpusId.as("neighbor_id"),
+      VectorFunctions.normalized(corpusVec).as("cnv"))
+    val qn = queries.select(queryId.as("query_id"),
+      VectorFunctions.normalized(queryVec).as("qnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(cn, "neighbor_id")
+      .join(broadcast(qn), "query_id")
+      .withColumn("cosine", VectorFunctions.dot(col("cnv"), col("qnv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (fixed seed → stable
     * signatures across runs and executors). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

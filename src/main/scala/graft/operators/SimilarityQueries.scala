@@ -91,6 +91,60 @@ object SimilarityQueries {
     },
     Some(lshOracleSql(dim = 64, tables = 16, planesPerTable = 4, seed = 42L, k = 5)))
 
+  /** Full algorithm-parity IVF oracle: the fixed-point centroid CTE is
+    * qvec_centroid's proven-identical formulation; cell assignment and
+    * probing replicate the same argmax (score desc, cell asc) in SQL;
+    * cosine/rank parity is the formulation qann_brute_topk's green
+    * oracle already proves. */
+  private def ivfOracleSql(k: Int, nprobe: Int): String =
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      u AS (SELECT label AS grp,
+              unnest(range(0, len(embedding))) AS pos,
+              unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings),
+      cent AS (SELECT grp, pos,
+                 (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                   / COUNT(*) AS c
+               FROM u GROUP BY grp, pos),
+      cvecs AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent GROUP BY grp),
+      ascore AS (SELECT e.vec_id, cvecs.grp,
+                   list_cosine_similarity(e.v, cvecs.cv) AS s
+                 FROM e, cvecs),
+      ranked AS (SELECT vec_id, grp,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, grp) AS rn
+                 FROM ascore),
+      acell AS (SELECT vec_id, grp AS cell FROM ranked WHERE rn = 1),
+      qprobe AS (SELECT vec_id AS query_id, grp AS cell
+                 FROM ranked WHERE vec_id < 10 AND rn <= $nprobe),
+      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+               FROM qprobe q JOIN acell a ON a.cell = q.cell
+               WHERE a.vec_id != q.query_id),
+      scored AS (SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(c.v, qv.v) AS cos
+                 FROM cand
+                 JOIN e c ON c.vec_id = cand.neighbor_id
+                 JOIN e qv ON qv.vec_id = cand.query_id),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM scored)
+      SELECT query_id, neighbor_id, rank, cosine
+      FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+
+  val qIvf = Q(
+    "qann_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfTopK(
+          e, col("vec_id"), col("embedding"), col("label"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(k = 5, nprobe = 2)))
+
   val qDecode = Q(
     "qmm_decode_meta",
     (s, dir) => {
@@ -129,5 +183,29 @@ object SimilarityQueries {
       FROM f
       ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(qBrute, qLsh, qDecode, qFrames)
+  /** Per-label centroid components via fixed-point accumulation (see
+    * VectorFunctions.groupCentroids for why neither double avg nor a
+    * decimal cast is engine-deterministic). DuckDB side zips parallel
+    * unnests of the position range and the double-widened embedding. */
+  val qCentroid = Q(
+    "qvec_centroid",
+    (s, dir) => {
+      VectorFunctions.groupCentroids(
+          graft.sources.Tables(s, dir).embeddings, col("label"), col("embedding"))
+        .orderBy(col("grp"), col("pos"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT label AS grp,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings)
+      SELECT grp, CAST(pos AS BIGINT) AS pos,
+             (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+               / COUNT(*) AS centroid,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY grp, pos
+      ORDER BY grp, pos"""))
+
+  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qDecode, qFrames, qCentroid)
 }

@@ -23,6 +23,37 @@ object VectorFunctions {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-group centroid components (SURVEY.md §2.C20): mean embedding
+    * per group as `(grp, pos, centroid, n)` rows — class prototypes for
+    * a training pipeline, or the update step of an IVF/k-means coarse
+    * quantizer. Shaped as one posexplode + one combiner-friendly
+    * groupBy on (grp, pos): dim·n rows shuffle as partial sums, never
+    * whole vectors.
+    *
+    * The accumulation is FIXED-POINT: each element widens
+    * float→double (exact), scales by 1e9, and truncates toward zero
+    * to a long; the integer sum is exact in any order, then one
+    * division recovers the mean. Float sums are order-dependent and
+    * Spark's partial-aggregation order is not deterministic across
+    * partitionings, so a double `avg` would not be reproducible
+    * run-to-run — and a decimal CAST is not reproducible
+    * engine-to-engine (Spark rounds HALF_UP, and a near-tie element
+    * was observed to round differently in DuckDB). Truncation has no
+    * tie to disagree on. The 1e-9 quantization is at float32-ulp
+    * scale for unit-normalized embeddings.
+    */
+  def groupCentroids(df: org.apache.spark.sql.DataFrame, group: Column,
+                     vec: Column): org.apache.spark.sql.DataFrame =
+    df.select(group.as("grp"), posexplode(vec).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      // ANSI double→long cast truncates toward zero (DuckDB: trunc)
+      .agg(
+        ((sum((col("x").cast("double") * lit(1e9)).cast("long")).cast("double")
+          / lit(1e9)) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        col("centroid"), col("n"))
+
   /** Unit-normalized copy (as array<double>): pre-normalizing once turns
     * every downstream cosine into a plain dot product — at scale this is
     * one map pass instead of re-deriving norms per pair. The norm is

@@ -21,7 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qann_brute_topk" -> ("brute-force ANN IS all-pairs by definition; the " +
       "bounded side (the query set) is broadcast so the corpus never shuffles — " +
-      "the scale path is qann_lsh_bucketed")
+      "the scale path is qann_lsh_bucketed"),
+    "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
+      "cell, bounded by nlist, never corpus-sized")
   )
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {

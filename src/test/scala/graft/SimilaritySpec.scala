@@ -41,6 +41,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  // measured 0.4 at nprobe=2 (sf0.001, 10 cells), pinned at measured − 0.1
+  private val RecallFloorIvf = 0.3
+
+  test("ivfTopK recall@5 vs brute force is high with nprobe=2 of 10 cells") {
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5))
+    def recallAt(nprobe: Int): Double = {
+      val ivf = pairs(Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        col("label"), q, col("vec_id"), col("embedding"), 5, nprobe = nprobe))
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r5 = recallAt(5)
+    info(s"measured ivf recall@5: nprobe=2 -> $r2, nprobe=5 -> $r5")
+    // bounds pinned at measured − 0.1 (deterministic quantizer) so a
+    // cell-assignment regression can't hide behind a loose threshold.
+    // Absolute recall is corpus-limited: this corpus has weak cluster
+    // structure (no cosine gap — see Dedup's embedding analysis), so
+    // the quantizer can only capture so much; the recall/nprobe
+    // tradeoff curve is the property IVF must deliver.
+    assert(r2 >= RecallFloorIvf, s"ivf recall@5 nprobe=2 = $r2")
+    assert(r5 > r2, s"raising nprobe must raise recall ($r2 -> $r5)")
+  }
+
   test("stub codec decodes deterministic metadata through mapPartitions") {
     import spark.implicits._
     val df = Media.withFakeBlob(Seq((7L, "hello world")).toDF("doc_id", "text"), col("text"))
