@@ -537,6 +537,29 @@ object Analytics {
     (s, dir) => graft.GraftSql.run(s, dir, Q20Sql),
     Some(Q20Sql))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+  // B21: skew-resilient salted JOIN — like q19, salting is
+  // value-transparent, so the oracle is the plain join + aggregate.
+  val q21 = Q(
+    "q21_salted_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val probe = t.orders.select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+      val build = t.customer.select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      Skew.saltedJoin(probe, build, "custkey", col("o_orderkey"), salts = 16)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20)
 }

@@ -29,4 +29,22 @@ object Skew {
     salted.groupBy(col("key"))
       .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
   }
+
+  /** Skew-resilient equi-join (SURVEY.md §2.B21): the probe side's hot
+    * keys are split across `salts` sub-keys (deterministic salt from a
+    * high-cardinality probe column), and the build side is replicated
+    * once per salt — so one hot key's volume spreads over `salts`
+    * reducers instead of one. Build-side cost is |build|·salts rows:
+    * right for a moderate build side too big to broadcast but far
+    * smaller than the probe; for tiny build sides prefer `broadcast()`
+    * (no shuffle at all), and for ad-hoc skew AQE's skew-join split.
+    * Salting is value-transparent: the join result is row-for-row the
+    * plain join. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 probeSaltFrom: Column, salts: Int = 16): DataFrame = {
+    val p = probe.withColumn("_salt", pmod(xxhash64(probeSaltFrom), lit(salts)))
+    val b = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    p.join(b, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -23,6 +23,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin is row-for-row the plain join, including duplicate keys") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 12L, "c"), (9L, 13L, "d"))
+      .toDF("k", "rid", "pv")
+    val build = Seq((1L, "x"), (1L, "y"), (2L, "z"))
+      .toDF("k", "bv") // dup build key: join multiplicity must survive salting
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sorted.toSeq
+    val salted = graft.operators.Skew.saltedJoin(probe, build, "k",
+        org.apache.spark.sql.functions.col("rid"), salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("q16 approx distinct within 5% of exact") {
     val exact = Analytics.q16.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
