@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CurationQueries, DedupQueries, SimilarityQueries}
+import graft.operators.{Analytics, CurationQueries, DedupQueries, Profile, SimilarityQueries}
 import graft.logs.LogQueries
 import graft.functions.TextQueries
 
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Every registered query module (SURVEY.md §2). */
   private def registry: Seq[Q] =
     Analytics.all ++ LogQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      CurationQueries.all ++ SimilarityQueries.all ++
+      CurationQueries.all ++ SimilarityQueries.all ++ Profile.all ++
       graft.sources.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
