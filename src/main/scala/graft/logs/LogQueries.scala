@@ -150,5 +150,49 @@ object LogQueries {
       FROM events
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson)
+  // A12 (driver-gated): kvconfig routing end-to-end in batch — the
+  // config text is parsed by Routing.parseKvConfig (the same reader the
+  // streaming forwarder uses, shaped like /root/reference/kvconfig.yml)
+  // and compiled to the first-match-wins route Column; the oracle
+  // re-expresses the matcher table as a CASE over the same parsed
+  // fields. Exercises multi-field AND matchers, value lists, and the
+  // default fallthrough.
+  private val RoutingCfg = """
+routes:
+  error-alerts:
+    matchers:
+      level: ["error"]
+  app0-traffic:
+    matchers:
+      app: ["app0", "app1"]
+"""
+
+  val qRouting = Q(
+    "qlog_routing",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      val line = col("line")
+      val parsed = lines(Tables(s, dir)).select(
+        LogColumns.appOrUnknown(LogColumns.programname(line)).as("app"),
+        LogColumns.level(LogColumns.message(line)).as("level"))
+      val route = graft.streaming.Routing.column(
+        graft.streaming.Routing.parseKvConfig(RoutingCfg), default = "main")
+      parsed.withColumn("route", route)
+        .groupBy(col("route")).agg(count(lit(1)).as("n_records"))
+        .orderBy(col("route"))
+    },
+    Some(LinesCte + """
+      , f AS (
+        SELECT regexp_extract(line, '^[^/]*?--([^/]*)', 1) AS app,
+               json_extract_string(regexp_extract(line, '(\{.*\})', 1), '$.level') AS level
+        FROM lines)
+      SELECT CASE WHEN level IN ('error') THEN 'error-alerts'
+                  WHEN app IN ('app0', 'app1') THEN 'app0-traffic'
+                  ELSE 'main' END AS route,
+             COUNT(*) AS n_records
+      FROM f
+      GROUP BY 1
+      ORDER BY route"""))
+
+  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting)
 }
