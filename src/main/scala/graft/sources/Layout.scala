@@ -30,6 +30,31 @@ object Layout {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Compact a parquet directory of many small files into files of
+    * ~`targetBytes` (SURVEY.md §2.D9) — the small-files remedy for an
+    * ingest layer that lands a file per micro-batch per partition: at
+    * 100 TB, million-file listings dominate planning time and 1 MB
+    * scans waste a seek per file. Sizing reads the ACTUAL input bytes
+    * from the filesystem (not a row-count guess, which breaks on wide
+    * or compressed data). `coalesce` (no shuffle — merges co-located
+    * splits) by default; `shuffle = true` forces a `repartition` when
+    * the input's partition sizes are so skewed that merged files
+    * would be too. Returns the partition count written.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long,
+              shuffle: Boolean = false): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(in).getLength
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
+    sized.write.mode("overwrite").parquet(outDir)
+    parts
+  }
+
   /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet
     * table in the session catalog. `buckets` is a layout-time choice:
     * size it so one bucket of the LARGEST co-bucketed table fits an

@@ -44,4 +44,26 @@ class LayoutSpec extends AnyFunSuite {
       assert(agg.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact merges a many-small-files directory to ~target-sized files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"
+    val t = Tables(spark, sf)
+    t.lineitem.repartition(40).write.parquet(inDir) // the small-files mess
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(inDir) == 40)
+
+    val totalBytes = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
+    val target = totalBytes / 3 // expect ceil(total/target) = 4 or 3 files
+    val parts = Layout.compact(spark, inDir, outDir, target)
+    assert(parts == math.ceil(totalBytes.toDouble / target).toInt)
+    assert(parquetFiles(outDir) == parts)
+    // content survives byte-for-row: same rows, nothing lost or duplicated
+    assert(spark.read.parquet(outDir).count() == t.lineitem.count())
+    assert(spark.read.parquet(outDir).agg(sum(col("l_quantity"))).collect()(0).get(0)
+      == t.lineitem.agg(sum(col("l_quantity"))).collect()(0).get(0))
+  }
 }
