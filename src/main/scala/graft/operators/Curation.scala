@@ -93,9 +93,13 @@ object Curation {
       .withColumn("lbl", col("id"))
       .localCheckpoint()
 
+    // coalesce: sum over an EMPTY label frame (no pairs at all) is
+    // null — without it the empty corpus would NPE instead of
+    // converging immediately
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+      l.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
 
     var prevSum = labelSum(labels)
     var iter = 0

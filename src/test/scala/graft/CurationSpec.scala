@@ -34,6 +34,18 @@ class CurationSpec extends AnyFunSuite {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("degenerate inputs: empty pair list and empty corpus do not error") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Curation.connectedComponents(noPairs, col("a"), col("b")).count() == 0)
+    assert(Curation.clusters(noPairs, col("a"), col("b")).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.sampleByHash(noDocs, col("doc_id"), 50).count() == 0)
+    assert(Curation.samplePerGroup(noDocs, col("text"), col("doc_id"), 3).count() == 0)
+    assert(Curation.packShards(noDocs, col("doc_id"), lit(1), 100L).count() == 0)
+    assert(graft.functions.Keywords.tfIdfTopK(noDocs, col("doc_id"), col("text"), 3).count() == 0)
+  }
+
   test("hash sample is deterministic and bucket-bounded") {
     val t = graft.sources.Tables(spark, sf)
     val one = Curation.sampleByHash(t.documents.select(col("doc_id")), col("doc_id"), 37)
