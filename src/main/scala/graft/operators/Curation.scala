@@ -85,7 +85,12 @@ object Curation {
     */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxIter: Int = 25): DataFrame = {
+    // checkpoint BEFORE the symmetrizing union: `half` is referenced
+    // twice (forward + swapped), so without the boundary the upstream
+    // pair generator (e.g. the whole simhash pipeline) executes twice
+    // on first materialization
     val half = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+      .localCheckpoint()
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
