@@ -29,6 +29,31 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked dedup evicts state beyond the horizon: a late dup is re-admitted") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String)](spark)
+    val base = 1700000000000L
+    val out = StreamDedup.withinWatermark(
+      mem.toDF().toDF("id", "tsms", "text"),
+      timestamp_millis(col("tsms")), col("text"), "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sd_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, base, "doc one"))
+      q.processAllAvailable()
+      // push the watermark far past base + delay so the key's state ages out
+      mem.addData((2L, base + 60000, "advancer"))
+      q.processAllAvailable()
+      // the same content arrives again, well outside the 10 s horizon:
+      // state was evicted, so it is re-admitted — the documented
+      // bounded-state tradeoff (batch exactDedup is the backstop)
+      mem.addData((3L, base + 61000, "doc one"))
+      q.processAllAvailable()
+      val ids = spark.table("sd_evict").select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L), s"expected re-admission, got $ids")
+    } finally q.stop()
+  }
+
   test("watermarked stream dedup drops dups inside the horizon, keeps state keyed on hash only") {
     import spark.implicits._
     val mem = MemoryStream[(Long, Long, String)](spark)
