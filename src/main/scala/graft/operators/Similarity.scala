@@ -50,6 +50,40 @@ object Similarity {
     * so shuffles carry ids only; vectors re-attach by equi-join
     * exactly as in [[lshTopK]].
     */
+  /** Label-free IVF quantizer training: deterministic hash-seeded
+    * cells refined by `iters` Lloyd steps (assign to nearest centroid,
+    * recompute centroids). Every step is engine-reproducible — the
+    * init is an FNV pmod, the centroids are fixed-point
+    * ([[VectorFunctions.groupCentroids]]), and the assignment argmax
+    * breaks ties on cell id — so the whole k-means refinement is
+    * DuckDB-oracle-checkable, not just spec-trusted. Returns
+    * `(vec_id, cell)`. One centroid aggregation + one broadcast
+    * re-assignment per step; the corpus never shuffles whole vectors.
+    */
+  def ivfTrainCells(corpus: DataFrame, id: Column, vec: Column,
+                    nlist: Int, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    var cells = corpus.select(id.as("vec_id"),
+      pmod(call_function("fnv1a64", concat(lit("ivf:"), id.cast("string"))),
+        lit(nlist.toLong)).as("cell"))
+    for (_ <- 0 until iters) {
+      val cents = VectorFunctions.groupCentroids(
+          v.join(cells, "vec_id"), col("cell"), col("v"))
+        .groupBy(col("grp"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("centroid")))),
+          s => s.getField("centroid")).as("cv"))
+      cells = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("grp"),
+          VectorFunctions.cosine(col("v"), col("cv")).as("s"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
+        .select(col("vec_id"), (-col("m.ng")).as("cell"))
+    }
+    cells
+  }
+
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               cellSeed: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,

@@ -96,13 +96,17 @@ object SimilarityQueries {
     * probing replicate the same argmax (score desc, cell asc) in SQL;
     * cosine/rank parity is the formulation qann_brute_topk's green
     * oracle already proves. */
-  private def ivfOracleSql(k: Int, nprobe: Int): String =
+  /** `cells0Ctes` must end in a `cells0(vec_id, grp)` CTE — the cell
+    * assignment the index is built from (plain labels, or the trained
+    * hash-seeded Lloyd cells). The tail is shared. */
+  private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int): String =
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      u AS (SELECT label AS grp,
-              unnest(range(0, len(embedding))) AS pos,
-              unnest(CAST(embedding AS DOUBLE[])) AS x
-            FROM embeddings),
+      $cells0Ctes,
+      u AS (SELECT c0.grp,
+              unnest(range(0, len(e2.embedding))) AS pos,
+              unnest(CAST(e2.embedding AS DOUBLE[])) AS x
+            FROM embeddings e2 JOIN cells0 c0 ON e2.vec_id = c0.vec_id),
       cent AS (SELECT grp, pos,
                  (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
                    / COUNT(*) AS c
@@ -143,7 +147,63 @@ object SimilarityQueries {
           k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(ivfOracleSql(k = 5, nprobe = 2)))
+    Some(ivfOracleSql("cells0 AS (SELECT vec_id, label AS grp FROM embeddings)",
+      k = 5, nprobe = 2)))
+
+  /** One hash-seeded Lloyd step as CTEs ending in cells0: FNV pmod
+    * init cells → fixed-point centroids → argmax re-assignment. Every
+    * stage reuses an already-proven parity recipe. */
+  private def trainedCellsCtes(nlist: Int): String =
+    s"""fk AS (SELECT vec_id, 'ivf:' || CAST(vec_id AS VARCHAR) AS k FROM embeddings),
+      fb AS (SELECT vec_id,
+               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
+             FROM fk),
+      ff AS (SELECT vec_id, list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                            list_transform(bytes, x -> CAST(x AS HUGEINT))),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
+             FROM fb),
+      c0 AS (SELECT vec_id,
+               ((CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+                     THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT)
+                 % $nlist) + $nlist) % $nlist AS grp
+             FROM ff),
+      u0 AS (SELECT c0.grp,
+               unnest(range(0, len(e0.embedding))) AS pos,
+               unnest(CAST(e0.embedding AS DOUBLE[])) AS x
+             FROM embeddings e0 JOIN c0 ON e0.vec_id = c0.vec_id),
+      cent0 AS (SELECT grp, pos,
+                  (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                    / COUNT(*) AS c
+                FROM u0 GROUP BY grp, pos),
+      cv0 AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent0 GROUP BY grp),
+      as0 AS (SELECT e.vec_id, cv0.grp,
+                list_cosine_similarity(e.v, cv0.cv) AS s
+              FROM e, cv0),
+      cells0 AS (SELECT vec_id, grp FROM (
+                   SELECT vec_id, grp,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, grp) AS rn
+                   FROM as0)
+                 WHERE rn = 1)"""
+
+  /** The same IVF search over a LABEL-FREE quantizer: hash-seeded
+    * cells refined by one engine-reproducible Lloyd step. Removes the
+    * labels-as-cells stand-in — this is the full train+index+search
+    * story under one oracle. */
+  val qIvfTrained = Q(
+    "qann_ivf_trained",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 1)
+      val indexed = e.join(cells, "vec_id")
+      Similarity.ivfTopK(
+          indexed, col("vec_id"), col("embedding"), col("cell"),
+          indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
 
   val qDecode = Q(
     "qmm_decode_meta",
@@ -207,5 +267,5 @@ object SimilarityQueries {
       FROM u GROUP BY grp, pos
       ORDER BY grp, pos"""))
 
-  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qDecode, qFrames, qCentroid)
+  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qDecode, qFrames, qCentroid)
 }

@@ -23,7 +23,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "bounded side (the query set) is broadcast so the corpus never shuffles — " +
       "the scale path is qann_lsh_bucketed"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
-      "cell, bounded by nlist, never corpus-sized")
+      "cell, bounded by nlist, never corpus-sized"),
+    "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +
+      "train step and the search")
   )
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {
