@@ -243,6 +243,35 @@ object SimilarityQueries {
       FROM f
       ORDER BY media_id"""))
 
+  /** The byteHistogram feature extractor under an oracle: nonzero
+    * histogram bins unpivoted to (media_id, byte, freq) rows. Both
+    * engines compute freq as a SINGLE-precision division of exact
+    * integer counts (Spark: the Float array math; DuckDB: FLOAT/FLOAT)
+    * then widen to double — float widening is exact, so parity rests
+    * only on both divisions rounding once to float. ord(char) = byte
+    * is the same ASCII-corpus assumption as the FNV oracles. */
+  val qHistogram = Q(
+    "qmm_byte_histogram",
+    (s, dir) => {
+      val docs = Media.withFakeBlob(Tables(s, dir).documents, col("text"))
+      Media.byteHistogram(docs, col("doc_id"), col("media"))
+        .select(col("media_id"), posexplode(col("features")).as(Seq("byte", "freq")))
+        .filter(col("freq") > 0)
+        .select(col("media_id"), col("byte").cast("long").as("byte"),
+          col("freq").cast("double").as("freq"))
+        .orderBy(col("media_id"), col("byte"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id,
+                   unnest([ord(substring(text, i, 1)) FOR i IN range(1, length(text)+1)]) AS byte
+                 FROM documents),
+      h AS (SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY doc_id, byte),
+      n AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      SELECT h.doc_id AS media_id, CAST(h.byte AS BIGINT) AS byte,
+             CAST(CAST(h.cnt AS FLOAT) / CAST(n.n AS FLOAT) AS DOUBLE) AS freq
+      FROM h JOIN n ON h.doc_id = n.doc_id
+      ORDER BY media_id, byte"""))
+
   /** Per-label centroid components via fixed-point accumulation (see
     * VectorFunctions.groupCentroids for why neither double avg nor a
     * decimal cast is engine-deterministic). DuckDB side zips parallel
@@ -267,5 +296,6 @@ object SimilarityQueries {
       FROM u GROUP BY grp, pos
       ORDER BY grp, pos"""))
 
-  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qDecode, qFrames, qCentroid)
+  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qDecode, qFrames,
+    qHistogram, qCentroid)
 }
