@@ -187,4 +187,19 @@ object Curation {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+
+  /** The dedup end-cap: keep every corpus row EXCEPT non-canonical
+    * cluster members (a [[clusters]] frame's rows where doc_id ≠
+    * cluster_id). One left-anti join against the drop set — the drop
+    * set is cluster-members-only (tiny next to the corpus), so this
+    * broadcasts; the corpus itself never shuffles. Singletons pass
+    * through untouched, canonical members survive. */
+  def applyClusters(corpus: DataFrame, id: Column, clusterFrame: DataFrame): DataFrame = {
+    val drops = clusterFrame
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    corpus.withColumn("__cid", id)
+      .join(broadcast(drops), col("__cid") === drops("doc_id"), "left_anti")
+      .drop("__cid")
+  }
 }

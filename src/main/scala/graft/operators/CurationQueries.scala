@@ -176,5 +176,34 @@ object CurationQueries {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qPackShards, qPipeline)
+  /** The deduped corpus itself: survivors after dropping non-canonical
+    * near-dup cluster members. Completes the C14 story (pairs →
+    * clusters → applied drop set) under one oracle. */
+  val qApply = Q(
+    "qdedup_apply",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      val cl = Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+      Curation.applyClusters(t.documents, col("doc_id"), cl)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach AS (SELECT s AS id, s AS lbl FROM e
+                UNION
+                SELECT e.s AS id, r.lbl AS lbl
+                FROM e JOIN reach r ON r.id = e.t),
+      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      drops AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qApply,
+    qPackShards, qPipeline)
 }
