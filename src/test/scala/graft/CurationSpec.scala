@@ -27,6 +27,41 @@ class CurationSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components match union-find on a 10k-edge random graph") {
+    // deterministic seed; sparse graph over 8k nodes → many components
+    // of varying shape (chains, bushes, big blobs) — the regime the
+    // tiny oracle corpus (17 pairs) never exercises
+    val rnd = new scala.util.Random(4242L)
+    val n = 8000
+    val edges = Seq.fill(10000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: classic union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = touched.map(v => v -> find(v.toInt).toLong).toMap
+
+    import spark.implicits._
+    val got = Curation.connectedComponents(
+        edges.toDF("a", "b"), col("a"), col("b"), maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find parents are min-rooted by construction above, so the
+    // labels must agree exactly (both are the component's min id)
+    assert(got.keySet == want.keySet)
+    val diff = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+    assert(diff.isEmpty, s"label mismatches (first 5): ${diff.take(5)}")
+  }
+
   test("clusters emit min-id canonical and the true component size") {
     val got = Curation.clusters(pairs(1L -> 2L, 2L -> 3L, 7L -> 8L), col("a"), col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
