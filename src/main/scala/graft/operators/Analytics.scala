@@ -232,6 +232,23 @@ object Analytics {
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
   // B10: exact interpolated percentiles per group.
+  // B10b: the 100 TB percentile path — percentile_approx (streaming
+  // KLL-style sketch, one pass, bounded memory) where the exact
+  // percentile's per-group sort won't fly. Approximate by construction
+  // → no DuckDB oracle (the driver records rows-only); AnalyticsSpec
+  // bounds it against the exact q10 values instead, like HLL.
+  val q10b = Q(
+    "q10b_percentiles_approx",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   val q10 = Q(
     "q10_percentiles",
     (s, dir) => {
@@ -560,6 +577,6 @@ object Analytics {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q21,
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20)
 }

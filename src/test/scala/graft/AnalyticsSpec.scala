@@ -39,6 +39,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q10b approx percentiles land near the exact per-group values") {
+    val exact = Analytics.q10.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Analytics.q10b.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // percentile_approx at accuracy 10000 on these group sizes is
+    // rank-exact up to interpolation: the sketch returns a REAL data
+    // value, the exact percentile interpolates between two — bound by
+    // the local value spacing, generously 5% of the exact value scale
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) <= math.abs(e50) * 0.05 + 1e-6, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= math.abs(e90) * 0.05 + 1e-6, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("q16 approx distinct within 5% of exact") {
     val exact = Analytics.q16.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
