@@ -142,9 +142,13 @@ object CurationQueries {
     (s, dir) => {
       import graft.functions.TextFunctions
       val docs = Tables(s, dir).documents
+      // persisted: referenced twice (dedup group side + join probe) and
+      // the langid regexes are the scan's cost center — without the
+      // boundary both consumers re-run them on the raw scan
       val filtered = docs.filter(
         TextFunctions.langId(col("text")) === "en" &&
         TextFunctions.tokenCountWs(col("text")) >= 30)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep = Dedup.exactDedup(filtered, col("doc_id"), col("text"))
       val kept = filtered.join(keep, "doc_id")
         .select(col("doc_id"),
