@@ -24,7 +24,12 @@ object Forwarder {
       deployEnv: String = "production",
       streamName: String = "main",
       maxFilesPerTrigger: Int = 10,
-      sink: SinkConfig = SinkConfig())
+      sink: SinkConfig = SinkConfig(),
+      /** e.g. Some("10 minutes"): drop records whose serialized form
+        * was already delivered within the horizon — replay protection
+        * for at-least-once consumers (KCL redelivers on lease
+        * failover). State is md5 keys only, evicted by watermark. */
+      dedupWithin: Option[String] = None)
 
   /** The batch/streaming-shared transform: raw `value` lines →
     * enhanced fields + (stream, json) delivery columns. Routing
@@ -53,7 +58,15 @@ object Forwarder {
     val r = route.getOrElse(lit(conf.streamName))
     val src = source
       .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
-    val out = transform(src.stream(spark), conf.deployEnv, r)
+    val transformed = transform(src.stream(spark), conf.deployEnv, r)
+    // dedup AFTER transform on the full serialized record: two
+    // different raw lines that enhance to the same delivery payload
+    // are duplicates; the parsed `timestamp` is the event time
+    val out = conf.dedupWithin match {
+      case Some(delay) =>
+        StreamDedup.withinWatermark(transformed, col("timestamp"), col("json"), delay)
+      case None => transformed
+    }
     val sink = new NdjsonBatchSink(delivery, conf.sink)
     out.writeStream
       .option("checkpointLocation", conf.checkpointDir)

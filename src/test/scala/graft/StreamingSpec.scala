@@ -79,6 +79,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.columns.contains("deploy_env"))
   }
 
+  test("forwarder dedupWithin drops replayed records end-to-end") {
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    // at-least-once replay: every line delivered twice, in two "files"
+    // (micro-batches) as a lease failover would produce
+    val lines = sampleLines(8)
+    writeLines(in, "a.log", lines)
+    writeLines(in, "b.log", lines)
+    val q = Forwarder.start(spark,
+      Forwarder.Config(in, ck, dedupWithin = Some("1 hour")),
+      new FileDelivery(out))
+    q.awaitTermination()
+    val delivered = Files.walk(Paths.get(out, "main")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(delivered.size == 8, s"expected 8 unique records, got ${delivered.size}")
+    assert(delivered.distinct.size == 8)
+  }
+
   test("enhance auto-detects RFC3339 and RFC3164 shapes per record") {
     import spark.implicits._
     val lines = Seq(
