@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    // names are spliced into a stack() expression — reject anything
+    // that isn't a plain identifier rather than mis-parse it
+    columns.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"profile: column name '$c' is not a plain identifier"))
+    require(columns.nonEmpty, "profile: need at least one column")
     val aggs = count(lit(1)).as("n_rows") +:
       columns.flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
