@@ -68,6 +68,38 @@ class RoutingPropertySpec extends AnyFunSuite {
     sb.toString
   }
 
+  test("compiled route Column agrees with a direct interpreter (20 seeded tables)") {
+    import SparkTest._
+    import org.apache.spark.sql.functions.col
+    val params = Gen.Parameters.default
+    val rnd = new scala.util.Random(7L)
+    (0 until 20).foreach { i =>
+      val routes = routeTable.pureApply(params, Seed(1000L + i), retries = 1000)
+      val fields = routes.flatMap(_.matchers.keys).distinct
+      if (fields.nonEmpty) {
+        // records drawn from matcher values ∪ noise so some hit, some miss
+        val records = (0 until 30).map { _ =>
+          fields.map { f =>
+            val pool = routes.flatMap(_.matchers.get(f)).flatten :+ "zz-miss"
+            f -> pool(rnd.nextInt(pool.size))
+          }.toMap
+        }
+        def interpret(rec: Map[String, String]): String =
+          routes.find(_.matchers.forall { case (f, vs) => vs.contains(rec(f)) })
+            .map(_.name).getOrElse("fallback")
+        import spark.implicits._
+        val df = records.map(r => fields.map(r)).toDF("v")
+          .select(fields.zipWithIndex.map { case (f, j) =>
+            col("v").getItem(j).as(f) }: _*)
+        val got = df.withColumn("route",
+            Routing.column(routes, default = "fallback"))
+          .select("route").collect().map(_.getString(0)).toSeq
+        val want = records.map(interpret)
+        assert(got == want, s"table seed ${1000 + i}: demux disagreement")
+      }
+    }
+  }
+
   test("parseKvConfig round-trips any renderable route table (200 seeded samples)") {
     val params = Gen.Parameters.default
     (0 until 200).foreach { i =>
