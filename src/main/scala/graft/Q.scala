@@ -18,5 +18,34 @@ object Q {
     /** DuckDB side of decimal-exact double aggregation. */
     def dsum(expr: String): String =
       s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+
+    /** DuckDB CTE chain computing the signed-BIGINT FNV-1a of string
+      * expression `keyExpr` — bit-identical to graft's `fnv1a64`
+      * expression (list_reduce over char codes with HUGEINT mod-2⁶⁴,
+      * then the ≥2⁶³ signed cast; `ord(char)` == UTF-8 byte on the
+      * ASCII corpora, verified). THE single definition: every FNV
+      * oracle (fingerprint, sampling, packing, IVF cell seeding)
+      * must build on this so a future fix can't diverge them.
+      *
+      * Emits CTEs `<p>ks → <p>by → <p>f → <p>g`; `<p>g` carries
+      * (`carry`..., `sb`). `carry` must be plain columns of `from`.
+      */
+    def fnvSignedCtes(prefix: String, keyExpr: String,
+                      carry: Seq[String], from: String): String = {
+      val cs = if (carry.isEmpty) "" else carry.mkString("", ", ", ",")
+      s"""${prefix}ks AS (SELECT $cs ($keyExpr) AS k FROM $from),
+      ${prefix}by AS (SELECT $cs
+               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
+             FROM ${prefix}ks),
+      ${prefix}f AS (SELECT $cs list_reduce(
+              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
+              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
+            FROM ${prefix}by),
+      ${prefix}g AS (SELECT $cs
+              CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+                   THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT) AS sb
+            FROM ${prefix}f)"""
+    }
   }
 }

@@ -22,7 +22,12 @@ object Keywords {
     val toks = df.select(id.as("doc_id"),
         explode(split(lower(text), " ")).as("term"))
       .filter(col("term") =!= "")
+    // persisted: consumed twice (the df aggregation and the score join)
+    // — without the boundary both re-run tokenize+explode+aggregate
+    // from the raw scan, the plan's cost center. clearCache-managed
+    // like the dedup signature caches.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc_id, term) is unique in tf, so count(*) per term IS the
     // document frequency — no second distinct needed
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -108,23 +108,14 @@ object TextQueries {
           call_function("fnv1a64", TextFunctions.normalizeText(col("text"))).as("fingerprint"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH n AS (SELECT doc_id,
-                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
-                 FROM documents),
-      b AS (SELECT doc_id,
-              [ord(substring(s, i, 1)) FOR i IN range(1, length(s)+1)] AS bytes
-            FROM n),
-      f AS (SELECT doc_id, list_reduce(
-              list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
-              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
-            FROM b)
-      SELECT doc_id,
-             CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
-                  THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT) AS fingerprint
-      FROM f
-      ORDER BY doc_id"""))
+    Some {
+      val normKey = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+      s"""
+      WITH ${graft.Q.sqlutil.fnvSignedCtes("", normKey, Seq("doc_id"), "documents")}
+      SELECT doc_id, sb AS fingerprint
+      FROM g
+      ORDER BY doc_id"""
+    })
 
   /** Top-5 tf-idf keywords per doc. Membership/order is decided by the
     * integer-exact (tf desc, df asc, term asc) key — see [[Keywords]]

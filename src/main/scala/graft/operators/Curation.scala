@@ -80,8 +80,11 @@ object Curation {
     *
     * Convergence is detected by the label SUM (labels only ever
     * decrease, so an unchanged sum ⇔ an unchanged labeling) — a scalar
-    * driver action per round, no extra join. Caches are released via
-    * `spark.catalog.clearCache()` like the other dedup caches.
+    * driver action per round, no extra join. Failing to converge
+    * within maxIter THROWS (partial labels would silently corrupt a
+    * downstream keep/drop decision). The persisted edge list is
+    * released by `clearCache()`; the per-round localCheckpoint blocks
+    * are RDD storage, freed by the ContextCleaner once unreferenced.
     */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxIter: Int = 25): DataFrame = {
@@ -123,8 +126,16 @@ object Curation {
       iter += 1
     }
     // one line per resolution (not per row): round count is the health
-    // signal for this algorithm — a count at maxIter means unconverged
+    // signal for this algorithm
     System.err.println(s"[curation] connectedComponents: $iter rounds, converged=$converged")
+    // unconverged labels are WRONG labels (partially propagated) and a
+    // downstream keep/drop decision would silently corrupt the corpus —
+    // fail loudly instead; callers with deep graphs raise maxIter or
+    // switch to star contraction
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter or use " +
+        "alternating star contraction for chain-shaped graphs")
     labels
   }
 

@@ -21,22 +21,11 @@ object CurationQueries {
 
   /** FNV-1a(salt:doc_id) as a signed BIGINT `sb`, carried with
     * (doc_id, `carry`) from CTE/table `src` through a chain ending in
-    * `g`. */
+    * `g` — built on the single shared recipe (Q.sqlutil). */
   private def fnvKeyCtes(salt: String, carry: String = "lang",
                          src: String = "documents"): String =
-    s"""ks AS (SELECT doc_id, $carry, '$salt:' || CAST(doc_id AS VARCHAR) AS k FROM $src),
-      by AS (SELECT doc_id, $carry,
-               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
-             FROM ks),
-      f AS (SELECT doc_id, $carry, list_reduce(
-              list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
-              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
-            FROM by),
-      g AS (SELECT doc_id, $carry,
-              CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
-                   THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT) AS sb
-            FROM f)"""
+    graft.Q.sqlutil.fnvSignedCtes("",
+      s"'$salt:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", carry), src)
 
   val qSampleHash = Q(
     "qsample_hash",
@@ -110,18 +99,11 @@ object CurationQueries {
         .orderBy(col("pos"))
     },
     Some(s"""
-      WITH ks AS (SELECT doc_id,
-                    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                    'shuffle:' || CAST(doc_id AS VARCHAR) AS k
-                  FROM documents),
-      by AS (SELECT doc_id, n_tokens,
-               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
-             FROM ks),
-      f AS (SELECT doc_id, n_tokens, list_reduce(
-              list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                           list_transform(bytes, x -> CAST(x AS HUGEINT))),
-              (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
-            FROM by),
+      WITH sized AS (SELECT doc_id,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens"), "sized")},
       o AS (SELECT doc_id, n_tokens,
               CAST(row_number() OVER (ORDER BY fh, doc_id) AS BIGINT) AS pos,
               CAST(SUM(n_tokens) OVER (ORDER BY fh, doc_id

@@ -154,20 +154,10 @@ object SimilarityQueries {
     * init cells → fixed-point centroids → argmax re-assignment. Every
     * stage reuses an already-proven parity recipe. */
   private def trainedCellsCtes(nlist: Int): String =
-    s"""fk AS (SELECT vec_id, 'ivf:' || CAST(vec_id AS VARCHAR) AS k FROM embeddings),
-      fb AS (SELECT vec_id,
-               [ord(substring(k, i, 1)) FOR i IN range(1, length(k)+1)] AS bytes
-             FROM fk),
-      ff AS (SELECT vec_id, list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                            list_transform(bytes, x -> CAST(x AS HUGEINT))),
-               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) AS fh
-             FROM fb),
-      c0 AS (SELECT vec_id,
-               ((CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
-                     THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT)
-                 % $nlist) + $nlist) % $nlist AS grp
-             FROM ff),
+    s"""${graft.Q.sqlutil.fnvSignedCtes("t",
+        "'ivf:' || CAST(vec_id AS VARCHAR)", Seq("vec_id"), "embeddings")},
+      c0 AS (SELECT vec_id, ((sb % $nlist) + $nlist) % $nlist AS grp
+             FROM tg),
       u0 AS (SELECT c0.grp,
                unnest(range(0, len(e0.embedding))) AS pos,
                unnest(CAST(e0.embedding AS DOUBLE[])) AS x

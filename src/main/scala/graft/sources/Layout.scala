@@ -37,9 +37,12 @@ object Layout {
     * scans waste a seek per file. Sizing reads the ACTUAL input bytes
     * from the filesystem (not a row-count guess, which breaks on wide
     * or compressed data). `coalesce` (no shuffle — merges co-located
-    * splits) by default; `shuffle = true` forces a `repartition` when
-    * the input's partition sizes are so skewed that merged files
-    * would be too. Returns the partition count written.
+    * splits) when the input has at least `parts` read partitions;
+    * falls back to `repartition` when it doesn't (coalesce can only
+    * MERGE — asking it for more partitions than the input has would
+    * silently write fewer, larger-than-target files). `shuffle = true`
+    * forces the repartition path for skew-prone inputs. Returns the
+    * partition count written.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
               outDir: String, targetBytes: Long,
@@ -50,7 +53,9 @@ object Layout {
     val totalBytes = fs.getContentSummary(in).getLength
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)
-    val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
+    val sized =
+      if (shuffle || df.rdd.getNumPartitions < parts) df.repartition(parts)
+      else df.coalesce(parts)
     sized.write.mode("overwrite").parquet(outDir)
     parts
   }

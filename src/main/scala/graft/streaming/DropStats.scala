@@ -76,8 +76,11 @@ object DropStats {
       withOut.foldRight(lit(null).cast(nullType)) { (r, acc) =>
         when(col("stream") === r.name, f(r.output.get)).otherwise(acc)
       }
-    emissionRecords(summaryRows)
-      .withColumn("stream", Routing.column(routes, default))
+    val em = emissionRecords(summaryRows)
+    // schema-aware compile: the summary shape's `level` is a MAP and
+    // most log fields are absent — matchers on those must fall through
+    // to default, not crash the stream at analysis
+    em.withColumn("stream", Routing.columnFor(em, routes, default))
       .withColumn("series", meta("string")(o => lit(o.series)))
       .withColumn("stat_type", meta("string")(o => lit(o.statType)))
       .withColumn("value", meta("double")(o => col(o.valueField).cast("double")))

@@ -25,10 +25,14 @@ object Forwarder {
       streamName: String = "main",
       maxFilesPerTrigger: Int = 10,
       sink: SinkConfig = SinkConfig(),
-      /** e.g. Some("10 minutes"): drop records whose serialized form
-        * was already delivered within the horizon — replay protection
-        * for at-least-once consumers (KCL redelivers on lease
-        * failover). State is md5 keys only, evicted by watermark. */
+      /** e.g. Some("10 minutes"): drop records whose EXACT serialized
+        * form was already delivered within the horizon — replay
+        * protection for at-least-once consumers (KCL redelivers on
+        * lease failover). Keys on md5 of the raw json (no text
+        * normalization — distinct records differing only in case or
+        * whitespace are NOT replays). Malformed lines (null parsed
+        * timestamp) bypass the dedup and are always delivered. State
+        * is md5 keys only, evicted by watermark. */
       dedupWithin: Option[String] = None)
 
   /** The batch/streaming-shared transform: raw `value` lines →
@@ -59,12 +63,22 @@ object Forwarder {
     val src = source
       .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
     val transformed = transform(src.stream(spark), conf.deployEnv, r)
-    // dedup AFTER transform on the full serialized record: two
-    // different raw lines that enhance to the same delivery payload
-    // are duplicates; the parsed `timestamp` is the event time
+    // dedup AFTER transform on the EXACT serialized record (md5 of the
+    // raw json, not StreamDedup's corpus-text normalization — case or
+    // whitespace differences are distinct records, not replays); the
+    // parsed `timestamp` is the event time. Malformed lines carry a
+    // null timestamp by contract ("drop to null, never lost") — they
+    // would read as epoch 0 inside the watermark operator and be
+    // swallowed as late, so they bypass the dedup branch entirely.
     val out = conf.dedupWithin match {
       case Some(delay) =>
-        StreamDedup.withinWatermark(transformed, col("timestamp"), col("json"), delay)
+        val keyed = transformed.withColumn("content_hash", md5(col("json")))
+        val deduped = keyed.filter(col("timestamp").isNotNull)
+          .withColumn("event_ts", col("timestamp"))
+          .withWatermark("event_ts", delay)
+          .dropDuplicatesWithinWatermark("content_hash")
+          .drop("event_ts")
+        deduped.union(keyed.filter(col("timestamp").isNull))
       case None => transformed
     }
     val sink = new NdjsonBatchSink(delivery, conf.sink)

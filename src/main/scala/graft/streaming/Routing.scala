@@ -41,6 +41,27 @@ object Routing {
       when(cond, lit(route.name)).otherwise(fallthrough)
     }
 
+  /** Schema-aware compile: like [[column]], but matchers over fields
+    * the frame LACKS (or that aren't string-typed, e.g. the summary
+    * record's `level` map) can never match — the route falls through
+    * to the next, mirroring the reference's unmatched→default
+    * semantics instead of failing analysis at stream start. */
+  def columnFor(df: org.apache.spark.sql.DataFrame, routes: Seq[Route],
+                default: String = "main"): Column = {
+    val stringFields = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSet
+    routes.foldRight(lit(default)) { (route, fallthrough) =>
+      val cond = route.matchers.toSeq
+        .map { case (field, vals) =>
+          if (stringFields(field)) col(field).isin(vals: _*) else lit(false)
+        }
+        .reduceOption(_ && _)
+        .getOrElse(lit(true))
+      when(cond, lit(route.name)).otherwise(fallthrough)
+    }
+  }
+
   /** Parse the `routes:` section of a kvconfig.yml-shaped document
     * (two-space indentation, `field: ["v1", "v2"]` matcher lists — the
     * exact shape of /root/reference/kvconfig.yml). This is a minimal

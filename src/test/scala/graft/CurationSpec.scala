@@ -69,6 +69,16 @@ class CurationSpec extends AnyFunSuite {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("connected components throw instead of returning unconverged labels") {
+    // diameter-5 chain cannot converge in 2 rounds; partial labels
+    // would corrupt a downstream keep/drop decision, so this must fail
+    val df = pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val e = intercept[IllegalStateException] {
+      Curation.connectedComponents(df, col("a"), col("b"), maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("degenerate inputs: empty pair list and empty corpus do not error") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")

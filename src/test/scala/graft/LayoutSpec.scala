@@ -65,5 +65,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == t.lineitem.count())
     assert(spark.read.parquet(outDir).agg(sum(col("l_quantity"))).collect()(0).get(0)
       == t.lineitem.agg(sum(col("l_quantity"))).collect()(0).get(0))
+
+    // SPLIT direction: one big file, target a quarter of it — coalesce
+    // can only merge, so compact must take the repartition path and
+    // still deliver the promised file count
+    val oneIn = s"$base/one"; val splitOut = s"$base/split"
+    t.lineitem.coalesce(1).write.parquet(oneIn)
+    val oneBytes = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(oneIn)).getLength
+    val splitParts = Layout.compact(spark, oneIn, splitOut, oneBytes / 4 + 1)
+    assert(splitParts == 4)
+    assert(parquetFiles(splitOut) == 4)
+    assert(spark.read.parquet(splitOut).count() == t.lineitem.count())
   }
 }

@@ -29,6 +29,11 @@ class PlanAuditSpec extends AnyFunSuite {
   )
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {
+    // COVERAGE NOTE: a localCheckpoint boundary truncates the visible
+    // plan, so the cluster queries (qdedup_clusters/qdedup_apply) show
+    // only their post-checkpoint tail here. Their upstream pair
+    // pipeline is audited twice anyway: via qdedup_simhash (same plan,
+    // un-checkpointed) and explicitly below.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
@@ -37,5 +42,16 @@ class PlanAuditSpec extends AnyFunSuite {
       cart.toSeq ++ bnlj.toSeq
     }
     assert(offenders.isEmpty, s"unbounded join shapes planned:\n${offenders.mkString("\n")}")
+  }
+
+  test("the checkpoint-hidden cluster pair pipeline is itself clean") {
+    import org.apache.spark.sql.functions.col
+    val t = graft.sources.Tables(spark, sf)
+    val pairs = graft.operators.Dedup.simhashPairs(
+      t.documents, col("doc_id"), col("text"), maxDist = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cluster pair generation plans an unbounded join:\n$plan")
   }
 }

@@ -79,11 +79,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.columns.contains("deploy_env"))
   }
 
-  test("forwarder dedupWithin drops replayed records end-to-end") {
+  test("forwarder dedupWithin drops replays, keeps case-variants and malformed lines") {
     val in = tmp(); val out = tmp(); val ck = tmp()
-    // at-least-once replay: every line delivered twice, in two "files"
-    // (micro-batches) as a lease failover would produce
-    val lines = sampleLines(8)
+    def kv(title: String) =
+      "2024-01-01T00:01:00+00:00 host-x production--appX/" +
+        "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-99[99]: " +
+        s"""{"title":"$title","level":"info"}"""
+    // distinct records that differ ONLY in case — exact-form dedup must
+    // NOT collapse them (normalized hashing would)
+    val caseVariants = Seq(kv("same"), kv("SAME"))
+    val malformed = "definitely not a syslog line"
+    // at-least-once replay: everything delivered twice across two
+    // micro-batch files, as a lease failover would produce
+    val lines = sampleLines(8) ++ caseVariants :+ malformed
     writeLines(in, "a.log", lines)
     writeLines(in, "b.log", lines)
     val q = Forwarder.start(spark,
@@ -93,8 +101,15 @@ class StreamingSpec extends AnyFunSuite {
     val delivered = Files.walk(Paths.get(out, "main")).iterator().asScala
       .filter(_.toString.endsWith(".ndjson"))
       .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
-    assert(delivered.size == 8, s"expected 8 unique records, got ${delivered.size}")
-    assert(delivered.distinct.size == 8)
+    val (bad, good) = delivered.partition(_.contains("\"rawlog\":\"definitely"))
+    // 8 sample + 2 case-variant records, each exactly once
+    assert(good.size == 10, s"expected 10 unique records, got ${good.size}")
+    assert(good.distinct.size == 10)
+    assert(good.count(_.contains("\"SAME\"")) == 1)
+    assert(good.count(_.contains("\"same\"")) == 1)
+    // malformed lines (null event time) bypass dedup: never lost — both
+    // replay copies land rather than being swallowed as late rows
+    assert(bad.size == 2, s"malformed must bypass dedup, got ${bad.size}")
   }
 
   test("enhance auto-detects RFC3339 and RFC3164 shapes per record") {
@@ -365,6 +380,30 @@ class StreamingSpec extends AnyFunSuite {
     val r = parsed.select("total_dropped", "value", "app_count").collect()
     assert(r.forall(row => row.getLong(0) == 3L && row.getDouble(1) == 3.0 &&
       row.getLong(2) == 3L))
+  }
+
+  test("routedSummary falls through matchers on absent or non-string fields") {
+    import spark.implicits._
+    // `level` in the summary shape is a MAP and `container_app` does not
+    // exist there — a route table reusing the forwarder's log matchers
+    // must fall through to default, not crash at analysis
+    val routes = graft.streaming.Routing.parseKvConfig(
+      """routes:
+        |  error-alerts:
+        |    matchers:
+        |      level: ["error"]
+        |  app-traffic:
+        |    matchers:
+        |      container_app: ["app1"]
+        |  stats:
+        |    matchers:
+        |      title: ["drop-stats"]
+        |""".stripMargin)
+    val summary = Seq(("2024-01-01 00:00", 3L, 1L, Map("a" -> 3L), Map("info" -> 3L)))
+      .toDF("minute", "total_dropped", "app_count", "apps", "level")
+    val routed = DropStats.routedSummary(summary, routes)
+    val streams = routed.select("stream").collect().map(_.getString(0)).toSeq
+    assert(streams == Seq("stats")) // title matches; level/app routes skip
   }
 
   test("drop-stats windowed aggregation matches the batch equivalent") {
