@@ -109,22 +109,31 @@ object Curation {
           lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
 
+    def step(l: DataFrame): DataFrame = {
+      val nbrMin = edges.join(l, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
+        .withColumnRenamed("dst", "nid")
+      l.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // eager: materializes AND truncates lineage
+    }
+
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
-        .withColumnRenamed("dst", "nid")
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+      val next = step(labels)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       iter += 1
     }
+    // a labeling whose LAST change landed exactly in round maxIter is
+    // complete but not yet verified change-free — re-verify with one
+    // extra propagation before declaring failure, so the effective
+    // budget is maxIter propagation rounds, not maxIter-1
+    if (!converged) converged = labelSum(step(labels)).compareTo(prevSum) == 0
     // one line per resolution (not per row): round count is the health
     // signal for this algorithm
     System.err.println(s"[curation] connectedComponents: $iter rounds, converged=$converged")

@@ -42,6 +42,9 @@ object Skew {
     * plain join. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  probeSaltFrom: Column, salts: Int = 16): DataFrame = {
+    // salts=0 would build sequence(0,-1) on the build side and pmod-by-
+    // zero (an ANSI runtime error) on the probe side; fail at call time
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val p = probe.withColumn("_salt", pmod(xxhash64(probeSaltFrom), lit(salts)))
     val b = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))

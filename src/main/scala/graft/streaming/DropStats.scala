@@ -79,11 +79,18 @@ object DropStats {
     val em = emissionRecords(summaryRows)
     // schema-aware compile: the summary shape's `level` is a MAP and
     // most log fields are absent — matchers on those must fall through
-    // to default, not crash the stream at analysis
+    // to default, not crash the stream at analysis. The same rule holds
+    // for output metadata: a shared kvconfig route whose value_field is
+    // empty or names a field this frame lacks yields a null value, not
+    // an analysis failure at stream start.
+    val fields = em.schema.fieldNames.toSet
+    def valueOf(o: Routing.Output): Column =
+      if (o.valueField.nonEmpty && fields(o.valueField)) col(o.valueField).cast("double")
+      else lit(null).cast("double")
     em.withColumn("stream", Routing.columnFor(em, routes, default))
       .withColumn("series", meta("string")(o => lit(o.series)))
       .withColumn("stat_type", meta("string")(o => lit(o.statType)))
-      .withColumn("value", meta("double")(o => col(o.valueField).cast("double")))
+      .withColumn("value", meta("double")(valueOf))
   }
 
   /** Deliver routed summary records through the batched sink — the full
