@@ -10,11 +10,16 @@ import org.apache.spark.sql.SparkSession
   * pure-projection pipeline would measure ~0). A warmup query absorbs
   * one-time session/codegen cost so per-query numbers are comparable.
   *
-  * Each query is timed TWICE and the min reported: a single-shot timer
-  * conflates per-query JIT/page-cache variance and transient machine
-  * load with code cost (a noisy host once turned a 13 s query into a
-  * phantom 64 s "regression"). The min of two runs is the standard
-  * noise-robust point estimate for a deterministic workload.
+  * Each query is timed in three INTERLEAVED passes over the whole
+  * registry and the per-query min reported. Back-to-back repeats (the
+  * old min-of-two) proved blind to exactly the noise they were meant to
+  * reject: a transient host disturbance lasting longer than one
+  * query's repeats corrupts BOTH samples — observed as a 3-11× phantom
+  * "regression" on a contiguous group of queries with a zero-line code
+  * diff. Interleaving separates a query's samples by a full pass
+  * (minutes), so a transient burst lands in at most one sample and the
+  * min survives it. A System.gc() between passes keeps one pass's
+  * garbage from billing a later pass's first queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +30,7 @@ object Bench {
 
     def runOnce(name: String): Double = {
       // some queries persist an intermediate frame (e.g. the ngram shingle
-      // cache); every timed run must recompute it or min-of-two would
+      // cache); every timed run must recompute it or the min would
       // report a warm-cache number
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -37,14 +42,6 @@ object Bench {
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9
-    }
-
-    /** Min of two runs; a failure on either run marks the query failed. */
-    def run(name: String): Double = {
-      val a = runOnce(name)
-      if (a < 0) return -1.0
-      val b = runOnce(name)
-      if (b < 0) -1.0 else math.min(a, b)
     }
 
     // warmup: first query pays session + codegen startup; don't let that
@@ -64,7 +61,21 @@ object Bench {
         known.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
-    val results = names.map(n => n -> run(n))
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // pass-interleaved timing: min over `passes` full sweeps; a query
+    // that fails on ANY sample is marked failed (-1) — a flaky failure
+    // must not read as a fast run
+    val samples = (1 to passes).map { p =>
+      if (p > 1) System.gc()
+      val pass = names.map(n => n -> runOnce(n)).toMap
+      val passTotal = pass.values.filter(_ >= 0).sum
+      System.err.println(f"[bench] pass $p/$passes total=$passTotal%.1f s")
+      pass
+    }
+    val results = names.map { n =>
+      val s = samples.map(_(n))
+      n -> (if (s.exists(_ < 0)) -1.0 else s.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query (-1 marker) must not make the headline number look

@@ -17,7 +17,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any intermediate frame a query persisted (e.g. the ngram
-      // shingle cache) so 39 sequential queries don't accumulate storage
+      // shingle cache) so the registry's sequential queries don't
+      // accumulate storage across the run
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

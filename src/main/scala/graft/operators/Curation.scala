@@ -72,9 +72,10 @@ object Curation {
     * logical plan doubles per round and the driver OOMs on analysis
     * (observed at sf0.1). Near-dup components are shallow (dups of a
     * common source), so the round count is small in practice; for
-    * adversarial chain-shaped graphs switch to alternating
-    * large-star/small-star contraction (O(log n) rounds — Kiveris et
-    * al., "Connected Components in MapReduce and Beyond"). At 100 TB,
+    * adversarial chain-shaped graphs use [[connectedComponentsStar]]
+    * (alternating large-star/small-star contraction, O(log² n) rounds
+    * — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"). At 100 TB,
     * use reliable `checkpoint()` to durable storage instead of
     * executor-local checkpoints.
     *
@@ -133,10 +134,17 @@ object Curation {
     // complete but not yet verified change-free — re-verify with one
     // extra propagation before declaring failure, so the effective
     // budget is maxIter propagation rounds, not maxIter-1
-    if (!converged) converged = labelSum(step(labels)).compareTo(prevSum) == 0
+    var verifyRounds = 0
+    if (!converged) {
+      converged = labelSum(step(labels)).compareTo(prevSum) == 0
+      verifyRounds = 1
+    }
     // one line per resolution (not per row): round count is the health
-    // signal for this algorithm
-    System.err.println(s"[curation] connectedComponents: $iter rounds, converged=$converged")
+    // signal for this algorithm; the re-verify propagation is a real
+    // round and must be counted
+    System.err.println(s"[curation] connectedComponents: ${iter + verifyRounds} propagation rounds" +
+      (if (verifyRounds > 0) s" (incl. $verifyRounds re-verify)" else "") +
+      s", converged=$converged")
     // unconverged labels are WRONG labels (partially propagated) and a
     // downstream keep/drop decision would silently corrupt the corpus —
     // fail loudly instead; callers with deep graphs raise maxIter or
@@ -146,6 +154,85 @@ object Curation {
         "(component diameter exceeds maxIter); raise maxIter or use " +
         "alternating star contraction for chain-shaped graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the depth-robust alternative to
+    * [[connectedComponents]]: min-label propagation needs O(diameter)
+    * rounds, star contraction O(log² n) regardless of shape, so this
+    * is the variant for chain-shaped graphs (e.g. transitive near-dup
+    * chains A≈B≈C≈… where no pair A,C is itself a dup pair).
+    *
+    * One alternation = two grouped aggregations + two joins over the
+    * (long, long) edge list — like min-label, document payloads never
+    * move, and each round's edge frame is `localCheckpoint`ed so the
+    * plan stays flat. Convergence is EXACT, not fingerprint-based:
+    * the canonically-oriented edge set is compared round-over-round
+    * by count + one-way anti-join (equal counts + empty difference ⇔
+    * equal sets). At the fixpoint every edge is (member, component
+    * min) — a star — which a final one-parent-per-node invariant
+    * check verifies before labels are emitted.
+    *
+    * Returns `(id, lbl)` with the same contract as
+    * [[connectedComponents]] (lbl = min reachable id; only nodes
+    * appearing in `pairs` are labeled), and the two are
+    * property-tested equal.
+    */
+  def connectedComponentsStar(pairs: DataFrame, a: Column, b: Column,
+                              maxIter: Int = 20): DataFrame = {
+    // canonical orientation (max, min), self-edges dropped
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // large-star: every node u connects its strictly-larger neighbors
+    // to the minimum of its closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: every node u connects itself and its smaller
+    // neighbors to its minimum smaller neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val self = m.select(col("u"), col("m").as("v"))
+      val nbrs = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      canon(self.union(nbrs))
+    }
+
+    var edges = canon(pairs.select(a.cast("long").as("u"), b.cast("long").as("v")))
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty // no edges ⇒ nothing to contract
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set equality: same cardinality + empty one-way difference
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    System.err.println(s"[curation] connectedComponentsStar: $iter alternations, converged=$converged")
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIter alternations; " +
+        "raise maxIter (rounds grow with log² of component size)")
+    // fixpoint invariant: the edge set is a star forest — every node
+    // has exactly one parent. A violated invariant means wrong labels,
+    // so fail loudly rather than emit them.
+    val multiParent = edges.groupBy(col("u"))
+      .agg(countDistinct(col("v")).as("np")).filter(col("np") > 1)
+    if (!multiParent.isEmpty) throw new IllegalStateException(
+      "connectedComponentsStar fixpoint is not a star forest (node with two parents)")
+    edges.select(col("u").as("id"), col("v").as("lbl"))
+      .union(edges.select(col("v").as("id"), col("v").as("lbl")))
+      .distinct()
   }
 
   /** Deterministic shuffle + greedy shard packing (SURVEY.md §2.C17):
@@ -204,6 +291,17 @@ object Curation {
     */
   def clusters(pairs: DataFrame, a: Column, b: Column): DataFrame =
     connectedComponents(pairs, a, b)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+
+  /** [[clusters]] resolved with [[connectedComponentsStar]] instead of
+    * min-label propagation — identical output contract (and an
+    * identical DuckDB oracle gates both), depth-robust round count for
+    * chain-shaped dup graphs. */
+  def clustersStar(pairs: DataFrame, a: Column, b: Column,
+                   maxIter: Int = 20): DataFrame =
+    connectedComponentsStar(pairs, a, b, maxIter)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -59,15 +59,11 @@ object CurationQueries {
       WHERE sample_rank <= 20
       ORDER BY lang, sample_rank"""))
 
-  val qClusters = Q(
-    "qdedup_clusters",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
-      Curation.clusters(pairs, col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  /** Shared recursive-CTE component oracle over the simhash pair CTEs:
+    * min reachable id per node — gates BOTH component algorithms
+    * (min-label propagation and star contraction), so a mismatch in
+    * either isolates that algorithm. */
+  private val ClustersOracle = s"""
       WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
       e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
             UNION ALL
@@ -80,7 +76,30 @@ object CurationQueries {
       SELECT doc_id, cluster_id,
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cc
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  val qClusters = Q(
+    "qdedup_clusters",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some(ClustersOracle))
+
+  /** The same resolution by alternating star contraction
+    * (Curation.connectedComponentsStar) under the same oracle — the
+    * depth-robust variant a chain-shaped dup graph needs. */
+  val qClustersStar = Q(
+    "qdedup_clusters_star",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      Curation.clustersStar(pairs, col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some(ClustersOracle))
 
   /** Deterministic shuffle + token-budget shard packing. The oracle
     * computes the same unsigned-hash global order with a plain window
@@ -190,6 +209,6 @@ object CurationQueries {
       WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qApply,
-    qPackShards, qPipeline)
+  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qClustersStar,
+    qApply, qPackShards, qPipeline)
 }

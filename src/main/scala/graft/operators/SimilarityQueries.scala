@@ -150,31 +150,40 @@ object SimilarityQueries {
     Some(ivfOracleSql("cells0 AS (SELECT vec_id, label AS grp FROM embeddings)",
       k = 5, nprobe = 2)))
 
-  /** One hash-seeded Lloyd step as CTEs ending in cells0: FNV pmod
-    * init cells → fixed-point centroids → argmax re-assignment. Every
-    * stage reuses an already-proven parity recipe. */
-  private def trainedCellsCtes(nlist: Int): String =
-    s"""${graft.Q.sqlutil.fnvSignedCtes("t",
+  /** `iters` hash-seeded Lloyd steps as CTEs ending in cells0: FNV
+    * pmod init cells, then per step fixed-point centroids → argmax
+    * re-assignment. Every stage reuses an already-proven parity
+    * recipe; the chain is generated per iteration (k0 → k1 → … →
+    * k`iters`) because each step's centroids depend on the previous
+    * step's assignment. */
+  private def trainedCellsCtes(nlist: Int, iters: Int = 1): String = {
+    val init = s"""${graft.Q.sqlutil.fnvSignedCtes("t",
         "'ivf:' || CAST(vec_id AS VARCHAR)", Seq("vec_id"), "embeddings")},
-      c0 AS (SELECT vec_id, ((sb % $nlist) + $nlist) % $nlist AS grp
-             FROM tg),
-      u0 AS (SELECT c0.grp,
-               unnest(range(0, len(e0.embedding))) AS pos,
-               unnest(CAST(e0.embedding AS DOUBLE[])) AS x
-             FROM embeddings e0 JOIN c0 ON e0.vec_id = c0.vec_id),
-      cent0 AS (SELECT grp, pos,
+      k0 AS (SELECT vec_id, ((sb % $nlist) + $nlist) % $nlist AS grp
+             FROM tg)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""u$i AS (SELECT k$p.grp,
+               unnest(range(0, len(e$i.embedding))) AS pos,
+               unnest(CAST(e$i.embedding AS DOUBLE[])) AS x
+             FROM embeddings e$i JOIN k$p ON e$i.vec_id = k$p.vec_id),
+      cent$i AS (SELECT grp, pos,
                   (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
                     / COUNT(*) AS c
-                FROM u0 GROUP BY grp, pos),
-      cv0 AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent0 GROUP BY grp),
-      as0 AS (SELECT e.vec_id, cv0.grp,
-                list_cosine_similarity(e.v, cv0.cv) AS s
-              FROM e, cv0),
-      cells0 AS (SELECT vec_id, grp FROM (
+                FROM u$i GROUP BY grp, pos),
+      cv$i AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent$i GROUP BY grp),
+      as$i AS (SELECT e.vec_id, cv$i.grp,
+                list_cosine_similarity(e.v, cv$i.cv) AS s
+              FROM e, cv$i),
+      k$i AS (SELECT vec_id, grp FROM (
                    SELECT vec_id, grp,
                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, grp) AS rn
-                   FROM as0)
+                   FROM as$i)
                  WHERE rn = 1)"""
+    }
+    (init +: steps).mkString(",\n      ") +
+      s",\n      cells0 AS (SELECT vec_id, grp FROM k$iters)"
+  }
 
   /** The same IVF search over a LABEL-FREE quantizer: hash-seeded
     * cells refined by one engine-reproducible Lloyd step. Removes the
@@ -194,6 +203,25 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
+
+  /** Two Lloyd iterations under the same oracle: proves the
+    * fixed-point k-means refinement COMPOSES engine-exactly — iteration
+    * 2's centroids are built from iteration 1's oracle-identical
+    * assignment, so any drift would compound and surface here. */
+  val qIvfTrained2 = Q(
+    "qann_ivf_trained2",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 2)
+      val indexed = e.join(cells, "vec_id")
+      Similarity.ivfTopK(
+          indexed, col("vec_id"), col("embedding"), col("cell"),
+          indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(trainedCellsCtes(nlist = 10, iters = 2), k = 5, nprobe = 2)))
 
   val qDecode = Q(
     "qmm_decode_meta",
@@ -286,6 +314,6 @@ object SimilarityQueries {
       FROM u GROUP BY grp, pos
       ORDER BY grp, pos"""))
 
-  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qDecode, qFrames,
-    qHistogram, qCentroid)
+  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2,
+    qDecode, qFrames, qHistogram, qCentroid)
 }

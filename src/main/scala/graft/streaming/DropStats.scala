@@ -63,11 +63,11 @@ object DropStats {
       col("total_dropped"), col("app_count"), col("apps"), col("level"))
 
   /** Route [[emissionRecords]] by a kvconfig route table and attach the
-    * matched route's `output:` alert metadata — `series`, `stat_type`,
-    * and `value` read from the record's `value_field` column
-    * (/root/reference/kvconfig.yml:5-10). Records whose route carries no
-    * output block get null metadata; unmatched records go to `default`.
-    * Wiring-wise this is the reference's `SetGlobalRouting`
+    * matched route's `output:` alert metadata — `series`, `dimensions`,
+    * `stat_type`, and `value` read from the record's `value_field`
+    * column (/root/reference/kvconfig.yml:5-10). Records whose route
+    * carries no output block get null metadata; unmatched records go to
+    * `default`. Wiring-wise this is the reference's `SetGlobalRouting`
     * (/root/reference/main.go:42) applied to the stats emission. */
   def routedSummary(summaryRows: DataFrame, routes: Seq[Routing.Route],
                     default: String = "main"): DataFrame = {
@@ -87,8 +87,12 @@ object DropStats {
     def valueOf(o: Routing.Output): Column =
       if (o.valueField.nonEmpty && fields(o.valueField)) col(o.valueField).cast("double")
       else lit(null).cast("double")
+    def dimsOf(o: Routing.Output): Column =
+      if (o.dimensions.isEmpty) lit(Array.empty[String])
+      else array(o.dimensions.map(lit): _*)
     em.withColumn("stream", Routing.columnFor(em, routes, default))
       .withColumn("series", meta("string")(o => lit(o.series)))
+      .withColumn("dimensions", meta("array<string>")(dimsOf))
       .withColumn("stat_type", meta("string")(o => lit(o.statType)))
       .withColumn("value", meta("double")(valueOf))
   }
@@ -102,7 +106,8 @@ object DropStats {
     val routed = routedSummary(summaryRows, routes, default)
     val out = routed.withColumn("json", to_json(struct(
       col("title"), col("minute"), col("total_dropped"), col("app_count"),
-      col("apps"), col("level"), col("series"), col("stat_type"), col("value"))))
+      col("apps"), col("level"), col("series"), col("dimensions"),
+      col("stat_type"), col("value"))))
     new NdjsonBatchSink(delivery, conf).process(out, batchId)
   }
 

@@ -39,6 +39,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin rejects salts < 1 at call time") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L)).toDF("k", "rid")
+    val build = Seq((1L, "x")).toDF("k", "bv")
+    // salts=0 would pmod-by-zero at runtime (ANSI error) deep inside a
+    // job; the require turns it into an immediate call-site failure
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(probe, build, "k",
+        org.apache.spark.sql.functions.col("rid"), salts = 0)
+    }
+    assert(e.getMessage.contains("salts"))
+    // the degenerate-but-legal salts=1 is still row-for-row the plain join
+    val one = graft.operators.Skew.saltedJoin(probe, build, "k",
+        org.apache.spark.sql.functions.col("rid"), salts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(one == Seq((1L, 10L, "x")))
+  }
+
   test("q10b approx percentiles land near the exact per-group values") {
     val exact = Analytics.q10.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

@@ -79,6 +79,75 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star contraction resolves a deep chain with rounds far below the diameter") {
+    // a 200-node path has diameter 199: min-label propagation needs
+    // ~200 rounds, star contraction O(log² n) alternations — this is
+    // exactly the graph shape the variant exists for
+    val n = 200L
+    val chain = pairs((1L until n).map(i => i -> (i + 1)): _*)
+    val got = Curation.connectedComponentsStar(chain, col("a"), col("b"), maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to n).toSet)
+    assert(got.values.forall(_ == 1L))
+    // min-label would need diameter rounds and must refuse at 20
+    val e = intercept[IllegalStateException] {
+      Curation.connectedComponents(chain, col("a"), col("b"), maxIter = 20).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("star contraction matches min-label propagation on the 10k-edge random graph") {
+    val rnd = new scala.util.Random(999L)
+    val n = 8000
+    val edges = Seq.fill(10000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    val minLabel = Curation.connectedComponents(df, col("a"), col("b"), maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Curation.connectedComponentsStar(df, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.keySet == minLabel.keySet)
+    val diff = star.collect { case (k, v) if minLabel(k) != v => (k, v, minLabel(k)) }
+    assert(diff.isEmpty, s"label mismatches (first 5): ${diff.take(5)}")
+  }
+
+  test("star contraction degenerate inputs: empty and single-edge graphs") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Curation.connectedComponentsStar(noPairs, col("a"), col("b")).count() == 0)
+    val one = Curation.connectedComponentsStar(pairs(5L -> 3L), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(3L -> 3L, 5L -> 3L))
+  }
+
+  test("maxIter boundary: diameter == maxIter converges via the re-verify round") {
+    // a diameter-5 chain last changes its labeling in propagation round
+    // 5; with maxIter = 5 the loop exhausts its budget before OBSERVING
+    // an unchanged sum, and only the post-loop re-verify propagation
+    // (Curation.connectedComponents) proves convergence — this is the
+    // exact branch the round-5 fix added, and the health log must count
+    // that extra propagation
+    val chain = pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val got = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      Curation.connectedComponents(chain, col("a"), col("b"), maxIter = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally System.setErr(realErr)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+    val log = errBuf.toString
+    assert(log.contains("6 propagation rounds"), s"health log was: $log")
+    assert(log.contains("incl. 1 re-verify"), s"health log was: $log")
+    // diameter maxIter+1 must still throw: the re-verify round is a
+    // verification, not a free extra budget round
+    val e = intercept[IllegalStateException] {
+      Curation.connectedComponents(chain, col("a"), col("b"), maxIter = 4).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("degenerate inputs: empty pair list and empty corpus do not error") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")

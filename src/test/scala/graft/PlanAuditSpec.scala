@@ -25,7 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +
-      "train step and the search")
+      "train step and the search"),
+    "qann_ivf_trained2" -> ("same bounded centroid broadcast, once per Lloyd " +
+      "iteration and once in the search")
   )
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {

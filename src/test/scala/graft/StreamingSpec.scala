@@ -406,6 +406,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streams == Seq("stats")) // title matches; level/app routes skip
   }
 
+  test("routedSummary: empty or absent value_field yields a null value, not a failure") {
+    import spark.implicits._
+    // a shared kvconfig may declare output blocks whose value_field is
+    // empty or names a field the summary record lacks — both must
+    // compile to a null value at stream start, never an
+    // AnalysisException mid-pipeline
+    val routes = graft.streaming.Routing.parseKvConfig(
+      """routes:
+        |  empty-vf:
+        |    matchers:
+        |      minute: ["2024-01-01 00:00"]
+        |    output:
+        |      type: "alerts"
+        |      series: "s.empty"
+        |      stat_type: "gauge"
+        |      value_field: ""
+        |  absent-vf:
+        |    matchers:
+        |      minute: ["2024-01-01 00:01"]
+        |    output:
+        |      type: "alerts"
+        |      series: "s.absent"
+        |      stat_type: "gauge"
+        |      value_field: "no_such_field"
+        |""".stripMargin)
+    val summary = Seq(
+      ("2024-01-01 00:00", 3L, 1L, Map("a" -> 3L), Map("info" -> 3L)),
+      ("2024-01-01 00:01", 5L, 2L, Map("b" -> 5L), Map("error" -> 5L)))
+      .toDF("minute", "total_dropped", "app_count", "apps", "level")
+    val rows = DropStats.routedSummary(summary, routes)
+      .select("minute", "stream", "series", "value").orderBy("minute").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("empty-vf", "absent-vf"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("s.empty", "s.absent"))
+    assert(rows.forall(_.isNullAt(3)), "both malformed value_fields must yield null value")
+  }
+
+  test("routedSummary lands the route's output dimensions on the routed record") {
+    import spark.implicits._
+    val routes = graft.streaming.Routing.parseKvConfig(
+      """routes:
+        |  with-dims:
+        |    matchers:
+        |      minute: ["2024-01-01 00:00"]
+        |    output:
+        |      type: "alerts"
+        |      series: "s.dims"
+        |      dimensions: ["Hostname", "env"]
+        |      stat_type: "gauge"
+        |      value_field: "total_dropped"
+        |""".stripMargin)
+    val summary = Seq(
+      ("2024-01-01 00:00", 3L, 1L, Map("a" -> 3L), Map("info" -> 3L)),
+      ("2024-01-01 00:01", 5L, 2L, Map("b" -> 5L), Map("error" -> 5L)))
+      .toDF("minute", "total_dropped", "app_count", "apps", "level")
+    val rows = DropStats.routedSummary(summary, routes)
+      .select("minute", "stream", "dimensions", "value").orderBy("minute").collect()
+    // matched record: dimensions array verbatim from the output block
+    assert(rows(0).getString(1) == "with-dims")
+    assert(rows(0).getSeq[String](2) == Seq("Hostname", "env"))
+    assert(rows(0).getDouble(3) == 3.0)
+    // default-routed record: no output block → null metadata
+    assert(rows(1).getString(1) == "main")
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
   test("drop-stats windowed aggregation matches the batch equivalent") {
     val in = tmp(); val ck = tmp()
     writeLines(in, "a.log", sampleLines(30))
