@@ -498,15 +498,22 @@ object Analytics {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  // B18: correlated scalar (per-brand average) via exact window math.
+  // B18: correlated scalar (per-brand average). NOT a window: p_brand has
+  // ~25 values, so `sum(..).over(partitionBy(p_brand))` would shuffle the
+  // ENTIRE part table into <=25 WindowExec tasks, each buffering its whole
+  // brand partition (no WindowGroupLimit rescue for an unbounded-frame agg).
+  // Instead: one map-side-combined groupBy builds the 25-row brand-average
+  // frame, which is broadcast back — the big side never shuffles at all.
+  // Same decimal-exact math (sum cast to decimal, one double division), so
+  // the window-form oracle SQL is value-identical.
   val q18 = Q(
     "q18_above_brand_avg",
     (s, dir) => {
-      val wb = Window.partitionBy(col("p_brand"))
-      Tables(s, dir).part
-        .withColumn("brand_avg",
-          sum(col("p_retailprice").cast(D)).over(wb).cast("double") /
-            count(lit(1)).over(wb).cast("double"))
+      val part = Tables(s, dir).part
+      val brandAvg = part.groupBy(col("p_brand"))
+        .agg((sum(col("p_retailprice").cast(D)).cast("double") /
+              count(lit(1)).cast("double")).as("brand_avg"))
+      part.join(broadcast(brandAvg), "p_brand")
         .filter(col("p_retailprice") > col("brand_avg"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_above"))

@@ -46,6 +46,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unbounded join shapes planned:\n${offenders.mkString("\n")}")
   }
 
+  // Second guard class (round-8): an aggregate window with an
+  // UnboundedPreceding..UnboundedFollowing frame buffers its ENTIRE
+  // partition in one WindowExec task and — unlike rank()/row_number()
+  // top-k filters — gets no map-side WindowGroupLimit rescue. Over a
+  // low-cardinality key that funnels the whole table into a handful of
+  // tasks (the q18 shape this audit was added to ban). Cardinality is
+  // not statically knowable, so every allowed frame must state WHY its
+  // partition key keeps per-task state bounded at 100 TB.
+  private val unboundedWindowAllowed: Map[String, String] = Map(
+    "qdedup_minhash_lsh" -> ("bucket-cap count over (band, band_hash) — a " +
+      "64-bit hash key with ~one bucket per near-dup group; cardinality " +
+      "scales WITH the data and each partition is capped by maxBucket " +
+      "right after the count"),
+    "qdedup_simhash" -> ("bucket-cap count over (chunk, chunk_val) — same " +
+      "hash-keyed shape: per-partition size is the bucket being measured, " +
+      "evicted above maxBucket"),
+    "qdedup_embedding_lsh" -> ("bucket-cap count over (table_id, bucket) " +
+      "hyperplane-hash keys; buckets above maxBucket are evicted"),
+    "qdedup_clusters" -> ("cluster_size count over cluster_id — " +
+      "cardinality ≈ number of clusters (scales with docs); a partition " +
+      "is one dup cluster, bounded by real-world dup-group size"),
+    "qdedup_clusters_star" -> "same cluster_size count as qdedup_clusters",
+    "qdedup_apply" -> ("consumes the clusters frame, so the same " +
+      "cluster_id-partitioned count appears upstream")
+  )
+
+  test("no registered query plans an unbounded-frame window outside the allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("unboundedfollowing$()") && !unboundedWindowAllowed.contains(name))
+        Some(s"$name plans an UnboundedFollowing window frame") else None
+    }
+    assert(offenders.isEmpty,
+      s"whole-partition-buffering window frames planned:\n${offenders.mkString("\n")}")
+  }
+
+  test("the detector recognizes the banned q18 shape") {
+    // Reconstruct the exact plan q18 shipped with before round 8 — an
+    // unbounded aggregate window over ~25-value p_brand — and prove the
+    // string probe the audit relies on actually fires on it.
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.expressions.Window
+    val part = graft.sources.Tables(spark, sf).part
+    val bad = part.withColumn("brand_avg",
+      sum(col("p_retailprice")).over(Window.partitionBy(col("p_brand"))) /
+        count(lit(1)).over(Window.partitionBy(col("p_brand"))))
+    assert(bad.queryExecution.executedPlan.toString.contains("unboundedfollowing$()"),
+      "probe string no longer matches Spark's plan rendering — update the audit")
+    // and the fixed q18 must NOT contain it (nor any Window at all)
+    val fixed = SparkEntry.queries("q18_above_brand_avg")(spark, sf)
+    assert(!fixed.queryExecution.executedPlan.toString.contains("unboundedfollowing$()"))
+  }
+
   test("the checkpoint-hidden cluster pair pipeline is itself clean") {
     import org.apache.spark.sql.functions.col
     val t = graft.sources.Tables(spark, sf)
