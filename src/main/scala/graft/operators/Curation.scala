@@ -57,6 +57,21 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Lineage truncation for iterative loops: executor-local blocks by
+    * default (fast, but lost with the executor), reliable files under
+    * `checkpointDir` when the caller needs the resolution to survive
+    * executor loss on a real cluster. The directory is installed on
+    * the SparkContext once — Spark resolves it to a per-context UUID
+    * subdir, so repeated installs would scatter rounds across dirs. */
+  private def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint() // eager + durable: replayable after executor loss
+      case None => df.localCheckpoint()
+    }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node repeatedly takes the minimum
     * label among itself and its neighbors until a fixpoint. Returns
@@ -75,9 +90,12 @@ object Curation {
     * adversarial chain-shaped graphs use [[connectedComponentsStar]]
     * (alternating large-star/small-star contraction, O(log² n) rounds
     * — Kiveris et al., "Connected Components in MapReduce and
-    * Beyond"). At 100 TB,
-    * use reliable `checkpoint()` to durable storage instead of
-    * executor-local checkpoints.
+    * Beyond"). At 100 TB, pass `checkpointDir = Some(hdfsPath)`: every
+    * lineage truncation then uses reliable `checkpoint()` to durable
+    * storage instead of executor-local blocks, so losing an executor
+    * mid-resolution replays from the last round's files rather than
+    * killing the job. (The directory is installed once per
+    * SparkContext; labels are bit-identical either way — spec-proven.)
     *
     * Convergence is detected by the label SUM (labels only ever
     * decrease, so an unchanged sum ⇔ an unchanged labeling) — a scalar
@@ -88,19 +106,20 @@ object Curation {
     * are RDD storage, freed by the ContextCleaner once unreferenced.
     */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // checkpoint BEFORE the symmetrizing union: `half` is referenced
     // twice (forward + swapped), so without the boundary the upstream
     // pair generator (e.g. the whole simhash pipeline) executes twice
     // on first materialization
-    val half = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
-      .localCheckpoint()
+    val half = truncateLineage(
+      pairs.select(a.cast("long").as("src"), b.cast("long").as("dst")), checkpointDir)
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    var labels = truncateLineage(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")),
+      checkpointDir)
 
     // coalesce: sum over an EMPTY label frame (no pairs at all) is
     // null — without it the empty corpus would NPE instead of
@@ -114,9 +133,10 @@ object Curation {
       val nbrMin = edges.join(l, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
         .withColumnRenamed("dst", "nid")
-      l.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+      truncateLineage( // eager: materializes AND truncates lineage
+        l.join(nbrMin, col("id") === col("nid"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl")),
+        checkpointDir)
     }
 
     var prevSum = labelSum(labels)
@@ -180,7 +200,8 @@ object Curation {
     * property-tested equal.
     */
   def connectedComponentsStar(pairs: DataFrame, a: Column, b: Column,
-                              maxIter: Int = 20): DataFrame = {
+                              maxIter: Int = 20,
+                              checkpointDir: Option[String] = None): DataFrame = {
     // canonical orientation (max, min), self-edges dropped
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -207,12 +228,12 @@ object Curation {
       canon(self.union(nbrs))
     }
 
-    var edges = canon(pairs.select(a.cast("long").as("u"), b.cast("long").as("v")))
-      .localCheckpoint()
+    var edges = truncateLineage(
+      canon(pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))), checkpointDir)
     var iter = 0
     var converged = edges.isEmpty // no edges ⇒ nothing to contract
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = truncateLineage(smallStar(largeStar(edges)), checkpointDir)
       // exact set equality: same cardinality + empty one-way difference
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty

@@ -148,6 +148,32 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("durable checkpointing yields bit-identical labels in both CC variants") {
+    // checkpointDir switches every lineage truncation from
+    // executor-local blocks to reliable files — an execution-durability
+    // knob that must be value-invisible. Same graph through both
+    // variants, both modes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val df = pairs(
+      1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L,
+      20L -> 21L)
+    def labels(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(Curation.connectedComponents(df, col("a"), col("b")))
+    val durable = labels(Curation.connectedComponents(df, col("a"), col("b"),
+      checkpointDir = Some(dir)))
+    assert(durable == local)
+    val localStar = labels(Curation.connectedComponentsStar(df, col("a"), col("b")))
+    val durableStar = labels(Curation.connectedComponentsStar(df, col("a"), col("b"),
+      checkpointDir = Some(dir)))
+    assert(durableStar == localStar)
+    // and the reliable checkpoint actually wrote to durable storage
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint wrote no files — still executor-local?")
+  }
+
   test("degenerate inputs: empty pair list and empty corpus do not error") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
