@@ -386,7 +386,13 @@ object Dedup {
                               seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"))
-    val bucketRows = Similarity.bucketRows(v, "vec_id", "v", dim, tables, planesPerTable, seed)
+    // bucket on the RAW (double-cast) vectors, not the normalized ones:
+    // the sign of dot(v, plane) is scale-invariant, and hashing the
+    // unnormalized values keeps the signature arithmetic bit-reproducible
+    // outside Spark — the DuckDB oracle re-derives identical buckets from
+    // the same plane literals (the recipe qann_lsh_bucketed proved)
+    val raw = df.select(id.as("vec_id"), vec.cast("array<double>").as("vraw"))
+    val bucketRows = Similarity.bucketRows(raw, "vec_id", "vraw", dim, tables, planesPerTable, seed)
     val capped = bucketRows
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("table_id"), col("bucket"))))

@@ -134,5 +134,67 @@ object DedupQueries {
       WHERE cosine >= 0.4
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding)
+  /** Full algorithm-parity oracle for the LSH embedding-pair path: the
+    * deterministic hyperplanes are embedded as double literals
+    * (Double.toString round-trips bit-exactly) and each signature dot is
+    * a LEFT-ASSOCIATED sum chain matching `graft_vec_dot`'s accumulation
+    * order — identical float64 signs ⇒ identical buckets ⇒ identical
+    * candidate pairs (the recipe qann_lsh_bucketed's green oracle
+    * proved). The bucket cap is modeled too, so the oracle stays exact
+    * even on a corpus where it binds. Recall below the exact
+    * qdedup_embedding is BY DESIGN at this gapless 0.4 threshold — both
+    * engines miss the same pairs, which is what the oracle checks. */
+  private def lshPairOracleSql(dim: Int, tables: Int, planesPerTable: Int,
+                               seed: Long, maxBucket: Int, threshold: Double): String = {
+    def chain(p: Seq[Double]): String =
+      p.zipWithIndex.map { case (w, i) => s"v[${i + 1}]*($w)" }.mkString(" + ")
+    val bcols = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, seed + t)
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN (${chain(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }.mkString(", ")
+    val unpivot = (0 until tables)
+      .map(t => s"SELECT vec_id, $t AS table_id, b$t AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      sig AS (SELECT vec_id, $bcols FROM e),
+      brows AS ($unpivot),
+      capped AS (
+        SELECT vec_id, table_id, bucket FROM (
+          SELECT vec_id, table_id, bucket,
+                 COUNT(*) OVER (PARTITION BY table_id, bucket) AS bucket_n
+          FROM brows)
+        WHERE bucket_n <= $maxBucket),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM capped a JOIN capped b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT cand.vec_a, cand.vec_b,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.vec_a
+        JOIN e eb ON eb.vec_id = cand.vec_b)
+      SELECT vec_a, vec_b, cosine
+      FROM scored
+      WHERE cosine >= $threshold
+      ORDER BY vec_a, vec_b"""
+  }
+
+  val qEmbeddingLsh = Q(
+    "qdedup_embedding_lsh",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.embeddingCosinePairsLsh(t.embeddings, col("vec_id"), col("embedding"),
+          threshold = 0.4, dim = 64)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(lshPairOracleSql(dim = 64, tables = 16, planesPerTable = 4,
+      seed = 42L, maxBucket = 100000, threshold = 0.4)))
+
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh)
 }
