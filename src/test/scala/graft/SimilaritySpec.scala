@@ -81,6 +81,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(4) == 11L)
   }
 
+  test("real PNG bytes decode to true dimensions through the same Spark path") {
+    import spark.implicits._
+    // author a genuine PNG in-memory (javax.imageio, JDK-only): 23×17
+    // solid RGB(200,100,50)
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (200 << 16) | (100 << 8) | 50
+    for (y <- 0 until 17; x <- 0 until 23) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in this JDK?")
+    val png = bos.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("media_id", "media")
+    val rows = Media.decodeMeta(df, col("media_id"), col("media"))
+      .orderBy("media_id").collect()
+    // row 1: REAL decode — true width/height/channels, not stub formulas
+    assert(rows(0).getLong(1) == 23L && rows(0).getLong(2) == 17L)
+    assert(rows(0).getLong(3) == 3L && rows(0).getLong(4) == png.length.toLong)
+    // row 2: no image magic → deterministic stub fallback (n = 12 bytes)
+    assert(rows(1).getLong(1) == 16L + 12 % 113 && rows(1).getLong(2) == 16L + (12 * 7) % 97)
+
+    // real resize: nearest-neighbor over decoded pixels — every output
+    // pixel of a solid image is the source color
+    val rz = Media.resize(df.filter(col("media_id") === 1L),
+      col("media_id"), col("media"), w = 4, h = 2).head().getAs[Array[Byte]]("resized")
+    assert(rz.length == 4 * 2 * 3)
+    assert(rz.grouped(3).forall(p =>
+      (p(0) & 0xff) == 200 && (p(1) & 0xff) == 100 && (p(2) & 0xff) == 50))
+  }
+
+  test("truncated image bytes fall back to the stub instead of failing the batch") {
+    import spark.implicits._
+    // PNG magic but garbage body: ImageIO either returns null or throws
+    // IOException — both must land in the stub path, not kill the task
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val df = Seq((1L, junk)).toDF("media_id", "media")
+    val r = Media.decodeMeta(df, col("media_id"), col("media")).head()
+    assert(r.getLong(1) == 16L + junk.length % 113)
+    assert(r.getLong(4) == junk.length.toLong)
+  }
+
   test("frame split + stride sampling shapes") {
     import spark.implicits._
     val text = "x" * 1000 // 1000 bytes → 4 frames of 256 (last 232)
