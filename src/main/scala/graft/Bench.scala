@@ -78,11 +78,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query max/min spread across passes: the min rejects transient
+    // host noise, but a reader of ONE bench file can't tell which mins
+    // were contested — a large spread marks a low-confidence number
+    // (re-measure before calling it a regression) without a second run
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val spreads = names.map { n =>
+      val s = samples.map(_(n))
+      val sp = if (s.exists(_ < 0) || s.min <= 0) -1.0 else r3(s.max / s.min)
+      "\"" + n + "\":" + sp
+    }.mkString("{", ",", "}")
     // a failed query (-1 marker) must not make the headline number look
     // FASTER: report total=-1 plus an explicit failure count
     val failures = results.count(_._2 < 0)
     val total = if (failures > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
