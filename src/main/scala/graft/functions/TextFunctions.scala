@@ -90,4 +90,34 @@ object TextFunctions {
     * whitespace. */
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  // --- PII / URL scrubbing (C21) ---------------------------------------
+  // Redaction before training is the most common curation step this
+  // surface was missing. All three classes are codegen'd regexp_replace
+  // column exprs — a pure map stage, no shuffle. The patterns are
+  // deliberately cross-engine portable: no lookaround (RE2 lacks it) and
+  // explicit whitespace classes (Java's \s includes \x0B, RE2's does
+  // not), so the DuckDB oracle can run the byte-identical regex.
+
+  /** http(s) URL up to the next whitespace. */
+  val UrlPattern = "https?://[^ \\t\\n\\r]+"
+  /** email address (pragmatic RFC subset). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** phone number: optional +, then ≥8 chars of digits/space/()..- with
+    * digit ends — long enough to skip prose numbers like "12 of 30". */
+  val PhonePattern = "\\+?[0-9][0-9(). -]{6,}[0-9]"
+
+  def redactUrls(text: Column): Column =
+    regexp_replace(text, lit(UrlPattern), lit("<URL>"))
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, lit(EmailPattern), lit("<EMAIL>"))
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, lit(PhonePattern), lit("<PHONE>"))
+
+  /** Full scrub, order-sensitive: URLs first (an email-shaped substring
+    * inside a URL query string must disappear as part of the URL), then
+    * emails, then phones (the placeholders carry no digits, so phone
+    * scrubbing can never eat an earlier redaction). */
+  def redactPii(text: Column): Column =
+    redactPhones(redactEmails(redactUrls(text)))
 }

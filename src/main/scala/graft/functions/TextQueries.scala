@@ -142,5 +142,52 @@ object TextQueries {
       FROM r WHERE kw_rank <= 5
       ORDER BY doc_id, kw_rank"""))
 
-  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf)
+  /** PII/URL scrub (C21). The corpus carries no real PII, so the query
+    * injects a deterministic email + URL (with an email-shaped query
+    * param) + phone built from doc_id into every row — each row then
+    * exercises all three redaction classes AND the order contract (the
+    * second email lives inside the URL and must vanish as part of it,
+    * not as an <EMAIL>). Staged counts are measured on the
+    * before-frame of each stage, oracle-identically. */
+  val qScrub = Q(
+    "qtext_scrub",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val injected = concat(col("text"),
+        lit(" Contact user"), id, lit("@example.com or https://ex.io/d/"), id,
+        lit("?ref=user"), id, lit("@example.com call +1 (555) 123-4567 now"))
+      val t1 = TextFunctions.redactUrls(injected)
+      val t2 = TextFunctions.redactEmails(t1)
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          regexp_count(injected, lit(TextFunctions.UrlPattern)).cast("long").as("n_urls"),
+          regexp_count(t1, lit(TextFunctions.EmailPattern)).cast("long").as("n_emails"),
+          regexp_count(t2, lit(TextFunctions.PhonePattern)).cast("long").as("n_phones"),
+          TextFunctions.redactPhones(t2).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      // byte-identical regexes: the patterns avoid lookaround and \s,
+      // so Java and RE2 read them the same (see TextFunctions)
+      val (u, e, p) =
+        (TextFunctions.UrlPattern, TextFunctions.EmailPattern, TextFunctions.PhonePattern)
+      s"""
+      WITH inj AS (
+        SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com or https://ex.io/d/' || CAST(doc_id AS VARCHAR) ||
+          '?ref=user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com call +1 (555) 123-4567 now' AS t
+        FROM documents),
+      s1 AS (SELECT doc_id, t, regexp_replace(t, '$u', '<URL>', 'g') AS t1 FROM inj),
+      s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$e', '<EMAIL>', 'g') AS t2 FROM s1)
+      SELECT doc_id,
+        CAST(length(regexp_extract_all(t, '$u')) AS BIGINT) AS n_urls,
+        CAST(length(regexp_extract_all(t1, '$e')) AS BIGINT) AS n_emails,
+        CAST(length(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones,
+        regexp_replace(t2, '$p', '<PHONE>', 'g') AS clean
+      FROM s2
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** PII/URL scrub (C21) edge cases the registered oracle query can't
+  * isolate: pass-through of clean text, multiple hits per class, the
+  * URL-before-email order contract, and placeholder stability. */
+class ScrubSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def scrub(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextFunctions.redactPii(col("t"))).head().getString(0)
+  }
+
+  test("clean text passes through byte-identical") {
+    val s = "the quick brown fox jumps over 12 lazy dogs"
+    assert(scrub(s) == s)
+  }
+
+  test("each class redacts, repeatedly, in one pass") {
+    assert(scrub("mail a@b.io and c.d+e@f-g.org today") ==
+      "mail <EMAIL> and <EMAIL> today")
+    assert(scrub("see https://x.io/a and http://y.z/b?q=1 end") ==
+      "see <URL> and <URL> end")
+    assert(scrub("call +1 (555) 123-4567 or 020 7946 0958.") ==
+      "call <PHONE> or <PHONE>.")
+  }
+
+  test("an email inside a URL disappears as part of the URL, not as <EMAIL>") {
+    assert(scrub("https://x.io/unsub?u=a@b.io done") == "<URL> done")
+  }
+
+  test("placeholders survive later stages (no digits for the phone pass to eat)") {
+    assert(scrub("a@b.io https://x.io +1 (555) 123-4567") ==
+      "<EMAIL> <URL> <PHONE>")
+  }
+
+  test("short digit runs in prose are not phones") {
+    assert(scrub("chapter 12 of 30, page 1984") == "chapter 12 of 30, page 1984")
+  }
+}
