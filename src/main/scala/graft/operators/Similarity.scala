@@ -84,6 +84,22 @@ object Similarity {
     cells
   }
 
+  /** √n default for the IVF cell count — the standard IVF sizing rule:
+    * with nlist ≈ √n, a search touches nprobe·n/nlist ≈ nprobe·√n
+    * vectors and the broadcast centroid table holds √n rows, so both
+    * sides stay sublinear. At 10⁹ vectors this is ~31623 cells ≈ 16 MB
+    * of float64 centroids at dim 64 — still comfortably broadcastable. */
+  def defaultNlist(corpusSize: Long): Int = {
+    require(corpusSize > 0, s"corpusSize must be positive, got $corpusSize")
+    math.max(1, math.round(math.sqrt(corpusSize.toDouble)).toInt)
+  }
+
+  /** [[ivfTrainCells]] sized by [[defaultNlist]]. The `count()` is a
+    * one-time train-time action (index build), never a per-query cost. */
+  def ivfTrainCellsAuto(corpus: DataFrame, id: Column, vec: Column,
+                        iters: Int = 1): DataFrame =
+    ivfTrainCells(corpus, id, vec, defaultNlist(corpus.count()), iters)
+
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               cellSeed: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,

@@ -70,6 +70,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r5 > r2, s"raising nprobe must raise recall ($r2 -> $r5)")
   }
 
+  test("trained IVF at nlist=32 on the sf0.1 corpus holds a pinned recall floor") {
+    // the registered queries train at a toy nlist=10 on 500 vectors;
+    // this exercises the Lloyd train path in the √n regime (sf0.1:
+    // 2000 vectors, √n = 45) with a non-toy cell count
+    val sf01 = "/root/testdata/sf0.1"
+    val e = Tables(spark, sf01).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5))
+    val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+      nlist = 32, iters = 1)
+    // the quantizer must actually use the cell budget, not collapse
+    val nCells = cells.select("cell").distinct().count()
+    info(s"populated cells = $nCells / 32")
+    assert(nCells > 16, s"Lloyd step collapsed to $nCells cells")
+    val indexed = e.join(cells, "vec_id")
+    def recallAt(nprobe: Int): Double = {
+      val ivf = pairs(Similarity.ivfTopK(indexed, col("vec_id"), col("embedding"),
+        col("cell"), indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        5, nprobe = nprobe))
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    info(s"measured recall@5: nprobe=4 -> $r4, nprobe=8 -> $r8")
+    // measured 0.4 (nprobe=4) / 0.58 (nprobe=8), deterministic
+    // quantizer — floor pinned at measured − 0.1
+    assert(r4 >= 0.3, s"ivf nlist=32 recall@5 nprobe=4 = $r4")
+    assert(r8 > r4, s"raising nprobe must raise recall ($r4 -> $r8)")
+    // the √n heuristic sizes this corpus at 45 cells, same regime as
+    // the 32 exercised above; spot-check the rule at scale
+    assert(Similarity.defaultNlist(2000) == 45)
+    assert(Similarity.defaultNlist(1000000000L) == 31623)
+    val autoCells = Similarity.ivfTrainCellsAuto(e, col("vec_id"), col("embedding"))
+    assert(autoCells.agg(max(col("cell"))).head().getLong(0) < 45)
+  }
+
   test("stub codec decodes deterministic metadata through mapPartitions") {
     import spark.implicits._
     val df = Media.withFakeBlob(Seq((7L, "hello world")).toDF("doc_id", "text"), col("text"))
