@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable checkpoints (Curation's durable-checkpoint mode) are
+      // deleted as their RDDs drop out of scope — without this a
+      // 25-round CC resolution retains 25 corpus-scale checkpoint
+      // copies on durable storage until job exit
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // managed-table home for Layout.writeBucketed; a real deployment
       // points this at shared storage

@@ -103,9 +103,17 @@ object TextFunctions {
   val UrlPattern = "https?://[^ \\t\\n\\r]+"
   /** email address (pragmatic RFC subset). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  /** phone number: optional +, then ≥8 chars of digits/space/()..- with
-    * digit ends — long enough to skip prose numbers like "12 of 30". */
-  val PhonePattern = "\\+?[0-9][0-9(). -]{6,}[0-9]"
+  /** phone number: optional +, then ≥8 chars of digits/space/()/- with
+    * digit ends — long enough to skip prose numbers like "12 of 30".
+    * '.' is deliberately NOT a separator: with it, IP addresses,
+    * dotted versions, and decimal runs ("192.168.100.200", "3.14159
+    * 2.71828") all redact as phones, and RE2 has no lookaround to
+    * carve them back out. The cost is missing dot-separated phones
+    * ("555.123.4567") — scrubbing for training favors that tradeoff's
+    * direction, and the remaining false positive (8+ chars of pure
+    * digit/space/dash groups, e.g. "2024 2025 2026") is phone-shaped
+    * by construction. */
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
   def redactUrls(text: Column): Column =
     regexp_replace(text, lit(UrlPattern), lit("<URL>"))

@@ -39,7 +39,11 @@ object Media {
     private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!looksLikeImage(bytes)) None
       else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None } // truncated/corrupt image → stub path
+      // NonFatal, not just IOException: the JDK's BMP/GIF readers throw
+      // IllegalArgument/ArrayIndexOutOfBounds on malformed headers — any
+      // corrupt magic-bearing blob must land in the stub path, never
+      // fail the partition task
+      catch { case scala.util.control.NonFatal(_) => None }
 
     def decode(bytes: Array[Byte]): MediaMeta = readImage(bytes) match {
       case Some(img) =>
@@ -103,8 +107,14 @@ object Media {
       .mapPartitions { it =>
         // real codecs initialize here, once per partition
         it.map { case (mid, bytes) =>
-          val m = MediaCodec.decode(bytes)
-          (mid, m.width, m.height, m.channels, m.nBytes)
+          // NULL blob ("no media") → NULL metadata, same contract as
+          // resize/byteHistogram
+          if (bytes == null)
+            (mid, Option.empty[Long], Option.empty[Long], Option.empty[Long], Option.empty[Long])
+          else {
+            val m = MediaCodec.decode(bytes)
+            (mid, Some(m.width), Some(m.height), Some(m.channels), Some(m.nBytes))
+          }
         }
       }
       .toDF("media_id", "width", "height", "channels", "n_bytes")

@@ -60,14 +60,31 @@ object Curation {
   /** Lineage truncation for iterative loops: executor-local blocks by
     * default (fast, but lost with the executor), reliable files under
     * `checkpointDir` when the caller needs the resolution to survive
-    * executor loss on a real cluster. The directory is installed on
-    * the SparkContext once — Spark resolves it to a per-context UUID
-    * subdir, so repeated installs would scatter rounds across dirs. */
+    * executor loss on a real cluster.
+    *
+    * The requested dir is installed once per (SparkContext, dir) —
+    * Spark resolves it to a per-install UUID subdir, so re-installing
+    * every round would scatter one resolution across directories. But
+    * "already has SOME checkpoint dir" must not silently win over the
+    * caller's request (an app-level `/tmp` dir would void the
+    * durability this parameter exists to provide), so a different
+    * requested dir IS re-installed. Old rounds' checkpoint files are
+    * released by the ContextCleaner as their RDDs drop out of scope
+    * (GraftSession sets `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true`); without that, a 25-round resolution
+    * retains 25 corpus-scale copies. */
+  private val installedCkptDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   private def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        if (installedCkptDirs.get(sc) != dir) {
+          sc.setCheckpointDir(dir)
+          installedCkptDirs.put(sc, dir)
+        }
         df.checkpoint() // eager + durable: replayable after executor loss
       case None => df.localCheckpoint()
     }

@@ -30,14 +30,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "iteration and once in the search")
   )
 
+  // ONE registry pass shared by every audit below: building a cluster
+  // query's DataFrame executes its eager localCheckpoint pipeline (the
+  // iterative CC actually runs), so a second full loop would re-execute
+  // the most expensive pipelines in the suite just to re-derive these
+  // strings.
+  // COVERAGE NOTE: a localCheckpoint boundary truncates the visible
+  // plan, so the cluster queries (qdedup_clusters/qdedup_apply) show
+  // only their post-checkpoint tail here. Their upstream pair
+  // pipeline is audited twice anyway: via qdedup_simhash (same plan,
+  // un-checkpointed) and explicitly below.
+  private lazy val planStrings: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
   test("no registered query plans a cartesian or unbounded nested-loop join") {
-    // COVERAGE NOTE: a localCheckpoint boundary truncates the visible
-    // plan, so the cluster queries (qdedup_clusters/qdedup_apply) show
-    // only their post-checkpoint tail here. Their upstream pair
-    // pipeline is audited twice anyway: via qdedup_simhash (same plan,
-    // un-checkpointed) and explicitly below.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+    val offenders = planStrings.flatMap { case (name, plan) =>
       val cart = if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
       val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
         Some(s"$name: BroadcastNestedLoopJoin") else None
@@ -67,19 +76,36 @@ class PlanAuditSpec extends AnyFunSuite {
     "qdedup_clusters" -> ("cluster_size count over cluster_id — " +
       "cardinality ≈ number of clusters (scales with docs); a partition " +
       "is one dup cluster, bounded by real-world dup-group size"),
-    "qdedup_clusters_star" -> "same cluster_size count as qdedup_clusters",
-    "qdedup_apply" -> ("consumes the clusters frame, so the same " +
-      "cluster_id-partitioned count appears upstream")
+    "qdedup_clusters_star" -> "same cluster_size count as qdedup_clusters"
+    // qdedup_apply needs no entry: it consumes the clusters frame but
+    // only reads doc_id/cluster_id, so Catalyst prunes the cluster_size
+    // window out of its plan entirely (the self-cleaning check below
+    // proved the exemption dead)
   )
 
   test("no registered query plans an unbounded-frame window outside the allowlist") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+    val offenders = planStrings.flatMap { case (name, plan) =>
       if (plan.contains("unboundedfollowing$()") && !unboundedWindowAllowed.contains(name))
         Some(s"$name plans an UnboundedFollowing window frame") else None
     }
     assert(offenders.isEmpty,
       s"whole-partition-buffering window frames planned:\n${offenders.mkString("\n")}")
+  }
+
+  test("allowlists are self-cleaning: every entry names a query that plans its shape") {
+    // a stale/misspelled entry is a permanent silent exemption — the
+    // exact class of future bug these audits exist to catch
+    val plans = planStrings.toMap
+    for ((name, why) <- bnljAllowed) {
+      assert(plans.contains(name), s"bnljAllowed entry '$name' is not a registered query")
+      assert(plans(name).contains("BroadcastNestedLoopJoin"),
+        s"bnljAllowed entry '$name' no longer plans a BNLJ — drop the exemption ($why)")
+    }
+    for ((name, why) <- unboundedWindowAllowed) {
+      assert(plans.contains(name), s"unboundedWindowAllowed entry '$name' is not a registered query")
+      assert(plans(name).contains("unboundedfollowing$()"),
+        s"unboundedWindowAllowed entry '$name' no longer plans an unbounded frame — drop the exemption ($why)")
+    }
   }
 
   test("the detector recognizes the banned q18 shape") {
@@ -95,8 +121,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.queryExecution.executedPlan.toString.contains("unboundedfollowing$()"),
       "probe string no longer matches Spark's plan rendering — update the audit")
     // and the fixed q18 must NOT contain it (nor any Window at all)
-    val fixed = SparkEntry.queries("q18_above_brand_avg")(spark, sf)
-    assert(!fixed.queryExecution.executedPlan.toString.contains("unboundedfollowing$()"))
+    assert(!planStrings.toMap.apply("q18_above_brand_avg").contains("unboundedfollowing$()"))
   }
 
   test("the checkpoint-hidden cluster pair pipeline is itself clean") {

@@ -41,4 +41,9 @@ class ScrubSpec extends AnyFunSuite {
   test("short digit runs in prose are not phones") {
     assert(scrub("chapter 12 of 30, page 1984") == "chapter 12 of 30, page 1984")
   }
+
+  test("IPs, dotted versions, and decimal runs are not phones") {
+    val s = "server 192.168.100.200 runs v2.31.4167 and pi is 3.14159 2.71828"
+    assert(scrub(s) == s)
+  }
 }
