@@ -358,4 +358,43 @@ object Curation {
       .join(broadcast(drops), col("__cid") === drops("doc_id"), "left_anti")
       .drop("__cid")
   }
+
+  /** Word n-grams of a single-space-tokenized text column; documents
+    * shorter than `n` tokens have none. The token array is let-bound
+    * ([[graft.functions.Cols.let]]) — referenced bare inside the
+    * `transform` lambda it would re-split the text PER GRAM, turning
+    * the map stage quadratic (the interpreted-HOF trap). */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.Cols.let(split(text, " ")) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(typedLit(Array.empty[String]))
+    }
+
+  /** Benchmark decontamination (SURVEY.md §2.C22): count, per corpus
+    * document, the distinct word n-grams it shares with an evaluation
+    * set — the standard pre-training hygiene check (the GPT-3/PaLM
+    * reports decontaminate by 8-13-gram overlap). Returns only
+    * contaminated docs `(doc_id, shared_grams)`; the caller anti-joins
+    * the corpus against it, exactly like [[applyClusters]]' drop set.
+    *
+    * Scale shape: the eval side (benchmarks are ~10⁵-10⁶ grams, tiny
+    * next to a 100 TB corpus) is distinct-ed and BROADCAST, so corpus
+    * grams are probed map-side and never shuffle — only the matching
+    * (doc_id, gram) hits move, into a partial-aggregated count. The
+    * corpus side is one codegen map stage (split + slice), no
+    * materialized gram table. */
+  def contamination(corpus: DataFrame, id: Column, text: Column,
+                    evalSet: DataFrame, evalText: Column,
+                    n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val evalGrams = evalSet
+      .select(explode(wordNgrams(evalText, n)).as("gram"))
+      .distinct()
+    corpus.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("shared_grams"))
+  }
 }

@@ -209,6 +209,32 @@ object CurationQueries {
       WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       ORDER BY doc_id"""))
 
+  /** Benchmark decontamination (C22): every 97th document stands in as
+    * the "benchmark"; any corpus doc sharing an 8-gram with it is
+    * flagged with its distinct shared-gram count. Self-overlap makes
+    * eval docs their own strongest hits, and near-dups of eval docs
+    * surface too — exactly the leakage the check exists to find. */
+  val qContam = Q(
+    "qcuration_contam",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Curation.contamination(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8),
+      eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+      SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS shared_grams
+      FROM grams g JOIN eg USING (gram)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qClustersStar,
-    qApply, qPackShards, qPipeline)
+    qApply, qPackShards, qPipeline, qContam)
 }

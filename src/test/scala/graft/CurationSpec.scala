@@ -186,6 +186,22 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.functions.Keywords.tfIdfTopK(noDocs, col("doc_id"), col("text"), 3).count() == 0)
   }
 
+  test("contamination flags docs sharing word 8-grams with the eval set") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j" // 10 tokens → 3 distinct 8-grams
+    val corpus = Seq(
+      (1L, base), // eval member: full self-overlap
+      (2L, "x " + base.split(' ').take(8).mkString(" ")), // shares "a…h" only
+      (3L, "totally different words here that never overlap with anything"),
+      (4L, "a b c d e f g")) // 7 tokens: below n, no grams at all
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, col("doc_id"), col("text"),
+        corpus.filter($"doc_id" === 1L), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clean docs are absent, not zero-rows; counts are DISTINCT grams
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("hash sample is deterministic and bucket-bounded") {
     val t = graft.sources.Tables(spark, sf)
     val one = Curation.sampleByHash(t.documents.select(col("doc_id")), col("doc_id"), 37)
