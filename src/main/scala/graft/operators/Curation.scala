@@ -42,6 +42,30 @@ object Curation {
       .filter(col("bucket") < pct)
   }
 
+  /** Domain-mixture sampling (SURVEY.md §2.C23): per-group keep rates —
+    * the pretraining mixture-weights step (up/down-weight domains,
+    * languages, sources) as ONE deterministic pass. Same [[hashBucket]]
+    * contract as [[sampleByHash]] (reproducible across cluster sizes and
+    * re-shards), but the pct cut line comes from the row's group.
+    *
+    * `rates` is configuration, not data: it compiles to a codegen'd
+    * when-chain, so the whole operator stays a pushed-down filter — no
+    * join, no shuffle, groups not in the map keep `defaultPct`.
+    */
+  def sampleByHashPerGroup(df: DataFrame, key: Column, group: Column,
+                           rates: Map[String, Int], defaultPct: Int = 100,
+                           salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"rates must be 0..100 percent, got $rates / default $defaultPct")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    // sorted for a deterministic plan (Map iteration order is not)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(group === g, lit(p)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(key, 100, salt))
+      .filter(col("bucket") < rate)
+  }
+
   /** Exactly min(k, |group|) rows per group, chosen by hash order — a
     * deterministic stratified sample (per-class caps for training-mix
     * balancing). One shuffle on the group key; ties (hash collisions)

@@ -42,6 +42,25 @@ object CurationQueries {
       WHERE ((sb % 100) + 100) % 100 < 37
       ORDER BY doc_id"""))
 
+  /** Domain-mixture sampling (C23): per-language keep rates, including
+    * a 0% exclusion and a fall-through default. */
+  val qSampleMix = Q(
+    "qsample_mix",
+    (s, dir) => {
+      Curation.sampleByHashPerGroup(
+          Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"),
+          rates = Map("en" -> 80, "de" -> 25, "zh" -> 0), defaultPct = 50)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${fnvKeyCtes("mix")}
+      SELECT doc_id, lang, ((sb % 100) + 100) % 100 AS bucket
+      FROM g
+      WHERE ((sb % 100) + 100) % 100 <
+        CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 25 WHEN 'zh' THEN 0 ELSE 50 END
+      ORDER BY doc_id"""))
+
   val qSampleGroupTopK = Q(
     "qsample_group_topk",
     (s, dir) => {
@@ -235,6 +254,6 @@ object CurationQueries {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
-  val all: Seq[Q] = Seq(qSampleHash, qSampleGroupTopK, qClusters, qClustersStar,
-    qApply, qPackShards, qPipeline, qContam)
+  val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
+    qClustersStar, qApply, qPackShards, qPipeline, qContam)
 }

@@ -217,6 +217,27 @@ class CurationSpec extends AnyFunSuite {
     assert(salted != ids1)
   }
 
+  test("mixture rates: 0% excludes, and each group equals its flat sample") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang"))
+    val mix = Curation.sampleByHashPerGroup(docs, col("doc_id"), col("lang"),
+      Map("en" -> 80, "de" -> 25, "zh" -> 0), defaultPct = 50, salt = "s")
+    assert(mix.filter(col("lang") === "zh").count() == 0)
+    // same salt → same buckets: the mixture restricted to a group must
+    // equal the flat pct(group) sample of that group
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val en = Curation.sampleByHash(
+      docs.filter(col("lang") === "en"), col("doc_id"), 80, "s")
+    assert(ids(mix.filter(col("lang") === "en")) == ids(en))
+    val fr = Curation.sampleByHash( // fall-through default
+      docs.filter(col("lang") === "fr"), col("doc_id"), 50, "s")
+    assert(ids(mix.filter(col("lang") === "fr")) == ids(fr))
+    // the whole operator is a pushed-down filter: no shuffle anywhere
+    assert(!mix.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("per-group sample returns exactly min(k, group size) rows per group") {
     val t = graft.sources.Tables(spark, sf)
     val sizes = t.documents.groupBy(col("lang")).count()
