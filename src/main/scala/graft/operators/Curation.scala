@@ -30,17 +30,25 @@ object Curation {
     pmod(call_function("fnv1a64", concat(lit(salt + ":"), key.cast("string"))),
       lit(buckets.toLong))
 
+  /** The one bucket-filter core both samplers share: ANY change to the
+    * bucket scheme (count, column name, salt format) must hit flat and
+    * per-group sampling together — the spec-proven invariant "mixture
+    * restricted to a group == that group's flat sample" depends on it. */
+  private def bucketFilter(df: DataFrame, key: Column, cut: Column,
+                           salt: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.withColumn("bucket", hashBucket(key, 100, salt))
+      .filter(col("bucket") < cut)
+  }
+
   /** Deterministic ~pct% sample: keep rows whose [[hashBucket]] over
     * `key` falls below `pct`. A pure filter — fully parallel, no
     * shuffle, composes with column pruning (only `key` is evaluated on
     * filtered-out rows).
     */
   def sampleByHash(df: DataFrame, key: Column, pct: Int,
-                   salt: String = "graft"): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    df.withColumn("bucket", hashBucket(key, 100, salt))
-      .filter(col("bucket") < pct)
-  }
+                   salt: String = "graft"): DataFrame =
+    bucketFilter(df, key, lit(pct), salt)
 
   /** Domain-mixture sampling (SURVEY.md §2.C23): per-group keep rates —
     * the pretraining mixture-weights step (up/down-weight domains,
@@ -57,13 +65,11 @@ object Curation {
                            salt: String = "mix"): DataFrame = {
     require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
       s"rates must be 0..100 percent, got $rates / default $defaultPct")
-    graft.GraftExtensions.ensureRegistered(df.sparkSession)
     // sorted for a deterministic plan (Map iteration order is not)
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
       case (acc, (g, p)) => when(group === g, lit(p)).otherwise(acc)
     }
-    df.withColumn("bucket", hashBucket(key, 100, salt))
-      .filter(col("bucket") < rate)
+    bucketFilter(df, key, rate, salt)
   }
 
   /** Exactly min(k, |group|) rows per group, chosen by hash order — a
@@ -383,19 +389,6 @@ object Curation {
       .drop("__cid")
   }
 
-  /** Word n-grams of a single-space-tokenized text column; documents
-    * shorter than `n` tokens have none. The token array is let-bound
-    * ([[graft.functions.Cols.let]]) — referenced bare inside the
-    * `transform` lambda it would re-split the text PER GRAM, turning
-    * the map stage quadratic (the interpreted-HOF trap). */
-  def wordNgrams(text: Column, n: Int): Column =
-    graft.functions.Cols.let(split(text, " ")) { toks =>
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(typedLit(Array.empty[String]))
-    }
-
   /** Benchmark decontamination (SURVEY.md §2.C22): count, per corpus
     * document, the distinct word n-grams it shares with an evaluation
     * set — the standard pre-training hygiene check (the GPT-3/PaLM
@@ -406,17 +399,20 @@ object Curation {
     * Scale shape: the eval side (benchmarks are ~10⁵-10⁶ grams, tiny
     * next to a 100 TB corpus) is distinct-ed and BROADCAST, so corpus
     * grams are probed map-side and never shuffle — only the matching
-    * (doc_id, gram) hits move, into a partial-aggregated count. The
-    * corpus side is one codegen map stage (split + slice), no
-    * materialized gram table. */
+    * (doc_id, gram) hits move, into a partial-aggregated count. Grams
+    * come from [[Dedup.wordShingles]] (ONE definition of the
+    * trap-sensitive shingling expression engine-wide); its per-doc
+    * `array_distinct` is semantically free here (the count is already
+    * DISTINCT) and keeps repeated grams from shipping redundant hit
+    * rows through the join. */
   def contamination(corpus: DataFrame, id: Column, text: Column,
                     evalSet: DataFrame, evalText: Column,
                     n: Int = 8): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val evalGrams = evalSet
-      .select(explode(wordNgrams(evalText, n)).as("gram"))
+      .select(explode(Dedup.wordShingles(evalText, n)).as("gram"))
       .distinct()
-    corpus.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("gram"))
+    corpus.select(id.as("doc_id"), explode(Dedup.wordShingles(text, n)).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("shared_grams"))
