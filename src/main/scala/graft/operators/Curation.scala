@@ -277,14 +277,20 @@ object Curation {
 
     var edges = truncateLineage(
       canon(pairs.select(a.cast("long").as("u"), b.cast("long").as("v"))), checkpointDir)
+    // carry the cardinality forward: each round's `next.count()` IS the
+    // following round's `edges.count()`, so recounting would pay one
+    // extra full pass over the edge frame per alternation
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = edges.isEmpty // no edges ⇒ nothing to contract
+    var converged = edgeCount == 0 // no edges ⇒ nothing to contract
     while (!converged && iter < maxIter) {
       val next = truncateLineage(smallStar(largeStar(edges)), checkpointDir)
+      val nextCount = next.count()
       // exact set equality: same cardinality + empty one-way difference
-      converged = next.count() == edges.count() &&
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     System.err.println(s"[curation] connectedComponentsStar: $iter alternations, converged=$converged")
