@@ -44,4 +44,36 @@ object Keywords {
       .select(col("doc_id"), col("kw_rank"), col("term"),
         col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Repetition metric (SURVEY.md §2.C24): each document's most
+    * frequent word n-gram and the fraction of the document's
+    * characters it accounts for — the Gopher/MassiveText-style
+    * "top n-gram character fraction" quality filter (degenerate
+    * machine-generated text repeats one phrase; prose doesn't).
+    * Docs shorter than n tokens have no grams and are absent.
+    *
+    * Scale shape: one (doc_id, gram) aggregation shuffle, then the
+    * per-doc argmax window re-uses the doc key — and since it is a
+    * rank-1 filter over high-cardinality doc_id, Spark plans a
+    * map-side WindowGroupLimit (no whole-partition buffering). The
+    * cut decision stays INTEGER-exact (count desc, gram asc); the
+    * float fraction rides along rounded, it never decides the argmax.
+    */
+  def topNgramStats(df: DataFrame, id: Column, text: Column, n: Int = 2): DataFrame = {
+    val grams = df.select(id.as("doc_id"), length(text).as("text_chars"),
+      explode(graft.operators.Dedup.wordShingles(text, n, distinct = false)).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("text_chars"), col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"),
+        col("n_occurrences").cast("long").as("n_occurrences"),
+        (col("n_occurrences") * length(col("gram"))).cast("long").as("gram_chars"),
+        col("text_chars").cast("long").as("text_chars"),
+        round((col("n_occurrences") * length(col("gram"))).cast("double") /
+          col("text_chars").cast("double"), 4).as("top_gram_char_frac"))
+  }
 }

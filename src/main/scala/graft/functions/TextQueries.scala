@@ -189,5 +189,35 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub)
+  /** Repetition metric (C24): top word-bigram character fraction. */
+  val qRepetition = Q(
+    "qtext_repetition",
+    (s, dir) => {
+      Keywords.topNgramStats(Tables(s, dir).documents, col("doc_id"), col("text"), n = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, length(text) AS text_chars, string_split(text, ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, text_chars,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      c AS (SELECT doc_id, text_chars, gram, COUNT(*) AS cnt
+            FROM grams GROUP BY doc_id, text_chars, gram),
+      r AS (SELECT doc_id, text_chars, gram, cnt,
+              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+            FROM c)
+      SELECT doc_id, gram AS top_gram,
+        CAST(cnt AS BIGINT) AS n_occurrences,
+        CAST(cnt * length(gram) AS BIGINT) AS gram_chars,
+        CAST(text_chars AS BIGINT) AS text_chars,
+        ROUND(CAST(cnt * length(gram) AS DOUBLE) / text_chars, 4) AS top_gram_char_frac
+      FROM r WHERE rn = 1
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
+    qRepetition)
 }

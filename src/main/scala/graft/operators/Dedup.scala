@@ -32,19 +32,21 @@ object Dedup {
 
   // --- shingling shared by minhash / ngram-jaccard ----------------------
 
-  /** Distinct n-word shingles of a single-space-separated text column.
-    * Docs shorter than n tokens yield an empty array — without the guard,
-    * `sequence(0, size-n)` turns DESCENDING for short docs and the
-    * out-of-range `element_at` is a hard error under ANSI mode.
-    * The token array is let-bound (Cols.let): referenced un-bound inside
-    * the transform lambda, the split would re-run per shingle — O(tokens²)
-    * per doc (measured 8× on this stage). */
-  def wordShingles(text: Column, n: Int): Column =
+  /** n-word shingles of a single-space-separated text column — distinct
+    * by default (set semantics for Jaccard/MinHash/decontamination);
+    * `distinct = false` keeps every occurrence (bag semantics for
+    * repetition metrics). Docs shorter than n tokens yield an empty
+    * array — without the guard, `sequence(0, size-n)` turns DESCENDING
+    * for short docs and the out-of-range `element_at` is a hard error
+    * under ANSI mode. The token array is let-bound (Cols.let):
+    * referenced un-bound inside the transform lambda, the split would
+    * re-run per shingle — O(tokens²) per doc (measured 8× on this
+    * stage). */
+  def wordShingles(text: Column, n: Int, distinct: Boolean = true): Column =
     graft.functions.Cols.let(split(text, " ")) { toks =>
-      when(size(toks) >= n,
-        array_distinct(
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      val all = transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+      when(size(toks) >= n, if (distinct) array_distinct(all) else all)
         .otherwise(typedLit(Array.empty[String]))
     }
 

@@ -34,6 +34,23 @@ class KeywordsSpec extends AnyFunSuite {
     assert(scores("b") > 0.0 && scores("c") > 0.0)
   }
 
+  test("top-bigram repetition metric: counts, tie-break, and short-doc absence") {
+    import spark.implicits._
+    import graft.functions.Keywords
+    val docs = Seq(
+      (1L, "spam spam spam ham"), // "spam spam"×2 beats "spam ham"×1
+      (2L, "b a b a"),            // "b a"×2 beats "a b"×1 on count
+      (3L, "one")                 // 1 token: no bigrams, absent
+    ).toDF("doc_id", "text")
+    val got = Keywords.topNgramStats(docs, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (("spam spam", 2L, 18L, 18L, 1.0)))
+    // "b a b a": grams = b a, a b, b a → "b a"×2 wins on count
+    assert(got(2L) == (("b a", 2L, 6L, 7L, 0.8571)))
+  }
+
   test("distributed shard packing equals the single-window prefix sum") {
     val t = graft.sources.Tables(spark, sf)
     val sized = t.documents.select(col("doc_id"),
