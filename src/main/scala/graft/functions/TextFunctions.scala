@@ -128,4 +128,51 @@ object TextFunctions {
     * scrubbing can never eat an earlier redaction). */
   def redactPii(text: Column): Column =
     redactPhones(redactEmails(redactUrls(text)))
+
+  // --- Gopher-style rule gate (C25) -------------------------------------
+  // The published repetition-free document filter shape (Rae et al. 2021,
+  // "Scaling Language Models", §A1.1.2): a conjunction of cheap
+  // structural rules, each reported individually so a pipeline can tune
+  // one without re-deriving the rest. Every rule below compares
+  // INTEGERS (counts scaled by the rule's ratio denominator), never
+  // floats — a mean-length rule written as `mean >= 4.0` would make the
+  // pass/fail cut flaky at 1-ulp round boundaries across engines, while
+  // `chars >= 4*tokens` is exact everywhere. Pure codegen map stage.
+
+  /** Tokens containing at least one ASCII letter. */
+  def alphaTokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => t.rlike("[A-Za-z]")))
+
+  /** Distinct profile-stopwords present (en profile) — the Gopher
+    * "contains ≥2 stop words" naturalness signal. */
+  def distinctStopwordCount(text: Column): Column = {
+    val stops = StopwordProfiles.toMap.apply("en").stripPrefix("(").stripSuffix(")")
+      .split('|').toSeq
+    size(array_intersect(
+      array_distinct(split(lower(text), " ")),
+      array(stops.map(lit): _*)))
+  }
+
+  /** Per-rule flags + the conjunction, as (rule columns, passes). The
+    * caller picks which columns to surface; thresholds are parameters
+    * so the query layer documents its cut lines. */
+  def gopherRules(text: Column, minTokens: Int, maxTokens: Int,
+                  minMeanLen: Int, maxMeanLen: Int): Seq[(String, Column)] = {
+    val nTok = tokenCountWs(text)
+    val nChars = length(regexp_replace(text, " ", ""))
+    val okCount = nTok >= minTokens && nTok <= maxTokens
+    // chars/tokens ∈ [minMeanLen, maxMeanLen] without the division
+    val okMean = nChars >= nTok * minMeanLen && nChars <= nTok * maxMeanLen
+    val okAlpha = alphaTokenCount(text) * 5 >= nTok * 4
+    val okStop = distinctStopwordCount(text) >= 2
+    Seq(
+      "n_tokens" -> nTok.cast("long"),
+      "n_alpha_tokens" -> alphaTokenCount(text).cast("long"),
+      "n_stop_distinct" -> distinctStopwordCount(text).cast("long"),
+      "ok_word_count" -> okCount,
+      "ok_mean_len" -> okMean,
+      "ok_alpha" -> okAlpha,
+      "ok_stopwords" -> okStop,
+      "passes" -> (okCount && okMean && okAlpha && okStop))
+  }
 }

@@ -218,6 +218,91 @@ object TextQueries {
       FROM r WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** Gopher-style rule gate (C25): each structural rule surfaced as its
+    * own flag plus the conjunction. All cuts are integer comparisons
+    * (see [[TextFunctions.gopherRules]]) so the pass/fail boundary is
+    * exact in both engines. */
+  val qGopher = Q(
+    "qtext_gopher",
+    (s, dir) => {
+      val rules = TextFunctions.gopherRules(col("text"),
+        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10)
+      Tables(s, dir).documents
+        .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stops = TextFunctions.StopwordProfiles.toMap.apply("en")
+        .stripPrefix("(").stripSuffix(")").split('|')
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(text, ' '),
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_tokens,
+          CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                   [$stops])) AS BIGINT) AS n_stop_distinct
+        FROM documents)
+      SELECT doc_id, n_tokens, n_alpha_tokens, n_stop_distinct,
+        (n_tokens >= 50 AND n_tokens <= 100000) AS ok_word_count,
+        (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens) AS ok_mean_len,
+        (5 * n_alpha_tokens >= 4 * n_tokens) AS ok_alpha,
+        (n_stop_distinct >= 2) AS ok_stopwords,
+        ((n_tokens >= 50 AND n_tokens <= 100000)
+          AND (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens)
+          AND (5 * n_alpha_tokens >= 4 * n_tokens)
+          AND (n_stop_distinct >= 2)) AS passes
+      FROM m
+      ORDER BY doc_id"""
+    })
+
+  /** Corpus vocabulary head (C26): global term frequency + document
+    * frequency for the top-50 terms, with each term's share of all
+    * tokens. Scale shape: one explode → one map-side-combined
+    * groupBy(term) (high-cardinality key), then the global top-k runs
+    * as a map-side Partial WindowGroupLimit (≤50 rows per input
+    * partition reach the final sort); the corpus token total rides
+    * along as a broadcast 1-row aggregate. */
+  val qVocab = Q(
+    "qtext_vocab",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val terms = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      // total tokens = a straight count of the exploded frame — NOT
+      // sum(tf) over `terms`, which would re-run the whole term-keyed
+      // aggregation (a second explode + shuffle) just to add it back up
+      val total = toks.agg(count(lit(1)).as("total"))
+      terms
+        .withColumn("vocab_rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+        .filter(col("vocab_rank") <= 50)
+        .crossJoin(broadcast(total))
+        .select(col("vocab_rank"), col("term"), col("tf"), col("df"),
+          round(col("tf").cast("double") / col("total"), 6).as("corpus_frac"))
+        .orderBy(col("vocab_rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks WHERE term <> '' GROUP BY term),
+      n AS (SELECT SUM(tf) AS total FROM t),
+      r AS (SELECT term, tf, df,
+              CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS vocab_rank
+            FROM t)
+      SELECT vocab_rank, term, tf, df,
+        ROUND(CAST(tf AS DOUBLE) / total, 6) AS corpus_frac
+      FROM r CROSS JOIN n
+      WHERE vocab_rank <= 50
+      ORDER BY vocab_rank"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
-    qRepetition)
+    qRepetition, qGopher, qVocab)
 }

@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val bnljAllowed: Map[String, String] = Map(
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
+    "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qann_brute_topk" -> ("brute-force ANN IS all-pairs by definition; the " +
       "bounded side (the query set) is broadcast so the corpus never shuffles — " +
       "the scale path is qann_lsh_bucketed"),

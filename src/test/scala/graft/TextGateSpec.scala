@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Gopher-rule gate (C25) + vocabulary head (C26) edges the registered
+  * oracle queries can't isolate: exact threshold boundaries (the rules
+  * are integer comparisons, so the boundary row must be deterministic),
+  * per-rule independence, and the vocab top-k cut. */
+class TextGateSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def gate(text: String): Map[String, Any] = {
+    import spark.implicits._
+    val rules = TextFunctions.gopherRules(col("t"),
+      minTokens = 5, maxTokens = 10, minMeanLen = 3, maxMeanLen = 6)
+    val row = Seq(text).toDF("t")
+      .select(rules.map { case (n, c) => c.as(n) }: _*).head()
+    rules.map(_._1).zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+  }
+
+  test("word-count boundary: exactly minTokens passes, one below fails") {
+    assert(gate("the and one two five").apply("ok_word_count") == true)   // 5 tokens
+    assert(gate("the and one four").apply("ok_word_count") == false)      // 4 tokens
+  }
+
+  test("mean-length boundary: chars == minMeanLen*tokens passes exactly") {
+    // 5 tokens × 3 chars = 15 chars → mean exactly 3.0 → pass
+    assert(gate("the abc def ghi jkl").apply("ok_mean_len") == true)
+    // 5 tokens, 14 chars → mean 2.8 → fail, with no float in sight
+    assert(gate("th abc def ghi jkl").apply("ok_mean_len") == false)
+  }
+
+  test("alpha boundary: 4 of 5 alpha tokens passes, 3 of 5 fails") {
+    assert(gate("the and foo 12 bar").apply("ok_alpha") == true)
+    assert(gate("the and 34 12 bar").apply("ok_alpha") == false)
+  }
+
+  test("stopword rule counts DISTINCT stopwords, not occurrences") {
+    val g = gate("the the the the the")
+    assert(g("n_stop_distinct") == 1L)
+    assert(g("ok_stopwords") == false)
+    assert(gate("the and xxx yyy zzz").apply("ok_stopwords") == true)
+  }
+
+  test("passes is the conjunction of all four rules") {
+    val good = gate("the and foo bar bazz")
+    assert(good("passes") == true, s"expected all-pass: $good")
+    // 3+3+9+9+9 = 33 chars > 6·5 tokens → mean-length rule alone fails it
+    val bad = gate("the and aaaaaaaaa bbbbbbbbb ccccccccc")
+    assert(bad("ok_mean_len") == false && bad("passes") == false)
+  }
+
+  test("vocab: ranks by tf desc with term tie-break, frac sums to ≤1") {
+    val rows = graft.functions.TextQueries.qVocab.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50) // sf0.001's vocab is < 50 terms
+    val tfs = rows.map(_.getAs[Long]("tf"))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b }, "tf not descending")
+    val fracs = rows.map(_.getAs[Double]("corpus_frac"))
+    // each frac is rounded to 6 dp → may round UP by 5e-7 apiece
+    assert(fracs.sum <= 1.0 + rows.length * 5e-7)
+    assert(rows.map(_.getAs[Long]("vocab_rank")).toSeq == (1L to rows.length.toLong))
+  }
+
+  test("vocab plans a bounded top-k, not a full single-partition sort") {
+    val plan = graft.functions.TextQueries.qVocab.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-50 should plan TakeOrderedAndProject:\n$plan")
+  }
+}
