@@ -412,4 +412,38 @@ object Dedup {
         round(VectorFunctions.dot(col("va"), col("vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space with the k-means quantizer, then near-dedup ONLY
+    * within each cluster — the published recipe for semantic dedup at
+    * web scale, where all-pairs (even blocked) is too much and LSH
+    * misses the mid-similarity band. A vector is dropped when a
+    * SMALLER-id vector in its cell is cosine-≥-threshold; survivors
+    * are the ids with no smaller near-dup, i.e. the deterministic
+    * greedy representative of every semantic group.
+    *
+    * Scale shape: training is [[Similarity.ivfTrainCells]] (broadcast
+    * nlist-bounded centroids, corpus never shuffles whole vectors); the
+    * (vec_id, cell) frame is persisted — it is two longs per row and
+    * feeds BOTH the pair join and the survivor anti-join, and without
+    * the boundary the Lloyd iterations would run twice. The within-cell
+    * candidate join is an equi-join on cell (shuffle hash, never a
+    * cartesian): with nlist ≈ √n cells of ~√n vectors, candidate volume
+    * is ~n^1.5/nlist — the SemDedup operating point — and the drop-set
+    * anti-join carries ids only. */
+  def semDedup(df: DataFrame, id: Column, vec: Column, nlist: Int,
+               threshold: Double, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val cells = Similarity.ivfTrainCells(df, id, vec, nlist, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = df.select(id.as("vec_id"), VectorFunctions.normalized(vec).as("v"))
+      .join(cells, "vec_id")
+    val drops = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(VectorFunctions.dot(col("a.v"), col("b.v")), 4) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    cells.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

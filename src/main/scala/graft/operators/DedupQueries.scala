@@ -196,5 +196,34 @@ object DedupQueries {
     Some(lshPairOracleSql(dim = 64, tables = 16, planesPerTable = 4,
       seed = 42L, maxBucket = 100000, threshold = 0.4)))
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh)
+  /** SemDedup under a FULL algorithm-parity oracle: the k-means cells
+    * are [[SimilarityQueries.trainedCellsCtes]]'s proven-identical
+    * hash-seeded Lloyd chain, the within-cell pair cosines are the
+    * qdedup_embedding formulation (raw-vector list_cosine_similarity vs
+    * normalized-dot, both rounded to 4), and the survivor rule (drop
+    * iff a smaller id in the same cell is ≥ threshold) is set algebra.
+    * Output = the surviving (vec_id, cell) index. */
+  val qSemantic = Q(
+    "qdedup_semantic",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.semDedup(t.embeddings, col("vec_id"), col("embedding"),
+          nlist = 10, threshold = 0.45, iters = 1)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${SimilarityQueries.trainedCellsCtes(nlist = 10, iters = 1)},
+      p AS (SELECT b.vec_id AS vb,
+              ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+            FROM cells0 a JOIN cells0 b ON a.grp = b.grp AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id),
+      d AS (SELECT DISTINCT vb FROM p WHERE cos >= 0.45)
+      SELECT c.vec_id, c.grp AS cell FROM cells0 c
+      WHERE c.vec_id NOT IN (SELECT vb FROM d)
+      ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
+    qSemantic)
 }

@@ -156,7 +156,7 @@ object SimilarityQueries {
     * recipe; the chain is generated per iteration (k0 → k1 → … →
     * k`iters`) because each step's centroids depend on the previous
     * step's assignment. */
-  private def trainedCellsCtes(nlist: Int, iters: Int = 1): String = {
+  private[operators] def trainedCellsCtes(nlist: Int, iters: Int = 1): String = {
     val init = s"""${graft.Q.sqlutil.fnvSignedCtes("t",
         "'ivf:' || CAST(vec_id AS VARCHAR)", Seq("vec_id"), "embeddings")},
       k0 AS (SELECT vec_id, ((sb % $nlist) + $nlist) % $nlist AS grp

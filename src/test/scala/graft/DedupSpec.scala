@@ -100,6 +100,33 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("semDedup: survivors are exactly the ids with no smaller same-cell near-dup") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val cells = graft.operators.Similarity
+      .ivfTrainCells(e, col("vec_id"), col("embedding"), nlist = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute within-cell truth, computed independently of the operator
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expectedDrops = (for {
+      b <- ids; a <- ids
+      if a < b && cells(a) == cells(b) &&
+        BigDecimal(cos(vecs(a), vecs(b))).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+    } yield b).toSet
+    val survivors = Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        nlist = 4, threshold = 0.45, iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(expectedDrops.nonEmpty, "threshold too high: the spec exercises nothing")
+    assert(survivors == ids.toSet -- expectedDrops)
+  }
+
   test("registered qdedup_embedding plan has no nested-loop or cartesian join") {
     val plan = graft.operators.DedupQueries.qEmbedding.fn(spark, sf)
       .queryExecution.executedPlan.toString
