@@ -303,6 +303,52 @@ object TextQueries {
       WHERE vocab_rank <= 50
       ORDER BY vocab_rank"""))
 
+  /** Cross-document boilerplate detector (C28): word-5-grams appearing
+    * in ≥2 distinct documents, ranked by spread — the shared-span
+    * signal behind template/boilerplate removal and the corpus-level
+    * twin of per-doc repetition (C24). Scale shape: gram explode → one
+    * (doc, gram) partial-agg shuffle → one gram-keyed agg (both
+    * high-cardinality keys), and the global top-100 plans as a
+    * map-side partial top-k exactly like qtext_vocab. The rank order
+    * (doc_count desc, n_occurrences desc, gram asc) is all-integer, so
+    * the top-k boundary is exact in both engines. */
+  val qBoilerplate = Q(
+    "qtext_boilerplate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables(s, dir).documents.select(col("doc_id"),
+        explode(graft.operators.Dedup.wordShingles(col("text"), n = 5, distinct = false))
+          .as("gram"))
+      grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("doc_count"), sum(col("cnt")).as("n_occurrences"))
+        .filter(col("doc_count") >= 2)
+        .withColumn("boiler_rank", row_number().over(
+          Window.orderBy(col("doc_count").desc, col("n_occurrences").desc, col("gram")))
+          .cast("long"))
+        .filter(col("boiler_rank") <= 100)
+        .select(col("boiler_rank"), col("gram"), col("doc_count"), col("n_occurrences"))
+        .orderBy(col("boiler_rank"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 5 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5),
+      a AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count,
+              CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM grams GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+      r AS (SELECT gram, doc_count, n_occurrences,
+              CAST(ROW_NUMBER() OVER (ORDER BY doc_count DESC, n_occurrences DESC, gram)
+                AS BIGINT) AS boiler_rank
+            FROM a)
+      SELECT boiler_rank, gram, doc_count, n_occurrences
+      FROM r WHERE boiler_rank <= 100
+      ORDER BY boiler_rank"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
-    qRepetition, qGopher, qVocab)
+    qRepetition, qGopher, qVocab, qBoilerplate)
 }

@@ -54,5 +54,38 @@ object Profile {
         "\n      ORDER BY column_name")
     })
 
-  val all: Seq[Q] = Seq(qProfile)
+  /** Per-source corpus summary — the mixture-planning view a curation
+    * run starts from (how much of each domain, how long, how diverse).
+    * One grouped aggregation with map-side partials; `source`
+    * cardinality scales with the corpus (domains), so no low-card
+    * funnel. All aggregates are integer-exact long sums; the mean
+    * rides along as a deterministic long/long division, rounded. */
+  val qProfileSources = Q(
+    "qprofile_sources",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long"))
+            .as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("mean_tokens",
+          round(col("total_tokens").cast("double") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4)
+          AS mean_tokens
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(qProfile, qProfileSources)
 }

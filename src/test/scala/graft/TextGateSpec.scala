@@ -69,4 +69,35 @@ class TextGateSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-50 should plan TakeOrderedAndProject:\n$plan")
   }
+
+  test("boilerplate: planted shared span ranks first; singleton grams excluded") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for more updates"     // 7 tokens
+    val docs = Seq(
+      1L -> s"alpha beta gamma delta epsilon $boiler",
+      2L -> s"$boiler zeta eta theta iota kappa",
+      3L -> s"lambda mu $boiler nu xi omicron",
+      4L -> "totally unrelated words that repeat nothing from the others at all")
+      .toDF("doc_id", "text")
+    // same aggregation the registered query runs, without the table dep
+    val grams = docs.select(col("doc_id"),
+      explode(graft.operators.Dedup.wordShingles(col("text"), n = 5, distinct = false))
+        .as("gram"))
+    val agg = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("cnt")).as("n_occurrences"))
+      .filter(col("doc_count") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the 7-token boiler phrase yields 3 distinct 5-grams, each in all 3 docs
+    assert(agg.size == 3 && agg.values.forall(_ == 3L), s"got $agg")
+    assert(agg.keys.forall(boiler.contains(_)))
+  }
+
+  test("registered boilerplate query plans the bounded top-k") {
+    val plan = graft.functions.TextQueries.qBoilerplate.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-100 should plan TakeOrderedAndProject:\n$plan")
+  }
 }
