@@ -72,6 +72,42 @@ object Curation {
     bucketFilter(df, key, rate, salt)
   }
 
+  /** Deterministic train/val/test split assignment (SURVEY.md §2.C30):
+    * each row gets the label of the bucket range its [[hashBucket]]
+    * falls in — the standard leakage-safe corpus split (hash of a
+    * stable key, never `rand()`: re-runs, re-shards, and late-arriving
+    * data all land in the same split). `splits` are (label, pct) in
+    * order; pcts must sum to 100 so every row is labeled. A pure
+    * codegen when-chain over the bucket — no join, no shuffle.
+    */
+  def splitByHash(df: DataFrame, key: Column, splits: Seq[(String, Int)],
+                  salt: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split pcts must sum to 100, got $splits")
+    require(splits.forall(_._2 > 0), s"split pcts must be positive, got $splits")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val bucket = hashBucket(key, 100, salt)
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val label = splits.zip(cuts).reverse.tail.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), cut)) => when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", label)
+  }
+
+  /** Token-budget corpus carve-out: the first `budget` tokens of the
+    * deterministic FNV-ordered shuffle — "give me a fixed-size slice
+    * of the corpus" as a reproducible operator (scale a dataset down
+    * without biasing toward any source or time range). Exactly
+    * [[packShards]]' distributed prefix sum, keeping shard 0: the doc
+    * straddling the boundary stays in (its tokens BEFORE the cut
+    * started the shard), so the slice is the minimal prefix covering
+    * `budget` tokens. */
+  def sampleByBudget(df: DataFrame, id: Column, sizeCol: Column,
+                     budget: Long, salt: String = "shuffle"): DataFrame =
+    packShards(df, id, sizeCol, budget, salt)
+      .filter(col("shard") === 0L)
+      .drop("shard")
+
   /** Exactly min(k, |group|) rows per group, chosen by hash order — a
     * deterministic stratified sample (per-class caps for training-mix
     * balancing). One shuffle on the group key; ties (hash collisions)

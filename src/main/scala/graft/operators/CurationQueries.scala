@@ -61,6 +61,57 @@ object CurationQueries {
         CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 25 WHEN 'zh' THEN 0 ELSE 50 END
       ORDER BY doc_id"""))
 
+  /** Leakage-safe train/val/test split (C30): every doc labeled by its
+    * FNV bucket range — 90/5/5. All rows out, so the oracle checks the
+    * full assignment, not just one side of a cut. */
+  val qSplit = Q(
+    "qsplit_assign",
+    (s, dir) => {
+      Curation.splitByHash(
+          Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+          col("doc_id"),
+          splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${fnvKeyCtes("split")}
+      SELECT doc_id, lang, ((sb % 100) + 100) % 100 AS bucket,
+        CASE WHEN ((sb % 100) + 100) % 100 < 90 THEN 'train'
+             WHEN ((sb % 100) + 100) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM g
+      ORDER BY doc_id"""))
+
+  /** Token-budget carve-out (C30b): the minimal FNV-ordered prefix
+    * covering 5000 tokens — [[Curation.sampleByBudget]], i.e. shard 0
+    * of the qpack_shards prefix sum (same oracle formulation, cut at
+    * the budget). */
+  val qSampleBudget = Q(
+    "qsample_budget",
+    (s, dir) => {
+      Curation.sampleByBudget(
+          Tables(s, dir).documents,
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 5000L)
+        .orderBy(col("pos"))
+    },
+    Some(s"""
+      WITH sized AS (SELECT doc_id,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens"), "sized")},
+      o AS (SELECT doc_id, n_tokens,
+              CAST(row_number() OVER (ORDER BY fh, doc_id) AS BIGINT) AS pos,
+              CAST(SUM(n_tokens) OVER (ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM f)
+      SELECT doc_id, pos, n_tokens, cum
+      FROM o
+      WHERE cum - n_tokens < 5000
+      ORDER BY pos"""))
+
   val qSampleGroupTopK = Q(
     "qsample_group_topk",
     (s, dir) => {
@@ -255,5 +306,5 @@ object CurationQueries {
       ORDER BY g.doc_id"""))
 
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
-    qClustersStar, qApply, qPackShards, qPipeline, qContam)
+    qClustersStar, qApply, qPackShards, qPipeline, qContam, qSplit, qSampleBudget)
 }

@@ -174,6 +174,38 @@ object Similarity {
         signature(col(vecName), hyperplanes(planesPerTable, dim, seed + t))
       }: _*)).as(Seq("table_id", "bucket")))
 
+  /** Prototypicality (SURVEY.md §2.C31): each vector's cosine to its
+    * OWN trained cell centroid — the ranking signal SemDedup-family
+    * pruning uses beyond the binary drop (keep the most / least
+    * prototypical members of each semantic cluster). Train is
+    * [[ivfTrainCells]]; the final assignment's centroids are one more
+    * fixed-point aggregation, broadcast back (nlist rows) for a
+    * map-side score — the corpus shuffles once (posexplode agg), never
+    * as whole vectors. Returns `(vec_id, cell, proto)`; `proto` is a
+    * reported metric rounded to 4 — no membership boundary rides on
+    * the float. */
+  def prototypicality(corpus: DataFrame, id: Column, vec: Column,
+                      nlist: Int, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    // persisted for the same reason as semDedup: (vec_id, cell) is two
+    // longs per row and feeds BOTH the centroid agg and the score join —
+    // without the boundary the Lloyd train pipeline executes twice
+    val cells = ivfTrainCells(corpus, id, vec, nlist, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val assigned = v.join(cells, "vec_id")
+    val cents = VectorFunctions.groupCentroids(
+        assigned.select(col("cell"), col("v")), col("cell"), col("v"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+      .select(col("grp").as("cell"), col("cv"))
+    assigned.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(VectorFunctions.cosine(col("v"), col("cv")), 4).as("proto"))
+  }
+
   /** Approximate top-k: `tables` independent hyperplane tables of
     * `planesPerTable` bits each; a corpus vector is a candidate for a
     * query if they share a bucket in ANY table (OR-construction).

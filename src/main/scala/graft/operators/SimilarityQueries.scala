@@ -314,6 +314,39 @@ object SimilarityQueries {
       FROM u GROUP BY grp, pos
       ORDER BY grp, pos"""))
 
+  /** Prototypicality (C31): cosine of each vector to its own trained
+    * cell centroid — the SemDedup-family ranking signal. The oracle
+    * composes three proven recipes end to end: the trained-cells Lloyd
+    * CTEs, the fixed-point centroid formulation, and the pair-cosine
+    * parity — so the score column checks train, assignment, centroid,
+    * and scoring in one row set. */
+  val qProto = Q(
+    "qvec_prototypicality",
+    (s, dir) => {
+      Similarity.prototypicality(
+          graft.sources.Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), nlist = 10, iters = 1)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10, iters = 1)},
+      u AS (SELECT c0.grp,
+              unnest(range(0, len(e2.embedding))) AS pos,
+              unnest(CAST(e2.embedding AS DOUBLE[])) AS x
+            FROM embeddings e2 JOIN cells0 c0 ON e2.vec_id = c0.vec_id),
+      cent AS (SELECT grp, pos,
+                 (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                   / COUNT(*) AS c
+               FROM u GROUP BY grp, pos),
+      cvecs AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent GROUP BY grp)
+      SELECT c0.vec_id, c0.grp AS cell,
+             ROUND(list_cosine_similarity(e.v, cvecs.cv), 4) AS proto
+      FROM cells0 c0
+      JOIN e ON e.vec_id = c0.vec_id
+      JOIN cvecs ON cvecs.grp = c0.grp
+      ORDER BY c0.vec_id"""))
+
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2,
-    qDecode, qFrames, qHistogram, qCentroid)
+    qDecode, qFrames, qHistogram, qCentroid, qProto)
 }

@@ -249,4 +249,49 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == sizes.map { case (g, n) => g -> math.min(k.toLong, n) })
   }
+
+  test("split: every row labeled, boundaries exact, train == the 90% flat sample") {
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("doc_id"))
+    val split = Curation.splitByHash(docs, col("doc_id"),
+      Seq("train" -> 90, "val" -> 5, "test" -> 5), salt = "s")
+    val rows = split.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (_, b, l) =>
+      val expect = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(l == expect, s"bucket $b labeled $l")
+    }
+    // the train side IS the flat 90% sample under the same salt — one
+    // bucket contract across split and sampling
+    val train = rows.filter(_._3 == "train").map(_._1).toSet
+    val flat = Curation.sampleByHash(docs, col("doc_id"), 90, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(train == flat)
+    // no shuffle: the splitter is a pure map stage
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("split rejects pcts that do not sum to 100") {
+    val t = graft.sources.Tables(spark, sf)
+    intercept[IllegalArgumentException] {
+      Curation.splitByHash(t.documents, col("doc_id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("budget carve-out is the minimal deterministic prefix covering the budget") {
+    val t = graft.sources.Tables(spark, sf)
+    val budget = 500L
+    val got = Curation.sampleByBudget(t.documents, col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")), budget)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("n_tokens"), r.getAs[Long]("cum")))
+    assert(got.nonEmpty)
+    // contiguous prefix of the global order
+    assert(got.map(_._1).toSeq == (1L to got.length.toLong))
+    // every selected doc STARTED before the cut; the last one covers it
+    got.foreach { case (_, n, cum) => assert(cum - n < budget) }
+    assert(got.last._3 >= budget, "prefix does not cover the budget")
+    // minimal: dropping the last row falls below the budget
+    assert(got.init.lastOption.forall(_._3 < budget))
+  }
 }

@@ -30,7 +30,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_ivf_trained2" -> ("same bounded centroid broadcast, once per Lloyd " +
       "iteration and once in the search"),
     "qdedup_semantic" -> ("the Lloyd train step's bounded centroid broadcast " +
-      "(nlist rows); the within-cell pair join itself is an equi-join on cell")
+      "(nlist rows); the within-cell pair join itself is an equi-join on cell"),
+    "qvec_prototypicality" -> ("the same bounded centroid broadcast, in the " +
+      "Lloyd train step (the score join itself is an equi-join on cell)")
   )
 
   // ONE registry pass shared by every audit below: building a cluster

@@ -70,6 +70,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r5 > r2, s"raising nprobe must raise recall ($r2 -> $r5)")
   }
 
+  test("prototypicality: one row per vector, own-centroid cosine matches recompute") {
+    val e = Tables(spark, sf).embeddings
+    val n = e.count()
+    val got = Similarity.prototypicality(e, col("vec_id"), col("embedding"),
+        nlist = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == n)
+    assert(got.values.forall { case (_, p) => p >= -1.0001 && p <= 1.0001 })
+    // independent recompute: same cells, fixed-point centroids in Scala
+    val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+        nlist = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, (cell, _)) => cells(id) == cell },
+      "operator cell assignment diverges from ivfTrainCells")
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val byCell = vecs.toSeq.groupBy { case (id, _) => cells(id) }
+    val cents = byCell.map { case (cell, members) =>
+      val dim = members.head._2.length
+      cell -> Array.tabulate(dim) { i =>
+        members.map { case (_, v) => (v(i) * 1e9).toLong }.sum.toDouble / 1e9 / members.size
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (id, (cell, p)) =>
+      assert(math.abs(p - cos(vecs(id), cents(cell))) < 1e-3,
+        s"vec $id proto $p diverges from recomputed centroid cosine")
+    }
+  }
+
   test("trained IVF at nlist=32 on the sf0.1 corpus holds a pinned recall floor") {
     // the registered queries train at a toy nlist=10 on 500 vectors;
     // this exercises the Lloyd train path in the √n regime (sf0.1:
