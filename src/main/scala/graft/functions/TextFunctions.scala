@@ -155,16 +155,19 @@ object TextFunctions {
 
   /** Per-rule flags + the conjunction, as (rule columns, passes). The
     * caller picks which columns to surface; thresholds are parameters
-    * so the query layer documents its cut lines. */
+    * so the query layer documents its cut lines (Gopher's published
+    * stopword minimum is 2; a synthetic or domain-restricted corpus
+    * may need 1 — the registered queries do). */
   def gopherRules(text: Column, minTokens: Int, maxTokens: Int,
-                  minMeanLen: Int, maxMeanLen: Int): Seq[(String, Column)] = {
+                  minMeanLen: Int, maxMeanLen: Int,
+                  minStopwords: Int = 2): Seq[(String, Column)] = {
     val nTok = tokenCountWs(text)
     val nChars = length(regexp_replace(text, " ", ""))
     val okCount = nTok >= minTokens && nTok <= maxTokens
     // chars/tokens ∈ [minMeanLen, maxMeanLen] without the division
     val okMean = nChars >= nTok * minMeanLen && nChars <= nTok * maxMeanLen
     val okAlpha = alphaTokenCount(text) * 5 >= nTok * 4
-    val okStop = distinctStopwordCount(text) >= 2
+    val okStop = distinctStopwordCount(text) >= minStopwords
     Seq(
       "n_tokens" -> nTok.cast("long"),
       "n_alpha_tokens" -> alphaTokenCount(text).cast("long"),

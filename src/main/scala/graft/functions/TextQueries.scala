@@ -218,25 +218,16 @@ object TextQueries {
       FROM r WHERE rn = 1
       ORDER BY doc_id"""))
 
-  /** Gopher-style rule gate (C25): each structural rule surfaced as its
-    * own flag plus the conjunction. All cuts are integer comparisons
-    * (see [[TextFunctions.gopherRules]]) so the pass/fail boundary is
-    * exact in both engines. */
-  val qGopher = Q(
-    "qtext_gopher",
-    (s, dir) => {
-      val rules = TextFunctions.gopherRules(col("text"),
-        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10)
-      Tables(s, dir).documents
-        .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
-        .orderBy(col("doc_id"))
-    },
-    Some {
-      val stops = TextFunctions.StopwordProfiles.toMap.apply("en")
-        .stripPrefix("(").stripSuffix(")").split('|')
-        .map(w => s"'$w'").mkString(", ")
-      s"""
-      WITH m AS (
+  /** THE single SQL definition of the Gopher rule measures (the `m`
+    * CTE) and the pass conjunction — shared by qtext_gopher and the
+    * composed preprocessing pipeline so the two oracles can never
+    * drift. Thresholds here mirror the registered gopherRules(50,
+    * 100000, 4, 10) call sites. */
+  private[graft] val GopherMCte: String = {
+    val stops = TextFunctions.StopwordProfiles.toMap.apply("en")
+      .stripPrefix("(").stripSuffix(")").split('|')
+      .map(w => s"'$w'").mkString(", ")
+    s"""m AS (
         SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
@@ -244,19 +235,41 @@ object TextQueries {
                    t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_tokens,
           CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
                    [$stops])) AS BIGINT) AS n_stop_distinct
-        FROM documents)
+        FROM documents)"""
+  }
+  private[graft] val GopherPassSql: String =
+    """((n_tokens >= 50 AND n_tokens <= 100000)
+          AND (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens)
+          AND (5 * n_alpha_tokens >= 4 * n_tokens)
+          AND (n_stop_distinct >= 1))"""
+
+  /** Gopher-style rule gate (C25): each structural rule surfaced as its
+    * own flag plus the conjunction. All cuts are integer comparisons
+    * (see [[TextFunctions.gopherRules]]) so the pass/fail boundary is
+    * exact in both engines. */
+  val qGopher = Q(
+    "qtext_gopher",
+    (s, dir) => {
+      // minStopwords = 1: the synthetic corpus vocabulary contains a
+      // single profile stopword, so the published minimum of 2 would
+      // fail every row and the conjunction would gate nothing
+      val rules = TextFunctions.gopherRules(col("text"),
+        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+        minStopwords = 1)
+      Tables(s, dir).documents
+        .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $GopherMCte
       SELECT doc_id, n_tokens, n_alpha_tokens, n_stop_distinct,
         (n_tokens >= 50 AND n_tokens <= 100000) AS ok_word_count,
         (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens) AS ok_mean_len,
         (5 * n_alpha_tokens >= 4 * n_tokens) AS ok_alpha,
-        (n_stop_distinct >= 2) AS ok_stopwords,
-        ((n_tokens >= 50 AND n_tokens <= 100000)
-          AND (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens)
-          AND (5 * n_alpha_tokens >= 4 * n_tokens)
-          AND (n_stop_distinct >= 2)) AS passes
+        (n_stop_distinct >= 1) AS ok_stopwords,
+        $GopherPassSql AS passes
       FROM m
-      ORDER BY doc_id"""
-    })
+      ORDER BY doc_id"""))
 
   /** Corpus vocabulary head (C26): global term frequency + document
     * frequency for the top-50 terms, with each term's share of all

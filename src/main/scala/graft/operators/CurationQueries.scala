@@ -305,6 +305,63 @@ object CurationQueries {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+  /** The preprocessing story composed in ONE oracle-checked query
+    * (C32): Gopher rule gate → PII scrub → split assignment. Every
+    * stage reuses ITS OWN proven single definition — the gate is
+    * `gopherRules`' integer-exact conjunction (SQL side: the shared
+    * GopherMCte/GopherPassSql), the scrub is the C21 regex chain with
+    * the same pattern literals in both engines, and the split is the
+    * shared FNV bucket recipe — so a mismatch isolates the stage, not
+    * the composition. PII is injected per doc (the corpus carries
+    * none) so the scrub stage transforms every surviving row. */
+  val qPreprocess = Q(
+    "qcuration_preprocess",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables(s, dir).documents
+      val passes = TextFunctions.gopherRules(col("text"),
+        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+        minStopwords = 1) // see qtext_gopher: this corpus has ONE stopword
+        .toMap.apply("passes")
+      val id = col("doc_id").cast("string")
+      val injected = concat(col("text"),
+        lit(" Contact user"), id, lit("@example.com via https://ex.io/u/"), id,
+        lit(" or +1 (555) 000-"), lpad(id, 4, "0"))
+      val kept = docs.filter(passes)
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.redactPii(injected).as("clean"))
+      Curation.splitByHash(kept, col("doc_id"),
+          splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.{TextFunctions, TextQueries}
+      val (u, e, p) =
+        (TextFunctions.UrlPattern, TextFunctions.EmailPattern, TextFunctions.PhonePattern)
+      s"""
+      WITH ${TextQueries.GopherMCte},
+      flt AS (SELECT doc_id, n_tokens FROM m WHERE ${TextQueries.GopherPassSql}),
+      inj AS (SELECT d.doc_id, f.n_tokens,
+                d.text || ' Contact user' || CAST(d.doc_id AS VARCHAR) ||
+                '@example.com via https://ex.io/u/' || CAST(d.doc_id AS VARCHAR) ||
+                ' or +1 (555) 000-' || lpad(CAST(d.doc_id AS VARCHAR), 4, '0') AS t
+              FROM documents d JOIN flt f ON d.doc_id = f.doc_id),
+      sc AS (SELECT doc_id, n_tokens,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS clean
+             FROM inj),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'split:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens", "clean"), "sc")}
+      SELECT doc_id, n_tokens, clean, ((sb % 100) + 100) % 100 AS bucket,
+        CASE WHEN ((sb % 100) + 100) % 100 < 90 THEN 'train'
+             WHEN ((sb % 100) + 100) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM g
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
-    qClustersStar, qApply, qPackShards, qPipeline, qContam, qSplit, qSampleBudget)
+    qClustersStar, qApply, qPackShards, qPipeline, qContam, qSplit, qSampleBudget,
+    qPreprocess)
 }
