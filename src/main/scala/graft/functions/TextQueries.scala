@@ -325,26 +325,28 @@ object TextQueries {
     * map-side partial top-k exactly like qtext_vocab. The rank order
     * (doc_count desc, n_occurrences desc, gram asc) is all-integer, so
     * the top-k boundary is exact in both engines. */
-  val qBoilerplate = Q(
-    "qtext_boilerplate",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val grams = Tables(s, dir).documents.select(col("doc_id"),
+  /** The ranked-boilerplate core both C28 queries share: (boiler_rank,
+    * gram, doc_count, n_occurrences) for word-5-grams in ≥2 docs,
+    * top-100 by the all-integer key. */
+  private def boilerplateRanked(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"),
         explode(graft.operators.Dedup.wordShingles(col("text"), n = 5, distinct = false))
           .as("gram"))
-      grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("gram"))
-        .agg(count(lit(1)).as("doc_count"), sum(col("cnt")).as("n_occurrences"))
-        .filter(col("doc_count") >= 2)
-        .withColumn("boiler_rank", row_number().over(
-          Window.orderBy(col("doc_count").desc, col("n_occurrences").desc, col("gram")))
-          .cast("long"))
-        .filter(col("boiler_rank") <= 100)
-        .select(col("boiler_rank"), col("gram"), col("doc_count"), col("n_occurrences"))
-        .orderBy(col("boiler_rank"))
-    },
-    Some("""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("cnt")).as("n_occurrences"))
+      .filter(col("doc_count") >= 2)
+      .withColumn("boiler_rank", row_number().over(
+        Window.orderBy(col("doc_count").desc, col("n_occurrences").desc, col("gram")))
+        .cast("long"))
+      .filter(col("boiler_rank") <= 100)
+  }
+
+  /** Same sharing on the SQL side: CTEs ending in `r` (ranked grams). */
+  private val BoilerplateRankedCtes: String = """
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       grams AS (
         SELECT doc_id,
                array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 5 AS BIGINT)], ' ') AS gram
@@ -357,11 +359,60 @@ object TextQueries {
       r AS (SELECT gram, doc_count, n_occurrences,
               CAST(ROW_NUMBER() OVER (ORDER BY doc_count DESC, n_occurrences DESC, gram)
                 AS BIGINT) AS boiler_rank
-            FROM a)
+            FROM a)"""
+
+  val qBoilerplate = Q(
+    "qtext_boilerplate",
+    (s, dir) => {
+      boilerplateRanked(Tables(s, dir).documents)
+        .select(col("boiler_rank"), col("gram"), col("doc_count"), col("n_occurrences"))
+        .orderBy(col("boiler_rank"))
+    },
+    Some(s"""
+      WITH $BoilerplateRankedCtes
       SELECT boiler_rank, gram, doc_count, n_occurrences
       FROM r WHERE boiler_rank <= 100
       ORDER BY boiler_rank"""))
 
+  /** Boilerplate REMOVAL (C28b) — the end-cap of the detect→remove
+    * story: delete every occurrence of the flagged top-100 grams from
+    * every document. The gram list is a 1-row collected array
+    * (bounded: top-k), broadcast to the corpus, and the deletion is a
+    * declarative `aggregate` fold of literal `replace` in rank order —
+    * both engines fold the SAME list in the SAME order, so the oracle
+    * checks the rewrite byte-for-byte. A replaced span leaves one
+    * space (replace-with-" "), so removed_chars = len(text) −
+    * len(clean) measures the surgery. Pure map over the corpus after
+    * one bounded broadcast — no per-gram passes over storage. */
+  val qBoilerplateRm = Q(
+    "qtext_boilerplate_rm",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val gramList = boilerplateRanked(docs)
+        .agg(transform(
+          array_sort(collect_list(struct(col("boiler_rank"), col("gram")))),
+          s => s.getField("gram")).as("grams"))
+      docs.crossJoin(broadcast(gramList))
+        .select(col("doc_id"), col("text"),
+          aggregate(col("grams"), col("text"),
+            (acc, g) => replace(acc, g, lit(" "))).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          (length(col("text")) - length(col("clean"))).cast("long").as("removed_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $BoilerplateRankedCtes,
+      gl AS (SELECT list(gram ORDER BY boiler_rank) AS grams
+             FROM r WHERE boiler_rank <= 100),
+      c AS (SELECT d.doc_id, d.text,
+              list_reduce(list_prepend(d.text, COALESCE(gl.grams, [])),
+                (acc, g) -> replace(acc, g, ' ')) AS clean
+            FROM documents d CROSS JOIN gl)
+      SELECT doc_id, clean,
+        CAST(length(text) - length(clean) AS BIGINT) AS removed_chars
+      FROM c
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
-    qRepetition, qGopher, qVocab, qBoilerplate)
+    qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm)
 }

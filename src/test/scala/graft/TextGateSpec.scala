@@ -94,6 +94,22 @@ class TextGateSpec extends AnyFunSuite {
     assert(agg.keys.forall(boiler.contains(_)))
   }
 
+  test("boilerplate removal: the registered query actually deletes flagged spans") {
+    val rows = graft.functions.TextQueries.qBoilerplateRm.fn(spark, sf).collect()
+    val t = graft.sources.Tables(spark, sf)
+    assert(rows.length == t.documents.count())
+    val removed = rows.map(_.getAs[Long]("removed_chars"))
+    // sf0.001 has >1000 repeated 5-grams, so surgery must happen...
+    assert(removed.exists(_ > 0), "no document had any boilerplate removed")
+    // ...and only ever REMOVES (replace-with-space can't grow the text)
+    assert(removed.forall(_ >= 0))
+    // a cleaned doc no longer contains the top-ranked gram
+    val top = graft.functions.TextQueries.qBoilerplate.fn(spark, sf)
+      .orderBy(col("boiler_rank")).limit(1).collect().head.getAs[String]("gram")
+    assert(rows.forall(r => !r.getAs[String]("clean").contains(top)),
+      s"top boilerplate gram '$top' survives in some cleaned doc")
+  }
+
   test("registered boilerplate query plans the bounded top-k") {
     val plan = graft.functions.TextQueries.qBoilerplate.fn(spark, sf)
       .queryExecution.executedPlan.toString
