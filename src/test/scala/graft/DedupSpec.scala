@@ -127,6 +127,41 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == ids.toSet -- expectedDrops)
   }
 
+  test("semDedup at the √n cell count on sf0.1 partitions the corpus correctly") {
+    // the registered query trains at a toy nlist=10 on 500 vectors;
+    // this exercises the √n regime (sf0.1: 2000 vectors, nlist=45)
+    // and re-verifies the survivor rule against an independent
+    // within-cell brute recompute at that scale
+    val sf01 = "/root/testdata/sf0.1"
+    val e = graft.sources.Tables(spark, sf01).embeddings
+    val nlist = graft.operators.Similarity.defaultNlist(2000)
+    val threshold = 0.45
+    val survivors = Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        nlist = nlist, threshold = threshold, iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    val cells = graft.operators.Similarity
+      .ivfTrainCells(e, col("vec_id"), col("embedding"), nlist = nlist, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = vecs.keys.toSeq.sorted.groupBy(cells)
+    val expectedDrops = byCell.values.flatMap { members =>
+      for {
+        b <- members; a <- members
+        if a < b && BigDecimal(cos(vecs(a), vecs(b)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= threshold
+      } yield b
+    }.toSet
+    assert(expectedDrops.nonEmpty, "threshold exercises nothing at this scale")
+    assert(survivors == vecs.keySet -- expectedDrops)
+    info(s"sf0.1 semDedup: nlist=$nlist, ${expectedDrops.size} of ${vecs.size} dropped")
+  }
+
   test("registered qdedup_embedding plan has no nested-loop or cartesian join") {
     val plan = graft.operators.DedupQueries.qEmbedding.fn(spark, sf)
       .queryExecution.executedPlan.toString
