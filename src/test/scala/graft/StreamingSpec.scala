@@ -520,6 +520,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.filter(col("container_app") === "app1").count() > 0)
   }
 
+  test("the text-curation surface runs unchanged inside a streaming query") {
+    // gate → scrub → split are pure codegen column exprs, so the whole
+    // batch preprocessing story lifts onto a stream with zero rewrites
+    // — this proves it end-to-end: a MemoryStream micro-batch through
+    // gopherRules + redactPii + splitByHash equals the batch result on
+    // the same rows.
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog mail me at a@b.io now ok"),
+      (2L, "to be or not to be that is the question and then some more words here"),
+      (3L, "xx yy zz"), // fails the word-count rule
+      (4L, "the cat sat on the mat and looked at the big red door for a while ok"))
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val passes = TextFunctions.gopherRules(col("text"),
+        minTokens = 10, maxTokens = 100000, minMeanLen = 1, maxMeanLen = 10,
+        minStopwords = 1).toMap.apply("passes")
+      Curation.splitByHash(
+        df.filter(passes)
+          .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean")),
+        col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    }
+    val batch = curate(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    mem.addData(docs: _*)
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("curated")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(batch.nonEmpty && batch.map(_._1) == Set(1L, 2L, 4L))
+    assert(streamed == batch)
+    assert(batch.forall { case (_, clean, _, _) => !clean.contains("a@b.io") })
+  }
+
   test("connector adapters map consumer config to source options (compile-only)") {
     import graft.streaming.Connectors
     val kafka = Connectors.KafkaSource("broker-1:9092,broker-2:9092", "logs",
