@@ -60,6 +60,20 @@ object Layout {
     parts
   }
 
+  /** Write `df` hive-partitioned by `cols` (one directory level per
+    * column). The complement of bucketing: bucketing pre-shuffles for
+    * JOIN keys, directory partitioning prunes SCANS — a filter on a
+    * partition column becomes a `PartitionFilters` entry and the
+    * non-matching directories are never listed, let alone read
+    * (LayoutSpec asserts the pruned scan). At 100 TB partition on the
+    * coarse always-filtered dimensions (ingest date, source); keep
+    * cardinality bounded — a million tiny partitions reintroduces the
+    * small-files problem [[compact]] exists to fix. */
+  def writePartitioned(df: DataFrame, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writePartitioned: need at least one partition column")
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+  }
+
   /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet
     * table in the session catalog. `buckets` is a layout-time choice:
     * size it so one bucket of the LARGEST co-bucketed table fits an

@@ -79,4 +79,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(parquetFiles(splitOut) == 4)
     assert(spark.read.parquet(splitOut).count() == t.lineitem.count())
   }
+
+  test("partitioned writes prune non-matching directories from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
+    val t = Tables(spark, sf)
+    Layout.writePartitioned(t.documents, dir, Seq("lang"))
+    // hive-style one-dir-per-value layout on disk
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(langDirs.nonEmpty && langDirs.forall(_.matches("lang=[a-z]+")))
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the filter must land in PartitionFilters (directory pruning),
+    // NOT PushedFilters (row-group skipping inside files already read)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("(lang"),
+      s"lang filter did not become a partition filter:\n$scan")
+    // only the en directory's files are selected for the scan: run THIS
+    // plan instance (metrics bind per executed plan) and compare its
+    // numFiles against the en partition's actual file count
+    val plan = filtered.queryExecution.executedPlan
+    assert(plan.execute().count() > 0)
+    val enFiles = new java.io.File(s"$dir/lang=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val numFiles = plan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }
+    assert(numFiles.nonEmpty && numFiles.head == enFiles,
+      s"scan selected ${numFiles.headOption} files; lang=en holds $enFiles")
+    // the partition column round-trips from the directory name
+    val counts = spark.read.parquet(dir).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = t.documents.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == orig)
+  }
 }
