@@ -47,33 +47,52 @@ object Keywords {
 
   /** Repetition metric (SURVEY.md §2.C24): each document's most
     * frequent word n-gram and the fraction of the document's
-    * characters it accounts for — the Gopher/MassiveText-style
-    * "top n-gram character fraction" quality filter (degenerate
-    * machine-generated text repeats one phrase; prose doesn't).
-    * Docs shorter than n tokens have no grams and are absent.
+    * characters it covers — the Gopher/MassiveText-style "top n-gram
+    * character fraction" quality filter (degenerate machine-generated
+    * text repeats one phrase; prose doesn't). Docs shorter than n
+    * tokens have no grams and are absent.
+    *
+    * The fraction counts characters COVERED, not occurrences×length:
+    * bag-semantics occurrences of a self-overlapping gram ("a a a"
+    * holds "a a" twice in 5 chars) would push occurrences×length past
+    * the document length, and a "fraction" above 1.0 is nonsense for
+    * exactly the repetitive docs this metric exists to flag. Coverage
+    * is measured as `len(text) − len(replace(text, gram, ''))` — the
+    * left-to-right non-overlapping occurrence count × gram length,
+    * bounded by the text length, with identical `replace` semantics in
+    * both engines (the recipe qtext_boilerplate_rm's oracle proves).
+    * The bag occurrence count still rides along as `n_occurrences`.
     *
     * Scale shape: one (doc_id, gram) aggregation shuffle, then the
     * per-doc argmax window re-uses the doc key — and since it is a
     * rank-1 filter over high-cardinality doc_id, Spark plans a
-    * map-side WindowGroupLimit (no whole-partition buffering). The
-    * cut decision stays INTEGER-exact (count desc, gram asc); the
-    * float fraction rides along rounded, it never decides the argmax.
+    * map-side WindowGroupLimit (no whole-partition buffering); the
+    * winning gram equi-joins back to the doc frame for the coverage
+    * pass (one row per doc, ids + one gram string). The cut decision
+    * stays INTEGER-exact (count desc, gram asc); the float fraction
+    * rides along rounded, it never decides the argmax.
     */
   def topNgramStats(df: DataFrame, id: Column, text: Column, n: Int = 2): DataFrame = {
-    val grams = df.select(id.as("doc_id"), length(text).as("text_chars"),
+    val grams = df.select(id.as("doc_id"),
       explode(graft.operators.Dedup.wordShingles(text, n, distinct = false)).as("gram"))
-    val counts = grams.groupBy(col("doc_id"), col("text_chars"), col("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("n_occurrences"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
-    counts
+    val top = counts
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("gram").as("top_gram"),
-        col("n_occurrences").cast("long").as("n_occurrences"),
-        (col("n_occurrences") * length(col("gram"))).cast("long").as("gram_chars"),
-        col("text_chars").cast("long").as("text_chars"),
-        round((col("n_occurrences") * length(col("gram"))).cast("double") /
+        col("n_occurrences").cast("long").as("n_occurrences"))
+    val docs = df.select(id.as("doc_id"), text.as("__text"))
+    top.join(docs, "doc_id")
+      .withColumn("covered_chars",
+        (length(col("__text")) - length(replace(col("__text"), col("top_gram"))))
+          .cast("long"))
+      .withColumn("text_chars", length(col("__text")).cast("long"))
+      .select(col("doc_id"), col("top_gram"), col("n_occurrences"),
+        col("covered_chars"), col("text_chars"),
+        round(col("covered_chars").cast("double") /
           col("text_chars").cast("double"), 4).as("top_gram_char_frac"))
   }
 }

@@ -198,24 +198,27 @@ object TextQueries {
     },
     Some("""
       WITH toks AS (
-        SELECT doc_id, length(text) AS text_chars, string_split(text, ' ') AS t
-        FROM documents),
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       grams AS (
-        SELECT doc_id, text_chars,
+        SELECT doc_id,
                array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS gram
         FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
         WHERE len(t) >= 2),
-      c AS (SELECT doc_id, text_chars, gram, COUNT(*) AS cnt
-            FROM grams GROUP BY doc_id, text_chars, gram),
-      r AS (SELECT doc_id, text_chars, gram, cnt,
+      c AS (SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM grams GROUP BY doc_id, gram),
+      r AS (SELECT doc_id, gram, cnt,
               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
-            FROM c)
+            FROM c),
+      j AS (SELECT r.doc_id, r.gram, r.cnt, d.text,
+              length(d.text) - length(replace(d.text, r.gram, '')) AS covered
+            FROM r JOIN documents d ON d.doc_id = r.doc_id
+            WHERE r.rn = 1)
       SELECT doc_id, gram AS top_gram,
         CAST(cnt AS BIGINT) AS n_occurrences,
-        CAST(cnt * length(gram) AS BIGINT) AS gram_chars,
-        CAST(text_chars AS BIGINT) AS text_chars,
-        ROUND(CAST(cnt * length(gram) AS DOUBLE) / text_chars, 4) AS top_gram_char_frac
-      FROM r WHERE rn = 1
+        CAST(covered AS BIGINT) AS covered_chars,
+        CAST(length(text) AS BIGINT) AS text_chars,
+        ROUND(CAST(covered AS DOUBLE) / length(text), 4) AS top_gram_char_frac
+      FROM j
       ORDER BY doc_id"""))
 
   /** THE single SQL definition of the Gopher rule measures (the `m`

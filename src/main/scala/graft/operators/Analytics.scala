@@ -505,7 +505,12 @@ object Analytics {
   // Instead: one map-side-combined groupBy builds the 25-row brand-average
   // frame, which is broadcast back — the big side never shuffles at all.
   // Same decimal-exact math (sum cast to decimal, one double division), so
-  // the window-form oracle SQL is value-identical.
+  // the window-form oracle SQL is value-identical. The join-back is
+  // NULL-SAFE (<=>): a window PARTITION BY groups NULL keys into one
+  // partition, so a plain equi-join would silently drop NULL-brand rows
+  // the window form keeps — latent on TPC-H (brand is non-null) but a
+  // real divergence on corpora with missing keys; EqualNullSafe is still
+  // a hash-join key, so the broadcast plan is unchanged (spec-pinned).
   val q18 = Q(
     "q18_above_brand_avg",
     (s, dir) => {
@@ -513,7 +518,8 @@ object Analytics {
       val brandAvg = part.groupBy(col("p_brand"))
         .agg((sum(col("p_retailprice").cast(D)).cast("double") /
               count(lit(1)).cast("double")).as("brand_avg"))
-      part.join(broadcast(brandAvg), "p_brand")
+        .withColumnRenamed("p_brand", "b_brand")
+      part.join(broadcast(brandAvg), col("p_brand") <=> col("b_brand"))
         .filter(col("p_retailprice") > col("brand_avg"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_above"))

@@ -418,9 +418,18 @@ object Dedup {
     * within each cluster — the published recipe for semantic dedup at
     * web scale, where all-pairs (even blocked) is too much and LSH
     * misses the mid-similarity band. A vector is dropped when a
-    * SMALLER-id vector in its cell is cosine-≥-threshold; survivors
-    * are the ids with no smaller near-dup, i.e. the deterministic
-    * greedy representative of every semantic group.
+    * SMALLER-id vector in its cell is cosine-≥-threshold — dropped
+    * partners do NOT resurrect their neighbors, so the survivor set is
+    * exactly "ids with no smaller direct near-dup". That one-shot rule
+    * sits between the two classical alternatives: it drops MORE than a
+    * sequential greedy scan (which would keep a doc whose only
+    * near-dups were themselves dropped) and NEVER more than
+    * connected-component keep-min (which also drops ids linked to the
+    * minimum only through longer paths). At realistic SemDedup
+    * thresholds (≥0.9) near-duplication is almost transitive and the
+    * three coincide; when component-exact grouping matters, feed the
+    * within-cell pairs to [[Curation.clusters]] + applyClusters
+    * instead — same machinery, CC semantics.
     *
     * Scale shape: training is [[Similarity.ivfTrainCells]] (broadcast
     * nlist-bounded centroids, corpus never shuffles whole vectors); the

@@ -57,6 +57,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(one == Seq((1L, 10L, "x")))
   }
 
+  test("q18's join rewrite keeps NULL-key rows exactly as the window form does") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    // TPC-H brands are non-null, so the oracle can't see this class;
+    // construct the missing-key corpus the rewrite must not diverge on
+    val parts = Seq(
+      (Some("B1"), 10.0), (Some("B1"), 20.0), (Some("B1"), 30.0),
+      (None, 5.0), (None, 15.0), (None, 25.0))
+      .toDF("p_brand", "p_retailprice")
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the window form the oracle SQL uses: PARTITION BY groups NULLs
+    val windowed = parts
+      .withColumn("brand_avg",
+        sum(col("p_retailprice")).over(Window.partitionBy(col("p_brand"))) /
+          count(lit(1)).over(Window.partitionBy(col("p_brand"))))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_above"))
+    // the registered rewrite: groupBy + null-safe broadcast join-back
+    val brandAvg = parts.groupBy(col("p_brand"))
+      .agg((sum(col("p_retailprice")) / count(lit(1))).as("brand_avg"))
+      .withColumnRenamed("p_brand", "b_brand")
+    val rewritten = parts
+      .join(broadcast(brandAvg), col("p_brand") <=> col("b_brand"))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_above"))
+    assert(results(windowed) == results(rewritten))
+    assert(results(rewritten).contains(None), "NULL-brand group dropped by the join")
+    // and the null-safe key must not demote the broadcast hash join
+    assert(rewritten.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("q10b approx percentiles land near the exact per-group values") {
     val exact = Analytics.q10.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

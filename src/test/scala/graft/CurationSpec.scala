@@ -169,8 +169,11 @@ class CurationSpec extends AnyFunSuite {
       checkpointDir = Some(dir)))
     assert(durableStar == localStar)
     // and the reliable checkpoint actually wrote to durable storage
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    // (Files.walk streams must be closed — they hold directory handles)
+    val wrote = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) {
+      _.filter(java.nio.file.Files.isRegularFile(_)).count()
+    }
     assert(wrote > 0, "reliable checkpoint wrote no files — still executor-local?")
   }
 

@@ -40,15 +40,24 @@ class KeywordsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "spam spam spam ham"), // "spam spam"×2 beats "spam ham"×1
       (2L, "b a b a"),            // "b a"×2 beats "a b"×1 on count
-      (3L, "one")                 // 1 token: no bigrams, absent
+      (3L, "one"),                // 1 token: no bigrams, absent
+      (4L, "a a a")               // overlapping gram: frac must stay ≤ 1
     ).toDF("doc_id", "text")
     val got = Keywords.topNgramStats(docs, col("doc_id"), col("text"), n = 2)
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
-    assert(got.keySet == Set(1L, 2L))
-    assert(got(1L) == (("spam spam", 2L, 18L, 18L, 1.0)))
-    // "b a b a": grams = b a, a b, b a → "b a"×2 wins on count
+    assert(got.keySet == Set(1L, 2L, 4L))
+    // bag count 2 (occurrences overlap), but coverage removes the
+    // left-to-right NON-overlapping match only: " spam ham" survives
+    assert(got(1L) == (("spam spam", 2L, 9L, 18L, 0.5)))
+    // "b a b a": grams = b a, a b, b a → "b a"×2 wins on count; its two
+    // occurrences don't overlap, so coverage = 2×3 = 6 of 7 chars
     assert(got(2L) == (("b a", 2L, 6L, 7L, 0.8571)))
+    // "a a a": "a a" occurs twice in the bag but covers 3 of 5 chars —
+    // the occurrences×length formula would claim 6/5 = 1.2
+    assert(got(4L) == (("a a", 2L, 3L, 5L, 0.6)))
+    assert(got.values.forall { case (_, _, cov, chars, frac) =>
+      cov <= chars && frac <= 1.0 })
   }
 
   test("distributed shard packing equals the single-window prefix sum") {
