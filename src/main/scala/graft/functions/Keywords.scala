@@ -71,6 +71,14 @@ object Keywords {
     * pass (one row per doc, ids + one gram string). The cut decision
     * stays INTEGER-exact (count desc, gram asc); the float fraction
     * rides along rounded, it never decides the argmax.
+    *
+    * `df` is consumed twice (gram aggregation + the coverage
+    * join-back) and deliberately NOT persisted: like
+    * [[graft.operators.Dedup.embeddingCosinePairs]], the
+    * double-consumed side is the raw corpus (full text, no derived
+    * reduction to amortize), so a cache write costs more than the
+    * second scan it saves. A caller whose input is an EXPENSIVE
+    * derived pipeline should persist it before calling.
     */
   def topNgramStats(df: DataFrame, id: Column, text: Column, n: Int = 2): DataFrame = {
     val grams = df.select(id.as("doc_id"),

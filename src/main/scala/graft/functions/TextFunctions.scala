@@ -29,12 +29,25 @@ object TextFunctions {
 
   // --- language ID (C8) -------------------------------------------------
 
-  /** Public high-frequency stopword profiles per language. */
-  val StopwordProfiles: Seq[(String, String)] = Seq(
-    "en" -> "(the|and|of|to|in|is|that|it|for|on|with|as|was|at|by)",
-    "de" -> "(der|die|das|und|ist|von|zu|mit|den|nicht|ein|eine|auf|im)",
-    "es" -> "(el|la|de|que|y|en|un|una|es|los|las|por|con|para)",
-    "fr" -> "(le|les|de|des|et|est|un|une|dans|que|pour|sur|avec|au)")
+  /** Public high-frequency stopwords per language — WORD LISTS are the
+    * source of truth; the regex alternation is derived. (Deriving the
+    * word list from the regex instead would silently break the moment
+    * a profile used any regex feature — 'colou?r' would "match"
+    * nothing as a literal token.) */
+  val StopwordWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for",
+      "on", "with", "as", "was", "at", "by"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit",
+      "den", "nicht", "ein", "eine", "auf", "im"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es",
+      "los", "las", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "de", "des", "et", "est", "un", "une",
+      "dans", "que", "pour", "sur", "avec", "au"))
+
+  /** The regex alternation form the hit counters use, derived from
+    * [[StopwordWords]]. */
+  val StopwordProfiles: Seq[(String, String)] =
+    StopwordWords.map { case (l, ws) => l -> ws.mkString("(", "|", ")") }
 
   /** Count of profile-stopword hits for one language. */
   def stopwordHits(text: Column, lang: String): Column = {
@@ -145,37 +158,72 @@ object TextFunctions {
 
   /** Distinct profile-stopwords present (en profile) — the Gopher
     * "contains ≥2 stop words" naturalness signal. */
-  def distinctStopwordCount(text: Column): Column = {
-    val stops = StopwordProfiles.toMap.apply("en").stripPrefix("(").stripSuffix(")")
-      .split('|').toSeq
+  def distinctStopwordCount(text: Column): Column =
     size(array_intersect(
       array_distinct(split(lower(text), " ")),
-      array(stops.map(lit): _*)))
+      array(StopwordWords.toMap.apply("en").map(lit): _*)))
+
+  /** The four rule MEASURES, named. Computed once per row and reused
+    * by every flag — the lambda-bearing HOFs (alpha filter, stopword
+    * intersect) are excluded from Catalyst subexpression elimination,
+    * so inlining them into each flag would re-tokenize the document
+    * per flag in the gate's corpus-wide map stage. */
+  def gopherMeasures(text: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> tokenCountWs(text).cast("long"),
+    "n_chars" -> length(regexp_replace(text, " ", "")).cast("long"),
+    "n_alpha_tokens" -> alphaTokenCount(text).cast("long"),
+    "n_stop_distinct" -> distinctStopwordCount(text).cast("long"))
+
+  /** THE single definition of each rule predicate over measure columns
+    * — shared by the flag columns AND the conjunction, so they cannot
+    * drift. */
+  private def gopherPredicates(m: Map[String, Column],
+                               minTokens: Int, maxTokens: Int,
+                               minMeanLen: Int, maxMeanLen: Int,
+                               minStopwords: Int): Seq[(String, Column)] = Seq(
+    "ok_word_count" -> (m("n_tokens") >= minTokens && m("n_tokens") <= maxTokens),
+    // chars/tokens ∈ [minMeanLen, maxMeanLen] without the division
+    "ok_mean_len" -> (m("n_chars") >= m("n_tokens") * minMeanLen &&
+      m("n_chars") <= m("n_tokens") * maxMeanLen),
+    "ok_alpha" -> (m("n_alpha_tokens") * 5 >= m("n_tokens") * 4),
+    "ok_stopwords" -> (m("n_stop_distinct") >= minStopwords))
+
+  /** Append the measures, flags, and `passes` to `df` in TWO select
+    * stages (measures first, flags referencing the named measure
+    * columns) so each HOF measure is evaluated exactly once per row —
+    * the Spark mirror of the SQL side's m-CTE shape. This is the form
+    * the registered queries and streaming lift use. */
+  def gopherGate(df: org.apache.spark.sql.DataFrame, text: Column,
+                 minTokens: Int, maxTokens: Int,
+                 minMeanLen: Int, maxMeanLen: Int,
+                 minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
+    val measured = df.select(
+      col("*") +: gopherMeasures(text).map { case (n, c) => c.as(n) }: _*)
+    val m = gopherMeasures(text).map { case (n, _) => n -> col(n) }.toMap
+    val flags = gopherPredicates(m, minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minStopwords)
+    measured.select(col("*") +: (flags.map { case (n, c) => c.as(n) } :+
+      flags.map(_._2).reduce(_ && _).as("passes")): _*)
   }
 
-  /** Per-rule flags + the conjunction, as (rule columns, passes). The
-    * caller picks which columns to surface; thresholds are parameters
-    * so the query layer documents its cut lines (Gopher's published
-    * stopword minimum is 2; a synthetic or domain-restricted corpus
-    * may need 1 — the registered queries do). */
+  /** Per-rule flags + the conjunction as loose (name, Column) pairs —
+    * the predicate definitions are [[gopherPredicates]], applied to
+    * inline measures. Convenient for unit tests and one-off column
+    * use; prefer [[gopherGate]] in corpus-wide pipelines, where the
+    * two-stage select evaluates each HOF measure once. Thresholds are
+    * parameters so the query layer documents its cut lines (Gopher's
+    * published stopword minimum is 2; a synthetic or domain-restricted
+    * corpus may need 1 — the registered queries do). */
   def gopherRules(text: Column, minTokens: Int, maxTokens: Int,
                   minMeanLen: Int, maxMeanLen: Int,
                   minStopwords: Int = 2): Seq[(String, Column)] = {
-    val nTok = tokenCountWs(text)
-    val nChars = length(regexp_replace(text, " ", ""))
-    val okCount = nTok >= minTokens && nTok <= maxTokens
-    // chars/tokens ∈ [minMeanLen, maxMeanLen] without the division
-    val okMean = nChars >= nTok * minMeanLen && nChars <= nTok * maxMeanLen
-    val okAlpha = alphaTokenCount(text) * 5 >= nTok * 4
-    val okStop = distinctStopwordCount(text) >= minStopwords
+    val m = gopherMeasures(text).toMap
+    val flags = gopherPredicates(m, minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minStopwords)
     Seq(
-      "n_tokens" -> nTok.cast("long"),
-      "n_alpha_tokens" -> alphaTokenCount(text).cast("long"),
-      "n_stop_distinct" -> distinctStopwordCount(text).cast("long"),
-      "ok_word_count" -> okCount,
-      "ok_mean_len" -> okMean,
-      "ok_alpha" -> okAlpha,
-      "ok_stopwords" -> okStop,
-      "passes" -> (okCount && okMean && okAlpha && okStop))
+      "n_tokens" -> m("n_tokens"),
+      "n_alpha_tokens" -> m("n_alpha_tokens"),
+      "n_stop_distinct" -> m("n_stop_distinct")) ++
+      flags :+ ("passes" -> flags.map(_._2).reduce(_ && _))
   }
 }

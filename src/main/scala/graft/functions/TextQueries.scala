@@ -222,13 +222,14 @@ object TextQueries {
       ORDER BY doc_id"""))
 
   /** THE single SQL definition of the Gopher rule measures (the `m`
-    * CTE) and the pass conjunction — shared by qtext_gopher and the
-    * composed preprocessing pipeline so the two oracles can never
-    * drift. Thresholds here mirror the registered gopherRules(50,
-    * 100000, 4, 10) call sites. */
+    * CTE), the per-rule predicates, and the pass conjunction — shared
+    * by qtext_gopher and the composed preprocessing pipeline so the
+    * oracles can never drift, and derived from the same
+    * [[TextFunctions.StopwordWords]] word list the Spark side uses.
+    * Thresholds here mirror the registered gopherGate(50, 100000, 4,
+    * 10, 1) call sites. */
   private[graft] val GopherMCte: String = {
-    val stops = TextFunctions.StopwordProfiles.toMap.apply("en")
-      .stripPrefix("(").stripSuffix(")").split('|')
+    val stops = TextFunctions.StopwordWords.toMap.apply("en")
       .map(w => s"'$w'").mkString(", ")
     s"""m AS (
         SELECT doc_id,
@@ -240,11 +241,15 @@ object TextQueries {
                    [$stops])) AS BIGINT) AS n_stop_distinct
         FROM documents)"""
   }
+  /** One SQL predicate per rule over the m-CTE columns; the flag
+    * columns AND the conjunction are built from these, never copied. */
+  private[graft] val GopherRuleSql: Seq[(String, String)] = Seq(
+    "ok_word_count" -> "(n_tokens >= 50 AND n_tokens <= 100000)",
+    "ok_mean_len" -> "(n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens)",
+    "ok_alpha" -> "(5 * n_alpha_tokens >= 4 * n_tokens)",
+    "ok_stopwords" -> "(n_stop_distinct >= 1)")
   private[graft] val GopherPassSql: String =
-    """((n_tokens >= 50 AND n_tokens <= 100000)
-          AND (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens)
-          AND (5 * n_alpha_tokens >= 4 * n_tokens)
-          AND (n_stop_distinct >= 1))"""
+    GopherRuleSql.map(_._2).mkString("(", "\n          AND ", ")")
 
   /** Gopher-style rule gate (C25): each structural rule surfaced as its
     * own flag plus the conjunction. All cuts are integer comparisons
@@ -256,23 +261,30 @@ object TextQueries {
       // minStopwords = 1: the synthetic corpus vocabulary contains a
       // single profile stopword, so the published minimum of 2 would
       // fail every row and the conjunction would gate nothing
-      val rules = TextFunctions.gopherRules(col("text"),
-        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
-        minStopwords = 1)
-      Tables(s, dir).documents
-        .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      TextFunctions.gopherGate(
+          Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("text"),
+          minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+          minStopwords = 1)
+        .drop("text", "n_chars")
         .orderBy(col("doc_id"))
     },
-    Some(s"""
-      WITH $GopherMCte
+    Some {
+      val flagCols = GopherRuleSql
+        .map { case (n, p) => s"$p AS $n" }.mkString(",\n        ")
+      val conj = GopherRuleSql.map(_._1).mkString("(", " AND ", ")")
+      s"""
+      WITH $GopherMCte,
+      flags AS (
+        SELECT doc_id, n_tokens, n_alpha_tokens, n_stop_distinct,
+        $flagCols
+        FROM m)
       SELECT doc_id, n_tokens, n_alpha_tokens, n_stop_distinct,
-        (n_tokens >= 50 AND n_tokens <= 100000) AS ok_word_count,
-        (n_chars >= 4 * n_tokens AND n_chars <= 10 * n_tokens) AS ok_mean_len,
-        (5 * n_alpha_tokens >= 4 * n_tokens) AS ok_alpha,
-        (n_stop_distinct >= 1) AS ok_stopwords,
-        $GopherPassSql AS passes
-      FROM m
-      ORDER BY doc_id"""))
+        ok_word_count, ok_mean_len, ok_alpha, ok_stopwords,
+        $conj AS passes
+      FROM flags
+      ORDER BY doc_id"""
+    })
 
   /** Corpus vocabulary head (C26): global term frequency + document
     * frequency for the top-50 terms, with each term's share of all

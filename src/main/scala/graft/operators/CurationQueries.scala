@@ -319,17 +319,16 @@ object CurationQueries {
     (s, dir) => {
       import graft.functions.TextFunctions
       val docs = Tables(s, dir).documents
-      val passes = TextFunctions.gopherRules(col("text"),
-        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
-        minStopwords = 1) // see qtext_gopher: this corpus has ONE stopword
-        .toMap.apply("passes")
       val id = col("doc_id").cast("string")
       val injected = concat(col("text"),
         lit(" Contact user"), id, lit("@example.com via https://ex.io/u/"), id,
         lit(" or +1 (555) 000-"), lpad(id, 4, "0"))
-      val kept = docs.filter(passes)
-        .select(col("doc_id"),
-          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+      val kept = TextFunctions.gopherGate(
+          docs.select(col("doc_id"), col("text")), col("text"),
+          minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+          minStopwords = 1) // see qtext_gopher: this corpus has ONE stopword
+        .filter(col("passes"))
+        .select(col("doc_id"), col("n_tokens"),
           TextFunctions.redactPii(injected).as("clean"))
       Curation.splitByHash(kept, col("doc_id"),
           splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))

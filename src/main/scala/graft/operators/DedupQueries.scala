@@ -202,7 +202,14 @@ object DedupQueries {
     * qdedup_embedding formulation (raw-vector list_cosine_similarity vs
     * normalized-dot, both rounded to 4), and the survivor rule (drop
     * iff a smaller id in the same cell is ≥ threshold) is set algebra.
-    * Output = the surviving (vec_id, cell) index. */
+    * Output = the surviving (vec_id, cell) index. Same threshold-parity
+    * caveat as qdedup_embedding (whose green history established the
+    * formulation): the two engines' float paths differ below the
+    * round(…, 4), so a pair landing within 1 ulp of a 0.00005 rounding
+    * boundary could in principle flip across the cut — here that would
+    * move a vec_id between the drop and survivor sets rather than
+    * add/remove one reported pair. Deterministic per corpus; the gate
+    * re-proves it on every run. */
   val qSemantic = Q(
     "qdedup_semantic",
     (s, dir) => {
