@@ -189,6 +189,43 @@ object Dedup {
                        seed: Long = 42L): Column =
     minhashSignatureFromHashes(shingleHashSet(text, n), k, seed)
 
+  /** The shared MinHash prep: shingle hash set + k-permutation
+    * signature per doc, persisted. Shingle-less docs (shorter than n
+    * tokens) all share the null signature — without the guard they'd
+    * pile into one degenerate bucket and quadratically self-join
+    * there; the guard is the cheap `tokens >= n` equivalent, applied
+    * BEFORE the repartition so the signature stage (the cost center)
+    * parallelizes by cluster size with no pushed-down recompute on the
+    * raw scan. Persisted: three consumers (banding + both verify
+    * joins) would otherwise each re-run shingling AND the
+    * k-permutation signature from the raw scan — the plan's cost
+    * center, 3× over (A/B at sf0.1: 4.47s → 3.49s). At 100 TB, write
+    * this frame as an intermediate table instead of caching — for the
+    * incremental path that table IS the corpus index. */
+  private def minhashPrepped(df: DataFrame, id: Column, text: Column,
+                             n: Int, k: Int, seed: Long): DataFrame =
+    df.select(id.as("doc_id"), text.as("doc_text"))
+      .filter(size(split(col("doc_text"), " ")) >= n)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, band, band_hash) rows of a prepped frame, buckets above
+    * `maxBucket` evicted (per side — a bucket that big is a degenerate
+    * shingle cluster, not a near-dup group). */
+  private def bandedCapped(docs: DataFrame, bands: Int, rows: Int,
+                           maxBucket: Int): DataFrame =
+    docs.select(col("doc_id"), posexplode(
+        array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*))
+        }: _*)).as(Seq("band", "band_hash")))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
   /** Near-duplicate pairs via banded MinHash-LSH, verified by true
     * shingle Jaccard. bands·rows must equal the signature length k.
     * One shuffle on (band, band-hash); per-bucket self-join generates
@@ -199,34 +236,8 @@ object Dedup {
                       threshold: Double = 0.5, seed: Long = 42L,
                       maxBucket: Int = 1000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    val k = bands * rows
-    // Shingle-less docs (shorter than n tokens) all share the null
-    // signature — without the guard they'd pile into one degenerate
-    // bucket and quadratically self-join there; the guard is the cheap
-    // `tokens >= n` equivalent, applied BEFORE the repartition so the
-    // k-permutation signature stage (the cost center) parallelizes by
-    // cluster size with no pushed-down recompute on the raw scan.
-    // persisted: three consumers (banding + both verify joins) would
-    // otherwise each re-run shingling AND the k-permutation signature
-    // from the raw scan — the plan's cost center, 3× over (A/B at
-    // sf0.1: 4.47s → 3.49s). At 100 TB, write this frame as an
-    // intermediate table instead of caching.
-    val docs = df.select(id.as("doc_id"), text.as("doc_text"))
-      .filter(size(split(col("doc_text"), " ")) >= n)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
-      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = docs.select(col("doc_id"), posexplode(
-        array((0 until bands).map { b =>
-          xxhash64(concat_ws(",", (0 until rows).map(r =>
-            element_at(col("sig"), b * rows + r + 1)): _*))
-        }: _*)).as(Seq("band", "band_hash")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val docs = minhashPrepped(df, id, text, n, bands * rows, seed)
+    val capped = bandedCapped(docs, bands, rows, maxBucket)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -238,6 +249,42 @@ object Dedup {
       .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dedup (C33): near-dup pairs BETWEEN a new batch
+    * and an existing corpus — the production ingest shape (a daily
+    * increment screened against the historical index) where re-running
+    * the full self-join would redo work quadratic in history size.
+    * Bipartite banded LSH: each side is prepped independently (at
+    * scale the corpus side's shingle+signature frame is a precomputed
+    * index table, not recomputed — see [[minhashPrepped]]), candidates
+    * come from the (band, band_hash) equi-join ACROSS sides only (no
+    * new×new or old×old compares), and the exact Jaccard verify joins
+    * each side's own shingle sets back by id. Same recall algebra as
+    * [[minhashLshPairs]]; same-id rows (a doc present in both frames)
+    * are excluded as trivially self-dup. Returns
+    * (new_id, old_id, jaccard). */
+  def minhashLshPairsAgainst(newDf: DataFrame, newId: Column, newText: Column,
+                             corpus: DataFrame, corpusId: Column, corpusText: Column,
+                             n: Int = 2, bands: Int = 16, rows: Int = 4,
+                             threshold: Double = 0.5, seed: Long = 42L,
+                             maxBucket: Int = 1000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(newDf.sparkSession)
+    val k = bands * rows
+    val nw = minhashPrepped(newDf, newId, newText, n, k, seed)
+    val old = minhashPrepped(corpus, corpusId, corpusText, n, k, seed)
+    val cand = bandedCapped(nw, bands, rows, maxBucket).as("a")
+      .join(bandedCapped(old, bands, rows, maxBucket).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    cand
+      .join(nw.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(old.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), "old_id")
+      .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
   // --- C3: SimHash ------------------------------------------------------

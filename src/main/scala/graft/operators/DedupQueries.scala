@@ -231,6 +231,40 @@ object DedupQueries {
       WHERE c.vec_id NOT IN (SELECT vb FROM d)
       ORDER BY vec_id"""))
 
+  /** Incremental near-dedup (C33): every 10th doc stands in as the
+    * "new batch", the rest as the historical corpus. Same 32×2 banding
+    * as qdedup_minhash_lsh, so on this data the verified output equals
+    * the bipartite brute-force truth — the oracle doubles as a recall
+    * proof for the cross-side candidate generation. */
+  val qIncremental = Q(
+    "qdedup_incremental",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val nw = t.documents.filter(col("doc_id") % 10 === 0)
+      val old = t.documents.filter(col("doc_id") % 10 =!= 0)
+      Dedup.minhashLshPairsAgainst(
+          nw, col("doc_id"), col("text"),
+          old, col("doc_id"), col("text"),
+          n = 2, bands = 32, rows = 2, threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, length(w))]) s
+             FROM d),
+      pairs AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+               length(list_intersect(a.s, b.s)) AS n_inter,
+               ROUND(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / length(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      SELECT new_id, old_id, jaccard
+      FROM pairs
+      WHERE n_inter > 0 AND jaccard >= 0.5
+      ORDER BY new_id, old_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic)
+    qSemantic, qIncremental)
 }

@@ -34,6 +34,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("incremental minhash emits cross-side pairs only, never within a side") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
+    val c = "completely different content with no overlap whatsoever at all here"
+    // two IDENTICAL docs INSIDE the new batch (ids 1,2) must NOT pair
+    // with each other; every emitted pair is (new, old)
+    val nw = docs(1L -> a, 2L -> a, 3L -> c)
+    val old = docs(101L -> b, 102L -> c.replace("different", "changed"))
+    val got = Dedup.minhashLshPairsAgainst(
+        nw, col("doc_id"), col("text"), old, col("doc_id"), col("text"),
+        n = 2, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L), (2L, 101L), (3L, 102L)), s"got $got")
+  }
+
   test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
     val t = graft.sources.Tables(spark, sf)
     val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)

@@ -78,6 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "qdedup_simhash" -> ("bucket-cap count over (chunk, chunk_val) — same " +
       "hash-keyed shape: per-partition size is the bucket being measured, " +
       "evicted above maxBucket"),
+    "qdedup_incremental" -> ("the same (band, band_hash) bucket-cap count as " +
+      "qdedup_minhash_lsh, once per side"),
     "qdedup_embedding_lsh" -> ("bucket-cap count over (table_id, bucket) " +
       "hyperplane-hash keys; buckets above maxBucket are evicted"),
     "qdedup_clusters" -> ("cluster_size count over cluster_id — " +
