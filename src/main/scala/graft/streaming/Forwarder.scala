@@ -33,7 +33,14 @@ object Forwarder {
         * whitespace are NOT replays). Malformed lines (null parsed
         * timestamp) bypass the dedup and are always delivered. State
         * is md5 keys only, evicted by watermark. */
-      dedupWithin: Option[String] = None)
+      dedupWithin: Option[String] = None,
+      /** Redact emails/phones/URLs from the free-text fields (title,
+        * rawlog) BEFORE serialization — the standard compliance step
+        * when forwarding logs to a less-trusted store. Uses the same
+        * codegen'd [[graft.functions.TextFunctions.redactPii]] chain
+        * as the batch curation surface; structured fields (host, app,
+        * timestamps) are never touched. */
+      scrubPii: Boolean = false)
 
   /** The batch/streaming-shared transform: raw `value` lines →
     * enhanced fields + (stream, json) delivery columns. Routing
@@ -41,9 +48,16 @@ object Forwarder {
     * `when(col("level") === "error", lit("errors")).otherwise(lit("main"))`
     * to demux. */
   def transform(lines: DataFrame, deployEnv: String,
-                route: Column): DataFrame = {
+                route: Column, scrubPii: Boolean = false): DataFrame = {
     graft.GraftExtensions.ensureRegistered(lines.sparkSession)
-    val enhanced = LogColumns.enhance(lines, col("value"), deployEnv)
+    val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
+    // scrub BEFORE serialization so the delivered NDJSON never carries
+    // the raw values; only the free-text fields are rewritten
+    val enhanced = if (scrubPii)
+      parsed
+        .withColumn("title", graft.functions.TextFunctions.redactPii(col("title")))
+        .withColumn("rawlog", graft.functions.TextFunctions.redactPii(col("rawlog")))
+    else parsed
     enhanced.withColumn("stream", route)
       .withColumn("json", LogColumns.toNdjson(
         col("timestamp"), col("hostname"), col("programname"), col("pid"),
@@ -62,7 +76,7 @@ object Forwarder {
     val r = route.getOrElse(lit(conf.streamName))
     val src = source
       .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
-    val transformed = transform(src.stream(spark), conf.deployEnv, r)
+    val transformed = transform(src.stream(spark), conf.deployEnv, r, conf.scrubPii)
     // dedup AFTER transform on the EXACT serialized record (md5 of the
     // raw json, not StreamDedup's corpus-text normalization — case or
     // whitespace differences are distinct records, not replays); the

@@ -520,6 +520,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(parsed.filter(col("container_app") === "app1").count() > 0)
   }
 
+  test("scrubPii redacts free-text fields before delivery, not structured ones") {
+    val out = tmp(); val ck = tmp(); val in = tmp()
+    val line = "2024-01-01T00:00:00+00:00 host-1 production--app0/" +
+      "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-1[1]: " +
+      """{"title":"user a@b.io hit https://x.io/p?k=1","level":"info"}"""
+    writeLines(in, "a.log", Seq(line))
+    val q = Forwarder.start(spark,
+      Forwarder.Config(in, ck, scrubPii = true), new FileDelivery(out))
+    q.awaitTermination()
+    val delivered = Files.walk(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(delivered.size == 1)
+    val json = delivered.head
+    assert(!json.contains("a@b.io") && !json.contains("https://x.io"),
+      s"PII survived into the delivered record: $json")
+    assert(json.contains("<EMAIL>") && json.contains("<URL>"))
+    // structured fields are untouched
+    assert(json.contains("host-1") && json.contains("app0"))
+  }
+
   test("the text-curation surface runs unchanged inside a streaming query") {
     // gate → scrub → split are pure codegen column exprs, so the whole
     // batch preprocessing story lifts onto a stream with zero rewrites
