@@ -49,6 +49,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 101L), (2L, 101L), (3L, 102L)), s"got $got")
   }
 
+  test("incremental minhash degenerate inputs: empty sides yield empty, not errors") {
+    val some = docs(1L -> "the quick brown fox jumps over the lazy dog right now")
+    val none = docs()
+    assert(Dedup.minhashLshPairsAgainst(none, col("doc_id"), col("text"),
+      some, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.minhashLshPairsAgainst(some, col("doc_id"), col("text"),
+      none, col("doc_id"), col("text")).count() == 0)
+  }
+
   test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
     val t = graft.sources.Tables(spark, sf)
     val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)
