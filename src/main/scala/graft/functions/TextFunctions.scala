@@ -128,12 +128,26 @@ object TextFunctions {
     * by construction. */
   val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
+  /** Log-path phone variant: refuses matches that start at an ISO
+    * date (`2024-01-01` is phone-shaped to [[PhonePattern]]) or start
+    * mid-digit-run / after a dash (which would redact a date's TAIL,
+    * or a dashed id like `task-12345678`). Uses lookaround — fine
+    * HERE because this variant backs the spec-gated forwarder path,
+    * not a DuckDB oracle; [[PhonePattern]] stays lookaround-free for
+    * cross-engine parity. The cost: dash-attached digit runs are no
+    * longer redacted on the log path — in log text those are ids, not
+    * phones. */
+  val PhonePatternLogSafe: String =
+    "(?<![0-9-])(?!\\d{4}-\\d{2}-\\d{2})" + PhonePattern
+
   def redactUrls(text: Column): Column =
     regexp_replace(text, lit(UrlPattern), lit("<URL>"))
   def redactEmails(text: Column): Column =
     regexp_replace(text, lit(EmailPattern), lit("<EMAIL>"))
   def redactPhones(text: Column): Column =
     regexp_replace(text, lit(PhonePattern), lit("<PHONE>"))
+  def redactPhonesLogSafe(text: Column): Column =
+    regexp_replace(text, lit(PhonePatternLogSafe), lit("<PHONE>"))
 
   /** Full scrub, order-sensitive: URLs first (an email-shaped substring
     * inside a URL query string must disappear as part of the URL), then
@@ -141,6 +155,12 @@ object TextFunctions {
     * scrubbing can never eat an earlier redaction). */
   def redactPii(text: Column): Column =
     redactPhones(redactEmails(redactUrls(text)))
+
+  /** [[redactPii]] with the log-safe phone variant — for text that
+    * embeds ISO timestamps (raw log lines), where the plain pattern
+    * would redact every leading date as a phone. */
+  def redactPiiLogSafe(text: Column): Column =
+    redactPhonesLogSafe(redactEmails(redactUrls(text)))
 
   // --- Gopher-style rule gate (C25) -------------------------------------
   // The published repetition-free document filter shape (Rae et al. 2021,

@@ -231,6 +231,20 @@ object Dedup {
     * One shuffle on (band, band-hash); per-bucket self-join generates
     * candidates; verification joins back the shingle sets.
     */
+  /** The shared exact-Jaccard verify: attach each side's shingle set
+    * by id, compute, threshold. ONE definition so the verify recipe
+    * (rounding, threshold semantics) can't diverge between the
+    * self-join and bipartite paths. */
+  private def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
+                            aName: String, bName: String,
+                            threshold: Double): DataFrame =
+    cand
+      .join(left.select(col("doc_id").as(aName), col("sh").as("sh_a")), aName)
+      .join(right.select(col("doc_id").as(bName), col("sh").as("sh_b")), bName)
+      .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col(aName), col(bName), col("jaccard"))
+
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 2, bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5, seed: Long = 42L,
@@ -243,12 +257,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(cand, docs, docs, "doc_a", "doc_b", threshold)
   }
 
   /** Incremental near-dedup (C33): near-dup pairs BETWEEN a new batch
@@ -261,9 +270,16 @@ object Dedup {
     * come from the (band, band_hash) equi-join ACROSS sides only (no
     * new×new or old×old compares), and the exact Jaccard verify joins
     * each side's own shingle sets back by id. Same recall algebra as
-    * [[minhashLshPairs]]; same-id rows (a doc present in both frames)
-    * are excluded as trivially self-dup. Returns
-    * (new_id, old_id, jaccard). */
+    * [[minhashLshPairs]]. Ids are NOT assumed shared between sides:
+    * a colliding id (new batch restarting at 0 against a historical
+    * corpus) is compared like any other candidate — excluding same-id
+    * pairs would silently let such a near-dup through, and when the
+    * id spaces ARE shared, a (x, x) pair is a re-ingestion worth
+    * flagging, not noise. Returns (new_id, old_id, jaccard). In a
+    * recurring driver, prep the corpus index ONCE (write
+    * [[minhashPrepped]]'s frame as a table) instead of re-calling
+    * this per increment — each call persists both sides for its own
+    * lifetime. */
   def minhashLshPairsAgainst(newDf: DataFrame, newId: Column, newText: Column,
                              corpus: DataFrame, corpusId: Column, corpusText: Column,
                              n: Int = 2, bands: Int = 16, rows: Int = 4,
@@ -275,16 +291,10 @@ object Dedup {
     val old = minhashPrepped(corpus, corpusId, corpusText, n, k, seed)
     val cand = bandedCapped(nw, bands, rows, maxBucket).as("a")
       .join(bandedCapped(old, bands, rows, maxBucket).as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
-    cand
-      .join(nw.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(old.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), "old_id")
-      .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("old_id"), col("jaccard"))
+    verifyJaccard(cand, nw, old, "new_id", "old_id", threshold)
   }
 
   // --- C3: SimHash ------------------------------------------------------

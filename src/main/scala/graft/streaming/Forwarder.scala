@@ -35,11 +35,16 @@ object Forwarder {
         * is md5 keys only, evicted by watermark. */
       dedupWithin: Option[String] = None,
       /** Redact emails/phones/URLs from the free-text fields (title,
-        * rawlog) BEFORE serialization — the standard compliance step
-        * when forwarding logs to a less-trusted store. Uses the same
-        * codegen'd [[graft.functions.TextFunctions.redactPii]] chain
-        * as the batch curation surface; structured fields (host, app,
-        * timestamps) are never touched. */
+        * rawlog) before delivery — the standard compliance step when
+        * forwarding logs to a less-trusted store. Same codegen
+        * redaction chain as the batch curation surface, with the
+        * LOG-SAFE phone variant (the plain pattern would redact every
+        * ISO date in rawlog as a phone). Applied LAST in the pipeline:
+        * routing matches and the `dedupWithin` replay key both see the
+        * PRE-scrub record, so a route keyed on URL/digit-shaped text
+        * keeps matching and two distinct records that differ only in
+        * redacted PII are never collapsed as replays. Structured
+        * fields (host, app, timestamps) are never touched. */
       scrubPii: Boolean = false)
 
   /** The batch/streaming-shared transform: raw `value` lines →
@@ -48,22 +53,27 @@ object Forwarder {
     * `when(col("level") === "error", lit("errors")).otherwise(lit("main"))`
     * to demux. */
   def transform(lines: DataFrame, deployEnv: String,
-                route: Column, scrubPii: Boolean = false): DataFrame = {
+                route: Column): DataFrame = {
     graft.GraftExtensions.ensureRegistered(lines.sparkSession)
-    val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
-    // scrub BEFORE serialization so the delivered NDJSON never carries
-    // the raw values; only the free-text fields are rewritten
-    val enhanced = if (scrubPii)
-      parsed
-        .withColumn("title", graft.functions.TextFunctions.redactPii(col("title")))
-        .withColumn("rawlog", graft.functions.TextFunctions.redactPii(col("rawlog")))
-    else parsed
+    val enhanced = LogColumns.enhance(lines, col("value"), deployEnv)
     enhanced.withColumn("stream", route)
-      .withColumn("json", LogColumns.toNdjson(
-        col("timestamp"), col("hostname"), col("programname"), col("pid"),
-        col("container_env"), col("container_app"), col("container_task"),
-        col("title"), col("level"), col("deploy_env"), col("rawlog")))
+      .withColumn("json", serialized)
   }
+
+  private def serialized: Column = LogColumns.toNdjson(
+    col("timestamp"), col("hostname"), col("programname"), col("pid"),
+    col("container_env"), col("container_app"), col("container_task"),
+    col("title"), col("level"), col("deploy_env"), col("rawlog"))
+
+  /** The delivery-time scrub (see Config.scrubPii): rewrite the
+    * free-text fields with the log-safe redaction chain and
+    * RE-serialize, so the delivered NDJSON never carries the raw
+    * values — while everything upstream (routing, replay dedup)
+    * operated on the pre-scrub record. */
+  private[streaming] def scrubDelivery(df: DataFrame): DataFrame =
+    df.withColumn("title", graft.functions.TextFunctions.redactPiiLogSafe(col("title")))
+      .withColumn("rawlog", graft.functions.TextFunctions.redactPiiLogSafe(col("rawlog")))
+      .withColumn("json", serialized)
 
   /** Start the streaming forwarder. The record source defaults to
     * [[FileLinesSource]] over `conf.inputDir`; pass any other
@@ -76,7 +86,7 @@ object Forwarder {
     val r = route.getOrElse(lit(conf.streamName))
     val src = source
       .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
-    val transformed = transform(src.stream(spark), conf.deployEnv, r, conf.scrubPii)
+    val transformed = transform(src.stream(spark), conf.deployEnv, r)
     // dedup AFTER transform on the EXACT serialized record (md5 of the
     // raw json, not StreamDedup's corpus-text normalization — case or
     // whitespace differences are distinct records, not replays); the
@@ -95,8 +105,10 @@ object Forwarder {
         deduped.union(keyed.filter(col("timestamp").isNull))
       case None => transformed
     }
+    // scrub LAST: routing and the replay key saw the pre-scrub record
+    val delivered = if (conf.scrubPii) scrubDelivery(out) else out
     val sink = new NdjsonBatchSink(delivery, conf.sink)
-    out.writeStream
+    delivered.writeStream
       .option("checkpointLocation", conf.checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))

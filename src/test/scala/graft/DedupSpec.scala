@@ -39,14 +39,16 @@ class DedupSpec extends AnyFunSuite {
     val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
     val c = "completely different content with no overlap whatsoever at all here"
     // two IDENTICAL docs INSIDE the new batch (ids 1,2) must NOT pair
-    // with each other; every emitted pair is (new, old)
+    // with each other; every emitted pair is (new, old) — including
+    // the COLLIDING id 3 (independent id spaces: new batch ids restart,
+    // so new doc 3 near-dupping OLD doc 3 must still be reported)
     val nw = docs(1L -> a, 2L -> a, 3L -> c)
-    val old = docs(101L -> b, 102L -> c.replace("different", "changed"))
+    val old = docs(101L -> b, 3L -> c.replace("different", "changed"))
     val got = Dedup.minhashLshPairsAgainst(
         nw, col("doc_id"), col("text"), old, col("doc_id"), col("text"),
         n = 2, bands = 32, rows = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 101L), (2L, 101L), (3L, 102L)), s"got $got")
+    assert(got == Set((1L, 101L), (2L, 101L), (3L, 3L)), s"got $got")
   }
 
   test("incremental minhash degenerate inputs: empty sides yield empty, not errors") {

@@ -539,6 +539,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(json.contains("<EMAIL>") && json.contains("<URL>"))
     // structured fields are untouched
     assert(json.contains("host-1") && json.contains("app0"))
+    // the log-safe phone pattern must NOT eat rawlog's leading ISO
+    // date (the plain pattern reads '2024-01-01' as a phone)
+    assert(json.contains("2024-01-01T00:00:00"),
+      s"scrub corrupted the raw line's timestamp: $json")
+  }
+
+  test("scrubPii dedups on the PRE-scrub record: PII-distinct lines both deliver") {
+    val out = tmp(); val ck = tmp(); val in = tmp()
+    def line(email: String) = "2024-01-01T00:00:00+00:00 host-1 production--app0/" +
+      s"arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-1[1]: " +
+      s"""{"title":"user $email","level":"info"}"""
+    // distinct records that become IDENTICAL after redaction — hashing
+    // the scrubbed form would silently drop the second as a replay
+    writeLines(in, "a.log", Seq(line("a@b.io"), line("c@d.io")))
+    val q = Forwarder.start(spark,
+      Forwarder.Config(in, ck, scrubPii = true, dedupWithin = Some("10 minutes")),
+      new FileDelivery(out))
+    q.awaitTermination()
+    val delivered = Files.walk(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(delivered.size == 2,
+      s"scrub-then-dedup collapsed distinct records: $delivered")
+    assert(delivered.forall(j => j.contains("<EMAIL>") && !j.contains("@")))
   }
 
   test("the text-curation surface runs unchanged inside a streaming query") {
