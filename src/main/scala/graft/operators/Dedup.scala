@@ -172,6 +172,55 @@ object Dedup {
     over.crossJoin(touched)
   }
 
+  // --- C34: duplicate-passage coverage -----------------------------------
+
+  /** Per-document duplicate-passage coverage (C34): for each doc, the
+    * fraction of its positional word-n-gram windows whose gram also
+    * occurs in at least one OTHER document — the passage-level
+    * cross-corpus duplication rate (the signal behind exact-substring
+    * training-data dedup, cf. Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better": docs that are mostly made of
+    * passages seen elsewhere are drop/trim candidates). Per-doc where
+    * the boilerplate detector (C28) is a global top-k, and
+    * cross-document where the repetition metric (C24) is within-doc.
+    *
+    * Windows are positional (bag semantics): a doc repeating a shared
+    * passage 3× has 3 duplicated windows per shared gram, but a passage
+    * repeated ONLY within one doc counts zero — "duplicated" requires a
+    * distinct-doc frequency ≥ 2, so within-doc repetition stays C24's
+    * business. Scale shape: one (doc, gram) partial-agg shuffle (the
+    * distinct-ing agg), one gram-keyed doc-frequency agg, one gram-keyed
+    * join back (high-cardinality key; AQE handles the boilerplate-gram
+    * skew), one doc-keyed sum — no window functions, no broadcast of
+    * anything corpus-sized. Window totals are computed map-side from
+    * the token count, so zero-window docs (< n tokens) survive via the
+    * left join with dup_frac = 0. Counts are integer-exact; the
+    * fraction is the one deterministic ROUND(dup/total, 4) at the end.
+    */
+  def passageDupStats(df: DataFrame, id: Column, text: Column,
+                      n: Int = 5): DataFrame = {
+    val docs = df.select(id.as("doc_id"), text.as("doc_text"))
+    // per-(doc, gram) occurrence counts over positional windows
+    val grams = docs.select(col("doc_id"),
+        explode(wordShingles(col("doc_text"), n, distinct = false)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    // distinct-doc frequency per gram: (doc, gram) rows are unique, so a
+    // plain count IS the distinct-doc count — no count_distinct shuffle
+    val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("doc_count"))
+    val dup = grams
+      .join(docFreq.filter(col("doc_count") >= 2).select(col("gram")), Seq("gram"))
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("dup_windows"))
+    val totals = docs.select(col("doc_id"),
+      greatest(size(split(col("doc_text"), " ")) - (n - 1), lit(0))
+        .cast("long").as("n_windows"))
+    totals.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0L, lit(0.0))
+          .otherwise(round(col("dup_windows").cast("double") / col("n_windows"), 4)))
+  }
+
   // --- C2: MinHash + banded LSH -----------------------------------------
 
   /** k-permutation MinHash signature over a shingle-hash set column.
@@ -204,12 +253,26 @@ object Dedup {
     * incremental path that table IS the corpus index. */
   private def minhashPrepped(df: DataFrame, id: Column, text: Column,
                              n: Int, k: Int, seed: Long): DataFrame =
+    minhashIndex(df, id, text, n, k, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The MinHash corpus index frame — `(doc_id, sh, sig)`: sorted
+    * shingle-hash set + k-permutation signature per doc (shingle-less
+    * docs excluded, same guard as the pair search). This is the
+    * "precomputed index table" the incremental path's scaladoc
+    * prescribes, as an API: compute once, write as a table
+    * (parquet/bucketed via Layout), then screen each increment with
+    * [[minhashLshPairsAgainstIndex]] — prep cost for the historical
+    * corpus is paid once, not per increment. The (n, k, seed) used to
+    * build MUST match the (n, bands·rows, seed) of every later screen;
+    * store them with the table. */
+  def minhashIndex(df: DataFrame, id: Column, text: Column,
+                   n: Int = 2, k: Int = 64, seed: Long = 42L): DataFrame =
     df.select(id.as("doc_id"), text.as("doc_text"))
       .filter(size(split(col("doc_text"), " ")) >= n)
       .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_id, band, band_hash) rows of a prepped frame, buckets above
     * `maxBucket` evicted (per side — a bucket that big is a degenerate
@@ -289,12 +352,38 @@ object Dedup {
     val k = bands * rows
     val nw = minhashPrepped(newDf, newId, newText, n, k, seed)
     val old = minhashPrepped(corpus, corpusId, corpusText, n, k, seed)
+    bipartiteLshPairs(nw, old, bands, rows, threshold, maxBucket)
+  }
+
+  /** The bipartite band-join + verify tail shared by the recompute and
+    * index-backed incremental paths — ONE definition so the candidate
+    * algebra (cross-side-only join, dedup, exact verify) can't drift. */
+  private def bipartiteLshPairs(nw: DataFrame, old: DataFrame,
+                                bands: Int, rows: Int, threshold: Double,
+                                maxBucket: Int): DataFrame = {
     val cand = bandedCapped(nw, bands, rows, maxBucket).as("a")
       .join(bandedCapped(old, bands, rows, maxBucket).as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
     verifyJaccard(cand, nw, old, "new_id", "old_id", threshold)
+  }
+
+  /** [[minhashLshPairsAgainst]] with the corpus side served from a
+    * prebuilt [[minhashIndex]] frame (typically a parquet table): only
+    * the NEW batch is shingled and signed; the index is scanned as-is
+    * (twice — banding and verify — which at scale is two reads of a
+    * columnar table, not two recomputes of the signature stage).
+    * bands·rows must equal the k the index was built with. */
+  def minhashLshPairsAgainstIndex(newDf: DataFrame, newId: Column, newText: Column,
+                                  index: DataFrame,
+                                  n: Int = 2, bands: Int = 16, rows: Int = 4,
+                                  threshold: Double = 0.5, seed: Long = 42L,
+                                  maxBucket: Int = 1000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(newDf.sparkSession)
+    val nw = minhashPrepped(newDf, newId, newText, n, bands * rows, seed)
+    bipartiteLshPairs(nw, index.select(col("doc_id"), col("sh"), col("sig")),
+      bands, rows, threshold, maxBucket)
   }
 
   // --- C3: SimHash ------------------------------------------------------

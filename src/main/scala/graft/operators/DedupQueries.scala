@@ -265,6 +265,38 @@ object DedupQueries {
       WHERE n_inter > 0 AND jaccard >= 0.5
       ORDER BY new_id, old_id"""))
 
+  /** C34: per-doc duplicate-passage coverage at word-5-gram windows —
+    * the oracle mirrors the operator stage for stage (positional grams,
+    * per-(doc, gram) counts, distinct-doc frequency ≥ 2, map-side
+    * window totals, left join for zero-window docs) so a mismatch
+    * isolates the stage; all counts integer, one ROUND at the end. */
+  val qPassage = Q(
+    "qdedup_passage",
+    (s, dir) =>
+      Dedup.passageDupStats(Tables(s, dir).documents, col("doc_id"), col("text"), n = 5)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 5 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5),
+      c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+      f AS (SELECT gram FROM c GROUP BY gram HAVING COUNT(*) >= 2),
+      dup AS (SELECT c.doc_id, SUM(c.cnt) AS dup_windows
+              FROM c JOIN f ON c.gram = f.gram GROUP BY c.doc_id),
+      tot AS (SELECT doc_id,
+                CAST(GREATEST(len(string_split(text, ' ')) - 4, 0) AS BIGINT) AS n_windows
+              FROM documents)
+      SELECT t.doc_id, t.n_windows,
+        CAST(COALESCE(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+        CASE WHEN t.n_windows = 0 THEN 0.0
+             ELSE ROUND(CAST(COALESCE(d.dup_windows, 0) AS DOUBLE) / t.n_windows, 4)
+        END AS dup_frac
+      FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental)
+    qSemantic, qIncremental, qPassage)
 }

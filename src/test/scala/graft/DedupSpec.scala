@@ -60,6 +60,57 @@ class DedupSpec extends AnyFunSuite {
       none, col("doc_id"), col("text")).count() == 0)
   }
 
+  test("incremental minhash from a parquet index equals the recompute path") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
+    val c = "completely different content with no overlap whatsoever at all here"
+    val nw = docs(1L -> a, 2L -> c)
+    val old = docs(101L -> b, 102L -> c.replace("different", "changed"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-index").toString + "/idx"
+    Dedup.minhashIndex(old, col("doc_id"), col("text"), n = 2, k = 64)
+      .write.parquet(dir)
+    val fromIndex = Dedup.minhashLshPairsAgainstIndex(
+        nw, col("doc_id"), col("text"), spark.read.parquet(dir),
+        n = 2, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Dedup.minhashLshPairsAgainst(
+        nw, col("doc_id"), col("text"), old, col("doc_id"), col("text"),
+        n = 2, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (1,101): one word off -> J~0.64; (2,102): one word off -> J=7/11
+    assert(fromIndex == recomputed &&
+      fromIndex.map(p => (p._1, p._2)) == Set((1L, 101L), (2L, 102L)),
+      s"index $fromIndex vs recompute $recomputed")
+  }
+
+  test("passage coverage counts cross-doc windows only; short docs survive at 0") {
+    // docs 1/2 share exactly one 5-gram window ("a b c d e"); doc 3 repeats
+    // its own passage twice but shares nothing cross-doc; doc 4 is too
+    // short for any window. n=5.
+    val df = docs(
+      1L -> "a b c d e f g h",          // 4 windows, 1 shared
+      2L -> "x y a b c d e z",          // 4 windows, 1 shared
+      3L -> "p q r s t u p q r s t u",  // 8 windows, self-repeat only
+      4L -> "tiny doc")                 // 0 windows
+    val got = Dedup.passageDupStats(df, col("doc_id"), col("text"), n = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 0.25), (2L, 4L, 1L, 0.25), (3L, 8L, 0L, 0.0), (4L, 0L, 0L, 0.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("passage coverage counts every occurrence of a shared gram (bag semantics)") {
+    // doc 1 repeats the shared passage twice -> BOTH its windows count
+    val df = docs(
+      1L -> "a b c d e a b c d e",      // 6 windows; "a b c d e" at 2 positions
+      2L -> "z z a b c d e z z")        // shares "a b c d e"
+    val got = Dedup.passageDupStats(df, col("doc_id"), col("text"), n = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L), s"got $got")
+  }
+
   test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
     val t = graft.sources.Tables(spark, sf)
     val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)
