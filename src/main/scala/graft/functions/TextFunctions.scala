@@ -162,6 +162,32 @@ object TextFunctions {
   def redactPiiLogSafe(text: Column): Column =
     redactPhonesLogSafe(redactEmails(redactUrls(text)))
 
+  /** URL host with a capture group: the same `https?://` anchor as
+    * [[UrlPattern]], host = everything up to the first `/ ? #` or
+    * whitespace. Same cross-engine discipline as the scrub patterns
+    * (no lookaround, explicit whitespace class) so DuckDB reads the
+    * byte-identical regex. Ports stay attached (`host:8080` is a
+    * distinct origin — a blocklist can normalize later). */
+  val UrlHostPattern = "https?://([^/?# \\t\\n\\r]+)"
+
+  /** All URL host domains in a text, lowercased, occurrence order —
+    * a pure codegen map expression (no shuffle). One occurrence per
+    * URL: the per-domain aggregation is [[domainStats]]' business. */
+  def urlDomains(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)), d => lower(d))
+
+  /** Per-domain corpus stats — `(domain, n_docs, n_urls)` — the
+    * blocklist/allowlist planning view a domain-reputation filter
+    * starts from. Scale shape: domain extraction is a codegen map
+    * stage on the scan; one domain-keyed aggregation (high-cardinality
+    * key) carries both the URL count and the distinct-doc count (the
+    * distinct planned as partial aggs — no row ever carries text). */
+  def domainStats(df: org.apache.spark.sql.DataFrame, id: Column,
+                  text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), explode(urlDomains(text)).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), count_distinct(col("doc_id")).as("n_docs"))
+
   // --- Gopher-style rule gate (C25) -------------------------------------
   // The published repetition-free document filter shape (Rae et al. 2021,
   // "Scaling Language Models", §A1.1.2): a conjunction of cheap

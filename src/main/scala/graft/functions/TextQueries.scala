@@ -428,6 +428,42 @@ object TextQueries {
       FROM c
       ORDER BY doc_id"""))
 
+  /** Per-domain URL stats (C35) — the blocklist planning view. The
+    * corpus carries no URLs, so the query injects two per row (doc-id-
+    * keyed domain spread + one shared mixed-case host to pin the
+    * lowercasing) — same injection idiom as qtext_scrub, oracle-
+    * identical. */
+  val qDomains = Q(
+    "qtext_domains",
+    (s, dir) => {
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        lit(" see https://site"), (id % 7).cast("string"),
+        lit(".example.com/p/"), id.cast("string"),
+        lit(" and https://CDN.Example.net/x?u="), id.cast("string"))
+      TextFunctions.domainStats(
+          Tables(s, dir).documents.select(id, injected.as("t")),
+          col("doc_id"), col("t"))
+        .orderBy(col("domain"))
+    },
+    Some {
+      val h = TextFunctions.UrlHostPattern
+      s"""
+      WITH inj AS (
+        SELECT doc_id, text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          ' and https://CDN.Example.net/x?u=' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+      d AS (SELECT doc_id,
+              lower(UNNEST(regexp_extract_all(t, '$h', 1))) AS domain
+            FROM inj)
+      SELECT domain,
+        CAST(COUNT(*) AS BIGINT) AS n_urls,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM d GROUP BY domain
+      ORDER BY domain"""
+    })
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
-    qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm)
+    qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains)
 }

@@ -431,6 +431,42 @@ object Curation {
       .drop("__cid")
   }
 
+  /** [[applyClusters]] with QUALITY-AWARE representative selection:
+    * instead of keeping each cluster's minimum id, keep its
+    * best-scoring member (score desc, doc_id asc tiebreak — make the
+    * score integer-exact, e.g. char/token counts or a scaled-long
+    * quality, so the boundary can't be decided by float rounding).
+    * This is what a real curation run wants: when near-dups differ —
+    * one truncated, one boilerplate-wrapped — drop the worse copies,
+    * not the higher-numbered ones.
+    *
+    * Scale shape: `scored` pairs each cluster member with its score —
+    * the cluster frame is members-only (tiny next to the corpus), so
+    * it broadcasts into the corpus scan and the corpus never shuffles
+    * to be scored. The per-cluster argmax is a combiner-friendly
+    * max-of-struct partial agg over cluster_id (never a window over
+    * the corpus), and the final drop set (members minus winners)
+    * broadcasts into the same left-anti shape as [[applyClusters]]. */
+  def applyClustersBest(corpus: DataFrame, id: Column, score: Column,
+                        clusterFrame: DataFrame): DataFrame = {
+    val members = clusterFrame.select(col("doc_id"), col("cluster_id"))
+    val scored = corpus.select(id.as("__id"), score.as("__score"))
+      .join(broadcast(members), col("__id") === members("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("__score"))
+    // argmax by (score desc, doc_id asc): max of (score, -doc_id) structs
+    // is a partial-aggregable reduction; -doc_id turns "smallest id wins
+    // ties" into a max
+    val winners = scored
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col("doc_id")).as("neg_id"))).as("w"))
+      .select((-col("w.neg_id")).as("doc_id"))
+    val drops = members.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left_anti")
+    corpus.withColumn("__cid", id)
+      .join(broadcast(drops), col("__cid") === drops("doc_id"), "left_anti")
+      .drop("__cid")
+  }
+
   /** Benchmark decontamination (SURVEY.md §2.C22): count, per corpus
     * document, the distinct word n-grams it shares with an evaluation
     * set — the standard pre-training hygiene check (the GPT-3/PaLM

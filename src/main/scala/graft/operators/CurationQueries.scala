@@ -279,6 +279,42 @@ object CurationQueries {
       WHERE doc_id NOT IN (SELECT doc_id FROM drops)
       ORDER BY doc_id"""))
 
+  /** Quality-aware dedup end-cap: same cluster resolution as
+    * qdedup_apply, but each cluster keeps its LONGEST member
+    * (n_chars desc, doc_id asc) instead of its minimum id. The score
+    * is an integer column so the keep/drop boundary is exact in both
+    * engines. */
+  val qApplyBest = Q(
+    "qdedup_apply_best",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      val cl = Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+      Curation.applyClustersBest(t.documents, col("doc_id"), col("n_chars"), cl)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach AS (SELECT s AS id, s AS lbl FROM e
+                UNION
+                SELECT e.s AS id, r.lbl AS lbl
+                FROM e JOIN reach r ON r.id = e.t),
+      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      sc AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+             FROM cc JOIN documents d USING (doc_id)),
+      win AS (SELECT doc_id,
+                row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM sc),
+      drops AS (SELECT doc_id FROM win WHERE rn > 1)
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id"""))
+
   /** Benchmark decontamination (C22): every 97th document stands in as
     * the "benchmark"; any corpus doc sharing an 8-gram with it is
     * flagged with its distinct shared-gram count. Self-overlap makes
@@ -361,6 +397,6 @@ object CurationQueries {
     })
 
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
-    qClustersStar, qApply, qPackShards, qPipeline, qContam, qSplit, qSampleBudget,
-    qPreprocess)
+    qClustersStar, qApply, qApplyBest, qPackShards, qPipeline, qContam, qSplit,
+    qSampleBudget, qPreprocess)
 }

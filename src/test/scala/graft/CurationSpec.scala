@@ -177,6 +177,20 @@ class CurationSpec extends AnyFunSuite {
     assert(wrote > 0, "reliable checkpoint wrote no files — still executor-local?")
   }
 
+  test("applyClustersBest keeps the best-scoring member, ties to the smaller id") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 2 scores highest -> keep 2, drop 1 and 3
+    // cluster {7,8}: tied scores -> smaller id 7 wins
+    // doc 9: singleton (no pair), passes through regardless of score
+    val corpus = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), (7L, 5L), (8L, 5L), (9L, 1L))
+      .toDF("doc_id", "quality")
+    val cl = Curation.clusters(pairs(1L -> 2L, 2L -> 3L, 7L -> 8L), col("a"), col("b"))
+    val kept = Curation.applyClustersBest(corpus, col("doc_id"), col("quality"), cl)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 7L, 9L), s"kept ${kept.toSeq}")
+  }
+
   test("degenerate inputs: empty pair list and empty corpus do not error") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")

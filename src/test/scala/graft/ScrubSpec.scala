@@ -46,4 +46,28 @@ class ScrubSpec extends AnyFunSuite {
     val s = "server 192.168.100.200 runs v2.31.4167 and pi is 3.14159 2.71828"
     assert(scrub(s) == s)
   }
+
+  private def domains(s: String): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextFunctions.urlDomains(col("t")))
+      .head().getSeq[String](0)
+  }
+
+  test("urlDomains: host stops at path/query/fragment, lowercases, keeps ports") {
+    assert(domains("see https://A.B.com/x http://c.io?q=1 https://d.net#f") ==
+      Seq("a.b.com", "c.io", "d.net"))
+    assert(domains("dev http://localhost:8080/admin up") == Seq("localhost:8080"))
+    assert(domains("no urls here, just ftp://x.io and mailto:a@b.io") == Seq.empty)
+  }
+
+  test("domainStats counts urls per domain and distinct docs separately") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "go https://x.io/a then https://x.io/b and https://y.io/c"),
+      (2L, "see https://x.io/d"),
+      (3L, "plain text")).toDF("doc_id", "t")
+    val got = TextFunctions.domainStats(df, col("doc_id"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("x.io", 3L, 2L), ("y.io", 1L, 1L)), s"got $got")
+  }
 }
