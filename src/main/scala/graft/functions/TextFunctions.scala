@@ -163,12 +163,20 @@ object TextFunctions {
     redactPhonesLogSafe(redactEmails(redactUrls(text)))
 
   /** URL host with a capture group: the same `https?://` anchor as
-    * [[UrlPattern]], host = everything up to the first `/ ? #` or
-    * whitespace. Same cross-engine discipline as the scrub patterns
-    * (no lookaround, explicit whitespace class) so DuckDB reads the
-    * byte-identical regex. Ports stay attached (`host:8080` is a
-    * distinct origin — a blocklist can normalize later). */
-  val UrlHostPattern = "https?://([^/?# \\t\\n\\r]+)"
+    * [[UrlPattern]], host = a run of hostname-legal characters
+    * (letters/digits/dot/hyphen/underscore) plus an optional `:port`.
+    * The POSITIVE character class matters: a negated up-to-delimiter
+    * class would swallow prose punctuation ("https://a.io, then" →
+    * domain "a.io,") and fuse adjacent URLs ("https://a.io,https://b.io"
+    * → "a.io,https:") — junk keys a blocklist would never match, and
+    * invisible to the oracle because both engines share the regex.
+    * The required alphanumeric FINAL char keeps a sentence-ending dot
+    * out of the host ("https://b.io." → "b.io", not "b.io.").
+    * Same cross-engine discipline as the scrub patterns (no
+    * lookaround; `(?:...)` is fine in both Java and RE2). Ports stay
+    * attached (`host:8080` is a distinct origin — a blocklist can
+    * normalize later). */
+  val UrlHostPattern = "https?://([A-Za-z0-9._-]*[A-Za-z0-9](?::[0-9]+)?)"
 
   /** All URL host domains in a text, lowercased, occurrence order —
     * a pure codegen map expression (no shuffle). One occurrence per
@@ -176,7 +184,7 @@ object TextFunctions {
   def urlDomains(text: Column): Column =
     transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)), d => lower(d))
 
-  /** Per-domain corpus stats — `(domain, n_docs, n_urls)` — the
+  /** Per-domain corpus stats — `(domain, n_urls, n_docs)` — the
     * blocklist/allowlist planning view a domain-reputation filter
     * starts from. Scale shape: domain extraction is a codegen map
     * stage on the scan; one domain-keyed aggregation (high-cardinality

@@ -199,20 +199,30 @@ object Dedup {
     */
   def passageDupStats(df: DataFrame, id: Column, text: Column,
                       n: Int = 5): DataFrame = {
-    val docs = df.select(id.as("doc_id"), text.as("doc_text"))
-    // per-(doc, gram) occurrence counts over positional windows
-    val grams = docs.select(col("doc_id"),
-        explode(wordShingles(col("doc_text"), n, distinct = false)).as("gram"))
+    // one shingling pass, repartitioned off the input file layout and
+    // persisted: the window array serves BOTH consumers — its size IS
+    // the per-doc window total (bag semantics), and its explode feeds
+    // the gram counts — so the split+transform cost center runs once,
+    // not once per consumer (same idiom as ngramJaccardPairs /
+    // minhashPrepped, where the A/B measured 2-6×)
+    val windows = df.select(id.as("doc_id"), text.as("doc_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        wordShingles(col("doc_text"), n, distinct = false).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(doc, gram) occurrence counts over positional windows;
+    // persisted: consumed by the doc-frequency agg AND the dup join
+    val grams = windows.select(col("doc_id"), explode(col("w")).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distinct-doc frequency per gram: (doc, gram) rows are unique, so a
     // plain count IS the distinct-doc count — no count_distinct shuffle
     val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("doc_count"))
     val dup = grams
       .join(docFreq.filter(col("doc_count") >= 2).select(col("gram")), Seq("gram"))
       .groupBy(col("doc_id")).agg(sum(col("cnt")).as("dup_windows"))
-    val totals = docs.select(col("doc_id"),
-      greatest(size(split(col("doc_text"), " ")) - (n - 1), lit(0))
-        .cast("long").as("n_windows"))
+    val totals = windows.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_windows"))
     totals.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
@@ -374,7 +384,12 @@ object Dedup {
     * the NEW batch is shingled and signed; the index is scanned as-is
     * (twice — banding and verify — which at scale is two reads of a
     * columnar table, not two recomputes of the signature stage).
-    * bands·rows must equal the k the index was built with. */
+    * bands·rows must equal the k the index was built with. Each call
+    * persists the new batch's prep for its own lifetime (it feeds both
+    * the banding and the verify); a recurring ingest driver screening
+    * increment after increment should release it between calls —
+    * `spark.catalog.clearCache()` or unpersist — or the per-increment
+    * caches accumulate until storage eviction. */
   def minhashLshPairsAgainstIndex(newDf: DataFrame, newId: Column, newText: Column,
                                   index: DataFrame,
                                   n: Int = 2, bands: Int = 16, rows: Int = 4,

@@ -60,6 +60,16 @@ class ScrubSpec extends AnyFunSuite {
     assert(domains("no urls here, just ftp://x.io and mailto:a@b.io") == Seq.empty)
   }
 
+  test("urlDomains: prose punctuation never pollutes the domain key") {
+    // trailing comma/period and quote/paren wrappers stop the host
+    assert(domains("read https://a.io, then https://b.io. done") ==
+      Seq("a.io", "b.io"))
+    assert(domains("(https://c.io) \"https://d.io\" https://e.io!") ==
+      Seq("c.io", "d.io", "e.io"))
+    // adjacent URLs with no separator both surface, neither fused
+    assert(domains("https://a.io,https://b.io") == Seq("a.io", "b.io"))
+  }
+
   test("domainStats counts urls per domain and distinct docs separately") {
     import spark.implicits._
     val df = Seq(
