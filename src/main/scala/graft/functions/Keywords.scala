@@ -45,6 +45,51 @@ object Keywords {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Unigram LM scoring (SURVEY.md §2.C37): each document's mean token
+    * log-probability under the corpus's OWN unigram model — the shape
+    * of the CCNet/KenLM-style perplexity quality filter (docs whose
+    * token mix is improbable under the reference model are gibberish /
+    * boilerplate / wrong-language candidates; here the reference model
+    * is the corpus itself, so no external model ships). Returns
+    * `(doc_id, n_tokens, lp_micro_sum, mean_logprob)` — callers rank
+    * or threshold on it (more negative = less probable).
+    *
+    * Cross-engine exactness, same discipline as [[tfIdfTopK]]: `ln` is
+    * libm-dependent, so each term's log-prob is FIXED-POINT — rounded
+    * once to integer micro-nats (`round(ln(tf/total)·1e6)`), after
+    * which every sum is exact integer arithmetic in any order and in
+    * both engines; a 1-ulp `ln` divergence would have to land within
+    * ~1e-10 of a .5 micro-nat boundary to flip anything. The per-doc
+    * mean divides two exact integers in one fixed operation order.
+    *
+    * Scale shape: one (doc, term) aggregation shuffle (persisted — it
+    * feeds both the vocab aggregation and the scoring join), one
+    * term-keyed vocab agg (map-side combined), the 1-row token total
+    * broadcast onto the vocab frame (never onto the corpus), and one
+    * term-keyed join back; the join moves (doc_id, term-id-sized)
+    * rows, never text. */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+        explode(split(lower(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = perDoc.groupBy(col("term")).agg(sum(col("cnt")).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("tf").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+    perDoc.join(lp, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("lp_micro")).as("lp_micro_sum"),
+        sum(col("cnt")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("lp_micro_sum"),
+        round(col("lp_micro_sum").cast("double") / col("n_tokens") / 1e6, 4)
+          .as("mean_logprob"))
+  }
+
   /** Repetition metric (SURVEY.md §2.C24): each document's most
     * frequent word n-gram and the fraction of the document's
     * characters it covers — the Gopher/MassiveText-style "top n-gram

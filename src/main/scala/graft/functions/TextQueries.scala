@@ -428,6 +428,37 @@ object TextQueries {
       FROM c
       ORDER BY doc_id"""))
 
+  /** Unigram LM scoring (C37): mean token log-prob per doc under the
+    * corpus's own unigram model, fixed-point micro-nats (see
+    * [[graft.functions.Keywords.unigramLogProb]]) so both engines sum
+    * exact integers and `ln`'s libm dependence is confined to one
+    * per-term rounding. */
+  val qUnigramLp = Q(
+    "qtext_unigram_lp",
+    (s, dir) =>
+      graft.functions.Keywords.unigramLogProb(
+          Tables(s, dir).documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      pd AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      v AS (SELECT term, SUM(cnt) AS tf FROM pd GROUP BY term),
+      n AS (SELECT SUM(tf) AS total FROM v),
+      lp AS (SELECT term,
+               CAST(ROUND(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lp_micro
+             FROM v CROSS JOIN n),
+      sc AS (SELECT pd.doc_id, SUM(pd.cnt * lp.lp_micro) AS lp_sum,
+               SUM(pd.cnt) AS n_tokens
+             FROM pd JOIN lp USING (term) GROUP BY pd.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(lp_sum AS BIGINT) AS lp_micro_sum,
+        ROUND(CAST(lp_sum AS DOUBLE) / n_tokens / 1000000, 4) AS mean_logprob
+      FROM sc
+      ORDER BY doc_id"""))
+
   /** Per-domain URL stats (C35) — the blocklist planning view. The
     * corpus carries no URLs, so the query injects two per row (doc-id-
     * keyed domain spread + one shared mixed-case host to pin the
@@ -465,5 +496,6 @@ object TextQueries {
     })
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
-    qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains)
+    qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
+    qUnigramLp)
 }

@@ -60,6 +60,21 @@ class KeywordsSpec extends AnyFunSuite {
       cov <= chars && frac <= 1.0 })
   }
 
+  test("unigram log-prob: hand-computed micro-nat sums and means") {
+    import spark.implicits._
+    // corpus: a:3 b:3 c:1, total 7
+    // lp(a)=lp(b)=round(ln(3/7)*1e6)=-847298, lp(c)=round(ln(1/7)*1e6)=-1945910
+    val df = Seq((1L, "a a b"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text")
+    val got = graft.functions.Keywords.unigramLogProb(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, -2541894L, -0.8473),   // 2*lp(a)+lp(b)
+      (2L, 2L, -1694596L, -0.8473),
+      (3L, 2L, -2793208L, -1.3966)),  // lp(b)+lp(c)
+      s"got ${got.toSeq}")
+  }
+
   test("distributed shard packing equals the single-window prefix sum") {
     val t = graft.sources.Tables(spark, sf)
     val sized = t.documents.select(col("doc_id"),

@@ -20,6 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed: Map[String, String] = Map(
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
+    "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +
+      "token count, joined onto the vocab frame (never the corpus)"),
     "qtext_boilerplate_rm" -> ("crossJoin(broadcast(gramList)) where gramList is " +
       "a 1-row collected array bounded by the top-100 rank cut"),
     "qann_brute_topk" -> ("brute-force ANN IS all-pairs by definition; the " +
