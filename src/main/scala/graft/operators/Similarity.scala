@@ -149,6 +149,167 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // --- C38: product quantization (PQ-ADC) ---------------------------------
+
+  /** Subvector view: m rows per vector — `(vec_id, sub, sv)` where sv
+    * is the sub-th dim/m-length slice. dim must be divisible by m or
+    * the trailing remainder is silently dropped from every vector
+    * (consistently, but don't). The array is let-bound so the slice
+    * lambda doesn't re-derive it per subspace. */
+  private def pqSubvectors(df: DataFrame, id: Column, vec: Column,
+                           m: Int): DataFrame =
+    df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .select(col("vec_id"), posexplode(
+        graft.functions.Cols.let(col("v")) { vv =>
+          graft.functions.Cols.let((size(vv) / lit(m)).cast("int")) { dsub =>
+            transform(sequence(lit(0), lit(m - 1)),
+              j => slice(vv, j * dsub + 1, dsub))
+          }
+        }).as(Seq("sub", "sv")))
+
+  /** Fixed-point centroids of an assigned subvector frame
+    * `(vec_id, sub, sv, code)` → the codebook `(sub, code, cv)`. Same
+    * exact-integer-sum recipe as the IVF quantizer (groupCentroids),
+    * grouped by the composite (sub, code) key. */
+  private def pqCodebookOf(assigned: DataFrame): DataFrame =
+    VectorFunctions.groupCentroids(assigned,
+        struct(col("sub"), col("code")), col("sv"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+      .select(col("grp.sub").as("sub"), col("grp.code").as("code"), col("cv"))
+
+  /** Per-(vector, subspace) nearest-codeword assignment: argmax cosine
+    * over the broadcast codebook (bounded by m·ksub rows), code-asc
+    * tie-break — the same combiner-friendly max-of-struct as the IVF
+    * assignment, never a window over the corpus. */
+  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        VectorFunctions.cosine(col("sv"), col("cv")).as("s"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(struct(col("s"), (-col("code")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("sub"), (-col("m.nc")).as("code"))
+
+  /** Product-quantization codebook training (SURVEY.md §2.C38): m
+    * independent per-subspace quantizers of ksub codewords each,
+    * trained by the SAME engine-reproducible recipe as
+    * [[ivfTrainCells]] — FNV-seeded init, fixed-point centroids,
+    * argmax re-assignment with integer tie-break — so the whole train
+    * chain is DuckDB-oracle-checkable. Returns `(sub, code, cv)`; feed
+    * it to [[pqEncode]]/[[pqTopK]]. Codewords that attract no members
+    * drop out of the codebook (they can then never be assigned —
+    * consistent in both engines). At scale this is the index-build
+    * step: train once on a sample, persist the codebook (m·ksub tiny
+    * rows), encode the corpus incrementally. */
+  def pqTrainCodebooks(corpus: DataFrame, id: Column, vec: Column,
+                       m: Int, ksub: Int, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val subs = pqSubvectors(corpus, id, vec, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var codes = subs.select(col("vec_id"), col("sub"),
+      pmod(call_function("fnv1a64",
+          concat(lit("pq:"), col("sub").cast("string"),
+            lit(":"), col("vec_id").cast("string"))),
+        lit(ksub.toLong)).as("code"))
+    var books: DataFrame = null
+    for (_ <- 0 until iters) {
+      books = pqCodebookOf(subs.join(codes, Seq("vec_id", "sub")))
+      codes = pqAssign(subs, books)
+    }
+    books
+  }
+
+  /** Encode each vector as its m nearest codewords — `(vec_id, codes)`
+    * with `codes` ordered by subspace. THE memory story at 100 TB:
+    * after encoding, ANN scoring touches m small integers per vector
+    * (store them as bytes in a real deployment) instead of dim floats
+    * — a 64-dim float corpus compresses ~32× before anyone computes a
+    * distance. */
+  def pqEncode(corpus: DataFrame, id: Column, vec: Column, m: Int,
+               books: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(corpus, id, vec, m), books)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** PQ-ADC top-k search: train → encode → asymmetric-distance
+    * shortlist → EXACT cosine re-rank.
+    *
+    * The ADC stage is where the scale win lives: each query
+    * precomputes a lookup table of its subvector dot products against
+    * every codeword (m·ksub doubles per query — broadcast), plus one
+    * 1-row broadcast of codeword squared norms; a corpus vector's
+    * approximate score is then m array lookups folded left —
+    * `Σⱼ lut[codesⱼ] / √(Σⱼ ‖c_codesⱼ‖²)` — a pure map stage over the
+    * codes frame. No corpus vector is read, nothing corpus-sized
+    * shuffles; the only per-query state is the top-`shortlist` window
+    * (row_number ≤ R plans a map-side WindowGroupLimit). The exact
+    * re-rank fetches full vectors for shortlist·|Q| ids only. With
+    * `shortlist >= |corpus| - 1` the result is EXACTLY [[bruteTopK]]
+    * (the re-rank is exact over all candidates) — spec-pinned.
+    *
+    * The fold is left-associated and the oracle replicates the same
+    * association, so the float shortlist boundary compares identical
+    * doubles in both engines. */
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             m: Int, ksub: Int, k: Int, shortlist: Int,
+             iters: Int = 1): DataFrame = {
+    val books = pqTrainCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(corpus, corpusId, corpusVec, m, books)
+    val slots = books.select((col("sub") * ksub + col("code")).as("slot"), col("cv"))
+    // dense m·ksub lookup arrays (empty codewords hold 0.0 — they are
+    // never assigned, so the slot is never read; density keeps the
+    // j·ksub+code indexing valid)
+    val luts = pqSubvectors(queries, queryId, queryVec, m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), (col("sub") * ksub + col("code")).as("slot"),
+        VectorFunctions.dot(col("sv"), col("cv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("mp"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          s => coalesce(element_at(col("mp"), s), lit(0.0))).as("lutd"))
+    val n2row = slots
+      .select(col("slot"), VectorFunctions.dot(col("cv"), col("cv")).as("n2"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("n2")))).as("mp"))
+      .select(transform(sequence(lit(0), lit(m * ksub - 1)),
+        s => coalesce(element_at(col("mp"), s), lit(0.0))).as("n2arr"))
+    def fold(arr: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(arr,
+          j * ksub + element_at(col("codes"), j + 1).cast("int") + 1))
+    val scored = codes.crossJoin(broadcast(n2row)).crossJoin(broadcast(luts))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (fold(col("lutd")) / sqrt(fold(col("n2arr")))).as("approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = scored.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("srank", row_number().over(wA))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cn = corpus.select(corpusId.as("neighbor_id"),
+      VectorFunctions.normalized(corpusVec).as("cnv"))
+    val qn = queries.select(queryId.as("query_id"),
+      VectorFunctions.normalized(queryVec).as("qnv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(cn, "neighbor_id")
+      .join(broadcast(qn), "query_id")
+      .withColumn("cosine", VectorFunctions.dot(col("cnv"), col("qnv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (fixed seed → stable
     * signatures across runs and executors). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -223,6 +223,103 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10, iters = 2), k = 5, nprobe = 2)))
 
+  /** Full-parity PQ oracle (C38): per-subspace FNV-seeded Lloyd train
+    * (the trainedCellsCtes recipe, composite (sub, code) key over
+    * array slices), cosine argmax encode, then the ADC stage with the
+    * SAME left-associated addition order as the Spark fold — the
+    * m-way self-join chain materializes each subspace's lookup as a
+    * column so `((d0+d1)+d2)+d3` is explicit. The shortlist boundary
+    * therefore compares identical doubles; the exact re-rank is the
+    * proven brute formulation. */
+  private def pqOracleSql(m: Int, ksub: Int, dsub: Int, k: Int,
+                          shortlist: Int, nq: Int, iters: Int = 1): String = {
+    val train = (1 to iters).map { i =>
+      val p = i - 1
+      s"""u$i AS (SELECT s.sub, k$p.code,
+               unnest(range(0, len(s.sv))) AS pos, unnest(s.sv) AS x
+             FROM subv s JOIN k$p ON k$p.vec_id = s.vec_id AND k$p.sub = s.sub),
+      cent$i AS (SELECT sub, code, pos,
+                  (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                    / COUNT(*) AS c
+                FROM u$i GROUP BY sub, code, pos),
+      books$i AS (SELECT sub, code, list(c ORDER BY pos) AS cv
+                  FROM cent$i GROUP BY sub, code),
+      asg$i AS (SELECT s.vec_id, s.sub, b.code,
+                  list_cosine_similarity(s.sv, b.cv) AS sc
+                FROM subv s JOIN books$i b ON b.sub = s.sub),
+      k$i AS (SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY sc DESC, code) AS rn
+                FROM asg$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    val joins = (1 until m).map { j =>
+      s"""JOIN k$iters a$j ON a$j.vec_id = a0.vec_id AND a$j.sub = $j
+        JOIN lut l$j ON l$j.query_id = l0.query_id AND l$j.sub = $j
+                     AND l$j.code = a$j.code"""
+    }.mkString("\n        ")
+    val njoins = (0 until m).map { j =>
+      s"JOIN n2 n$j ON n$j.sub = $j AND n$j.code = a$j.code"
+    }.mkString("\n        ")
+    val dotChain = (1 until m).foldLeft("l0.d") { (acc, j) => s"($acc + l$j.d)" }
+    val n2Chain = (1 until m).foldLeft("n0.nn") { (acc, j) => s"($acc + n$j.nn)" }
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      subv AS (SELECT vec_id, j AS sub,
+                 v[CAST(j * $dsub + 1 AS BIGINT):CAST(j * $dsub + $dsub AS BIGINT)] AS sv
+               FROM e, UNNEST(range(0, $m)) t(j)),
+      ${graft.Q.sqlutil.fnvSignedCtes("pq",
+        "'pq:' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)",
+        Seq("vec_id", "sub"), "subv")},
+      k0 AS (SELECT vec_id, sub, ((sb % $ksub) + $ksub) % $ksub AS code FROM pqg),
+      $train,
+      lut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
+                list_inner_product(s.sv, b.cv) AS d
+              FROM subv s JOIN books$iters b ON b.sub = s.sub
+              WHERE s.vec_id < $nq),
+      n2 AS (SELECT sub, code, list_inner_product(cv, cv) AS nn FROM books$iters),
+      adc AS (SELECT l0.query_id, a0.vec_id AS neighbor_id,
+                $dotChain AS dotsum, $n2Chain AS norm2
+              FROM k$iters a0
+        JOIN lut l0 ON a0.sub = 0 AND l0.sub = 0 AND l0.code = a0.code
+        $joins
+        $njoins),
+      srt AS (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dotsum / sqrt(norm2) DESC, neighbor_id) AS srank
+              FROM adc WHERE neighbor_id != query_id),
+      cand AS (SELECT query_id, neighbor_id FROM srt WHERE srank <= $shortlist),
+      scored AS (SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(c.v, q.v) AS cos
+                 FROM cand
+                 JOIN e c ON c.vec_id = cand.neighbor_id
+                 JOIN e q ON q.vec_id = cand.query_id),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM scored)
+      SELECT query_id, neighbor_id, rank, cosine
+      FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
+  /** PQ-ADC search end to end under one oracle: train (per-subspace
+    * Lloyd), encode (m codes per vector), ADC shortlist, exact
+    * re-rank. m=4 subspaces × ksub=8 codewords over the dim-64
+    * embeddings; shortlist 50 of 500. */
+  val qPq = Q(
+    "qann_pq",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, shortlist = 50, iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(pqOracleSql(m = 4, ksub = 8, dsub = 16, k = 5, shortlist = 50, nq = 10)))
+
   val qDecode = Q(
     "qmm_decode_meta",
     (s, dir) => {
@@ -347,6 +444,6 @@ object SimilarityQueries {
       JOIN cvecs ON cvecs.grp = c0.grp
       ORDER BY c0.vec_id"""))
 
-  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2,
+  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2, qPq,
     qDecode, qFrames, qHistogram, qCentroid, qProto)
 }

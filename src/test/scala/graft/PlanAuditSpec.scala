@@ -27,6 +27,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_brute_topk" -> ("brute-force ANN IS all-pairs by definition; the " +
       "bounded side (the query set) is broadcast so the corpus never shuffles — " +
       "the scale path is qann_lsh_bucketed"),
+    "qann_pq" -> ("the ADC crossJoins broadcast one LUT row per QUERY (m·ksub " +
+      "doubles each) and a 1-row codeword-norm table onto the codes frame; " +
+      "the corpus side carries m codes per row, never vectors, and the train " +
+      "step's crossJoin is the bounded m·ksub codebook broadcast"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

@@ -41,6 +41,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  // measured 0.48 at shortlist=50 (m=4, ksub=8, sf0.001's 500 vectors;
+  // deterministic: FNV-seeded train), pinned at measured − 0.1
+  private val RecallFloorPq = 0.38
+
+  test("pqTopK with a full-corpus shortlist equals bruteTopK exactly") {
+    // the ADC stage only selects CANDIDATES; the re-rank is exact — so
+    // with shortlist >= |corpus| - 1 the approximation cannot change
+    // the answer, and any difference is a bug in the encode/score
+    // plumbing, not quantization loss
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = rows(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5))
+    val pq = rows(Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8, k = 5, shortlist = 600))
+    assert(pq == brute, s"pq ${pq.take(5)} vs brute ${brute.take(5)}")
+  }
+
+  test("pqTopK recall@5 rises with the shortlist and holds the pinned floor") {
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5))
+    def recallAt(shortlist: Int): Double = {
+      val pq = pairs(Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        m = 4, ksub = 8, k = 5, shortlist = shortlist))
+      (brute & pq).size.toDouble / brute.size
+    }
+    val (r50, r100) = (recallAt(50), recallAt(100))
+    info(s"measured pq recall@5: shortlist=50 -> $r50, shortlist=100 -> $r100")
+    assert(r50 >= RecallFloorPq, s"recall@5 = $r50 (ADC shortlist too lossy)")
+    // a larger shortlist's candidates are a superset, and the re-rank
+    // is exact — recall is monotone in the shortlist BY CONSTRUCTION
+    assert(r100 >= r50, s"monotonicity broken: $r100 < $r50")
+  }
+
   // measured 0.4 at nprobe=2 (sf0.001, 10 cells), pinned at measured − 0.1
   private val RecallFloorIvf = 0.3
 
