@@ -18,16 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Keywords {
 
-  def tfIdfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-        explode(split(lower(text), " ")).as("term"))
+  /** THE tokenize-and-count core both corpus-statistics operators
+    * share: lowercased whitespace terms, empties dropped, aggregated
+    * to per-(doc, term) counts and persisted (every caller consumes it
+    * at least twice; without the boundary each consumer re-runs
+    * tokenize+explode+aggregate from the raw scan — the plan's cost
+    * center). ONE definition so a tokenization change can't silently
+    * diverge the tf-idf and unigram-LM vocabularies. clearCache-managed
+    * like the dedup signature caches. */
+  private def docTermCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(split(lower(text), " ")).as("term"))
       .filter(col("term") =!= "")
-    // persisted: consumed twice (the df aggregation and the score join)
-    // — without the boundary both re-run tokenize+explode+aggregate
-    // from the raw scan, the plan's cost center. clearCache-managed
-    // like the dedup signature caches.
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def tfIdfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = docTermCounts(df, id, text)
     // (doc_id, term) is unique in tf, so count(*) per term IS the
     // document frequency — no second distinct needed
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -62,31 +68,36 @@ object Keywords {
     * ~1e-10 of a .5 micro-nat boundary to flip anything. The per-doc
     * mean divides two exact integers in one fixed operation order.
     *
-    * Scale shape: one (doc, term) aggregation shuffle (persisted — it
-    * feeds both the vocab aggregation and the scoring join), one
-    * term-keyed vocab agg (map-side combined), the 1-row token total
-    * broadcast onto the vocab frame (never onto the corpus), and one
-    * term-keyed join back; the join moves (doc_id, term-id-sized)
-    * rows, never text. */
+    * Scale shape: one (doc, term) aggregation shuffle (the shared
+    * persisted [[docTermCounts]] frame — it feeds both the vocab
+    * aggregation and the scoring join; the token total is re-summed
+    * from the cached vocab frame, never a second corpus scan), the
+    * 1-row total broadcast onto the vocab frame (never onto the
+    * corpus), and one term-keyed join back; the join moves (doc_id,
+    * term-id-sized) rows, never text. Docs with ZERO tokens (empty /
+    * whitespace-only text) survive via a left join with n_tokens = 0
+    * and a NULL mean — a perplexity-style filter must see them, and
+    * neither 0.0 ("maximally probable") nor any other sentinel is an
+    * honest score for "nothing to score". */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-        explode(split(lower(text), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val perDoc = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = perDoc.groupBy(col("term")).agg(sum(col("cnt")).as("tf"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val perDoc = docTermCounts(df, id, text)
+    val vocab = perDoc.groupBy(col("term")).agg(sum(col("tf")).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
     val lp = vocab.crossJoin(broadcast(total))
       .select(col("term"),
         round(log(col("tf").cast("double") / col("total").cast("double")) * 1e6)
           .cast("long").as("lp_micro"))
-    perDoc.join(lp, "term")
+    val scored = perDoc.join(lp, "term")
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt") * col("lp_micro")).as("lp_micro_sum"),
-        sum(col("cnt")).as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("lp_micro_sum"),
-        round(col("lp_micro_sum").cast("double") / col("n_tokens") / 1e6, 4)
+      .agg(sum(col("tf") * col("lp_micro")).as("lp_sum"),
+        sum(col("tf")).as("n_toks"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        coalesce(col("lp_sum"), lit(0L)).as("lp_micro_sum"),
+        when(col("n_toks").isNull, lit(null).cast("double"))
+          .otherwise(round(col("lp_sum").cast("double") / col("n_toks") / 1e6, 4))
           .as("mean_logprob"))
   }
 

@@ -451,13 +451,16 @@ object TextQueries {
                     AS BIGINT) AS lp_micro
              FROM v CROSS JOIN n),
       sc AS (SELECT pd.doc_id, SUM(pd.cnt * lp.lp_micro) AS lp_sum,
-               SUM(pd.cnt) AS n_tokens
+               SUM(pd.cnt) AS n_toks
              FROM pd JOIN lp USING (term) GROUP BY pd.doc_id)
-      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        CAST(lp_sum AS BIGINT) AS lp_micro_sum,
-        ROUND(CAST(lp_sum AS DOUBLE) / n_tokens / 1000000, 4) AS mean_logprob
-      FROM sc
-      ORDER BY doc_id"""))
+      SELECT d.doc_id,
+        CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(sc.lp_sum, 0) AS BIGINT) AS lp_micro_sum,
+        CASE WHEN sc.n_toks IS NULL THEN NULL
+             ELSE ROUND(CAST(sc.lp_sum AS DOUBLE) / sc.n_toks / 1000000, 4)
+        END AS mean_logprob
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
 
   /** Per-domain URL stats (C35) — the blocklist planning view. The
     * corpus carries no URLs, so the query injects two per row (doc-id-

@@ -205,10 +205,18 @@ object Similarity {
     * rows), encode the corpus incrementally. */
   def pqTrainCodebooks(corpus: DataFrame, id: Column, vec: Column,
                        m: Int, ksub: Int, iters: Int = 1): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val subs = pqSubvectors(corpus, id, vec, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqTrainOn(
+      pqSubvectors(corpus, id, vec, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      ksub, iters)
+  }
+
+  /** Train over an (already persisted) subvector frame — shared by the
+    * standalone train API and [[pqTopK]], whose encode step reuses the
+    * SAME frame instead of re-slicing the corpus. */
+  private def pqTrainOn(subs: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     var codes = subs.select(col("vec_id"), col("sub"),
       pmod(call_function("fnv1a64",
           concat(lit("pq:"), col("sub").cast("string"),
@@ -222,6 +230,15 @@ object Similarity {
     books
   }
 
+  /** Collapse a per-(vector, subspace) assignment to the per-vector
+    * code array (subspace order) — shared by [[pqEncode]] and
+    * [[pqTopK]]. */
+  private def pqCodesOf(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
   /** Encode each vector as its m nearest codewords — `(vec_id, codes)`
     * with `codes` ordered by subspace. THE memory story at 100 TB:
     * after encoding, ANN scoring touches m small integers per vector
@@ -229,12 +246,10 @@ object Similarity {
     * — a 64-dim float corpus compresses ~32× before anyone computes a
     * distance. */
   def pqEncode(corpus: DataFrame, id: Column, vec: Column, m: Int,
-               books: DataFrame): DataFrame =
-    pqAssign(pqSubvectors(corpus, id, vec, m), books)
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+               books: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    pqCodesOf(pqAssign(pqSubvectors(corpus, id, vec, m), books))
+  }
 
   /** PQ-ADC top-k search: train → encode → asymmetric-distance
     * shortlist → EXACT cosine re-rank.
@@ -259,9 +274,15 @@ object Similarity {
              queries: DataFrame, queryId: Column, queryVec: Column,
              m: Int, ksub: Int, k: Int, shortlist: Int,
              iters: Int = 1): DataFrame = {
-    val books = pqTrainCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    // ONE corpus-sized subvector frame, persisted, shared by train and
+    // encode — re-slicing the corpus for encode would pay a second
+    // scan while the train-time cache sat pinned and unread
+    val subs = pqSubvectors(corpus, corpusId, corpusVec, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = pqEncode(corpus, corpusId, corpusVec, m, books)
+    val books = pqTrainOn(subs, ksub, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqCodesOf(pqAssign(subs, books))
     val slots = books.select((col("sub") * ksub + col("code")).as("slot"), col("cv"))
     // dense m·ksub lookup arrays (empty codewords hold 0.0 — they are
     // never assigned, so the slot is never read; density keeps the

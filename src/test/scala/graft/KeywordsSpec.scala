@@ -64,14 +64,17 @@ class KeywordsSpec extends AnyFunSuite {
     import spark.implicits._
     // corpus: a:3 b:3 c:1, total 7
     // lp(a)=lp(b)=round(ln(3/7)*1e6)=-847298, lp(c)=round(ln(1/7)*1e6)=-1945910
-    val df = Seq((1L, "a a b"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text")
+    val df = Seq((1L, "a a b"), (2L, "a b"), (3L, "b c"), (4L, " "))
+      .toDF("doc_id", "text")
     val got = graft.functions.Keywords.unigramLogProb(df, col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
     assert(got.toSeq == Seq(
-      (1L, 3L, -2541894L, -0.8473),   // 2*lp(a)+lp(b)
-      (2L, 2L, -1694596L, -0.8473),
-      (3L, 2L, -2793208L, -1.3966)),  // lp(b)+lp(c)
+      (1L, 3L, -2541894L, Some(-0.8473)),   // 2*lp(a)+lp(b)
+      (2L, 2L, -1694596L, Some(-0.8473)),
+      (3L, 2L, -2793208L, Some(-1.3966)),   // lp(b)+lp(c)
+      (4L, 0L, 0L, None)),                  // zero tokens: present, NULL mean
       s"got ${got.toSeq}")
   }
 
