@@ -105,6 +105,21 @@ object Similarity {
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, nprobe: Int = 2): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cand = ivfCandidates(corpus, corpusId, corpusVec, cellSeed,
+      queries, queryId, queryVec, nprobe)
+    exactReRank(cand, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+  }
+
+  /** The IVF candidate front-end shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: cell centroids from the seed assignment, corpus
+    * re-assignment by combiner-friendly argmax, per-query nprobe cell
+    * probing — returns `(query_id, neighbor_id)` pairs (self
+    * excluded), ids only. */
+  private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                            cellSeed: Column,
+                            queries: DataFrame, queryId: Column, queryVec: Column,
+                            nprobe: Int): DataFrame = {
     val cvecs = VectorFunctions.groupCentroids(corpus, cellSeed, corpusVec)
       .groupBy(col("grp"))
       .agg(transform(
@@ -130,9 +145,18 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("grp").as("cell"))
-    val cand = corpusCells.join(broadcast(qProbes), "cell")
+    corpusCells.join(broadcast(qProbes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The exact-cosine re-rank tail every candidate-generating search
+    * shares (ivf / pq / ivf+pq): fetch full vectors for the candidate
+    * ids only, score, keep the top k per query. */
+  private def exactReRank(cand: DataFrame,
+                          corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          k: Int): DataFrame = {
     val cn = corpus.select(corpusId.as("neighbor_id"),
       VectorFunctions.normalized(corpusVec).as("cnv"))
     val qn = queries.select(queryId.as("query_id"),
@@ -270,6 +294,53 @@ object Similarity {
     * The fold is left-associated and the oracle replicates the same
     * association, so the float shortlist boundary compares identical
     * doubles in both engines. */
+  /** Dense per-query ADC lookup arrays — `(query_id, lutd)` with
+    * lutd[sub·ksub + code] = dot(query subvector, codeword). Empty
+    * codewords hold 0.0: they are never assigned, so the slot is never
+    * read; density keeps the positional indexing valid. */
+  private def pqLuts(queries: DataFrame, queryId: Column, queryVec: Column,
+                     m: Int, ksub: Int, books: DataFrame): DataFrame =
+    pqSubvectors(queries, queryId, queryVec, m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), (col("sub") * ksub + col("code")).as("slot"),
+        VectorFunctions.dot(col("sv"), col("cv")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("mp"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          s => coalesce(element_at(col("mp"), s), lit(0.0))).as("lutd"))
+
+  /** 1-row dense codeword squared-norm table, same slot layout. */
+  private def pqN2Row(books: DataFrame, m: Int, ksub: Int): DataFrame =
+    books
+      .select((col("sub") * ksub + col("code")).as("slot"),
+        VectorFunctions.dot(col("cv"), col("cv")).as("n2"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("n2")))).as("mp"))
+      .select(transform(sequence(lit(0), lit(m * ksub - 1)),
+        s => coalesce(element_at(col("mp"), s), lit(0.0))).as("n2arr"))
+
+  /** The ADC approximate score over a frame carrying `codes`, `lutd`,
+    * `n2arr`: a LEFT-ASSOCIATED m-term fold (the oracle reproduces the
+    * association, so shortlist boundaries compare identical doubles). */
+  private def pqAdcScore(m: Int, ksub: Int): Column = {
+    def fold(arr: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(arr,
+          j * ksub + element_at(col("codes"), j + 1).cast("int") + 1))
+    fold(col("lutd")) / sqrt(fold(col("n2arr")))
+  }
+
+  /** Top-`shortlist` per query by ADC score → `(query_id, neighbor_id)`. */
+  private def pqShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    scored.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("srank", row_number().over(wA))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              queries: DataFrame, queryId: Column, queryVec: Column,
              m: Int, ksub: Int, k: Int, shortlist: Int,
@@ -283,52 +354,49 @@ object Similarity {
     val books = pqTrainOn(subs, ksub, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = pqCodesOf(pqAssign(subs, books))
-    val slots = books.select((col("sub") * ksub + col("code")).as("slot"), col("cv"))
-    // dense m·ksub lookup arrays (empty codewords hold 0.0 — they are
-    // never assigned, so the slot is never read; density keeps the
-    // j·ksub+code indexing valid)
-    val luts = pqSubvectors(queries, queryId, queryVec, m)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(books), "sub")
-      .select(col("query_id"), (col("sub") * ksub + col("code")).as("slot"),
-        VectorFunctions.dot(col("sv"), col("cv")).as("d"))
-      .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("mp"))
-      .select(col("query_id"),
-        transform(sequence(lit(0), lit(m * ksub - 1)),
-          s => coalesce(element_at(col("mp"), s), lit(0.0))).as("lutd"))
-    val n2row = slots
-      .select(col("slot"), VectorFunctions.dot(col("cv"), col("cv")).as("n2"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("n2")))).as("mp"))
-      .select(transform(sequence(lit(0), lit(m * ksub - 1)),
-        s => coalesce(element_at(col("mp"), s), lit(0.0))).as("n2arr"))
-    def fold(arr: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => acc + element_at(arr,
-          j * ksub + element_at(col("codes"), j + 1).cast("int") + 1))
-    val scored = codes.crossJoin(broadcast(n2row)).crossJoin(broadcast(luts))
+    val scored = codes
+      .crossJoin(broadcast(pqN2Row(books, m, ksub)))
+      .crossJoin(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (fold(col("lutd")) / sqrt(fold(col("n2arr")))).as("approx"))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = scored.filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("srank", row_number().over(wA))
-      .filter(col("srank") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    val cn = corpus.select(corpusId.as("neighbor_id"),
-      VectorFunctions.normalized(corpusVec).as("cnv"))
-    val qn = queries.select(queryId.as("query_id"),
-      VectorFunctions.normalized(queryVec).as("qnv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .join(cn, "neighbor_id")
-      .join(broadcast(qn), "query_id")
-      .withColumn("cosine", VectorFunctions.dot(col("cnv"), col("qnv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 4).as("cosine"))
+        pqAdcScore(m, ksub).as("approx"))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** IVF+PQ composed search (the FAISS-style index architecture,
+    * complete): the coarse quantizer's probed cells bound WHICH
+    * vectors are scored, the product quantizer's codes bound WHAT is
+    * read to score them, and the exact re-rank keeps precision — at
+    * scale a query therefore touches nprobe/nlist of the corpus, reads
+    * m small integers per touched vector, and fetches full vectors
+    * only for the shortlist. Both quantizers train by the same
+    * engine-reproducible recipe, so the whole composition sits under
+    * one DuckDB oracle. Candidates come from [[ivfCandidates]]
+    * (id-only pairs); the ADC score joins codes by id and the
+    * broadcast per-query LUTs, still never reading a corpus vector. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
+                shortlist: Int, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, iters)
+    val indexed = corpus.join(
+      cells.withColumnRenamed("vec_id", "__cid"),
+      corpusId === col("__cid"))
+    val cand = ivfCandidates(indexed, corpusId, corpusVec, col("cell"),
+      queries, queryId, queryVec, nprobe)
+    val subs = pqSubvectors(corpus, corpusId, corpusVec, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = pqTrainOn(subs, ksub, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqCodesOf(pqAssign(subs, books))
+    val scored = cand
+      .join(codes, col("neighbor_id") === codes("vec_id"))
+      .join(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)), "query_id")
+      .crossJoin(broadcast(pqN2Row(books, m, ksub)))
+      .select(col("query_id"), col("neighbor_id"), pqAdcScore(m, ksub).as("approx"))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
 
   /** Deterministic pseudo-random unit hyperplanes (fixed seed → stable

@@ -96,13 +96,12 @@ object SimilarityQueries {
     * probing replicate the same argmax (score desc, cell asc) in SQL;
     * cosine/rank parity is the formulation qann_brute_topk's green
     * oracle already proves. */
-  /** `cells0Ctes` must end in a `cells0(vec_id, grp)` CTE — the cell
-    * assignment the index is built from (plain labels, or the trained
-    * hash-seeded Lloyd cells). The tail is shared. */
-  private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int): String =
-    s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      $cells0Ctes,
+  /** Centroid-probe CTEs over a `cells0(vec_id, grp)` assignment:
+    * fixed-point centroids, corpus re-assignment argmax (`acell`),
+    * per-query nprobe probing (`qprobe`) — the SQL twin of
+    * Similarity.ivfCandidates' front-end, shared by every IVF-family
+    * oracle so the probe recipe can't drift. */
+  private def ivfProbeCtes(nprobe: Int, nq: Int): String = s"""
       u AS (SELECT c0.grp,
               unnest(range(0, len(e2.embedding))) AS pos,
               unnest(CAST(e2.embedding AS DOUBLE[])) AS x
@@ -120,15 +119,16 @@ object SimilarityQueries {
                  FROM ascore),
       acell AS (SELECT vec_id, grp AS cell FROM ranked WHERE rn = 1),
       qprobe AS (SELECT vec_id AS query_id, grp AS cell
-                 FROM ranked WHERE vec_id < 10 AND rn <= $nprobe),
-      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
-               FROM qprobe q JOIN acell a ON a.cell = q.cell
-               WHERE a.vec_id != q.query_id),
-      scored AS (SELECT cand.query_id, cand.neighbor_id,
+                 FROM ranked WHERE vec_id < $nq AND rn <= $nprobe)"""
+
+  /** The exact-re-rank tail every candidate oracle shares — `cand`
+    * must hold (query_id, neighbor_id). */
+  private def reRankSql(candCte: String, k: Int): String = s"""
+      scored AS (SELECT $candCte.query_id, $candCte.neighbor_id,
                    list_cosine_similarity(c.v, qv.v) AS cos
-                 FROM cand
-                 JOIN e c ON c.vec_id = cand.neighbor_id
-                 JOIN e qv ON qv.vec_id = cand.query_id),
+                 FROM $candCte
+                 JOIN e c ON c.vec_id = $candCte.neighbor_id
+                 JOIN e qv ON qv.vec_id = $candCte.query_id),
       r AS (SELECT query_id, neighbor_id,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
               ROUND(cos, 4) AS cosine
@@ -136,6 +136,19 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, rank, cosine
       FROM r WHERE rank <= $k
       ORDER BY query_id, rank"""
+
+  /** `cells0Ctes` must end in a `cells0(vec_id, grp)` CTE — the cell
+    * assignment the index is built from (plain labels, or the trained
+    * hash-seeded Lloyd cells). The tail is shared. */
+  private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int): String =
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      $cells0Ctes,
+      ${ivfProbeCtes(nprobe, nq = 10)},
+      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+               FROM qprobe q JOIN acell a ON a.cell = q.cell
+               WHERE a.vec_id != q.query_id),
+      ${reRankSql("cand", k)}"""
 
   val qIvf = Q(
     "qann_ivf",
@@ -231,78 +244,102 @@ object SimilarityQueries {
     * column so `((d0+d1)+d2)+d3` is explicit. The shortlist boundary
     * therefore compares identical doubles; the exact re-rank is the
     * proven brute formulation. */
-  private def pqOracleSql(m: Int, ksub: Int, dsub: Int, k: Int,
-                          shortlist: Int, nq: Int, iters: Int = 1): String = {
+  /** PQ train/encode/LUT CTEs, all `p`-prefixed so they compose with
+    * the IVF cell CTEs (which own the bare k0…/u…/cent… names). Emits
+    * …`pk$iters` (the final per-(vec, sub) codes), `plut` (per-query
+    * subvector·codeword dots), `pn2` (codeword squared norms). */
+  private def pqCtes(m: Int, ksub: Int, dsub: Int, nq: Int, iters: Int): String = {
     val train = (1 to iters).map { i =>
       val p = i - 1
-      s"""u$i AS (SELECT s.sub, k$p.code,
+      s"""pu$i AS (SELECT s.sub, pk$p.code,
                unnest(range(0, len(s.sv))) AS pos, unnest(s.sv) AS x
-             FROM subv s JOIN k$p ON k$p.vec_id = s.vec_id AND k$p.sub = s.sub),
-      cent$i AS (SELECT sub, code, pos,
+             FROM psubv s JOIN pk$p ON pk$p.vec_id = s.vec_id AND pk$p.sub = s.sub),
+      pcent$i AS (SELECT sub, code, pos,
                   (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
                     / COUNT(*) AS c
-                FROM u$i GROUP BY sub, code, pos),
-      books$i AS (SELECT sub, code, list(c ORDER BY pos) AS cv
-                  FROM cent$i GROUP BY sub, code),
-      asg$i AS (SELECT s.vec_id, s.sub, b.code,
+                FROM pu$i GROUP BY sub, code, pos),
+      pbooks$i AS (SELECT sub, code, list(c ORDER BY pos) AS cv
+                  FROM pcent$i GROUP BY sub, code),
+      pasg$i AS (SELECT s.vec_id, s.sub, b.code,
                   list_cosine_similarity(s.sv, b.cv) AS sc
-                FROM subv s JOIN books$i b ON b.sub = s.sub),
-      k$i AS (SELECT vec_id, sub, code FROM (
+                FROM psubv s JOIN pbooks$i b ON b.sub = s.sub),
+      pk$i AS (SELECT vec_id, sub, code FROM (
                 SELECT vec_id, sub, code,
                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                      ORDER BY sc DESC, code) AS rn
-                FROM asg$i) WHERE rn = 1)"""
+                FROM pasg$i) WHERE rn = 1)"""
     }.mkString(",\n      ")
-    val joins = (1 until m).map { j =>
-      s"""JOIN k$iters a$j ON a$j.vec_id = a0.vec_id AND a$j.sub = $j
-        JOIN lut l$j ON l$j.query_id = l0.query_id AND l$j.sub = $j
-                     AND l$j.code = a$j.code"""
-    }.mkString("\n        ")
-    val njoins = (0 until m).map { j =>
-      s"JOIN n2 n$j ON n$j.sub = $j AND n$j.code = a$j.code"
-    }.mkString("\n        ")
-    val dotChain = (1 until m).foldLeft("l0.d") { (acc, j) => s"($acc + l$j.d)" }
-    val n2Chain = (1 until m).foldLeft("n0.nn") { (acc, j) => s"($acc + n$j.nn)" }
-    s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      subv AS (SELECT vec_id, j AS sub,
+    s"""psubv AS (SELECT vec_id, j AS sub,
                  v[CAST(j * $dsub + 1 AS BIGINT):CAST(j * $dsub + $dsub AS BIGINT)] AS sv
                FROM e, UNNEST(range(0, $m)) t(j)),
       ${graft.Q.sqlutil.fnvSignedCtes("pq",
         "'pq:' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)",
-        Seq("vec_id", "sub"), "subv")},
-      k0 AS (SELECT vec_id, sub, ((sb % $ksub) + $ksub) % $ksub AS code FROM pqg),
+        Seq("vec_id", "sub"), "psubv")},
+      pk0 AS (SELECT vec_id, sub, ((sb % $ksub) + $ksub) % $ksub AS code FROM pqg),
       $train,
-      lut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
+      plut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
                 list_inner_product(s.sv, b.cv) AS d
-              FROM subv s JOIN books$iters b ON b.sub = s.sub
+              FROM psubv s JOIN pbooks$iters b ON b.sub = s.sub
               WHERE s.vec_id < $nq),
-      n2 AS (SELECT sub, code, list_inner_product(cv, cv) AS nn FROM books$iters),
-      adc AS (SELECT l0.query_id, a0.vec_id AS neighbor_id,
-                $dotChain AS dotsum, $n2Chain AS norm2
-              FROM k$iters a0
-        JOIN lut l0 ON a0.sub = 0 AND l0.sub = 0 AND l0.code = a0.code
-        $joins
-        $njoins),
+      pn2 AS (SELECT sub, code, list_inner_product(cv, cv) AS nn FROM pbooks$iters)"""
+  }
+
+  /** The ADC + shortlist CTEs, structurally mirroring the Spark fold:
+    * per-vector code LISTS and dense per-query/1-row lookup LISTS,
+    * scored by a LEFT-ASSOCIATED chain of list indexings (identical
+    * addition order → the float shortlist boundary compares identical
+    * doubles). List indexing — not an m-way join: DuckDB inlines a CTE
+    * per reference, so joining `pk$iters` m times re-evaluates the
+    * whole train chain m times (observed: the composed IVF+PQ oracle
+    * never finished). `restrict` = None scores every (query, vector)
+    * pair (plain PQ); Some(cte) scores only that CTE's pairs (IVF+PQ).
+    * Emits `cand(query_id, neighbor_id)`. */
+  private def adcCtes(m: Int, ksub: Int, nq: Int, iters: Int, shortlist: Int,
+                      restrict: Option[String]): String = {
+    def chain(arr: String, codes: String): String =
+      (0 until m).map { j =>
+        s"$arr[CAST(${j * ksub} AS BIGINT) + $codes[${j + 1}] + 1]"
+      }.reduceLeft((acc, t) => s"($acc + $t)")
+    val pairSrc = restrict match {
+      case Some(cte) =>
+        s"""FROM $cte rc
+              JOIN pcodes pc ON pc.vec_id = rc.neighbor_id
+              JOIN plutarr pl ON pl.query_id = rc.query_id"""
+      case None =>
+        "FROM pcodes pc CROSS JOIN plutarr pl"
+    }
+    s"""pcodes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                 FROM pk$iters GROUP BY vec_id),
+      pslots AS (SELECT i AS slot FROM range(0, ${m * ksub}) t(i)),
+      plutarr AS (SELECT q.query_id,
+                    list(COALESCE(l.d, 0.0) ORDER BY s.slot) AS lutd
+                  FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < $nq) q
+                  CROSS JOIN pslots s
+                  LEFT JOIN plut l ON l.query_id = q.query_id
+                    AND l.sub = s.slot // $ksub AND l.code = s.slot % $ksub
+                  GROUP BY q.query_id),
+      pn2arr AS (SELECT list(COALESCE(n.nn, 0.0) ORDER BY s.slot) AS n2arr
+                 FROM pslots s LEFT JOIN pn2 n
+                   ON n.sub = s.slot // $ksub AND n.code = s.slot % $ksub),
+      adc AS (SELECT pl.query_id, pc.vec_id AS neighbor_id,
+                ${chain("pl.lutd", "pc.codes")} AS dotsum,
+                ${chain("pn.n2arr", "pc.codes")} AS norm2
+              $pairSrc
+              CROSS JOIN pn2arr pn),
       srt AS (SELECT query_id, neighbor_id,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY dotsum / sqrt(norm2) DESC, neighbor_id) AS srank
               FROM adc WHERE neighbor_id != query_id),
-      cand AS (SELECT query_id, neighbor_id FROM srt WHERE srank <= $shortlist),
-      scored AS (SELECT cand.query_id, cand.neighbor_id,
-                   list_cosine_similarity(c.v, q.v) AS cos
-                 FROM cand
-                 JOIN e c ON c.vec_id = cand.neighbor_id
-                 JOIN e q ON q.vec_id = cand.query_id),
-      r AS (SELECT query_id, neighbor_id,
-              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-              ROUND(cos, 4) AS cosine
-            FROM scored)
-      SELECT query_id, neighbor_id, rank, cosine
-      FROM r WHERE rank <= $k
-      ORDER BY query_id, rank"""
+      cand AS (SELECT query_id, neighbor_id FROM srt WHERE srank <= $shortlist)"""
   }
+
+  private def pqOracleSql(m: Int, ksub: Int, dsub: Int, k: Int,
+                          shortlist: Int, nq: Int, iters: Int = 1): String =
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${pqCtes(m, ksub, dsub, nq, iters)},
+      ${adcCtes(m, ksub, nq, iters, shortlist, restrict = None)},
+      ${reRankSql("cand", k)}"""
 
   /** PQ-ADC search end to end under one oracle: train (per-subspace
     * Lloyd), encode (m codes per vector), ADC shortlist, exact
@@ -319,6 +356,34 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(pqOracleSql(m = 4, ksub = 8, dsub = 16, k = 5, shortlist = 50, nq = 10)))
+
+  /** IVF+PQ composed (C39): the coarse trained cells bound WHICH
+    * vectors are ADC-scored, the codes bound WHAT is read — the
+    * complete FAISS-style index under ONE oracle composing the two
+    * proven generators (trainedCellsCtes + pqCtes, probe + restricted
+    * ADC). */
+  val qIvfPq = Q(
+    "qann_ivfpq",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfPqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
+          iters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ${ivfProbeCtes(nprobe = 3, nq = 10)},
+      cand0 AS (SELECT q.query_id, a.vec_id AS neighbor_id
+                FROM qprobe q JOIN acell a ON a.cell = q.cell
+                WHERE a.vec_id != q.query_id),
+      ${pqCtes(m = 4, ksub = 8, dsub = 16, nq = 10, iters = 1)},
+      ${adcCtes(m = 4, ksub = 8, nq = 10, iters = 1, shortlist = 30,
+        restrict = Some("cand0"))},
+      ${reRankSql("cand", k = 5)}"""))
 
   val qDecode = Q(
     "qmm_decode_meta",
@@ -445,5 +510,5 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2, qPq,
-    qDecode, qFrames, qHistogram, qCentroid, qProto)
+    qIvfPq, qDecode, qFrames, qHistogram, qCentroid, qProto)
 }

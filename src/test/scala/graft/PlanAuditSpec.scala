@@ -31,6 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "doubles each) and a 1-row codeword-norm table onto the codes frame; " +
       "the corpus side carries m codes per row, never vectors, and the train " +
       "step's crossJoin is the bounded m·ksub codebook broadcast"),
+    "qann_ivfpq" -> ("the same bounded broadcasts as qann_ivf_trained (nlist-row " +
+      "centroid frame) and qann_pq (per-query LUT rows, 1-row codeword-norm " +
+      "table); the candidate and ADC joins themselves are id-keyed equi-joins"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

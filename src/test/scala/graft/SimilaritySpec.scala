@@ -85,6 +85,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r100 >= r50, s"monotonicity broken: $r100 < $r50")
   }
 
+  test("ivfPqTopK with a full shortlist equals ivfTopK over the same trained cells") {
+    // the PQ stage only ORDERS the probed candidates; with shortlist >=
+    // corpus the exact re-rank sees every candidate, so the composed
+    // search must equal plain IVF over the identical trained index —
+    // any difference is a composition bug, not quantization loss
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1)
+    val indexed = e.join(cells, "vec_id")
+    val ivf = rows(Similarity.ivfTopK(indexed, col("vec_id"), col("embedding"),
+      col("cell"), indexed.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 5, nprobe = 3))
+    val ivfpq = rows(Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 600))
+    assert(ivfpq == ivf, s"ivfpq ${ivfpq.take(5)} vs ivf ${ivf.take(5)}")
+  }
+
   // measured 0.4 at nprobe=2 (sf0.001, 10 cells), pinned at measured − 0.1
   private val RecallFloorIvf = 0.3
 
