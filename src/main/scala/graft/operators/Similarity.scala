@@ -341,19 +341,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Train + encode on ONE persisted corpus-sized subvector frame —
+    * re-slicing the corpus for encode would pay a second scan while
+    * the train-time cache sat pinned and unread. Shared by [[pqTopK]]
+    * and [[ivfPqTopK]] so a train/encode change can't diverge them.
+    * Returns (codebook, codes). */
+  private def pqTrainEncode(corpus: DataFrame, id: Column, vec: Column,
+                            m: Int, ksub: Int, iters: Int): (DataFrame, DataFrame) = {
+    val subs = pqSubvectors(corpus, id, vec, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = pqTrainOn(subs, ksub, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (books, pqCodesOf(pqAssign(subs, books)))
+  }
+
   def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              queries: DataFrame, queryId: Column, queryVec: Column,
              m: Int, ksub: Int, k: Int, shortlist: Int,
              iters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    // ONE corpus-sized subvector frame, persisted, shared by train and
-    // encode — re-slicing the corpus for encode would pay a second
-    // scan while the train-time cache sat pinned and unread
-    val subs = pqSubvectors(corpus, corpusId, corpusVec, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = pqTrainOn(subs, ksub, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = pqCodesOf(pqAssign(subs, books))
+    val (books, codes) = pqTrainEncode(corpus, corpusId, corpusVec, m, ksub, iters)
     val scored = codes
       .crossJoin(broadcast(pqN2Row(books, m, ksub)))
       .crossJoin(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)))
@@ -377,19 +384,22 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                 queries: DataFrame, queryId: Column, queryVec: Column,
                 nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
-                shortlist: Int, iters: Int = 1): DataFrame = {
+                shortlist: Int, ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, iters)
-    val indexed = corpus.join(
-      cells.withColumnRenamed("vec_id", "__cid"),
-      corpusId === col("__cid"))
-    val cand = ivfCandidates(indexed, corpusId, corpusVec, col("cell"),
-      queries, queryId, queryVec, nprobe)
-    val subs = pqSubvectors(corpus, corpusId, corpusVec, m)
+    // persisted like prototypicality's cells: ivfCandidates consumes
+    // the assignment twice (centroid agg + re-assignment) — without
+    // the boundary the Lloyd train pipeline executes twice
+    val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, ivfIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = pqTrainOn(subs, ksub, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = pqCodesOf(pqAssign(subs, books))
+    // a minimal private projection: joining the trained cells onto the
+    // caller's frame directly would collide if it already carries a
+    // `cell` column (e.g. an ivfTopK-style pre-indexed corpus)
+    val indexed = corpus.select(corpusId.as("__ivf_id"), corpusVec.as("__ivf_v"))
+      .join(cells.withColumnsRenamed(
+        Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
+    val cand = ivfCandidates(indexed, col("__ivf_id"), col("__ivf_v"),
+      col("__ivf_cell"), queries, queryId, queryVec, nprobe)
+    val (books, codes) = pqTrainEncode(corpus, corpusId, corpusVec, m, ksub, pqIters)
     val scored = cand
       .join(codes, col("neighbor_id") === codes("vec_id"))
       .join(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)), "query_id")

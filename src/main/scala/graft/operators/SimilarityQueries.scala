@@ -370,7 +370,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
-          iters = 1)
+          ivfIters = 1, pqIters = 1)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""

@@ -105,7 +105,30 @@ class SimilaritySpec extends AnyFunSuite {
       q, col("vec_id"), col("embedding"),
       nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 600))
     assert(ivfpq == ivf, s"ivfpq ${ivfpq.take(5)} vs ivf ${ivf.take(5)}")
+
+    // realistic shortlist: the ADC ordering now DECIDES which probed
+    // candidates survive — a scrambled composed scoring (e.g. the
+    // wrong query's LUT) cannot hide behind the full-shortlist case.
+    // Recall is measured against the plain-IVF result over the SAME
+    // trained cells (the candidate ceiling), and is monotone in the
+    // shortlist by construction (superset candidates, exact re-rank).
+    val ivfSet = ivf.map(r => (r._1, r._2)).toSet
+    def recallAt(shortlist: Int): Double = {
+      val got = rows(Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = shortlist))
+        .map(r => (r._1, r._2)).toSet
+      (ivfSet & got).size.toDouble / ivfSet.size
+    }
+    val (r20, r60) = (recallAt(20), recallAt(60))
+    info(s"measured ivf+pq recall@5 vs plain ivf: shortlist=20 -> $r20, 60 -> $r60")
+    assert(r20 >= RecallFloorIvfPq, s"recall@5 = $r20 (composed ADC too lossy)")
+    assert(r60 >= r20, s"monotonicity broken: $r60 < $r20")
   }
+
+  // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
+  // deterministic FNV-seeded trains), pinned at measured − 0.1
+  private val RecallFloorIvfPq = 0.22
 
   // measured 0.4 at nprobe=2 (sf0.001, 10 cells), pinned at measured − 0.1
   private val RecallFloorIvf = 0.3
