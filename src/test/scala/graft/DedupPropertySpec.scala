@@ -38,6 +38,33 @@ class DedupPropertySpec extends AnyFunSuite {
   private def shingles(text: String, n: Int): Set[String] =
     text.split(" ").sliding(n).map(_.mkString(" ")).toSet
 
+  test("passage coverage equals brute-force recompute on random corpora") {
+    import spark.implicits._
+    val n = 4
+    (1 to 3).foreach { seed =>
+      val docs = corpus(seed, 25)
+      val grams: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        id -> (if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+               else Seq.empty)
+      }.toMap
+      val want = docs.map { case (id, _) =>
+        val mine = grams(id)
+        val others = grams.collect { case (k, g) if k != id => g }.flatten.toSet
+        val dup = mine.count(others.contains).toLong
+        val frac = if (mine.isEmpty) 0.0
+          else BigDecimal(dup.toDouble / mine.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, mine.size.toLong, dup, frac)
+      }.sortBy(_._1)
+      val got = Dedup.passageDupStats(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), n)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"seed $seed: got ${got.take(3)} want ${want.take(3)}")
+    }
+  }
+
   test("ngram PPJoin output equals brute-force truth on random corpora") {
     import spark.implicits._
     (1 to 3).foreach { seed =>
