@@ -94,6 +94,28 @@ object Curation {
     df.withColumn("bucket", bucket).withColumn("split", label)
   }
 
+  /** Leakage-safe [[splitByHash]]: every member of a near-dup cluster
+    * lands in the SAME split. Splitting docs independently leaks —
+    * a train doc's near-duplicate in the test split means the model
+    * is evaluated on (slightly reworded) training data, exactly the
+    * contamination near-dedup exists to prevent. The split key is the
+    * cluster id for clustered docs (so the whole cluster moves as one
+    * unit) and the doc's own id for singletons; the cluster frame is
+    * members-only (tiny next to the corpus) and broadcasts, so this
+    * stays a map-side when-chain over the corpus — no corpus shuffle,
+    * same determinism contract as [[splitByHash]]. */
+  def splitByHashClustered(corpus: DataFrame, id: Column,
+                           clusterFrame: DataFrame,
+                           splits: Seq[(String, Int)],
+                           salt: String = "split"): DataFrame = {
+    val members = clusterFrame.select(col("doc_id").as("__m_id"), col("cluster_id"))
+    val keyed = corpus.withColumn("__sid", id)
+      .join(broadcast(members), col("__sid") === col("__m_id"), "left")
+      .withColumn("__skey", coalesce(col("cluster_id"), col("__sid")))
+    splitByHash(keyed, col("__skey"), splits, salt)
+      .drop("__m_id", "cluster_id", "__skey", "__sid")
+  }
+
   /** Token-budget corpus carve-out: the first `budget` tokens of the
     * deterministic FNV-ordered shuffle — "give me a fixed-size slice
     * of the corpus" as a reproducible operator (scale a dataset down

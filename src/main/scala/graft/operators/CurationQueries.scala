@@ -82,6 +82,43 @@ object CurationQueries {
       FROM g
       ORDER BY doc_id"""))
 
+  /** Leakage-safe split (C40): near-dup cluster members split
+    * TOGETHER — the split key is COALESCE(cluster_id, doc_id), so a
+    * train doc's near-duplicate can never land in test. Same cluster
+    * resolution as qdedup_clusters, same FNV bucket recipe as
+    * qsplit_assign, composed. */
+  val qSplitClustered = Q(
+    "qsplit_clustered",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      val cl = Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+      Curation.splitByHashClustered(
+          t.documents.select(col("doc_id")), col("doc_id"), cl,
+          splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach AS (SELECT s AS id, s AS lbl FROM e
+                UNION
+                SELECT e.s AS id, r.lbl AS lbl
+                FROM e JOIN reach r ON r.id = e.t),
+      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      keyed AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS skey
+                FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'split:' || CAST(skey AS VARCHAR)", Seq("doc_id"), "keyed")}
+      SELECT doc_id, ((sb % 100) + 100) % 100 AS bucket,
+        CASE WHEN ((sb % 100) + 100) % 100 < 90 THEN 'train'
+             WHEN ((sb % 100) + 100) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM g
+      ORDER BY doc_id"""))
+
   /** Token-budget carve-out (C30b): the minimal FNV-ordered prefix
     * covering 5000 tokens — [[Curation.sampleByBudget]], i.e. shard 0
     * of the qpack_shards prefix sum (same oracle formulation, cut at
@@ -398,5 +435,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPipeline, qContam, qSplit,
-    qSampleBudget, qPreprocess)
+    qSplitClustered, qSampleBudget, qPreprocess)
 }

@@ -177,6 +177,30 @@ class CurationSpec extends AnyFunSuite {
     assert(wrote > 0, "reliable checkpoint wrote no files — still executor-local?")
   }
 
+  test("clustered split keeps every cluster member in one split") {
+    import spark.implicits._
+    // two clusters + singletons over a corpus big enough that the 90/5/5
+    // buckets actually separate ids — then every cluster's members must
+    // share one label, and singletons must match the plain doc-id split
+    val corpus = (1L to 200L).toDF("doc_id")
+    val cl = Curation.clusters(
+      pairs(1L -> 2L, 2L -> 3L, 50L -> 151L), col("a"), col("b"))
+    val got = Curation.splitByHashClustered(corpus, col("doc_id"), cl,
+        splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200)
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, "cluster {1,2,3} split apart")
+    assert(got(50L) == got(151L), "cluster {50,151} split apart")
+    // singletons must agree with the plain split (same key, same salt)
+    val plain = Curation.splitByHash(corpus, col("doc_id"),
+        splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 2L, 3L, 50L, 151L)
+    assert((1L to 200L).filterNot(clustered).forall(i => got(i) == plain(i)))
+  }
+
   test("applyClustersBest keeps the best-scoring member, ties to the smaller id") {
     import spark.implicits._
     // cluster {1,2,3}: doc 2 scores highest -> keep 2, drop 1 and 3
