@@ -108,12 +108,16 @@ object Curation {
                            clusterFrame: DataFrame,
                            splits: Seq[(String, Int)],
                            salt: String = "split"): DataFrame = {
-    val members = clusterFrame.select(col("doc_id").as("__m_id"), col("cluster_id"))
+    // every borrowed column is __-prefixed before the join — a corpus
+    // already annotated with its own cluster_id column (a natural step
+    // right before this split) must neither collide nor be dropped
+    val members = clusterFrame.select(
+      col("doc_id").as("__m_id"), col("cluster_id").as("__m_cid"))
     val keyed = corpus.withColumn("__sid", id)
       .join(broadcast(members), col("__sid") === col("__m_id"), "left")
-      .withColumn("__skey", coalesce(col("cluster_id"), col("__sid")))
+      .withColumn("__skey", coalesce(col("__m_cid"), col("__sid")))
     splitByHash(keyed, col("__skey"), splits, salt)
-      .drop("__m_id", "cluster_id", "__skey", "__sid")
+      .drop("__m_id", "__m_cid", "__skey", "__sid")
   }
 
   /** Token-budget corpus carve-out: the first `budget` tokens of the

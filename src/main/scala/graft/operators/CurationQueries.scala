@@ -27,6 +27,22 @@ object CurationQueries {
     graft.Q.sqlutil.fnvSignedCtes("",
       s"'$salt:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", carry), src)
 
+  /** THE recursive-CTE connected-components block (over the simhash
+    * `pairs` CTE): min reachable id per node → `cc(doc_id,
+    * cluster_id)`. ONE definition interpolated by every
+    * cluster-consuming oracle (clusters/clusters_star/apply/
+    * apply_best/split_clustered) so a future fix to the resolution
+    * can't silently diverge one of them. */
+  private val ComponentCcCtes: String = """
+      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach AS (SELECT s AS id, s AS lbl FROM e
+                UNION
+                SELECT e.s AS id, r.lbl AS lbl
+                FROM e JOIN reach r ON r.id = e.t),
+      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
+
   val qSampleHash = Q(
     "qsample_hash",
     (s, dir) => {
@@ -100,14 +116,7 @@ object CurationQueries {
     },
     Some(s"""
       WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
-      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-            UNION ALL
-            SELECT doc_b AS s, doc_a AS t FROM pairs),
-      reach AS (SELECT s AS id, s AS lbl FROM e
-                UNION
-                SELECT e.s AS id, r.lbl AS lbl
-                FROM e JOIN reach r ON r.id = e.t),
-      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      $ComponentCcCtes,
       keyed AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS skey
                 FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
       ${graft.Q.sqlutil.fnvSignedCtes("",
@@ -172,14 +181,7 @@ object CurationQueries {
     * either isolates that algorithm. */
   private val ClustersOracle = s"""
       WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
-      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-            UNION ALL
-            SELECT doc_b AS s, doc_a AS t FROM pairs),
-      reach AS (SELECT s AS id, s AS lbl FROM e
-                UNION
-                SELECT e.s AS id, r.lbl AS lbl
-                FROM e JOIN reach r ON r.id = e.t),
-      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+      $ComponentCcCtes
       SELECT doc_id, cluster_id,
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cc
@@ -303,14 +305,7 @@ object CurationQueries {
     },
     Some(s"""
       WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
-      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-            UNION ALL
-            SELECT doc_b AS s, doc_a AS t FROM pairs),
-      reach AS (SELECT s AS id, s AS lbl FROM e
-                UNION
-                SELECT e.s AS id, r.lbl AS lbl
-                FROM e JOIN reach r ON r.id = e.t),
-      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      $ComponentCcCtes,
       drops AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
       SELECT doc_id, lang FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM drops)
@@ -333,14 +328,7 @@ object CurationQueries {
     },
     Some(s"""
       WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
-      e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-            UNION ALL
-            SELECT doc_b AS s, doc_a AS t FROM pairs),
-      reach AS (SELECT s AS id, s AS lbl FROM e
-                UNION
-                SELECT e.s AS id, r.lbl AS lbl
-                FROM e JOIN reach r ON r.id = e.t),
-      cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      $ComponentCcCtes,
       sc AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
              FROM cc JOIN documents d USING (doc_id)),
       win AS (SELECT doc_id,

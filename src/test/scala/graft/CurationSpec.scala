@@ -190,13 +190,22 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.size == 200)
-    assert(Set(got(1L), got(2L), got(3L)).size == 1, "cluster {1,2,3} split apart")
-    assert(got(50L) == got(151L), "cluster {50,151} split apart")
-    // singletons must agree with the plain split (same key, same salt)
     val plain = Curation.splitByHash(corpus, col("doc_id"),
         splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the contract, exactly: a cluster's shared label IS the plain
+    // split of its min id (the cluster key), for every member
+    assert(Seq(1L, 2L, 3L).forall(i => got(i) == plain(1L)),
+      s"cluster {1,2,3} not all at plain(1)=${plain(1L)}")
+    assert(Seq(50L, 151L).forall(i => got(i) == plain(50L)),
+      s"cluster {50,151} not all at plain(50)=${plain(50L)}")
+    // non-vacuity: doc 2 splits DIFFERENTLY from doc 1 when keyed by
+    // its own id, so an implementation ignoring the cluster frame
+    // cannot pass the {1,2,3} assertion by coincidence
+    assert(plain(2L) != plain(1L),
+      "test corpus lost its discriminating member — pick another cluster")
+    // singletons must agree with the plain split (same key, same salt)
     val clustered = Set(1L, 2L, 3L, 50L, 151L)
     assert((1L to 200L).filterNot(clustered).forall(i => got(i) == plain(i)))
   }
