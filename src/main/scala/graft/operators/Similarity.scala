@@ -480,8 +480,6 @@ object Similarity {
               k: Int, dim: Int, tables: Int = 16, planesPerTable: Int = 4,
               seed: Long = 42L): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val c = corpus.select(corpusId.as("neighbor_id"), VectorFunctions.normalized(corpusVec).as("cv"))
-    val q = queries.select(queryId.as("query_id"), VectorFunctions.normalized(queryVec).as("qv"))
     // bucket on the RAW (double-cast) vectors: the sign of dot(v, plane)
     // is scale-invariant, and hashing the unnormalized values keeps the
     // signature arithmetic bit-reproducible outside Spark (the DuckDB
@@ -494,14 +492,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .join(c, "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("cosine", VectorFunctions.dot(col("cv"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
+    exactReRank(cand, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
   }
 }
