@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling (SURVEY.md §2.D8) — the data-quality gate of a
@@ -87,5 +87,62 @@ object Profile {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(qProfile, qProfileSources)
+  /** Power-of-two histogram boundaries shared by the Spark when-chain
+    * and the SQL CASE so the two can't drift: bucket b covers
+    * [2^b, 2^(b+1)), bucket 0 additionally catches n < 1. Plenty for
+    * token counts (2^20 ≈ 1M tokens/doc). */
+  private val LenBuckets = 0 to 20
+
+  /** Sequence-length distribution (D11): docs and tokens per
+    * power-of-two token-count bucket — the view consulted before
+    * choosing a packing budget (C17) or length cuts (C25): where the
+    * mass sits, how heavy the tail is. The bucket boundary is an
+    * INTEGER comparison chain (never floor(log2(n)) — a libm log2 at
+    * an exact power of two is a cross-engine coin flip); one grouped
+    * aggregation with map-side partials over a map-only bucket
+    * expression. */
+  def lengthHistogram(df: DataFrame, id: Column, sizeCol: Column): DataFrame = {
+    val n = sizeCol.cast("long")
+    val bucket = LenBuckets.reverse.tail.foldLeft(lit(LenBuckets.last)) {
+      case (acc, b) => when(n < (1L << (b + 1)), lit(b)).otherwise(acc)
+    }
+    df.select(id.as("doc_id"), n.as("n"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_docs"), col("n_tokens"), col("min_tokens"), col("max_tokens"))
+  }
+
+  val qLengths = Q(
+    "qprofile_lengths",
+    (s, dir) =>
+      Profile.lengthHistogram(
+          Tables(s, dir).documents, col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")))
+        .orderBy(col("bucket")),
+    Some {
+      // ascending: a SQL CASE matches top-down, so the tightest bound
+      // must come first (the Spark fold nests to the same priority)
+      val cases = LenBuckets.dropRight(1)
+        .map(b => s"WHEN n < ${1L << (b + 1)} THEN $b")
+        .mkString("\n               ")
+      s"""
+      WITH sized AS (SELECT doc_id,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+             FROM documents),
+      b AS (SELECT doc_id, n,
+              CASE $cases
+               ELSE ${LenBuckets.last} END AS bucket
+            FROM sized)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(MIN(n) AS BIGINT) AS min_tokens,
+        CAST(MAX(n) AS BIGINT) AS max_tokens
+      FROM b GROUP BY bucket
+      ORDER BY bucket"""
+    })
+
+  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths)
 }

@@ -177,6 +177,21 @@ class CurationSpec extends AnyFunSuite {
     assert(wrote > 0, "reliable checkpoint wrote no files — still executor-local?")
   }
 
+  test("length histogram buckets sit on exact power-of-two boundaries") {
+    import spark.implicits._
+    // bucket b covers [2^b, 2^(b+1)); exact powers open their own bucket
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 7L),
+      (6L, 8L), (7L, 1024L), (8L, 0L)).toDF("doc_id", "n")
+    val got = graft.operators.Profile.lengthHistogram(df, col("doc_id"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0L -> (2L, 1L),    // n in {0, 1}
+      1L -> (2L, 5L),    // n in {2, 3}
+      2L -> (2L, 11L),   // n in {4, 7}
+      3L -> (1L, 8L),    // n = 8 opens bucket 3
+      10L -> (1L, 1024L)), s"got $got")
+  }
+
   test("clustered split keeps every cluster member in one split") {
     import spark.implicits._
     // two clusters + singletons over a corpus big enough that the 90/5/5
