@@ -76,13 +76,27 @@ object Bench {
       val s = samples.map(_(n))
       n -> (if (s.exists(_ < 0)) -1.0 else s.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver records only the LAST 2000 chars of stdout; with 80+
+    // registered queries one all-in-one JSON line overflows that and the
+    // times map gets decapitated (BENCH_r08 lost its per-query times this
+    // way). Output contract, tail-truncation-aware:
+    //   stderr  — per-query spread map (diagnostic, not tail-budgeted)
+    //   file    — BENCH_FULL.json in the repo root: the complete record
+    //   stdout  — times line with entries sorted CHEAPEST-FIRST (head
+    //             truncation eats the least interesting numbers), then a
+    //             compact {"metric":"total",...} line LAST so the headline
+    //             always survives intact.
+    def fmt(d: Double): String = {
+      val s = f"$d%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query max/min spread across passes: the min rejects transient
     // host noise, but a reader of ONE bench file can't tell which mins
     // were contested — a large spread marks a low-confidence number
     // (re-measure before calling it a regression) without a second run
-    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val spreads = names.map { n =>
       val s = samples.map(_(n))
       val sp = if (s.exists(_ < 0) || s.min <= 0) -1.0 else r3(s.max / s.min)
@@ -91,8 +105,21 @@ object Bench {
     // a failed query (-1 marker) must not make the headline number look
     // FASTER: report total=-1 plus an explicit failure count
     val failures = results.count(_._2 < 0)
-    val total = if (failures > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""")
+    val total = if (failures > 0) -1.0 else r3(results.map(_._2).sum)
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    System.err.println(s"""[bench] spread_max_over_min $spreads""")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},""" +
+          s""""queries":$qs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
+    }
+    println(s"""{"metric":"times","queries":$qs}""")
+    println(totalLine)
     spark.stop()
   }
 }

@@ -501,10 +501,18 @@ object Curation {
     * the corpus against it, exactly like [[applyClusters]]' drop set.
     *
     * Scale shape: the eval side (benchmarks are ~10⁵-10⁶ grams, tiny
-    * next to a 100 TB corpus) is distinct-ed and BROADCAST, so corpus
-    * grams are probed map-side and never shuffle — only the matching
-    * (doc_id, gram) hits move, into a partial-aggregated count. Grams
-    * come from [[Dedup.wordShingles]] (ONE definition of the
+    * next to a 100 TB corpus) is distinct-ed, HASHED to xxhash64
+    * (8 bytes per gram vs 50+ for a raw word-8-gram string — a ~6×+
+    * smaller broadcast; at 10⁷ grams the string form is a 0.5 GB
+    * broadcast, the hashed form ~80 MB) and BROADCAST, so corpus grams
+    * are probed map-side — as hashes, computed in the same map stage —
+    * and never shuffle — only the matching (doc_id, gram_hash) hits
+    * move, into a partial-aggregated count. Counting distinct HASHES
+    * equals counting distinct grams up to xxhash64 collisions
+    * (p ≈ 1e-11 per pair at 10⁷ grams — the same odds every
+    * hash-keyed dedup in this engine already accepts); the string
+    * ("qcuration_contam") oracle stays valid for exactly that reason.
+    * Grams come from [[Dedup.wordShingles]] (ONE definition of the
     * trap-sensitive shingling expression engine-wide); its per-doc
     * `array_distinct` is semantically free here (the count is already
     * DISTINCT) and keeps repeated grams from shipping redundant hit
@@ -515,10 +523,12 @@ object Curation {
     require(n >= 1, s"n must be positive, got $n")
     val evalGrams = evalSet
       .select(explode(Dedup.wordShingles(evalText, n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
       .distinct()
     corpus.select(id.as("doc_id"), explode(Dedup.wordShingles(text, n)).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .join(broadcast(evalGrams), "gram_h")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("shared_grams"))
+      .agg(countDistinct(col("gram_h")).as("shared_grams"))
   }
 }

@@ -284,20 +284,37 @@ object Dedup {
       .select(col("doc_id"), shingleHashSet(col("doc_text"), n).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k, seed))
 
+  /** Evict every row of buckets larger than `maxBucket`, by grouped
+    * count + anti-join. NOT `count(*).over(Window.partitionBy(key))`:
+    * a WindowExec buffers its whole partition per task BEFORE the
+    * filter runs, so the degenerate bucket the cap exists to protect
+    * against would be materialized (one straggler task owns it, spills
+    * it linearly) just to be dropped. The grouped count combines
+    * map-side (partial_count), the over-cap key set is tiny rows
+    * (keys only, ≤ n/maxBucket of them — NOT broadcast, it can still
+    * be large at corpus scale), and the anti-join shuffles on the same
+    * bucket key the downstream candidate self-join uses, so the
+    * partitioning carries forward. */
+  private def dropOverCapBuckets(rows: DataFrame, keys: Seq[String],
+                                 maxBucket: Int): DataFrame = {
+    val over = rows.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > maxBucket)
+      .select(keys.map(col): _*)
+    rows.join(over, keys, "left_anti")
+  }
+
   /** (doc_id, band, band_hash) rows of a prepped frame, buckets above
     * `maxBucket` evicted (per side — a bucket that big is a degenerate
     * shingle cluster, not a near-dup group). */
   private def bandedCapped(docs: DataFrame, bands: Int, rows: Int,
                            maxBucket: Int): DataFrame =
-    docs.select(col("doc_id"), posexplode(
+    dropOverCapBuckets(
+      docs.select(col("doc_id"), posexplode(
         array((0 until bands).map { b =>
           xxhash64(concat_ws(",", (0 until rows).map(r =>
             element_at(col("sig"), b * rows + r + 1)): _*))
-        }: _*)).as(Seq("band", "band_hash")))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+        }: _*)).as(Seq("band", "band_hash"))),
+      Seq("band", "band_hash"), maxBucket)
 
   /** Near-duplicate pairs via banded MinHash-LSH, verified by true
     * shingle Jaccard. bands·rows must equal the signature length k.
@@ -444,11 +461,7 @@ object Dedup {
         shiftrightunsigned(col("sig"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1L))
       }: _*)).as(Seq("chunk", "chunk_val")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val capped = dropOverCapBuckets(banded, Seq("chunk", "chunk_val"), maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -556,11 +569,7 @@ object Dedup {
     // the same plane literals (the recipe qann_lsh_bucketed proved)
     val raw = df.select(id.as("vec_id"), vec.cast("array<double>").as("vraw"))
     val bucketRows = Similarity.bucketRows(raw, "vec_id", "vraw", dim, tables, planesPerTable, seed)
-    val capped = bucketRows
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("table_id"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val capped = dropOverCapBuckets(bucketRows, Seq("table_id", "bucket"), maxBucket)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

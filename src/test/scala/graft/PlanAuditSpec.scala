@@ -80,17 +80,10 @@ class PlanAuditSpec extends AnyFunSuite {
   // not statically knowable, so every allowed frame must state WHY its
   // partition key keeps per-task state bounded at 100 TB.
   private val unboundedWindowAllowed: Map[String, String] = Map(
-    "qdedup_minhash_lsh" -> ("bucket-cap count over (band, band_hash) — a " +
-      "64-bit hash key with ~one bucket per near-dup group; cardinality " +
-      "scales WITH the data and each partition is capped by maxBucket " +
-      "right after the count"),
-    "qdedup_simhash" -> ("bucket-cap count over (chunk, chunk_val) — same " +
-      "hash-keyed shape: per-partition size is the bucket being measured, " +
-      "evicted above maxBucket"),
-    "qdedup_incremental" -> ("the same (band, band_hash) bucket-cap count as " +
-      "qdedup_minhash_lsh, once per side"),
-    "qdedup_embedding_lsh" -> ("bucket-cap count over (table_id, bucket) " +
-      "hyperplane-hash keys; buckets above maxBucket are evicted"),
+    // round-9: the four bucket-cap entries (minhash_lsh, simhash,
+    // incremental, embedding_lsh) are GONE — the cap is now a grouped
+    // count + anti-join (Dedup.dropOverCapBuckets), so no WindowExec
+    // buffers the degenerate bucket it evicts
     "qdedup_clusters" -> ("cluster_size count over cluster_id — " +
       "cardinality ≈ number of clusters (scales with docs); a partition " +
       "is one dup cluster, bounded by real-world dup-group size"),
