@@ -251,11 +251,21 @@ object TextFunctions {
                  minTokens: Int, maxTokens: Int,
                  minMeanLen: Int, maxMeanLen: Int,
                  minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
-    val measured = df.select(
-      col("*") +: gopherMeasures(text).map { case (n, c) => c.as(n) }: _*)
     val m = gopherMeasures(text).map { case (n, _) => n -> col(n) }.toMap
     val flags = gopherPredicates(m, minTokens, maxTokens,
       minMeanLen, maxMeanLen, minStopwords)
+    // fail fast on reserved-name collisions: an input already carrying
+    // a measure name (plausible after a profiling step) would otherwise
+    // make the flag stage's col("n_tokens") reference throw an
+    // ambiguous-reference AnalysisException — or worse, silently read
+    // the stale column
+    val reserved = (m.keys ++ flags.map(_._1) ++ Seq("passes")).toSet
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"gopherGate writes reserved columns ${reserved.toSeq.sorted.mkString(", ")}; " +
+        s"input already carries: ${clash.toSeq.sorted.mkString(", ")}")
+    val measured = df.select(
+      col("*") +: gopherMeasures(text).map { case (n, c) => c.as(n) }: _*)
     measured.select(col("*") +: (flags.map { case (n, c) => c.as(n) } :+
       flags.map(_._2).reduce(_ && _).as("passes")): _*)
   }

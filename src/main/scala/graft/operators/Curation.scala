@@ -85,6 +85,13 @@ object Curation {
     require(splits.map(_._2).sum == 100,
       s"split pcts must sum to 100, got $splits")
     require(splits.forall(_._2 > 0), s"split pcts must be positive, got $splits")
+    // fail fast instead of silently overwriting: composing after
+    // sampleByHash/sampleByMixture (whose outputs keep a "bucket"
+    // column) would otherwise replace the sample bucket without warning
+    val clash = df.columns.toSet.intersect(Set("bucket", "split"))
+    require(clash.isEmpty,
+      s"splitByHash writes reserved columns (bucket, split); " +
+        s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val bucket = hashBucket(key, 100, salt)
     val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail

@@ -231,6 +231,66 @@ object Dedup {
           .otherwise(round(col("dup_windows").cast("double") / col("n_windows"), 4)))
   }
 
+  /** Passage-level span REMOVAL (C41) — the surgery [[passageDupStats]]'
+    * coverage signal exists to drive (Lee et al. 2022's exact-substring
+    * dedup, arXiv:2107.06499): rewrite each document to drop every
+    * TOKEN covered by at least one duplicated positional window (a
+    * word-n-gram occurring in ≥ 2 distinct documents — the same
+    * distinct-doc ≥ 2 rule as C34, so within-doc repetition is never
+    * removed). Survivor tokens are re-joined with single spaces;
+    * documents with no duplicated window are returned BYTE-IDENTICAL
+    * (the untouched branch short-circuits re-assembly, so odd spacing
+    * in untouched docs can't be normalized away). Returns
+    * (doc_id, clean, removed_tokens).
+    *
+    * Scale shape: the gram doc-frequency side is the C34 pipeline (one
+    * (doc, gram) distinct shuffle, one gram-keyed agg, one gram-keyed
+    * semi-join); what shuffles AFTER that is only (doc_id, pos) rows of
+    * DUPLICATED windows — ids and ints, never text — collected into a
+    * per-doc sorted start array and equi-joined back to the corpus by
+    * id. The rewrite itself is one codegen-friendly map stage: expand
+    * starts → covered token positions per row, filter the token array
+    * by position, concat. Per-doc cost is O(tokens · covered) array
+    * probes — bounded by document length, not corpus size. */
+  def passageDupRemove(df: DataFrame, id: Column, text: Column,
+                       n: Int = 5): DataFrame = {
+    // one shingling pass (same idiom as passageDupStats); persisted
+    // because BOTH the doc-frequency agg and the dup-start semi-join
+    // re-explode it
+    val windows = df.select(id.as("doc_id"), text.as("doc_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        wordShingles(col("doc_text"), n, distinct = false).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posw = windows.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "gram")))
+    val dupGrams = posw.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") >= 2)
+      .select(col("gram"))
+    val dupStarts = posw.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    df.select(id.as("doc_id"), text.as("doc_text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.Cols.let(split(col("doc_text"), " ")) { toks =>
+          graft.functions.Cols.let(array_distinct(flatten(transform(
+              coalesce(col("starts"), typedLit(Array.empty[Int])),
+              i => sequence(i, i + (n - 1)))))) { covered =>
+            graft.functions.Cols.let(
+                filter(toks, (_, p) => !array_contains(covered, p))) { kept =>
+              struct(
+                when(size(covered) === 0, col("doc_text"))
+                  .otherwise(concat_ws(" ", kept)).as("clean"),
+                (size(toks) - size(kept)).cast("long").as("removed_tokens"))
+            }
+          }
+        }.as("r"))
+      .select(col("doc_id"), col("r.clean").as("clean"),
+        col("r.removed_tokens").as("removed_tokens"))
+  }
+
   // --- C2: MinHash + banded LSH -----------------------------------------
 
   /** k-permutation MinHash signature over a shingle-hash set column.
@@ -414,8 +474,17 @@ object Dedup {
                                   maxBucket: Int = 1000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(newDf.sparkSession)
     val nw = minhashPrepped(newDf, newId, newText, n, bands * rows, seed)
-    bipartiteLshPairs(nw, index.select(col("doc_id"), col("sh"), col("sig")),
-      bands, rows, threshold, maxBucket)
+    // hard guard: an index built with a different k would make
+    // element_at(sig, ...) read past the array end, yielding nulls
+    // that concat_ws silently skips — band hashes from PARTIAL
+    // signatures, near-dups silently missed. Fail loudly instead.
+    val idx = index.select(col("doc_id"), col("sh"), col("sig"))
+      .filter(coalesce(assert_true(size(col("sig")) === bands * rows,
+        concat(lit("minhash index signature length "),
+          size(col("sig")).cast("string"),
+          lit(s" != bands*rows = ${bands * rows} — the index was built with a different k"))),
+        lit(true)))
+    bipartiteLshPairs(nw, idx, bands, rows, threshold, maxBucket)
   }
 
   // --- C3: SimHash ------------------------------------------------------

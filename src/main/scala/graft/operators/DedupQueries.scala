@@ -297,6 +297,38 @@ object DedupQueries {
       FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
       ORDER BY t.doc_id"""))
 
+  /** Passage span removal (C41): the oracle mirrors the rewrite
+    * byte-for-byte — positional 5-gram windows, distinct-doc ≥ 2 dup
+    * rule, covered-token filter, single-space re-join, untouched docs
+    * returned verbatim. */
+  val qPassageRm = Q(
+    "qdedup_passage_rm",
+    (s, dir) =>
+      Dedup.passageDupRemove(Tables(s, dir).documents, col("doc_id"), col("text"), n = 5)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 5 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5),
+      f AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS dc
+                              FROM grams GROUP BY gram) WHERE dc >= 2),
+      cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS p
+              FROM grams g JOIN f USING (gram), UNNEST(range(0, 5)) AS v(j)),
+      cl AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id),
+      k AS (SELECT toks.doc_id, toks.text, toks.t, COALESCE(cl.cov, []) AS cov
+            FROM toks LEFT JOIN cl USING (doc_id)),
+      r AS (SELECT doc_id, text, t, cov,
+              [t[CAST(i + 1 AS BIGINT)] FOR i IN range(0, len(t)) IF NOT list_contains(cov, i)] AS kept
+            FROM k)
+      SELECT doc_id,
+        CASE WHEN len(cov) = 0 THEN text
+             ELSE COALESCE(array_to_string(kept, ' '), '') END AS clean,
+        CAST(len(t) - len(kept) AS BIGINT) AS removed_tokens
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage)
+    qSemantic, qIncremental, qPassage, qPassageRm)
 }

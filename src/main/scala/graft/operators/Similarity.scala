@@ -68,12 +68,7 @@ object Similarity {
       pmod(call_function("fnv1a64", concat(lit("ivf:"), id.cast("string"))),
         lit(nlist.toLong)).as("cell"))
     for (_ <- 0 until iters) {
-      val cents = VectorFunctions.groupCentroids(
-          v.join(cells, "vec_id"), col("cell"), col("v"))
-        .groupBy(col("grp"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("centroid")))),
-          s => s.getField("centroid")).as("cv"))
+      val cents = centroidFrame(v.join(cells, "vec_id"), col("cell"), col("v"))
       cells = v.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("grp"),
           VectorFunctions.cosine(col("v"), col("cv")).as("s"))
@@ -111,20 +106,37 @@ object Similarity {
       queries, queryId, queryVec, k)
   }
 
-  /** The IVF candidate front-end shared by [[ivfTopK]] and
-    * [[ivfPqTopK]]: cell centroids from the seed assignment, corpus
-    * re-assignment by combiner-friendly argmax, per-query nprobe cell
-    * probing — returns `(query_id, neighbor_id)` pairs (self
-    * excluded), ids only. */
-  private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-                            cellSeed: Column,
-                            queries: DataFrame, queryId: Column, queryVec: Column,
-                            nprobe: Int): DataFrame = {
-    val cvecs = VectorFunctions.groupCentroids(corpus, cellSeed, corpusVec)
+  /** (grp, cv) centroid frame of an assigned vector frame — the
+    * fixed-point groupCentroids aggregation collected to one ordered
+    * array per group. ONE definition shared by the IVF train loop, the
+    * candidate front-end, prototypicality and the residual encoder, so
+    * the centroid recipe can't drift between them. */
+  private[operators] def centroidFrame(assigned: DataFrame, grp: Column,
+                                       vec: Column): DataFrame =
+    VectorFunctions.groupCentroids(assigned, grp, vec)
       .groupBy(col("grp"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("centroid")))),
         s => s.getField("centroid")).as("cv"))
+
+  /** The IVF candidate front-end's full output: centroids `(grp, cv)`,
+    * the corpus's final re-assignment `(neighbor_id, cell)`, and the
+    * candidate pairs `(query_id, neighbor_id)`. [[ivfTopK]] consumes
+    * only the candidates; the residual IVF+PQ path also needs the
+    * assignment (residuals are vs the ASSIGNED cell's centroid — the
+    * same cells the probe matches against, or reconstruction and
+    * probing would disagree) and the centroids. */
+  private case class IvfFrontEnd(cvecs: DataFrame, corpusCells: DataFrame,
+                                 cand: DataFrame)
+
+  /** Cell centroids from the seed assignment, corpus re-assignment by
+    * combiner-friendly argmax, per-query nprobe cell probing —
+    * candidate pairs exclude self, ids only. */
+  private def ivfFrontEnd(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          cellSeed: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          nprobe: Int): IvfFrontEnd = {
+    val cvecs = centroidFrame(corpus, cellSeed, corpusVec)
     val c = corpus.select(corpusId.as("neighbor_id"),
       corpusVec.cast("array<double>").as("v"))
     val q = queries.select(queryId.as("query_id"),
@@ -145,10 +157,18 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("grp").as("cell"))
-    corpusCells.join(broadcast(qProbes), "cell")
+    val cand = corpusCells.join(broadcast(qProbes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
+    IvfFrontEnd(cvecs, corpusCells, cand)
   }
+
+  private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                            cellSeed: Column,
+                            queries: DataFrame, queryId: Column, queryVec: Column,
+                            nprobe: Int): DataFrame =
+    ivfFrontEnd(corpus, corpusId, corpusVec, cellSeed,
+      queries, queryId, queryVec, nprobe).cand
 
   /** The exact-cosine re-rank tail every candidate-generating search
     * shares (ivf / pq / ivf+pq): fetch full vectors for the candidate
@@ -176,13 +196,17 @@ object Similarity {
   // --- C38: product quantization (PQ-ADC) ---------------------------------
 
   /** Subvector view: m rows per vector — `(vec_id, sub, sv)` where sv
-    * is the sub-th dim/m-length slice. dim must be divisible by m or
-    * the trailing remainder is silently dropped from every vector
-    * (consistently, but don't). The array is let-bound so the slice
-    * lambda doesn't re-derive it per subspace. */
+    * is the sub-th dim/m-length slice. dim must be divisible by m —
+    * enforced per row with a runtime `assert_true` (a miscalled search
+    * would otherwise silently drop the trailing dim % m dimensions
+    * from every vector). The array is let-bound so the slice lambda
+    * doesn't re-derive it per subspace. */
   private def pqSubvectors(df: DataFrame, id: Column, vec: Column,
                            m: Int): DataFrame =
     df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(coalesce(assert_true(pmod(size(col("v")), lit(m)) === 0,
+        concat(lit("pq: vector dim "), size(col("v")).cast("string"),
+          lit(s" is not divisible by m=$m"))), lit(true)))
       .select(col("vec_id"), posexplode(
         graft.functions.Cols.let(col("v")) { vv =>
           graft.functions.Cols.let((size(vv) / lit(m)).cast("int")) { dsub =>
@@ -320,16 +344,20 @@ object Similarity {
       .select(transform(sequence(lit(0), lit(m * ksub - 1)),
         s => coalesce(element_at(col("mp"), s), lit(0.0))).as("n2arr"))
 
+  /** LEFT-ASSOCIATED m-term fold of `arr[j·ksub + codes[j]]` over the
+    * row's `codes` column (the oracles reproduce the association, so
+    * shortlist boundaries compare identical doubles). The code cast
+    * accepts any integral storage type — the narrowed byte codes of
+    * [[pqIndex]] fold identically. */
+  private def pqFold(arr: Column, m: Int, ksub: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(arr,
+        j * ksub + element_at(col("codes"), j + 1).cast("int") + 1))
+
   /** The ADC approximate score over a frame carrying `codes`, `lutd`,
-    * `n2arr`: a LEFT-ASSOCIATED m-term fold (the oracle reproduces the
-    * association, so shortlist boundaries compare identical doubles). */
-  private def pqAdcScore(m: Int, ksub: Int): Column = {
-    def fold(arr: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => acc + element_at(arr,
-          j * ksub + element_at(col("codes"), j + 1).cast("int") + 1))
-    fold(col("lutd")) / sqrt(fold(col("n2arr")))
-  }
+    * `n2arr`. */
+  private def pqAdcScore(m: Int, ksub: Int): Column =
+    pqFold(col("lutd"), m, ksub) / sqrt(pqFold(col("n2arr"), m, ksub))
 
   /** Top-`shortlist` per query by ADC score → `(query_id, neighbor_id)`. */
   private def pqShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
@@ -355,12 +383,13 @@ object Similarity {
     (books, pqCodesOf(pqAssign(subs, books)))
   }
 
-  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-             queries: DataFrame, queryId: Column, queryVec: Column,
-             m: Int, ksub: Int, k: Int, shortlist: Int,
-             iters: Int = 1): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val (books, codes) = pqTrainEncode(corpus, corpusId, corpusVec, m, ksub, iters)
+  /** The ADC-scan + shortlist + exact-re-rank tail shared by
+    * [[pqTopK]] and [[pqTopKAgainstIndex]] — ONE definition so the
+    * trained-inline and prebuilt-index searches can't diverge. */
+  private def pqAdcSearch(books: DataFrame, codes: DataFrame,
+                          corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          m: Int, ksub: Int, k: Int, shortlist: Int): DataFrame = {
     val scored = codes
       .crossJoin(broadcast(pqN2Row(books, m, ksub)))
       .crossJoin(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)))
@@ -368,6 +397,55 @@ object Similarity {
         pqAdcScore(m, ksub).as("approx"))
     exactReRank(pqShortlist(scored, shortlist),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             m: Int, ksub: Int, k: Int, shortlist: Int,
+             iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val (books, codes) = pqTrainEncode(corpus, corpusId, corpusVec, m, ksub, iters)
+    pqAdcSearch(books, codes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, m, ksub, k, shortlist)
+  }
+
+  /** Persistable PQ index (the [[graft.operators.Dedup.minhashIndex]]
+    * pattern for ANN): train + encode ONCE, materialize the returned
+    * `(codebook, codes)` frames as tables (parquet/bucketed via
+    * Layout), then search any query batch with
+    * [[pqTopKAgainstIndex]] without retraining — at 100 TB the encode
+    * is the corpus-scan cost center and must be paid per corpus
+    * version, not per query batch. Codes are stored as
+    * `array<tinyint>` when ksub ≤ 128 (fits the signed byte) — the
+    * ~32× compression story is only real if the storage type actually
+    * shrinks; wider ksub keeps the long codes. The (m, ksub) used to
+    * build MUST match every later search; store them with the
+    * tables. */
+  def pqIndex(corpus: DataFrame, id: Column, vec: Column,
+              m: Int, ksub: Int, iters: Int = 1): (DataFrame, DataFrame) = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val (books, codes) = pqTrainEncode(corpus, id, vec, m, ksub, iters)
+    val narrowed =
+      if (ksub <= 128) codes.select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"))
+      else codes
+    (books, narrowed)
+  }
+
+  /** [[pqTopK]] with the train/encode stage served from a prebuilt
+    * [[pqIndex]] — only the query batch is sliced and LUT-ed; the
+    * codes table is scanned as-is. `corpus` supplies full vectors for
+    * the exact re-rank ONLY (shortlist·|Q| lookups, not a scan). */
+  def pqTopKAgainstIndex(books: DataFrame, codes: DataFrame,
+                         corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                         queries: DataFrame, queryId: Column, queryVec: Column,
+                         m: Int, ksub: Int, k: Int, shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("sub", "code", "cv").forall(books.columns.contains),
+      s"codebook frame must carry (sub, code, cv); got ${books.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    pqAdcSearch(books, codes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, m, ksub, k, shortlist)
   }
 
   /** IVF+PQ composed search (the FAISS-style index architecture,
@@ -405,6 +483,85 @@ object Similarity {
       .join(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)), "query_id")
       .crossJoin(broadcast(pqN2Row(books, m, ksub)))
       .select(col("query_id"), col("neighbor_id"), pqAdcScore(m, ksub).as("approx"))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** IVF+PQ with RESIDUAL encoding (C42) — the classical IVFADC recipe
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): the product quantizer encodes `v − µ_cell(v)` instead of
+    * v. Residuals are far more concentrated than raw vectors (the
+    * coarse quantizer has already explained the between-cell variance),
+    * which is where most of the recall at small m·ksub comes from.
+    * Residuals are vs the cell the front-end ASSIGNS (the re-assignment
+    * argmax, not the train seed) so probing and reconstruction agree.
+    *
+    * The ADC algebra changes because the reconstruction is
+    * x̂ = µ_c + r̂: the approximate score
+    * `dot(q, x̂)/‖x̂‖` decomposes into
+    * `(dot(q, µ_c) + Σⱼ lut[codeⱼ]) / √(‖µ_c‖² + Σⱼ t2_c[codeⱼ])`
+    * with `t2_c[slot] = 2·dot(µ_cⱼ, cw) + ‖cw‖²` — so the per-query
+    * LUT stays cell-independent (the residual codebook is global,
+    * FAISS-style) and the cell correction is ONE broadcast table of
+    * nlist·(1 + m·ksub) doubles. Everything that rides the candidate
+    * rows is still ids + m codes; corpus vectors are read only by the
+    * exact shortlist re-rank. Both folds are left-associated and every
+    * train stage reuses the proven fixed-point recipes, so the whole
+    * composition sits under one DuckDB oracle. */
+  def ivfPqResTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                   queries: DataFrame, queryId: Column, queryVec: Column,
+                   nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
+                   shortlist: Int, ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, ivfIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = corpus.select(corpusId.as("__ivf_id"), corpusVec.as("__ivf_v"))
+      .join(cells.withColumnsRenamed(
+        Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
+    val fe = ivfFrontEnd(indexed, col("__ivf_id"), col("__ivf_v"),
+      col("__ivf_cell"), queries, queryId, queryVec, nprobe)
+    // centroids and the final assignment feed multiple consumers
+    // (residual join, cell tables, qc dots / candidate join + the
+    // scored cell attach) — persist both; they are nlist rows and two
+    // longs per corpus row respectively
+    val cvecs = fe.cvecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val acell = fe.corpusCells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // residuals vs the assigned cell's centroid (broadcast nlist rows)
+    val resid = corpus.select(corpusId.as("rid"), corpusVec.cast("array<double>").as("rv"))
+      .join(acell.withColumnRenamed("neighbor_id", "rid"), "rid")
+      .join(broadcast(cvecs.select(col("grp").as("cell"), col("cv"))), "cell")
+      .select(col("rid"), zip_with(col("rv"), col("cv"), (a, b) => a - b).as("r"))
+    val (books, codes) = pqTrainEncode(resid, col("rid"), col("r"), m, ksub, pqIters)
+    // per-cell correction table: ‖µ_c‖² and the dense
+    // t2[slot] = 2·dot(µ_c_sub, cw) + ‖cw‖² array — nlist rows, broadcast
+    val centSubs = pqSubvectors(cvecs, col("grp"), col("cv"), m)
+    val cellTab = centSubs.join(broadcast(books), "sub")
+      .select(col("vec_id").as("cell"),
+        (col("sub") * ksub + col("code")).as("slot"),
+        (lit(2.0) * VectorFunctions.dot(col("sv"), col("cv"))
+          + VectorFunctions.dot(col("cv"), col("cv"))).as("t"))
+      .groupBy(col("cell"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("t")))).as("mp"))
+      .select(col("cell"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          s => coalesce(element_at(col("mp"), s), lit(0.0))).as("t2arr"))
+      .join(cvecs.select(col("grp").as("cell"),
+        VectorFunctions.dot(col("cv"), col("cv")).as("mu2")), "cell")
+    // per-(query, cell) centroid dots — |Q|·nlist rows, broadcast
+    val qc = queries.select(queryId.as("query_id"),
+        queryVec.cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cvecs))
+      .select(col("query_id"), col("grp").as("cell"),
+        VectorFunctions.dot(col("qv"), col("cv")).as("qc"))
+    val scored = fe.cand
+      .join(codes, col("neighbor_id") === codes("vec_id"))
+      .join(acell, "neighbor_id")
+      .join(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)), "query_id")
+      .join(broadcast(cellTab), "cell")
+      .join(broadcast(qc), Seq("query_id", "cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("qc") + pqFold(col("lutd"), m, ksub))
+          / sqrt(col("mu2") + pqFold(col("t2arr"), m, ksub))).as("approx"))
     exactReRank(pqShortlist(scored, shortlist),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
@@ -454,12 +611,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
     val assigned = v.join(cells, "vec_id")
-    val cents = VectorFunctions.groupCentroids(
+    val cents = centroidFrame(
         assigned.select(col("cell"), col("v")), col("cell"), col("v"))
-      .groupBy(col("grp"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("centroid")))),
-        s => s.getField("centroid")).as("cv"))
       .select(col("grp").as("cell"), col("cv"))
     assigned.join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),

@@ -247,8 +247,16 @@ object SimilarityQueries {
   /** PQ train/encode/LUT CTEs, all `p`-prefixed so they compose with
     * the IVF cell CTEs (which own the bare k0…/u…/cent… names). Emits
     * …`pk$iters` (the final per-(vec, sub) codes), `plut` (per-query
-    * subvector·codeword dots), `pn2` (codeword squared norms). */
-  private def pqCtes(m: Int, ksub: Int, dsub: Int, nq: Int, iters: Int): String = {
+    * subvector·codeword dots), `pn2` (codeword squared norms).
+    * `src`/`vcol` select the frame and vector column the quantizer
+    * trains and encodes on (the raw corpus `e.v` for plain PQ, the
+    * residual frame for IVFADC); `lutSubv` names the subvector CTE the
+    * per-query LUT reads — it must stay the RAW query slices when the
+    * corpus side is residual-encoded (queries are never residualized:
+    * the cell correction term carries dot(q, µ) instead). */
+  private def pqCtes(m: Int, ksub: Int, dsub: Int, nq: Int, iters: Int,
+                     src: String = "e", vcol: String = "v",
+                     lutSubv: String = "psubv"): String = {
     val train = (1 to iters).map { i =>
       val p = i - 1
       s"""pu$i AS (SELECT s.sub, pk$p.code,
@@ -270,8 +278,8 @@ object SimilarityQueries {
                 FROM pasg$i) WHERE rn = 1)"""
     }.mkString(",\n      ")
     s"""psubv AS (SELECT vec_id, j AS sub,
-                 v[CAST(j * $dsub + 1 AS BIGINT):CAST(j * $dsub + $dsub AS BIGINT)] AS sv
-               FROM e, UNNEST(range(0, $m)) t(j)),
+                 $vcol[CAST(j * $dsub + 1 AS BIGINT):CAST(j * $dsub + $dsub AS BIGINT)] AS sv
+               FROM $src, UNNEST(range(0, $m)) t(j)),
       ${graft.Q.sqlutil.fnvSignedCtes("pq",
         "'pq:' || CAST(sub AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)",
         Seq("vec_id", "sub"), "psubv")},
@@ -279,7 +287,7 @@ object SimilarityQueries {
       $train,
       plut AS (SELECT s.vec_id AS query_id, s.sub, b.code,
                 list_inner_product(s.sv, b.cv) AS d
-              FROM psubv s JOIN pbooks$iters b ON b.sub = s.sub
+              FROM $lutSubv s JOIN pbooks$iters b ON b.sub = s.sub
               WHERE s.vec_id < $nq),
       pn2 AS (SELECT sub, code, list_inner_product(cv, cv) AS nn FROM pbooks$iters)"""
   }
@@ -294,12 +302,16 @@ object SimilarityQueries {
     * never finished). `restrict` = None scores every (query, vector)
     * pair (plain PQ); Some(cte) scores only that CTE's pairs (IVF+PQ).
     * Emits `cand(query_id, neighbor_id)`. */
+  /** The LEFT-ASSOCIATED m-term list-indexing chain mirroring
+    * Similarity.pqFold — shared by the plain and residual ADC CTEs. */
+  private def adcChain(m: Int, ksub: Int)(arr: String, codes: String): String =
+    (0 until m).map { j =>
+      s"$arr[CAST(${j * ksub} AS BIGINT) + $codes[${j + 1}] + 1]"
+    }.reduceLeft((acc, t) => s"($acc + $t)")
+
   private def adcCtes(m: Int, ksub: Int, nq: Int, iters: Int, shortlist: Int,
                       restrict: Option[String]): String = {
-    def chain(arr: String, codes: String): String =
-      (0 until m).map { j =>
-        s"$arr[CAST(${j * ksub} AS BIGINT) + $codes[${j + 1}] + 1]"
-      }.reduceLeft((acc, t) => s"($acc + $t)")
+    val chain = adcChain(m, ksub) _
     val pairSrc = restrict match {
       case Some(cte) =>
         s"""FROM $cte rc
@@ -383,6 +395,95 @@ object SimilarityQueries {
       ${pqCtes(m = 4, ksub = 8, dsub = 16, nq = 10, iters = 1)},
       ${adcCtes(m = 4, ksub = 8, nq = 10, iters = 1, shortlist = 30,
         restrict = Some("cand0"))},
+      ${reRankSql("cand", k = 5)}"""))
+
+  /** The residual-ADC + shortlist CTEs (IVFADC): numerator
+    * `qc + Σ lut[code]`, denominator `√(‖µ‖² + Σ t2_cell[code])` —
+    * the SQL twin of ivfPqResTopK's scoring, same left association on
+    * both folds. Needs `cvecs`/`acell` (probe CTEs), `cand0`
+    * (restricted pairs) and the `p`-CTEs trained on the residual
+    * frame. Emits `cand`. */
+  private def resAdcCtes(m: Int, ksub: Int, dsub: Int, nq: Int, iters: Int,
+                         shortlist: Int): String = {
+    val chain = adcChain(m, ksub) _
+    s"""pcodes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+                 FROM pk$iters GROUP BY vec_id),
+      pslots AS (SELECT i AS slot FROM range(0, ${m * ksub}) t(i)),
+      plutarr AS (SELECT q.query_id,
+                    list(COALESCE(l.d, 0.0) ORDER BY s.slot) AS lutd
+                  FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < $nq) q
+                  CROSS JOIN pslots s
+                  LEFT JOIN plut l ON l.query_id = q.query_id
+                    AND l.sub = s.slot // $ksub AND l.code = s.slot % $ksub
+                  GROUP BY q.query_id),
+      csubv AS (SELECT grp AS cell, j AS sub,
+                  cv[CAST(j * $dsub + 1 AS BIGINT):CAST(j * $dsub + $dsub AS BIGINT)] AS sv
+                FROM cvecs, UNNEST(range(0, $m)) t(j)),
+      ct2 AS (SELECT c.cell, b.sub, b.code,
+                2.0 * list_inner_product(c.sv, b.cv)
+                  + list_inner_product(b.cv, b.cv) AS t
+              FROM csubv c JOIN pbooks$iters b ON b.sub = c.sub),
+      ct2arr AS (SELECT cl.cell, list(COALESCE(t.t, 0.0) ORDER BY s.slot) AS t2arr
+                 FROM (SELECT DISTINCT cell FROM csubv) cl
+                 CROSS JOIN pslots s
+                 LEFT JOIN ct2 t ON t.cell = cl.cell
+                   AND t.sub = s.slot // $ksub AND t.code = s.slot % $ksub
+                 GROUP BY cl.cell),
+      cmu2 AS (SELECT grp AS cell, list_inner_product(cv, cv) AS mu2 FROM cvecs),
+      qcd AS (SELECT e.vec_id AS query_id, cvecs.grp AS cell,
+                list_inner_product(e.v, cvecs.cv) AS qc
+              FROM e, cvecs WHERE e.vec_id < $nq),
+      adc AS (SELECT rc.query_id, rc.neighbor_id,
+                (qcd.qc + ${chain("pl.lutd", "pc.codes")}) AS dotsum,
+                (cmu2.mu2 + ${chain("t2.t2arr", "pc.codes")}) AS norm2
+              FROM cand0 rc
+              JOIN acell a ON a.vec_id = rc.neighbor_id
+              JOIN pcodes pc ON pc.vec_id = rc.neighbor_id
+              JOIN plutarr pl ON pl.query_id = rc.query_id
+              JOIN ct2arr t2 ON t2.cell = a.cell
+              JOIN cmu2 ON cmu2.cell = a.cell
+              JOIN qcd ON qcd.query_id = rc.query_id AND qcd.cell = a.cell),
+      srt AS (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dotsum / sqrt(norm2) DESC, neighbor_id) AS srank
+              FROM adc WHERE neighbor_id != query_id),
+      cand AS (SELECT query_id, neighbor_id FROM srt WHERE srank <= $shortlist)"""
+  }
+
+  /** IVF+PQ with residual encoding (C42, IVFADC): the full composed
+    * oracle — trained coarse cells, residual computation vs the
+    * assigned centroid, per-subspace residual Lloyd train, and the
+    * corrected ADC score — under the one-oracle discipline of qann_pq
+    * / qann_ivfpq. */
+  val qIvfPqRes = Q(
+    "qann_ivfpq_res",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfPqResTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
+          ivfIters = 1, pqIters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ${ivfProbeCtes(nprobe = 3, nq = 10)},
+      cand0 AS (SELECT q.query_id, a.vec_id AS neighbor_id
+                FROM qprobe q JOIN acell a ON a.cell = q.cell
+                WHERE a.vec_id != q.query_id),
+      rsd AS (SELECT e.vec_id,
+                [e.v[CAST(i + 1 AS BIGINT)] - cvecs.cv[CAST(i + 1 AS BIGINT)]
+                 FOR i IN range(0, len(e.v))] AS r
+              FROM e JOIN acell a ON a.vec_id = e.vec_id
+              JOIN cvecs ON cvecs.grp = a.cell),
+      qsubv AS (SELECT vec_id, j AS sub,
+                  v[CAST(j * 16 + 1 AS BIGINT):CAST(j * 16 + 16 AS BIGINT)] AS sv
+                FROM e, UNNEST(range(0, 4)) t(j) WHERE vec_id < 10),
+      ${pqCtes(m = 4, ksub = 8, dsub = 16, nq = 10, iters = 1,
+        src = "rsd", vcol = "r", lutSubv = "qsubv")},
+      ${resAdcCtes(m = 4, ksub = 8, dsub = 16, nq = 10, iters = 1, shortlist = 30)},
       ${reRankSql("cand", k = 5)}"""))
 
   val qDecode = Q(
@@ -510,5 +611,5 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2, qPq,
-    qIvfPq, qDecode, qFrames, qHistogram, qCentroid, qProto)
+    qIvfPq, qIvfPqRes, qDecode, qFrames, qHistogram, qCentroid, qProto)
 }

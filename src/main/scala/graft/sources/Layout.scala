@@ -69,9 +69,13 @@ object Layout {
     * coarse always-filtered dimensions (ingest date, source); keep
     * cardinality bounded — a million tiny partitions reintroduces the
     * small-files problem [[compact]] exists to fix. */
-  def writePartitioned(df: DataFrame, dir: String, cols: Seq[String]): Unit = {
+  def writePartitioned(df: DataFrame, dir: String, cols: Seq[String],
+                       mode: org.apache.spark.sql.SaveMode =
+                         org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
     require(cols.nonEmpty, "writePartitioned: need at least one partition column")
-    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+    // destructive layouts are opt-in: the default refuses to replace an
+    // existing target — pass SaveMode.Overwrite explicitly to rebuild
+    df.write.mode(mode).partitionBy(cols: _*).parquet(dir)
   }
 
   /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet

@@ -111,6 +111,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L), s"got $got")
   }
 
+  test("passage removal drops exactly the cross-doc duplicated spans") {
+    // same fixture family as the coverage tests: docs 1/2 share the
+    // 5-gram "a b c d e" (doc 1 at pos 0, doc 2 at pos 2); doc 3
+    // self-repeats only (untouched, returned BYTE-identical including
+    // its doubled space); doc 4 is too short for any window.
+    val df = docs(
+      1L -> "a b c d e f g h",           // tokens 0-4 covered -> "f g h"
+      2L -> "x y a b c d e z",           // tokens 2-6 covered -> "x y z"
+      3L -> "p q r s t u p q r s t u",   // self-repeat: untouched
+      4L -> "tiny doc")                  // no windows: untouched
+    val got = Dedup.passageDupRemove(df, col("doc_id"), col("text"), n = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "f g h", 5L), (2L, "x y z", 5L),
+      (3L, "p q r s t u p q r s t u", 0L), (4L, "tiny doc", 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("passage removal covers the union of overlapping duplicated windows") {
+    // docs share the 6-token passage "a b c d e f": each side has two
+    // overlapping duplicated 5-gram windows whose COVERED-TOKEN union
+    // (not sum) must be removed — 6 tokens, not 10
+    val df = docs(
+      1L -> "a b c d e f tail1 tail2",
+      2L -> "lead a b c d e f tail3")
+    val got = Dedup.passageDupRemove(df, col("doc_id"), col("text"), n = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "tail1 tail2", 6L), (2L, "lead tail3", 6L)),
+      s"got ${got.toSeq}")
+  }
+
   test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
     val t = graft.sources.Tables(spark, sf)
     val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)

@@ -34,6 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_ivfpq" -> ("the same bounded broadcasts as qann_ivf_trained (nlist-row " +
       "centroid frame) and qann_pq (per-query LUT rows, 1-row codeword-norm " +
       "table); the candidate and ADC joins themselves are id-keyed equi-joins"),
+    "qann_ivfpq_res" -> ("the qann_ivfpq broadcasts plus the residual variant's " +
+      "per-(query, cell) centroid-dot crossJoin — |Q|·nlist rows, both factors " +
+      "bounded; the residual join, cell-table attach and ADC joins are all " +
+      "key-equi (cell / id) joins"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

@@ -126,6 +126,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r60 >= r20, s"monotonicity broken: $r60 < $r20")
   }
 
+  test("residual IVF+PQ: full shortlist equals plain IVF; recall >= non-residual") {
+    // same two-part proof as the non-residual composition test: (1) the
+    // residual ADC only ORDERS the probed candidates, so with shortlist
+    // >= corpus the exact re-rank must reproduce plain IVF over the
+    // same trained cells; (2) at a tight shortlist the residual
+    // encoding (IVFADC) must not LOSE recall vs PQ on raw vectors at
+    // the identical m/ksub/shortlist budget — the entire point of
+    // encoding v − µ is that residuals quantize better
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1)
+    val indexed = e.join(cells, "vec_id")
+    val ivf = rows(Similarity.ivfTopK(indexed, col("vec_id"), col("embedding"),
+      col("cell"), indexed.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 5, nprobe = 3))
+    def resAt(shortlist: Int) =
+      rows(Similarity.ivfPqResTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = shortlist))
+    assert(resAt(600) == ivf, "full-shortlist residual search != plain IVF")
+    val ivfSet = ivf.map(r => (r._1, r._2)).toSet
+    def recallOf(got: Seq[(Long, Long, Long, Double)]): Double =
+      (ivfSet & got.map(r => (r._1, r._2)).toSet).size.toDouble / ivfSet.size
+    val res20 = recallOf(resAt(20))
+    val plain20 = recallOf(rows(Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 20)))
+    info(s"measured recall@5 at shortlist=20: residual $res20 vs raw-vector $plain20")
+    assert(res20 >= plain20,
+      s"residual encoding lost recall: $res20 < $plain20 at equal budget")
+  }
+
+  test("PQ search from a parquet index equals the inline path; codes are bytes") {
+    // the minhashIndex discipline for ANN: materialize (codebook,
+    // codes), read back, search WITHOUT retraining — pair-for-pair
+    // equal to the train-inline path (deterministic FNV-seeded train,
+    // parquet round-trips doubles exactly); and the codes column is
+    // actually narrow (array<tinyint> at ksub=8), or the ~32×
+    // compression claim would be fiction
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = rows(Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), m = 4, ksub = 8, k = 5, shortlist = 50))
+    val (books, codes) = Similarity.pqIndex(e, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8)
+    assert(codes.schema("codes").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.ByteType,
+      s"codes not byte-typed: ${codes.schema("codes").dataType}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    books.write.mode("overwrite").parquet(s"$dir/books")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val viaIndex = rows(Similarity.pqTopKAgainstIndex(
+      spark.read.parquet(s"$dir/books"), spark.read.parquet(s"$dir/codes"),
+      e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), m = 4, ksub = 8, k = 5, shortlist = 50))
+    assert(viaIndex == direct,
+      s"index path ${viaIndex.take(3)} vs inline ${direct.take(3)}")
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
