@@ -18,6 +18,24 @@ import graft.sinks.{Delivery, FileDelivery, NdjsonBatchSink, SinkConfig}
   */
 object Forwarder {
 
+  /** Near-duplicate replay screen (C18's big sibling): drop batch
+    * records whose `column` text is a near-dup (MinHash-LSH + exact
+    * Jaccard ≥ threshold) of a document in a prebuilt
+    * [[graft.operators.Dedup.minhashIndex]] table at `indexDir` —
+    * replay protection BEYOND the exact-hash `dedupWithin` (a replay
+    * whose serialized form drifted — regenerated timestamps, reworded
+    * wrapper — hashes differently but still near-dups its original).
+    * (n, bands·rows, seed) MUST match the index build. Runs inside
+    * foreachBatch (the LSH screen self-joins and repartitions — batch
+    * operations), so it sees the POST-scrub record when `scrubPii` is
+    * on: build the index from the DELIVERED history and both sides of
+    * the compare are the same text domain. */
+  final case class NearDupScreen(
+      indexDir: String,
+      column: String = "rawlog",
+      n: Int = 2, bands: Int = 16, rows: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L, maxBucket: Int = 1000)
+
   final case class Config(
       inputDir: String,
       checkpointDir: String,
@@ -25,6 +43,9 @@ object Forwarder {
       streamName: String = "main",
       maxFilesPerTrigger: Int = 10,
       sink: SinkConfig = SinkConfig(),
+      /** e.g. Some(NearDupScreen(dir)): screen each micro-batch against
+        * a materialized historical MinHash index before delivery. */
+      nearDupScreen: Option[NearDupScreen] = None,
       /** e.g. Some("10 minutes"): drop records whose EXACT serialized
         * form was already delivered within the horizon — replay
         * protection for at-least-once consumers (KCL redelivers on
@@ -107,11 +128,31 @@ object Forwarder {
     }
     // scrub LAST: routing and the replay key saw the pre-scrub record
     val delivered = if (conf.scrubPii) scrubDelivery(out) else out
+    // the near-dup screen is a per-batch BATCH transform (the LSH
+    // candidate join repartitions/self-joins — not streamable), applied
+    // inside foreachBatch. The index is read and pinned ONCE per query,
+    // not per micro-batch: at scale it is the historical corpus's
+    // signature table, and re-reading it every trigger would dominate
+    // the batch time.
+    val screen: DataFrame => DataFrame = conf.nearDupScreen match {
+      case Some(s) =>
+        val index = spark.read.parquet(s.indexDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch => {
+          val keyed = batch.withColumn("__nd_id", md5(col("json")))
+          val hits = graft.operators.Dedup.minhashLshPairsAgainstIndex(
+              keyed, col("__nd_id"), col(s.column), index,
+              s.n, s.bands, s.rows, s.threshold, s.seed, s.maxBucket)
+            .select(col("new_id").as("__nd_id")).distinct()
+          keyed.join(hits, Seq("__nd_id"), "left_anti").drop("__nd_id")
+        }
+      case None => identity
+    }
     val sink = new NdjsonBatchSink(delivery, conf.sink)
     delivered.writeStream
       .option("checkpointLocation", conf.checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))
+      .foreachBatch((df: DataFrame, id: Long) => sink.process(screen(df), id))
       .start()
   }
 

@@ -112,6 +112,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.size == 2, s"malformed must bypass dedup, got ${bad.size}")
   }
 
+  test("near-dup screen drops an increment's near-duplicate of an indexed record") {
+    import spark.implicits._
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    val idx = tmp() + "/minhash_index"
+    def line(msg: String) =
+      "2024-01-01T00:01:00+00:00 host-x production--appX/" +
+        "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-7[7]: " + msg
+    // the historical DELIVERED corpus: the forwarder's `rawlog` is the
+    // full raw line, so the index is built over that same text domain
+    val histText = "alpha beta gamma delta epsilon zeta eta theta"
+    graft.operators.Dedup.minhashIndex(
+        Seq((1L, line(histText))).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .write.parquet(idx)
+    // the increment: a near-dup of the indexed record (one trailing word
+    // changed -> 9 of 11 distinct 2-gram shingles shared, J ~ 0.82 >= 0.5;
+    // its md5 differs, so dedupWithin-style exact hashing would PASS it)
+    // and one genuinely fresh record sharing only the syslog prefix
+    // (J ~ 0.1 < 0.5)
+    val nearDup = "alpha beta gamma delta epsilon zeta eta iota"
+    val fresh = "completely different content sharing no words whatsoever here"
+    writeLines(in, "inc.log", Seq(line(nearDup), line(fresh)))
+    val q = Forwarder.start(spark,
+      Forwarder.Config(in, ck,
+        nearDupScreen = Some(Forwarder.NearDupScreen(idx))),
+      new FileDelivery(out))
+    q.awaitTermination()
+    val delivered = Files.walk(Paths.get(out, "main")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(delivered.size == 1,
+      s"expected only the fresh record, got ${delivered.size}: $delivered")
+    assert(delivered.head.contains("completely different content"))
+    assert(!delivered.exists(_.contains("zeta eta iota")),
+      "the near-duplicate increment leaked past the screen")
+  }
+
   test("enhance auto-detects RFC3339 and RFC3164 shapes per record") {
     import spark.implicits._
     val lines = Seq(
