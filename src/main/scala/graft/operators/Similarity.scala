@@ -129,6 +129,53 @@ object Similarity {
   private case class IvfFrontEnd(cvecs: DataFrame, corpusCells: DataFrame,
                                  cand: DataFrame)
 
+  /** Score every row of `df` against the broadcast centroid frame —
+    * (id, grp, s) rows, |df|·nlist of them, computed map-side. */
+  private def cellScores(df: DataFrame, idName: String,
+                         cvecs: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cvecs))
+      .select(col(idName), col("grp"),
+        VectorFunctions.cosine(col("v"), col("cv")).as("s"))
+
+  /** The corpus half of the IVF front-end — centroids from the seed
+    * assignment plus the corpus re-assignment by combiner-friendly
+    * argmax. This is the INDEX-BUILD cost (one corpus scoring pass);
+    * [[ivfIndex]] materializes its output so the search path never
+    * pays it again. */
+  private def ivfAssign(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                        cellSeed: Column): (DataFrame, DataFrame) = {
+    val cvecs = centroidFrame(corpus, cellSeed, corpusVec)
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      corpusVec.cast("array<double>").as("v"))
+    // argmax cell with grp-asc tie-break via max(struct(s, -grp)):
+    // struct max compares s first, then -grp max = smallest grp
+    val corpusCells = cellScores(c, "neighbor_id", cvecs)
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
+      .select(col("neighbor_id"), (-col("m.ng")).as("cell"))
+    (cvecs, corpusCells)
+  }
+
+  /** Per-query top-`nprobe` cells against the broadcast centroids. */
+  private def ivfProbes(queries: DataFrame, queryId: Column, queryVec: Column,
+                        cvecs: DataFrame, nprobe: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"),
+      queryVec.cast("array<double>").as("v"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("grp"))
+    cellScores(q, "query_id", cvecs)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("grp").as("cell"))
+  }
+
+  /** Candidate pairs from a (cells, probes) pair — ids only, self
+    * excluded. */
+  private def ivfCandOf(corpusCells: DataFrame, qProbes: DataFrame): DataFrame =
+    corpusCells.join(broadcast(qProbes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+
   /** Cell centroids from the seed assignment, corpus re-assignment by
     * combiner-friendly argmax, per-query nprobe cell probing —
     * candidate pairs exclude self, ids only. */
@@ -136,31 +183,57 @@ object Similarity {
                           cellSeed: Column,
                           queries: DataFrame, queryId: Column, queryVec: Column,
                           nprobe: Int): IvfFrontEnd = {
-    val cvecs = centroidFrame(corpus, cellSeed, corpusVec)
-    val c = corpus.select(corpusId.as("neighbor_id"),
-      corpusVec.cast("array<double>").as("v"))
-    val q = queries.select(queryId.as("query_id"),
-      queryVec.cast("array<double>").as("v"))
-    def cellScores(df: DataFrame, idName: String): DataFrame =
-      df.crossJoin(broadcast(cvecs))
-        .select(col(idName), col("grp"),
-          VectorFunctions.cosine(col("v"), col("cv")).as("s"))
-    // argmax cell with grp-asc tie-break via max(struct(s, -grp)):
-    // struct max compares s first, then -grp max = smallest grp
-    val corpusCells = cellScores(c, "neighbor_id")
-      .groupBy(col("neighbor_id"))
-      .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
-      .select(col("neighbor_id"), (-col("m.ng")).as("cell"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("s").desc, col("grp"))
-    val qProbes = cellScores(q, "query_id")
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("grp").as("cell"))
-    val cand = corpusCells.join(broadcast(qProbes), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
+    val (cvecs, corpusCells) = ivfAssign(corpus, corpusId, corpusVec, cellSeed)
+    val cand = ivfCandOf(corpusCells,
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
     IvfFrontEnd(cvecs, corpusCells, cand)
+  }
+
+  /** Persistable IVF index (the [[pqIndex]] discipline for the coarse
+    * quantizer): train + assign ONCE, materialize the returned
+    * `(centroids (cell, cv), cells (vec_id, cell))` frames as tables,
+    * then search any query batch with [[ivfTopKAgainstIndex]]. This is
+    * where the IVF search's scale story becomes real: [[ivfTopK]]
+    * recomputes the centroid aggregation AND re-scores the whole
+    * corpus against them on EVERY call — index-build work that a
+    * per-query-batch search path must not pay at 100 TB. The stored
+    * cells are the same re-assignment the inline front-end computes,
+    * so index-backed search is pair-for-pair identical (spec-pinned
+    * through a parquet round-trip). */
+  def ivfIndex(corpus: DataFrame, id: Column, vec: Column,
+               nlist: Int, iters: Int = 1): (DataFrame, DataFrame) = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val seed = ivfTrainCells(corpus, id, vec, nlist, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = corpus.select(id.as("__ivf_id"), vec.as("__ivf_v"))
+      .join(seed.withColumnsRenamed(
+        Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
+    val (cvecs, corpusCells) = ivfAssign(indexed,
+      col("__ivf_id"), col("__ivf_v"), col("__ivf_cell"))
+    (cvecs.select(col("grp").as("cell"), col("cv")),
+      corpusCells.select(col("neighbor_id").as("vec_id"), col("cell")))
+  }
+
+  /** [[ivfTopK]] with the centroid/assignment stage served from a
+    * prebuilt [[ivfIndex]]: queries probe the broadcast centroid
+    * table, candidates come from the stored cells table (id-keyed),
+    * and `corpus` supplies full vectors for the exact re-rank only —
+    * no corpus-wide scoring pass at search time. */
+  def ivfTopKAgainstIndex(centroids: DataFrame, cells: DataFrame,
+                          corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          k: Int, nprobe: Int = 2): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    require(Seq("vec_id", "cell").forall(cells.columns.contains),
+      s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
+    val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    val cand = ivfCandOf(
+      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
+    exactReRank(cand, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
   }
 
   private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,

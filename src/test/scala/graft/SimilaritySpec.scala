@@ -193,6 +193,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"index path ${viaIndex.take(3)} vs inline ${direct.take(3)}")
   }
 
+  test("IVF search from a parquet index equals the inline path") {
+    // ivfTopK pays the centroid aggregation + a corpus-wide scoring
+    // pass per call; ivfIndex materializes both outputs so the search
+    // path skips them. Round-tripped through parquet, the index-backed
+    // search must be pair-for-pair the inline result over the same
+    // trained seed cells.
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cells = Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1)
+    val indexed = e.join(cells, "vec_id")
+    val inline = rows(Similarity.ivfTopK(indexed, col("vec_id"), col("embedding"),
+      col("cell"), indexed.filter(col("vec_id") < 10), col("vec_id"),
+      col("embedding"), k = 5, nprobe = 3))
+    val (cents, assign) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assign.write.mode("overwrite").parquet(s"$dir/cells")
+    val viaIndex = rows(Similarity.ivfTopKAgainstIndex(
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/cells"),
+      e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, nprobe = 3))
+    assert(viaIndex == inline,
+      s"index path ${viaIndex.take(3)} vs inline ${inline.take(3)}")
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
