@@ -87,7 +87,9 @@ object Bench {
     //             compact {"metric":"total",...} line LAST so the headline
     //             always survives intact.
     def fmt(d: Double): String = {
-      val s = f"$d%.3f"
+      // Locale.ROOT: a comma-decimal default locale would render "0,123"
+      // and corrupt the JSON
+      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
@@ -106,12 +108,13 @@ object Bench {
     // FASTER: report total=-1 plus an explicit failure count
     val failures = results.count(_._2 < 0)
     val total = if (failures > 0) -1.0 else r3(results.map(_._2).sum)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"$fullPath"}"""
     System.err.println(s"""[bench] spread_max_over_min $spreads""")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        java.nio.file.Paths.get(fullPath),
         (s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},""" +
           s""""queries":$qs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -442,19 +442,28 @@ object Dedup {
     bipartiteLshPairs(nw, old, bands, rows, threshold, maxBucket)
   }
 
-  /** The bipartite band-join + verify tail shared by the recompute and
-    * index-backed incremental paths — ONE definition so the candidate
-    * algebra (cross-side-only join, dedup, exact verify) can't drift. */
-  private def bipartiteLshPairs(nw: DataFrame, old: DataFrame,
-                                bands: Int, rows: Int, threshold: Double,
-                                maxBucket: Int): DataFrame = {
-    val cand = bandedCapped(nw, bands, rows, maxBucket).as("a")
-      .join(bandedCapped(old, bands, rows, maxBucket).as("b"),
+  /** The bipartite band-join + verify tail over ALREADY-BANDED sides —
+    * the innermost shared shape: cross-side-only candidate join, dedup,
+    * exact verify against each side's shingle sets. */
+  private def bipartiteLshPairsFrom(nwBanded: DataFrame, oldBanded: DataFrame,
+                                    nw: DataFrame, old: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val cand = nwBanded.as("a")
+      .join(oldBanded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
     verifyJaccard(cand, nw, old, "new_id", "old_id", threshold)
   }
+
+  /** The bipartite band-join + verify tail shared by the recompute and
+    * index-backed incremental paths — ONE definition so the candidate
+    * algebra (cross-side-only join, dedup, exact verify) can't drift. */
+  private def bipartiteLshPairs(nw: DataFrame, old: DataFrame,
+                                bands: Int, rows: Int, threshold: Double,
+                                maxBucket: Int): DataFrame =
+    bipartiteLshPairsFrom(bandedCapped(nw, bands, rows, maxBucket),
+      bandedCapped(old, bands, rows, maxBucket), nw, old, threshold)
 
   /** [[minhashLshPairsAgainst]] with the corpus side served from a
     * prebuilt [[minhashIndex]] frame (typically a parquet table): only
@@ -485,6 +494,46 @@ object Dedup {
           lit(s" != bands*rows = ${bands * rows} — the index was built with a different k"))),
         lit(true)))
     bipartiteLshPairs(nw, idx, bands, rows, threshold, maxBucket)
+  }
+
+  /** Precomputed banded-capped rows of a [[minhashIndex]] —
+    * `(doc_id, band, band_hash)` with over-cap buckets already evicted.
+    * A recurring screener (the forwarder's near-dup screen, a daily
+    * ingest driver) should compute this ONCE per index version and pin
+    * or materialize it next to the index: re-deriving it per increment
+    * re-pays the bands·|index| posexplode AND the grouped-count +
+    * anti-join cap shuffle over the whole historical corpus — per
+    * micro-batch. */
+  def minhashIndexBands(index: DataFrame, bands: Int = 16, rows: Int = 4,
+                        maxBucket: Int = 1000): DataFrame =
+    bandedCapped(index.select(col("doc_id"), col("sig"))
+      .filter(coalesce(assert_true(size(col("sig")) === bands * rows,
+        concat(lit("minhash index signature length "),
+          size(col("sig")).cast("string"),
+          lit(s" != bands*rows = ${bands * rows} — the index was built with a different k"))),
+        lit(true))), bands, rows, maxBucket)
+
+  /** [[minhashLshPairsAgainstIndex]] with the index side FULLY
+    * precomputed: `index` is the [[minhashIndex]] frame (for the
+    * verify join) and `indexBands` its [[minhashIndexBands]] (for the
+    * candidate join) — the caller pins/materializes both, so a
+    * screening call pays only the NEW side's shingle+signature+banding
+    * plus the joins. Unlike the other variants the new side is NOT
+    * persisted here: this is the per-micro-batch path, where the
+    * batch is small (two recomputes of a small frame are cheaper than
+    * a cached frame pinned per trigger accumulating for the life of a
+    * streaming query). */
+  def minhashLshPairsAgainstBandedIndex(newDf: DataFrame, newId: Column, newText: Column,
+                                        index: DataFrame, indexBands: DataFrame,
+                                        n: Int = 2, bands: Int = 16, rows: Int = 4,
+                                        threshold: Double = 0.5,
+                                        seed: Long = 42L,
+                                        maxBucket: Int = 1000): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(newDf.sparkSession)
+    val nw = minhashIndex(newDf, newId, newText, n, bands * rows, seed)
+    bipartiteLshPairsFrom(bandedCapped(nw, bands, rows, maxBucket),
+      indexBands.select(col("doc_id"), col("band"), col("band_hash")),
+      nw, index.select(col("doc_id"), col("sh")), threshold)
   }
 
   // --- C3: SimHash ------------------------------------------------------

@@ -292,6 +292,13 @@ object SimilarityQueries {
       pn2 AS (SELECT sub, code, list_inner_product(cv, cv) AS nn FROM pbooks$iters)"""
   }
 
+  /** The LEFT-ASSOCIATED m-term list-indexing chain mirroring
+    * Similarity.pqFold — shared by the plain and residual ADC CTEs. */
+  private def adcChain(m: Int, ksub: Int)(arr: String, codes: String): String =
+    (0 until m).map { j =>
+      s"$arr[CAST(${j * ksub} AS BIGINT) + $codes[${j + 1}] + 1]"
+    }.reduceLeft((acc, t) => s"($acc + $t)")
+
   /** The ADC + shortlist CTEs, structurally mirroring the Spark fold:
     * per-vector code LISTS and dense per-query/1-row lookup LISTS,
     * scored by a LEFT-ASSOCIATED chain of list indexings (identical
@@ -302,13 +309,6 @@ object SimilarityQueries {
     * never finished). `restrict` = None scores every (query, vector)
     * pair (plain PQ); Some(cte) scores only that CTE's pairs (IVF+PQ).
     * Emits `cand(query_id, neighbor_id)`. */
-  /** The LEFT-ASSOCIATED m-term list-indexing chain mirroring
-    * Similarity.pqFold — shared by the plain and residual ADC CTEs. */
-  private def adcChain(m: Int, ksub: Int)(arr: String, codes: String): String =
-    (0 until m).map { j =>
-      s"$arr[CAST(${j * ksub} AS BIGINT) + $codes[${j + 1}] + 1]"
-    }.reduceLeft((acc, t) => s"($acc + $t)")
-
   private def adcCtes(m: Int, ksub: Int, nq: Int, iters: Int, shortlist: Int,
                       restrict: Option[String]): String = {
     val chain = adcChain(m, ksub) _

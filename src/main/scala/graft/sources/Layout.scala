@@ -61,7 +61,10 @@ object Layout {
   }
 
   /** Write `df` hive-partitioned by `cols` (one directory level per
-    * column). The complement of bucketing: bucketing pre-shuffles for
+    * column). REFUSES an existing target by default (SaveMode
+    * .ErrorIfExists) — pass `SaveMode.Overwrite` explicitly to rebuild
+    * a layout; destructive replacement is opt-in, not the default.
+    * The complement of bucketing: bucketing pre-shuffles for
     * JOIN keys, directory partitioning prunes SCANS — a filter on a
     * partition column becomes a `PartitionFilters` entry and the
     * non-matching directories are never listed, let alone read

@@ -130,18 +130,25 @@ object Forwarder {
     val delivered = if (conf.scrubPii) scrubDelivery(out) else out
     // the near-dup screen is a per-batch BATCH transform (the LSH
     // candidate join repartitions/self-joins — not streamable), applied
-    // inside foreachBatch. The index is read and pinned ONCE per query,
-    // not per micro-batch: at scale it is the historical corpus's
-    // signature table, and re-reading it every trigger would dominate
-    // the batch time.
+    // inside foreachBatch. BOTH index-side frames are derived and
+    // pinned ONCE per query, not per micro-batch: the raw index (the
+    // verify join's shingle sets) AND its banded-capped rows (the
+    // candidate join's side — re-deriving those per trigger would
+    // re-pay the bands·|index| explode plus the bucket-cap shuffle
+    // over the whole historical corpus every batch). The per-batch
+    // work is then only the small increment's prep plus the joins,
+    // and nothing batch-sized is left pinned across triggers.
     val screen: DataFrame => DataFrame = conf.nearDupScreen match {
       case Some(s) =>
         val index = spark.read.parquet(s.indexDir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val indexBands = graft.operators.Dedup.minhashIndexBands(
+            index, s.bands, s.rows, s.maxBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         batch => {
           val keyed = batch.withColumn("__nd_id", md5(col("json")))
-          val hits = graft.operators.Dedup.minhashLshPairsAgainstIndex(
-              keyed, col("__nd_id"), col(s.column), index,
+          val hits = graft.operators.Dedup.minhashLshPairsAgainstBandedIndex(
+              keyed, col("__nd_id"), col(s.column), index, indexBands,
               s.n, s.bands, s.rows, s.threshold, s.seed, s.maxBucket)
             .select(col("new_id").as("__nd_id")).distinct()
           keyed.join(hits, Seq("__nd_id"), "left_anti").drop("__nd_id")

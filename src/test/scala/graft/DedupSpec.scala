@@ -81,6 +81,16 @@ class DedupSpec extends AnyFunSuite {
     assert(fromIndex == recomputed &&
       fromIndex.map(p => (p._1, p._2)) == Set((1L, 101L), (2L, 102L)),
       s"index $fromIndex vs recompute $recomputed")
+
+    // the fully-precomputed path (index + its banded rows pinned by the
+    // caller — the per-micro-batch screening shape) must agree too
+    val idx = spark.read.parquet(dir)
+    val fromBanded = Dedup.minhashLshPairsAgainstBandedIndex(
+        nw, col("doc_id"), col("text"), idx,
+        Dedup.minhashIndexBands(idx, bands = 32, rows = 2),
+        n = 2, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromBanded == recomputed, s"banded $fromBanded vs recompute $recomputed")
   }
 
   test("passage coverage counts cross-doc windows only; short docs survive at 0") {
