@@ -60,6 +60,58 @@ object Layout {
     parts
   }
 
+  /** Write `df` parquet Z-ORDERED on `cols` (SURVEY.md §2.D12): rows
+    * are clustered along a Morton curve over the columns — each
+    * column is linearly binned into 2^bitsPerCol rank buckets between
+    * its observed min and max (ONE stats action at write time), the
+    * bucket bits are interleaved into a single z-value, and the frame
+    * is range-partitioned + sorted on it. Each output file then covers
+    * a small hyper-rectangle of the multi-column space, so a filter on
+    * ANY of the columns matches few files and parquet row-group
+    * min/max statistics prune the rest of the scan — the multi-column
+    * complement of [[writePartitioned]] (one coarse always-filtered
+    * dimension per directory level) and [[writeBucketed]] (one join
+    * key), for the "filter sometimes on X, sometimes on Y" access
+    * pattern where hive-partitioning on either column alone leaves the
+    * other's filters scanning everything. Columns must be numeric
+    * (cast to long); linear binning assumes a roughly uniform key
+    * range — for heavily skewed columns, map through a rank/quantile
+    * first. REFUSES an existing target by default, like
+    * [[writePartitioned]]. */
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String],
+                    files: Int, bitsPerCol: Int = 8,
+                    saveMode: org.apache.spark.sql.SaveMode =
+                      org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
+    require(bitsPerCol >= 1 && cols.size * bitsPerCol <= 62,
+      s"${cols.size} cols x $bitsPerCol bits must fit a long")
+    require(files >= 1, s"files must be positive, got $files")
+    // one stats pass: per-column (min, max) for the linear binning
+    val statExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).collect()(0)
+    val maxBucket = (1L << bitsPerCol) - 1L
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (stats.getLong(2 * i), stats.getLong(2 * i + 1))
+      val span = math.max(1L, mx - mn + 1L)
+      least(lit(maxBucket),
+        (col(c).cast("long") - mn) * (maxBucket + 1L) / span)
+    }
+    // Morton interleave: bit k of bucket i lands at position
+    // k * nCols + i — pure integer codegen, no UDF
+    val z = (0 until bitsPerCol).flatMap { k =>
+      buckets.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), k * cols.size + i)
+      }
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(saveMode).parquet(dir)
+  }
+
   /** Write `df` hive-partitioned by `cols` (one directory level per
     * column). REFUSES an existing target by default (SaveMode
     * .ErrorIfExists) — pass `SaveMode.Overwrite` explicitly to rebuild

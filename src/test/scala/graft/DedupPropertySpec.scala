@@ -38,6 +38,35 @@ class DedupPropertySpec extends AnyFunSuite {
   private def shingles(text: String, n: Int): Set[String] =
     text.split(" ").sliding(n).map(_.mkString(" ")).toSet
 
+  test("passage removal equals brute-force recompute on random corpora") {
+    import spark.implicits._
+    val n = 4
+    (1 to 3).foreach { seed =>
+      val docs = corpus(seed, 25)
+      val gramsPos: Map[Long, Seq[(String, Int)]] = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        id -> (if (toks.length >= n)
+          toks.sliding(n).zipWithIndex.map { case (w, i) => (w.mkString(" "), i) }.toSeq
+        else Seq.empty)
+      }.toMap
+      val want = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        val others: Set[String] =
+          gramsPos.collect { case (k, g) if k != id => g.map(_._1) }.flatten.toSet
+        val covered = gramsPos(id).filter(p => others.contains(p._1))
+          .flatMap(p => p._2 until (p._2 + n)).toSet
+        val kept = toks.zipWithIndex.collect { case (tok, i) if !covered.contains(i) => tok }
+        val clean = if (covered.isEmpty) t else kept.mkString(" ")
+        (id, clean, (toks.length - kept.length).toLong)
+      }.sortBy(_._1)
+      val got = Dedup.passageDupRemove(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), n)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("passage coverage equals brute-force recompute on random corpora") {
     import spark.implicits._
     val n = 4

@@ -80,6 +80,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(splitOut).count() == t.lineitem.count())
   }
 
+  test("z-ordered layout localizes point filters on EITHER column to few files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/li"
+    val t = Tables(spark, sf)
+    val cols = Seq("l_partkey", "l_suppkey")
+    Layout.writeZOrdered(
+      t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+      dir, cols, files = 16)
+    val zdf = spark.read.parquet(dir)
+    assert(zdf.count() == t.lineitem.count(), "z-order write must not lose rows")
+    val totalFiles = zdf.select(input_file_name()).distinct().count()
+    assert(totalFiles >= 8, s"expected ~16 files, got $totalFiles")
+    // for a point filter on either z-order column, the matching rows
+    // must concentrate in a minority of files (with 16 files the file
+    // index is ~the top 4 z bits = 2 high bits per column, so a fixed
+    // value can reach at most ~1/4 of the files plus range-boundary
+    // slop). A value occurring across the whole key range (every value
+    // does — lineitem keys are uniform) would touch EVERY file in an
+    // unclustered layout.
+    for (c <- cols) {
+      val v = zdf.select(col(c)).filter(col(c).isNotNull).head().getLong(0)
+      val matching = zdf.filter(col(c) === v)
+        .select(input_file_name()).distinct().count()
+      assert(matching <= totalFiles / 2,
+        s"point filter on $c=$v touched $matching of $totalFiles files — not clustered")
+    }
+  }
+
   test("partitioned writes prune non-matching directories from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
     val t = Tables(spark, sf)
