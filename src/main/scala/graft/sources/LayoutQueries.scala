@@ -44,5 +44,41 @@ object LayoutQueries {
       GROUP BY 1
       ORDER BY mktsegment"""))
 
-  val all: Seq[Q] = Seq(qBucketedJoin)
+  /** Driver-gated proof of the Z-ordered layout (D12), same
+    * value-transparency discipline as the bucketed query: write
+    * lineitem z-ordered on (l_partkey, l_suppkey), read it back
+    * FILTERED on one of the clustered columns, aggregate — the oracle
+    * is the same filter+aggregate over the plain parquet, so a hash
+    * match proves the Morton clustering changes nothing but file
+    * locality (which LayoutSpec separately proves it buys). */
+  val qZOrdered = Q(
+    "qlayout_zorder_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val out = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_zorder_li").toString
+      Layout.writeZOrdered(
+        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice"),
+        out, Seq("l_partkey", "l_suppkey"), files = 16,
+        saveMode = org.apache.spark.sql.SaveMode.Overwrite)
+      s.read.parquet(out)
+        .filter(col("l_suppkey") <= 20)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""
+      SELECT l_suppkey, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_suppkey <= 20
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey"""))
+
+  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered)
 }
