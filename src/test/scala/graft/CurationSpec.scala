@@ -343,6 +343,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("split fails fast when the input already carries its reserved columns") {
+    // composing after sampleByHash (whose output keeps "bucket") must
+    // refuse instead of silently overwriting the sample bucket
+    val t = graft.sources.Tables(spark, sf)
+    val sampled = Curation.sampleByHash(t.documents, col("doc_id"), pct = 50)
+    val e = intercept[IllegalArgumentException] {
+      Curation.splitByHash(sampled, col("doc_id"),
+        Seq("train" -> 90, "val" -> 10))
+    }
+    assert(e.getMessage.contains("bucket"), s"unexpected: ${e.getMessage}")
+  }
+
   test("budget carve-out is the minimal deterministic prefix covering the budget") {
     val t = graft.sources.Tables(spark, sf)
     val budget = 500L

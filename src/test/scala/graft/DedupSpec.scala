@@ -121,6 +121,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L), s"got $got")
   }
 
+  test("index screens against a mismatched-k index fail loudly, not silently") {
+    // a wrong (bands, rows) vs the index's k would compute band hashes
+    // from PARTIAL signatures and silently miss near-dups — the guards
+    // must turn that into a hard error on both index paths
+    val old = docs(101L -> "the quick brown fox jumps over the lazy dog")
+    val idx = Dedup.minhashIndex(old, col("doc_id"), col("text"), n = 2, k = 64)
+    val nw = docs(1L -> "the quick brown fox jumps over the lazy cat")
+    val wrong = intercept[Exception] {
+      Dedup.minhashLshPairsAgainstIndex(nw, col("doc_id"), col("text"), idx,
+        n = 2, bands = 16, rows = 8).count() // bands*rows = 128 != 64
+    }
+    assert(wrong.getMessage.contains("signature length") ||
+      wrong.getCause != null, s"unexpected: $wrong")
+    intercept[Exception] {
+      Dedup.minhashIndexBands(idx, bands = 16, rows = 8).count()
+    }
+    // and the CORRECT shape still sails through both guards
+    assert(Dedup.minhashIndexBands(idx, bands = 32, rows = 2).count() > 0)
+  }
+
   test("passage removal drops exactly the cross-doc duplicated spans") {
     // same fixture family as the coverage tests: docs 1/2 share the
     // 5-gram "a b c d e" (doc 1 at pos 0, doc 2 at pos 2); doc 3

@@ -126,6 +126,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r60 >= r20, s"monotonicity broken: $r60 < $r20")
   }
 
+  test("PQ with m not dividing dim fails loudly instead of truncating") {
+    // dim 64, m = 5: the old behavior silently dropped the trailing
+    // 4 dimensions from every vector; the per-row guard must make it
+    // a hard error at execution
+    val e = Tables(spark, sf).embeddings
+    intercept[Exception] {
+      Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        m = 5, ksub = 8, k = 3, shortlist = 10).count()
+    }
+  }
+
   test("residual IVF+PQ: full shortlist equals plain IVF; recall >= non-residual") {
     // same two-part proof as the non-residual composition test: (1) the
     // residual ADC only ORDERS the probed candidates, so with shortlist

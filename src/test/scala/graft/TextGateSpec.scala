@@ -44,6 +44,19 @@ class TextGateSpec extends AnyFunSuite {
     assert(gate("the and xxx yyy zzz").apply("ok_stopwords") == true)
   }
 
+  test("gopherGate fails fast when the input already carries a measure column") {
+    // a profiling step upstream can plausibly leave an n_tokens column;
+    // appending the gate's measures would then make col("n_tokens")
+    // ambiguous (or silently read the stale one) — refuse instead
+    import spark.implicits._
+    val df = Seq((1L, "some text here", 3L)).toDF("doc_id", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.gopherGate(df, col("text"),
+        minTokens = 1, maxTokens = 100, minMeanLen = 1, maxMeanLen = 100)
+    }
+    assert(e.getMessage.contains("n_tokens"), s"unexpected: ${e.getMessage}")
+  }
+
   test("passes is the conjunction of all four rules") {
     val good = gate("the and foo bar bazz")
     assert(good("passes") == true, s"expected all-pass: $good")
