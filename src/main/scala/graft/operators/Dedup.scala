@@ -30,6 +30,31 @@ object Dedup {
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
     exactGroups(df, id, text).select(col("keep_id").as("doc_id"))
 
+  /** The exact-dedup content-hash index: one `content_hash` row per
+    * distinct normalized content — materialize it (parquet/bucketed on
+    * content_hash via Layout) and screen each increment with
+    * [[exactDedupAgainstIndex]]; the C33 incremental discipline for
+    * EXACT duplicates. At 100 TB the index is hashes only (16 bytes a
+    * row), never text. */
+  def contentHashIndex(df: DataFrame, text: Column): DataFrame =
+    df.select(md5(TextFunctions.normalizeText(text)).as("content_hash"))
+      .distinct()
+
+  /** Rows of `df` whose normalized content is NOT already in a
+    * [[contentHashIndex]] — the per-increment exact screen: hash the
+    * increment map-side, one hash-keyed left_anti against the index
+    * table (ids + 16-byte hashes shuffle, never text), return the
+    * surviving rows with their original columns. Within-increment
+    * duplicates are NOT collapsed here (each is screened against
+    * HISTORY independently) — run [[exactDedup]] on the survivors when
+    * the increment itself needs deduping, exactly as the streaming
+    * variant layers `dedupWithin` on top of the near-dup screen. */
+  def exactDedupAgainstIndex(df: DataFrame, text: Column,
+                             index: DataFrame): DataFrame =
+    df.withColumn("__ch", md5(TextFunctions.normalizeText(text)))
+      .join(index.select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
+      .drop("__ch")
+
   // --- shingling shared by minhash / ngram-jaccard ----------------------
 
   /** n-word shingles of a single-space-separated text column — distinct

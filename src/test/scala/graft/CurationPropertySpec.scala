@@ -25,6 +25,31 @@ class CurationPropertySpec extends AnyFunSuite {
       .distinctBy(_._1)
   }
 
+  test("hashed contamination equals string-gram recompute on random corpora") {
+    // the broadcast carries xxhash64(gram), not the gram string; the
+    // count must still equal the straightforward string-set overlap
+    // (collisions are ~1e-11-probable — a mismatch here is a logic bug)
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val n = 3
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def text() = Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0 until 20).map(i => (i.toLong, text()))
+      val eval = (0 until 5).map(_ => text())
+      def grams(t: String): Set[String] =
+        t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      val evalGrams = eval.flatMap(grams).toSet
+      val want = corpus.map { case (id, t) => id -> grams(t).count(evalGrams.contains).toLong }
+        .filter(_._2 > 0).toMap
+      val got = graft.operators.Curation.contamination(
+          corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          eval.toDF("t"), col("t"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
   test("splitByHash partitions every corpus for every pct configuration") {
     import spark.implicits._
     val configs = Seq(

@@ -121,6 +121,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L), s"got $got")
   }
 
+  test("exact incremental screen drops exactly the already-indexed contents") {
+    // history: two distinct contents (one with case/whitespace variants
+    // collapsing under the shared normalization)
+    val hist = docs(1L -> "Hello  World", 2L -> "something else")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ch-idx").toString + "/idx"
+    Dedup.contentHashIndex(hist, col("text")).write.parquet(dir)
+    // increment: a normalized replay of doc 1, an exact replay of doc 2,
+    // and a genuinely new doc
+    val inc = docs(10L -> "hello world", 11L -> "something else", 12L -> "brand new")
+    val kept = Dedup.exactDedupAgainstIndex(inc, col("text"),
+        spark.read.parquet(dir))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(12L), s"got ${kept.toSeq}")
+    // survivors keep their full original row shape
+    assert(Dedup.exactDedupAgainstIndex(inc, col("text"),
+      spark.read.parquet(dir)).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("index screens against a mismatched-k index fail loudly, not silently") {
     // a wrong (bands, rows) vs the index's k would compute band hashes
     // from PARTIAL signatures and silently miss near-dups — the guards
