@@ -329,6 +329,30 @@ object DedupQueries {
         CAST(len(t) - len(kept) AS BIGINT) AS removed_tokens
       FROM r ORDER BY doc_id"""))
 
+  /** Incremental EXACT screen (C1's index pair): docs ≤ 250 are the
+    * indexed history, the rest are the increment; survivors are the
+    * increment rows whose normalized content hash is not in the
+    * history. The md5(normalized) recipe is qdedup_exact's proven
+    * oracle expression, reused verbatim. */
+  val qExactInc = Q(
+    "qdedup_exact_inc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hist = t.documents.filter(col("doc_id") <= 250)
+      val inc = t.documents.filter(col("doc_id") > 250)
+      Dedup.exactDedupAgainstIndex(inc, col("text"),
+          Dedup.contentHashIndex(hist, col("text")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH h AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+                 FROM documents WHERE doc_id <= 250)
+      SELECT doc_id FROM documents
+      WHERE doc_id > 250
+        AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT ch FROM h)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage, qPassageRm)
+    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc)
 }

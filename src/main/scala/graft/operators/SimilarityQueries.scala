@@ -217,6 +217,26 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
 
+  /** The index-backed IVF search under the SAME oracle as the inline
+    * trained path: ivfIndex materializes (centroids, cells) with the
+    * identical re-assignment the inline front-end computes, so
+    * searching against the index is result-identical — the oracle
+    * equality proves the build/search split changes the COST model
+    * (no corpus-wide pass at query time), not the answer. */
+  val qIvfIndexed = Q(
+    "qann_ivf_indexed",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 1)
+      Similarity.ivfTopKAgainstIndex(cents, cells,
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
+
   /** Two Lloyd iterations under the same oracle: proves the
     * fixed-point k-means refinement COMPOSES engine-exactly — iteration
     * 2's centroids are built from iteration 1's oracle-identical
@@ -610,6 +630,6 @@ object SimilarityQueries {
       JOIN cvecs ON cvecs.grp = c0.grp
       ORDER BY c0.vec_id"""))
 
-  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfTrained2, qPq,
-    qIvfPq, qIvfPqRes, qDecode, qFrames, qHistogram, qCentroid, qProto)
+  val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
+    qPq, qIvfPq, qIvfPqRes, qDecode, qFrames, qHistogram, qCentroid, qProto)
 }

@@ -42,6 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +
       "train step and the search"),
+    "qann_ivf_indexed" -> ("same bounded centroid broadcasts in the ivfIndex " +
+      "BUILD (Lloyd train + assignment) and the probe; the search itself is " +
+      "an id-keyed candidate join against the materialized cells"),
     "qann_ivf_trained2" -> ("same bounded centroid broadcast, once per Lloyd " +
       "iteration and once in the search"),
     "qdedup_semantic" -> ("the Lloyd train step's bounded centroid broadcast " +
