@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide partitioning-determinism guard: a query whose result
+  * depends on the number of shuffle partitions (double-sum
+  * accumulation order, unsorted collect_list, first() over an
+  * unordered group) is broken at cluster scale even when every
+  * fixed-partitioning test is green — the cluster WILL partition
+  * differently than local[4]. This audit re-runs the most
+  * hash/order-sensitive registered queries on a second session whose
+  * only difference is a co-prime shuffle-partition count and demands
+  * bit-identical rows. `newSession()` shares the SparkContext but owns
+  * its SQLConf, so the probe can't race other suites sharing the
+  * primary session.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  import SparkTest._
+
+  // the queries where partition-order dependence would hide: fixed-point
+  // centroid/score sums, integer top-k boundaries, signature + bucket
+  // joins, the distributed prefix sum, CC label propagation, and the
+  // round's new rewrite/ANN composites
+  private val picks = Seq(
+    "qvec_centroid", "qtext_tfidf", "qdedup_minhash_lsh", "qpack_shards",
+    "qtext_unigram_lp", "qdedup_passage_rm", "qdedup_clusters", "qann_ivfpq_res")
+
+  test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7") // co-prime to the base 4
+    for (name <- picks) {
+      val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
+      spark.catalog.clearCache()
+      val moved = SparkEntry.queries(name)(alt, sf).collect().map(_.toString).sorted
+      alt.catalog.clearCache()
+      assert(base.length == moved.length,
+        s"$name row count differs across shuffle partitionings: ${base.length} vs ${moved.length}")
+      val firstDiff = base.zip(moved).indexWhere { case (a, b) => a != b }
+      if (firstDiff >= 0) fail(
+        s"$name differs across shuffle partitionings at sorted row $firstDiff: " +
+          s"${base(firstDiff)} vs ${moved(firstDiff)}")
+    }
+  }
+}
