@@ -389,6 +389,24 @@ object SimilarityQueries {
     },
     Some(pqOracleSql(m = 4, ksub = 8, dsub = 16, k = 5, shortlist = 50, nq = 10)))
 
+  /** Two per-subspace Lloyd iterations under the same oracle — the
+    * qann_ivf_trained2 discipline applied to the product quantizer:
+    * iteration 2's codebooks are built from iteration 1's
+    * oracle-identical assignment, so any fixed-point drift in the
+    * per-subspace train chain would compound and surface here. */
+  val qPq2 = Q(
+    "qann_pq2",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, shortlist = 50, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(pqOracleSql(m = 4, ksub = 8, dsub = 16, k = 5, shortlist = 50,
+      nq = 10, iters = 2)))
+
   /** IVF+PQ composed (C39): the coarse trained cells bound WHICH
     * vectors are ADC-scored, the codes bound WHAT is read — the
     * complete FAISS-style index under ONE oracle composing the two
@@ -631,5 +649,5 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qPq, qIvfPq, qIvfPqRes, qDecode, qFrames, qHistogram, qCentroid, qProto)
+    qPq, qPq2, qIvfPq, qIvfPqRes, qDecode, qFrames, qHistogram, qCentroid, qProto)
 }

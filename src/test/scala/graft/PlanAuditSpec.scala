@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "doubles each) and a 1-row codeword-norm table onto the codes frame; " +
       "the corpus side carries m codes per row, never vectors, and the train " +
       "step's crossJoin is the bounded m·ksub codebook broadcast"),
+    "qann_pq2" -> "the same bounded qann_pq broadcasts, once per Lloyd iteration",
     "qann_ivfpq" -> ("the same bounded broadcasts as qann_ivf_trained (nlist-row " +
       "centroid frame) and qann_pq (per-query LUT rows, 1-row codeword-norm " +
       "table); the candidate and ADC joins themselves are id-keyed equi-joins"),
