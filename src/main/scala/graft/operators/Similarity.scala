@@ -586,25 +586,52 @@ object Similarity {
                    nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
                    shortlist: Int, ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val (cvecs, acell, books, codes) =
+      ivfPqResBuild(corpus, corpusId, corpusVec, nlist, m, ksub, ivfIters, pqIters)
+    val cand = ivfCandOf(acell,
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
+    resAdcSearch(cvecs, acell, books, codes, cand,
+      corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      m, ksub, k, shortlist)
+  }
+
+  /** The IVFADC index-BUILD half shared by the inline search and
+    * [[ivfPqResIndex]]: trained seed cells → (centroids, final
+    * assignment) → residuals vs the assigned centroid → residual PQ
+    * train+encode. Centroids and assignment come back persisted —
+    * they feed the residual join, the cell correction table, the qc
+    * dots and the candidate join. Returns
+    * (cvecs (grp, cv), corpusCells (neighbor_id, cell), books, codes). */
+  private def ivfPqResBuild(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                            nlist: Int, m: Int, ksub: Int,
+                            ivfIters: Int, pqIters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, ivfIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = corpus.select(corpusId.as("__ivf_id"), corpusVec.as("__ivf_v"))
       .join(cells.withColumnsRenamed(
         Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
-    val fe = ivfFrontEnd(indexed, col("__ivf_id"), col("__ivf_v"),
-      col("__ivf_cell"), queries, queryId, queryVec, nprobe)
-    // centroids and the final assignment feed multiple consumers
-    // (residual join, cell tables, qc dots / candidate join + the
-    // scored cell attach) — persist both; they are nlist rows and two
-    // longs per corpus row respectively
-    val cvecs = fe.cvecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val acell = fe.corpusCells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cv0, cc0) = ivfAssign(indexed, col("__ivf_id"), col("__ivf_v"), col("__ivf_cell"))
+    val cvecs = cv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val acell = cc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // residuals vs the assigned cell's centroid (broadcast nlist rows)
     val resid = corpus.select(corpusId.as("rid"), corpusVec.cast("array<double>").as("rv"))
       .join(acell.withColumnRenamed("neighbor_id", "rid"), "rid")
       .join(broadcast(cvecs.select(col("grp").as("cell"), col("cv"))), "cell")
       .select(col("rid"), zip_with(col("rv"), col("cv"), (a, b) => a - b).as("r"))
     val (books, codes) = pqTrainEncode(resid, col("rid"), col("r"), m, ksub, pqIters)
+    (cvecs, acell, books, codes)
+  }
+
+  /** The residual-ADC search tail shared by the inline and
+    * index-backed paths: per-cell correction table + per-(query, cell)
+    * centroid dots + the corrected ADC fold over the candidate rows,
+    * then the exact shortlist re-rank. */
+  private def resAdcSearch(cvecs: DataFrame, corpusCells: DataFrame,
+                           books: DataFrame, codes: DataFrame, cand: DataFrame,
+                           corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                           queries: DataFrame, queryId: Column, queryVec: Column,
+                           m: Int, ksub: Int, k: Int, shortlist: Int): DataFrame = {
     // per-cell correction table: ‖µ_c‖² and the dense
     // t2[slot] = 2·dot(µ_c_sub, cw) + ‖cw‖² array — nlist rows, broadcast
     val centSubs = pqSubvectors(cvecs, col("grp"), col("cv"), m)
@@ -626,9 +653,9 @@ object Similarity {
       .crossJoin(broadcast(cvecs))
       .select(col("query_id"), col("grp").as("cell"),
         VectorFunctions.dot(col("qv"), col("cv")).as("qc"))
-    val scored = fe.cand
+    val scored = cand
       .join(codes, col("neighbor_id") === codes("vec_id"))
-      .join(acell, "neighbor_id")
+      .join(corpusCells, "neighbor_id")
       .join(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)), "query_id")
       .join(broadcast(cellTab), "cell")
       .join(broadcast(qc), Seq("query_id", "cell"))
@@ -637,6 +664,58 @@ object Similarity {
           / sqrt(col("mu2") + pqFold(col("t2arr"), m, ksub))).as("approx"))
     exactReRank(pqShortlist(scored, shortlist),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Persistable IVFADC index — the composed [[ivfIndex]]+[[pqIndex]]
+    * story with residual encoding, i.e. the complete billion-scale
+    * search state: `(centroids (cell, cv), cells (vec_id, cell),
+    * codebook (sub, code, cv), codes (vec_id, codes))` with
+    * byte-typed codes when ksub ≤ 128. Materialize all four as
+    * tables; [[ivfPqResTopKAgainstIndex]] then searches any query
+    * batch touching only broadcast centroids, the id-keyed cells and
+    * codes tables, and shortlist-fetched full vectors — no training,
+    * no residual computation, no corpus-wide pass at query time.
+    * (m, ksub, nlist) MUST match between build and search. */
+  def ivfPqResIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    nlist: Int, m: Int, ksub: Int,
+                    ivfIters: Int = 1, pqIters: Int = 1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val (cvecs, acell, books, codes) =
+      ivfPqResBuild(corpus, corpusId, corpusVec, nlist, m, ksub, ivfIters, pqIters)
+    val narrowed =
+      if (ksub <= 128) codes.select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"))
+      else codes
+    (cvecs.select(col("grp").as("cell"), col("cv")),
+      acell.select(col("neighbor_id").as("vec_id"), col("cell")),
+      books, narrowed)
+  }
+
+  /** [[ivfPqResTopK]] with every build artifact served from a prebuilt
+    * [[ivfPqResIndex]]. `corpus` supplies full vectors for the exact
+    * re-rank only. */
+  def ivfPqResTopKAgainstIndex(centroids: DataFrame, cells: DataFrame,
+                               books: DataFrame, codes: DataFrame,
+                               corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                               queries: DataFrame, queryId: Column, queryVec: Column,
+                               m: Int, ksub: Int, k: Int, nprobe: Int,
+                               shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    require(Seq("vec_id", "cell").forall(cells.columns.contains),
+      s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
+    require(Seq("sub", "code", "cv").forall(books.columns.contains),
+      s"codebook frame must carry (sub, code, cv); got ${books.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    val corpusCells = cells.select(col("vec_id").as("neighbor_id"), col("cell"))
+    val cand = ivfCandOf(corpusCells,
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
+    resAdcSearch(cvecs, corpusCells, books, codes, cand,
+      corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      m, ksub, k, shortlist)
   }
 
   /** Deterministic pseudo-random unit hyperplanes (fixed seed → stable

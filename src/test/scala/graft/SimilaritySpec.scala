@@ -235,6 +235,41 @@ class SimilaritySpec extends AnyFunSuite {
       s"index path ${viaIndex.take(3)} vs inline ${inline.take(3)}")
   }
 
+  test("IVFADC search from a parquet index equals the inline residual path") {
+    // the complete billion-scale state: centroids + cells + residual
+    // codebook + byte codes, all materialized; searching against the
+    // round-tripped tables must be pair-for-pair the inline
+    // train-and-search result (deterministic FNV-seeded trains,
+    // parquet round-trips doubles exactly)
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inline = rows(Similarity.ivfPqResTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30))
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    assert(codes.schema("codes").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == org.apache.spark.sql.types.ByteType,
+      s"IVFADC codes not byte-typed: ${codes.schema("codes").dataType}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
+    cents.write.parquet(s"$dir/centroids")
+    cells.write.parquet(s"$dir/cells")
+    books.write.parquet(s"$dir/books")
+    codes.write.parquet(s"$dir/codes")
+    val viaIndex = rows(Similarity.ivfPqResTopKAgainstIndex(
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/books"), spark.read.parquet(s"$dir/codes"),
+      e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30))
+    assert(viaIndex == inline,
+      s"index path ${viaIndex.take(3)} vs inline ${inline.take(3)}")
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
