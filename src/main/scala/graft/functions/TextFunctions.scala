@@ -162,6 +162,30 @@ object TextFunctions {
   def redactPiiLogSafe(text: Column): Column =
     redactPhonesLogSafe(redactEmails(redactUrls(text)))
 
+  /** HTML → text extraction (C45) — the web-scrape cleaning step a
+    * pretraining pipeline runs before every text metric: drop
+    * script/style blocks WITH their content, strip remaining tags,
+    * decode the basic entities, collapse whitespace. Order matters and
+    * is part of the contract: blocks before tags (a stripped `<script>`
+    * tag would orphan its payload into the text), entities AFTER tag
+    * stripping (`&lt;3` must survive as `<3`, not get eaten as a tag),
+    * `&amp;` LAST among entities (single-pass semantics: `&amp;lt;`
+    * decodes to the literal `&lt;`, not `<`). Same cross-engine regex
+    * discipline as the scrub patterns — inline `(?is)` flags, lazy
+    * `.*?`, explicit whitespace class, no lookaround — so Java and RE2
+    * read every pattern identically and the rewrite is byte-exact
+    * under the DuckDB oracle. A codegen map stage: three
+    * regexp_replace + six replace, no UDF. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, lit("[ \t\r\n]+"), lit(" ")))
+  }
+
   /** URL host with a capture group: the same `https?://` anchor as
     * [[UrlPattern]], host = a run of hostname-legal characters
     * (letters/digits/dot/hyphen/underscore) plus an optional `:port`.

@@ -467,6 +467,50 @@ object TextQueries {
     * keyed domain spread + one shared mixed-case host to pin the
     * lowercasing) — same injection idiom as qtext_scrub, oracle-
     * identical. */
+  /** HTML extraction (C45) under a byte-exact oracle: wrap each doc's
+    * text in a deterministic HTML shell (head/style block, per-doc
+    * heading, attributed tags, a script with a bare `<`, entity-coded
+    * tail) and require the extraction to recover exactly
+    * `Doc {id} {text} Tom & co <3` — both engines fold the SAME
+    * pattern chain in the SAME order. */
+  val qHtml = Q(
+    "qtext_html",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val injected = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "), id,
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "Tom &amp; co &lt;3</body></html>"))
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          TextFunctions.htmlToText(injected).as("clean"),
+          (length(injected) - length(TextFunctions.htmlToText(injected)))
+            .cast("long").as("removed_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH inj AS (
+        SELECT doc_id,
+          '<html><head><style>p{color:red}</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text ||
+          '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+          'Tom &amp; co &lt;3</body></html>' AS t
+        FROM documents),
+      c AS (SELECT doc_id, t,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                '[ \t\r\n]+', ' ', 'g')) AS clean
+            FROM inj)
+      SELECT doc_id, clean,
+        CAST(length(t) - length(clean) AS BIGINT) AS removed_chars
+      FROM c ORDER BY doc_id"""))
+
   val qDomains = Q(
     "qtext_domains",
     (s, dir) => {
@@ -500,5 +544,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp)
+    qUnigramLp, qHtml)
 }

@@ -20,6 +20,26 @@ class ScrubSpec extends AnyFunSuite {
     assert(scrub(s) == s)
   }
 
+  private def html(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextFunctions.htmlToText(col("t"))).head().getString(0)
+  }
+
+  test("htmlToText: blocks die with their content, tags strip, entities decode last") {
+    assert(html("<p>hello <b>world</b></p>") == "hello world")
+    // script/style payloads must not leak into the text — including a
+    // bare '<' inside the script that tag-stripping alone would mangle
+    assert(html("a<script>var x = 1 < 2;</script>b<style>p{}</style>c") == "a b c")
+    // entity decode AFTER tag strip: &lt;3 survives as a literal <3;
+    // &amp;lt; decodes ONE pass to the literal string &lt;
+    assert(html("I &lt;3 <i>markup</i> &amp;lt; escapes") == "I <3 markup &lt; escapes")
+    // attributes (with quoted '>'-free values), multiline whitespace
+    assert(html("<a href=\"http://x.io\" rel=\"no\">link</a>\n\n  text") == "link text")
+    // plain text with no markup passes through byte-identical
+    val plain = "no markup at all, just text"
+    assert(html(plain) == plain)
+  }
+
   test("each class redacts, repeatedly, in one pass") {
     assert(scrub("mail a@b.io and c.d+e@f-g.org today") ==
       "mail <EMAIL> and <EMAIL> today")
