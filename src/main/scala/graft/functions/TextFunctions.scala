@@ -170,16 +170,20 @@ object TextFunctions {
     * tag would orphan its payload into the text), entities AFTER tag
     * stripping (`&lt;3` must survive as `<3`, not get eaten as a tag),
     * `&amp;` LAST among entities (single-pass semantics: `&amp;lt;`
-    * decodes to the literal `&lt;`, not `<`). Same cross-engine regex
-    * discipline as the scrub patterns — inline `(?is)` flags, lazy
-    * `.*?`, explicit whitespace class, no lookaround — so Java and RE2
-    * read every pattern identically and the rewrite is byte-exact
-    * under the DuckDB oracle. A codegen map stage: three
-    * regexp_replace + six replace, no UDF. */
+    * decodes to the literal `&lt;`, not `<`). The tag pattern requires
+    * a LETTER (or `!` — comments/doctype) after `<`, the HTML5 lexer
+    * rule: a bare `<` in prose ("3 < 5", an unescaped "<3") is text,
+    * not a tag, and must survive — a naive `<[^>]+>` would eat the
+    * span to the next `>`. Same cross-engine regex discipline as the
+    * scrub patterns — inline `(?is)` flags, lazy `.*?`, explicit
+    * whitespace class, no lookaround — so Java and RE2 read every
+    * pattern identically and the rewrite is byte-exact under the
+    * DuckDB oracle. A codegen map stage: three regexp_replace + six
+    * replace, no UDF. */
   def htmlToText(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
-    val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit("</?[a-zA-Z!][^>]*>"), lit(" "))
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }

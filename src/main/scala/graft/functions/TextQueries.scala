@@ -462,11 +462,6 @@ object TextQueries {
       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
-  /** Per-domain URL stats (C35) — the blocklist planning view. The
-    * corpus carries no URLs, so the query injects two per row (doc-id-
-    * keyed domain spread + one shared mixed-case host to pin the
-    * lowercasing) — same injection idiom as qtext_scrub, oracle-
-    * identical. */
   /** HTML extraction (C45) under a byte-exact oracle: wrap each doc's
     * text in a deterministic HTML shell (head/style block, per-doc
     * heading, attributed tags, a script with a bare `<`, entity-coded
@@ -502,7 +497,7 @@ object TextQueries {
                 replace(replace(replace(replace(replace(replace(
                   regexp_replace(
                     regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-                    '<[^>]+>', ' ', 'g'),
+                    '</?[a-zA-Z!][^>]*>', ' ', 'g'),
                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                 '[ \t\r\n]+', ' ', 'g')) AS clean
@@ -511,6 +506,11 @@ object TextQueries {
         CAST(length(t) - length(clean) AS BIGINT) AS removed_chars
       FROM c ORDER BY doc_id"""))
 
+  /** Per-domain URL stats (C35) — the blocklist planning view. The
+    * corpus carries no URLs, so the query injects two per row (doc-id-
+    * keyed domain spread + one shared mixed-case host to pin the
+    * lowercasing) — same injection idiom as qtext_scrub, oracle-
+    * identical. */
   val qDomains = Q(
     "qtext_domains",
     (s, dir) => {

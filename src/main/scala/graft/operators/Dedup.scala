@@ -50,10 +50,16 @@ object Dedup {
     * the increment itself needs deduping, exactly as the streaming
     * variant layers `dedupWithin` on top of the near-dup screen. */
   def exactDedupAgainstIndex(df: DataFrame, text: Column,
-                             index: DataFrame): DataFrame =
+                             index: DataFrame): DataFrame = {
+    // same reserved-column discipline as splitByHash/gopherGate: a
+    // caller-owned __ch would be silently overwritten then dropped
+    require(!df.columns.contains("__ch"),
+      "exactDedupAgainstIndex uses the reserved working column __ch; " +
+        "the input already carries it — drop or rename it first")
     df.withColumn("__ch", md5(TextFunctions.normalizeText(text)))
       .join(index.select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
       .drop("__ch")
+  }
 
   // --- shingling shared by minhash / ngram-jaccard ----------------------
 

@@ -330,28 +330,44 @@ object DedupQueries {
       FROM r ORDER BY doc_id"""))
 
   /** Incremental EXACT screen (C1's index pair): docs ≤ 250 are the
-    * indexed history, the rest are the increment; survivors are the
-    * increment rows whose normalized content hash is not in the
-    * history. The md5(normalized) recipe is qdedup_exact's proven
-    * oracle expression, reused verbatim. */
+    * indexed history; the increment is the remaining docs PLUS two
+    * INJECTED replays of history docs (one byte-exact, one that only
+    * the normalization collapses — leading spaces + upper-case), so
+    * the oracle exercises BOTH the keep and the drop paths (without
+    * the injection the corpus has no cross-boundary duplicates and a
+    * screen that never drops anything would pass vacuously). The
+    * md5(normalized) recipe is qdedup_exact's proven oracle
+    * expression; the oracle anti-join is NOT EXISTS, not NOT IN —
+    * NOT IN returns zero rows if the history ever contains a NULL
+    * hash, where left_anti keeps the non-matches. */
   val qExactInc = Q(
     "qdedup_exact_inc",
     (s, dir) => {
       val t = Tables(s, dir)
-      val hist = t.documents.filter(col("doc_id") <= 250)
-      val inc = t.documents.filter(col("doc_id") > 250)
+      val d = t.documents.select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") <= 250)
+      val inc = d.filter(col("doc_id") > 250)
+        .unionByName(d.filter(col("doc_id") === 1)
+          .select((col("doc_id") + 9000).as("doc_id"),
+            concat(lit("  "), upper(col("text"))).as("text")))
+        .unionByName(d.filter(col("doc_id") === 2)
+          .select((col("doc_id") + 9000).as("doc_id"), col("text")))
       Dedup.exactDedupAgainstIndex(inc, col("text"),
           Dedup.contentHashIndex(hist, col("text")))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
     Some("""
-      WITH h AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
-                 FROM documents WHERE doc_id <= 250)
-      SELECT doc_id FROM documents
-      WHERE doc_id > 250
-        AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT ch FROM h)
-      ORDER BY doc_id"""))
+      WITH d AS (SELECT doc_id, text FROM documents),
+      inc AS (SELECT doc_id, text FROM d WHERE doc_id > 250
+              UNION ALL SELECT doc_id + 9000, '  ' || upper(text) FROM d WHERE doc_id = 1
+              UNION ALL SELECT doc_id + 9000, text FROM d WHERE doc_id = 2),
+      h AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+            FROM d WHERE doc_id <= 250)
+      SELECT inc.doc_id FROM inc
+      WHERE NOT EXISTS (SELECT 1 FROM h
+        WHERE h.ch = md5(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
+      ORDER BY inc.doc_id"""))
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc)

@@ -92,11 +92,18 @@ object Layout {
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(statExprs.head, statExprs.tail: _*).collect()(0)
     val maxBucket = (1L << bitsPerCol) - 1L
+    // binning runs in DOUBLE space: long arithmetic would wrap on
+    // full-range keys (a hash-valued column spans ~2^64 — `mx - mn + 1`
+    // goes negative and under ANSI mode the scaled multiply throws
+    // mid-write). Doubles can't overflow here and the precision loss
+    // past 2^53 only blurs bucket BOUNDARIES, which for a layout
+    // clustering is harmless: nearby keys still land in nearby buckets.
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (stats.getLong(2 * i), stats.getLong(2 * i + 1))
-      val span = math.max(1L, mx - mn + 1L)
+      val span = math.max(1.0, mx.toDouble - mn.toDouble + 1.0)
       least(lit(maxBucket),
-        (col(c).cast("long") - mn) * (maxBucket + 1L) / span)
+        floor((col(c).cast("double") - mn.toDouble)
+          / span * (maxBucket + 1L).toDouble).cast("long"))
     }
     // Morton interleave: bit k of bucket i lands at position
     // k * nCols + i — pure integer codegen, no UDF

@@ -146,15 +146,22 @@ class DedupSpec extends AnyFunSuite {
     val old = docs(101L -> "the quick brown fox jumps over the lazy dog")
     val idx = Dedup.minhashIndex(old, col("doc_id"), col("text"), n = 2, k = 64)
     val nw = docs(1L -> "the quick brown fox jumps over the lazy cat")
+    // the GUARD's message must appear somewhere in the cause chain — a
+    // mere "some exception was thrown" would also pass if the guard
+    // were deleted and the mismatch failed later for another reason
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
     val wrong = intercept[Exception] {
       Dedup.minhashLshPairsAgainstIndex(nw, col("doc_id"), col("text"), idx,
         n = 2, bands = 16, rows = 8).count() // bands*rows = 128 != 64
     }
-    assert(wrong.getMessage.contains("signature length") ||
-      wrong.getCause != null, s"unexpected: $wrong")
-    intercept[Exception] {
+    assert(msgs(wrong).exists(_.contains("signature length")), s"unexpected: $wrong")
+    val wrongBands = intercept[Exception] {
       Dedup.minhashIndexBands(idx, bands = 16, rows = 8).count()
     }
+    assert(msgs(wrongBands).exists(_.contains("signature length")),
+      s"unexpected: $wrongBands")
     // and the CORRECT shape still sails through both guards
     assert(Dedup.minhashIndexBands(idx, bands = 32, rows = 2).count() > 0)
   }

@@ -38,6 +38,10 @@ class ScrubSpec extends AnyFunSuite {
     // plain text with no markup passes through byte-identical
     val plain = "no markup at all, just text"
     assert(html(plain) == plain)
+    // bare '<' in prose is TEXT, not a tag opener (the HTML5 lexer
+    // rule): inequality spans must survive, not vanish to the next '>'
+    assert(html("scores: 3 < 5 but 9 > 7 overall") == "scores: 3 < 5 but 9 > 7 overall")
+    assert(html("I <3 you <b>so</b> much") == "I <3 you so much")
   }
 
   test("each class redacts, repeatedly, in one pass") {
