@@ -100,9 +100,20 @@ object TextFunctions {
       lit(0.3) * least(stopwordRatio(text) * lit(5.0), lit(1.0)), 4)
 
   /** Normalization for exact dedup: lowercase, trim, collapse runs of
-    * whitespace. */
+    * whitespace. Byte-level only — for Unicode corpora compose with
+    * [[nfcNormalize]] first so canonically-equivalent spellings (é
+    * composed vs `e`+U+0301) collapse before hashing. */
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Unicode NFC canonicalization (C46) via the codegen
+    * [[NfcNormalize]] expression — the step BEFORE any hash-keyed
+    * operator (exact dedup, MinHash shingles, fingerprints) on
+    * web-scraped text, where composed and decomposed spellings of the
+    * same characters otherwise hash apart. Caller must have graft's
+    * extensions registered (GraftSession does). */
+  def nfcNormalize(text: Column): Column =
+    call_function("graft_nfc", text)
 
   // --- PII / URL scrubbing (C21) ---------------------------------------
   // Redaction before training is the most common curation step this

@@ -506,6 +506,49 @@ object TextQueries {
         CAST(length(t) - length(clean) AS BIGINT) AS removed_chars
       FROM c ORDER BY doc_id"""))
 
+  /** Unicode NFC canonicalization (C46) under a byte-exact oracle: the
+    * corpus is ASCII, so each doc gets a deterministic non-ASCII tail —
+    * even doc_ids the DECOMPOSED spelling (`e` + combining acute
+    * U+0301), odd the COMPOSED one (é U+00E9). NFC maps both to the
+    * composed form, so the normalized text is identical across the
+    * parity split (visible as n_chars_nfc < n_chars_raw exactly on
+    * even rows) and the oracle compares the normalized STRING itself —
+    * Java's Normalizer and DuckDB's nfc_normalize both implement
+    * Unicode canonical composition, verified codepoint-identical on
+    * the composition/ligature/partial-composition edge cases in
+    * NfcSpec. (No post-NFC fingerprint here: the DuckDB FNV recipe is
+    * ASCII-only — see qtext_fingerprint — and the normalized tail is
+    * deliberately not.) */
+  val qNfc = Q(
+    "qtext_normalize",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      val id = col("doc_id")
+      val raw = concat(col("text"),
+        when(id % 2 === 0, lit(" cafe\u0301 re\u0301sume\u0301"))
+          .otherwise(lit(" caf\u00e9 r\u00e9sum\u00e9")))
+      val norm = TextFunctions.nfcNormalize(raw)
+      Tables(s, dir).documents.select(
+          id,
+          length(raw).cast("long").as("n_chars_raw"),
+          length(norm).cast("long").as("n_chars_nfc"),
+          norm.as("norm_text"))
+        .orderBy(id)
+    },
+    Some("""
+      WITH inj AS (
+        SELECT doc_id,
+          text || CASE WHEN doc_id % 2 = 0
+            THEN ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769)
+            ELSE ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) END AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+        nfc_normalize(raw) AS norm_text
+      FROM inj
+      ORDER BY doc_id"""))
+
   /** Per-domain URL stats (C35) — the blocklist planning view. The
     * corpus carries no URLs, so the query injects two per row (doc-id-
     * keyed domain spread + one shared mixed-case host to pin the
@@ -544,5 +587,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp, qHtml)
+    qUnigramLp, qHtml, qNfc)
 }
