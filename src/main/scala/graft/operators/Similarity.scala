@@ -147,14 +147,21 @@ object Similarity {
     val cvecs = centroidFrame(corpus, cellSeed, corpusVec)
     val c = corpus.select(corpusId.as("neighbor_id"),
       corpusVec.cast("array<double>").as("v"))
-    // argmax cell with grp-asc tie-break via max(struct(s, -grp)):
-    // struct max compares s first, then -grp max = smallest grp
-    val corpusCells = cellScores(c, "neighbor_id", cvecs)
+    (cvecs, assignCells(c, cvecs))
+  }
+
+  /** Nearest-centroid assignment of a `(neighbor_id, v)` frame against
+    * broadcast centroids — argmax cell with grp-asc tie-break via
+    * max(struct(s, -grp)): struct max compares s first, then -grp max =
+    * smallest grp. ONE definition shared by the index build
+    * ([[ivfAssign]]) and the incremental append ([[ivfPqResAppend]]),
+    * so an appended vector lands in exactly the cell the build would
+    * have assigned. */
+  private def assignCells(c: DataFrame, cvecs: DataFrame): DataFrame =
+    cellScores(c, "neighbor_id", cvecs)
       .groupBy(col("neighbor_id"))
       .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
       .select(col("neighbor_id"), (-col("m.ng")).as("cell"))
-    (cvecs, corpusCells)
-  }
 
   /** Per-query top-`nprobe` cells against the broadcast centroids. */
   private def ivfProbes(queries: DataFrame, queryId: Column, queryVec: Column,
@@ -498,11 +505,17 @@ object Similarity {
               m: Int, ksub: Int, iters: Int = 1): (DataFrame, DataFrame) = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val (books, codes) = pqTrainEncode(corpus, id, vec, m, ksub, iters)
-    val narrowed =
-      if (ksub <= 128) codes.select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"))
-      else codes
-    (books, narrowed)
+    (books, narrowCodes(codes, ksub))
   }
+
+  /** Byte-typed codes when they fit the signed byte (ksub ≤ 128) — the
+    * claimed ~32× compression is only real if the STORED type shrinks.
+    * Shared by every index-materializing API so appended codes union
+    * cleanly with built ones. */
+  private def narrowCodes(codes: DataFrame, ksub: Int): DataFrame =
+    if (ksub <= 128)
+      codes.select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"))
+    else codes
 
   /** [[pqTopK]] with the train/encode stage served from a prebuilt
     * [[pqIndex]] — only the query batch is sliced and LUT-ed; the
@@ -614,14 +627,22 @@ object Similarity {
     val (cv0, cc0) = ivfAssign(indexed, col("__ivf_id"), col("__ivf_v"), col("__ivf_cell"))
     val cvecs = cv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acell = cc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // residuals vs the assigned cell's centroid (broadcast nlist rows)
-    val resid = corpus.select(corpusId.as("rid"), corpusVec.cast("array<double>").as("rv"))
-      .join(acell.withColumnRenamed("neighbor_id", "rid"), "rid")
-      .join(broadcast(cvecs.select(col("grp").as("cell"), col("cv"))), "cell")
-      .select(col("rid"), zip_with(col("rv"), col("cv"), (a, b) => a - b).as("r"))
+    val resid = residualFrame(corpus, corpusId, corpusVec, acell, cvecs)
     val (books, codes) = pqTrainEncode(resid, col("rid"), col("r"), m, ksub, pqIters)
     (cvecs, acell, books, codes)
   }
+
+  /** `(rid, r)` residuals of each vector vs its assigned cell's
+    * centroid (broadcast nlist rows) — shared by the index build and
+    * the incremental append so the residual a late-arriving vector
+    * encodes is exactly the one the build would have computed. `cells`
+    * must carry `(neighbor_id, cell)`. */
+  private def residualFrame(src: DataFrame, id: Column, vec: Column,
+                            cells: DataFrame, cvecs: DataFrame): DataFrame =
+    src.select(id.as("rid"), vec.cast("array<double>").as("rv"))
+      .join(cells.withColumnRenamed("neighbor_id", "rid"), "rid")
+      .join(broadcast(cvecs.select(col("grp").as("cell"), col("cv"))), "cell")
+      .select(col("rid"), zip_with(col("rv"), col("cv"), (a, b) => a - b).as("r"))
 
   /** The residual-ADC search tail shared by the inline and
     * index-backed paths: per-cell correction table + per-(query, cell)
@@ -683,12 +704,45 @@ object Similarity {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val (cvecs, acell, books, codes) =
       ivfPqResBuild(corpus, corpusId, corpusVec, nlist, m, ksub, ivfIters, pqIters)
-    val narrowed =
-      if (ksub <= 128) codes.select(col("vec_id"), col("codes").cast("array<tinyint>").as("codes"))
-      else codes
     (cvecs.select(col("grp").as("cell"), col("cv")),
       acell.select(col("neighbor_id").as("vec_id"), col("cell")),
-      books, narrowed)
+      books, narrowCodes(codes, ksub))
+  }
+
+  /** Incremental IVFADC append (the C33/C1 increment discipline for the
+    * ANN index): encode a NEW batch against an EXISTING
+    * [[ivfPqResIndex]] — nearest-centroid assignment and residual PQ
+    * encoding with the index's FROZEN centroids and codebook, no
+    * retraining, no touch of the historical corpus. Returns
+    * `(cells (vec_id, cell), codes (vec_id, codes))` rows to UNION
+    * onto the stored index tables. Both stages are the build path's
+    * own per-row functions ([[assignCells]], [[residualFrame]],
+    * [[pqEncode]]) — appending the index's own rows reproduces its
+    * tables exactly (spec-pinned), so a grown index is
+    * indistinguishable from one whose encode pass saw the increment.
+    * At 100 TB this is the daily-ingest shape: the increment pays
+    * |inc|·nlist map-side centroid scores and one m·ksub-bounded
+    * encode — work linear in the increment, zero in the history.
+    * Centroid drift is the operator's documented limit: after enough
+    * appends, retrain and re-encode (the build API) — same contract as
+    * FAISS's add-versus-train split. */
+  def ivfPqResAppend(centroids: DataFrame, books: DataFrame,
+                     increment: DataFrame, incId: Column, incVec: Column,
+                     m: Int, ksub: Int): (DataFrame, DataFrame) = {
+    graft.GraftExtensions.ensureRegistered(increment.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    require(Seq("sub", "code", "cv").forall(books.columns.contains),
+      s"codebook frame must carry (sub, code, cv); got ${books.columns.mkString(", ")}")
+    val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    val c = increment.select(incId.as("neighbor_id"),
+      incVec.cast("array<double>").as("v"))
+    val cells = assignCells(c, cvecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resid = residualFrame(increment, incId, incVec, cells, cvecs)
+    val codes = pqEncode(resid, col("rid"), col("r"), m, books)
+    (cells.select(col("neighbor_id").as("vec_id"), col("cell")),
+      narrowCodes(codes, ksub))
   }
 
   /** [[ivfPqResTopK]] with every build artifact served from a prebuilt

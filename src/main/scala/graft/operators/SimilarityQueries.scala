@@ -493,18 +493,11 @@ object SimilarityQueries {
     * assigned centroid, per-subspace residual Lloyd train, and the
     * corrected ADC score — under the one-oracle discipline of qann_pq
     * / qann_ivfpq. */
-  val qIvfPqRes = Q(
-    "qann_ivfpq_res",
-    (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      Similarity.ivfPqResTopK(
-          e, col("vec_id"), col("embedding"),
-          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-          nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
-          ivfIters = 1, pqIters = 1)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
+  /** The one IVFADC oracle definition (C42) — shared verbatim by the
+    * inline query and the drop-and-append query, whose results must be
+    * identical because append-with-frozen-artifacts is the build
+    * path's own per-row function. */
+  private def ivfPqResOracleSql: String = s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       ${trainedCellsCtes(nlist = 10)},
       ${ivfProbeCtes(nprobe = 3, nq = 10)},
@@ -522,7 +515,52 @@ object SimilarityQueries {
       ${pqCtes(m = 4, ksub = 8, dsub = 16, nq = 10, iters = 1,
         src = "rsd", vcol = "r", lutSubv = "qsubv")},
       ${resAdcCtes(m = 4, ksub = 8, dsub = 16, nq = 10, iters = 1, shortlist = 30)},
-      ${reRankSql("cand", k = 5)}"""))
+      ${reRankSql("cand", k = 5)}"""
+
+  val qIvfPqRes = Q(
+    "qann_ivfpq_res",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfPqResTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
+          ivfIters = 1, pqIters = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqResOracleSql))
+
+  /** Incremental IVFADC append under the SAME full oracle as the
+    * inline path: build the index on the whole corpus, DROP a 20%
+    * slice from the stored cells/codes tables, re-add that slice
+    * through [[Similarity.ivfPqResAppend]] (frozen-artifact assignment
+    * + residual encode — the daily-ingest path), and search the
+    * reassembled index. Any divergence between the append path's
+    * assignment/encode and the build's breaks hash equality with
+    * qann_ivfpq_res's proven oracle — the qann_ivf_indexed discipline
+    * applied to index growth. */
+  val qIvfPqApp = Q(
+    "qann_ivfpq_app",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val slice = col("vec_id") % 5 === 3
+      val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+        e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8,
+        ivfIters = 1, pqIters = 1)
+      val (appCells, appCodes) = Similarity.ivfPqResAppend(
+        cents, books, e.filter(slice), col("vec_id"), col("embedding"),
+        m = 4, ksub = 8)
+      Similarity.ivfPqResTopKAgainstIndex(
+          cents,
+          cells.filter(not(col("vec_id") % 5 === 3)).unionByName(appCells),
+          books,
+          codes.filter(not(col("vec_id") % 5 === 3)).unionByName(appCodes),
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqResOracleSql))
 
   val qDecode = Q(
     "qmm_decode_meta",
@@ -649,5 +687,6 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qDecode, qFrames, qHistogram, qCentroid, qProto)
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qDecode, qFrames, qHistogram, qCentroid,
+    qProto)
 }

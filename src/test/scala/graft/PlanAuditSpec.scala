@@ -39,6 +39,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-(query, cell) centroid-dot crossJoin — |Q|·nlist rows, both factors " +
       "bounded; the residual join, cell-table attach and ADC joins are all " +
       "key-equi (cell / id) joins"),
+    "qann_ivfpq_app" -> ("the same bounded qann_ivfpq_res broadcasts — the " +
+      "append path adds only the |inc|·nlist map-side centroid-score " +
+      "crossJoin (broadcast nlist-row centroid frame), the same shape the " +
+      "build's assignment uses; the cells/codes unions are metadata-only"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

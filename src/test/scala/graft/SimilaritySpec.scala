@@ -270,6 +270,52 @@ class SimilaritySpec extends AnyFunSuite {
       s"index path ${viaIndex.take(3)} vs inline ${inline.take(3)}")
   }
 
+  test("IVFADC append of the index's own rows reproduces its tables exactly") {
+    // frozen-artifact assignment + residual encode is the build path's
+    // own per-row function, so re-encoding the corpus the index was
+    // built on must be byte-for-byte the stored tables — the equality
+    // that makes a grown index indistinguishable from a rebuilt encode
+    val e = Tables(spark, sf).embeddings
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    val (appCells, appCodes) = Similarity.ivfPqResAppend(
+      cents, books, e, col("vec_id"), col("embedding"), m = 4, ksub = 8)
+    def cellRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toList)).toSeq.sortBy(_._1)
+    assert(cellRows(appCells) == cellRows(cells))
+    assert(codeRows(appCodes) == codeRows(codes))
+  }
+
+  test("IVFADC grown index: append + full-probe search equals brute force over the union") {
+    // index built on the OLD corpus only, the increment appended with
+    // frozen artifacts; probing every cell with a corpus-sized
+    // shortlist makes the exact re-rank cover all candidates, so the
+    // union search must EQUAL bruteTopK over old ∪ increment — the
+    // appended rows are first-class index citizens, not a side table
+    val e = Tables(spark, sf).embeddings
+    val inc = e.filter(col("vec_id") % 4 === 1)
+    val old = e.filter(col("vec_id") % 4 =!= 1)
+    val q = e.filter(col("vec_id") < 10)
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      old, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    val (appCells, appCodes) = Similarity.ivfPqResAppend(
+      cents, books, inc, col("vec_id"), col("embedding"), m = 4, ksub = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val grown = rows(Similarity.ivfPqResTopKAgainstIndex(
+      cents, cells.unionByName(appCells), books, codes.unionByName(appCodes),
+      e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8, k = 5, nprobe = 10, shortlist = 1000000))
+    val brute = rows(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), 5))
+    assert(grown == brute,
+      s"grown-index full-probe ${grown.take(3)} vs brute ${brute.take(3)}")
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
