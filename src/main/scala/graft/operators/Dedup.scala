@@ -322,6 +322,66 @@ object Dedup {
         col("r.removed_tokens").as("removed_tokens"))
   }
 
+  /** Line-level cross-document dedup (C47) — the RefinedWeb /
+    * MassiveWeb boilerplate-line removal step (Penedo et al. 2023,
+    * arXiv:2306.01116 §3.4; Rae et al. 2021 §A1.2): drop every LINE
+    * occurring verbatim in ≥ `minDocs` distinct documents ("Share this
+    * article", cookie banners, nav text — the repetition that survives
+    * doc-level dedup because each HOST page is unique). Between C28
+    * (global top-k boilerplate GRAMS) and C41 (duplicated positional
+    * windows): the unit here is the newline-delimited line, matched
+    * exactly, dropped wherever it repeats — no top-k cut, no window
+    * arithmetic. Whitespace-only and sub-`minChars` lines are NEVER
+    * dropped: they are document structure, and at corpus scale every
+    * blank line is "duplicated". The match is byte-level by contract —
+    * compose with [[graft.functions.TextFunctions.htmlToText]] /
+    * `nfcNormalize` upstream for web text. Returns
+    * `(doc_id, clean, removed_lines)`; untouched docs come back
+    * BYTE-identical through the short-circuit branch (the C41
+    * discipline).
+    *
+    * Scale shape: lines leave their doc as `(doc_id, pos,
+    * xxhash64(line))` — 8-byte hashes shuffle, never line text (the
+    * C22 hashed-broadcast tradeoff: a ~1e-11 collision admits a false
+    * drop); the (doc, hash) distinct rows make a plain count the
+    * distinct-doc frequency; only DUPLICATED line positions (ints)
+    * shuffle back into per-doc sorted arrays, and the rewrite is one
+    * codegen-friendly map stage over the re-split text. */
+  def lineDupRemove(df: DataFrame, id: Column, text: Column,
+                    minDocs: Int = 2, minChars: Int = 1): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    // (doc, pos, hash) of drop-eligible lines; persisted — consumed by
+    // the frequency agg AND the duplicated-position semi-join
+    val keyed = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) >= minChars)
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = keyed.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val dropPos = keyed.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("drops"))
+    df.select(id.as("doc_id"), text.as("doc_text"))
+      .join(dropPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.Cols.let(split(col("doc_text"), "\n")) { ls =>
+          graft.functions.Cols.let(
+              coalesce(col("drops"), typedLit(Array.empty[Int]))) { dr =>
+            struct(
+              when(size(dr) === 0, col("doc_text"))
+                .otherwise(array_join(
+                  filter(ls, (_, p) => !array_contains(dr, p)), "\n")).as("clean"),
+              size(dr).cast("long").as("removed_lines"))
+          }
+        }.as("r"))
+      .select(col("doc_id"), col("r.clean").as("clean"),
+        col("r.removed_lines").as("removed_lines"))
+  }
+
   // --- C2: MinHash + banded LSH -----------------------------------------
 
   /** k-permutation MinHash signature over a shingle-hash set column.

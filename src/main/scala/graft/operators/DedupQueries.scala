@@ -369,6 +369,57 @@ object DedupQueries {
         WHERE h.ch = md5(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
       ORDER BY inc.doc_id"""))
 
+  /** Line-level cross-doc dedup (C47): the corpus has no newlines, so
+    * each doc gets a deterministic multi-line tail — a line shared by
+    * ALL docs (dropped), a doc-unique line (kept), a whitespace-only
+    * line (kept by the structure rule), and a line shared by the even
+    * half (dropped). The original text rides as line 0, so the
+    * corpus's own exact-duplicate docs drop each other's text line —
+    * the operator's real behavior, mirrored in the oracle. The engine
+    * groups line frequency on xxhash64; the oracle groups on the line
+    * string — semantic parity, the C22 hashed-key discipline. */
+  val qLines = Q(
+    "qdedup_lines",
+    (s, dir) => {
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        lit("\nShare this article\nUnique to doc "), id.cast("string"),
+        lit("\n   "),
+        when(id % 2 === 0, lit("\nSubscribe now")).otherwise(lit("")))
+      Dedup.lineDupRemove(
+          Tables(s, dir).documents.select(id, injected.as("t")),
+          col("doc_id"), col("t"), minDocs = 2, minChars = 1)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH inj AS (
+        SELECT doc_id,
+          text || chr(10) || 'Share this article' || chr(10) || 'Unique to doc ' ||
+          CAST(doc_id AS VARCHAR) || chr(10) || '   ' ||
+          CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Subscribe now' ELSE '' END AS t
+        FROM documents),
+      ls AS (SELECT doc_id, t, string_split(t, chr(10)) AS arr FROM inj),
+      l AS (SELECT doc_id, unnest(arr) AS line,
+                   unnest(range(0, len(arr))) AS pos FROM ls),
+      el AS (SELECT doc_id, line, pos FROM l WHERE length(trim(line)) >= 1),
+      f AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd
+                              FROM el GROUP BY line) WHERE nd >= 2),
+      dr AS (SELECT doc_id, pos FROM el JOIN f USING (line)),
+      dl AS (SELECT doc_id, COUNT(*) AS nrem FROM dr GROUP BY doc_id),
+      keep AS (SELECT l.doc_id, l.line, l.pos
+               FROM l LEFT JOIN dr ON dr.doc_id = l.doc_id AND dr.pos = l.pos
+               WHERE dr.pos IS NULL),
+      o AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+            FROM keep GROUP BY doc_id)
+      SELECT i.doc_id,
+        CASE WHEN COALESCE(dl.nrem, 0) = 0 THEN i.t
+             ELSE COALESCE(o.clean, '') END AS clean,
+        CAST(COALESCE(dl.nrem, 0) AS BIGINT) AS removed_lines
+      FROM inj i
+      LEFT JOIN o ON o.doc_id = i.doc_id
+      LEFT JOIN dl ON dl.doc_id = i.doc_id
+      ORDER BY i.doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc)
+    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines)
 }

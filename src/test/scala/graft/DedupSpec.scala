@@ -200,6 +200,44 @@ class DedupSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("line dedup drops cross-doc repeated lines, keeps structure and unique lines") {
+    // "Share" repeats across docs 1/2 (dropped); each doc's unique
+    // lines keep their order; the whitespace-only line is structure
+    // and never drops even though every doc has one; doc 3 has no
+    // duplicated line and returns BYTE-identical (doubled space kept)
+    val df = docs(
+      1L -> "alpha one\nShare this\n   \nbeta",
+      2L -> "gamma\nShare this\n   \ndelta two",
+      3L -> "solo  doc\n   \nwith  doubled  spaces")
+    val got = Dedup.lineDupRemove(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "alpha one\n   \nbeta", 1L),
+      (2L, "gamma\n   \ndelta two", 1L),
+      (3L, "solo  doc\n   \nwith  doubled  spaces", 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("line dedup thresholds: minDocs above the repeat count and minChars keep lines") {
+    val df = docs(
+      1L -> "Share this\nzz\nuniq1",
+      2L -> "Share this\nzz\nuniq2")
+    // minDocs=3: the 2-doc repeat survives everywhere
+    val loose = Dedup.lineDupRemove(df, col("doc_id"), col("text"), minDocs = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(loose.toSeq == Seq(("Share this\nzz\nuniq1", 0L),
+      ("Share this\nzz\nuniq2", 0L)))
+    // minChars=3: the duplicated 2-char line is structure, the longer
+    // duplicated line still drops
+    val short = Dedup.lineDupRemove(df, col("doc_id"), col("text"), minChars = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(short.toSeq == Seq(("zz\nuniq1", 1L), ("zz\nuniq2", 1L)),
+      s"got ${short.toSeq}")
+  }
+
   test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
     val t = graft.sources.Tables(spark, sf)
     val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)
