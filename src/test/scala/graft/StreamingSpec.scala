@@ -614,14 +614,18 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "the quick brown fox jumps over the lazy dog mail me at a@b.io now ok"),
       (2L, "to be or not to be that is the question and then some more words here"),
       (3L, "xx yy zz"), // fails the word-count rule
-      (4L, "the cat sat on the mat and looked at the big red door for a while ok"))
+      (4L, "the cat sat on the mat and looked at the big red door for a while ok"),
+      // decomposed e + U+0301: the NFC stage must compose it, in both modes
+      (5L, "the cafe\u0301 menu says the coffee is hot and the cake is sweet ok"))
     def curate(df: org.apache.spark.sql.DataFrame) = {
+      GraftExtensions.ensureRegistered(df.sparkSession)
       val passes = TextFunctions.gopherRules(col("text"),
         minTokens = 10, maxTokens = 100000, minMeanLen = 1, maxMeanLen = 10,
         minStopwords = 1).toMap.apply("passes")
       Curation.splitByHash(
         df.filter(passes)
-          .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean")),
+          .select(col("doc_id"), TextFunctions.redactPii(
+            TextFunctions.nfcNormalize(col("text"))).as("clean")),
         col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5))
     }
     val batch = curate(docs.toDF("doc_id", "text"))
@@ -635,9 +639,12 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
     val streamed = spark.table("curated")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
-    assert(batch.nonEmpty && batch.map(_._1) == Set(1L, 2L, 4L))
+    assert(batch.nonEmpty && batch.map(_._1) == Set(1L, 2L, 4L, 5L))
     assert(streamed == batch)
     assert(batch.forall { case (_, clean, _, _) => !clean.contains("a@b.io") })
+    // the decomposed spelling arrived composed (U+00E9) in both modes
+    assert(batch.collect { case (5L, clean, _, _) => clean }
+      .forall(c => c.contains("caf\u00e9") && !c.contains("e\u0301")))
   }
 
   test("connector adapters map consumer config to source options (compile-only)") {
