@@ -424,6 +424,43 @@ object Curation {
       .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
   }
 
+  /** Fixed-length training-sequence packing (SURVEY.md §2.C48):
+    * concat-and-chunk, the step a training data loader performs when
+    * it concatenates the shuffled corpus into one token stream and
+    * cuts it at exact `seqLen` boundaries. Unlike [[packShards]]
+    * (where a doc is never split), a doc here MAY straddle a
+    * boundary, so the output is one row per (doc, sequence) overlap:
+    * `(doc_id, pos, n_tokens, seq_id, doc_off, seq_off, span_len)` —
+    * "tokens `doc_off until doc_off+span_len` of doc `doc_id` land in
+    * sequence `seq_id` at offset `seq_off`". Every sequence except
+    * the last is exactly `seqLen` tokens, gap-free; zero-size docs
+    * contribute no spans and are dropped.
+    *
+    * Scale shape: the global offset is [[packShards]]' distributed
+    * two-pass prefix sum (no corpus-wide window), and the span
+    * expansion is a map-side `explode(sequence(...))` over it — a doc
+    * overlaps at most `n_tokens/seqLen + 1` sequences, so output rows
+    * are O(total_tokens/seqLen + n_docs) and no stage ever holds more
+    * than one doc's spans. Payloads never move: the caller joins the
+    * span table back to text by id (or feeds it straight to a reader
+    * as the shuffle-free index of a packed epoch).
+    */
+  def packSequences(df: DataFrame, id: Column, sizeCol: Column,
+                    seqLen: Long, salt: String = "shuffle"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val start = col("cum") - col("n_tokens")
+    val from = greatest(start, col("seq_id") * seqLen)
+    packShards(df, id, sizeCol, budget = seqLen, salt = salt)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"(cum - n_tokens) div ${seqLen}L"),
+                         expr(s"(cum - 1) div ${seqLen}L"))))
+      .select(col("doc_id"), col("pos"), col("n_tokens"), col("seq_id"),
+        (from - start).as("doc_off"),
+        (from - col("seq_id") * seqLen).as("seq_off"),
+        (least(col("cum"), (col("seq_id") + 1) * seqLen) - from).as("span_len"))
+  }
+
   /** Near-dup cluster resolution: run [[connectedComponents]] over a
     * dup-pair frame and emit `(doc_id, cluster_id, cluster_size)` —
     * `cluster_id` is the minimum member id (the doc a keep-first

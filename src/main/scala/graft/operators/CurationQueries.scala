@@ -241,6 +241,41 @@ object CurationQueries {
       FROM o
       ORDER BY pos"""))
 
+  /** Fixed-length sequence packing: the concat-and-chunk span table a
+    * training loader reads. Same global order as qpack_shards; the
+    * span arithmetic (which sequences a doc straddles, at what
+    * offsets) is pure integer division, mirrored term-for-term in the
+    * oracle's lateral range unnest. */
+  val qPackSequences = Q(
+    "qpack_sequences",
+    (s, dir) => {
+      Curation.packSequences(
+          Tables(s, dir).documents,
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          seqLen = 512L)
+        .orderBy(col("pos"), col("seq_id"))
+    },
+    Some(s"""
+      WITH sized AS (SELECT doc_id,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens"), "sized")},
+      o AS (SELECT doc_id, n_tokens,
+              CAST(row_number() OVER (ORDER BY fh, doc_id) AS BIGINT) AS pos,
+              CAST(SUM(n_tokens) OVER (ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM f)
+      SELECT doc_id, pos, n_tokens, CAST(u.seq_id AS BIGINT) AS seq_id,
+             greatest(cum - n_tokens, u.seq_id * 512) - (cum - n_tokens) AS doc_off,
+             greatest(cum - n_tokens, u.seq_id * 512) - u.seq_id * 512 AS seq_off,
+             least(cum, (u.seq_id + 1) * 512)
+               - greatest(cum - n_tokens, u.seq_id * 512) AS span_len
+      FROM o, UNNEST(range((cum - n_tokens) // 512, ((cum - 1) // 512) + 1)) AS u(seq_id)
+      WHERE n_tokens > 0
+      ORDER BY pos, seq_id"""))
+
   /** The end-to-end curation story in ONE oracle-checked query:
     * language filter → length filter → exact dedup → deterministic 50%
     * sample. Every filter is INTEGER-exact (predicted-language argmax
@@ -422,6 +457,6 @@ object CurationQueries {
     })
 
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
-    qClustersStar, qApply, qApplyBest, qPackShards, qPipeline, qContam, qSplit,
-    qSplitClustered, qSampleBudget, qPreprocess)
+    qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
+    qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess)
 }

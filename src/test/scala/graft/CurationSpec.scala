@@ -248,7 +248,52 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.sampleByHash(noDocs, col("doc_id"), 50).count() == 0)
     assert(Curation.samplePerGroup(noDocs, col("text"), col("doc_id"), 3).count() == 0)
     assert(Curation.packShards(noDocs, col("doc_id"), lit(1), 100L).count() == 0)
+    assert(Curation.packSequences(noDocs, col("doc_id"), lit(1), 100L).count() == 0)
     assert(graft.functions.Keywords.tfIdfTopK(noDocs, col("doc_id"), col("text"), 3).count() == 0)
+  }
+
+  test("packSequences spans tile the token stream exactly") {
+    import spark.implicits._
+    // sizes chosen to straddle seqLen=8 boundaries several ways, plus a
+    // zero-size doc that must contribute no span
+    val docs = Seq((1L, 5L), (2L, 13L), (3L, 0L), (4L, 8L), (5L, 3L), (6L, 21L))
+      .toDF("doc_id", "n")
+    val spans = Curation.packSequences(docs, col("doc_id"), col("n"), seqLen = 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+
+    // every doc's spans reassemble it: doc_offs are a gap-free 0-based
+    // cover and span_lens sum to n_tokens
+    val byDoc = spans.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 2L, 4L, 5L, 6L)) // doc 3 (size 0) absent
+    for ((_, ss) <- byDoc) {
+      val sorted = ss.sortBy(_._5)
+      assert(sorted.map(_._7).sum == sorted.head._3)
+      assert(sorted.head._5 == 0L)
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b._5 == a._5 + a._7) // next doc_off = prev doc_off + len
+      }
+    }
+    // every sequence except the last is exactly seqLen, tiled gap-free
+    val total = Seq(5L, 13L, 8L, 3L, 21L).sum
+    val bySeq = spans.groupBy(_._4)
+    assert(bySeq.keySet == (0L until (total + 7) / 8).toSet)
+    for ((sid, ss) <- bySeq) {
+      val sorted = ss.sortBy(_._6)
+      val want = if (sid == total / 8) total % 8 else 8L
+      assert(sorted.map(_._7).sum == want, s"seq $sid")
+      assert(sorted.head._6 == 0L)
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b._6 == a._6 + a._7) // next seq_off = prev seq_off + len
+      }
+    }
+    // a full-probe cross-check: seq_id of a doc's FIRST token equals the
+    // shard packShards assigns at budget = seqLen
+    val shard = Curation.packShards(docs, col("doc_id"), col("n"), 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    for ((doc, ss) <- byDoc)
+      assert(ss.minBy(_._5)._4 == shard(doc), s"doc $doc first-span seq")
   }
 
   test("contamination flags docs sharing word 8-grams with the eval set") {
