@@ -99,6 +99,63 @@ object TextFunctions {
       lit(0.3) * least(meanTokenLength(text) / lit(8.0), lit(1.0)) +
       lit(0.3) * least(stopwordRatio(text) * lit(5.0), lit(1.0)), 4)
 
+  // --- hashed linear classifier (C49) -----------------------------------
+
+  /** Hashing-trick linear text classifier score (fastText-style): each
+    * whitespace token is hashed into one of `nBuckets` feature buckets
+    * and the score is `bias + Σ weights(bucket(token))` — the shape of
+    * every bag-of-words quality/safety classifier applied at corpus
+    * scale (the weights come from an offline training run; this is the
+    * INFERENCE pass). Weights are fixed-point integers (caller picks
+    * the scale, e.g. 1e6 = micro-units) so the score is exact integer
+    * arithmetic — reproducible across engines and partitionings, and
+    * a keep threshold on the linear score is equivalent to one on the
+    * sigmoid (monotone). Missing buckets weigh 0.
+    *
+    * The weight table rides the plan as a MAP LITERAL, so scoring is
+    * one codegen map stage — zero shuffle, zero join. Right up to
+    * ~10⁵ buckets (the plan/broadcast carries the map once per
+    * executor); for million-bucket vocabularies use
+    * [[hashedLinearScoreJoined]].
+    */
+  def hashedLinearScore(text: Column, weights: Map[Long, Long],
+                        nBuckets: Long, bias: Long = 0L): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.keys.forall(b => b >= 0 && b < nBuckets),
+      s"weight buckets must lie in [0, $nBuckets)")
+    val wmap = typedlit(weights)
+    val toks = filter(split(text, " "), t => t =!= lit(""))
+    aggregate(
+      transform(toks, t => pmod(call_function("fnv1a64", t), lit(nBuckets))),
+      lit(bias),
+      (acc, b) => acc + coalesce(element_at(wmap, b), lit(0L)))
+  }
+
+  /** [[hashedLinearScore]] for weight tables too big for a plan
+    * literal: `weights` is a `(bucket: long, w: long)` frame, joined
+    * broadcast against the exploded token buckets and re-aggregated
+    * per doc. One broadcast + one `(id, long)` partial-agg shuffle —
+    * document payloads never move. `explode_outer` keeps zero-token
+    * docs (they score `bias`), so the output has exactly one row per
+    * input row: `(doc_id, score)`.
+    */
+  def hashedLinearScoreJoined(df: org.apache.spark.sql.DataFrame,
+                              id: Column, text: Column,
+                              weights: org.apache.spark.sql.DataFrame,
+                              nBuckets: Long, bias: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val toks = filter(split(text, " "), t => t =!= lit(""))
+    df.select(id.as("doc_id"),
+        explode_outer(transform(toks,
+          t => pmod(call_function("fnv1a64", t), lit(nBuckets)))).as("bucket"))
+      .join(broadcast(weights.select(col("bucket").as("wb"), col("w"))),
+        col("bucket") === col("wb"), "left")
+      .groupBy(col("doc_id"))
+      .agg((sum(coalesce(col("w"), lit(0L))) + bias).as("score"))
+  }
+
   /** Normalization for exact dedup: lowercase, trim, collapse runs of
     * whitespace. Byte-level only — for Unicode corpora compose with
     * [[nfcNormalize]] first so canonically-equivalent spellings (é

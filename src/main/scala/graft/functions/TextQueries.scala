@@ -585,7 +585,50 @@ object TextQueries {
       ORDER BY domain"""
     })
 
+  /** Demo weight table for the hashed linear classifier: every bucket
+    * carries a deterministic fixed-point weight in [-1000, 1000]
+    * micro-unit-scaled by a Knuth-multiplier formula — standing in for
+    * an offline-trained model. The ENGINE path treats it as an opaque
+    * Map (the mechanism under test: literal-map lookup + integer fold);
+    * only the ORACLE exploits the generating formula to reproduce the
+    * values arithmetically. */
+  private[graft] val demoWeights: Map[Long, Long] =
+    (0L until 512L).map(b => b -> ((b * 2654435761L) % 2001L - 1000L)).toMap
+
+  /** Hashing-trick linear classifier inference (C49): exact integer
+    * score per doc plus the keep decision at threshold 0 (sigmoid is
+    * monotone, so a linear-score threshold IS the probability
+    * threshold). Oracle mirrors token split, FNV bucket (signed→pmod)
+    * and the weight formula term-for-term; zero-token docs score
+    * `bias` via the LEFT JOIN, matching the engine's empty-array
+    * fold. */
+  val qClassifier = Q(
+    "qtext_classifier",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      Tables(s, dir).documents.select(
+          col("doc_id"),
+          TextFunctions.hashedLinearScore(col("text"), demoWeights,
+            nBuckets = 512L).as("score"))
+        .withColumn("keep", col("score") >= 0L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, u.t AS t
+                    FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+                    WHERE u.t <> ''),
+      ${graft.Q.sqlutil.fnvSignedCtes("", "t", Seq("doc_id"), "toks")},
+      w AS (SELECT doc_id,
+              ((((sb % 512) + 512) % 512) * 2654435761) % 2001 - 1000 AS wt
+            FROM g),
+      sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score
+             FROM w GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
+             COALESCE(sc.score, 0) >= 0 AS keep
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp, qHtml, qNfc)
+    qUnigramLp, qHtml, qNfc, qClassifier)
 }
