@@ -382,6 +382,46 @@ object Dedup {
         col("r.removed_lines").as("removed_lines"))
   }
 
+  /** WITHIN-doc repeated-line removal (C50) — the intra-document half
+    * of the MassiveWeb repetition surgery (Rae et al. 2021 §A1.2):
+    * keep only the FIRST occurrence of each line inside a doc, drop
+    * later verbatim repeats (scraped pages duplicate their own nav
+    * blocks, cookie banners and footers several times per page; C47
+    * catches lines repeating ACROSS docs, this catches the same text
+    * repeating down ONE doc). Whitespace-only and sub-`minChars`
+    * lines are never dropped — same structure rule as C47, and they
+    * don't shadow later occurrences either (same text ⇒ same
+    * eligibility, so the first ELIGIBLE occurrence survives). Returns
+    * `(doc_id, clean, removed_lines)`; untouched docs come back
+    * BYTE-identical through the short-circuit branch.
+    *
+    * Scale shape: the decision needs nothing outside the doc, so this
+    * is ONE codegen-friendly map stage — zero shuffle, zero join,
+    * nothing broadcast; the per-line prior-occurrence scan is
+    * O(lines²) in the worst case but bounded by one doc, the same
+    * bound as the C41 rewrite. The cheapest possible 100 TB operator:
+    * it composes into any pipeline for free.
+    */
+  def lineRepeatRemove(df: DataFrame, id: Column, text: Column,
+                       minChars: Int = 1): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    df.select(id.as("doc_id"), text.as("doc_text"))
+      .select(col("doc_id"),
+        graft.functions.Cols.let(split(col("doc_text"), "\n")) { ls =>
+          graft.functions.Cols.let(
+              filter(ls, (l, i) =>
+                length(trim(l)) < minChars ||
+                  array_position(slice(ls, lit(1), i), l) === 0)) { kept =>
+            struct(
+              when(size(kept) === size(ls), col("doc_text"))
+                .otherwise(array_join(kept, "\n")).as("clean"),
+              (size(ls) - size(kept)).cast("long").as("removed_lines"))
+          }
+        }.as("r"))
+      .select(col("doc_id"), col("r.clean").as("clean"),
+        col("r.removed_lines").as("removed_lines"))
+  }
+
   // --- C2: MinHash + banded LSH -----------------------------------------
 
   /** k-permutation MinHash signature over a shingle-hash set column.

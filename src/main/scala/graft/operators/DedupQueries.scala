@@ -420,6 +420,47 @@ object DedupQueries {
       LEFT JOIN dl ON dl.doc_id = i.doc_id
       ORDER BY i.doc_id"""))
 
+  /** WITHIN-doc repeated-line removal (C50). The injection plants, in
+    * every doc: a doc-unique line repeated twice (proves the match is
+    * intra-doc — the text occurs in ONE doc only), a "Cookie notice"
+    * line repeated for every third doc, and a whitespace-only line
+    * twice (never dropped, never shadowing). The oracle mirrors the
+    * first-occurrence scan as the same indexed list_filter fold. */
+  val qLinesWd = Q(
+    "qdedup_lines_wd",
+    (s, dir) => {
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        lit("\nUnique to doc "), id.cast("string"),
+        lit("\n   \nCookie notice\nUnique to doc "), id.cast("string"),
+        lit("\n   "),
+        when(id % 3 === 0, lit("\nCookie notice")).otherwise(lit("")))
+      Dedup.lineRepeatRemove(
+          Tables(s, dir).documents.select(id, injected.as("t")),
+          col("doc_id"), col("t"), minChars = 1)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH inj AS (
+        SELECT doc_id,
+          text || chr(10) || 'Unique to doc ' || CAST(doc_id AS VARCHAR) ||
+          chr(10) || '   ' || chr(10) || 'Cookie notice' ||
+          chr(10) || 'Unique to doc ' || CAST(doc_id AS VARCHAR) ||
+          chr(10) || '   ' ||
+          CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Cookie notice' ELSE '' END AS t
+        FROM documents),
+      s AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM inj),
+      k AS (SELECT doc_id, t, ls,
+              list_filter(ls, (x, i) -> length(trim(x)) < 1 OR
+                len(list_filter(ls[1:i-1], y -> y = x)) = 0) AS kept
+            FROM s)
+      SELECT doc_id,
+        CASE WHEN len(kept) = len(ls) THEN t
+             ELSE array_to_string(kept, chr(10)) END AS clean,
+        CAST(len(ls) - len(kept) AS BIGINT) AS removed_lines
+      FROM k
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines)
+    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd)
 }

@@ -238,6 +238,33 @@ class DedupSpec extends AnyFunSuite {
       s"got ${short.toSeq}")
   }
 
+  test("within-doc line repeats: first kept, later dropped, structure immune") {
+    // doc 1: "nav menu" appears 3× — first survives, 2 drop; blank-ish
+    //   lines repeat but never drop; order of survivors preserved
+    // doc 2: repeats only ACROSS docs (same text as doc 1's nav) — an
+    //   intra-doc op must NOT touch it; byte-identical via short-circuit
+    val df = docs(
+      1L -> "nav menu\nbody a\n  \nnav menu\nbody b\n  \nnav menu",
+      2L -> "nav menu\nbody  c  with  doubled  spaces")
+    val got = Dedup.lineRepeatRemove(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "nav menu\nbody a\n  \nbody b\n  ", 2L),
+      (2L, "nav menu\nbody  c  with  doubled  spaces", 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("within-doc line repeats: minChars shields short lines and their repeats") {
+    val df = docs(1L -> "zz\nlong enough line\nzz\nlong enough line\nzz")
+    // minChars=3: the 2-char "zz" repeats survive intact; the long
+    // repeat still collapses to its first occurrence
+    val got = Dedup.lineRepeatRemove(df, col("doc_id"), col("text"), minChars = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("zz\nlong enough line\nzz\nzz", 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("minhash-LSH output equals brute-force truth on sf0.001 documents") {
     val t = graft.sources.Tables(spark, sf)
     val brute = Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), 2, 0.5)
