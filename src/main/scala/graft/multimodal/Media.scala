@@ -89,6 +89,28 @@ object Media {
       }
       out
     }
+
+    /** 64-bit difference hash over the 9×8 [[resize]] raster: bit
+      * `y*8 + x` set when gray(x+1, y) > gray(x, y), gray = integer
+      * mean of the RGB bytes. Same contract for real and stub
+      * rasters. */
+    def dHash64(bytes: Array[Byte]): Long = {
+      val px = resize(bytes, 9, 8)
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val l = (y * 9 + x) * 3
+          val gl = ((px(l) & 0xff) + (px(l + 1) & 0xff) + (px(l + 2) & 0xff)) / 3
+          val gr = ((px(l + 3) & 0xff) + (px(l + 4) & 0xff) + (px(l + 5) & 0xff)) / 3
+          if (gr > gl) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
   }
 
   /** Attach a binary media column derived from a text column (the test
@@ -164,6 +186,49 @@ object Media {
         }
       }
       .toDF("media_id", "features")
+  }
+
+  /** 64-bit difference hash (dHash) of a blob — the standard
+    * perceptual image fingerprint: resize to a 9×8 raster (via
+    * [[MediaCodec.resize]]'s nearest-neighbor sampling — real decode
+    * for real images, the deterministic stride stub for synthetic
+    * blobs), integer-average each pixel to gray, and set bit
+    * `y*8 + x` when the right neighbor is brighter. Visually-similar
+    * images (recompressed, lightly cropped, resized) land within a
+    * few bits of each other, so near-dup detection is a Hamming
+    * problem — exactly the machinery SimHash already has. Pure
+    * integer arithmetic end to end: deterministic across JVMs and
+    * partitionings. */
+  def dHash(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // NULL blob ("no media") propagates as NULL, same contract as frames()
+        it.map { case (mid, bytes) =>
+          (mid, if (bytes == null) Option.empty[Long]
+                else Some(MediaCodec.dHash64(bytes)))
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Perceptual near-duplicate image pairs (C51): dHash signatures
+    * fed to the shared pigeonhole Hamming pairer
+    * ([[graft.operators.Dedup.hammingPairs64]]) — blobs leave their
+    * partition as `(media_id, 8-byte sig)`, candidates come from one
+    * (chunk, chunk-value) equi-join shuffle, and image bytes never
+    * move. NULL blobs are skipped (no media ⇒ no pair). */
+  def dHashPairs(df: DataFrame, id: Column, blob: Column,
+                 maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = dHash(df, id, blob)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.hammingPairs64(sigs, maxDist, maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
   }
 
   /** Fixed-size frame split of a blob (video-style), as an array of

@@ -695,8 +695,6 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
                    maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
     // repartition first: the 64-bit vote accumulation parallelizes by
     // cluster size, not input file layout. Persisted: the banded frame
     // self-joins (a × b), and without the cache boundary each side
@@ -705,7 +703,23 @@ object Dedup {
     val docs = df.repartition(id)
       .select(id.as("doc_id"), simhash64(text).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = docs.select(col("doc_id"), col("sig"), posexplode(
+    hammingPairs64(docs, maxDist, maxBucket)
+  }
+
+  /** Hamming-≤-`maxDist` pairs over ANY 64-bit signature frame
+    * `(doc_id, sig)` — the pigeonhole candidate generator shared by
+    * SimHash (C3) and image dHash (C51): split the signature into
+    * (maxDist+1) chunks; any pair within maxDist shares at least one
+    * exact chunk, so an equi-join on (chunk-index, chunk-value) finds
+    * all of them with one shuffle. Degenerate buckets are evicted by
+    * the grouped-count + anti-join cap (never buffered). The caller
+    * should persist `sigs` if computing them is expensive — the banded
+    * frame is consumed twice (cap + self-join). */
+  def hammingPairs64(sigs: DataFrame, maxDist: Int, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until chunks).map { c =>
         shiftrightunsigned(col("sig"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1L))

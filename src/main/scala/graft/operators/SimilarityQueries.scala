@@ -607,6 +607,59 @@ object SimilarityQueries {
     * then widen to double — float widening is exact, so parity rests
     * only on both divisions rounding once to float. ord(char) = byte
     * is the same ASCII-corpus assumption as the FNV oracles. */
+  /** Full algorithm-parity oracle for perceptual image near-dup: the
+    * stub raster (stride byte-sample — the deterministic path every
+    * synthetic blob takes), integer gray averaging, the 64 dHash bit
+    * comparisons and the signed-BIGINT cast are mirrored
+    * term-for-term; pairs are the all-pairs Hamming truth (the
+    * pigeonhole banding is lossless, so the engine's candidate join
+    * must find exactly these). Bit values are emitted via BigInt —
+    * at b=63 a Long literal would interpolate negative. */
+  private def dhashPairOracleSql(maxDist: Int): String = {
+    val bits = (0 until 64).map { b =>
+      val l = (b / 8) * 9 + (b % 8)
+      s"(CASE WHEN gray[${l + 2}] > gray[${l + 1}] THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    val grays = "[ (" +
+      "ord(substring(t, ((3*p)*length(t))//216 + 1, 1)) + " +
+      "ord(substring(t, ((3*p+1)*length(t))//216 + 1, 1)) + " +
+      "ord(substring(t, ((3*p+2)*length(t))//216 + 1, 1))) // 3 FOR p IN range(0, 72) ]"
+    s"""
+      WITH m AS (
+        SELECT doc_id * 2 AS mid, text AS t FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS mid, 'X' || substring(text, 2) AS t FROM documents),
+      g AS (SELECT mid, $grays AS gray FROM m),
+      sig AS (SELECT mid, ($bits) AS s FROM g),
+      sigb AS (SELECT mid,
+                 CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sb
+               FROM sig)
+      SELECT a.mid AS media_a, b.mid AS media_b,
+             CAST(bit_count(xor(a.sb, b.sb)) AS BIGINT) AS hamming
+      FROM sigb a JOIN sigb b ON a.mid < b.mid
+      WHERE bit_count(xor(a.sb, b.sb)) <= $maxDist
+      ORDER BY media_a, media_b"""
+  }
+
+  /** Perceptual image near-dup pairs (C51): each doc's blob plus a
+    * lightly-perturbed variant (same length, first byte flipped — a
+    * handful of raster samples move, the visual-similarity analogue)
+    * — the planted pair lands within Hamming 3 while unrelated docs'
+    * hashes stay far apart. */
+  val qDhash = Q(
+    "qmm_dhash_pairs",
+    (s, dir) => {
+      val t = Tables(s, dir).documents
+      val media = t.select((col("doc_id") * 2).as("mid"),
+          encode(col("text"), "UTF-8").as("blob"))
+        .unionAll(t.select((col("doc_id") * 2 + 1).as("mid"),
+          encode(concat(lit("X"), expr("substring(text, 2)")), "UTF-8").as("blob")))
+      Media.dHashPairs(media, col("mid"), col("blob"), maxDist = 3)
+        .orderBy(col("media_a"), col("media_b"))
+    },
+    Some(dhashPairOracleSql(maxDist = 3)))
+
   val qHistogram = Q(
     "qmm_byte_histogram",
     (s, dir) => {
@@ -687,6 +740,6 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qDecode, qFrames, qHistogram, qCentroid,
-    qProto)
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qDecode, qFrames, qHistogram, qDhash,
+    qCentroid, qProto)
 }

@@ -474,6 +474,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(4) == junk.length.toLong)
   }
 
+  test("dHash is invariant to lossless upscale of a real image and flags the planted pair") {
+    import spark.implicits._
+    // a 18×16 gradient PNG and its exact 2× nearest-neighbor upscale:
+    // the 9×8 dHash raster samples the SAME source pixels (18/9 and
+    // 36/9 land on even positions), so the perceptual hash must match
+    // bit-for-bit across the resolution change
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in this JDK?")
+      bos.toByteArray
+    }
+    val a = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      a.setRGB(x, y, ((x * 14) << 16) | ((y * 15) << 8) | ((x + y) * 7))
+    val b = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) b.setRGB(x, y, a.getRGB(x / 2, y / 2))
+    // a third, unrelated image must stay far away in Hamming space
+    val c = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      c.setRGB(x, y, (((17 - x) * 14) << 16) | (((15 - y) * 15) << 8) | (255 - (x + y) * 7))
+
+    val df = Seq((1L, png(a)), (2L, png(b)), (3L, png(c)), (4L, null))
+      .toDF("media_id", "media")
+    val hashes = Media.dHash(df, col("media_id"), col("media"))
+      .orderBy("media_id").collect()
+    assert(hashes(0).getLong(1) == hashes(1).getLong(1), "upscale changed the dHash")
+    assert(hashes(3).isNullAt(1), "NULL blob must yield NULL dhash")
+
+    val pairs = Media.dHashPairs(df, col("media_id"), col("media"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), s"got ${pairs.toSeq}")
+  }
+
+  test("dHash stub path: first-byte perturbation stays within Hamming 3") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog " * 8
+    val df = Seq(
+      (1L, t.getBytes("UTF-8")),
+      (2L, ("X" + t.substring(1)).getBytes("UTF-8")),
+      (3L, t.reverse.toUpperCase.getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val pairs = Media.dHashPairs(df, col("media_id"), col("media"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+
   test("frame split + stride sampling shapes") {
     import spark.implicits._
     val text = "x" * 1000 // 1000 bytes → 4 frames of 256 (last 232)
