@@ -101,6 +101,67 @@ object Keywords {
           .as("mean_logprob"))
   }
 
+  /** Bigram-LM log-probability (C52): each doc scored by the mean
+    * conditional log-prob `ln P(w2|w1)` of its adjacent token pairs
+    * under the corpus's OWN bigram model — one order up from
+    * [[unigramLogProb]], and the step change that matters for a
+    * perplexity-style filter: a doc whose TOKENS are individually
+    * common but whose TRANSITIONS are improbable (shuffled words,
+    * keyword-stuffed spam, wrong-grammar machine text) scores low
+    * here while the unigram model waves it through. MLE on the bigram
+    * stream: `P(w2|w1) = C(w1,w2) / C(w1·)` where `C(w1·)` sums the
+    * bigrams starting at `w1` — every observed bigram has positive
+    * probability, so no smoothing term and the model is
+    * self-contained. Same fixed-point discipline as the unigram
+    * scorer: each conditional is rounded ONCE to integer micro-nats,
+    * then all sums are exact in any order and in both engines.
+    * Returns `(doc_id, n_bigrams, lp_micro_sum, mean_logprob)`; docs
+    * with fewer than 2 tokens have no transitions and an honest NULL
+    * mean.
+    *
+    * Scale shape: bigrams leave their doc as `(doc_id, xxhash64(w1
+    * +' '+w2), xxhash64(w1))` — 8-byte keys shuffle, never the pair
+    * strings (the C22 hashed-key discipline; the oracle keys on the
+    * strings, a ~1e-11 collision risk). One (doc, bigram) partial-agg
+    * shuffle, the bigram-vocab aggregation, a vocab-sized context
+    * join, and one hash-keyed join back; the context counts come from
+    * the persisted bigram vocab itself — no second corpus scan. */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = filter(split(lower(text), " "), t => t =!= "")
+    val pairs = graft.functions.Cols.let(toks) { w =>
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg"))))
+        .otherwise(typedLit(Array.empty[(String, String)])
+          .cast("array<struct<w1:string,bg:string>>"))
+    }
+    val perDoc = df.select(id.as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.bg")).as("bh"),
+        xxhash64(col("p.w1")).as("uh"))
+      .groupBy(col("doc_id"), col("bh"), col("uh"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bvocab = perDoc.groupBy(col("bh"), col("uh")).agg(sum(col("tf")).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bvocab.groupBy(col("uh")).agg(sum(col("c12")).as("c1"))
+    val lp = bvocab.join(ctx, "uh")
+      .select(col("bh"),
+        round(log(col("c12").cast("double") / col("c1").cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+    val scored = perDoc.join(lp, "bh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("lp_micro")).as("lp_sum"),
+        sum(col("tf")).as("n_bg"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_sum"), lit(0L)).as("lp_micro_sum"),
+        when(col("n_bg").isNull, lit(null).cast("double"))
+          .otherwise(round(col("lp_sum").cast("double") / col("n_bg") / 1e6, 4))
+          .as("mean_logprob"))
+  }
+
   /** Repetition metric (SURVEY.md §2.C24): each document's most
     * frequent word n-gram and the fraction of the document's
     * characters it covers — the Gopher/MassiveText-style "top n-gram

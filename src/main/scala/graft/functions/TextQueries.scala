@@ -462,6 +462,44 @@ object TextQueries {
       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Bigram-LM conditional log-prob (C52). Engine keys the joins on
+    * xxhash64 of the pair/context strings (8-byte shuffles); the
+    * oracle keys on the strings themselves — identical counts unless
+    * a 64-bit collision lands inside one vocab (~1e-11). Same
+    * single-rounding micro-nat discipline the green unigram oracle
+    * proves. */
+  val qBigramLp = Q(
+    "qtext_bigram_lp",
+    (s, dir) =>
+      graft.functions.Keywords.bigramLogProb(
+          Tables(s, dir).documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+                 FROM documents),
+      bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+             FROM t, UNNEST(range(1, len(w))) AS u(i)),
+      pd AS (SELECT doc_id, bg, w1, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bg GROUP BY doc_id, bg, w1),
+      v AS (SELECT bg, w1, SUM(cnt) AS c12 FROM pd GROUP BY bg, w1),
+      cx AS (SELECT w1, SUM(c12) AS c1 FROM v GROUP BY w1),
+      lp AS (SELECT bg,
+               CAST(ROUND(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lp_micro
+             FROM v JOIN cx USING (w1)),
+      sc AS (SELECT pd.doc_id, SUM(pd.cnt * lp.lp_micro) AS lp_sum,
+               SUM(pd.cnt) AS n_bg
+             FROM pd JOIN lp USING (bg) GROUP BY pd.doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(sc.n_bg, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(sc.lp_sum, 0) AS BIGINT) AS lp_micro_sum,
+        CASE WHEN sc.n_bg IS NULL THEN NULL
+             ELSE ROUND(CAST(sc.lp_sum AS DOUBLE) / sc.n_bg / 1000000, 4)
+        END AS mean_logprob
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   /** HTML extraction (C45) under a byte-exact oracle: wrap each doc's
     * text in a deterministic HTML shell (head/style block, per-doc
     * heading, attributed tags, a script with a bare `<`, entity-coded
@@ -630,5 +668,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp, qHtml, qNfc, qClassifier)
+    qUnigramLp, qBigramLp, qHtml, qNfc, qClassifier)
 }

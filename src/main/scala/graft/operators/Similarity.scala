@@ -34,6 +34,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** ANN quality evaluation (C53): per-query recall of an approximate
+    * result set against an exact truth set — the measurement every ANN
+    * deployment needs BEFORE trusting an index configuration, as a
+    * first-class operator instead of test-only code. Both inputs are
+    * `(query_id, neighbor_id, ...)` top-k frames (any of this module's
+    * search paths); returns `(query_id, truth_n, hits, recall)` with
+    * `hits` counted by an exact (query, neighbor) equi-join — integer
+    * arithmetic, engine-reproducible; `recall = hits / truth_n`
+    * rounded once.
+    *
+    * Scale shape: both sides are result sets (queries × k rows, never
+    * corpus-sized) — one small equi-join + partial-agg count. Safe to
+    * run after every index (re)build as a gate. */
+  def annRecall(truth: DataFrame, result: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(result.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("truth_n"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("truth_n"), col("hits"),
+        round(col("hits") / col("truth_n"), 4).as("recall"))
+
   /** IVF-style ANN (SURVEY.md §2.C7b): a coarse quantizer of `nlist`
     * centroid cells; each corpus vector is indexed in its nearest cell,
     * and a query scores only the vectors in its `nprobe` nearest cells.

@@ -607,6 +607,36 @@ object SimilarityQueries {
     * then widen to double — float widening is exact, so parity rests
     * only on both divisions rounding once to float. ord(char) = byte
     * is the same ASCII-corpus assumption as the FNV oracles. */
+  /** ANN recall evaluation (C53): LSH result vs brute truth at the
+    * registered queries' own parameters. The oracle COMPOSES the two
+    * already-green oracle chains as subqueries (each referenced once —
+    * the DuckDB CTE-inlining trap doesn't bite) and re-derives the
+    * same join-and-count, so a recall drift in either engine path
+    * breaks the gate. */
+  val qRecall = Q(
+    "qann_recall",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val qset = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"), k = 5)
+      val res = Similarity.lshTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+        k = 5, dim = 64)
+      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
+           res AS (SELECT query_id, neighbor_id FROM (${qLsh.oracle.get}) tr)
+      SELECT t.query_id,
+        CAST(COUNT(*) AS BIGINT) AS truth_n,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+      FROM truth t LEFT JOIN res r
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+      ORDER BY t.query_id"""))
+
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
     * synthetic blob takes), integer gray averaging, the 64 dHash bit
@@ -740,6 +770,6 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qDecode, qFrames, qHistogram, qDhash,
-    qCentroid, qProto)
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qRecall, qDecode, qFrames, qHistogram,
+    qDhash, qCentroid, qProto)
 }

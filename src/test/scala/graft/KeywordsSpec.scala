@@ -78,6 +78,33 @@ class KeywordsSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("bigram log-prob: hand-computed conditionals; transition-sensitive") {
+    import spark.implicits._
+    // bigram stream: doc1 → (a b)(b a)(a c), doc2 → (a b)
+    // corpus: C(a b)=2, C(b a)=1, C(a c)=1; contexts C(a·)=3, C(b·)=1
+    // lp(a b)=round(ln(2/3)·1e6)=-405465, lp(a c)=-1098612, lp(b a)=0
+    val df = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.functions.Keywords.bigramLogProb(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1L, 3L, -1504077L, Some(-0.5014)),
+      (2L, 1L, -405465L, Some(-0.4055)),
+      (3L, 0L, 0L, None),                  // 1 token: no transition, NULL mean
+      (4L, 0L, 0L, None)),
+      s"got ${got.toSeq}")
+
+    // the property unigram scoring cannot have: same token MULTISET,
+    // different transitions, different scores
+    val perm = Seq((1L, "x y x y x"), (2L, "x x x y y"))
+      .toDF("doc_id", "text")
+    val scores = graft.functions.Keywords.bigramLogProb(perm, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(2))
+    assert(scores(0) != scores(1), s"transition order ignored: ${scores.toSeq}")
+  }
+
   test("distributed shard packing equals the single-window prefix sum") {
     val t = graft.sources.Tables(spark, sf)
     val sized = t.documents.select(col("doc_id"),

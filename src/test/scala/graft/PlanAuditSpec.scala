@@ -27,6 +27,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_brute_topk" -> ("brute-force ANN IS all-pairs by definition; the " +
       "bounded side (the query set) is broadcast so the corpus never shuffles — " +
       "the scale path is qann_lsh_bucketed"),
+    "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
+      "(same bounded query-set broadcast); the recall join itself is an exact " +
+      "(query, neighbor) equi-join over two queries×k result frames"),
     "qann_pq" -> ("the ADC crossJoins broadcast one LUT row per QUERY (m·ksub " +
       "doubles each) and a 1-row codeword-norm table onto the codes frame; " +
       "the corpus side carries m codes per row, never vectors, and the train " +

@@ -474,6 +474,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(4) == junk.length.toLong)
   }
 
+  test("annRecall: self is 1.0, disjoint is 0.0, partial counts exactly") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val self = Similarity.annRecall(truth, truth)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(self.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 2L, 2L, 1.0)))
+    val partial = Seq((1L, 11L), (1L, 99L), (2L, 98L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(truth, partial)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 0.3333), (2L, 2L, 0L, 0.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("dHash is invariant to lossless upscale of a real image and flags the planted pair") {
     import spark.implicits._
     // a 18×16 gradient PNG and its exact 2× nearest-neighbor upscale:
