@@ -558,6 +558,121 @@ object Similarity {
       queries, queryId, queryVec, m, ksub, k, shortlist)
   }
 
+  // --- C54: scalar quantization (SQ8) -------------------------------------
+
+  /** Per-dimension [lo, hi] training stats for the scalar quantizer —
+    * `(d, lo, hi)`, one row per dimension. min/max are exactly
+    * order-independent (no accumulation error), so the stats — and
+    * everything encoded from them — are bit-identical on any
+    * partitioning. Scale shape: one posexplode to `(d, x)` skinny rows
+    * with map-side-combined min/max partials — only `dims` rows leave
+    * each partition. */
+  def sqTrain(corpus: DataFrame, id: Column, vec: Column): DataFrame =
+    corpus.select(posexplode(vec.cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** 1-row dense (los, his) arrays ordered by dimension — the bounded
+    * broadcast every encode/decode stage crossJoins (dims doubles ×2,
+    * the same class as the PQ LUT rows). */
+  private def sqStatsRow(stats: DataFrame): DataFrame =
+    stats.agg(array_sort(collect_list(
+        struct(col("d"), col("lo"), col("hi")))).as("s"))
+      .select(transform(col("s"), e => e("lo")).as("los"),
+        transform(col("s"), e => e("hi")).as("his"))
+
+  /** Element encode over a frame carrying `los`/`his`: linear map of
+    * each dimension onto 256 levels, clamped, stored byte-centered
+    * (code − 128 ∈ [−128, 127]) so the array is a genuine
+    * `array<tinyint>` — 8× smaller than the float64 working form, 4×
+    * smaller than float32 storage. A collapsed dimension (hi = lo)
+    * encodes 0 and decodes to lo exactly. */
+  private def sqCodesExpr(v: Column): Column =
+    transform(v, (x, i) => {
+      val lo = element_at(col("los"), i + 1)
+      val hi = element_at(col("his"), i + 1)
+      (when(hi === lo, lit(0))
+        .otherwise(least(lit(255), greatest(lit(0),
+          round((x - lo) / (hi - lo) * 255).cast("int"))))
+        - 128).cast("byte")
+    })
+
+  /** Dequantized view of a `codes` column (same los/his contract):
+    * `lo + (code + 128) · (hi − lo) / 255` — pure per-row arithmetic,
+    * identical in any engine given identical stats. */
+  private def sqDecodeExpr: Column =
+    transform(col("codes"), (c, i) => {
+      val lo = element_at(col("los"), i + 1)
+      val hi = element_at(col("his"), i + 1)
+      lo + (c.cast("double") + lit(128.0)) * (hi - lo) / lit(255.0)
+    })
+
+  /** Scalar-quantize the corpus against trained stats →
+    * `(vec_id, codes array<tinyint>)`. One map stage over the corpus
+    * (the 1-row stats broadcast rides along); nothing shuffles. */
+  def sqEncode(corpus: DataFrame, id: Column, vec: Column,
+               stats: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("d", "lo", "hi").forall(stats.columns.contains),
+      s"stats frame must carry (d, lo, hi); got ${stats.columns.mkString(", ")}")
+    corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .crossJoin(broadcast(sqStatsRow(stats)))
+      .select(col("vec_id"), sqCodesExpr(col("v")).as("codes"))
+  }
+
+  /** SQ8 index: (stats, codes) as materializable tables — the
+    * [[pqIndex]] discipline for the scalar quantizer. Encode is paid
+    * once per corpus version; every later search reads 1 byte per
+    * dimension per vector instead of the vector. */
+  def sqIndex(corpus: DataFrame, id: Column, vec: Column): (DataFrame, DataFrame) = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val stats = sqTrain(corpus, id, vec)
+    (stats, sqEncode(corpus, id, vec, stats))
+  }
+
+  /** SQ8 ANN search against a prebuilt [[sqIndex]]: dequantize-and-
+    * score shortlist → exact cosine re-rank. The approximate stage is
+    * a pure map over the codes table (decode + cosine against the
+    * broadcast query set — corpus vectors unread, nothing corpus-sized
+    * shuffles); full vectors are fetched for shortlist·|Q| ids only.
+    * The shortlist ranks on the approx score TRUNCATED to 1e-9 (the
+    * engine-parity quantization discipline of the fixed-point
+    * centroids): both engines compute the cosine with different
+    * association, agree far below 1e-9, and so cut identical
+    * shortlists. With `shortlist ≥ |corpus| − 1` the result EQUALS
+    * [[bruteTopK]] — spec-pinned. */
+  def sqTopKAgainstIndex(stats: DataFrame, codes: DataFrame,
+                         corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                         queries: DataFrame, queryId: Column, queryVec: Column,
+                         k: Int, shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("d", "lo", "hi").forall(stats.columns.contains),
+      s"stats frame must carry (d, lo, hi); got ${stats.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    val qn = queries.select(queryId.as("query_id"),
+      VectorFunctions.normalized(queryVec).as("qv"))
+    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(sqStatsRow(stats)))
+      .withColumn("dec", sqDecodeExpr)
+      .join(broadcast(qn), col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        (VectorFunctions.dot(VectorFunctions.normalized(col("dec")), col("qv"))
+          * 1e9).cast("long"))
+    pqShortlist(scored, shortlist)
+      .transform(cand => exactReRank(cand, corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, k))
+  }
+
+  /** Inline SQ8 top-k: train → encode → search in one call. */
+  def sqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int, shortlist: Int): DataFrame = {
+    val (stats, codes) = sqIndex(corpus, corpusId, corpusVec)
+    sqTopKAgainstIndex(stats, codes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, shortlist)
+  }
+
   /** IVF+PQ composed search (the FAISS-style index architecture,
     * complete): the coarse quantizer's probed cells bound WHICH
     * vectors are scored, the product quantizer's codes bound WHAT is

@@ -637,6 +637,57 @@ object SimilarityQueries {
       GROUP BY t.query_id
       ORDER BY t.query_id"""))
 
+  /** SQ8 scalar-quantized ANN (C54) under a full algorithm-parity
+    * oracle: per-dim min/max stats (exactly order-independent — no
+    * accumulation), the encode round/clamp, the dequantize arithmetic
+    * and the shortlist are all mirrored term-for-term; the shortlist
+    * ranks on the cosine TRUNCATED to 1e-9 in both engines (the
+    * fixed-point-centroid quantization discipline), so the float
+    * association difference between `graft_vec_dot` and DuckDB's
+    * `list_cosine_similarity` cannot move the shortlist boundary.
+    * Final cosine/rank parity is qann_brute_topk's proven
+    * formulation. */
+  val qSq = Q(
+    "qann_sq",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.sqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      st AS (SELECT i AS d, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+             FROM e, UNNEST(range(1, len(v)+1)) u(i) GROUP BY i),
+      sr AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
+      dec AS (SELECT e.vec_id,
+                list_transform(range(1, len(e.v)+1), i ->
+                  sr.los[i] + CAST(CASE WHEN sr.his[i] = sr.los[i] THEN 0
+                    ELSE LEAST(255, GREATEST(0,
+                      CAST(ROUND((e.v[i]-sr.los[i])/(sr.his[i]-sr.los[i])*255) AS INT)))
+                    END AS DOUBLE) * (sr.his[i]-sr.los[i]) / 255.0) AS dv
+              FROM e, sr),
+      q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+      scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   CAST(trunc(list_cosine_similarity(d.dv, q.v) * 1e9) AS BIGINT) AS approx
+                 FROM dec d JOIN q ON d.vec_id != q.vec_id),
+      sl AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
+               FROM scored) t WHERE srn <= 50),
+      rr AS (SELECT sl.query_id, sl.neighbor_id,
+               list_cosine_similarity(c.v, qq.v) AS cos
+             FROM sl JOIN e c ON c.vec_id = sl.neighbor_id
+                   JOIN q qq ON qq.vec_id = sl.query_id),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM rr)
+      SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
     * synthetic blob takes), integer gray averaging, the 64 dHash bit
@@ -770,6 +821,6 @@ object SimilarityQueries {
       ORDER BY c0.vec_id"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qRecall, qDecode, qFrames, qHistogram,
-    qDhash, qCentroid, qProto)
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
+    qHistogram, qDhash, qCentroid, qProto)
 }

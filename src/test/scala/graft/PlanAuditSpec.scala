@@ -27,6 +27,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_brute_topk" -> ("brute-force ANN IS all-pairs by definition; the " +
       "bounded side (the query set) is broadcast so the corpus never shuffles — " +
       "the scale path is qann_lsh_bucketed"),
+    "qann_sq" -> ("the SQ8 crossJoins broadcast a 1-row per-dim (lo, hi) stats " +
+      "table onto the codes frame and the bounded query set for scoring (the " +
+      "qann_brute_topk shape); corpus rows carry byte codes, never vectors, " +
+      "until the shortlist-only exact re-rank"),
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),

@@ -474,6 +474,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(4) == junk.length.toLong)
   }
 
+  test("SQ8: full shortlist equals bruteTopK; index round-trip; byte codes; constant dim") {
+    import spark.implicits._
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val qset = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+
+    // shortlist >= corpus-1 => the exact re-rank sees every candidate
+    val brute = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5).collect().map(_.toString).sorted
+    val full = Similarity.sqTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5, shortlist = n).collect()
+      .map(_.toString).sorted
+    assert(full.toSeq == brute.toSeq, "full-shortlist SQ8 must equal bruteTopK")
+
+    // index round-trip: parquet-materialized search == inline, pair-for-pair
+    val (stats, codes) = Similarity.sqIndex(e, col("vec_id"), col("embedding"))
+    assert(codes.schema("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType,
+      s"codes must store as array<tinyint>, got ${codes.schema("codes").dataType}")
+    val dir = java.nio.file.Files.createTempDirectory("sqidx").toString
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val inline = Similarity.sqTopKAgainstIndex(stats, codes,
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, shortlist = 32).collect().map(_.toString).sorted
+    val rt = Similarity.sqTopKAgainstIndex(
+      spark.read.parquet(s"$dir/stats"), spark.read.parquet(s"$dir/codes"),
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, shortlist = 32).collect().map(_.toString).sorted
+    assert(rt.toSeq == inline.toSeq, "parquet round-trip must equal inline search")
+
+    // collapsed dimension (hi == lo) encodes 0-centered and decodes to lo
+    val const = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(1.0f, -3.0f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (cs, cc) = Similarity.sqIndex(const, col("vec_id"), col("embedding"))
+    val c1 = cc.filter(col("vec_id") === 1L).select(element_at(col("codes"), 1))
+      .head().getByte(0)
+    assert(c1 == -128.toByte, s"constant dim must encode as -128 (code 0), got $c1")
+    val top = Similarity.sqTopKAgainstIndex(cs, cc,
+      const, col("vec_id"), col("embedding"),
+      const.filter(col("vec_id") === 1L), col("vec_id"), col("embedding"),
+      k = 1, shortlist = 3).head()
+    assert(top.getLong(1) == 3L, s"nearest to (1,5) among (1,-3),(1,0) is (1,0); got $top")
+  }
+
   test("annRecall: self is 1.0, disjoint is 0.0, partial counts exactly") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
