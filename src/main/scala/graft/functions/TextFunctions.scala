@@ -280,6 +280,48 @@ object TextFunctions {
   def urlDomains(text: Column): Column =
     transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)), d => lower(d))
 
+  /** URL canonicalization (C55) — the normalization every web-corpus
+    * URL dedup keys on: the same page arrives under casing, fragment,
+    * default-port, `www.`, tracking-parameter and parameter-order
+    * variants, and naive exact-match dedup keeps them all. The chain
+    * (order is the contract): strip `#fragment` → lowercase scheme and
+    * host (path case PRESERVED — paths are case-sensitive) → strip
+    * `www.` and the scheme's default port (`:80` http / `:443` https)
+    * → drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) and
+    * empty params → SORT surviving params (order-insensitive match) →
+    * strip trailing slashes. Scheme-less input is returned unchanged
+    * (not a URL — don't invent one). A pure codegen map expression —
+    * regexp_extract/replace + one small array sort per row, no
+    * shuffle; cross-engine-safe regexes (anchored classes, no
+    * lookaround), array_sort/list_sort agree on ASCII. */
+  def canonicalizeUrl(url: Column): Column =
+    Cols.let(regexp_replace(url, "#.*$", "")) { nf =>
+      Cols.let(lower(regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))) { scheme =>
+        Cols.let(regexp_replace(
+            lower(regexp_extract(nf, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+            "^www\\.", "")) { h1 =>
+          Cols.let(regexp_extract(nf, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)) { pq =>
+            Cols.let(when(instr(pq, "?") > 0, pq.substr(lit(1), instr(pq, "?") - 1))
+                .otherwise(pq)) { path =>
+              Cols.let(array_join(array_sort(filter(
+                  split(when(instr(pq, "?") > 0,
+                      pq.substr(instr(pq, "?") + 1, length(pq))).otherwise(lit("")), "&"),
+                  p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))),
+                "&")) { sq =>
+                when(scheme === "", url).otherwise(concat(
+                  scheme, lit("://"),
+                  when(scheme === "http", regexp_replace(h1, ":80$", ""))
+                    .when(scheme === "https", regexp_replace(h1, ":443$", ""))
+                    .otherwise(h1),
+                  regexp_replace(path, "/+$", ""),
+                  when(sq === "", lit("")).otherwise(concat(lit("?"), sq))))
+              }
+            }
+          }
+        }
+      }
+    }
+
   /** Per-domain corpus stats — `(domain, n_urls, n_docs)` — the
     * blocklist/allowlist planning view a domain-reputation filter
     * starts from. Scale shape: domain extraction is a codegen map

@@ -30,6 +30,32 @@ object Dedup {
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
     exactGroups(df, id, text).select(col("keep_id").as("doc_id"))
 
+  /** URL-keyed dedup (C55): each row labeled with its canonicalized
+    * URL ([[TextFunctions.canonicalizeUrl]] — casing/fragment/port/
+    * `www.`/tracking-param/param-order variants collapse) and a
+    * keep-first verdict per canonical group — the cheap pre-crawl-text
+    * dedup pass every web pipeline runs BEFORE content hashing (two
+    * fetches of the same page cost nothing to detect when the URL
+    * already says so). Returns `(doc_id, canonical_url, keep)` with
+    * `keep` = smallest doc_id in the group.
+    *
+    * Scale shape: canonicalization is a codegen map stage on the scan;
+    * the group key shuffles as xxhash64(canonical) — 8 bytes a row,
+    * never the URL string (the C22 discipline; a 64-bit collision
+    * would merge two groups at odds ~1e-11 at 10⁷ distinct URLs); one
+    * grouped min (map-side partials) + one hash-keyed join back. */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame = {
+    val canon = df.select(id.as("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+    val keep = canon
+      .groupBy(xxhash64(col("canonical_url")).as("ch"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    canon.join(keep, xxhash64(col("canonical_url")) === col("ch"))
+      .select(col("doc_id"), col("canonical_url"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
   /** The exact-dedup content-hash index: one `content_hash` row per
     * distinct normalized content — materialize it (parquet/bucketed on
     * content_hash via Layout) and screen each increment with

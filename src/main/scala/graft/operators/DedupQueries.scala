@@ -461,6 +461,77 @@ object DedupQueries {
       FROM k
       ORDER BY doc_id"""))
 
+  /** URL dedup (C55) over a deterministic injected URL fixture: docs
+    * pair up (4k with 4k+1, 4k+2 with 4k+3) under raw strings that
+    * differ by casing, `www.`, default port, fragment, tracking
+    * params, param ORDER and a trailing slash — every canonicalization
+    * rule must fire for the pairs to collapse. Engine groups on
+    * xxhash64(canonical); oracle groups on the canonical string itself
+    * (the C22 hashed-key parity discipline) and mirrors the
+    * rule chain term-for-term. */
+  val qUrl = Q(
+    "qdedup_url",
+    (s, dir) => {
+      val g = floor(col("doc_id") / 4).cast("long").cast("string")
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/Path/"), g,
+            lit("/page?utm_source=feed&id="), g, lit("&b=2#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("http://example.com/Path/"), g, lit("/page?b=2&id="), g))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("https://Example.com:443/other/"), g, lit("/?gclid=xyz")))
+        .otherwise(concat(lit("https://example.com/other/"), g))
+      Dedup.urlDedup(
+          Tables(s, dir).documents.select(col("doc_id"), url.as("url")),
+          col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH urls AS (
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/' || g ||
+                        '/page?utm_source=feed&id=' || g || '&b=2#frag'
+            WHEN 1 THEN 'http://example.com/Path/' || g || '/page?b=2&id=' || g
+            WHEN 2 THEN 'https://Example.com:443/other/' || g || '/?gclid=xyz'
+            ELSE 'https://example.com/other/' || g END AS url
+        FROM (SELECT doc_id,
+                CAST(CAST(FLOOR(doc_id / 4.0) AS BIGINT) AS VARCHAR) AS g
+              FROM documents)),
+      p1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM urls),
+      p2 AS (SELECT doc_id, url, nf,
+               lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(
+                 lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                 '^www\.', '') AS h1,
+               regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pq
+             FROM p1),
+      p3 AS (SELECT doc_id, url, scheme, h1,
+               CASE WHEN strpos(pq, '?') > 0 THEN substr(pq, 1, strpos(pq, '?') - 1)
+                    ELSE pq END AS path,
+               COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(CASE WHEN strpos(pq, '?') > 0
+                                   THEN substr(pq, strpos(pq, '?') + 1)
+                                   ELSE '' END, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+                 '&'), '') AS sq
+             FROM p2),
+      c AS (SELECT doc_id,
+              CASE WHEN scheme = '' THEN url ELSE
+                scheme || '://' ||
+                (CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+                      ELSE h1 END) ||
+                regexp_replace(path, '/+$', '') ||
+                (CASE WHEN sq = '' THEN '' ELSE '?' || sq END)
+              END AS canonical_url
+            FROM p3),
+      grp AS (SELECT canonical_url, MIN(doc_id) AS keep_id
+              FROM c GROUP BY canonical_url)
+      SELECT c.doc_id, c.canonical_url, c.doc_id = grp.keep_id AS keep
+      FROM c JOIN grp USING (canonical_url)
+      ORDER BY c.doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd)
+    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd, qUrl)
 }

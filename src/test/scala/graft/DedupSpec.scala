@@ -449,6 +449,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L))
   }
 
+  test("canonicalizeUrl: every rule fires; scheme-less passthrough; urlDedup keeps first") {
+    import spark.implicits._
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextFunctions.canonicalizeUrl(col("u"))).head().getString(0)
+    // case + www + default port + fragment + tracking + param order + trailing slash
+    assert(canon("HTTP://WWW.Example.COM:80/Path/1/page?utm_source=x&id=9&b=2#f")
+      == "http://example.com/Path/1/page?b=2&id=9")
+    assert(canon("https://Example.com:443/a/b/") == "https://example.com/a/b")
+    // non-default port survives; path case preserved; https :80 NOT stripped
+    assert(canon("https://example.com:8080/A?x=1") == "https://example.com:8080/A?x=1")
+    assert(canon("https://example.com:80/a") == "https://example.com:80/a")
+    // all params tracking => query dropped entirely
+    assert(canon("http://e.com/p?utm_a=1&gclid=2&fbclid=3&ref=4") == "http://e.com/p")
+    // a param whose NAME merely contains a tracking word is kept (anchored match)
+    assert(canon("http://e.com/p?aref=1&xutm_b=2") == "http://e.com/p?aref=1&xutm_b=2")
+    // scheme-less input is not a URL: unchanged
+    assert(canon("not a url at all") == "not a url at all")
+    // host-only root: trailing slash strips to bare host
+    assert(canon("http://E.com/") == "http://e.com")
+
+    val docs = Seq(
+      (1L, "http://www.a.com/x?b=1&a=2"),
+      (2L, "http://a.com/x?a=2&b=1#top"),
+      (3L, "http://a.com/y")).toDF("doc_id", "url")
+    val got = graft.operators.Dedup.urlDedup(docs, col("doc_id"), col("url"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, "http://a.com/x?a=2&b=1", true),
+      (2L, "http://a.com/x?a=2&b=1", false),
+      (3L, "http://a.com/y", true)), s"got ${got.toSeq}")
+  }
+
   test("langId picks the profile with most hits") {
     import spark.implicits._
     val df = Seq(
