@@ -322,6 +322,50 @@ object TextFunctions {
       }
     }
 
+  /** Character-entropy quality signal (C56): per-doc Shannon entropy
+    * of the character distribution — the cheap spam detector the
+    * Dolma/C4 rule families use alongside the Gopher gates: repeated-
+    * character runs, keyboard mash and template filler score near 0,
+    * natural prose sits ~4±1 nats; threshold BOTH ways (too low =
+    * degenerate, implausibly high = random bytes). Returns `(doc_id,
+    * n_chars, distinct_chars, entropy_micro_sum, entropy_nats)`;
+    * empty docs have no distribution and an honest NULL entropy.
+    * Fixed-point discipline (the C37 recipe): each character's term
+    * `−(c/n)·ln(c/n)` is rounded ONCE to integer micro-nats, so the
+    * per-doc sum is exact in any order and in both engines.
+    *
+    * Scale shape: characters leave their doc as `(doc_id, n, ch)`
+    * skinny rows into ONE partial-agg shuffle — distinct chars per doc
+    * is alphabet-bounded (~10²), so map-side combine collapses the
+    * explode before anything moves; the term arithmetic and final sum
+    * are map-side over the counted frame. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, id: Column,
+                  text: Column): org.apache.spark.sql.DataFrame = {
+    val cnt = df.select(id.as("doc_id"), length(text).as("n"),
+        explode(split(text, "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val scored = cnt
+      .select(col("doc_id"),
+        round(col("c").cast("double") / col("n")
+          * log(col("c").cast("double") / col("n")) * lit(-1e6))
+          .cast("long").as("tm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("distinct_chars"), sum(col("tm")).as("hm"))
+    df.select(id.as("doc_id"), length(text).cast("long").as("n_chars"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        coalesce(col("hm"), lit(0L)).as("entropy_micro_sum"),
+        // no cosmetic rounding: hm/1e6 is one deterministic double
+        // division of an exact integer — bit-identical in any engine,
+        // while round-to-4 sits on the HALF_UP-vs-binary boundary for
+        // values like 2.70645
+        when(col("hm").isNull, lit(null).cast("double"))
+          .otherwise(col("hm").cast("double") / 1e6).as("entropy_nats"))
+  }
+
   /** Per-domain corpus stats — `(domain, n_urls, n_docs)` — the
     * blocklist/allowlist planning view a domain-reputation filter
     * starts from. Scale shape: domain extraction is a codegen map

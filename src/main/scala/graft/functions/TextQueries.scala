@@ -500,6 +500,37 @@ object TextQueries {
       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Character entropy (C56). The oracle unnests positions (the
+    * qpack lateral-range idiom) instead of splitting — same `(doc,
+    * char)` counted frame — and mirrors the single-rounding micro-nat
+    * term exactly; sums of longs then agree in any order. */
+  val qEntropy = Q(
+    "qtext_entropy",
+    (s, dir) =>
+      graft.functions.TextFunctions.charEntropy(
+          Tables(s, dir).documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      ch AS (SELECT doc_id, n, substr(text, CAST(i AS INT), 1) AS ch
+             FROM d, UNNEST(range(1, n + 1)) u(i)),
+      cnt AS (SELECT doc_id, n, ch, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ch GROUP BY doc_id, n, ch),
+      t AS (SELECT doc_id,
+              CAST(ROUND(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n)
+                         * -1000000) AS BIGINT) AS tm
+            FROM cnt),
+      sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               SUM(tm) AS hm
+             FROM t GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+        COALESCE(sc.distinct_chars, 0) AS distinct_chars,
+        CAST(COALESCE(sc.hm, 0) AS BIGINT) AS entropy_micro_sum,
+        CASE WHEN sc.hm IS NULL THEN NULL
+             ELSE CAST(sc.hm AS DOUBLE) / 1000000 END AS entropy_nats
+      FROM d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** HTML extraction (C45) under a byte-exact oracle: wrap each doc's
     * text in a deterministic HTML shell (head/style block, per-doc
     * heading, attributed tags, a script with a bare `<`, entity-coded
@@ -668,5 +699,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp, qBigramLp, qHtml, qNfc, qClassifier)
+    qUnigramLp, qBigramLp, qEntropy, qHtml, qNfc, qClassifier)
 }

@@ -129,4 +129,22 @@ class TextGateSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-100 should plan TakeOrderedAndProject:\n$plan")
   }
+
+  test("charEntropy: hand-computed distributions; degenerate runs score 0; empty is NULL") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "aab"), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions.charEntropy(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // terms are round(-(c/n)·ln(c/n)·1e6) summed exactly
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 0L, Some(0.0)),
+      (2L, 4L, 2L, 693148L, Some(0.693148)),
+      (3L, 4L, 4L, 1386296L, Some(1.386296)),
+      (4L, 3L, 2L, 636514L, Some(0.636514)),
+      (5L, 0L, 0L, 0L, None)),
+      s"got ${got.toSeq}")
+  }
 }
