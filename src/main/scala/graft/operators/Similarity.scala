@@ -964,6 +964,48 @@ object Similarity {
         round(VectorFunctions.cosine(col("v"), col("cv")), 4).as("proto"))
   }
 
+  /** Clustering-quality stats (SURVEY.md §2.C57): per-cell size and
+    * sum-of-squared-error of a trained quantizer — the inertia signal
+    * every k-means-family index build needs BEFORE trusting nlist/iters
+    * (elbow curves, dead-cell detection, skew: one giant cell means the
+    * coarse quantizer is not pruning). Train is [[ivfTrainCells]]; the
+    * final assignment's centroids are one more fixed-point aggregation
+    * broadcast back (nlist rows) for a map-side SSE. Returns
+    * `(cell, n, sse_micro, sse)`.
+    *
+    * Fixed-point discipline (the C37/C56 recipe): each dimension's
+    * `(x−c)²·1e9` term is truncated ONCE to a long, so the per-cell sum
+    * is exact in any order and in both engines; the exposed `sse` is
+    * one deterministic division of the exact integer. Scale shape: the
+    * SSE terms are a `zip_with` + integer `aggregate` fold INSIDE the
+    * row (no per-dimension explode at score time) — the corpus is
+    * scanned once map-side against the broadcast centroids, and only
+    * (cell, long) partial-agg rows shuffle. */
+  def clusterStats(corpus: DataFrame, id: Column, vec: Column,
+                   nlist: Int, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    // persisted for the prototypicality reason: (vec_id, cell) feeds
+    // BOTH the centroid agg and the SSE scan
+    val cells = ivfTrainCells(corpus, id, vec, nlist, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val assigned = v.join(cells, "vec_id")
+    val cents = centroidFrame(
+        assigned.select(col("cell"), col("v")), col("cell"), col("v"))
+      .select(col("grp").as("cell"), col("cv"))
+    assigned.join(broadcast(cents), "cell")
+      .select(col("cell"),
+        // ANSI double→long cast truncates toward zero (DuckDB: trunc)
+        aggregate(
+          zip_with(col("v"), col("cv"),
+            (x, c) => ((x - c) * (x - c) * lit(1e9)).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("vm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sse_micro"))
+      .select(col("cell"), col("n"), col("sse_micro"),
+        (col("sse_micro").cast("double") / lit(1e9)).as("sse"))
+  }
+
   /** Approximate top-k: `tables` independent hyperplane tables of
     * `planesPerTable` bits each; a corpus vector is a candidate for a
     * query if they share a bucket in ANY table (OR-construction).

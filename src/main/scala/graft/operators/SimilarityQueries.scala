@@ -820,7 +820,41 @@ object SimilarityQueries {
       JOIN cvecs ON cvecs.grp = c0.grp
       ORDER BY c0.vec_id"""))
 
+  /** Clustering inertia (C57). The oracle composes the proven
+    * trained-cells Lloyd CTEs and fixed-point centroid formulation,
+    * then mirrors the per-dimension `(x−c)²·1e9` truncation
+    * term-for-term — integer sums agree in any order, and the exposed
+    * `sse` is one deterministic division both engines compute on the
+    * same exact long. */
+  val qInertia = Q(
+    "qvec_inertia",
+    (s, dir) => {
+      Similarity.clusterStats(
+          graft.sources.Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), nlist = 10, iters = 1)
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10, iters = 1)},
+      u AS (SELECT c0.grp, c0.vec_id,
+              unnest(range(0, len(e2.embedding))) AS pos,
+              unnest(CAST(e2.embedding AS DOUBLE[])) AS x
+            FROM embeddings e2 JOIN cells0 c0 ON e2.vec_id = c0.vec_id),
+      cent AS (SELECT grp, pos,
+                 (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                   / COUNT(*) AS c
+               FROM u GROUP BY grp, pos),
+      t AS (SELECT u.grp, u.vec_id,
+              CAST(trunc((u.x - cent.c) * (u.x - cent.c) * 1e9) AS BIGINT) AS tm
+            FROM u JOIN cent ON cent.grp = u.grp AND cent.pos = u.pos)
+      SELECT grp AS cell, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+             SUM(tm) AS sse_micro,
+             CAST(SUM(tm) AS DOUBLE) / 1e9 AS sse
+      FROM t GROUP BY grp
+      ORDER BY cell"""))
+
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
-    qHistogram, qDhash, qCentroid, qProto)
+    qHistogram, qDhash, qCentroid, qProto, qInertia)
 }

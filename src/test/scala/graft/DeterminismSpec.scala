@@ -25,7 +25,7 @@ class DeterminismSpec extends AnyFunSuite {
     "qvec_centroid", "qtext_tfidf", "qdedup_minhash_lsh", "qpack_shards",
     "qtext_unigram_lp", "qdedup_passage_rm", "qdedup_clusters", "qann_ivfpq_res",
     "qdedup_lines", "qann_ivfpq_app", "qtext_bigram_lp", "qann_recall",
-    "qann_sq")
+    "qann_sq", "qvec_inertia", "qtext_entropy")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

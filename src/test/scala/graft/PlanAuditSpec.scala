@@ -62,7 +62,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qdedup_semantic" -> ("the Lloyd train step's bounded centroid broadcast " +
       "(nlist rows); the within-cell pair join itself is an equi-join on cell"),
     "qvec_prototypicality" -> ("the same bounded centroid broadcast, in the " +
-      "Lloyd train step (the score join itself is an equi-join on cell)")
+      "Lloyd train step (the score join itself is an equi-join on cell)"),
+    "qvec_inertia" -> ("the same bounded centroid broadcast, in the Lloyd " +
+      "train step (the SSE join itself is an equi-join on cell)")
   )
 
   // ONE registry pass shared by every audit below: building a cluster

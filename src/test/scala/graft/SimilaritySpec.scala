@@ -652,4 +652,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(0).isNullAt(1), "no media must stay NULL")
     assert(rows(1).getSeq[Array[Byte]](1).isEmpty, "zero-byte media is an empty frame array")
   }
+
+  test("clusterStats: hand-computed SSE on one cell; sizes partition the corpus") {
+    import spark.implicits._
+    // nlist=1, iters=0: one cell, centroid is the exact mean (2,2) —
+    // fixed-point safe (all x·1e9 integral) — so SSE = 4·((±1)²+(±1)²) = 8
+    val corpus = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(3.0f, 1.0f)),
+      (3L, Array(1.0f, 3.0f)), (4L, Array(3.0f, 3.0f))).toDF("vec_id", "embedding")
+    val one = Similarity.clusterStats(corpus, col("vec_id"), col("embedding"),
+      nlist = 1, iters = 0).collect()
+    assert(one.length == 1)
+    assert(one(0).getLong(1) == 4L, "all four vectors in the single cell")
+    assert(one(0).getLong(2) == 8000000000L, s"sse_micro = ${one(0).getLong(2)}")
+    assert(one(0).getDouble(3) == 8.0)
+    // identical members ⇒ zero inertia, exactly
+    val same = Seq((1L, Array(2.0f, 5.0f)), (2L, Array(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.clusterStats(same, col("vec_id"), col("embedding"),
+      nlist = 1, iters = 0).head().getLong(2) == 0L)
+    // trained stats on the real corpus: cell sizes partition the corpus
+    val e = Tables(spark, sf).embeddings
+    val stats = Similarity.clusterStats(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1).collect()
+    assert(stats.map(_.getLong(1)).sum == e.count())
+    assert(stats.forall(_.getLong(2) >= 0L))
+  }
 }
