@@ -34,6 +34,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Exact max-inner-product search (SURVEY.md §2.C58): top-k neighbors
+    * per query by INNER PRODUCT, not cosine — the scoring a two-tower
+    * retrieval / recommender serving path needs, where vector norms
+    * carry learned popularity/confidence and cosine's normalization
+    * would erase them. Returns `(query_id, neighbor_id, rank, ip)`.
+    *
+    * Fixed-point discipline: each dimension's `x·y·1e9` product is
+    * truncated ONCE to a long, so the per-pair inner product is an
+    * exact integer sum — rank boundaries cannot ride on float
+    * association, in this engine or any other. Scale shape: the
+    * bounded query set broadcasts; the corpus is scanned once map-side
+    * (zip_with + integer aggregate fold inside the row, no explode)
+    * and the per-query top-k is a rank-filtered window (map-side
+    * WindowGroupLimit applies). The scale path for HUGE query sets is
+    * the standard norm-augmentation reduction ([[mipsAugment]]) onto
+    * any of this module's cosine indexes (LSH/IVF/PQ). */
+  def mipsTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+               queries: DataFrame, queryId: Column, queryVec: Column,
+               k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      corpusVec.cast("array<double>").as("cv"))
+    val q = queries.select(queryId.as("query_id"),
+      queryVec.cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      // ANSI double→long cast truncates toward zero (DuckDB: trunc) —
+      // correct for both signs of the product term
+      .withColumn("ipm",
+        aggregate(
+          zip_with(col("cv"), col("qv"),
+            (x, y) => (x * y * lit(1e9)).cast("long")),
+          lit(0L), (acc, t) => acc + t))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ipm").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("ipm").cast("double") / lit(1e9)).as("ip"))
+  }
+
+  /** The Bachrach et al. (RecSys 2014) MIPS→cosine reduction: append
+    * `sqrt(M² − ‖v‖²)` to each CORPUS vector (M ≥ max corpus norm) and
+    * `0` to each query. Augmented-space cosine order per query equals
+    * inner-product order — so every cosine index here (LSH, IVF, PQ)
+    * becomes a MIPS index by augmenting at INDEX BUILD time, one map
+    * stage. Pass `side = "query"` for the zero-padded query half. */
+  def mipsAugment(vec: Column, m2: Double, side: String = "corpus"): Column = {
+    require(side == "corpus" || side == "query", s"side must be corpus|query, got $side")
+    val v = vec.cast("array<double>")
+    if (side == "query") concat(v, array(lit(0.0)))
+    else concat(v, array(sqrt(greatest(lit(m2) - VectorFunctions.dot(v, v), lit(0.0)))))
+  }
+
   /** ANN quality evaluation (C53): per-query recall of an approximate
     * result set against an exact truth set — the measurement every ANN
     * deployment needs BEFORE trusting an index configuration, as a

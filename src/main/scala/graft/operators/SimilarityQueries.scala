@@ -854,7 +854,39 @@ object SimilarityQueries {
       FROM t GROUP BY grp
       ORDER BY cell"""))
 
+  /** Max-inner-product search (C58). The oracle mirrors the per-term
+    * `x·y·1e9` truncation with a lateral position unnest — the inner
+    * product is the same exact integer in both engines, so rank
+    * boundaries cannot ride on float association. */
+  val qMips = Q(
+    "qann_mips",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.mipsTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      t AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              SUM(CAST(trunc(c.v[CAST(i AS INT)] * q.v[CAST(i AS INT)] * 1e9)
+                       AS BIGINT)) AS ipm
+            FROM e c JOIN q ON c.vec_id != q.vec_id,
+                 UNNEST(range(1, len(c.v) + 1)) u(i)
+            GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ipm DESC, neighbor_id) AS BIGINT) AS rank,
+              CAST(ipm AS DOUBLE) / 1e9 AS ip
+            FROM t)
+      SELECT query_id, neighbor_id, rank, ip
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
-    qHistogram, qDhash, qCentroid, qProto, qInertia)
+    qHistogram, qDhash, qCentroid, qProto, qInertia, qMips)
 }

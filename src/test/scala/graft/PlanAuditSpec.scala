@@ -34,6 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),
+    "qann_mips" -> ("exact MIPS is all-pairs by definition; the bounded query " +
+      "set broadcasts so the corpus never shuffles — the scale path is the " +
+      "mipsAugment reduction onto the cosine indexes"),
     "qann_pq" -> ("the ADC crossJoins broadcast one LUT row per QUERY (m·ksub " +
       "doubles each) and a 1-row codeword-norm table onto the codes frame; " +
       "the corpus side carries m codes per row, never vectors, and the train " +

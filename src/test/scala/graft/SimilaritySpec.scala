@@ -678,4 +678,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stats.map(_.getLong(1)).sum == e.count())
     assert(stats.forall(_.getLong(2) >= 0L))
   }
+
+  test("mipsTopK ranks by inner product where cosine order differs; augmentation reduces MIPS to cosine") {
+    import spark.implicits._
+    // query (1,0): cosine ties a and b at 1.0 and puts c last; inner
+    // product separates them as a(2.0) > c(1.5) > b(0.5)
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(0.5f, 0.0f)),
+      (3L, Array(1.5f, 1.5f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2.0), (3L, 1.5), (2L, 0.5)), s"got ${got.toSeq}")
+
+    // Bachrach reduction: cosine top-k over the augmented vectors
+    // returns the SAME pairs as exact MIPS on the real corpus
+    val e = Tables(spark, sf).embeddings
+    val m2 = e.select(max(graft.operators.VectorFunctions.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")))).head().getDouble(0)
+    val aug = e.select(col("vec_id"),
+      Similarity.mipsAugment(col("embedding"), m2).as("embedding"))
+    val augQ = e.filter(col("vec_id") < 10).select(col("vec_id"),
+      Similarity.mipsAugment(col("embedding"), m2, side = "query").as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCosine = pairs(Similarity.bruteTopK(aug, col("vec_id"), col("embedding"),
+      augQ, col("vec_id"), col("embedding"), k = 5))
+    val exact = pairs(Similarity.mipsTopK(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5))
+    assert(viaCosine == exact,
+      s"augmented-cosine and exact MIPS disagree: ${(viaCosine -- exact) ++ (exact -- viaCosine)}")
+  }
 }
