@@ -72,6 +72,52 @@ object Curation {
     bucketFilter(df, key, rate, salt)
   }
 
+  /** Temperature-based mixture PLANNING (SURVEY.md §2.C59): per-source
+    * token totals → sampling weights `w_i ∝ t_i^α` → token allocations
+    * against a training budget — the step that DECIDES the rates
+    * [[sampleByHashPerGroup]] then applies (α < 1 is the standard
+    * multilingual/domain rebalance: big sources are down-weighted,
+    * small ones up-weighted, α = 1 is proportional). Returns one row
+    * per source: `(source, n_docs, n_tokens, w_micro, share,
+    * alloc_tokens, epochs)`; `epochs > 1` is the overfit warning (the
+    * allocation asks for more than one pass over that source).
+    *
+    * α is expressed as `sqrtTimes` (0 → α = 1, 1 → ½, 2 → ¼, …):
+    * IEEE-754 `sqrt` is correctly rounded, so a CHAIN of sqrts is
+    * bit-identical on every engine — unlike `pow(t, α)`, whose libm
+    * results differ across platforms. The weight is rounded ONCE to
+    * integer micro units; `share` is one division of exact longs and
+    * `alloc_tokens = trunc(share · budget)` one deterministic
+    * multiply+trunc — reproducible everywhere, in the C37 fixed-point
+    * discipline.
+    *
+    * Scale shape: ONE partial-agg pass over the corpus (source
+    * cardinality ~10²) → a frame of per-source rows; the window total
+    * is over that tiny frame, never the corpus. */
+  def mixturePlan(df: DataFrame, source: Column, sizeCol: Column,
+                  budget: Long, sqrtTimes: Int = 1): DataFrame = {
+    require(sqrtTimes >= 0 && sqrtTimes <= 4,
+      s"sqrtTimes must be 0..4 (alpha 1..1/16), got $sqrtTimes")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val totals = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol.cast("long")).as("n_tokens"))
+    val tw = (0 until sqrtTimes).foldLeft(col("n_tokens").cast("double"))(
+      (acc, _) => sqrt(acc))
+    val weighted = totals
+      .withColumn("w_micro", round(tw * lit(1e6)).cast("long"))
+    // 1-row weight total broadcast back onto the per-source frame (the
+    // qtext_tfidf idiom) — both sides bounded by source cardinality
+    val wTot = weighted.agg(sum(col("w_micro")).as("w_total"))
+    weighted.crossJoin(broadcast(wTot))
+      .withColumn("share",
+        col("w_micro").cast("double") / col("w_total").cast("double"))
+      .withColumn("alloc_tokens",
+        (col("share") * lit(budget.toDouble)).cast("long"))
+      .withColumn("epochs",
+        col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+      .drop("w_total")
+  }
+
   /** Deterministic train/val/test split assignment (SURVEY.md §2.C30):
     * each row gets the label of the bucket range its [[hashBucket]]
     * falls in — the standard leakage-safe corpus split (hash of a

@@ -456,7 +456,37 @@ object CurationQueries {
       ORDER BY doc_id"""
     })
 
+  /** Temperature mixture plan (C59), α = ½ over per-source char
+    * totals against a 10⁹-token budget. The oracle mirrors the sqrt →
+    * round-to-micro → share-division → trunc(share·budget) chain
+    * op-for-op: sqrt is IEEE-correctly-rounded and the rest is one
+    * rounding + two deterministic double ops, so every column is
+    * bit-identical across engines. */
+  val qMixPlan = Q(
+    "qmix_plan",
+    (s, dir) => {
+      Curation.mixturePlan(
+          Tables(s, dir).documents,
+          col("source"), col("n_chars"), budget = 1000000000L, sqrtTimes = 1)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+      w AS (SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                        AS w_micro FROM t),
+      s AS (SELECT SUM(w_micro) AS wt FROM w),
+      p AS (SELECT source, n_docs, n_tokens, w_micro,
+              CAST(w_micro AS DOUBLE) / CAST(wt AS DOUBLE) AS share
+            FROM w, s),
+      a AS (SELECT *, CAST(trunc(share * CAST(1000000000 AS DOUBLE)) AS BIGINT)
+                        AS alloc_tokens FROM p)
+      SELECT source, n_docs, n_tokens, w_micro, share, alloc_tokens,
+        CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+      FROM a ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
-    qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess)
+    qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan)
 }

@@ -416,4 +416,29 @@ class CurationSpec extends AnyFunSuite {
     // minimal: dropping the last row falls below the budget
     assert(got.init.lastOption.forall(_._3 < budget))
   }
+
+  test("mixturePlan: hand-computed temperature weights, exact-share allocation") {
+    import spark.implicits._
+    // α = ½: weights sqrt(4)=2 and sqrt(36)=6 → shares exactly 0.25/0.75
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 36L)).toDF("source", "sz")
+    val got = Curation.mixturePlan(df, col("source"), col("sz"),
+        budget = 1000L, sqrtTimes = 1)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 4L, 2000000L, 0.25, 250L, 62.5),
+      ("B", 1L, 36L, 6000000L, 0.75, 750L, 750.0 / 36.0)), s"got ${got.toSeq}")
+    // α = 1 (sqrtTimes = 0) is plain proportional: shares 0.1/0.9
+    val prop = Curation.mixturePlan(df, col("source"), col("sz"),
+        budget = 1000L, sqrtTimes = 0)
+      .orderBy(col("source")).collect().map(r => (r.getString(0), r.getDouble(4)))
+    assert(prop.toSeq == Seq(("A", 0.1), ("B", 0.9)))
+    // down-weighting monotone in temperature: the big source's share
+    // shrinks as alpha drops
+    val quarter = Curation.mixturePlan(df, col("source"), col("sz"),
+        budget = 1000L, sqrtTimes = 2)
+      .orderBy(col("source")).collect().map(r => (r.getString(0), r.getDouble(4)))
+    assert(quarter(1)._2 < 0.75 && 0.75 < 0.9)
+  }
 }

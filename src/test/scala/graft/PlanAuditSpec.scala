@@ -67,7 +67,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qvec_prototypicality" -> ("the same bounded centroid broadcast, in the " +
       "Lloyd train step (the score join itself is an equi-join on cell)"),
     "qvec_inertia" -> ("the same bounded centroid broadcast, in the Lloyd " +
-      "train step (the SSE join itself is an equi-join on cell)")
+      "train step (the SSE join itself is an equi-join on cell)"),
+    "qmix_plan" -> ("crossJoin(broadcast(wTot)) where wTot is a 1-row weight " +
+      "total over the per-source frame — both sides bounded by source " +
+      "cardinality, never corpus-sized")
   )
 
   // ONE registry pass shared by every audit below: building a cluster
