@@ -322,6 +322,62 @@ object TextFunctions {
       }
     }
 
+  /** The cp1252 second-byte image — what bytes 0x80–0xBF render as
+    * when UTF-8 is mis-decoded as Windows-1252 (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹
+    * Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ plus the Latin-1 range) — the
+    * second character of every classic mojibake digraph. `\x{...}`
+    * syntax parses identically in Java regex and RE2, so ONE string
+    * serves both engines. */
+  private[graft] val MojiSecond: String =
+    "\\x{0080}-\\x{00BF}\\x{20AC}\\x{201A}\\x{0192}\\x{201E}\\x{2026}" +
+      "\\x{2020}\\x{2021}\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}" +
+      "\\x{017D}\\x{2018}\\x{2019}\\x{201C}\\x{201D}\\x{2022}\\x{2013}" +
+      "\\x{2014}\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}\\x{017E}\\x{0178}"
+
+  /** 2-char mojibake: a mis-decoded 2-byte UTF-8 lead (0xC2/0xC3 →
+    * Â/Ã) followed by a second-byte image — cafÃ©, naÃ¯ve. */
+  private[graft] val MojiPair: String = s"[\\x{00C2}\\x{00C3}][$MojiSecond]"
+
+  /** 3-char mojibake: a mis-decoded 3-byte UTF-8 lead (0xE2 → â)
+    * followed by two second-byte images — â€™, â€œ, â€¦. */
+  private[graft] val MojiTriple: String = s"\\x{00E2}[$MojiSecond]{2}"
+
+  /** Bare replacement characters — a decoder already gave up once. */
+  private[graft] val ReplChar: String = "\\x{FFFD}"
+
+  /** Stray control characters (C0 minus \t\n\r, plus the full C1
+    * block) — binary junk or a double-decode artifact, never prose. */
+  private[graft] val CtrlChar: String =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{0080}-\\x{009F}]"
+
+  /** Encoding-artifact detection (SURVEY.md §2.C60): per-doc counts of
+    * the three mechanical signatures of a broken decode chain —
+    * U+FFFD replacement chars, stray control chars, and cp1252
+    * mojibake digraphs/trigraphs (UTF-8 bytes rendered as Latin-1/
+    * cp1252: cafÃ©, donâ€™t) — the Dolma-family pre-filter that
+    * catches corruposed text BEFORE it poisons shingles, hashes and
+    * LM scores. Returns `(doc_id, n_repl, n_ctrl, n_moji, is_clean)`.
+    *
+    * Counting is length-difference after a global regexp_replace —
+    * each match has a FIXED width (1/2/3 chars by class), so the
+    * count is exact integer arithmetic, and the patterns are shared
+    * string constants with the oracle (`\x{...}` parses identically
+    * in Java regex and RE2). Scale shape: a pure codegen map stage —
+    * four regexp passes per row, no UDF, no shuffle, no join; the
+    * cheapest possible 100 TB gate. */
+  def encodingArtifacts(df: org.apache.spark.sql.DataFrame, id: Column,
+                        text: Column): org.apache.spark.sql.DataFrame = {
+    def removed(pat: String): Column =
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("long")
+    val nRepl = removed(ReplChar)
+    val nCtrl = removed(CtrlChar)
+    val nMoji = ((removed(MojiPair) / 2) + (removed(MojiTriple) / 3)).cast("long")
+    df.select(id.as("doc_id"),
+        nRepl.as("n_repl"), nCtrl.as("n_ctrl"), nMoji.as("n_moji"))
+      .withColumn("is_clean",
+        col("n_repl") + col("n_ctrl") + col("n_moji") === 0L)
+  }
+
   /** Character-entropy quality signal (C56): per-doc Shannon entropy
     * of the character distribution — the cheap spam detector the
     * Dolma/C4 rule families use alongside the Gopher gates: repeated-

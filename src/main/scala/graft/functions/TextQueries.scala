@@ -531,6 +531,52 @@ object TextQueries {
       FROM d LEFT JOIN sc USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Encoding artifacts (C60). The corpus is clean ASCII, so the query
+    * injects the three artifact classes deterministically by doc-id
+    * residue (mojibake pair + triple + replacement char / C1 control /
+    * untouched) — every rule must fire for its residue class and stay
+    * silent elsewhere, so the oracle is non-vacuous in both directions.
+    * The regex classes are THE SAME string constants on both sides
+    * (`\x{...}` parses identically in Java regex and RE2). */
+  val qMojibake = Q(
+    "qtext_mojibake",
+    (s, dir) => {
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        when(id % 3 === 0, lit(" caf\u00C3\u00A9 don\u00E2\u20AC\u2122t \uFFFD"))
+          .when(id % 3 === 1, lit(" x\u0085y"))
+          .otherwise(lit("")))
+      graft.functions.TextFunctions.encodingArtifacts(
+          Tables(s, dir).documents.select(id, injected.as("t")),
+          col("doc_id"), col("t"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH inj AS (
+        SELECT doc_id,
+          text || CASE
+            WHEN doc_id % 3 = 0 THEN ' caf' || chr(195) || chr(169) ||
+              ' don' || chr(226) || chr(8364) || chr(8482) || 't ' || chr(65533)
+            WHEN doc_id % 3 = 1 THEN ' x' || chr(133) || 'y'
+            ELSE '' END AS t
+        FROM documents),
+      c AS (SELECT doc_id,
+              CAST(length(t) - length(regexp_replace(t,
+                '${graft.functions.TextFunctions.ReplChar}', '', 'g')) AS BIGINT)
+                AS n_repl,
+              CAST(length(t) - length(regexp_replace(t,
+                '${graft.functions.TextFunctions.CtrlChar}', '', 'g')) AS BIGINT)
+                AS n_ctrl,
+              CAST((length(t) - length(regexp_replace(t,
+                  '${graft.functions.TextFunctions.MojiPair}', '', 'g'))) / 2
+                + (length(t) - length(regexp_replace(t,
+                  '${graft.functions.TextFunctions.MojiTriple}', '', 'g'))) / 3
+                AS BIGINT) AS n_moji
+            FROM inj)
+      SELECT doc_id, n_repl, n_ctrl, n_moji,
+        n_repl + n_ctrl + n_moji = 0 AS is_clean
+      FROM c ORDER BY doc_id"""))
+
   /** HTML extraction (C45) under a byte-exact oracle: wrap each doc's
     * text in a deterministic HTML shell (head/style block, per-doc
     * heading, attributed tags, a script with a bare `<`, entity-coded
@@ -699,5 +745,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp, qBigramLp, qEntropy, qHtml, qNfc, qClassifier)
+    qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier)
 }

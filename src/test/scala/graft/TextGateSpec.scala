@@ -130,6 +130,28 @@ class TextGateSpec extends AnyFunSuite {
       s"global top-100 should plan TakeOrderedAndProject:\n$plan")
   }
 
+  test("encodingArtifacts: each class counted at its width; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "caf\u00C3\u00A9 na\u00C3\u00AFve"),          // two mojibake pairs
+      (2L, "don\u00E2\u20AC\u2122t \u00E2\u20AC\u0153q"), // two mojibake triples
+      (3L, "bad \uFFFD\uFFFD decode"),                     // two replacement chars
+      (4L, "ctl\u0007\u0085x\ttab"),                       // C0 + C1; \t is fine
+      (5L, "plain prose, caf\u00E9 fine"),                 // real \u00E9 is NOT mojibake
+      (6L, "\u00C3 alone")                                 // lead with no second byte
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions.encodingArtifacts(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 2L, false),
+      (2L, 0L, 0L, 2L, false),
+      (3L, 2L, 0L, 0L, false),
+      (4L, 0L, 2L, 0L, false),
+      (5L, 0L, 0L, 0L, true),
+      (6L, 0L, 0L, 0L, true)), s"got ${got.toSeq}")
+  }
+
   test("charEntropy: hand-computed distributions; degenerate runs score 0; empty is NULL") {
     import spark.implicits._
     val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "aab"), (5L, ""))
