@@ -14,10 +14,15 @@ object GraftSql {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Idempotently register all tables of a scale-factor dir as temp
-    * views named after the tables. */
+    * views named after the tables. `events` goes through the typed
+    * accessor so SQL sees the engine's canonical epoch-ns long `ts`
+    * regardless of the parquet file's physical timestamp layout. */
   def register(spark: SparkSession, dir: String): Unit = {
     val t = Tables(spark, dir)
-    TableNames.foreach(n => t.table(n).createOrReplaceTempView(n))
+    TableNames.foreach { n =>
+      val df = if (n == "events") t.events else t.table(n)
+      df.createOrReplaceTempView(n)
+    }
   }
 
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {

@@ -11,12 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single file.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-  // raw long; graft's canonical event time is `ts div 1000` (epoch µs),
-  // which matches DuckDB's truncating ns→µs parquet read exactly.
+  // events.parquet has shipped with two physical layouts for `ts`:
+  // TIMESTAMP(NANOS) (readable by Spark only as a raw ns long) and
+  // TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Graft's canonical event
+  // time is `ts div 1000` (epoch µs) over an epoch-ns LONG — it matches
+  // DuckDB's `epoch_us(ts)` exactly on BOTH layouts (ns→µs by integer
+  // truncation; µs is exact) — so `events` normalizes the timestamp
+  // layout to epoch-ns long here and every consumer sees one type.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  private def canonicalEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // ns-as-long layout
+      case _ =>
+        // TIMESTAMP_NTZ/TIMESTAMP µs layout: session tz is pinned UTC
+        // (GraftSession), so the NTZ→instant cast is the identity wall
+        // clock DuckDB uses and unix_micros is exact integer µs.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+    }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -25,7 +41,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  def events: DataFrame     = canonicalEventTs(table("events"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
