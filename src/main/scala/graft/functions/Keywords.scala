@@ -220,4 +220,104 @@ object Keywords {
         round(col("covered_chars").cast("double") /
           col("text_chars").cast("double"), 4).as("top_gram_char_frac"))
   }
+
+  /** Out-of-vocabulary rate (SURVEY.md §2.C61): each document's
+    * fraction of tokens outside the corpus's own top-`vocabK`
+    * vocabulary — the coverage signal a tokenizer/vocab decision
+    * needs BEFORE training (docs dense in rare terms are
+    * transliteration, code, boilerplate IDs, or wrong-language
+    * residue; a vocab sized against them wastes merges), and the
+    * per-doc complement of [[unigramLogProb]]'s probability view.
+    * Vocabulary membership is INTEGER-exact: top-`vocabK` by (corpus
+    * tf desc, term asc), the [[tfIdfTopK]] tie discipline, so the
+    * boundary never depends on a float. Returns `(doc_id, n_tokens,
+    * n_oov, oov_rate)`; zero-token docs survive with an honest NULL
+    * rate (the [[unigramLogProb]] contract).
+    *
+    * Scale shape: ONE corpus tokenization (the shared persisted
+    * [[docTermCounts]] frame feeds both the vocab aggregation and the
+    * per-doc scoring), the vocab is `vocabK` rows BROADCAST onto the
+    * (doc, term) frame — membership is a map-side left join, no
+    * term-keyed shuffle of the corpus — then one doc-keyed partial
+    * agg. Only (doc_id, term, count) rows ever move, never text. */
+  def oovRate(df: DataFrame, id: Column, text: Column, vocabK: Int): DataFrame = {
+    val tf = docTermCounts(df, id, text)
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .withColumn("vr", row_number().over(
+        Window.orderBy(col("ctf").desc, col("term").asc)))
+      .filter(col("vr") <= vocabK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    val scored = tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(when(col("__in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_toks").isNull, lit(null).cast("double"))
+          .otherwise(round(col("n_oov").cast("double") / col("n_toks"), 6))
+          .as("oov_rate"))
+  }
+
+  /** Top bigram collocations by pointwise mutual information
+    * (SURVEY.md §2.C62): the corpus's most-associated adjacent word
+    * pairs — `PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )` over the
+    * bigram stream, the classic collocation statistic (Church &
+    * Hanks 1990) and the corpus-analysis twin of [[bigramLogProb]]:
+    * that scores DOCS under the transition model, this surfaces the
+    * TRANSITIONS themselves (multi-word entities, templated phrases,
+    * segmentation candidates). Marginals are the bigram table's own
+    * first/second-position sums, so `sum(c1) = sum(c2) = total` holds
+    * by construction. Pairs below `minCount` are dropped first — PMI
+    * is maximized by hapax pairs, so unfiltered ranking surfaces
+    * noise. Cross-engine exactness: the PMI is computed in ONE fixed
+    * double expression `(c12/c1)·(total/c2)` (exact IEEE steps), its
+    * `ln` rounded ONCE to integer micro-nats (the [[unigramLogProb]]
+    * discipline), and the top-k ranks on (pmi_micro desc, bigram asc)
+    * — integers and strings, never a float boundary.
+    *
+    * Scale shape: bigrams aggregate in ONE (w1, w2) partial-agg
+    * shuffle (the [[topNgramStats]] string-keyed corpus-stat idiom —
+    * the output IS the strings, so hashing would only defer the
+    * carry); both marginals and the grand total derive from the
+    * persisted bigram-count frame — no second corpus scan; marginal
+    * join-backs move (word, count) rows; the global top-k plans as a
+    * map-side WindowGroupLimit (≤ k rows per partition reach the
+    * final sort), the qtext_vocab shape. */
+  def pmiTopK(df: DataFrame, id: Column, text: Column, k: Int,
+      minCount: Int): DataFrame = {
+    val toks = filter(split(lower(text), " "), t => t =!= "")
+    val pairs = graft.functions.Cols.let(toks) { w =>
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(typedLit(Array.empty[(String, String)])
+          .cast("array<struct<w1:string,w2:string>>"))
+    }
+    val counts = df.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = counts.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val total = counts.agg(sum(col("c12")).as("total"))
+    counts.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c12"), col("c1"), col("c2"),
+        round(log((col("c12").cast("double") / col("c1").cast("double")) *
+            (col("total").cast("double") / col("c2").cast("double"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .withColumn("pmi_rank", row_number().over(
+          Window.orderBy(col("pmi_micro").desc, col("bigram").asc))
+        .cast("long"))
+      .filter(col("pmi_rank") <= k)
+      .select(col("pmi_rank"), col("bigram"), col("c12"), col("c1"),
+        col("c2"), (col("pmi_micro").cast("double") / 1e6).as("pmi"))
+      .orderBy(col("pmi_rank"))
+  }
 }

@@ -743,7 +743,75 @@ object TextQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** OOV rate vs the corpus's own top-100 vocabulary (C61). The
+    * vocab boundary is integer-exact (tf desc, term asc — the tfidf
+    * tie discipline) so membership never depends on a float; the
+    * oracle rebuilds the identical vocab with SQL window rank. */
+  val qOov = Q(
+    "qtext_oov",
+    (s, dir) =>
+      graft.functions.Keywords.oovRate(
+          Tables(s, dir).documents, col("doc_id"), col("text"), vocabK = 100)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents),
+      t AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      v AS (SELECT term FROM (
+              SELECT term, ROW_NUMBER() OVER (ORDER BY SUM(tf) DESC, term) AS vr
+              FROM t GROUP BY term) WHERE vr <= 100),
+      sc AS (SELECT t.doc_id, SUM(t.tf) AS n_toks,
+               SUM(CASE WHEN v.term IS NULL THEN t.tf ELSE 0 END) AS n_oov
+             FROM t LEFT JOIN v ON t.term = v.term GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+        CASE WHEN sc.n_toks IS NULL THEN NULL
+             ELSE ROUND(CAST(sc.n_oov AS DOUBLE) / sc.n_toks, 6)
+        END AS oov_rate
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Top-50 bigram collocations by PMI (C62), min pair count 3. The
+    * PMI is one fixed double expression `(c12/c1)·(total/c2)` whose
+    * `ln` is rounded once to micro-nats; rank is (pmi_micro desc,
+    * bigram asc) — the micro-nat + integer-rank discipline the green
+    * unigram/bigram oracles prove. */
+  val qPmi = Q(
+    "qtext_pmi",
+    (s, dir) =>
+      graft.functions.Keywords.pmiTopK(
+        Tables(s, dir).documents, col("doc_id"), col("text"),
+        k = 50, minCount = 3),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+                 FROM documents),
+      bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+             FROM t, UNNEST(range(1, len(w))) AS u(i)),
+      c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+      l AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY w1),
+      r AS (SELECT w2, SUM(c12) AS c2 FROM c GROUP BY w2),
+      n AS (SELECT SUM(c12) AS total FROM c),
+      p AS (SELECT c.w1 || ' ' || c.w2 AS bigram, c.c12,
+              CAST(l.c1 AS BIGINT) AS c1, CAST(r.c2 AS BIGINT) AS c2,
+              CAST(ROUND(ln((CAST(c.c12 AS DOUBLE) / l.c1) *
+                            (CAST(n.total AS DOUBLE) / r.c2)) * 1000000)
+                   AS BIGINT) AS pmi_micro
+            FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+            WHERE c.c12 >= 3),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+               (ORDER BY pmi_micro DESC, bigram ASC) AS BIGINT) AS pmi_rank
+             FROM p)
+      SELECT pmi_rank, bigram, c12, c1, c2,
+        CAST(pmi_micro AS DOUBLE) / 1000000 AS pmi
+      FROM rk WHERE pmi_rank <= 50
+      ORDER BY pmi_rank"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
-    qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier)
+    qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
+    qOov, qPmi)
 }

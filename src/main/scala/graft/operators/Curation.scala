@@ -621,4 +621,32 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram_h")).as("shared_grams"))
   }
+
+  /** Corpus snapshot diff (SURVEY.md §2.C63): per-document status of
+    * a new corpus version against an old one — `added` (id only in
+    * new), `removed` (id only in old), `changed` (both, different
+    * content), `unchanged` — the audit every versioned training-data
+    * store needs between crawls/re-processings (what did this
+    * pipeline change, and how much re-tokenization does the delta
+    * cost?). Content identity is md5 of the UTF-8 text bytes:
+    * collision-safe at corpus scale (2⁻⁶⁴ at ~10¹⁰ docs) and
+    * byte-exact across engines.
+    *
+    * Scale shape: each side collapses to `(doc_id, 16-byte digest)`
+    * IN ITS MAP STAGE — document text never reaches the join — then
+    * one id-keyed full-outer shuffle join (both sides hash-partition
+    * on the same key; AQE handles the skewless id key). The status is
+    * a codegen when-chain. At 100 TB the shuffle moves ~50 bytes per
+    * doc, not the corpus. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    def digest(side: DataFrame, as: String): DataFrame =
+      side.select(id.as("doc_id"), md5(encode(text, "UTF-8")).as(as))
+    digest(oldDf, "__h_old").join(digest(newDf, "__h_new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") === col("__h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

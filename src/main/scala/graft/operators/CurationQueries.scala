@@ -486,7 +486,43 @@ object CurationQueries {
         CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
       FROM a ORDER BY source"""))
 
+  /** Corpus snapshot diff (C63): two versions derived
+    * deterministically from `documents` by doc_id residue — the old
+    * snapshot lacks residue-0 docs (added later), the new snapshot
+    * lacks residue-1 (removed) and rewrites residue-2's text
+    * (changed) — then diffed by md5 content digest. The oracle
+    * mirrors the operator op-for-op (digest both sides, full outer
+    * join, when-chain) rather than shortcutting to the residues, so
+    * the digest-comparison path itself is what's checked. */
+  val qCorpusDiff = Q(
+    "qcorpus_diff",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val old = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val neu = d.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 2,
+            concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      Curation.corpusDiff(old, neu, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH old AS (SELECT doc_id, md5(text) AS h
+                   FROM documents WHERE doc_id % 10 <> 0),
+      neu AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 10 = 2 THEN text || ' [v2]'
+                         ELSE text END) AS h
+              FROM documents WHERE doc_id % 10 <> 1)
+      SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        CASE WHEN old.h IS NULL THEN 'added'
+             WHEN neu.h IS NULL THEN 'removed'
+             WHEN old.h = neu.h THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
-    qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan)
+    qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
+    qCorpusDiff)
 }

@@ -400,6 +400,23 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket"), s"unexpected: ${e.getMessage}")
   }
 
+  test("corpus diff labels added/removed/changed/unchanged by content digest") {
+    import spark.implicits._
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val neu = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, neu, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq == Seq(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"),
+      s"got ${got.toSeq}")
+
+    // identity: diffing a corpus against itself is all-unchanged
+    val self = Curation.corpusDiff(old, old, col("doc_id"), col("text"))
+      .select(col("status")).distinct().collect().map(_.getString(0))
+    assert(self.toSeq == Seq("unchanged"))
+  }
+
   test("budget carve-out is the minimal deterministic prefix covering the budget") {
     val t = graft.sources.Tables(spark, sf)
     val budget = 500L

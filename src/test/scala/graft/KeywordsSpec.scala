@@ -105,6 +105,47 @@ class KeywordsSpec extends AnyFunSuite {
     assert(scores(0) != scores(1), s"transition order ignored: ${scores.toSeq}")
   }
 
+  test("oov rate: integer-exact vocab boundary, zero-token NULL") {
+    import spark.implicits._
+    // corpus terms: a:3 b:2 z:1 → top-2 vocab = {a, b}
+    val df = Seq((1L, "a a b"), (2L, "a b z"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = Keywords.oovRate(df, col("doc_id"), col("text"), vocabK = 2)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, Some(0.0)),
+      (2L, 3L, 1L, Some(0.333333)),
+      (3L, 0L, 0L, None)), s"got ${got.toSeq}")
+
+    // vocab tie at the boundary resolves term-asc, never float order:
+    // a:2 b:2, vocabK=1 → vocab={a}, so b is OOV
+    val tie = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = Keywords.oovRate(tie, col("doc_id"), col("text"), vocabK = 1)
+      .head()
+    assert((r.getLong(1), r.getLong(2)) == (4L, 2L))
+  }
+
+  test("pmi collocations: hand-computed micro-nats, rank ties, minCount") {
+    import spark.implicits._
+    // bigrams: (a b)×2 (b a)×1 from doc1, (c d)×1 from doc2; total 4
+    // marginals: c1 a=2 b=1 c=1; c2 b=2 a=1 d=1
+    // PMI(a b)=ln((2/2)(4/2))=ln2→693147; PMI(b a)=PMI(c d)=ln4→1386294
+    val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = Keywords.pmiTopK(df, col("doc_id"), col("text"), k = 10, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, "b a", 1L, 1L, 1L, 1.386294), // tie vs "c d" → bigram asc
+      (2L, "c d", 1L, 1L, 1L, 1.386294),
+      (3L, "a b", 2L, 2L, 2L, 0.693147)), s"got ${got.toSeq}")
+
+    val filtered = Keywords.pmiTopK(df, col("doc_id"), col("text"),
+      k = 10, minCount = 2).collect().map(_.getString(1))
+    assert(filtered.toSeq == Seq("a b"), "minCount must drop hapax pairs")
+  }
+
   test("distributed shard packing equals the single-window prefix sum") {
     val t = graft.sources.Tables(spark, sf)
     val sized = t.documents.select(col("doc_id"),

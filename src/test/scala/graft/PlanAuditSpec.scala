@@ -70,7 +70,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "train step (the SSE join itself is an equi-join on cell)"),
     "qmix_plan" -> ("crossJoin(broadcast(wTot)) where wTot is a 1-row weight " +
       "total over the per-source frame — both sides bounded by source " +
-      "cardinality, never corpus-sized")
+      "cardinality, never corpus-sized"),
+    "qtext_pmi" -> ("crossJoin(broadcast(total)) — the 1-row bigram grand " +
+      "total onto the minCount-filtered bigram-vocab frame (the qmix_plan " +
+      "1-row-total shape); the marginal joins are string-keyed equi-joins")
   )
 
   // ONE registry pass shared by every audit below: building a cluster
