@@ -230,6 +230,40 @@ object TextFunctions {
   def redactPiiLogSafe(text: Column): Column =
     redactPhonesLogSafe(redactEmails(redactUrls(text)))
 
+  /** PII prevalence audit (SURVEY.md §2.C64): appends per-row match
+    * counts for each redaction class — the measurement run BEFORE
+    * deciding to scrub (how much PII is in this corpus, which sources
+    * carry it, what will redaction cost?). Counts mirror
+    * [[redactPii]]'s ORDER exactly — URLs counted on the raw text,
+    * emails on the URL-redacted text, phones on the email-redacted
+    * text — so `n_urls + n_emails + n_phones` IS the number of
+    * replacements the scrub would make (an email-shaped substring
+    * inside a URL counts once, as the URL, matching the scrub's
+    * single-redaction behavior; independent per-class counts on raw
+    * text would double-count it). Patterns are the SAME shared
+    * constants the scrub and its byte-exact green oracle use, so
+    * count and rewrite cannot silently diverge. APPENDS columns
+    * (refusing name collisions — the gopherGate contract) instead of
+    * projecting an id-keyed frame, so a per-source/per-split rollup
+    * groups directly with no join-back shuffle. A pure codegen map
+    * stage — no shuffle, no join, the cheapest audit shape at
+    * 100 TB. */
+  def piiStats(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("n_urls", "n_emails", "n_phones", "any_pii")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"piiStats appends column '$c' but the input already has one"))
+    val afterUrls = redactUrls(text)
+    val afterEmails = redactEmails(afterUrls)
+    df.withColumn("n_urls", regexp_count(text, lit(UrlPattern)).cast("long"))
+      .withColumn("n_emails",
+        regexp_count(afterUrls, lit(EmailPattern)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(afterEmails, lit(PhonePattern)).cast("long"))
+      .withColumn("any_pii",
+        (col("n_urls") + col("n_emails") + col("n_phones")) > 0)
+  }
+
   /** HTML → text extraction (C45) — the web-scrape cleaning step a
     * pretraining pipeline runs before every text metric: drop
     * script/style blocks WITH their content, strip remaining tags,

@@ -810,8 +810,69 @@ object TextQueries {
       FROM rk WHERE pmi_rank <= 50
       ORDER BY pmi_rank"""))
 
+  /** Per-source PII prevalence rollup (C64): which sources carry how
+    * much scrubbable PII — the corpus-management view over
+    * [[TextFunctions.piiStats]] (qtext_scrub proves the per-doc
+    * counts; this is the aggregate a curation decision actually
+    * reads). PII is injected deterministically by doc-id residue
+    * (one class per residue, so every class and the no-PII case all
+    * occur — non-vacuous in both directions); the rollup groups the
+    * appended stat columns directly, no join-back. */
+  val qPiiSources = Q(
+    "qtext_pii_sources",
+    (s, dir) => {
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        when(pmod(id, lit(3)) === 0,
+          concat(lit(" mail u"), id.cast("string"), lit("@ex.org")))
+          .otherwise(lit("")),
+        when(pmod(id, lit(3)) === 1, lit(" call +1 (555) 123-4567 now"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(3)) === 2,
+          concat(lit(" see https://ex.io/p/"), id.cast("string")))
+          .otherwise(lit("")))
+      TextFunctions.piiStats(
+          Tables(s, dir).documents.withColumn("text", injected), col("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_urls")).as("n_urls"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_phones")).as("n_phones"),
+          sum(when(col("any_pii"), 1L).otherwise(0L)).as("docs_with_pii"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val (u, e, p) =
+        (TextFunctions.UrlPattern, TextFunctions.EmailPattern, TextFunctions.PhonePattern)
+      s"""
+      WITH inj AS (
+        SELECT doc_id, source, text ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+               ELSE '' END ||
+          CASE WHEN doc_id % 3 = 1 THEN ' call +1 (555) 123-4567 now'
+               ELSE '' END ||
+          CASE WHEN doc_id % 3 = 2
+               THEN ' see https://ex.io/p/' || CAST(doc_id AS VARCHAR)
+               ELSE '' END AS t
+        FROM documents),
+      s1 AS (SELECT doc_id, source, t, regexp_replace(t, '$u', '<URL>', 'g') AS t1 FROM inj),
+      s2 AS (SELECT doc_id, source, t, t1, regexp_replace(t1, '$e', '<EMAIL>', 'g') AS t2 FROM s1),
+      c AS (SELECT doc_id, source,
+              CAST(length(regexp_extract_all(t, '$u')) AS BIGINT) AS n_urls,
+              CAST(length(regexp_extract_all(t1, '$e')) AS BIGINT) AS n_emails,
+              CAST(length(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones
+            FROM s2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+        CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+        CAST(SUM(CASE WHEN n_urls + n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+      FROM c GROUP BY source ORDER BY source"""
+    })
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi)
+    qOov, qPmi, qPiiSources)
 }

@@ -144,5 +144,59 @@ object Profile {
       ORDER BY bucket"""
     })
 
-  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths)
+  /** Referential-integrity profile (SURVEY.md §2.C65): one summary
+    * row auditing an id relationship between two tables — orphans on
+    * each side, matched ids, duplicate ids per side, raw row counts.
+    * The check every multi-table corpus needs between pipeline stages
+    * (every document should have exactly one embedding; an orphan
+    * embedding is wasted compute, a duplicate id poisons every
+    * id-keyed join downstream).
+    *
+    * Scale shape: each side collapses to `(id, count)` with map-side
+    * partials BEFORE the join — payloads (text, vectors) never move —
+    * then one id-keyed full-outer join and a single global aggregate
+    * whose partials combine map-side. ~16 bytes per distinct id of
+    * shuffle, regardless of table width. */
+  def integrityProfile(left: DataFrame, leftId: Column,
+      right: DataFrame, rightId: Column): DataFrame = {
+    val l = left.select(leftId.as("id")).groupBy(col("id"))
+      .agg(count(lit(1)).as("nl"))
+    val r = right.select(rightId.as("id")).groupBy(col("id"))
+      .agg(count(lit(1)).as("nr"))
+    l.join(r, Seq("id"), "full_outer")
+      .agg(
+        sum(coalesce(col("nl"), lit(0L))).as("left_rows"),
+        sum(coalesce(col("nr"), lit(0L))).as("right_rows"),
+        sum(when(col("nl").isNotNull && col("nr").isNotNull, 1L).otherwise(0L))
+          .as("matched_ids"),
+        sum(when(col("nr").isNull, 1L).otherwise(0L)).as("left_orphans"),
+        sum(when(col("nl").isNull, 1L).otherwise(0L)).as("right_orphans"),
+        sum(when(col("nl") > 1, 1L).otherwise(0L)).as("left_dup_ids"),
+        sum(when(col("nr") > 1, 1L).otherwise(0L)).as("right_dup_ids"))
+  }
+
+  val qIntegrity = Q(
+    "qprofile_integrity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Profile.integrityProfile(t.documents, col("doc_id"),
+        t.embeddings, col("vec_id"))
+    },
+    Some("""
+      WITH l AS (SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS nl
+                 FROM documents GROUP BY 1),
+      r AS (SELECT vec_id AS id, CAST(COUNT(*) AS BIGINT) AS nr
+            FROM embeddings GROUP BY 1),
+      j AS (SELECT nl, nr FROM l FULL OUTER JOIN r ON l.id = r.id)
+      SELECT
+        CAST(SUM(COALESCE(nl, 0)) AS BIGINT) AS left_rows,
+        CAST(SUM(COALESCE(nr, 0)) AS BIGINT) AS right_rows,
+        CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_ids,
+        CAST(SUM(CASE WHEN nr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_orphans,
+        CAST(SUM(CASE WHEN nl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_orphans,
+        CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS left_dup_ids,
+        CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS right_dup_ids
+      FROM j"""))
+
+  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity)
 }

@@ -400,6 +400,19 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket"), s"unexpected: ${e.getMessage}")
   }
 
+  test("integrity profile counts orphans, matches, and duplicate ids") {
+    import spark.implicits._
+    // left: 1 2 2 3 — dup id 2, orphan 3; right: 1 2 4 4 — dup id 4, orphan 4
+    val l = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
+    val r = Seq(1L, 2L, 4L, 4L).toDF("vec_id")
+    val row = graft.operators.Profile.integrityProfile(
+      l, col("doc_id"), r, col("vec_id")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6)) ==
+      (4L, 4L, 2L, 1L, 1L, 1L, 1L),
+      s"got $row") // left_rows right_rows matched l_orph r_orph l_dup r_dup
+  }
+
   test("corpus diff labels added/removed/changed/unchanged by content digest") {
     import spark.implicits._
     val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")

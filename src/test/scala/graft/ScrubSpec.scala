@@ -77,6 +77,27 @@ class ScrubSpec extends AnyFunSuite {
       .head().getSeq[String](0)
   }
 
+  test("piiStats counts mirror the scrub chain and refuse column collisions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.io or https://x.io/u?e=c@d.io call +1 (555) 123-4567"),
+      (2L, "clean prose only")).toDF("doc_id", "t")
+    val got = TextFunctions.piiStats(df, col("t"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // the email INSIDE the URL query string counts as the URL, not as
+    // a second email — the redactPii order contract
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 1L, true),
+      (2L, 0L, 0L, 0L, false)), s"got ${got.toSeq}")
+
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.piiStats(df.withColumn("n_urls", lit(9L)), col("t"))
+    }
+    assert(e.getMessage.contains("n_urls"))
+  }
+
   test("urlDomains: host stops at path/query/fragment, lowercases, keeps ports") {
     assert(domains("see https://A.B.com/x http://c.io?q=1 https://d.net#f") ==
       Seq("a.b.com", "c.io", "d.net"))
