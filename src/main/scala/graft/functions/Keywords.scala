@@ -126,17 +126,28 @@ object Keywords {
     * shuffle, the bigram-vocab aggregation, a vocab-sized context
     * join, and one hash-keyed join back; the context counts come from
     * the persisted bigram vocab itself — no second corpus scan. */
-  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** THE adjacent-token-pair expression the bigram-LM scorer (C52)
+    * and the PMI collocation miner (C62) share: lowercased
+    * whitespace tokens, empties dropped, zipped with their right
+    * neighbor as `struct(w1, w2)`; <2-token docs yield an empty
+    * array. ONE definition so a pairing change (tokenizer tweak,
+    * boundary rule) can't silently diverge the LM from the
+    * collocation stats — the [[docTermCounts]] rule, one order up. */
+  private def bigramPairs(text: Column): Column = {
     val toks = filter(split(lower(text), " "), t => t =!= "")
-    val pairs = graft.functions.Cols.let(toks) { w =>
+    graft.functions.Cols.let(toks) { w =>
       when(size(w) >= 2,
         zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg"))))
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
         .otherwise(typedLit(Array.empty[(String, String)])
-          .cast("array<struct<w1:string,bg:string>>"))
+          .cast("array<struct<w1:string,w2:string>>"))
     }
-    val perDoc = df.select(id.as("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), xxhash64(col("p.bg")).as("bh"),
+  }
+
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val perDoc = df.select(id.as("doc_id"), explode(bigramPairs(text)).as("p"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("p.w1"), col("p.w2"))).as("bh"),
         xxhash64(col("p.w1")).as("uh"))
       .groupBy(col("doc_id"), col("bh"), col("uh"))
       .agg(count(lit(1)).as("tf"))
@@ -287,17 +298,9 @@ object Keywords {
     * join-backs move (word, count) rows; the global top-k plans as a
     * map-side WindowGroupLimit (≤ k rows per partition reach the
     * final sort), the qtext_vocab shape. */
-  def pmiTopK(df: DataFrame, id: Column, text: Column, k: Int,
+  def pmiTopK(df: DataFrame, text: Column, k: Int,
       minCount: Int): DataFrame = {
-    val toks = filter(split(lower(text), " "), t => t =!= "")
-    val pairs = graft.functions.Cols.let(toks) { w =>
-      when(size(w) >= 2,
-        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(typedLit(Array.empty[(String, String)])
-          .cast("array<struct<w1:string,w2:string>>"))
-    }
-    val counts = df.select(explode(pairs).as("p"))
+    val counts = df.select(explode(bigramPairs(text)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -255,11 +255,14 @@ object TextFunctions {
       s"piiStats appends column '$c' but the input already has one"))
     val afterUrls = redactUrls(text)
     val afterEmails = redactEmails(afterUrls)
-    df.withColumn("n_urls", regexp_count(text, lit(UrlPattern)).cast("long"))
-      .withColumn("n_emails",
-        regexp_count(afterUrls, lit(EmailPattern)).cast("long"))
-      .withColumn("n_phones",
-        regexp_count(afterEmails, lit(PhonePattern)).cast("long"))
+    // counts are coalesced: regexp_count(NULL) is NULL, and a NULL
+    // any_pii would make a NULL-text row vanish from BOTH sides of a
+    // clean/dirty filter — an audit must report 0/false for no-text
+    def cnt(on: Column, pat: String): Column =
+      coalesce(regexp_count(on, lit(pat)).cast("long"), lit(0L))
+    df.withColumn("n_urls", cnt(text, UrlPattern))
+      .withColumn("n_emails", cnt(afterUrls, EmailPattern))
+      .withColumn("n_phones", cnt(afterEmails, PhonePattern))
       .withColumn("any_pii",
         (col("n_urls") + col("n_emails") + col("n_phones")) > 0)
   }

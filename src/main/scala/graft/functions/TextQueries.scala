@@ -782,8 +782,7 @@ object TextQueries {
     "qtext_pmi",
     (s, dir) =>
       graft.functions.Keywords.pmiTopK(
-        Tables(s, dir).documents, col("doc_id"), col("text"),
-        k = 50, minCount = 3),
+        Tables(s, dir).documents, col("text"), k = 50, minCount = 3),
     Some("""
       WITH t AS (SELECT doc_id,
                    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
@@ -814,21 +813,23 @@ object TextQueries {
     * much scrubbable PII — the corpus-management view over
     * [[TextFunctions.piiStats]] (qtext_scrub proves the per-doc
     * counts; this is the aggregate a curation decision actually
-    * reads). PII is injected deterministically by doc-id residue
-    * (one class per residue, so every class and the no-PII case all
-    * occur — non-vacuous in both directions); the rollup groups the
+    * reads). PII is injected deterministically by doc-id residue mod
+    * 4 — one class per residue 0/1/2 and residue 3 left CLEAN, so
+    * every class AND the no-PII case all occur (non-vacuous in both
+    * directions: a bug forcing any_pii constantly true would break
+    * the docs_with_pii < n_docs rows); the rollup groups the
     * appended stat columns directly, no join-back. */
   val qPiiSources = Q(
     "qtext_pii_sources",
     (s, dir) => {
       val id = col("doc_id")
       val injected = concat(col("text"),
-        when(pmod(id, lit(3)) === 0,
+        when(pmod(id, lit(4)) === 0,
           concat(lit(" mail u"), id.cast("string"), lit("@ex.org")))
           .otherwise(lit("")),
-        when(pmod(id, lit(3)) === 1, lit(" call +1 (555) 123-4567 now"))
+        when(pmod(id, lit(4)) === 1, lit(" call +1 (555) 123-4567 now"))
           .otherwise(lit("")),
-        when(pmod(id, lit(3)) === 2,
+        when(pmod(id, lit(4)) === 2,
           concat(lit(" see https://ex.io/p/"), id.cast("string")))
           .otherwise(lit("")))
       TextFunctions.piiStats(
@@ -847,12 +848,12 @@ object TextQueries {
       s"""
       WITH inj AS (
         SELECT doc_id, source, text ||
-          CASE WHEN doc_id % 3 = 0
+          CASE WHEN doc_id % 4 = 0
                THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
                ELSE '' END ||
-          CASE WHEN doc_id % 3 = 1 THEN ' call +1 (555) 123-4567 now'
+          CASE WHEN doc_id % 4 = 1 THEN ' call +1 (555) 123-4567 now'
                ELSE '' END ||
-          CASE WHEN doc_id % 3 = 2
+          CASE WHEN doc_id % 4 = 2
                THEN ' see https://ex.io/p/' || CAST(doc_id AS VARCHAR)
                ELSE '' END AS t
         FROM documents),

@@ -637,16 +637,24 @@ object Curation {
     * one id-keyed full-outer shuffle join (both sides hash-partition
     * on the same key; AQE handles the skewless id key). The status is
     * a codegen when-chain. At 100 TB the shuffle moves ~50 bytes per
-    * doc, not the corpus. */
+    * doc, not the corpus.
+    *
+    * Presence is tracked by an explicit per-side marker, NOT by
+    * digest nullness — a NULL-text doc has a NULL md5, and a digest
+    * used as the presence proxy would report it `added` even when
+    * the id exists on both sides. Two NULL texts compare as
+    * unchanged (null-safe equality): same (absent) content. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
       text: Column): DataFrame = {
-    def digest(side: DataFrame, as: String): DataFrame =
-      side.select(id.as("doc_id"), md5(encode(text, "UTF-8")).as(as))
-    digest(oldDf, "__h_old").join(digest(newDf, "__h_new"), Seq("doc_id"), "full_outer")
+    def digest(side: DataFrame, h: String, mark: String): DataFrame =
+      side.select(id.as("doc_id"), md5(encode(text, "UTF-8")).as(h),
+        lit(true).as(mark))
+    digest(oldDf, "__h_old", "__in_old")
+      .join(digest(newDf, "__h_new", "__in_new"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__h_old").isNull, lit("added"))
-          .when(col("__h_new").isNull, lit("removed"))
-          .when(col("__h_old") === col("__h_new"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__h_old") <=> col("__h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -507,16 +507,16 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
     Some("""
-      WITH old AS (SELECT doc_id, md5(text) AS h
+      WITH old AS (SELECT doc_id, md5(text) AS h, TRUE AS in_old
                    FROM documents WHERE doc_id % 10 <> 0),
       neu AS (SELECT doc_id,
                 md5(CASE WHEN doc_id % 10 = 2 THEN text || ' [v2]'
-                         ELSE text END) AS h
+                         ELSE text END) AS h, TRUE AS in_new
               FROM documents WHERE doc_id % 10 <> 1)
       SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
-        CASE WHEN old.h IS NULL THEN 'added'
-             WHEN neu.h IS NULL THEN 'removed'
-             WHEN old.h = neu.h THEN 'unchanged'
+        CASE WHEN old.in_old IS NULL THEN 'added'
+             WHEN neu.in_new IS NULL THEN 'removed'
+             WHEN old.h IS NOT DISTINCT FROM neu.h THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
       ORDER BY doc_id"""))

@@ -163,16 +163,23 @@ object Profile {
       .agg(count(lit(1)).as("nl"))
     val r = right.select(rightId.as("id")).groupBy(col("id"))
       .agg(count(lit(1)).as("nr"))
+    // every sum is coalesced: on two EMPTY inputs the join has zero
+    // rows and a bare sum() would report NULL, not 0 — a downstream
+    // gate like `left_orphans = 0` must not silently null out
     l.join(r, Seq("id"), "full_outer")
       .agg(
-        sum(coalesce(col("nl"), lit(0L))).as("left_rows"),
-        sum(coalesce(col("nr"), lit(0L))).as("right_rows"),
-        sum(when(col("nl").isNotNull && col("nr").isNotNull, 1L).otherwise(0L))
-          .as("matched_ids"),
-        sum(when(col("nr").isNull, 1L).otherwise(0L)).as("left_orphans"),
-        sum(when(col("nl").isNull, 1L).otherwise(0L)).as("right_orphans"),
-        sum(when(col("nl") > 1, 1L).otherwise(0L)).as("left_dup_ids"),
-        sum(when(col("nr") > 1, 1L).otherwise(0L)).as("right_dup_ids"))
+        coalesce(sum(coalesce(col("nl"), lit(0L))), lit(0L)).as("left_rows"),
+        coalesce(sum(coalesce(col("nr"), lit(0L))), lit(0L)).as("right_rows"),
+        coalesce(sum(when(col("nl").isNotNull && col("nr").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("matched_ids"),
+        coalesce(sum(when(col("nr").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("left_orphans"),
+        coalesce(sum(when(col("nl").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("right_orphans"),
+        coalesce(sum(when(col("nl") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("left_dup_ids"),
+        coalesce(sum(when(col("nr") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("right_dup_ids"))
   }
 
   val qIntegrity = Q(

@@ -411,6 +411,13 @@ class CurationSpec extends AnyFunSuite {
       row.getLong(4), row.getLong(5), row.getLong(6)) ==
       (4L, 4L, 2L, 1L, 1L, 1L, 1L),
       s"got $row") // left_rows right_rows matched l_orph r_orph l_dup r_dup
+
+    // two empty inputs: one row of ZEROS, not NULLs — a gate like
+    // `left_orphans = 0` must hold, not null out
+    val empty = graft.operators.Profile.integrityProfile(
+      l.filter(lit(false)), col("doc_id"),
+      r.filter(lit(false)), col("vec_id")).head()
+    assert((0 until 7).map(empty.getLong) == Seq.fill(7)(0L), s"got $empty")
   }
 
   test("corpus diff labels added/removed/changed/unchanged by content digest") {
@@ -428,6 +435,20 @@ class CurationSpec extends AnyFunSuite {
     val self = Curation.corpusDiff(old, old, col("doc_id"), col("text"))
       .select(col("status")).distinct().collect().map(_.getString(0))
     assert(self.toSeq == Seq("unchanged"))
+
+    // NULL text must not masquerade as absence: presence rides its
+    // own marker, and two NULL texts are the same (absent) content
+    val nOld = Seq((1L, null), (2L, null), (3L, "x"))
+      .toDF("doc_id", "text")
+    val nNew = Seq((1L, null), (3L, null)).toDF("doc_id", "text")
+    val nGot = Curation.corpusDiff(nOld, nNew, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(nGot.toSeq == Seq(
+      1L -> "unchanged",  // NULL == NULL content
+      2L -> "removed",    // NULL-text doc dropped: removed, NOT added
+      3L -> "changed"),   // "x" -> NULL is a content change
+      s"got ${nGot.toSeq}")
   }
 
   test("budget carve-out is the minimal deterministic prefix covering the budget") {

@@ -133,7 +133,7 @@ class KeywordsSpec extends AnyFunSuite {
     // marginals: c1 a=2 b=1 c=1; c2 b=2 a=1 d=1
     // PMI(a b)=ln((2/2)(4/2))=ln2→693147; PMI(b a)=PMI(c d)=ln4→1386294
     val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
-    val got = Keywords.pmiTopK(df, col("doc_id"), col("text"), k = 10, minCount = 1)
+    val got = Keywords.pmiTopK(df, col("text"), k = 10, minCount = 1)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(got.toSeq == Seq(
@@ -141,8 +141,8 @@ class KeywordsSpec extends AnyFunSuite {
       (2L, "c d", 1L, 1L, 1L, 1.386294),
       (3L, "a b", 2L, 2L, 2L, 0.693147)), s"got ${got.toSeq}")
 
-    val filtered = Keywords.pmiTopK(df, col("doc_id"), col("text"),
-      k = 10, minCount = 2).collect().map(_.getString(1))
+    val filtered = Keywords.pmiTopK(df, col("text"), k = 10, minCount = 2)
+      .collect().map(_.getString(1))
     assert(filtered.toSeq == Seq("a b"), "minCount must drop hapax pairs")
   }
 

@@ -96,6 +96,13 @@ class ScrubSpec extends AnyFunSuite {
       TextFunctions.piiStats(df.withColumn("n_urls", lit(9L)), col("t"))
     }
     assert(e.getMessage.contains("n_urls"))
+
+    // NULL text reports 0/false — not NULLs that vanish from both
+    // sides of a clean/dirty filter
+    val withNull = Seq((3L, null: String)).toDF("doc_id", "t")
+    val nr = TextFunctions.piiStats(withNull, col("t")).head()
+    assert((nr.getLong(2), nr.getLong(3), nr.getLong(4), nr.getBoolean(5)) ==
+      (0L, 0L, 0L, false), s"got $nr")
   }
 
   test("urlDomains: host stops at path/query/fragment, lowercases, keeps ports") {
