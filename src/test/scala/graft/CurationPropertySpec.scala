@@ -25,6 +25,30 @@ class CurationPropertySpec extends AnyFunSuite {
       .distinctBy(_._1)
   }
 
+  test("corpus diff equals plain set algebra on random snapshot pairs") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def snap(): Map[Long, String] =
+        (0 until 30).filter(_ => rnd.nextBoolean())
+          .map(i => i.toLong -> s"t${rnd.nextInt(3)}").toMap
+      val (o, n) = (snap(), snap())
+      val want = (o.keySet ++ n.keySet).map { id =>
+        id -> ((o.get(id), n.get(id)) match {
+          case (None, Some(_))          => "added"
+          case (Some(_), None)          => "removed"
+          case (a, b) if a == b         => "unchanged"
+          case _                        => "changed"
+        })
+      }.toMap
+      val got = Curation.corpusDiff(
+          o.toSeq.toDF("doc_id", "text"), n.toSeq.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
   test("hashed contamination equals string-gram recompute on random corpora") {
     // the broadcast carries xxhash64(gram), not the gram string; the
     // count must still equal the straightforward string-set overlap

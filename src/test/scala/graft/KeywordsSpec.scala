@@ -127,6 +127,58 @@ class KeywordsSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2)) == (4L, 2L))
   }
 
+  test("oov rate equals a plain Scala recompute on random corpora") {
+    import spark.implicits._
+    val vocabPool = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 25).map(i =>
+        i.toLong -> Seq.fill(rnd.nextInt(12))(vocabPool(rnd.nextInt(vocabPool.size)))
+          .mkString(" "))
+      val k = 1 + rnd.nextInt(4)
+      val counts = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+        .map(_._1).toSet
+      val want = docs.map { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        id -> (toks.length.toLong, toks.count(w => !vocab(w)).toLong)
+      }.toMap
+      val got = Keywords.oovRate(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), vocabK = k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"seed $seed k=$k: got $got want $want")
+    }
+  }
+
+  test("pmi equals a plain Scala recompute (micro-nat ranking) on random corpora") {
+    import spark.implicits._
+    val pool = Vector("x", "y", "z", "w")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 15).map(i =>
+        i.toLong -> Seq.fill(2 + rnd.nextInt(10))(pool(rnd.nextInt(pool.size)))
+          .mkString(" "))
+      val bigrams = docs.flatMap(_._2.split(" ").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1))))
+      val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = bigrams.size.toLong
+      val want = c12.toSeq.filter(_._2 >= 2).map { case ((w1, w2), c) =>
+        val micro = math.round(math.log(
+          (c.toDouble / c1(w1)) * (total.toDouble / c2(w2))) * 1e6)
+        (s"$w1 $w2", c, c1(w1), c2(w2), micro)
+      }.sortBy { case (bg, _, _, _, m) => (-m, bg) }
+        .take(5)
+      val got = Keywords.pmiTopK(docs.toDF("doc_id", "text"), col("text"),
+          k = 5, minCount = 2)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), math.round(r.getDouble(5) * 1e6)))
+      assert(got.toSeq == want, s"seed $seed: got ${got.toSeq} want $want")
+    }
+  }
+
   test("pmi collocations: hand-computed micro-nats, rank ties, minCount") {
     import spark.implicits._
     // bigrams: (a b)×2 (b a)×1 from doc1, (c d)×1 from doc2; total 4
