@@ -28,11 +28,60 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --- shuffle accounting (BENCH_FULL-only; stdout contract unchanged).
+    // Wall-clock alone can hide a plan regression on a fast host: an
+    // operator that starts shuffling 10× the bytes may still hit its
+    // old time at sf0.1 while becoming the bottleneck at 100 TB. Sum
+    // "shuffleBytesWritten" across the EXECUTED plan's exchange nodes
+    // (the listener hands us the write's own QueryExecution; AQE
+    // wrappers and materialized query stages are leaf nodes, so the
+    // walk descends into them explicitly). Collected AFTER the timer
+    // stops — the spin-wait below never bills a query's number.
+    val lastQe = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        lastQe.set(qe)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        lastQe.set(qe)
+    })
+    def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan,
+        seenCaches: java.util.IdentityHashMap[AnyRef, AnyRef]):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flattenPlan(a.executedPlan, seenCaches)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flattenPlan(q.plan, seenCaches)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        // reused: bytes were billed where the exchange first ran
+        Seq(r)
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // a persisted frame hides its build shuffles behind the cache
+        // boundary; bill them ONCE per cache (a second scan of the
+        // same cache reads memory, not the wire)
+        if (seenCaches.put(t.relation.cacheBuilder, t.relation) == null)
+          p +: flattenPlan(t.relation.cachedPlan, seenCaches)
+        else Seq(p)
+      case other => other +: other.children.flatMap(flattenPlan(_, seenCaches))
+    }
+    def drainShuffleBytes(): Long = {
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (lastQe.get == null && System.nanoTime() < deadline) Thread.sleep(1)
+      Option(lastQe.get).map { qe =>
+        flattenPlan(qe.executedPlan, new java.util.IdentityHashMap)
+          .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
+      }.getOrElse(-1L)
+    }
+    val shuffleBytes = scala.collection.mutable.Map.empty[String, Long]
+
     def runOnce(name: String): Double = {
       // some queries persist an intermediate frame (e.g. the ngram shingle
       // cache); every timed run must recompute it or the min would
       // report a warm-cache number
       spark.catalog.clearCache()
+      lastQe.set(null)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -41,7 +90,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sb = drainShuffleBytes()
+      if (sb >= 0) shuffleBytes(name) = sb
+      sec
     }
 
     // warmup: first query pays session + codegen startup; don't let that
@@ -112,11 +164,16 @@ object Bench {
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"$fullPath"}"""
     System.err.println(s"""[bench] spread_max_over_min $spreads""")
+    // per-query total shuffle write MB (last pass's execution — the
+    // plan is deterministic, so any pass reports the same bytes)
+    val shuffles = names.flatMap(n => shuffleBytes.get(n).map(b =>
+        "\"" + n + "\":" + fmt(r3(b / 1e6))))
+      .mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
         (s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},""" +
-          s""""queries":$qs,"spread_max_over_min":$spreads,"sf":"$sfDir"}""" + "\n")
+          s""""queries":$qs,"spread_max_over_min":$spreads,"shuffle_mb":$shuffles,"sf":"$sfDir"}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
