@@ -39,13 +39,16 @@ object Bench {
     // stops — the spin-wait below never bills a query's number.
     val lastQe = new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.sql.execution.QueryExecution]()
+    val qeEvents = new java.util.concurrent.atomic.AtomicLong(0)
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        lastQe.set(qe)
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        lastQe.set(qe); qeEvents.incrementAndGet()
+      }
       override def onFailure(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
-        lastQe.set(qe)
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = {
+        lastQe.set(qe); qeEvents.incrementAndGet()
+      }
     })
     def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan,
         seenCaches: java.util.IdentityHashMap[AnyRef, AnyRef]):
@@ -66,13 +69,28 @@ object Bench {
         else Seq(p)
       case other => other +: other.children.flatMap(flattenPlan(_, seenCaches))
     }
+    // Listener delivery is ASYNC, and a query fn may run intermediate
+    // actions of its own (a stats collect, a parquet write) whose
+    // events land before the timed noop write's — "first non-null"
+    // could bill the wrong execution. All per-run actions are
+    // sequential and complete before the write returns, so their
+    // events sit in the bus IN ORDER: wait until the bus goes QUIET
+    // (no new event for 150 ms) and take the latest — that is the
+    // noop write's own QueryExecution. The previous run drained the
+    // same way, so nothing stale can satisfy the wait.
     def drainShuffleBytes(): Long = {
-      val deadline = System.nanoTime() + 2_000_000_000L
-      while (lastQe.get == null && System.nanoTime() < deadline) Thread.sleep(1)
-      Option(lastQe.get).map { qe =>
-        flattenPlan(qe.executedPlan, new java.util.IdentityHashMap)
-          .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
-      }.getOrElse(-1L)
+      val deadline = System.nanoTime() + 3_000_000_000L
+      var seen = -1L
+      while (System.nanoTime() < deadline &&
+          (lastQe.get == null || seen != qeEvents.get || seen < 0)) {
+        seen = qeEvents.get
+        Thread.sleep(150)
+        if (lastQe.get != null && qeEvents.get == seen) {
+          return flattenPlan(lastQe.get.executedPlan, new java.util.IdentityHashMap)
+            .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
+        }
+      }
+      -1L
     }
     val shuffleBytes = scala.collection.mutable.Map.empty[String, Long]
 
@@ -145,7 +163,13 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // cheapest-first, FAILURES LAST: the tail capture keeps the END of
+    // the line, and a failed query's identity is the single most
+    // interesting datum in the map — the -1 sentinel must not sort to
+    // the truncated head
+    val qs = results
+      .sortBy { case (_, v) => if (v < 0) Double.PositiveInfinity else v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-query max/min spread across passes: the min rejects transient
     // host noise, but a reader of ONE bench file can't tell which mins

@@ -137,8 +137,12 @@ object TextFunctions {
     * broadcast against the exploded token buckets and re-aggregated
     * per doc. One broadcast + one `(id, long)` partial-agg shuffle —
     * document payloads never move. `explode_outer` keeps zero-token
-    * docs (they score `bias`), so the output has exactly one row per
-    * input row: `(doc_id, score)`.
+    * docs (they score `bias`), so the output has one row per DISTINCT
+    * `id`: `(doc_id, score)`. Unlike the literal-map column (which is
+    * per-row), duplicate ids collapse into one row scoring the merged
+    * token stream with a single bias — pass a unique document key, or
+    * dedup first ([[graft.operators.Profile.integrityProfile]] is the
+    * audit for exactly this).
     */
   def hashedLinearScoreJoined(df: org.apache.spark.sql.DataFrame,
                               id: Column, text: Column,

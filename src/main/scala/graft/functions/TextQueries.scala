@@ -592,11 +592,18 @@ object TextQueries {
         lit("</h1><p class=\"main\">"), col("text"),
         lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>" +
           "Tom &amp; co &lt;3</body></html>"))
+      // let-bind the extraction: the 9-operator regex/replace chain
+      // must run once per row, not once for clean and again for the
+      // removed_chars length (codegen CSE does not cover these trees)
+      val cleanAndRemoved = graft.functions.Cols.let(
+        TextFunctions.htmlToText(injected)) { c =>
+        struct(c.as("clean"),
+          (length(injected) - length(c)).cast("long").as("removed_chars"))
+      }
       Tables(s, dir).documents.select(
-          col("doc_id"),
-          TextFunctions.htmlToText(injected).as("clean"),
-          (length(injected) - length(TextFunctions.htmlToText(injected)))
-            .cast("long").as("removed_chars"))
+          col("doc_id"), cleanAndRemoved.as("cr"))
+        .select(col("doc_id"), col("cr.clean").as("clean"),
+          col("cr.removed_chars").as("removed_chars"))
         .orderBy(col("doc_id"))
     },
     Some("""

@@ -48,12 +48,20 @@ object Dedup {
     val canon = df.select(id.as("doc_id"), url.as("url"))
       .select(col("doc_id"),
         TextFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
-    val keep = canon
+    // NULL urls never dedup against each other: xxhash64 maps every
+    // NULL input to the seed, so an unguarded group would collapse
+    // all url-less docs into one "duplicate" cluster — absence of a
+    // URL is not equality of URLs. They skip the group entirely and
+    // keep=true unconditionally.
+    val withUrl = canon.filter(col("canonical_url").isNotNull)
+    val keep = withUrl
       .groupBy(xxhash64(col("canonical_url")).as("ch"))
       .agg(min(col("doc_id")).as("keep_id"))
-    canon.join(keep, xxhash64(col("canonical_url")) === col("ch"))
+    withUrl.join(keep, xxhash64(col("canonical_url")) === col("ch"))
       .select(col("doc_id"), col("canonical_url"),
         (col("doc_id") === col("keep_id")).as("keep"))
+      .unionByName(canon.filter(col("canonical_url").isNull)
+        .select(col("doc_id"), col("canonical_url"), lit(true).as("keep")))
   }
 
   /** The exact-dedup content-hash index: one `content_hash` row per
@@ -633,6 +641,20 @@ object Dedup {
     * increment after increment should release it between calls —
     * `spark.catalog.clearCache()` or unpersist — or the per-increment
     * caches accumulate until storage eviction. */
+  /** THE signature-length guard both index consumers share: an index
+    * built with a different k would make element_at(sig, ...) read
+    * past the array end, yielding nulls that concat_ws silently
+    * skips — band hashes from PARTIAL signatures, near-dups silently
+    * missed. Fail loudly instead. ONE definition so the check (and
+    * its message) can't drift between the pair screen and the
+    * precomputed-bands path. */
+  private def requireSigLength(df: DataFrame, k: Int): DataFrame =
+    df.filter(coalesce(assert_true(size(col("sig")) === k,
+      concat(lit("minhash index signature length "),
+        size(col("sig")).cast("string"),
+        lit(s" != bands*rows = $k — the index was built with a different k"))),
+      lit(true)))
+
   def minhashLshPairsAgainstIndex(newDf: DataFrame, newId: Column, newText: Column,
                                   index: DataFrame,
                                   n: Int = 2, bands: Int = 16, rows: Int = 4,
@@ -640,16 +662,8 @@ object Dedup {
                                   maxBucket: Int = 1000): DataFrame = {
     graft.GraftExtensions.ensureRegistered(newDf.sparkSession)
     val nw = minhashPrepped(newDf, newId, newText, n, bands * rows, seed)
-    // hard guard: an index built with a different k would make
-    // element_at(sig, ...) read past the array end, yielding nulls
-    // that concat_ws silently skips — band hashes from PARTIAL
-    // signatures, near-dups silently missed. Fail loudly instead.
-    val idx = index.select(col("doc_id"), col("sh"), col("sig"))
-      .filter(coalesce(assert_true(size(col("sig")) === bands * rows,
-        concat(lit("minhash index signature length "),
-          size(col("sig")).cast("string"),
-          lit(s" != bands*rows = ${bands * rows} — the index was built with a different k"))),
-        lit(true)))
+    val idx = requireSigLength(
+      index.select(col("doc_id"), col("sh"), col("sig")), bands * rows)
     bipartiteLshPairs(nw, idx, bands, rows, threshold, maxBucket)
   }
 
@@ -663,12 +677,9 @@ object Dedup {
     * micro-batch. */
   def minhashIndexBands(index: DataFrame, bands: Int = 16, rows: Int = 4,
                         maxBucket: Int = 1000): DataFrame =
-    bandedCapped(index.select(col("doc_id"), col("sig"))
-      .filter(coalesce(assert_true(size(col("sig")) === bands * rows,
-        concat(lit("minhash index signature length "),
-          size(col("sig")).cast("string"),
-          lit(s" != bands*rows = ${bands * rows} — the index was built with a different k"))),
-        lit(true))), bands, rows, maxBucket)
+    bandedCapped(requireSigLength(
+      index.select(col("doc_id"), col("sig")), bands * rows),
+      bands, rows, maxBucket)
 
   /** [[minhashLshPairsAgainstIndex]] with the index side FULLY
     * precomputed: `index` is the [[minhashIndex]] frame (for the

@@ -101,8 +101,11 @@ object Similarity {
     * corpus-sized) — one small equi-join + partial-agg count. Safe to
     * run after every index (re)build as a gate. */
   def annRecall(truth: DataFrame, result: DataFrame): DataFrame =
-    truth.select(col("query_id"), col("neighbor_id"))
-      .join(result.select(col("query_id"), col("neighbor_id"))
+    // both sides distinct-ed first: a duplicate (query, neighbor) row
+    // in either input would multiply through the join and inflate
+    // BOTH truth_n and hits — recall is a statement about the SETS
+    truth.select(col("query_id"), col("neighbor_id")).distinct()
+      .join(result.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

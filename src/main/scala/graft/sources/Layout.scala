@@ -91,6 +91,15 @@ object Layout {
     val statExprs = cols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(statExprs.head, statExprs.tail: _*).collect()(0)
+    // min/max over zero rows (empty input) or an all-NULL column are
+    // NULL; there is no z-order to compute, and getLong would NPE
+    // mid-write. Degrade to a plain write with a clear path: an empty
+    // layout is a valid layout, and a clustering over no values is a
+    // no-op by definition.
+    if (cols.indices.exists(i => stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1))) {
+      df.coalesce(files).write.mode(saveMode).parquet(dir)
+      return
+    }
     val maxBucket = (1L << bitsPerCol) - 1L
     // binning runs in DOUBLE space: long arithmetic would wrap on
     // full-range keys (a hash-valued column spans ~2^64 — `mx - mn + 1`

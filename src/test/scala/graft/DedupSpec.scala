@@ -480,6 +480,17 @@ class DedupSpec extends AnyFunSuite {
       (1L, "http://a.com/x?a=2&b=1", true),
       (2L, "http://a.com/x?a=2&b=1", false),
       (3L, "http://a.com/y", true)), s"got ${got.toSeq}")
+
+    // absence of a URL is not equality of URLs: NULL-url docs all
+    // survive (xxhash64(NULL) = the seed would otherwise collapse
+    // every url-less doc into one "duplicate" group)
+    val withNulls = Seq((1L, null: String), (2L, null: String),
+      (3L, "http://a.com/z"), (4L, "http://a.com/z")).toDF("doc_id", "url")
+    val ng = graft.operators.Dedup.urlDedup(withNulls, col("doc_id"), col("url"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(ng.toSeq == Seq(1L -> true, 2L -> true, 3L -> true, 4L -> false),
+      s"got ${ng.toSeq}")
   }
 
   test("langId picks the profile with most hits") {

@@ -107,6 +107,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered write degrades cleanly on empty input and all-NULL columns") {
+    import spark.implicits._
+    // empty input: min/max stats are NULL — must write an empty valid
+    // layout, not NPE mid-write
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-z0").toString + "/e"
+    Layout.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), dir1, Seq("a", "b"), files = 4)
+    assert(spark.read.parquet(dir1).count() == 0)
+
+    // an entirely-NULL z column: no clustering to compute, rows survive
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-z0").toString + "/n"
+    val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    Layout.writeZOrdered(df, dir2, Seq("a", "b"), files = 4)
+    assert(spark.read.parquet(dir2).count() == 2)
+  }
+
   test("partitioned writes prune non-matching directories from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
     val t = Tables(spark, sf)

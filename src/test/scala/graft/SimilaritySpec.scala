@@ -533,6 +533,17 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 3L, 1L, 0.3333), (2L, 2L, 0L, 0.0)),
       s"got ${got.toSeq}")
+
+    // recall is about SETS: duplicate pairs in either input (a caller
+    // unioning result frames, a non-distinct pair list) must not
+    // inflate truth_n or hits
+    val dupResult = partial.union(partial)
+    val dupTruth = truth.union(truth)
+    val dd = Similarity.annRecall(dupTruth, dupResult)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(dd.toSeq == Seq((1L, 3L, 1L, 0.3333), (2L, 2L, 0L, 0.0)),
+      s"duplicates inflated recall: ${dd.toSeq}")
   }
 
   test("dHash is invariant to lossless upscale of a real image and flags the planted pair") {
