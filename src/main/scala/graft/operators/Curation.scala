@@ -147,6 +147,36 @@ object Curation {
     df.withColumn("bucket", bucket).withColumn("split", label)
   }
 
+  /** Temporal train/val/test split (SURVEY.md §2.C66): each row gets
+    * the label of the first boundary its timestamp falls under — the
+    * train-on-past / evaluate-on-future discipline, the one split
+    * family hashing can NEVER provide (a hash split scatters
+    * tomorrow's events into today's training set; any model evaluated
+    * for forecasting, trend detection, or drift must hold out a
+    * FUTURE window, not a random one). `cuts` are (label,
+    * upperExclusive) in strictly increasing order; rows at or past
+    * the last cut get `tailLabel`. Boundaries are caller-supplied
+    * LONGS (epoch micros/nanos — whatever `ts` carries): explicit
+    * cuts keep the operator a pure codegen when-chain — no quantile
+    * pass, no shuffle, reproducible on any cluster size — and the
+    * caller derives them however it likes (fixed dates, integer
+    * range fractions, an offline quantile job). Same reserved-column
+    * fail-fast contract as [[splitByHash]]. */
+  def splitByTime(df: DataFrame, ts: Column, cuts: Seq[(String, Long)],
+                  tailLabel: String): DataFrame = {
+    require(cuts.nonEmpty, "need at least one (label, upperExclusive) cut")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,
+      s"cut boundaries must be strictly increasing, got $cuts")
+    val clash = df.columns.toSet.intersect(Set("split"))
+    require(clash.isEmpty,
+      "splitByTime writes the reserved column 'split'; " +
+        "input already carries it — drop or rename first")
+    val label = cuts.reverse.foldLeft(lit(tailLabel)) {
+      case (acc, (name, upper)) => when(ts < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Leakage-safe [[splitByHash]]: every member of a near-dup cluster
     * lands in the SAME split. Splitting docs independently leaks —
     * a train doc's near-duplicate in the test split means the model

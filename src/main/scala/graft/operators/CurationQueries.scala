@@ -521,8 +521,44 @@ object CurationQueries {
       FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
       ORDER BY doc_id"""))
 
+  /** Temporal split over events (C66): train on the first 80% of the
+    * time RANGE, validate on the next 10%, test on the future tail —
+    * boundaries derived by integer range fractions (exact longs in
+    * both engines; an empirical-quantile cut would hang parity on
+    * float interpolation order). The boundary derivation is a 1-row
+    * min/max scalar fetch (the zorder stats idiom), never a corpus
+    * collect; the split itself is a map-side when-chain. */
+  val qSplitTemporal = Q(
+    "qsplit_temporal",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(expr("ts div 1000").as("ts_us"))
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val cut = (f: Long) => mn + (mx - mn) * f / 10L
+      Curation.splitByTime(ev, col("ts_us"),
+          Seq("train" -> cut(8), "val" -> cut(9)), tailLabel = "test")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy(col("split"))
+    },
+    Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                 FROM events),
+      lab AS (SELECT epoch_us(ts) AS u,
+                CASE WHEN epoch_us(ts) < mn + ((mx - mn) * 8) // 10 THEN 'train'
+                     WHEN epoch_us(ts) < mn + ((mx - mn) * 9) // 10 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM events CROSS JOIN b)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(MIN(u) AS BIGINT) AS min_ts_us,
+        CAST(MAX(u) AS BIGINT) AS max_ts_us
+      FROM lab GROUP BY split ORDER BY split"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff)
+    qCorpusDiff, qSplitTemporal)
 }

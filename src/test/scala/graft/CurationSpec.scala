@@ -400,6 +400,26 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket"), s"unexpected: ${e.getMessage}")
   }
 
+  test("temporal split: boundary semantics exact, guards fire") {
+    import spark.implicits._
+    val df = Seq(5L, 9L, 10L, 15L, 20L, 25L).toDF("ts")
+    val got = Curation.splitByTime(df, col("ts"),
+        Seq("train" -> 10L, "val" -> 20L), tailLabel = "test")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // upper bounds are EXCLUSIVE: ts=10 is val, ts=20 is test
+    assert(got == Map(5L -> "train", 9L -> "train", 10L -> "val",
+      15L -> "val", 20L -> "test", 25L -> "test"), s"got $got")
+
+    intercept[IllegalArgumentException] {
+      Curation.splitByTime(df, col("ts"),
+        Seq("a" -> 20L, "b" -> 10L), tailLabel = "c") // not increasing
+    }
+    intercept[IllegalArgumentException] {
+      Curation.splitByTime(df.withColumn("split", lit("x")), col("ts"),
+        Seq("a" -> 10L), tailLabel = "b") // reserved column
+    }
+  }
+
   test("integrity profile counts orphans, matches, and duplicate ids") {
     import spark.implicits._
     // left: 1 2 2 3 — dup id 2, orphan 3; right: 1 2 4 4 — dup id 4, orphan 4
