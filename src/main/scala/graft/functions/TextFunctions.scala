@@ -408,8 +408,12 @@ object TextFunctions {
     * cheapest possible 100 TB gate. */
   def encodingArtifacts(df: org.apache.spark.sql.DataFrame, id: Column,
                         text: Column): org.apache.spark.sql.DataFrame = {
-    def removed(pat: String): Column =
-      (length(text) - length(regexp_replace(text, pat, ""))).cast("long")
+    // coalesced: NULL text has no artifacts (0, 0, 0, clean) — a NULL
+    // is_clean would make the row vanish from BOTH sides of a
+    // clean/dirty filter (the piiStats audit contract)
+    def removed(pat: String): Column = coalesce(
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("long"),
+      lit(0L))
     val nRepl = removed(ReplChar)
     val nCtrl = removed(CtrlChar)
     val nMoji = ((removed(MojiPair) / 2) + (removed(MojiTriple) / 3)).cast("long")
@@ -545,8 +549,13 @@ object TextFunctions {
         s"input already carries: ${clash.toSeq.sorted.mkString(", ")}")
     val measured = df.select(
       col("*") +: gopherMeasures(text).map { case (n, c) => c.as(n) }: _*)
+    // passes is coalesced: NULL text gives NULL measures and a NULL
+    // conjunction — the gate's honest answer for no-text is FALSE
+    // (fails quality), not a NULL that vanishes from filter(passes)
+    // AND filter(!passes) alike. Per-rule flags keep their NULLs (no
+    // measurement happened); only the decision column is forced.
     measured.select(col("*") +: (flags.map { case (n, c) => c.as(n) } :+
-      flags.map(_._2).reduce(_ && _).as("passes")): _*)
+      coalesce(flags.map(_._2).reduce(_ && _), lit(false)).as("passes")): _*)
   }
 
   /** Per-rule flags + the conjunction as loose (name, Column) pairs —

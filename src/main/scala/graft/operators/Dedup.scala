@@ -21,10 +21,20 @@ object Dedup {
   /** Exact duplicate groups over normalized text: one row per distinct
     * normalized content, keeping the smallest id. md5 is used as the
     * group key so the (long) text itself never shuffles. */
-  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), md5(TextFunctions.normalizeText(text)).as("content_hash"))
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val hashed = df.select(id.as("doc_id"),
+      md5(TextFunctions.normalizeText(text)).as("content_hash"))
+    // NULL text never dedups against other NULL text: groupBy puts
+    // every NULL hash in ONE group, silently dropping all but one
+    // text-less doc — absence of content is not equality of content
+    // (the urlDedup contract). NULL rows are their own singletons.
+    hashed.filter(col("content_hash").isNotNull)
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .unionByName(hashed.filter(col("content_hash").isNull)
+        .select(col("content_hash"), col("doc_id").as("keep_id"),
+          lit(1L).as("n_copies")))
+  }
 
   /** Survivors only (keep-first semantics). */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -453,7 +463,9 @@ object Dedup {
           }
         }.as("r"))
       .select(col("doc_id"), col("r.clean").as("clean"),
-        col("r.removed_lines").as("removed_lines"))
+        // NULL text passes through as NULL clean — but the COUNT is a
+        // statement about work done, and no lines were removed: 0
+        coalesce(col("r.removed_lines"), lit(0L)).as("removed_lines"))
   }
 
   // --- C2: MinHash + banded LSH -----------------------------------------

@@ -22,8 +22,14 @@ object Similarity {
                 queries: DataFrame, queryId: Column, queryVec: Column,
                 k: Int): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    // NULL embeddings are excluded, not ranked: an unguarded NULL
+    // corpus vector scores a NULL cosine and still takes a top-k slot
+    // (the bucketed paths drop them implicitly — their band hashes
+    // never equi-match; the scan paths must drop them explicitly)
     val c = corpus.select(corpusId.as("neighbor_id"), VectorFunctions.normalized(corpusVec).as("cv"))
+      .filter(col("cv").isNotNull)
     val q = queries.select(queryId.as("query_id"), VectorFunctions.normalized(queryVec).as("qv"))
+      .filter(col("qv").isNotNull)
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.dot(col("cv"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
@@ -53,10 +59,13 @@ object Similarity {
   def mipsTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                queries: DataFrame, queryId: Column, queryVec: Column,
                k: Int): DataFrame = {
+    // NULL embeddings excluded, not ranked — the bruteTopK contract
     val c = corpus.select(corpusId.as("neighbor_id"),
       corpusVec.cast("array<double>").as("cv"))
+      .filter(col("cv").isNotNull)
     val q = queries.select(queryId.as("query_id"),
       queryVec.cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull)
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       // ANSI double→long cast truncates toward zero (DuckDB: trunc) —
       // correct for both signs of the product term

@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
 object StreamDedup {
 
   /** The batch operator's normalization, verbatim (Dedup.exactGroups),
-    * so stream and batch agree on what is a duplicate. */
+    * so stream and batch agree on what is a duplicate. NULL text maps
+    * to a per-record unique key instead of NULL: dropDuplicates treats
+    * NULL keys as equal, which would silently swallow every text-less
+    * record after the first — the batch side's NULL-singleton rule
+    * (absence of content is not equality of content), kept in sync.
+    * The unique key is a uuid, so a replayed null-text record is NOT
+    * deduped against its own earlier delivery — acceptable: such
+    * records carry no content to duplicate, and the batch exactDedup
+    * backstop applies the same singleton rule downstream. */
   def contentKey(text: Column): Column =
-    md5(graft.functions.TextFunctions.normalizeText(text))
+    coalesce(md5(graft.functions.TextFunctions.normalizeText(text)),
+      concat(lit("__null__"), uuid()))
 
   def withinWatermark(df: DataFrame, ts: Column, text: Column,
                       delay: String): DataFrame =

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** NULL-input contracts across the operator surface. The rules:
+  *
+  *  - absence of content is never EQUALITY of content — NULL texts /
+  *    urls / embeddings must not dedup against each other;
+  *  - audit booleans (any_pii, is_clean, passes) are never NULL — a
+  *    NULL boolean vanishes from BOTH sides of a filter;
+  *  - counts of work done are 0, not NULL, when there was nothing to
+  *    work on;
+  *  - rankings never award a slot to a NULL score.
+  *
+  * The testdata has no NULL text, so the oracles can't see these
+  * paths — this spec is their gate.
+  */
+class NullSafetySpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def docs = {
+    import spark.implicits._
+    Seq((1L, "hello world hello"), (2L, null: String), (3L, null: String),
+      (4L, "a b c")).toDF("doc_id", "text")
+  }
+
+  test("exactDedup: NULL texts are singletons, never duplicates of each other") {
+    val survivors = graft.operators.Dedup.exactDedup(
+        docs, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"null-text docs collapsed: ${survivors.toSeq}")
+  }
+
+  test("gopherGate: NULL text FAILS the gate (passes=false, not NULL)") {
+    val passes = graft.functions.TextFunctions.gopherGate(
+        docs, col("text"), 1, 100, 1, 100, minStopwords = 0)
+      .select(col("doc_id"), col("passes"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(passes(2L) == false && passes(3L) == false)
+    // and they appear on exactly one side of the filter pair
+    val gated = graft.functions.TextFunctions.gopherGate(
+      docs, col("text"), 1, 100, 1, 100, minStopwords = 0)
+    val both = gated.filter(col("passes")).count() +
+      gated.filter(!col("passes")).count()
+    assert(both == 4L, s"rows vanished from both filter sides: $both of 4")
+  }
+
+  test("encodingArtifacts: NULL text is clean with zero counts") {
+    val r = graft.functions.TextFunctions.encodingArtifacts(
+        docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)) ==
+      (0L, 0L, 0L, true), s"got $r")
+  }
+
+  test("lineRepeatRemove: NULL text passes through with removed_lines=0") {
+    val r = graft.operators.Dedup.lineRepeatRemove(
+        docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"))
+      .head()
+    assert(r.isNullAt(1) && r.getLong(2) == 0L, s"got $r")
+  }
+
+  test("bruteTopK and mipsTopK: NULL embeddings are excluded, not ranked") {
+    import spark.implicits._
+    val embs = Seq((1L, Array(1.0f, 0.0f)), (2L, null: Array[Float]),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 1L)
+    val brute = graft.operators.Similarity.bruteTopK(
+        embs, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 2)
+      .collect().map(r => (r.getLong(1), r.isNullAt(3)))
+    assert(brute.toSeq == Seq(3L -> false),
+      s"NULL embedding took a top-k slot: ${brute.toSeq}")
+    val mips = graft.operators.Similarity.mipsTopK(
+        embs, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 2)
+      .collect().map(_.getLong(1))
+    assert(mips.toSeq == Seq(3L), s"got ${mips.toSeq}")
+  }
+
+  test("LM scorers and oovRate report zero-token NULL-text docs honestly") {
+    val uni = graft.functions.Keywords.unigramLogProb(
+        docs, col("doc_id"), col("text"))
+      .filter(col("doc_id") === 2L).head()
+    assert(uni.getLong(1) == 0L && uni.isNullAt(3), s"got $uni")
+    val oov = graft.functions.Keywords.oovRate(
+        docs, col("doc_id"), col("text"), vocabK = 2)
+      .filter(col("doc_id") === 2L).head()
+    assert(oov.getLong(1) == 0L && oov.getLong(2) == 0L && oov.isNullAt(3),
+      s"got $oov")
+  }
+}
