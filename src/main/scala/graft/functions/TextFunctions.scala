@@ -408,19 +408,33 @@ object TextFunctions {
     * cheapest possible 100 TB gate. */
   def encodingArtifacts(df: org.apache.spark.sql.DataFrame, id: Column,
                         text: Column): org.apache.spark.sql.DataFrame = {
-    // coalesced: NULL text has no artifacts (0, 0, 0, clean) — a NULL
-    // is_clean would make the row vanish from BOTH sides of a
-    // clean/dirty filter (the piiStats audit contract)
-    def removed(pat: String): Column = coalesce(
-      (length(text) - length(regexp_replace(text, pat, ""))).cast("long"),
-      lit(0L))
-    val nRepl = removed(ReplChar)
-    val nCtrl = removed(CtrlChar)
-    val nMoji = ((removed(MojiPair) / 2) + (removed(MojiTriple) / 3)).cast("long")
+    val (nRepl, nCtrl, nMoji) = artifactCountCols(text)
     df.select(id.as("doc_id"),
         nRepl.as("n_repl"), nCtrl.as("n_ctrl"), nMoji.as("n_moji"))
       .withColumn("is_clean",
         col("n_repl") + col("n_ctrl") + col("n_moji") === 0L)
+  }
+
+  /** THE per-class artifact counts [[encodingArtifacts]] and the
+    * column-level [[isCleanText]] gate share — ONE definition of the
+    * width arithmetic. Coalesced: NULL text has no artifacts (0s,
+    * clean) — a NULL boolean would make the row vanish from BOTH
+    * sides of a clean/dirty filter (the piiStats audit contract). */
+  private def artifactCountCols(text: Column): (Column, Column, Column) = {
+    def removed(pat: String): Column = coalesce(
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("long"),
+      lit(0L))
+    (removed(ReplChar), removed(CtrlChar),
+      ((removed(MojiPair) / 2) + (removed(MojiTriple) / 3)).cast("long"))
+  }
+
+  /** Column-level encoding gate: true iff the text carries zero
+    * artifacts of any [[encodingArtifacts]] class. For pipeline
+    * composition — a map-side when/filter with no frame API detour
+    * and no join-back. */
+  def isCleanText(text: Column): Column = {
+    val (r, c, m) = artifactCountCols(text)
+    r + c + m === 0L
   }
 
   /** Character-entropy quality signal (C56): per-doc Shannon entropy

@@ -557,8 +557,95 @@ object CurationQueries {
         CAST(MAX(u) AS BIGINT) AS max_ts_us
       FROM lab GROUP BY split ORDER BY split"""))
 
+  /** The full web-corpus recipe (C67): inject → NFC-normalize →
+    * encoding gate → PII scrub → exact dedup → split, each stage
+    * exercised by a disjoint doc-id residue class so NONE is vacuous:
+    * residues 1 and 2 get the SAME text in decomposed vs precomposed
+    * Unicode — they dedup into one survivor ONLY because NFC ran
+    * first (the reason the normalize stage leads every hash-keyed
+    * recipe); residue 3 gets a U+FFFD and dies at the encoding gate;
+    * residue 4 gets a per-doc email the scrub redacts. The whole
+    * chain before the dedup shuffle is ONE codegen map stage (NFC +
+    * artifact gate + scrub are all column exprs — the frame APIs'
+    * shared column cores compose without join-backs); dedup and
+    * split are the proven C1/C30 shapes. The oracle rebuilds the
+    * pipeline stage-for-stage from the same shared regex/CTE
+    * constants the per-stage oracles prove. */
+  val qRecipe = Q(
+    "qcuration_recipe",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val id = col("doc_id")
+      val r = pmod(id, lit(12))
+      // r1 is DECOMPOSED (e + U+0301), r2 PRECOMPOSED (U+00E9): same text,
+      // different bytes — they dedup together ONLY because NFC runs first
+      val injected = when(r === 1, lit("shared body cafe\u0301"))
+        .when(r === 2, lit("shared body caf\u00E9"))
+        .otherwise(concat(col("text"),
+          when(r === 3, lit(" \uFFFD broken"))
+            .when(r === 4,
+              concat(lit(" mail u"), id.cast("string"), lit("@ex.org")))
+            .otherwise(lit(""))))
+      val prepped = Tables(s, dir).documents
+        .select(id, TextFunctions.nfcNormalize(injected).as("t"))
+        .filter(TextFunctions.isCleanText(col("t")))
+        .select(id, TextFunctions.redactPii(col("t")).as("clean"))
+      val keep = Dedup.exactDedup(prepped, col("doc_id"), col("clean"))
+      val survivors = prepped.join(keep, "doc_id")
+      Curation.splitByHash(survivors, col("doc_id"),
+          splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split"), col("clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.TextFunctions
+      val (u, e, p) =
+        (TextFunctions.UrlPattern, TextFunctions.EmailPattern, TextFunctions.PhonePattern)
+      s"""
+      WITH inj AS (
+        SELECT doc_id, CASE
+            WHEN doc_id % 12 = 1 THEN 'shared body cafe' || chr(769)
+            WHEN doc_id % 12 = 2 THEN 'shared body caf' || chr(233)
+            ELSE text ||
+              CASE WHEN doc_id % 12 = 3 THEN ' ' || chr(65533) || ' broken'
+                   WHEN doc_id % 12 = 4
+                   THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                   ELSE '' END
+          END AS t0
+        FROM documents),
+      nfc AS (SELECT doc_id, nfc_normalize(t0) AS t FROM inj),
+      art AS (SELECT doc_id, t,
+              CAST(length(t) - length(regexp_replace(t,
+                '${TextFunctions.ReplChar}', '', 'g')) AS BIGINT) AS n_repl,
+              CAST(length(t) - length(regexp_replace(t,
+                '${TextFunctions.CtrlChar}', '', 'g')) AS BIGINT) AS n_ctrl,
+              CAST((length(t) - length(regexp_replace(t,
+                  '${TextFunctions.MojiPair}', '', 'g'))) / 2
+                + (length(t) - length(regexp_replace(t,
+                  '${TextFunctions.MojiTriple}', '', 'g'))) / 3
+                AS BIGINT) AS n_moji
+            FROM nfc),
+      gate AS (SELECT doc_id, t FROM art
+               WHERE n_repl + n_ctrl + n_moji = 0),
+      scrub AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(t, '$u', '<URL>', 'g'),
+            '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS clean
+        FROM gate),
+      norm AS (SELECT doc_id, clean,
+          md5(regexp_replace(lower(trim(clean)), '\\s+', ' ', 'g')) AS h
+        FROM scrub),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY h),
+      surv AS (SELECT n.doc_id, n.clean FROM norm n JOIN keep k USING (doc_id)),
+      ${fnvKeyCtes("split", carry = "clean", src = "surv")}
+      SELECT doc_id,
+        CASE WHEN ((sb % 100) + 100) % 100 < 90 THEN 'train'
+             WHEN ((sb % 100) + 100) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split, clean
+      FROM g ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff, qSplitTemporal)
+    qCorpusDiff, qSplitTemporal, qRecipe)
 }
