@@ -39,16 +39,13 @@ object Bench {
     // stops — the spin-wait below never bills a query's number.
     val lastQe = new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.sql.execution.QueryExecution]()
-    val qeEvents = new java.util.concurrent.atomic.AtomicLong(0)
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
-        lastQe.set(qe); qeEvents.incrementAndGet()
-      }
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        lastQe.set(qe)
       override def onFailure(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = {
-        lastQe.set(qe); qeEvents.incrementAndGet()
-      }
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        lastQe.set(qe)
     })
     def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan,
         seenCaches: java.util.IdentityHashMap[AnyRef, AnyRef]):
@@ -71,24 +68,23 @@ object Bench {
     }
     // Listener delivery is ASYNC, and a query fn may run intermediate
     // actions of its own (a stats collect, a parquet write) whose
-    // events land before the timed noop write's — "first non-null"
-    // could bill the wrong execution. All per-run actions are
-    // sequential and complete before the write returns, so their
-    // events sit in the bus IN ORDER: wait until the bus goes QUIET
-    // (no new event for 150 ms) and take the latest — that is the
-    // noop write's own QueryExecution. The previous run drained the
-    // same way, so nothing stale can satisfy the wait.
+    // events land before the timed noop write's — "first non-null" or
+    // a quiet-window heuristic could bill the wrong execution. The
+    // timed write is unambiguous instead: its executed plan ROOT is
+    // the noop sink ("OverwriteByExpression NoopWrite"), which no
+    // intermediate action can produce — poll (5 ms) until THAT
+    // execution arrives.
     def drainShuffleBytes(): Long = {
       val deadline = System.nanoTime() + 3_000_000_000L
-      var seen = -1L
-      while (System.nanoTime() < deadline &&
-          (lastQe.get == null || seen != qeEvents.get || seen < 0)) {
-        seen = qeEvents.get
-        Thread.sleep(150)
-        if (lastQe.get != null && qeEvents.get == seen) {
-          return flattenPlan(lastQe.get.executedPlan, new java.util.IdentityHashMap)
+      while (System.nanoTime() < deadline) {
+        val qe = lastQe.get
+        if (qe != null &&
+            qe.executedPlan.toString.linesIterator.nextOption()
+              .exists(_.contains("NoopWrite"))) {
+          return flattenPlan(qe.executedPlan, new java.util.IdentityHashMap)
             .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
         }
+        Thread.sleep(5)
       }
       -1L
     }

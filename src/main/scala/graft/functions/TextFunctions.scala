@@ -590,6 +590,8 @@ object TextFunctions {
       "n_tokens" -> m("n_tokens"),
       "n_alpha_tokens" -> m("n_alpha_tokens"),
       "n_stop_distinct" -> m("n_stop_distinct")) ++
-      flags :+ ("passes" -> flags.map(_._2).reduce(_ && _))
+      // passes coalesced like gopherGate's: NULL text FAILS the gate,
+      // it doesn't vanish from both filter sides as a NULL boolean
+      flags :+ ("passes" -> coalesce(flags.map(_._2).reduce(_ && _), lit(false)))
   }
 }

@@ -171,10 +171,17 @@ object Curation {
     require(clash.isEmpty,
       "splitByTime writes the reserved column 'split'; " +
         "input already carries it — drop or rename first")
+    // NULL timestamps get a NULL split, never tailLabel: every
+    // `ts < upper` is NULL for them and would fall through the
+    // when-chain into the FUTURE holdout — undated rows contaminating
+    // exactly the window a temporal split exists to protect. A NULL
+    // label is the honest answer (an undated row belongs to no
+    // temporal split) and stays visible to an isNull audit.
     val label = cuts.reverse.foldLeft(lit(tailLabel)) {
       case (acc, (name, upper)) => when(ts < upper, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", label)
+    df.withColumn("split",
+      when(ts.isNull, lit(null).cast("string")).otherwise(label))
   }
 
   /** Leakage-safe [[splitByHash]]: every member of a near-dup cluster

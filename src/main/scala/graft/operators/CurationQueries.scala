@@ -534,7 +534,10 @@ object CurationQueries {
       val ev = Tables(s, dir).events
         .select(expr("ts div 1000").as("ts_us"))
       val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
-      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      // empty events / all-NULL ts: no range to cut — empty result,
+      // not a getLong NPE (the writeZOrdered null-stats rule)
+      val (mn, mx) =
+        if (b.isNullAt(0) || b.isNullAt(1)) (0L, 10L) else (b.getLong(0), b.getLong(1))
       val cut = (f: Long) => mn + (mx - mn) * f / 10L
       Curation.splitByTime(ev, col("ts_us"),
           Seq("train" -> cut(8), "val" -> cut(9)), tailLabel = "test")
@@ -586,10 +589,17 @@ object CurationQueries {
             .when(r === 4,
               concat(lit(" mail u"), id.cast("string"), lit("@ex.org")))
             .otherwise(lit(""))))
+      // persisted: the NFC + artifact-gate + scrub chain is the
+      // expensive derived pipeline the Keywords caching note says to
+      // persist — it feeds BOTH the dedup group build and the
+      // survivors join, and recomputing four regex passes + NFC per
+      // consumer would double the pipeline's cost (clearCache-managed
+      // like the dedup signature caches)
       val prepped = Tables(s, dir).documents
         .select(id, TextFunctions.nfcNormalize(injected).as("t"))
         .filter(TextFunctions.isCleanText(col("t")))
         .select(id, TextFunctions.redactPii(col("t")).as("clean"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep = Dedup.exactDedup(prepped, col("doc_id"), col("clean"))
       val survivors = prepped.join(keep, "doc_id")
       Curation.splitByHash(survivors, col("doc_id"),

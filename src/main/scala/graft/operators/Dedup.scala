@@ -21,20 +21,22 @@ object Dedup {
   /** Exact duplicate groups over normalized text: one row per distinct
     * normalized content, keeping the smallest id. md5 is used as the
     * group key so the (long) text itself never shuffles. */
-  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val hashed = df.select(id.as("doc_id"),
-      md5(TextFunctions.normalizeText(text)).as("content_hash"))
-    // NULL text never dedups against other NULL text: groupBy puts
-    // every NULL hash in ONE group, silently dropping all but one
-    // text-less doc — absence of content is not equality of content
-    // (the urlDedup contract). NULL rows are their own singletons.
-    hashed.filter(col("content_hash").isNotNull)
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .unionByName(hashed.filter(col("content_hash").isNull)
-        .select(col("content_hash"), col("doc_id").as("keep_id"),
-          lit(1L).as("n_copies")))
-  }
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    // NULL text never dedups against other NULL text: a bare
+    // groupBy(content_hash) puts every NULL hash in ONE group,
+    // silently dropping all but one text-less doc — absence of
+    // content is not equality of content (the urlDedup contract).
+    // The group key is (isNull, coalesce(hash, doc_id)) so NULL rows
+    // are per-row singletons — the two key classes can't collide and
+    // the corpus is scanned ONCE (a filter+union form would hash and
+    // scan it twice).
+    df.select(id.as("doc_id"),
+        md5(TextFunctions.normalizeText(text)).as("content_hash"))
+      .groupBy(col("content_hash").isNull.as("__null_text"),
+        coalesce(col("content_hash"), col("doc_id").cast("string")).as("__gk"))
+      .agg(min(col("content_hash")).as("content_hash"),
+        min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col("keep_id"), col("n_copies"))
 
   /** Survivors only (keep-first semantics). */
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -55,23 +57,29 @@ object Dedup {
     * would merge two groups at odds ~1e-11 at 10⁷ distinct URLs); one
     * grouped min (map-side partials) + one hash-keyed join back. */
   def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame = {
-    val canon = df.select(id.as("doc_id"), url.as("url"))
-      .select(col("doc_id"),
-        TextFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
     // NULL urls never dedup against each other: xxhash64 maps every
     // NULL input to the seed, so an unguarded group would collapse
     // all url-less docs into one "duplicate" cluster — absence of a
-    // URL is not equality of URLs. They skip the group entirely and
-    // keep=true unconditionally.
-    val withUrl = canon.filter(col("canonical_url").isNotNull)
-    val keep = withUrl
-      .groupBy(xxhash64(col("canonical_url")).as("ch"))
+    // URL is not equality of URLs. The group key is (isNull,
+    // coalesce(hash, doc_id)) — NULL rows are per-row singleton
+    // groups (keep=true falls out of the group min), the key classes
+    // can't collide, and the corpus is scanned twice (group build +
+    // probe), not three times as a filter+union form would.
+    val canon = df.select(id.as("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+      .withColumn("__null_url", col("canonical_url").isNull)
+      // an explicit when, NOT coalesce(xxhash64(url), id): xxhash64
+      // SKIPS null inputs and returns the seed — it never yields the
+      // NULL a coalesce would need to see
+      .withColumn("__ch",
+        when(col("canonical_url").isNull, col("doc_id"))
+          .otherwise(xxhash64(col("canonical_url"))))
+    val keep = canon.groupBy(col("__null_url"), col("__ch"))
       .agg(min(col("doc_id")).as("keep_id"))
-    withUrl.join(keep, xxhash64(col("canonical_url")) === col("ch"))
+    canon.join(keep, Seq("__null_url", "__ch"))
       .select(col("doc_id"), col("canonical_url"),
         (col("doc_id") === col("keep_id")).as("keep"))
-      .unionByName(canon.filter(col("canonical_url").isNull)
-        .select(col("doc_id"), col("canonical_url"), lit(true).as("keep")))
   }
 
   /** The exact-dedup content-hash index: one `content_hash` row per

@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * hash has already been seen. Both variants keep only the md5 key in
   * state — never the document payload — so state size is bounded by
   * distinct-key count (bounded variant: keys inside the watermark
-  * horizon), not corpus bytes.
+  * horizon), not corpus bytes. Exception: NULL-text records each
+  * carry a unique key (the singleton rule below), so state grows
+  * with their COUNT — watermark-bounded in [[withinWatermark]];
+  * in [[unbounded]], bounded only by the backfill's size, so a
+  * null-heavy unbounded stream should filter them upstream.
   *
   * [[withinWatermark]] is the scale path: Spark evicts state for keys
   * older than the event-time watermark, so a continuous ingest run has

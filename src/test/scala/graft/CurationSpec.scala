@@ -410,6 +410,15 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(5L -> "train", 9L -> "train", 10L -> "val",
       15L -> "val", 20L -> "test", 25L -> "test"), s"got $got")
 
+    // NULL ts must NOT land in the future holdout (tailLabel) — it
+    // gets a NULL split, visible to an isNull audit
+    val withNull = Seq(Some(5L), None).toDF("ts")
+    val ns = Curation.splitByTime(withNull, col("ts"),
+        Seq("train" -> 10L), tailLabel = "test")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(ns == Map(Some(5L) -> Some("train"), None -> None), s"got $ns")
+
     intercept[IllegalArgumentException] {
       Curation.splitByTime(df, col("ts"),
         Seq("a" -> 20L, "b" -> 10L), tailLabel = "c") // not increasing
