@@ -25,7 +25,11 @@ class DeterminismSpec extends AnyFunSuite {
     "qvec_centroid", "qtext_tfidf", "qdedup_minhash_lsh", "qpack_shards",
     "qtext_unigram_lp", "qdedup_passage_rm", "qdedup_clusters", "qann_ivfpq_res",
     "qdedup_lines", "qann_ivfpq_app", "qtext_bigram_lp", "qann_recall",
-    "qann_sq", "qvec_inertia", "qtext_entropy")
+    "qann_sq", "qvec_inertia", "qtext_entropy",
+    // r9 late additions: integer-rank top-k boundaries (vocab/PMI),
+    // digest-keyed full-outer diff, and the composed recipe's
+    // dedup-keep argmin through the persisted map chain
+    "qtext_oov", "qtext_pmi", "qcorpus_diff", "qcuration_recipe")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
