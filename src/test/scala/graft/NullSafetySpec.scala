@@ -80,6 +80,35 @@ class NullSafetySpec extends AnyFunSuite {
     assert(mips.toSeq == Seq(3L), s"got ${mips.toSeq}")
   }
 
+  test("empty corpora flow through the operator surface without error") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val embs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val zeroRow = Seq(
+      graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text")),
+      graft.operators.Dedup.minhashLshPairs(docs, col("doc_id"), col("text")),
+      graft.operators.Curation.clusters(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), col("doc_a"), col("doc_b")),
+      graft.functions.Keywords.tfIdfTopK(docs, col("doc_id"), col("text"), 2),
+      graft.functions.Keywords.pmiTopK(docs, col("text"), 5, 1),
+      graft.functions.Keywords.oovRate(docs, col("doc_id"), col("text"), 5),
+      graft.operators.Curation.mixturePlan(
+        docs.withColumn("source", lit("s")), col("source"), lit(1L), budget = 100L),
+      graft.operators.Curation.packShards(docs, col("doc_id"), lit(1L), 100L),
+      graft.operators.Similarity.ivfTrainCells(
+        embs, col("vec_id"), col("embedding"), nlist = 4, iters = 1),
+      graft.operators.Similarity.pqTrainCodebooks(
+        embs, col("vec_id"), col("embedding"), m = 2, ksub = 4, iters = 1),
+      graft.operators.Similarity.bruteTopK(embs, col("vec_id"), col("embedding"),
+        embs, col("vec_id"), col("embedding"), 2),
+      graft.operators.Curation.corpusDiff(docs, docs, col("doc_id"), col("text")),
+      graft.operators.Curation.contamination(
+        docs, col("doc_id"), col("text"), docs, col("text"), 2))
+    zeroRow.foreach(d => assert(d.count() == 0L, d.schema.simpleString))
+    // the integrity profile's contract on two empty inputs is ONE
+    // all-zeros summary row (pinned in CurationSpec) — not zero rows
+  }
+
   test("LM scorers and oovRate report zero-token NULL-text docs honestly") {
     val uni = graft.functions.Keywords.unigramLogProb(
         docs, col("doc_id"), col("text"))
