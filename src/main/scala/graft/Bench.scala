@@ -74,15 +74,26 @@ object Bench {
     // the noop sink ("OverwriteByExpression NoopWrite"), which no
     // intermediate action can produce — poll (5 ms) until THAT
     // execution arrives.
+    // 10 s deadline: a drain that times out records -1, and the stale
+    // noop event could then arrive during the NEXT query's drain and
+    // bill the wrong run — make the timeout require listener-bus lag
+    // so extreme the whole bench is compromised anyway. The root
+    // check stringifies only the plan's ROOT node, once per distinct
+    // QueryExecution reference, not the whole tree per poll.
     def drainShuffleBytes(): Long = {
-      val deadline = System.nanoTime() + 3_000_000_000L
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var checked: org.apache.spark.sql.execution.QueryExecution = null
       while (System.nanoTime() < deadline) {
         val qe = lastQe.get
-        if (qe != null &&
-            qe.executedPlan.toString.linesIterator.nextOption()
-              .exists(_.contains("NoopWrite"))) {
-          return flattenPlan(qe.executedPlan, new java.util.IdentityHashMap)
-            .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
+        if (qe != null && (qe ne checked)) {
+          checked = qe
+          // the NoopWrite TABLE is the discriminator — a query fn's own
+          // v2 overwrite of a real sink shares the node type but
+          // never the noop table
+          if (qe.executedPlan.verboseString(2).contains("NoopWrite")) {
+            return flattenPlan(qe.executedPlan, new java.util.IdentityHashMap)
+              .flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum
+          }
         }
         Thread.sleep(5)
       }

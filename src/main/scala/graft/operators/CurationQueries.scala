@@ -534,8 +534,11 @@ object CurationQueries {
       val ev = Tables(s, dir).events
         .select(expr("ts div 1000").as("ts_us"))
       val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
-      // empty events / all-NULL ts: no range to cut — empty result,
-      // not a getLong NPE (the writeZOrdered null-stats rule)
+      // empty events / all-NULL ts: no range to derive — fall back to
+      // arbitrary cuts instead of a getLong NPE (the writeZOrdered
+      // null-stats rule). Rows never reach a real label through the
+      // fallback: an empty frame groups to nothing, and all-NULL ts
+      // rows get splitByTime's NULL split.
       val (mn, mx) =
         if (b.isNullAt(0) || b.isNullAt(1)) (0L, 10L) else (b.getLong(0), b.getLong(1))
       val cut = (f: Long) => mn + (mx - mn) * f / 10L
@@ -551,7 +554,8 @@ object CurationQueries {
       WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                  FROM events),
       lab AS (SELECT epoch_us(ts) AS u,
-                CASE WHEN epoch_us(ts) < mn + ((mx - mn) * 8) // 10 THEN 'train'
+                CASE WHEN ts IS NULL THEN NULL
+                     WHEN epoch_us(ts) < mn + ((mx - mn) * 8) // 10 THEN 'train'
                      WHEN epoch_us(ts) < mn + ((mx - mn) * 9) // 10 THEN 'val'
                      ELSE 'test' END AS split
               FROM events CROSS JOIN b)
