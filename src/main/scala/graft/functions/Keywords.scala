@@ -298,6 +298,86 @@ object Keywords {
     * join-backs move (word, count) rows; the global top-k plans as a
     * map-side WindowGroupLimit (≤ k rows per partition reach the
     * final sort), the qtext_vocab shape. */
+  /** Distributed BPE vocabulary training (SURVEY.md §2.C69; Sennrich
+    * et al. 2016) — learn the first `merges` byte-pair merges from the
+    * corpus's own word distribution. The trainer uses the CLASSIC
+    * scale decomposition: the corpus is scanned ONCE into a
+    * (word, count) vocabulary table (~10⁶ rows at 100 TB — web-corpus
+    * word vocabularies grow sub-linearly), and every merge round runs
+    * against that table, never the corpus: a wc-weighted adjacent-pair
+    * count (map-side partials; (symbol, symbol) keys), a 1-row argmax
+    * fetch (the CC-convergence scalar idiom — ties broken on
+    * (count desc, left asc, right asc), integer-exact), and a
+    * merge-application map stage. Each round's symbol frame persists;
+    * the previous round's unpersists.
+    *
+    * Merge application is the standard GREEDY left-to-right
+    * non-overlapping scan ("a a a" under merge (a,a) → ["aa","a"]) as
+    * one `aggregate` fold per word — a plain string replace over a
+    * delimiter-joined form is WRONG here (a consumed delimiter hides
+    * the next occurrence, so alternating chains merge at the wrong
+    * positions) and the fold is what the oracle mirrors exactly.
+    *
+    * Pre-tokenization contract: lowercased whitespace words restricted
+    * to printable ASCII (the standard trainer runs AFTER such a
+    * pre-tokenizer; it also guarantees the `</w>` end marker and the
+    * oracle's control-char state encoding can't collide with a symbol).
+    *
+    * Returns the merge table — (step, l_sym, r_sym, merged,
+    * pair_count), `merges` rows (fewer only if the vocabulary runs out
+    * of pairs) — the artifact a tokenizer ships.
+    */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1, 64] (each round is a Spark job), got $merges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val empty = struct(array().cast("array<string>").as("out"), lit("").as("pend"))
+    var words = df.filter(text.isNotNull)
+      .select(explode(split(lower(text), " ")).as("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        concat(regexp_extract_all(col("word"), lit("(?s)."), lit(0)),
+          array(lit("</w>"))).as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    try {
+      for (step <- 1 to merges if learned.size == step - 1) {
+        val n = size(col("syms"))
+        val best = words
+          .select(col("wc"), explode(arrays_zip(
+            slice(col("syms"), lit(1), n - 1).as("l"),
+            slice(col("syms"), lit(2), n - 1).as("r"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .collect()
+        if (best.nonEmpty) {
+          val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          val m = a + b
+          learned += ((step.toLong, a, b, m, cnt))
+          // greedy fold: `pend` holds the last unmerged symbol ("" = none)
+          val folded = aggregate(col("syms"), empty,
+            (acc, x) => when(acc("pend") === a && x === b,
+                struct(concat(acc("out"), array(lit(m))).as("out"), lit("").as("pend")))
+              .when(acc("pend") === "",
+                struct(acc("out").as("out"), x.as("pend")))
+              .otherwise(struct(concat(acc("out"), array(acc("pend"))).as("out"),
+                x.as("pend"))),
+            acc => when(acc("pend") === "", acc("out"))
+              .otherwise(concat(acc("out"), array(acc("pend")))))
+          val next = words.select(col("wc"), folded.as("syms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent
+          words.unpersist()
+          words = next
+        }
+      }
+    } finally words.unpersist()
+    learned.toSeq.toDF("step", "l_sym", "r_sym", "merged", "pair_count")
+  }
+
   def pmiTopK(df: DataFrame, text: Column, k: Int,
       minCount: Int): DataFrame = {
     val counts = df.select(explode(bigramPairs(text)).as("p"))

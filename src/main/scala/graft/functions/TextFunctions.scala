@@ -572,6 +572,44 @@ object TextFunctions {
       coalesce(flags.map(_._2).reduce(_ && _), lit(false)).as("passes")): _*)
   }
 
+  /** Fixed-size overlapping token-window chunking (SURVEY.md §2.C68) —
+    * the retrieval/embedding prep step (RAG corpora, context-bounded
+    * encoders): each doc becomes ⌈n/stride⌉-ish rows of `chunkLen`
+    * whitespace tokens starting every `stride` tokens (overlap =
+    * chunkLen − stride), the final chunk shorter. A start is emitted
+    * iff it's 0 or the PREVIOUS chunk didn't already reach the doc's
+    * end — so no emitted chunk is a suffix of its predecessor and the
+    * chunks still tile every token. Unlike C48 (one corpus-wide token
+    * stream cut at exact boundaries, docs straddling cuts), chunks
+    * here are per-doc and self-contained — the shape an embedding
+    * model consumes.
+    *
+    * Scale shape: tokens never leave their doc — the whole operator
+    * is one codegen map stage (split → sequence → filtered explode →
+    * slice/array_join), zero shuffle, output O(n_tokens/stride) rows.
+    * NULL text chunks to nothing (no content ⇒ no rows — the C41
+    * absence-is-not-content rule).
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: Column,
+                    text: Column, chunkLen: Int, stride: Int):
+      org.apache.spark.sql.DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
+    require(stride >= 1 && stride <= chunkLen,
+      s"stride must be in [1, chunkLen=$chunkLen], got $stride")
+    val toks = split(text, " ")
+    val n = size(toks)
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"), toks.as("__toks"), n.as("__n"),
+        explode(sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))).as("__s"))
+      // keep a start iff the previous chunk stopped short of the end
+      .filter(col("__s") === 0 || col("__s") - stride + chunkLen < col("__n"))
+      .select(col("doc_id"),
+        (col("__s") / stride).cast("long").as("chunk_id"),
+        col("__s").cast("long").as("start_tok"),
+        least(lit(chunkLen), col("__n") - col("__s")).cast("long").as("chunk_tokens"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(chunkLen)), " ").as("chunk"))
+  }
+
   /** Per-rule flags + the conjunction as loose (name, Column) pairs —
     * the predicate definitions are [[gopherPredicates]], applied to
     * inline measures. Convenient for unit tests and one-off column

@@ -879,8 +879,105 @@ object TextQueries {
       FROM c GROUP BY source ORDER BY source"""
     })
 
+  // C68: overlapping token-window chunking (RAG / context-bounded
+  // embedding prep). 32-token chunks every 24 tokens (8-token overlap)
+  // — small enough that sf0.01's ~100-token docs produce real multi-
+  // chunk coverage with a genuine short tail. Byte-exact chunk text
+  // both sides; the start-emission rule (0, or previous chunk fell
+  // short of the end) mirrored term-for-term.
+  val qChunk = Q(
+    "qtext_chunk",
+    (s, dir) => {
+      TextFunctions.chunkByTokens(Tables(s, dir).documents,
+          col("doc_id"), col("text"), chunkLen = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               length(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL),
+      s AS (
+        SELECT doc_id, toks, n, unnest(range(0, greatest(n, 1), 24)) AS st
+        FROM t)
+      SELECT doc_id,
+        CAST(st // 24 AS BIGINT) AS chunk_id,
+        CAST(st AS BIGINT) AS start_tok,
+        CAST(least(32, n - st) AS BIGINT) AS chunk_tokens,
+        array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk
+      FROM s
+      WHERE st = 0 OR st - 24 + 32 < n
+      ORDER BY doc_id, chunk_id"""))
+
+  /** C69 oracle generator: one CTE block per merge round — pair count
+    * (lateral-range unnest), 1-row argmax, then the greedy fold as a
+    * `list_reduce` STATE MACHINE (state = out-tokens ␟-joined + ␞ +
+    * held symbol; chr(30)/chr(31) can't collide with the printable-
+    * ASCII symbol alphabet). A recursive CTE per round would re-run
+    * its whole upstream chain once per ITERATION under DuckDB's
+    * CTE-inlining (the verify-skill gotcha); the fold keeps each
+    * round's reference count at 2, and MATERIALIZED stops even that
+    * doubling where supported. Mirrors Keywords.bpeTrain's aggregate
+    * fold branch-for-branch — a plain string replace would be wrong
+    * in BOTH engines the same way, which is why the fold is spelled
+    * out rather than shortcut. */
+  private def bpeOracleSql(merges: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+           list_append(regexp_extract_all(word, '(?s).'), '</w>') AS syms
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+          FROM documents WHERE text IS NOT NULL)
+    WHERE regexp_matches(word, '^[\x21-\x7e]+$')
+    GROUP BY word)""")
+    for (r <- 1 to merges) sb ++= s""",
+    p$r AS (SELECT lft, rgt, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        SELECT wc, syms[i] AS lft, syms[i+1] AS rgt FROM (
+          SELECT wc, syms, unnest(range(1, length(syms))) AS i FROM w${r - 1}))
+        GROUP BY lft, rgt),
+    b$r AS (SELECT lft, rgt, lft || rgt AS m, cnt FROM p$r
+             ORDER BY cnt DESC, lft, rgt LIMIT 1),
+    w$r AS MATERIALIZED (
+      SELECT wc, string_split(CASE WHEN split_part(st, chr(30), 2) = ''
+                   THEN split_part(st, chr(30), 1)
+                   WHEN split_part(st, chr(30), 1) = ''
+                   THEN split_part(st, chr(30), 2)
+                   ELSE split_part(st, chr(30), 1) || chr(31) || split_part(st, chr(30), 2)
+                 END, chr(31)) AS syms
+      FROM (
+        SELECT wc, list_reduce(list_prepend(chr(30), syms),
+          (acc, x) -> CASE
+            WHEN split_part(acc, chr(30), 2) = b.lft AND x = b.rgt THEN
+              (CASE WHEN split_part(acc, chr(30), 1) = '' THEN b.m
+                    ELSE split_part(acc, chr(30), 1) || chr(31) || b.m END) || chr(30)
+            WHEN split_part(acc, chr(30), 2) = '' THEN
+              split_part(acc, chr(30), 1) || chr(30) || x
+            ELSE
+              (CASE WHEN split_part(acc, chr(30), 1) = '' THEN split_part(acc, chr(30), 2)
+                    ELSE split_part(acc, chr(30), 1) || chr(31) || split_part(acc, chr(30), 2) END)
+              || chr(30) || x
+          END) AS st
+        FROM w${r - 1}, b$r b))"""
+    sb ++= "\n    " + (1 to merges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, lft AS l_sym, rgt AS r_sym, " +
+        s"m AS merged, cnt AS pair_count FROM b$r").mkString(" UNION ALL ")
+    sb ++= " ORDER BY step"
+    sb.toString
+  }
+
+  // C69: BPE vocabulary training — 4 merge rounds, full oracle parity
+  // on (pair, merged form, exact weighted count) per round. 4 rounds
+  // keeps the oracle's 2^r CTE re-evaluation harmless while still
+  // exercising multi-round dynamics (round r's counts depend on round
+  // r-1's fold being exactly right).
+  val qBpe = Q(
+    "qtext_bpe",
+    (s, dir) => Keywords.bpeTrain(
+      Tables(s, dir).documents, col("text"), merges = 4),
+    Some(bpeOracleSql(4)))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources)
+    qOov, qPmi, qPiiSources, qChunk, qBpe)
 }

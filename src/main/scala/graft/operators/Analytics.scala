@@ -590,6 +590,85 @@ object Analytics {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  // B22: full CUBE aggregate — every grouping-set combination of the
+  // two keys in ONE pass (Spark plans cube as a single Expand +
+  // hash-aggregate: the input is scanned once and each row fans into
+  // its 4 grouping sets map-side, so the shuffle carries partial
+  // aggregates per (set, key), never the fact rows — the same
+  // one-scan shape the rollup (B9) gets, just with 2^n sets instead
+  // of n+1). `grouping_id` disambiguates a genuine NULL key from a
+  // rolled-up one; Spark and DuckDB agree on the bit order (leftmost
+  // cube column = most significant bit — asserted by the oracle
+  // hash, not assumed).
+  val q22 = Q(
+    "q22_cube",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  // B23: exact-parity correlation/covariance — the numeric-profile
+  // statistic (feature screening, drift checks) computed WITHOUT the
+  // float-accumulation trap: builtin corr()/covar_samp() accumulate
+  // doubles, so the result depends on partition count and differs
+  // between engines in the low bits. Here every moment (Σx, Σy, Σx²,
+  // Σxy, Σy²) is an EXACT decimal sum (quantity fits DECIMAL(9,4),
+  // price DECIMAL(18,4); products are exact DECIMAL(27,8), far from
+  // 38-digit overflow even at 10¹² rows), cast to double ONCE, and
+  // the closed forms are a single fixed IEEE expression tree — the
+  // C57/C59 fixed-point discipline applied to second moments. One
+  // map-side-combining global aggregate: 5 longs of shuffle per
+  // partition, the cheapest possible 100 TB statistic.
+  val q23 = Q(
+    "q23_stats_corr",
+    (s, dir) => {
+      val x = col("l_quantity").cast(S)
+      val y = col("l_extendedprice").cast(D)
+      val agg = Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(y * y).cast("double").as("syy"))
+      val n = col("n_rows").cast("double")
+      agg.select(col("n_rows"),
+          ((col("sxy") - col("sx") * col("sy") / n) / (n - lit(1.0))).as("cov_samp"),
+          ((n * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+              sqrt(n * col("syy") - col("sy") * col("sy")))).as("corr"))
+    },
+    Some("""
+      WITH m AS (
+        -- DECIMAL(19,4): width > 18 forces DuckDB's int128 multiply path
+        -- (an 18-wide product overflows its int64 fast path). The Spark
+        -- side stays at (9,4)/(18,4) — both engines are EXACT, which is
+        -- the parity contract; the widths need not match textually.
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+        FROM lineitem)
+      SELECT n_rows,
+        (sxy - sx * sy / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0) AS cov_samp,
+        (CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+          (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx) *
+           sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS corr
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
-    q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20)
+    q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23)
 }

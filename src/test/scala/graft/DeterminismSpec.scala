@@ -29,7 +29,10 @@ class DeterminismSpec extends AnyFunSuite {
     // r9 late additions: integer-rank top-k boundaries (vocab/PMI),
     // digest-keyed full-outer diff, and the composed recipe's
     // dedup-keep argmin through the persisted map chain
-    "qtext_oov", "qtext_pmi", "qcorpus_diff", "qcuration_recipe")
+    "qtext_oov", "qtext_pmi", "qcorpus_diff", "qcuration_recipe",
+    // r10: the BPE trainer's per-round argmax (weighted-count ties) and
+    // the exact-decimal moment sums behind the corr closed forms
+    "qtext_bpe", "q23_stats_corr")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

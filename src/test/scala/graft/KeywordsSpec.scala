@@ -227,4 +227,44 @@ class KeywordsSpec extends AnyFunSuite {
       assert(c2 > c1)
     }
   }
+
+  test("bpeTrain: hand-computed merges with weighted counts and lexical ties") {
+    import SparkTest.spark
+    import spark.implicits._
+    // words: aaa ×2, aa ×1. Round 1 pairs: (a,a) = 2·2+1 = 5, (a,</w>) = 3.
+    // Round 2 (after greedy fold aaa→[aa,a,</w>], aa→[aa,</w>]):
+    // (aa,a)=2, (a,</w>)=2, (aa,</w>)=1 — tie broken on l_sym asc: a < aa.
+    val df = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val got = graft.functions.Keywords.bpeTrain(df, org.apache.spark.sql.functions.col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 5L),
+      (2L, "a", "</w>", "a</w>", 2L)), s"got ${got.toSeq}")
+  }
+
+  test("bpeTrain merge application is GREEDY left-to-right, not string-replace") {
+    import SparkTest.spark
+    import spark.implicits._
+    // "aaaaa" → greedy fold under (a,a) gives [aa, aa, a, </w>]; the broken
+    // string-replace fold gives [aa, a, aa, </w>]. Round 2's pairs are all
+    // count 1, so the lexical tie-break exposes the difference: greedy has
+    // (a,</w>) as a pair (wins on l_sym='a'); string-replace has (a,aa)
+    // instead (r_sym 'aa' > '</w>' loses the tie it would then face).
+    val df = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val got = graft.functions.Keywords.bpeTrain(df, org.apache.spark.sql.functions.col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "</w>", 1L)), s"got ${got.toSeq}")
+  }
+
+  test("bpeTrain stops early when the vocabulary runs out of pairs") {
+    import SparkTest.spark
+    import spark.implicits._
+    // single 1-char word: round 1 merges (a,</w>); round 2 has no pairs
+    val df = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val got = graft.functions.Keywords.bpeTrain(df, org.apache.spark.sql.functions.col("text"), 3)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", "</w>", 3L)), s"got ${got.toSeq}")
+  }
 }
