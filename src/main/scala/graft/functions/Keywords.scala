@@ -298,6 +298,48 @@ object Keywords {
     * join-backs move (word, count) rows; the global top-k plans as a
     * map-side WindowGroupLimit (≤ k rows per partition reach the
     * final sort), the qtext_vocab shape. */
+  /** CCNet-style perplexity bucketing (SURVEY.md §2.C70; Wenzek et al.
+    * 2020): label every doc head/middle/tail by its unigram-LM mean
+    * log-prob ([[unigramLogProb]]'s integer micro-nat sums — the mean
+    * here is `lp_micro_sum div n_tokens`, one exact integer division,
+    * so the bucket boundary NEVER rides a float). CCNet trains on the
+    * head, audits the middle, drops the tail; the bucket label is the
+    * rate-controlling input the C23 mixture sampler consumes.
+    *
+    * Cut derivation: thirds of the [min, max] score RANGE via exact
+    * integer lerp — one 1-row scalar fetch (the z-order stats idiom),
+    * then the labeling is a pure map-side when-chain. A production
+    * deployment would derive cuts from an offline QUANTILE job against
+    * a held-out sample (range-thirds are sensitive to outlier docs);
+    * the operator keeps the cut policy in one place so that swap is a
+    * two-line change — and range cuts keep the whole operator exactly
+    * reproducible cross-engine, which a float-interpolated quantile
+    * cut would not be. Zero-token docs are 'unscored': no sentinel
+    * score is an honest probability for "nothing to score".
+    */
+  def pplBuckets(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val scored = unigramLogProb(df, id, text)
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0, expr("lp_micro_sum div n_tokens"))
+          .as("lp_mean_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = scored.agg(min(col("lp_mean_micro")), max(col("lp_mean_micro")))
+      .collect()(0)
+    // empty corpus / all-unscored: min is NULL, there are no cuts —
+    // every row (if any) is honestly 'unscored'
+    if (stats.isNullAt(0))
+      return scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),
+        lit("unscored").as("bucket"))
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val c1 = mn + (mx - mn) / 3
+    val c2 = mn + (2 * (mx - mn)) / 3
+    scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),
+      when(col("lp_mean_micro").isNull, lit("unscored"))
+        .when(col("lp_mean_micro") >= c2, lit("head"))
+        .when(col("lp_mean_micro") >= c1, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Distributed BPE vocabulary training (SURVEY.md §2.C69; Sennrich
     * et al. 2016) — learn the first `merges` byte-pair merges from the
     * corpus's own word distribution. The trainer uses the CLASSIC

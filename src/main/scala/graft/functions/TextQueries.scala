@@ -909,6 +909,43 @@ object TextQueries {
       WHERE st = 0 OR st - 24 + 32 < n
       ORDER BY doc_id, chunk_id"""))
 
+  // C70: perplexity bucketing — head/middle/tail on the integer
+  // micro-nat mean (lp_sum div n_tokens; `div`/`//` both truncate
+  // toward zero), cuts = exact integer thirds of the [min, max] range
+  // computed in a 1-row CTE. Extends the green C37 oracle chain.
+  val qPplBuckets = Q(
+    "qtext_ppl_bucket",
+    (s, dir) =>
+      Keywords.pplBuckets(Tables(s, dir).documents, col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      pd AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      v AS (SELECT term, SUM(cnt) AS tf FROM pd GROUP BY term),
+      n AS (SELECT SUM(tf) AS total FROM v),
+      lp AS (SELECT term,
+               CAST(ROUND(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lp_micro
+             FROM v CROSS JOIN n),
+      sc AS (SELECT pd.doc_id, SUM(pd.cnt * lp.lp_micro) AS lp_sum,
+               SUM(pd.cnt) AS n_toks
+             FROM pd JOIN lp USING (term) GROUP BY pd.doc_id),
+      scd AS (SELECT d.doc_id,
+                CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_tokens,
+                CASE WHEN sc.n_toks IS NULL THEN NULL
+                     ELSE CAST(sc.lp_sum // sc.n_toks AS BIGINT) END AS lp_mean_micro
+              FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+      st AS (SELECT MIN(lp_mean_micro) AS mn, MAX(lp_mean_micro) AS mx FROM scd)
+      SELECT doc_id, n_tokens, lp_mean_micro,
+        CASE WHEN lp_mean_micro IS NULL THEN 'unscored'
+             WHEN lp_mean_micro >= mn + (2 * (mx - mn)) // 3 THEN 'head'
+             WHEN lp_mean_micro >= mn + (mx - mn) // 3 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM scd CROSS JOIN st
+      ORDER BY doc_id"""))
+
   /** C69 oracle generator: one CTE block per merge round — pair count
     * (lateral-range unnest), 1-row argmax, then the greedy fold as a
     * `list_reduce` STATE MACHINE (state = out-tokens ␟-joined + ␞ +
@@ -979,5 +1016,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources, qChunk, qBpe)
+    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets)
 }

@@ -149,6 +149,40 @@ object Layout {
     df.write.mode(mode).partitionBy(cols: _*).parquet(dir)
   }
 
+  /** Snapshot UPSERT (SURVEY.md §2.D13) — merge an increment into a
+    * corpus version by key: increment rows WIN on key collision, base
+    * rows survive otherwise — the MERGE-INTO/upsert step between the
+    * C63 diff (which measures a delta) and the C33/C42 incremental
+    * indexes (which assume someone applied it). Both frames must share
+    * a schema (the base's columns are selected on the increment so
+    * column ORDER can't silently misalign a union).
+    *
+    * Scale shape: the base is anti-joined against the increment's
+    * KEYS ONLY and the union is plan-level (no data movement). With
+    * `broadcastIncrement` (the common case — a day's crawl against a
+    * 100 TB corpus) the anti-join is a broadcast hash join: the BASE
+    * NEVER SHUFFLES, the increment's key column is the only thing on
+    * the wire (LayoutSpec asserts the zero-Exchange base side). For
+    * increment-comparable-to-base merges, pass false and co-bucket
+    * both sides on `key` ([[writeBucketed]]) to keep the join
+    * exchange-free anyway. NULL keys: a NULL-keyed base row is never
+    * displaced (absence of a key is not a key — anti join's null
+    * semantics keep it), and NULL-keyed increment rows append.
+    */
+  def mergeSnapshot(base: DataFrame, increment: DataFrame, key: String,
+                    broadcastIncrement: Boolean = true): DataFrame = {
+    require(base.columns.contains(key), s"base lacks key column $key")
+    require(increment.columns.contains(key), s"increment lacks key column $key")
+    val missing = base.columns.filterNot(increment.columns.contains)
+    require(missing.isEmpty,
+      s"increment lacks base columns: ${missing.mkString(", ")}")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keys = increment.select(col(key))
+    val survivors = base.join(
+      if (broadcastIncrement) broadcast(keys) else keys, Seq(key), "left_anti")
+    survivors.unionByName(increment.select(base.columns.map(col): _*))
+  }
+
   /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet
     * table in the session catalog. `buckets` is a layout-time choice:
     * size it so one bucket of the LARGEST co-bucketed table fits an

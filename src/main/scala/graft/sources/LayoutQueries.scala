@@ -80,5 +80,34 @@ object LayoutQueries {
       GROUP BY l_suppkey
       ORDER BY l_suppkey"""))
 
-  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered)
+  /** Driver-gated proof of the snapshot upsert (D13): base = the docs
+    * outside one residue class, increment = another residue class with
+    * REWRITTEN text — so the merge has genuine updates (ids in both,
+    * increment text must win byte-for-byte), pure inserts (ids only in
+    * the increment) and untouched survivors, and none of the three
+    * paths is vacuous. The oracle recomputes anti-join + union in SQL.
+    */
+  val qMerge = Q(
+    "qlayout_merge",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(
+        col("doc_id"), col("text"), col("source"))
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val inc = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", upper(col("text")))
+      Layout.mergeSnapshot(base, inc, "doc_id").orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 5 <> 0),
+      inc AS (
+        SELECT doc_id, upper(text) AS text, source FROM documents
+        WHERE doc_id % 3 = 0)
+      SELECT doc_id, text, source FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM inc)
+      UNION ALL
+      SELECT doc_id, text, source FROM inc
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge)
 }

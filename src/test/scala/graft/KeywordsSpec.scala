@@ -258,6 +258,28 @@ class KeywordsSpec extends AnyFunSuite {
       (2L, "a", "</w>", 1L)), s"got ${got.toSeq}")
   }
 
+  test("pplBuckets: integer range-third cuts, boundary inclusivity, unscored docs") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // vocab: a ×7, b ×2, c ×1, d ×1 (total 11). lp_micro = round(ln(tf/11)e6):
+    // a = -451985, b = -1704748, c = d = -2397895. Integer means (div,
+    // trunc toward zero): doc1 (a a a) = -451985; doc2 (a b) = -1078366;
+    // doc3 (c d) = -2397895; doc4 (a a a b) = -765175; doc5 "" unscored.
+    // Range [-2397895, -451985] (span 1945910), c1 = mn + span/3 =
+    // -1749259, c2 = mn + 2·span/3 = -1100622. doc2 ≥ c2 by 22256 → head.
+    val df = Seq((1L, "a a a"), (2L, "a b"), (3L, "c d"), (4L, "a a a b"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.functions.Keywords.pplBuckets(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toMap
+    assert(got(1L) == ((Some(-451985L), "head")), s"got ${got(1L)}")
+    assert(got(2L) == ((Some(-1078366L), "head")), s"got ${got(2L)}")
+    assert(got(4L) == ((Some(-765175L), "head")), s"got ${got(4L)}")
+    assert(got(3L) == ((Some(-2397895L), "tail")), s"got ${got(3L)}")
+    assert(got(5L) == ((None, "unscored")), s"got ${got(5L)}")
+  }
+
   test("bpeTrain stops early when the vocabulary runs out of pairs") {
     import SparkTest.spark
     import spark.implicits._

@@ -157,4 +157,38 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == orig)
   }
+
+  test("mergeSnapshot: updates win, inserts append, survivors pass, NULL keys never collide") {
+    import spark.implicits._
+    val base = Seq((Some(1L), "old1", "s"), (Some(2L), "old2", "s"),
+      (None: Option[Long], "null-base", "s")).toDF("doc_id", "text", "source")
+    val inc = Seq((Some(2L), "NEW2", "t"), (Some(9L), "NEW9", "t"),
+      (None: Option[Long], "null-inc", "t")).toDF("doc_id", "text", "source")
+    val got = graft.sources.Layout.mergeSnapshot(base, inc, "doc_id")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), r.getString(2))).sortBy(_.toString)
+    assert(got.toSeq == Seq(
+      (None, "null-base", "s"), // a NULL-keyed base row is never displaced
+      (None, "null-inc", "t"),  // ... and a NULL-keyed increment appends
+      (Some(1L), "old1", "s"),
+      (Some(2L), "NEW2", "t"),
+      (Some(9L), "NEW9", "t")).sortBy(_.toString), s"got ${got.toSeq}")
+  }
+
+  test("mergeSnapshot with a broadcast increment never shuffles the base") {
+    val t = graft.sources.Tables(spark, sf)
+    val base = t.documents.select(col("doc_id"), col("text"))
+    val inc = t.documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 7 === 0)
+    val plan = graft.sources.Layout.mergeSnapshot(base, inc, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join, got:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"base side shuffled in a broadcast merge:\n$plan")
+    // schema-mismatch fail-fast: an increment missing a base column
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.mergeSnapshot(base, inc.drop("text"), "doc_id")
+    }
+  }
 }
