@@ -532,6 +532,50 @@ object DedupQueries {
       FROM c JOIN grp USING (canonical_url)
       ORDER BY c.doc_id"""))
 
+  // C71: winnowing fingerprint pairs (MOSS). The oracle mirrors the
+  // whole pipeline — per-position FNV k-gram hashes on the shared
+  // fnvSignedCtes byte/fold recipe, min-per-window selection (the
+  // rightmost-tie rule affects positions only, never which HASH a
+  // window selects, so the hash-set pair detection is tie-free),
+  // distinct per doc, ubiquity cap, self-join. k=16/w=12 so shared
+  // substrings of ≥ 27 normalized chars guarantee a shared
+  // fingerprint; cap=8 evicts template grams in this heavily
+  // templated synthetic corpus.
+  val qWinnow = Q(
+    "qdedup_winnow",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.winnowPairs(t.documents, col("doc_id"), col("text"),
+          k = 16, w = 12, minShared = 3, maxDocsPerFp = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                 FROM documents WHERE text IS NOT NULL),
+      dn AS (SELECT doc_id, t, length(t) - 15 AS cnt FROM d WHERE length(t) >= 16),
+      by AS (SELECT doc_id, cnt,
+              [ord(substring(t, i, 1)) FOR i IN range(1, length(t)+1)] AS bytes FROM dn),
+      hs AS (SELECT doc_id, cnt,
+              [CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+                    THEN fh - 18446744073709551616::HUGEINT ELSE fh END AS BIGINT)
+               FOR fh IN [list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                               list_transform(list_slice(bytes, i, i + 15), x -> CAST(x AS HUGEINT))),
+                  (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT)
+                 FOR i IN range(1, cnt + 1)]] AS hv
+             FROM by),
+      fp AS (SELECT doc_id, unnest(list_distinct(
+               [list_min(list_slice(hv, j, j + 11))
+                FOR j IN range(1, greatest(cnt - 11, 1) + 1)])) AS fp_hash
+             FROM hs),
+      fpc AS (SELECT doc_id, fp_hash FROM fp
+              WHERE fp_hash NOT IN (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) > 8))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fpc a JOIN fpc b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd, qUrl)
+    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd, qUrl,
+    qWinnow)
 }

@@ -502,4 +502,49 @@ class DedupSpec extends AnyFunSuite {
     val got = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
     assert(got.toSeq == Seq("en", "de", "es"))
   }
+
+  test("winnowing: locality guarantee, window-min selection, rightmost ties") {
+    import spark.implicits._
+    // identical 40-char prose block planted inside two otherwise
+    // different docs: winnowing (k=8, w=4) must select at least one
+    // IDENTICAL fingerprint from each (shared substring len 40 ≥ w+k-1)
+    val shared = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"XXXXXX $shared YYYYYY"),
+      (3L, "completely unrelated content here with nothing in common at all")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(
+        docs, col("doc_id"), col("text"), k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val h3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((h1 & h2).nonEmpty, "planted shared block selected no common fingerprint")
+    assert((h1 & h3).isEmpty && (h2 & h3).isEmpty,
+      "unrelated doc shares fingerprints")
+    // rightmost tie rule: a doc of one repeated char has ONE distinct
+    // k-gram hash; every window ties and must select the rightmost
+    // position of its window — the distinct (pos, hash) set is exactly
+    // the tail positions w..cnt (window j picks position j+w-1)
+    val rep = Seq((9L, "a" * 15)).toDF("doc_id", "text") // cnt = 8 k-grams
+    val reps = graft.operators.Dedup.winnowFingerprints(
+        rep, col("doc_id"), col("text"), k = 8, w = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(reps.map(_._2).toSet.size == 1, "repeated char must have one hash")
+    assert(reps.map(_._1).toSet == (4L to 8L).toSet,
+      s"ties must resolve rightmost: got positions ${reps.map(_._1).toSet}")
+  }
+
+  test("winnowing: short docs emit nothing; sub-window docs winnow whole-doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, null: String), (3L, "exactly12ch!"))
+      .toDF("doc_id", "text")
+    // k=8: doc 1 (4 chars) and NULL emit nothing; doc 3 has 5 k-grams
+    // < w=16 → one whole-doc window → exactly one fingerprint
+    val fps = graft.operators.Dedup.winnowFingerprints(
+        docs, col("doc_id"), col("text"), k = 8, w = 16)
+      .collect().map(_.getLong(0))
+    assert(fps.toSeq == Seq(3L), s"got ${fps.toSeq}")
+  }
 }

@@ -74,4 +74,47 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(spark.table("sd_wm").columns.contains("content_hash"))
     } finally q.stop()
   }
+
+  test("streaming curation preprocess matches the batch composition row for row") {
+    import spark.implicits._
+    import graft.streaming.StreamCuration
+    val gate = StreamCuration.GateConfig(
+      minTokens = 5, maxTokens = 1000, minMeanLen = 1, maxMeanLen = 100,
+      minStopwords = 1)
+    val rows = Seq(
+      (1L, "the cat and the dog sat on the mat with it and the hat"),
+      (2L, "the caf\u00e9 menu was good and the staff were kind"), // composed
+      (3L, "the cafe\u0301 menu was good and the staff were kind"), // decomposed
+      (4L, "the broken � document has five tokens here"), // encoding gate drop
+      (5L, "a b c"), // too few tokens: quality gate drop
+      (6L, "contact me at bob@example.com for the files and the notes"))
+    val static = rows.toDF("id", "text")
+    val batchKept = StreamCuration.gateAndScrub(static, col("text"), gate)
+      .select(col("id"), col("clean")).collect()
+    val batchIds = batchKept.map(_.getLong(0)).toSet
+    assert(batchIds == Set(1L, 2L, 3L, 6L), s"batch gate kept $batchIds")
+    val batchTexts = batchKept.map(_.getString(1)).toSet
+    assert(batchTexts.size == 3, "NFC variants must normalize to one text")
+    assert(batchTexts.exists(_.contains("<EMAIL>")), "PII must be redacted")
+    assert(!batchTexts.exists(_.contains("bob@example.com")))
+
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = StreamCuration.preprocess(mem.toDF().toDF("id", "text"),
+      current_timestamp(), col("text"), gate, dedupWithin = None)
+    val q = out.writeStream.format("memory").queryName("sc_preproc")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val delivered = spark.table("sc_preproc")
+        .select(col("id"), col("clean")).collect()
+      // gate parity: every delivered row passed the batch gate, and the
+      // delivered TEXTS are exactly the batch's distinct clean texts
+      // (the NFC pair collapsed to one delivery by the dedup tail)
+      assert(delivered.map(_.getLong(0)).toSet.subsetOf(batchIds))
+      assert(delivered.map(_.getString(1)).toSet == batchTexts,
+        "streamed clean texts diverge from the batch composition")
+      assert(delivered.length == 3, s"expected 3 deliveries, got ${delivered.length}")
+    } finally q.stop()
+  }
 }
