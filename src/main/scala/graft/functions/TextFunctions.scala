@@ -572,6 +572,37 @@ object TextFunctions {
       coalesce(flags.map(_._2).reduce(_ && _), lit(false)).as("passes")): _*)
   }
 
+  /** Readability measures (SURVEY.md §2.C73) — Flesch reading ease
+    * from three mechanical counts: whitespace words, sentence-ending
+    * punctuation runs (`[.!?]+`, floored at 1 so fragment docs score
+    * rather than divide by zero), and vowel-group syllable
+    * approximation (`[aeiouy]+` runs per lowercased doc — the
+    * standard heuristic; true hyphenation needs a dictionary, and for
+    * CORPUS FILTERING the approximation's bias is uniform). Extreme
+    * scores flag non-prose (lists, code, keyword stuffing) the
+    * Gopher gates don't directly see.
+    *
+    * All three counts are exact integers; the Flesch formula
+    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` is ONE fixed IEEE
+    * expression over them (the B23 discipline) — no accumulation, no
+    * libm, bit-identical cross-engine. A pure codegen map stage.
+    * Returns (n_words, n_sentences, n_syllables, flesch) columns;
+    * NULL text → NULL measures (nothing was measured).
+    */
+  def readability(text: Column): Seq[(String, Column)] = {
+    val words = tokenCountWs(text).cast("long")
+    // explicit NULL-text guard: greatest() semantics over NULL differ
+    // between engines, and a "1 sentence" reading of no text is a lie
+    val sents = when(text.isNotNull,
+      greatest(regexp_count(text, lit("[.!?]+")), lit(1))).cast("long")
+    val syls = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val flesch = lit(206.835) -
+      lit(1.015) * (words.cast("double") / sents.cast("double")) -
+      lit(84.6) * (syls.cast("double") / words.cast("double"))
+    Seq("n_words" -> words, "n_sentences" -> sents,
+      "n_syllables" -> syls, "flesch" -> flesch)
+  }
+
   /** Fixed-size overlapping token-window chunking (SURVEY.md §2.C68) —
     * the retrieval/embedding prep step (RAG corpora, context-bounded
     * encoders): each doc becomes ⌈n/stride⌉-ish rows of `chunkLen`

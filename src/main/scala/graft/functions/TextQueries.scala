@@ -909,6 +909,31 @@ object TextQueries {
       WHERE st = 0 OR st - 24 + 32 < n
       ORDER BY doc_id, chunk_id"""))
 
+  // C73: Flesch readability from three exact integer counts, the
+  // formula one fixed IEEE tree (identical association both sides).
+  val qReadability = Q(
+    "qtext_readability",
+    (s, dir) => {
+      val m = TextFunctions.readability(col("text"))
+      Tables(s, dir).documents.select(
+          col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(CASE WHEN text IS NULL THEN NULL
+               ELSE greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+               END AS BIGINT) AS n_sentences,
+          CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+      FROM m
+      ORDER BY doc_id"""))
+
   // C70: perplexity bucketing — head/middle/tail on the integer
   // micro-nat mean (lp_sum div n_tokens; `div`/`//` both truncate
   // toward zero), cuts = exact integer thirds of the [min, max] range
@@ -1016,5 +1041,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets)
+    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets, qReadability)
 }

@@ -669,6 +669,75 @@ object Analytics {
            sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS corr
       FROM m"""))
 
+  /** Time-series resample + forward-fill (SURVEY.md §2.B24): aggregate
+    * `value` into fixed `bucketUs` buckets per key, materialize the
+    * key's FULL bucket calendar between its first and last
+    * observation, and forward-fill the gaps with the last observed
+    * aggregate — the dashboard/feature-engineering shape ("hourly
+    * metric per user, carried forward when silent") a plain groupBy
+    * can't produce because missing buckets produce NO row at all.
+    * Leading buckets before a key's first observation don't exist by
+    * construction; `filled` marks carried values so downstream can
+    * tell observation from imputation.
+    *
+    * Scale shape: one (key, bucket) partial-agg shuffle (decimal-exact
+    * value sums — the B1 discipline, so partitioning can't flip low
+    * bits), a tiny per-key span agg whose calendar explode is
+    * map-side, one (key, bucket) join, and the ffill window — an
+    * UnboundedPreceding..CurrentRow RUNNING frame (the q07 class, no
+    * whole-partition buffering) partitioned by the high-cardinality
+    * key, each partition bounded by that key's own bucket span.
+    */
+  def resampleFfill(df: DataFrame, key: Column, tsUs: Column, value: Column,
+                    bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val keyed = df.select(key.as("k"), tsUs.as("__us"), value.as("__v"))
+      .withColumn("bucket", expr(s"__us div CAST($bucketUs AS BIGINT)"))
+    val agg = keyed.groupBy(col("k"), col("bucket"))
+      .agg(sum(col("__v").cast(D)).cast("double").as("v"))
+    val cal = agg.groupBy(col("k"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(agg, Seq("k", "bucket"), "left")
+      .select(col("k"), col("bucket"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+      .withColumn("filled", col("v").isNull && col("v_filled").isNotNull)
+  }
+
+  // B24: hourly per-user gap-filled value series over events.
+  val q24 = Q(
+    "q24_gapfill",
+    (s, dir) => {
+      resampleFfill(eventsUs(Tables(s, dir)), col("user_id"), col("ts_us"),
+          col("value"), bucketUs = 3600L * 1000000L)
+        .select(col("k").as("user_id"), col("bucket"), col("v"),
+          col("v_filled"), col("filled"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value
+                 FROM events),
+      a AS (SELECT user_id, bucket,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+            FROM e GROUP BY 1, 2),
+      s AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+            FROM a GROUP BY 1),
+      cal AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM s),
+      j AS (SELECT cal.user_id, cal.bucket, a.v
+            FROM cal LEFT JOIN a USING (user_id, bucket))
+      SELECT user_id, CAST(bucket AS BIGINT) AS bucket, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        (v IS NULL AND last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL) AS filled
+      FROM j
+      ORDER BY user_id, bucket"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
-    q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23)
+    q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23,
+    q24)
 }

@@ -763,6 +763,39 @@ object SimilarityQueries {
       FROM h JOIN n ON h.doc_id = n.doc_id
       ORDER BY media_id, byte"""))
 
+  /** C74: hash-sign random projection. The engine derives the ±1
+    * projection matrix per row from the FNV hash (no join, pure map);
+    * the oracle MATERIALIZES the same matrix as a (j, i, sign) table
+    * off the shared fnvSignedCtes recipe and recomputes the fixed-
+    * point ±sums relationally — identical integers by construction. */
+  val qRp = Q(
+    "qvec_rp",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      graft.sources.Tables(s, dir).embeddings
+        .select(col("vec_id"), posexplode(
+          VectorFunctions.randomProjectFixed(col("embedding"), k = 4, seed = "42"))
+          .as(Seq("dim", "proj_fixed")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("proj_fixed"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+    Some(s"""
+      WITH grid AS (SELECT t1.j, t2.i FROM range(0, 4) t1(j), range(0, 64) t2(i)),
+      ${graft.Q.sqlutil.fnvSignedCtes("sg",
+        "'rp:42:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)",
+        Seq("j", "i"), "grid")},
+      signs AS (SELECT j, i,
+                  CASE WHEN ((sb % 2) + 2) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+                FROM sgg),
+      ex AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+               unnest([CAST(trunc(CAST(x AS DOUBLE) * 1e9) AS BIGINT) FOR x IN embedding]) AS x
+             FROM embeddings)
+      SELECT e.vec_id, CAST(s.j AS BIGINT) AS dim,
+             CAST(SUM(s.sgn * e.x) AS BIGINT) AS proj_fixed
+      FROM ex e JOIN signs s ON s.i = e.i
+      GROUP BY 1, 2
+      ORDER BY vec_id, dim"""))
+
   /** Per-label centroid components via fixed-point accumulation (see
     * VectorFunctions.groupCentroids for why neither double avg nor a
     * decimal cast is engine-deterministic). DuckDB side zips parallel
@@ -888,5 +921,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
-    qHistogram, qDhash, qCentroid, qProto, qInertia, qMips)
+    qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp)
 }

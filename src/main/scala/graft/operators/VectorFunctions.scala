@@ -54,6 +54,40 @@ object VectorFunctions {
       .select(col("grp"), col("pos").cast("long").as("pos"),
         col("centroid"), col("n"))
 
+  /** Hash-sign random projection (SURVEY.md §2.C74; Achlioptas 2001 /
+    * the Johnson-Lindenstrauss lemma with a ±1 projection matrix):
+    * reduce a d-dim embedding to k dims via `y_j = Σ_i sign(j,i)·x_i`,
+    * where `sign(j,i) = ±1` comes from the FNV hash of `(seed, j, i)`
+    * — the projection MATRIX is a pure function of the seed, so no
+    * matrix ships anywhere, every executor and every engine derives
+    * the identical matrix locally, and appending rows or re-running
+    * on any cluster layout projects identically. The JL guarantee:
+    * pairwise distances are preserved within (1±ε) for
+    * k = O(ln n / ε²), making the k-dim table the cheap FIRST PASS
+    * for near-dup blocking or index builds over 100 TB of embeddings
+    * (scan cost drops d/k before any exact work).
+    *
+    * Fixed-point discipline (the [[groupCentroids]] recipe): each
+    * element widens float→double (exact), scales 1e9 and truncates
+    * toward zero ONCE; the ±sums are then exact integers in any
+    * order. Returns `array<long>` of the k fixed-point projections
+    * (divide by 1e9 to read as doubles). A pure codegen map stage:
+    * the corpus is scanned once, nothing shuffles.
+    */
+  def randomProjectFixed(vec: Column, k: Int, seed: String): Column = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    val vi = transform(vec.cast("array<double>"),
+      (x, i) => struct((x * lit(1e9)).cast("long").as("x"), i.as("i")))
+    graft.functions.Cols.let(vi) { arr =>
+      array((0 until k).map { j =>
+        aggregate(arr, lit(0L), (acc, e) =>
+          acc + when(pmod(call_function("fnv1a64",
+              concat(lit(s"rp:$seed:$j:"), e("i").cast("string"))),
+              lit(2L)) === 1L, e("x")).otherwise(-e("x")))
+      }: _*)
+    }
+  }
+
   /** Unit-normalized copy (as array<double>): pre-normalizing once turns
     * every downstream cosine into a plain dot product — at scale this is
     * one map pass instead of re-deriving norms per pair. The norm is

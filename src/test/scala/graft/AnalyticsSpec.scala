@@ -23,6 +23,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleFfill: calendar completion, forward-fill, leading-gap NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // user 1 observes buckets 10 and 13 (gap 11, 12); user 2 only 20.
+    val df = Seq((1L, 10L * 100L, 2.0), (1L, 10L * 100L + 5L, 3.0),
+      (1L, 13L * 100L, 7.0), (2L, 20L * 100L, 1.0))
+      .toDF("uid", "us", "v")
+    val got = Analytics.resampleFfill(df, col("uid"), col("us"), col("v"), 100L)
+      .orderBy(col("k"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some(5.0), 5.0, false),
+      (1L, 11L, None, 5.0, true),   // gap carried forward
+      (1L, 12L, None, 5.0, true),
+      (1L, 13L, Some(7.0), 7.0, false),
+      (2L, 20L, Some(1.0), 1.0, false)), s"got ${got.toSeq}")
+  }
+
+  test("readability: hand-computed Flesch counts and NULL-text honesty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val df = Seq((1L, "The cat sat. The dog ran!"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val m = TextFunctions.readability(col("text"))
+    val r = df.select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id")).collect()
+    // 6 words, 2 sentence runs, syllable groups: e/a/a/e/o/a = 6
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((6L, 2L, 6L)))
+    val flesch = r(0).getDouble(4)
+    assert(math.abs(flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9)
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2) && r(1).isNullAt(4),
+      "NULL text must yield NULL measures, not fabricated counts")
+  }
+
   test("saltedJoin is row-for-row the plain join, including duplicate keys") {
     import spark.implicits._
     val probe = Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 12L, "c"), (9L, 13L, "d"))
