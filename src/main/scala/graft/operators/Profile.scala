@@ -182,6 +182,83 @@ object Profile {
           .as("right_dup_ids"))
   }
 
+  /** Categorical drift between two corpus versions (SURVEY.md §2.D14)
+    * — per-category counts, shares and the KL(new‖old) contribution,
+    * the audit run between crawls BEFORE retraining on a shifted
+    * mixture (a source whose share silently doubled skews every
+    * mixture plan downstream; C63 answers "which DOCS changed", this
+    * answers "did the DISTRIBUTION move"). Categories present on one
+    * side only are flagged (`appeared`/`vanished`) instead of fed to
+    * the logarithm — KL is undefined there, and an honest flag beats
+    * a sentinel infinity.
+    *
+    * Exactness: counts and totals are exact longs; the KL term
+    * `p_new · ln(p_new/p_old)` evaluates the ratio as
+    * `(n_new·tot_old)/(n_old·tot_new)` in ONE fixed IEEE tree and
+    * rounds ONCE to integer micro-nats (the C37 discipline) — summing
+    * the column gives the corpus KL exactly, in any order, in both
+    * engines. Scale shape: two partial-agg scans to ~10²-row category
+    * frames, a full-outer join of those frames, 1-row totals broadcast
+    * back — the corpus never shuffles. */
+  def categoryDrift(old: DataFrame, neu: DataFrame, key: Column): DataFrame = {
+    val o = old.select(key.as("cat")).groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_old"))
+    val n = neu.select(key.as("cat")).groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_new"))
+    val j = o.join(n, Seq("cat"), "full_outer")
+    val tot = j.agg(
+      coalesce(sum(col("n_old")), lit(0L)).as("tot_old"),
+      coalesce(sum(col("n_new")), lit(0L)).as("tot_new"))
+    j.crossJoin(broadcast(tot))
+      .select(col("cat"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_old").isNull, lit("appeared"))
+          .when(col("n_new").isNull, lit("vanished"))
+          .otherwise(lit("common")).as("status"),
+        when(col("n_old").isNotNull && col("n_new").isNotNull,
+          round((col("n_new").cast("double") / col("tot_new").cast("double")) *
+            log((col("n_new").cast("double") * col("tot_old").cast("double")) /
+              (col("n_old").cast("double") * col("tot_new").cast("double"))) * 1e6)
+            .cast("long")).as("kl_term_micro"))
+  }
+
+  val qDrift = Q(
+    "qprofile_drift",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      // derived versions with all three statuses non-vacuous: src0
+      // appears (absent from old), src1 vanishes, src2 halves its share
+      val old = d.filter(col("source") =!= "src0")
+      val neu = d.filter(col("source") =!= "src1" &&
+        !(col("source") === "src2" && pmod(col("doc_id"), lit(2)) === 0))
+      categoryDrift(old, neu, col("source")).orderBy(col("cat"))
+    },
+    Some("""
+      WITH o AS (SELECT source AS cat, CAST(COUNT(*) AS BIGINT) AS n_old
+                 FROM documents WHERE source <> 'src0' GROUP BY 1),
+      n AS (SELECT source AS cat, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM documents
+            WHERE source <> 'src1' AND NOT (source = 'src2' AND doc_id % 2 = 0)
+            GROUP BY 1),
+      j AS (SELECT COALESCE(o.cat, n.cat) AS cat, o.n_old, n.n_new
+            FROM o FULL OUTER JOIN n ON o.cat = n.cat),
+      t AS (SELECT COALESCE(SUM(n_old), 0) AS tot_old,
+                   COALESCE(SUM(n_new), 0) AS tot_new FROM j)
+      SELECT cat,
+        COALESCE(n_old, 0) AS n_old,
+        COALESCE(n_new, 0) AS n_new,
+        CASE WHEN n_old IS NULL THEN 'appeared'
+             WHEN n_new IS NULL THEN 'vanished'
+             ELSE 'common' END AS status,
+        CASE WHEN n_old IS NOT NULL AND n_new IS NOT NULL THEN
+          CAST(ROUND((CAST(n_new AS DOUBLE) / CAST(tot_new AS DOUBLE)) *
+            ln((CAST(n_new AS DOUBLE) * CAST(tot_old AS DOUBLE)) /
+               (CAST(n_old AS DOUBLE) * CAST(tot_new AS DOUBLE))) * 1000000) AS BIGINT)
+        END AS kl_term_micro
+      FROM j CROSS JOIN t
+      ORDER BY cat"""))
+
   val qIntegrity = Q(
     "qprofile_integrity",
     (s, dir) => {
@@ -205,5 +282,5 @@ object Profile {
         CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS right_dup_ids
       FROM j"""))
 
-  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity)
+  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift)
 }

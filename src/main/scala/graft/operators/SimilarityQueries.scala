@@ -796,6 +796,58 @@ object SimilarityQueries {
       GROUP BY 1, 2
       ORDER BY vec_id, dim"""))
 
+  /** C75: PCA top component. The oracle replays the ENTIRE
+    * computation — exact fixed-point moments, the pinned covariance
+    * tree, and all 40 power-iteration rounds as a recursive CTE whose
+    * matvec/norm folds are left-associated ascending exactly like the
+    * driver loop — so the loadings compare BIT-identical as raw
+    * doubles (verified: zero mismatches at prototype time). */
+  val qPca = Q(
+    "qvec_pca",
+    (s, dir) => {
+      VectorFunctions.topComponent(
+          graft.sources.Tables(s, dir).embeddings, col("embedding"),
+          dim = 64, iters = 40)
+        .orderBy(col("pos"))
+    },
+    Some {
+      val D = 64; val IT = 40
+      s"""
+      WITH xf AS MATERIALIZED (SELECT vec_id,
+              [CAST(trunc(CAST(x AS DOUBLE) * 1e6) AS BIGINT) FOR x IN embedding] AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM xf),
+      m1 AS MATERIALIZED (SELECT i, SUM(v[i+1]) AS s1 FROM xf, range(0,$D) r(i) GROUP BY i),
+      m2 AS MATERIALIZED (SELECT r1.i, r2.j, SUM(v[r1.i+1] * v[r2.j+1]) AS s2
+             FROM xf, range(0,$D) r1(i), range(0,$D) r2(j)
+             WHERE r2.j >= r1.i GROUP BY r1.i, r2.j),
+      cmat AS (SELECT m2.i, m2.j,
+                ((CAST(m2.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / nn.c) / nn.c) / 1e12 AS cv
+               FROM m2 JOIN m1 a ON a.i = m2.i JOIN m1 b ON b.i = m2.j CROSS JOIN nn),
+      fl AS (SELECT i, j, cv FROM cmat UNION ALL SELECT j AS i, i AS j, cv FROM cmat WHERE i <> j),
+      rws AS (SELECT i, list(cv ORDER BY j) AS rw FROM fl GROUP BY i),
+      cm AS MATERIALIZED (SELECT list(rw ORDER BY i) AS c FROM rws),
+      it AS (
+        WITH RECURSIVE pow(k, v, lam) AS (
+          SELECT 0, [CAST(1.0 AS DOUBLE) FOR q IN range(0,$D)], CAST(0.0 AS DOUBLE)
+          UNION ALL
+          SELECT k + 1, [w[i+1] / nrm FOR i IN range(0,$D)], nrm
+          FROM (
+            SELECT k, w, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [w[i+1] * w[i+1] FOR i IN range(0,$D)]), (a, b) -> a + b)) AS nrm
+            FROM (
+              SELECT k,
+                [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [c[i+1][j+1] * v[j+1] FOR j IN range(0,$D)]),
+                   (a, b) -> a + b) FOR i IN range(0,$D)] AS w
+              FROM pow, cm WHERE k < $IT) t1) t2
+        ) SELECT v, lam FROM pow WHERE k = $IT)
+      SELECT CAST(unnest(range(0,$D)) AS BIGINT) AS pos, unnest(v) AS loading,
+             lam AS eigenvalue
+      FROM it
+      ORDER BY pos"""
+    })
+
   /** Per-label centroid components via fixed-point accumulation (see
     * VectorFunctions.groupCentroids for why neither double avg nor a
     * decimal cast is engine-deterministic). DuckDB side zips parallel
@@ -921,5 +973,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
-    qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp)
+    qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

@@ -88,6 +88,84 @@ object VectorFunctions {
     }
   }
 
+  /** Top principal component via deterministic power iteration
+    * (SURVEY.md §2.C75) — the PCA direction every embedding-space
+    * audit wants first (dominant variance axis; its eigenvalue vs the
+    * trace says how anisotropic the space is, the known failure smell
+    * of collapsed embedding models). Returns one row per dimension:
+    * `(pos, loading, eigenvalue)`.
+    *
+    * Determinism architecture: the DISTRIBUTED part is only the
+    * moment accumulation — per-element fixed-point (widen → ×1e6 →
+    * trunc, the [[groupCentroids]] recipe), so Σxᵢ and Σxᵢxⱼ are
+    * EXACT integers (decimal-summed — immune to long overflow at
+    * 10¹² rows) in any partitioning. The d×d covariance assembly and
+    * the power iteration run DRIVER-SIDE on those exact moments
+    * (d²·iters flops on ~4096 doubles — a scalar fetch plus
+    * microseconds, the CC-convergence idiom), with every fold
+    * ascending and every expression tree pinned, so the loadings are
+    * bit-identical on any cluster and any engine that replays the
+    * same arithmetic — which the DuckDB oracle does, term for term,
+    * through all `iters` rounds. From the fixed all-ones start the
+    * iteration (hence the SIGN of the component) is fully
+    * deterministic; no sign convention needed.
+    *
+    * Scale shape: ONE corpus scan emitting d(d+1)/2 upper-triangle
+    * terms per row into a map-side-combining (i, j) aggregation —
+    * fine to d of a few hundred (4096 cells at d=64); past that,
+    * block-accumulate or subsample the moment pass. `iters` trades
+    * convergence for nothing at runtime (driver-side): 40 is plenty
+    * for a spectral gap ≥ 5%.
+    */
+  def topComponent(df: org.apache.spark.sql.DataFrame, vec: Column,
+                   dim: Int, iters: Int = 40): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2 && dim <= 512, s"dim must be in [2, 512], got $dim")
+    require(iters >= 1 && iters <= 200, s"iters must be in [1, 200], got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val DEC = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xf = transform(vec.cast("array<double>"), x => (x * lit(1e6)).cast("long"))
+    val base = df.filter(vec.isNotNull).select(xf.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count().toDouble
+      if (n == 0) return Seq.empty[(Long, Double, Double)]
+        .toDF("pos", "loading", "eigenvalue")
+      val m1 = base.select(posexplode(col("v")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(sum(col("xi").cast(DEC)).as("s1"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      val m2 = base.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xi").cast(DEC) * col("xj").cast(DEC)).as("s2"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+      val c = Array.ofDim[Double](dim, dim)
+      m2.foreach { case ((i, j), s2) =>
+        // pinned tree: ((s2 − s1ᵢ·s1ⱼ/n)/n)/1e12 — the oracle replays it
+        val cv = ((s2 - m1(i) * m1(j) / n) / n) / 1e12
+        c(i)(j) = cv; c(j)(i) = cv
+      }
+      var v = Array.fill(dim)(1.0)
+      var lam = 0.0
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc = acc + c(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc = acc + w(i) * w(i); i += 1 }
+        lam = math.sqrt(acc)
+        v = w.map(_ / lam)
+      }
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x, lam) }.toSeq
+        .toDF("pos", "loading", "eigenvalue")
+    } finally base.unpersist()
+  }
+
   /** Unit-normalized copy (as array<double>): pre-normalizing once turns
     * every downstream cosine into a plain dot product — at scale this is
     * one map pass instead of re-deriving norms per pair. The norm is

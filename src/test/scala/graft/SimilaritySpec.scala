@@ -723,4 +723,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaCosine == exact,
       s"augmented-cosine and exact MIPS disagree: ${(viaCosine -- exact) ++ (exact -- viaCosine)}")
   }
+
+  test("topComponent finds a planted dominant variance axis") {
+    import SparkTest.spark
+    import spark.implicits._
+    // dim 0 varies with amplitude 10, dims 1-3 with amplitude ~0.1:
+    // the top component must point (almost) entirely along dim 0
+    val rows = (0 until 40).map { i =>
+      val t = (i % 2) * 2 - 1 // ±1
+      i.toLong -> Array(10.0f * t, 0.1f * ((i % 3) - 1), 0.05f * t, 0.0f)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.VectorFunctions.topComponent(
+        df, org.apache.spark.sql.functions.col("embedding"), dim = 4, iters = 40)
+      .orderBy(org.apache.spark.sql.functions.col("pos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val loadings = got.map(_._2)
+    val norm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9, s"loadings not unit-norm: $norm")
+    assert(math.abs(loadings(0)).toDouble > 0.99,
+      s"dominant axis missed: ${loadings.toSeq}")
+    val lam = got.head._3
+    assert(lam > 90.0 && lam < 110.0, s"eigenvalue off planted variance: $lam") // Var ≈ 100
+  }
+
+  test("topComponent: empty input yields an empty frame, bad params reject") {
+    import SparkTest.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.VectorFunctions.topComponent(
+      empty, org.apache.spark.sql.functions.col("embedding"), dim = 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.VectorFunctions.topComponent(
+        empty, org.apache.spark.sql.functions.col("embedding"), dim = 1)
+    }
+  }
+
+  test("randomProjectFixed is sign-symmetric and linear in the input") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Array(1.0f, 2.0f, -3.0f)),
+      (2L, Array(-1.0f, -2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.operators.VectorFunctions.randomProjectFixed(
+          col("embedding"), k = 4, seed = "t").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // projection of −x is exactly −projection of x (integer negation)
+    assert(got(1L).zip(got(2L)).forall { case (a, b) => a == -b },
+      s"got ${got(1L)} vs ${got(2L)}")
+  }
 }
