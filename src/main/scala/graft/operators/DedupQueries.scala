@@ -575,7 +575,39 @@ object DedupQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY id_a, id_b"""))
 
+  // C76: asymmetric containment (quote/subset detection). Engine
+  // groups on xxhash64 of the shingle; oracle on the string — the C22
+  // hashed-key parity discipline. Ratio rounded to 4 before the
+  // threshold in BOTH engines.
+  val qContainment = Q(
+    "qdedup_containment",
+    (s, dir) => {
+      Dedup.containmentPairs(Tables(s, dir).documents,
+          col("doc_id"), col("text"), n = 5, threshold = 0.5,
+          maxDocsPerShingle = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE text IS NOT NULL),
+      shx AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+               FOR i IN range(1, greatest(len(w) - 4, 0) + 1)]) AS g FROM toks),
+      sh AS (SELECT DISTINCT doc_id, g FROM shx),
+      sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      capd AS (SELECT doc_id, g FROM sh
+               WHERE g NOT IN (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 20)),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM capd a JOIN capd b ON a.g = b.g AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2),
+      ct AS (SELECT pr.id_a, pr.id_b, pr.n_shared,
+               ROUND(CAST(pr.n_shared AS DOUBLE) / sz.n_sh, 4) AS containment
+             FROM pr JOIN sz ON sz.doc_id = pr.id_a)
+      SELECT id_a, id_b, n_shared, containment
+      FROM ct WHERE containment >= 0.5
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd, qUrl,
-    qWinnow)
+    qWinnow, qContainment)
 }

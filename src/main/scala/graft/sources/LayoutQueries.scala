@@ -109,5 +109,31 @@ object LayoutQueries {
       SELECT doc_id, text, source FROM inc
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge)
+  /** D15: gzip-JSONL corpus round-trip — the interchange format the
+    * ML-data world actually ships (one JSON object per line, gzip
+    * members concatenate, any line-oriented tool streams it). Write
+    * documents as compressed JSONL, read back with an EXPLICIT schema
+    * (inference on a corpus-sized read is a second full scan and can
+    * drift types — doc_id long vs int — between runs), and hash-match
+    * the original rows: proves JSON escaping round-trips newlines,
+    * quotes and unicode in `text` byte-exactly. Value-transparent like
+    * the zorder twin, so the oracle is the plain table. */
+  val qJsonl = Q(
+    "qlayout_jsonl",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val out = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_jsonl").toString
+      docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "gzip").json(out)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .json(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge, qJsonl)
 }

@@ -536,6 +536,30 @@ class DedupSpec extends AnyFunSuite {
       s"ties must resolve rightmost: got positions ${reps.map(_._1).toSet}")
   }
 
+  test("containment catches a verbatim quote that Jaccard structurally misses") {
+    import spark.implicits._
+    val quote = (1 to 8).map(i => s"q$i").mkString(" ") // 8 tokens → 4 5-gram shingles
+    val filler = (1 to 80).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, s"$filler $quote"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.containmentPairs(
+        docs, col("doc_id"), col("text"), n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // doc 1 fully contained in doc 2 → containment 1.0 in that DIRECTION
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"quote direction missed: ${pairs.toSeq}")
+    // the reverse direction is far below threshold (4 of 84+ shingles)
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L },
+      s"reverse direction must not clear 0.5: ${pairs.toSeq}")
+    // and Jaccard over the same shingles is tiny — the reason this
+    // operator exists: 4 shared / ~88 union ≈ 0.045
+    val jac = graft.operators.Dedup.jaccardHashed(
+      graft.operators.Dedup.shingleHashSet(lit(quote), 5),
+      graft.operators.Dedup.shingleHashSet(lit(s"$filler $quote"), 5))
+    val j = docs.sparkSession.range(1).select(round(jac, 4)).head().getDouble(0)
+    assert(j < 0.1, s"fixture broken: jaccard $j should be tiny")
+  }
+
   test("winnowing: short docs emit nothing; sub-window docs winnow whole-doc") {
     import spark.implicits._
     val docs = Seq((1L, "tiny"), (2L, null: String), (3L, "exactly12ch!"))

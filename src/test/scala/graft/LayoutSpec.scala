@@ -158,6 +158,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(counts == orig)
   }
 
+  test("JSONL round-trips newlines, quotes, tabs and non-ASCII byte-exactly") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nwindows"),
+      (2L, "a \"quoted\" string with \\ backslash"),
+      (3L, "tabs\there\tand café ünïcode 中文"),
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    nasty.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "gzip").json(dir)
+    val back = spark.read.schema("doc_id BIGINT, text STRING").json(dir)
+      .orderBy(col("doc_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back(1L).get == "line one\nline two\r\nwindows")
+    assert(back(2L).get == "a \"quoted\" string with \\ backslash")
+    assert(back(3L).get == "tabs\there\tand café ünïcode 中文")
+    assert(back(4L).isEmpty, "NULL text must round-trip as NULL")
+  }
+
   test("mergeSnapshot: updates win, inserts append, survivors pass, NULL keys never collide") {
     import spark.implicits._
     val base = Seq((Some(1L), "old1", "s"), (Some(2L), "old2", "s"),
