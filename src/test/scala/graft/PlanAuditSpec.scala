@@ -73,7 +73,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "cardinality, never corpus-sized"),
     "qtext_pmi" -> ("crossJoin(broadcast(total)) — the 1-row bigram grand " +
       "total onto the minCount-filtered bigram-vocab frame (the qmix_plan " +
-      "1-row-total shape); the marginal joins are string-keyed equi-joins")
+      "1-row-total shape); the marginal joins are string-keyed equi-joins"),
+    "qtext_ppl_bucket" -> ("embeds qtext_unigram_lp, so it inherits that " +
+      "query's crossJoin(broadcast(total)) — the 1-row token-count total " +
+      "onto the vocab frame, never the corpus; the bucket stage itself is " +
+      "a collected 2-scalar cut plus a map-side when-chain"),
+    "qprofile_drift" -> ("crossJoin(broadcast(tot)) where tot is the 1-row " +
+      "(tot_old, tot_new) sum over the ~10²-row category frame — both sides " +
+      "bounded by category cardinality, never corpus-sized")
   )
 
   // ONE registry pass shared by every audit below: building a cluster
