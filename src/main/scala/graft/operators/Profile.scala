@@ -259,6 +259,87 @@ object Profile {
       FROM j CROSS JOIN t
       ORDER BY cat"""))
 
+  /** Cross-source content-overlap matrix (SURVEY.md §2.C77) — for
+    * every pair of sources sharing content, the count of word-n-grams
+    * they have in common and the Jaccard over their distinct-gram
+    * sets. This is the mirror-detection / mixture-planning audit C63
+    * and D14 don't cover: C63 diffs VERSIONS of one corpus, D14
+    * compares category SHARES — this answers "which sources are
+    * copying each other's text" (mirrors, syndication, scraped
+    * re-posts), which decides whether two sources deserve independent
+    * mixture weight at all. Grams come from [[Dedup.wordShingles]] —
+    * the ONE engine-wide shingling definition (C22's discipline).
+    *
+    * Scale shape: the corpus collapses map-side to distinct
+    * `(source, xxhash64(gram))` rows — text never shuffles, each row
+    * is ~source-bytes + 8. Ubiquitous grams (boilerplate present in
+    * more than `maxSources` sources) are dropped by a grouped count +
+    * left_anti BEFORE the pair join (the round-9 cap discipline — no
+    * WindowExec buffering), bounding the self-join's per-gram fan-out
+    * at maxSources²/2 pair rows. The pair join keys on the uniform
+    * gram hash; the totals join keys on source (AQE broadcasts it
+    * when the source list is small). Hash collisions conflate two
+    * grams with odds ~1e-11 at 10⁷ grams — the C22 trade; the
+    * string-keyed oracle stays valid because counts, not hashes, are
+    * the output. Pairs sharing nothing don't appear (an absent row IS
+    * the signal "independent sources"). */
+  def sourceOverlap(df: DataFrame, source: Column, text: Column,
+                    n: Int = 8, maxSources: Int = 256): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(maxSources >= 2, s"maxSources must allow a pair, got $maxSources")
+    val sg = df
+      .select(source.as("src"), explode(Dedup.wordShingles(text, n)).as("gram"))
+      .select(col("src"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    // sg is distinct (src, gh), so count(*) per gh == distinct sources
+    val overCap = sg.groupBy(col("gh")).count()
+      .filter(col("count") > maxSources).select(col("gh"))
+    val kept = sg.join(overCap, Seq("gh"), "left_anti")
+    val totals = kept.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val pairs = kept.toDF("gh", "src_a")
+      .join(kept.toDF("gh", "src_b"), "gh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(totals.toDF("src_a", "n_grams_a"), "src_a")
+      .join(totals.toDF("src_b", "n_grams_b"), "src_b")
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        col("shared_grams"), col("n_grams_a"), col("n_grams_b"),
+        round(col("shared_grams").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("shared_grams"))
+            .cast("double"), 6).as("jaccard"))
+  }
+
+  val qOverlap = Q(
+    "qprofile_overlap",
+    (s, dir) =>
+      Profile.sourceOverlap(Tables(s, dir).documents,
+          col("source"), col("text"))
+        .orderBy(col("source_a"), col("source_b")),
+    Some("""
+      WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT source,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8),
+      keep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 256),
+      sg AS (SELECT g.source, g.gram FROM grams g JOIN keep USING (gram)),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY 1),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS shared_grams
+            FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.shared_grams,
+        ta.n_grams AS n_grams_a, tb.n_grams AS n_grams_b,
+        ROUND(CAST(p.shared_grams AS DOUBLE) /
+          CAST(ta.n_grams + tb.n_grams - p.shared_grams AS DOUBLE), 6) AS jaccard
+      FROM p
+      JOIN tot ta ON ta.source = p.source_a
+      JOIN tot tb ON tb.source = p.source_b
+      ORDER BY source_a, source_b"""))
+
   val qIntegrity = Q(
     "qprofile_integrity",
     (s, dir) => {
@@ -282,5 +363,6 @@ object Profile {
         CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS right_dup_ids
       FROM j"""))
 
-  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift)
+  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
+    qOverlap)
 }

@@ -521,4 +521,43 @@ class CurationSpec extends AnyFunSuite {
       .orderBy(col("source")).collect().map(r => (r.getString(0), r.getDouble(4)))
     assert(quarter(1)._2 < 0.75 && 0.75 < 0.9)
   }
+
+  test("source overlap finds mirrored grams, caps ubiquitous ones, skips independents") {
+    import spark.implicits._
+    // A and B share one 3-gram ("p q r"); C is independent; ALL FOUR
+    // sources carry the boilerplate "x y z", which at maxSources=3
+    // is over cap and must not create pairs on its own
+    val df = Seq(
+      ("A", "p q r s"),     // grams: "p q r", "q r s", and the planted "x y z" below
+      ("A", "x y z"),
+      ("B", "p q r t"),     // shares "p q r" with A
+      ("B", "x y z"),
+      ("C", "u v w a"),
+      ("C", "x y z"),
+      ("D", "x y z")
+    ).toDF("source", "text")
+    val got = graft.operators.Profile.sourceOverlap(
+        df, col("source"), col("text"), n = 3, maxSources = 3)
+      .orderBy(col("source_a"), col("source_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only (A,B) survives: "x y z" is in 4 > 3 sources (dropped
+    // everywhere, including the denominators), C/D share nothing else.
+    // post-cap grams: A={p q r, q r s}, B={p q r, q r t} → shared 1,
+    // jaccard 1/3
+    assert(got.toSeq == Seq(("A", "B", 1L, 2L, 2L, 0.333333)),
+      s"got ${got.toSeq}")
+
+    // identical corpora in two sources: full overlap, jaccard 1.0
+    val twin = Seq(("A", "a b c d"), ("B", "a b c d")).toDF("source", "text")
+    val t = graft.operators.Profile.sourceOverlap(
+      twin, col("source"), col("text"), n = 3, maxSources = 3).head()
+    assert((t.getLong(2), t.getLong(3), t.getLong(4), t.getDouble(5)) ==
+      (2L, 2L, 2L, 1.0))
+
+    // NULL text and short docs contribute no grams and no rows
+    val sparse = Seq(("A", null), ("B", "one two")).toDF("source", "text")
+    assert(graft.operators.Profile.sourceOverlap(
+      sparse, col("source"), col("text"), n = 3).isEmpty)
+  }
 }
