@@ -51,6 +51,71 @@ object Keywords {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 keyword retrieval (SURVEY.md §2.C78; Robertson & Zaragoza
+    * 2009, the Lucene `+1` idf variant so the log stays positive for
+    * high-df terms): top-k documents per keyword query over the
+    * corpus's own index. The retrieval every curation run eventually
+    * needs ("show me the docs about X the filter kept/killed") and
+    * the scoring backbone of hard-negative mining.
+    *
+    * `queries` is `(query_id, term)` — one row per keyword; terms are
+    * lowercased and dup terms deduped (a repeated keyword must not
+    * double-bill its contribution). The index is the token-bearing
+    * corpus: N and avgdl are computed over docs with ≥1 token —
+    * token-free docs are unmatchable by construction, and indexing
+    * them would only dilute avgdl with rows retrieval can never see.
+    *
+    * Exactness: each (query, doc, term) contribution
+    * `ln((N−df+.5)/(df+.5)+1) · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))`
+    * is ONE pinned IEEE tree rounded ONCE to integer micro-units (the
+    * C37 discipline); the per-(query, doc) score is then an integer
+    * SUM — partial-agg order cannot perturb it — and the top-k ranks
+    * on (score_micro desc, doc_id asc), never on a float boundary.
+    *
+    * Scale shape: the corpus collapses to the shared [[docTermCounts]]
+    * frame (persisted once — tf, df and dl all derive from it without
+    * re-tokenizing); the query join is a term-keyed equi-join that
+    * moves only MATCHING postings (queries are ~10¹-10³ rows —
+    * broadcast); dl joins back doc-keyed; the 1-row (N, total) stats
+    * frame broadcasts. Documents themselves never shuffle — postings
+    * (doc_id, term, tf) do. The top-k window gets the map-side
+    * WindowGroupLimit rescue, partitioned by query_id. */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val Seq(qidC, termC) = queries.columns.toSeq.take(2).map(col)
+    val qterms = queries.select(qidC.as("query_id"),
+      lower(termC).as("term")).distinct()
+    val tf = docTermCounts(df, id, text)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double")
+        + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfPart = (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfPart * lit(1e6)).cast("long").as("contrib_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("contrib_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hit_terms"), col("score_micro"))
+  }
+
   /** Unigram LM scoring (SURVEY.md §2.C37): each document's mean token
     * log-probability under the corpus's OWN unigram model — the shape
     * of the CCNet/KenLM-style perplexity quality filter (docs whose

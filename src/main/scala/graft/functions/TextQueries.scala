@@ -1038,8 +1038,67 @@ object TextQueries {
       Tables(s, dir).documents, col("text"), merges = 4),
     Some(bpeOracleSql(4)))
 
+  // C78: BM25 retrieval — contributions in single-rounded integer
+  // micro-units off a pinned IEEE tree (the C37 discipline), summed
+  // as longs, ranked on (score_micro desc, doc_id asc). The k1/b
+  // constants are interpolated from the SAME Scala doubles the Spark
+  // side folds (shortest-round-trip repr parses back bit-identical),
+  // so the two engines literally share every constant in the tree.
+  // The query set pins the edge semantics: q1 repeats a keyword
+  // (deduped, not double-billed), q3 mixes a no-match term with a
+  // real one (absent terms contribute nothing; the query still
+  // retrieves on its real term).
+  private val Bm25QueryTerms = Seq(
+    "q1" -> "hash", "q1" -> "hash", "q1" -> "join",
+    "q2" -> "vector", "q2" -> "scan", "q2" -> "slow",
+    "q3" -> "zebra", "q3" -> "merge")
+  val qBm25 = Q(
+    "qtext_bm25",
+    (s, dir) => {
+      import s.implicits._
+      Keywords.bm25TopK(Tables(s, dir).documents, col("doc_id"), col("text"),
+          Bm25QueryTerms.toDF("query_id", "term"), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val k1 = 1.2; val b = 0.75
+      val vals = Bm25QueryTerms
+        .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+      s"""
+      WITH q AS (SELECT DISTINCT query_id, lower(term) AS term
+                 FROM (VALUES $vals) v(query_id, term)),
+      toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks WHERE term <> '' GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+      c AS (SELECT q.query_id, tf.doc_id,
+              CAST(ROUND(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                            (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+                ((CAST(tf.tf AS DOUBLE) * ${k1 + 1}) /
+                 (CAST(tf.tf AS DOUBLE) + $k1 * (${1 - b} + $b *
+                   (CAST(dl.dl AS DOUBLE) /
+                    (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+                1000000.0) AS BIGINT) AS contrib
+            FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN st),
+      sc AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+               CAST(SUM(contrib) AS BIGINT) AS score_micro
+             FROM c GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, n_hit_terms, score_micro,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+            FROM sc)
+      SELECT query_id, rank, doc_id, n_hit_terms, score_micro
+      FROM r WHERE rank <= 10
+      ORDER BY query_id, rank"""
+    })
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets, qReadability)
+    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets, qReadability, qBm25)
 }

@@ -289,4 +289,40 @@ class KeywordsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(got.toSeq == Seq(("a", "</w>", 3L)), s"got ${got.toSeq}")
   }
+
+  test("bm25 ranks rarity, saturation and length; dedups repeated query terms") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "rare word filler filler filler filler filler filler", // rare ×1, long
+      2L -> "rare word",                                           // rare ×1, short
+      3L -> "word word word word word word word word",             // common only
+      4L -> "other stuff entirely").toDF("doc_id", "text")
+    def run(qs: Seq[(String, String)], k: Int = 10) =
+      Keywords.bm25TopK(docs, col("doc_id"), col("text"),
+          qs.toDF("query_id", "term"), k)
+        .orderBy(col("query_id"), col("rank")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+
+    // "rare" matches docs 1 and 2 only; equal tf=1 → the SHORTER doc
+    // (2) wins on length normalization
+    val rare = run(Seq("a" -> "rare"))
+    assert(rare.map(t => (t._3)).toSeq == Seq(2L, 1L), s"got ${rare.toSeq}")
+
+    // repeated query keyword must not double-bill: scores identical
+    val once = run(Seq("a" -> "rare"))
+    val twice = run(Seq("a" -> "rare", "a" -> "rare", "a" -> "RARE"))
+    assert(once.map(_._5).toSeq == twice.map(_._5).toSeq)
+
+    // a no-match term contributes nothing; the multi-term query still
+    // retrieves on its real terms and n_hit_terms counts only matches
+    val mixed = run(Seq("m" -> "zzz", "m" -> "rare", "m" -> "word"))
+    assert(mixed.forall(_._4 <= 2), s"got ${mixed.toSeq}")
+    assert(mixed.map(_._3).toSet == Set(1L, 2L, 3L))
+    // doc 4 never appears for these queries
+    assert(!mixed.exists(_._3 == 4L))
+
+    // k truncates: with k=1 each query returns exactly its best doc
+    assert(run(Seq("a" -> "rare", "b" -> "word"), k = 1).length == 2)
+  }
 }

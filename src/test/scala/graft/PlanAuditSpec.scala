@@ -80,7 +80,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "a collected 2-scalar cut plus a map-side when-chain"),
     "qprofile_drift" -> ("crossJoin(broadcast(tot)) where tot is the 1-row " +
       "(tot_old, tot_new) sum over the ~10²-row category frame — both sides " +
-      "bounded by category cardinality, never corpus-sized")
+      "bounded by category cardinality, never corpus-sized"),
+    "qtext_bm25" -> ("crossJoin(broadcast(stats)) where stats is the 1-row " +
+      "(n_docs, total_tokens) index summary — the qtext_tfidf shape; the " +
+      "postings and dl joins are term-/doc-keyed equi-joins and the query " +
+      "set is a bounded broadcast")
   )
 
   // ONE registry pass shared by every audit below: building a cluster
