@@ -332,6 +332,54 @@ object Similarity {
       queries, queryId, queryVec, k)
   }
 
+  // --- C79: filtered (predicate-constrained) ANN --------------------------
+
+  /** Exact filtered vector search (SURVEY.md §2.C79): top-k cosine
+    * neighbors among the corpus rows satisfying `pred` — "nearest
+    * docs WHERE lang = 'en'", the retrieval+metadata composite every
+    * RAG / hard-negative-mining path needs. This is the PRE-filter
+    * formulation: the predicate cuts the corpus BEFORE any ranking,
+    * so every query gets the true top-k of the eligible subset —
+    * post-filtering an unfiltered top-k (the naive composition)
+    * silently under-returns whenever fewer than k of the unfiltered
+    * winners satisfy the predicate. Exact by construction; the scale
+    * path for selective predicates is [[ivfTopKFilteredAgainstIndex]].
+    * The predicate applies to NEIGHBORS only — queries rank the
+    * eligible corpus regardless of their own attributes. */
+  def filteredTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                   pred: Column,
+                   queries: DataFrame, queryId: Column, queryVec: Column,
+                   k: Int): DataFrame =
+    bruteTopK(corpus.filter(pred), corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+
+  /** [[ivfTopKAgainstIndex]] with a neighbor predicate pushed into the
+    * CANDIDATE SOURCE: the eligible id set (an id-only semi-join
+    * against `corpus.filter(pred)`) cuts the cells table before the
+    * probe join, so ineligible rows never become candidates, never
+    * fetch vectors, never occupy a top-k slot. The index itself stays
+    * predicate-free — built ONCE on the full corpus, searched under
+    * any filter (a per-predicate index would re-pay the corpus-scan
+    * build per filter). Recall is the usual IVF contract relative to
+    * the FILTERED brute truth ([[filteredTopK]]): nprobe = nlist is
+    * pair-for-pair equal (spec-proven); a selective predicate thins
+    * probed cells rather than starving the result with post-filter
+    * rejections. At 100 TB the added cost over the unfiltered search
+    * is one id-keyed semi-join on the cells table — ids move, nothing
+    * else. */
+  def ivfTopKFilteredAgainstIndex(centroids: DataFrame, cells: DataFrame,
+                                  corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                                  pred: Column,
+                                  queries: DataFrame, queryId: Column, queryVec: Column,
+                                  k: Int, nprobe: Int = 2): DataFrame = {
+    require(cells.columns.contains("vec_id"),
+      s"cells frame must carry vec_id; got ${cells.columns.mkString(", ")}")
+    val allowed = corpus.filter(pred).select(corpusId.as("vec_id"))
+    ivfTopKAgainstIndex(centroids,
+      cells.join(allowed, Seq("vec_id"), "left_semi"),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k, nprobe)
+  }
+
   private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                             cellSeed: Column,
                             queries: DataFrame, queryId: Column, queryVec: Column,

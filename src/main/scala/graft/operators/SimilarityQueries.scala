@@ -140,14 +140,15 @@ object SimilarityQueries {
   /** `cells0Ctes` must end in a `cells0(vec_id, grp)` CTE — the cell
     * assignment the index is built from (plain labels, or the trained
     * hash-seeded Lloyd cells). The tail is shared. */
-  private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int): String =
+  private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int,
+                           candFilter: String = ""): String =
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       $cells0Ctes,
       ${ivfProbeCtes(nprobe, nq = 10)},
       cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
                FROM qprobe q JOIN acell a ON a.cell = q.cell
-               WHERE a.vec_id != q.query_id),
+               WHERE a.vec_id != q.query_id$candFilter),
       ${reRankSql("cand", k)}"""
 
   val qIvf = Q(
@@ -236,6 +237,61 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
+
+  /** C79 exact baseline: top-k among even-label rows only — the
+    * PRE-filter semantics (true top-k of the eligible subset; a
+    * post-filtered unfiltered top-k under-returns whenever the
+    * predicate kills an unfiltered winner, which the label cut here
+    * does for most queries). Oracle = the brute formulation with the
+    * predicate on the corpus side only. */
+  val qFiltered = Q(
+    "qann_filtered",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.filteredTopK(
+          e, col("vec_id"), col("embedding"),
+          pmod(col("label"), lit(2)) === 0,
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(c.v, q.v) AS cos
+        FROM e c JOIN q ON c.vec_id != q.vec_id
+        WHERE c.label % 2 = 0),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM scored)
+      SELECT query_id, neighbor_id, rank, cosine
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** C79 scale path: the SAME predicate pushed into the prebuilt
+    * index's cells table (id-only semi-join) before the probe join —
+    * the index is built predicate-free on the full corpus, searched
+    * under the filter. One oracle composing the proven trained-cells
+    * probe recipe with the candidate-side predicate. */
+  val qFilteredIvf = Q(
+    "qann_filtered_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 1)
+      Similarity.ivfTopKFilteredAgainstIndex(cents, cells,
+          e, col("vec_id"), col("embedding"),
+          pmod(col("label"), lit(2)) === 0,
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2,
+      candFilter =
+        " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")))
 
   /** Two Lloyd iterations under the same oracle: proves the
     * fixed-point k-means refinement COMPOSES engine-exactly — iteration
@@ -972,6 +1028,7 @@ object SimilarityQueries {
       ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
+    qFiltered, qFilteredIvf,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
     qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

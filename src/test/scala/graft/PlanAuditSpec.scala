@@ -53,6 +53,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "append path adds only the |inc|·nlist map-side centroid-score " +
       "crossJoin (broadcast nlist-row centroid frame), the same shape the " +
       "build's assignment uses; the cells/codes unions are metadata-only"),
+    "qann_filtered" -> ("embeds qann_brute_topk over the predicate-filtered " +
+      "corpus — the same bounded query-set broadcast; the scale path is " +
+      "qann_filtered_ivf"),
+    "qann_filtered_ivf" -> ("the qann_ivf_indexed broadcasts (bounded " +
+      "centroid frame in build and probe); the predicate itself is an " +
+      "id-only semi-join on the cells table"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

@@ -759,6 +759,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered ANN: pre-filter beats post-filter, ivf path converges to brute") {
+    import SparkTest.spark
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val pred = pmod(col("label"), lit(2)) === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    // every returned neighbor satisfies the predicate
+    val brute = Similarity.filteredTopK(e, col("vec_id"), col("embedding"),
+      pred, q, col("vec_id"), col("embedding"), k = 5)
+    val allowed = e.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val bruteRows = rows(brute)
+    assert(bruteRows.nonEmpty && bruteRows.forall(r => allowed(r._2)))
+
+    // PRE-filter semantics: post-filtering the unfiltered top-k keeps
+    // only its eligible survivors — strictly fewer results than the
+    // true filtered top-k for at least one query here (the composition
+    // this operator exists to prevent)
+    val post = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5)
+      .filter(col("neighbor_id").isin(allowed.toSeq.map(Long.box): _*))
+    assert(post.count() < bruteRows.size)
+
+    // the index-backed path: predicate-clean at any nprobe, and
+    // pair-for-pair EQUAL to filtered brute when probing every cell
+    val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1)
+    val narrow = rows(Similarity.ivfTopKFilteredAgainstIndex(cents, cells,
+      e, col("vec_id"), col("embedding"), pred,
+      q, col("vec_id"), col("embedding"), k = 5, nprobe = 2))
+    assert(narrow.forall(r => allowed(r._2)))
+    val full = rows(Similarity.ivfTopKFilteredAgainstIndex(cents, cells,
+      e, col("vec_id"), col("embedding"), pred,
+      q, col("vec_id"), col("embedding"), k = 5, nprobe = 10))
+    assert(full == bruteRows,
+      s"nprobe=nlist ${full.take(3)} vs brute ${bruteRows.take(3)}")
+  }
+
   test("randomProjectFixed is sign-symmetric and linear in the input") {
     import SparkTest.spark
     import spark.implicits._
