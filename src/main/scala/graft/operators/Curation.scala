@@ -620,6 +620,39 @@ object Curation {
       .drop("__cid")
   }
 
+  /** Soft dedup (SURVEY.md §2.C80): per-document SAMPLING WEIGHT
+    * `1 / cluster_size` from a near-dup cluster resolution, instead of
+    * the hard keep/drop of [[applyClusters]] — the SoftDeDup insight
+    * (He et al. 2024, arXiv:2407.06654; also the Doremi-style common
+    * practice): dropping all-but-one copy deletes the evidence that
+    * duplicated content is POPULAR, while keeping every copy
+    * over-trains on it; down-weighting so each cluster contributes one
+    * document's worth of expected mass preserves both. Unclustered
+    * docs weigh 1. Output `(doc_id, cluster_size, weight)` — feed the
+    * weight to the loader's sampler or multiply into a mixture plan
+    * (C59).
+    *
+    * Exactness: cluster_size is an exact long off the cluster frame's
+    * own count; the weight is the single IEEE division `1.0 / size`
+    * rounded once to 6 places — identical in any engine. Scale shape:
+    * the cluster frame is members-only (tiny next to the corpus) and
+    * broadcasts into the corpus scan as a left join — the corpus never
+    * shuffles, the weight is a map-side expression. */
+  def softDedupWeights(corpus: DataFrame, id: Column,
+                       clusterFrame: DataFrame): DataFrame = {
+    val sizes = clusterFrame
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__csize"))
+    val members = clusterFrame.select(col("doc_id"), col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id").as("__mid"), col("__csize"))
+    corpus.select(id.as("doc_id"))
+      .join(broadcast(members), col("doc_id") === col("__mid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__csize"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("__csize"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Benchmark decontamination (SURVEY.md §2.C22): count, per corpus
     * document, the distinct word n-grams it shares with an evaluation
     * set — the standard pre-training hygiene check (the GPT-3/PaLM

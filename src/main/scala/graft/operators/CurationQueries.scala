@@ -658,8 +658,35 @@ object CurationQueries {
       FROM g ORDER BY doc_id"""
     })
 
+  /** Soft dedup (C80): the same cluster resolution as qdedup_apply,
+    * resolved to per-doc sampling weights instead of a drop set —
+    * each near-dup cluster contributes one document's worth of
+    * expected mass; singletons weigh 1. The weight is ONE IEEE
+    * division rounded once, so the oracle mirrors it exactly. */
+  val qSoftDedup = Q(
+    "qcuration_softdedup",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      val cl = Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+      Curation.softDedupWeights(t.documents, col("doc_id"), cl)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      $ComponentCcCtes,
+      cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+             FROM cc GROUP BY 1),
+      m AS (SELECT cc.doc_id, cs.csize FROM cc JOIN cs USING (cluster_id))
+      SELECT d.doc_id,
+        COALESCE(m.csize, 1) AS cluster_size,
+        ROUND(CAST(1 AS DOUBLE) / CAST(COALESCE(m.csize, 1) AS DOUBLE), 6)
+          AS weight
+      FROM documents d LEFT JOIN m USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff, qSplitTemporal, qRecipe)
+    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup)
 }

@@ -522,6 +522,25 @@ class CurationSpec extends AnyFunSuite {
     assert(quarter(1)._2 < 0.75 && 0.75 < 0.9)
   }
 
+  test("soft-dedup weights: 1/cluster_size for members, 1.0 for singletons, mass conserved") {
+    import spark.implicits._
+    // clusters: {1,2,3} (size 3), {10,11} (size 2); docs 20, 21 unclustered
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val got = Curation.softDedupWeights(corpus, col("doc_id"), cl)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0.333333), (2L, 3L, 0.333333), (3L, 3L, 0.333333),
+      (10L, 2L, 0.5), (11L, 2L, 0.5),
+      (20L, 1L, 1.0), (21L, 1L, 1.0)), s"got ${got.toSeq}")
+    // expected mass: each cluster sums to ~1 doc, singletons to 1 —
+    // total ≈ number of distinct contents (4), not corpus size (7)
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - 4.0) < 1e-3, s"mass $mass")
+  }
+
   test("source overlap finds mirrored grams, caps ubiquitous ones, skips independents") {
     import spark.implicits._
     // A and B share one 3-gram ("p q r"); C is independent; ALL FOUR
