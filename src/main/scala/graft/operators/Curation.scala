@@ -727,4 +727,47 @@ object Curation {
           .when(col("__h_old") <=> col("__h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Domain-blocklist screen (SURVEY.md §2.C81) — the UT1/RefinedWeb-
+    * style web-corpus hygiene gate: flag every document whose text
+    * links a blocked domain, where a blocklist entry matches its
+    * EXACT host and every subdomain of it (`tracker.bad` blocks
+    * `cdn.tracker.bad`). Returns `(doc_id, blocked, matched_domain)`
+    * for the whole corpus (`matched_domain` = the lexicographically
+    * smallest matching blocklist suffix — deterministic when several
+    * match, NULL when clean); callers filter `!blocked` or audit the
+    * hit distribution first.
+    *
+    * The subdomain match is NOT a per-row blocklist scan (a theta-join
+    * against 10⁵-10⁶ patterns): each extracted host expands map-side
+    * into its SUFFIX CHAIN (`a.b.example.com` → itself, `b.example.com`,
+    * `example.com` — bounded by label depth, TLD-alone excluded), and
+    * matching becomes one EQUI-join of those suffixes against the
+    * broadcast blocklist (10⁶ domains ≈ tens of MB). Ports are
+    * stripped for matching. Only hit rows shuffle (doc_id + suffix);
+    * the corpus itself never does — extraction and expansion are
+    * codegen map stages on the scan. */
+  def domainBlocklist(corpus: DataFrame, id: Column, text: Column,
+                      blocklist: DataFrame, blockedDomain: Column): DataFrame = {
+    val bl = blocklist.select(lower(blockedDomain).as("sfx")).distinct()
+    val host = regexp_replace(col("__domain"), ":[0-9]+$", "")
+    val sfxChain = graft.functions.Cols.let(split(host, "\\.")) { labels =>
+      // sequence(0, n-2) would DESCEND for single-label hosts — guard
+      when(size(labels) >= 2,
+        transform(sequence(lit(0), size(labels) - 2),
+          i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+        .otherwise(typedLit(Array.empty[String]))
+    }
+    val hits = corpus
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.urlDomains(text)).as("__domain"))
+      .select(col("doc_id"), explode(sfxChain).as("sfx"))
+      .join(broadcast(bl), "sfx")
+      .groupBy(col("doc_id")).agg(min(col("sfx")).as("matched_domain"))
+    corpus.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("matched_domain").isNotNull.as("blocked"),
+        col("matched_domain"))
+  }
 }

@@ -685,8 +685,60 @@ object CurationQueries {
       FROM documents d LEFT JOIN m USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Domain-blocklist screen (C81): URLs injected per the qtext_domains
+    * idiom — every doc links site{id%7}.example.com, every 5th doc
+    * additionally links a ported, mixed-case subdomain of a blocked
+    * domain. The blocklist blocks one exact host and one registered
+    * domain (subdomain match), so both match modes are non-vacuous
+    * and overlap on id%35 ties (MIN picks deterministically). */
+  val qBlocklist = Q(
+    "qcuration_blocklist",
+    (s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        lit(" https://Site"), (id % 7).cast("string"),
+        lit(".Example.com/p/"), id.cast("string"),
+        when(id % 5 === 0,
+          concat(lit(" https://media.CDN.tracker.bad:8080/v?x="), id.cast("string")))
+          .otherwise(lit("")))
+      Curation.domainBlocklist(
+          Tables(s, dir).documents.select(id, injected.as("t")),
+          col("doc_id"), col("t"),
+          Seq("site3.example.com", "tracker.bad").toDF("domain"), col("domain"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val h = graft.functions.TextFunctions.UrlHostPattern
+      s"""
+      WITH inj AS (
+        SELECT doc_id,
+          text || ' https://Site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.Example.com/p/' || CAST(doc_id AS VARCHAR) ||
+          CASE WHEN doc_id % 5 = 0
+               THEN ' https://media.CDN.tracker.bad:8080/v?x=' || CAST(doc_id AS VARCHAR)
+               ELSE '' END AS t
+        FROM documents),
+      d AS (SELECT doc_id,
+              regexp_replace(lower(UNNEST(regexp_extract_all(t, '$h', 1))),
+                ':[0-9]+$$', '') AS domain
+            FROM inj),
+      labs AS (SELECT doc_id, string_split(domain, '.') AS ls FROM d),
+      sfx AS (SELECT doc_id,
+                array_to_string(list_slice(ls, i + 1, len(ls)), '.') AS sfx
+              FROM labs, UNNEST(range(0, len(ls) - 1)) AS u(i)
+              WHERE len(ls) >= 2),
+      bl AS (SELECT UNNEST(['site3.example.com', 'tracker.bad']) AS sfx),
+      hit AS (SELECT s.doc_id, MIN(s.sfx) AS matched_domain
+              FROM sfx s JOIN bl USING (sfx) GROUP BY 1)
+      SELECT dd.doc_id, h2.matched_domain IS NOT NULL AS blocked,
+             h2.matched_domain
+      FROM documents dd LEFT JOIN hit h2 USING (doc_id)
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup)
+    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist)
 }

@@ -522,6 +522,32 @@ class CurationSpec extends AnyFunSuite {
     assert(quarter(1)._2 < 0.75 && 0.75 < 0.9)
   }
 
+  test("domain blocklist matches exact hosts and subdomains, never substrings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://ads.example.com/x"),        // subdomain of blocked
+      (2L, "see https://example.com/y"),            // exact blocked
+      (3L, "see https://notexample.com/z"),         // SUBSTRING, must stay clean
+      (4L, "see https://example.com.evil.io/w"),    // blocked domain as non-suffix label run
+      (5L, "see https://EXAMPLE.COM:443/p"),        // case + port variants
+      (6L, "no urls at all"),
+      (7L, null)
+    ).toDF("doc_id", "text")
+    val bl = Seq("example.com").toDF("domain")
+    val got = Curation.domainBlocklist(docs, col("doc_id"), col("text"),
+        bl, col("domain"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      (1L, true, Some("example.com")),
+      (2L, true, Some("example.com")),
+      (3L, false, None),
+      (4L, false, None),
+      (5L, true, Some("example.com")),
+      (6L, false, None),
+      (7L, false, None)), s"got ${got.toSeq}")
+  }
+
   test("soft-dedup weights: 1/cluster_size for members, 1.0 for singletons, mass conserved") {
     import spark.implicits._
     // clusters: {1,2,3} (size 3), {10,11} (size 2); docs 20, 21 unclustered
