@@ -116,6 +116,49 @@ object Keywords {
         col("n_hit_terms"), col("score_micro"))
   }
 
+  /** Zipf-law fit of the corpus token distribution (SURVEY.md §2.C82)
+    * — the least-squares slope of `ln(tf)` against `ln(rank)` over
+    * the top-N vocabulary: natural language sits near −1 (Zipf 1949);
+    * a corpus that drifts far flags synthetic/templated text (too
+    * steep: generation loops; too flat: keyword spam / shuffled
+    * vocabularies). One summary row `(n_terms, slope, intercept)` —
+    * the audit a corpus-health dashboard plots per source or crawl.
+    *
+    * Exactness: tf and rank are exact integers; each `ln` is rounded
+    * ONCE to integer micro-nats (the C37 discipline), so the five
+    * regression sums (n, Σx, Σy, Σxy, Σx²) are exact longs — overflow-
+    * safe at topN=1000 (Σxy ≤ ~2e17) — and the closed-form slope
+    * `(nΣxy−ΣxΣy)/(nΣx²−(Σx)²)` is ONE pinned IEEE tree over those
+    * longs, identical in any engine, rounded once. The intercept
+    * reuses the UNROUNDED slope. Scale shape: one term-keyed partial
+    * agg off the shared [[docTermCounts]] core, a map-side-limited
+    * global top-N (WindowGroupLimit), and a 1-row final aggregate —
+    * the corpus shuffles only as (term, count) pairs. */
+  def zipfFit(df: DataFrame, id: Column, text: Column,
+              topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be at least 2, got $topN")
+    val vocab = docTermCounts(df, id, text)
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= topN)
+    val pts = vocab.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("tf").cast("double")) * 1e6).cast("long").as("y"))
+    val s = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val den = nd * col("sxx").cast("double") - sxd * sxd
+    s.withColumn("__slope_raw",
+        when(col("n") >= 2 && den =!= 0.0,
+          (nd * col("sxy").cast("double") - sxd * syd) / den))
+      .select(col("n").as("n_terms"),
+        round(col("__slope_raw"), 6).as("slope"),
+        round((syd - col("__slope_raw") * sxd) / nd, 6).as("intercept"))
+  }
+
   /** Unigram LM scoring (SURVEY.md §2.C37): each document's mean token
     * log-probability under the corpus's OWN unigram model — the shape
     * of the CCNet/KenLM-style perplexity quality filter (docs whose

@@ -1097,8 +1097,49 @@ object TextQueries {
       ORDER BY query_id, rank"""
     })
 
+  // C82: Zipf fit — every regression sum is an exact long over
+  // once-rounded micro-nat points; the closed-form slope/intercept is
+  // one pinned double tree mirrored term-for-term.
+  val qZipf = Q(
+    "qtext_zipf",
+    (s, dir) => Keywords.zipfFit(
+      Tables(s, dir).documents, col("doc_id"), col("text"), topN = 1000),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term <> '' GROUP BY term),
+      r AS (SELECT term, tf,
+              CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank
+            FROM t),
+      m AS (SELECT
+              CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+              CAST(ROUND(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+            FROM r WHERE rank <= 1000),
+      su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+             FROM m),
+      f AS (SELECT n, sx, sy,
+              CASE WHEN n >= 2 AND
+                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              END AS slope_raw
+            FROM su)
+      SELECT n AS n_terms, ROUND(slope_raw, 6) AS slope,
+        ROUND((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) /
+              CAST(n AS DOUBLE), 6) AS intercept
+      FROM f"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets, qReadability, qBm25)
+    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets, qReadability, qBm25,
+    qZipf)
 }

@@ -290,6 +290,29 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "</w>", 3L)), s"got ${got.toSeq}")
   }
 
+  test("zipf fit recovers the exact two-point slope; empty corpus degrades honestly") {
+    import spark.implicits._
+    // tf 8 at rank 1, tf 4 at rank 2: real-math slope (ln4−ln8)/ln2 = −1;
+    // in once-rounded micro-nats: (1386294−2079442)/693147 → −1.000001,
+    // intercept = predicted y at rank 1 = 2079442 micro-nats. Exact.
+    val df = Seq((1L, ("a " * 8 + "b " * 4).trim)).toDF("doc_id", "text")
+    val row = Keywords.zipfFit(df, col("doc_id"), col("text")).head()
+    assert((row.getLong(0), row.getDouble(1), row.getDouble(2)) ==
+      (2L, -1.000001, 2079442.0), s"got $row")
+
+    // empty corpus: one honest row, no NaN/zero-division artifacts
+    val empty = Keywords.zipfFit(
+      df.filter(lit(false)), col("doc_id"), col("text")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2),
+      s"got $empty")
+
+    // single-term corpus: the x-variance is zero — slope must be NULL,
+    // not an infinity from 0/0
+    val one = Keywords.zipfFit(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), col("doc_id"), col("text")).head()
+    assert(one.getLong(0) == 1L && one.isNullAt(1), s"got $one")
+  }
+
   test("bm25 ranks rarity, saturation and length; dedups repeated query terms") {
     import spark.implicits._
     val docs = Seq(
