@@ -380,6 +380,82 @@ object Similarity {
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k, nprobe)
   }
 
+  // --- C83: MMR diversified retrieval --------------------------------------
+
+  /** Maximal-marginal-relevance top-k (SURVEY.md §2.C83; Carbonell &
+    * Goldstein 1998): per query, greedily select k results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the diversity
+    * re-rank that keeps a near-dup-heavy corpus from filling all k
+    * slots with copies of one answer (plain top-k does exactly that;
+    * RAG context windows and eval-set construction both want spread).
+    * Returns `(query_id, step, neighbor_id, score)` — step is the
+    * greedy selection order (1 = pure relevance, later steps trade
+    * relevance against redundancy).
+    *
+    * Exactness: relevance and redundancy are the engine's ONE cosine
+    * formulation (the codegen dot over normalized vectors the green
+    * ANN oracles prove bit-equal to DuckDB's); each step's score is
+    * the pinned tree `λ·rel − (1−λ)·coalesce(div, 0)` with argmax ties
+    * on neighbor_id — so the greedy path itself is engine-exact, not
+    * just the final scores. `max(div)` is order-independent.
+    *
+    * Scale shape: the greedy loop runs over the SHORTLIST, not the
+    * corpus — one brute/indexed candidate pass bounds each query to
+    * `shortlist` rows (persisted once; the loop is k plan-level
+    * iterations over that bounded frame, the CC-iteration idiom with
+    * k fixed and small). Each step is a query-keyed equi-join of
+    * shortlist rows against the ≤(t−1)-row selected set plus a
+    * rank-1 window per query (WindowGroupLimit). Vectors move once
+    * into the shortlist; the corpus never re-shuffles. For huge
+    * corpora swap the brute shortlist for [[ivfTopKAgainstIndex]] ids
+    * — the loop is source-agnostic. */
+  def mmrTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, shortlist: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val ids = bruteTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cn = corpus.select(corpusId.as("neighbor_id"),
+      VectorFunctions.normalized(corpusVec).as("cnv"))
+      .filter(col("cnv").isNotNull)
+    val qn = queries.select(queryId.as("query_id"),
+      VectorFunctions.normalized(queryVec).as("qnv"))
+      .filter(col("qnv").isNotNull)
+    val cand = ids.join(cn, "neighbor_id").join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("cnv"),
+        VectorFunctions.dot(col("cnv"), col("qnv")).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val score = lit(lambda) * col("rel") -
+      lit(1.0 - lambda) * coalesce(col("div"), lit(0.0))
+    var selected: DataFrame = null // (query_id, neighbor_id, cnv, score, step)
+    for (t <- 1 to k) {
+      val pool =
+        if (t == 1) cand.withColumn("div", lit(0.0))
+        else {
+          val divs = cand
+            .join(selected.select(col("query_id"), col("cnv").as("snv")), "query_id")
+            .groupBy(col("query_id"), col("neighbor_id"))
+            .agg(max(VectorFunctions.dot(col("cnv"), col("snv"))).as("div"))
+          cand.join(selected.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_anti")
+            .join(divs, Seq("query_id", "neighbor_id"), "left")
+        }
+      val pick = pool.withColumn("score", score)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("cnv"), col("score"),
+          lit(t.toLong).as("step"))
+      selected = if (t == 1) pick else selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("step"), col("neighbor_id"),
+      round(col("score"), 6).as("score"))
+  }
+
   private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                             cellSeed: Column,
                             queries: DataFrame, queryId: Column, queryVec: Column,

@@ -293,6 +293,73 @@ object SimilarityQueries {
       candFilter =
         " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")))
 
+  /** C83 oracle: the greedy MMR loop unrolled as k CTE steps — each
+    * step anti-joins the shortlist against the selected set, computes
+    * the max-redundancy term over selected vectors, and picks the
+    * (score desc, cid asc) argmax. Cosines are list_cosine_similarity
+    * (proven bit-equal to the engine's normalized-dot); the score tree
+    * `λ·rel − (1−λ)·COALESCE(div, 0)` mirrors the Spark expression
+    * term for term. Shortlist/k kept small: DuckDB inlines the cand
+    * CTE once per reference, so the unrolled chain re-evaluates it
+    * O(k) times (harmless at nq=5, shortlist=20). */
+  private def mmrOracleSql(nq: Int, shortlist: Int, k: Int, lam: Double): String = {
+    val om = 1.0 - lam
+    val sb = new StringBuilder(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < $nq),
+      sc0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cid,
+                list_cosine_similarity(c.v, q.v) AS rel, c.v AS cv
+              FROM e c JOIN q ON c.vec_id != q.vec_id),
+      cand AS (SELECT query_id, cid, rel, cv FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, cid) AS rn FROM sc0)
+               WHERE rn <= $shortlist),
+      p1 AS (SELECT query_id, cid, cv, score, CAST(1 AS BIGINT) AS step FROM (
+               SELECT query_id, cid, cv,
+                 ($lam * rel - $om * 0.0) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ($lam * rel - $om * 0.0) DESC, cid) AS rn
+               FROM cand) WHERE rn = 1),
+      sel1 AS (SELECT query_id, cid, cv FROM p1)""")
+    for (t <- 2 to k) {
+      val p = t - 1
+      sb ++= s""",
+      d$t AS (SELECT c.query_id, c.cid,
+                MAX(list_cosine_similarity(c.cv, s.cv)) AS div
+              FROM cand c JOIN sel$p s ON s.query_id = c.query_id
+              GROUP BY 1, 2),
+      p$t AS (SELECT query_id, cid, cv, score, CAST($t AS BIGINT) AS step FROM (
+               SELECT c.query_id, c.cid, c.cv,
+                 ($lam * c.rel - $om * COALESCE(d.div, 0.0)) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY c.query_id
+                   ORDER BY ($lam * c.rel - $om * COALESCE(d.div, 0.0)) DESC,
+                     c.cid) AS rn
+               FROM cand c
+               ANTI JOIN sel$p a ON a.query_id = c.query_id AND a.cid = c.cid
+               LEFT JOIN d$t d ON d.query_id = c.query_id AND d.cid = c.cid)
+              WHERE rn = 1),
+      sel$t AS (SELECT query_id, cid, cv FROM sel$p
+                UNION ALL SELECT query_id, cid, cv FROM p$t)"""
+    }
+    sb ++= "\n      " + (1 to k).map(t =>
+      s"SELECT query_id, step, cid AS neighbor_id, ROUND(score, 6) AS score FROM p$t")
+      .mkString(" UNION ALL ")
+    sb ++= "\n      ORDER BY query_id, step"
+    sb.toString
+  }
+
+  val qMmr = Q(
+    "qann_mmr",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.mmrTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+          k = 3, shortlist = 20, lambda = 0.5)
+        .orderBy(col("query_id"), col("step"))
+    },
+    Some(mmrOracleSql(nq = 5, shortlist = 20, k = 3, lam = 0.5)))
+
   /** Two Lloyd iterations under the same oracle: proves the
     * fixed-point k-means refinement COMPOSES engine-exactly — iteration
     * 2's centroids are built from iteration 1's oracle-identical
@@ -1028,7 +1095,7 @@ object SimilarityQueries {
       ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qFiltered, qFilteredIvf,
+    qFiltered, qFilteredIvf, qMmr,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
     qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

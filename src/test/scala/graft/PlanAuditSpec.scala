@@ -59,6 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_filtered_ivf" -> ("the qann_ivf_indexed broadcasts (bounded " +
       "centroid frame in build and probe); the predicate itself is an " +
       "id-only semi-join on the cells table"),
+    "qann_mmr" -> ("embeds qann_brute_topk for its shortlist (bounded " +
+      "query-set broadcast); the greedy loop itself is query-keyed " +
+      "equi-joins over the persisted shortlist-bounded candidate frame"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

@@ -800,6 +800,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"nprobe=nlist ${full.take(3)} vs brute ${bruteRows.take(3)}")
   }
 
+  test("MMR diversifies where plain top-k returns near-dups; λ=1 is pure relevance") {
+    import SparkTest.spark
+    import spark.implicits._
+    // doc 2 is a near-copy of doc 1; doc 3 is distinct but relevant
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.995f, 0.0999f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def picks(lam: Double) =
+      Similarity.mmrTopK(corpus, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"), k = 2, shortlist = 3, lambda = lam)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+
+    // plain top-2 keeps both copies
+    val brute = Similarity.bruteTopK(corpus, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(brute == Seq(1L, 2L))
+
+    // diversity-weighted MMR swaps the copy for the distinct doc
+    assert(picks(0.3) == Seq(1L, 3L), s"got ${picks(0.3)}")
+    // λ=1: redundancy term vanishes — selection order IS brute order
+    assert(picks(1.0) == brute)
+  }
+
   test("randomProjectFixed is sign-symmetric and linear in the input") {
     import SparkTest.spark
     import spark.implicits._
