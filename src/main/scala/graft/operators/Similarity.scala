@@ -380,6 +380,57 @@ object Similarity {
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k, nprobe)
   }
 
+  // --- C84: hard-negative mining -------------------------------------------
+
+  /** Semi-hard negative mining (SURVEY.md §2.C84; Schroff et al. 2015
+    * §3.3): for each (anchor, positive) training pair, the top-k
+    * corpus vectors that are HARDEST while still semi-hard —
+    * `cos(a, n) < cos(a, p) − margin`, ranked by `cos(a, n)` desc.
+    * This is what a contrastive/embedding training loop actually
+    * consumes: negatives harder than random (informative gradients)
+    * but farther than the positive (no label-noise collapse —
+    * negatives closer than the positive are usually mislabeled dups,
+    * which this corpus's near-dup operators exist to find). The
+    * anchor and positive themselves are excluded.
+    *
+    * Returns `(query_id, pos_id, neighbor_id, rank, cosine,
+    * pos_cosine)` — pos_cosine rides along so the consumer can see
+    * each pair's band. Exactness: one cosine formulation (the proven
+    * codegen dot), and the band cut compares two values of it — both
+    * engines compute both sides bit-identically, so the boundary is
+    * exact, not a float coin flip. Scale shape: the pair set is
+    * training-batch-sized and broadcasts WITH both its vectors
+    * attached (anchor + positive resolved by two id joins before the
+    * broadcast); the corpus is scanned once map-side against it (the
+    * bruteTopK shape) and the per-pair top-k is a rank-filtered
+    * window (WindowGroupLimit). The corpus never shuffles. */
+  def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    pairs: DataFrame, anchorId: Column, posId: Column,
+                    k: Int, margin: Double = 0.0): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(margin >= 0.0, s"margin must be non-negative, got $margin")
+    val cn = corpus.select(corpusId.as("__cid"),
+        VectorFunctions.normalized(corpusVec).as("__cv"))
+      .filter(col("__cv").isNotNull)
+    val p = pairs.select(anchorId.as("query_id"), posId.as("pos_id"))
+      .join(cn.select(col("__cid").as("query_id"), col("__cv").as("__av")), "query_id")
+      .join(cn.select(col("__cid").as("pos_id"), col("__cv").as("__pv")), "pos_id")
+      .select(col("query_id"), col("pos_id"), col("__av"),
+        VectorFunctions.dot(col("__av"), col("__pv")).as("__pcos"))
+    val w = Window.partitionBy(col("query_id"), col("pos_id"))
+      .orderBy(col("__ncos").desc, col("neighbor_id"))
+    cn.join(broadcast(p),
+        col("__cid") =!= col("query_id") && col("__cid") =!= col("pos_id"))
+      .select(col("query_id"), col("pos_id"), col("__cid").as("neighbor_id"),
+        VectorFunctions.dot(col("__cv"), col("__av")).as("__ncos"), col("__pcos"))
+      .filter(col("__ncos") < col("__pcos") - lit(margin))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("pos_id"), col("neighbor_id"), col("rank"),
+        round(col("__ncos"), 4).as("cosine"),
+        round(col("__pcos"), 4).as("pos_cosine"))
+  }
+
   // --- C83: MMR diversified retrieval --------------------------------------
 
   /** Maximal-marginal-relevance top-k (SURVEY.md §2.C83; Carbonell &

@@ -293,6 +293,42 @@ object SimilarityQueries {
       candFilter =
         " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")))
 
+  /** C84: semi-hard negatives for the pairs (a, a+100), a < 8 — the
+    * band cut compares two values of the ONE proven cosine
+    * formulation, so the boundary is engine-exact. */
+  val qHardNeg = Q(
+    "qann_hardneg",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val pairs = e.select(col("vec_id").as("a"), (col("vec_id") + 100).as("p"))
+        .filter(col("a") < 8)
+      Similarity.hardNegatives(
+          e, col("vec_id"), col("embedding"),
+          pairs, col("a"), col("p"), k = 5, margin = 0.0)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      pr AS (SELECT a.vec_id AS query_id, a.vec_id + 100 AS pos_id,
+               a.v AS av, p.v AS pv
+             FROM e a JOIN e p ON p.vec_id = a.vec_id + 100
+             WHERE a.vec_id < 8),
+      pc AS (SELECT query_id, pos_id, av,
+               list_cosine_similarity(av, pv) AS pcos FROM pr),
+      sc AS (SELECT pc.query_id, pc.pos_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(c.v, pc.av) AS ncos, pc.pcos
+             FROM e c JOIN pc
+               ON c.vec_id != pc.query_id AND c.vec_id != pc.pos_id
+             WHERE list_cosine_similarity(c.v, pc.av) < pc.pcos - 0.0),
+      r AS (SELECT query_id, pos_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id, pos_id
+                ORDER BY ncos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(ncos, 4) AS cosine, ROUND(pcos, 4) AS pos_cosine
+            FROM sc)
+      SELECT query_id, pos_id, neighbor_id, rank, cosine, pos_cosine
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** C83 oracle: the greedy MMR loop unrolled as k CTE steps — each
     * step anti-joins the shortlist against the selected set, computes
     * the max-redundancy term over selected vectors, and picks the
@@ -1095,7 +1131,7 @@ object SimilarityQueries {
       ORDER BY query_id, rank"""))
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qFiltered, qFilteredIvf, qMmr,
+    qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
     qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

@@ -62,6 +62,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_mmr" -> ("embeds qann_brute_topk for its shortlist (bounded " +
       "query-set broadcast); the greedy loop itself is query-keyed " +
       "equi-joins over the persisted shortlist-bounded candidate frame"),
+    "qann_hardneg" -> ("the bruteTopK shape: the training-batch-sized pair " +
+      "set broadcasts with its anchor/positive vectors attached; the corpus " +
+      "is scanned once map-side against it"),
     "qann_ivf" -> ("the crossJoin broadcasts the CENTROID frame — one row per " +
       "cell, bounded by nlist, never corpus-sized"),
     "qann_ivf_trained" -> ("same bounded centroid broadcast, in both the Lloyd " +

@@ -800,6 +800,39 @@ class SimilaritySpec extends AnyFunSuite {
       s"nprobe=nlist ${full.take(3)} vs brute ${bruteRows.take(3)}")
   }
 
+  test("hard negatives stay inside the semi-hard band and exclude the pair") {
+    import SparkTest.spark
+    import spark.implicits._
+    // anchor (1,0); positive at cos ≈ 0.92; candidates straddle it:
+    // 20 is HARDER than the positive (cos ≈ 0.98 — excluded: closer
+    // than p means probable dup/mislabel), 21/22 are semi-hard, 23 is
+    // nearly orthogonal (kept, ranked last)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),          // anchor
+      (2L, Array(0.92f, 0.392f)),       // positive
+      (20L, Array(0.98f, 0.199f)),      // harder than positive → excluded
+      (21L, Array(0.8f, 0.6f)),         // semi-hard
+      (22L, Array(0.6f, 0.8f)),         // semi-hard, farther
+      (23L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L)).toDF("a", "p")
+    val got = Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+        pairs, col("a"), col("p"), k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((21L, 1L), (22L, 2L), (23L, 3L)), s"got $got")
+
+    // a margin tightens the band: 0.3 drops 21 (cos 0.8 > pcos−0.3)
+    val tight = Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+        pairs, col("a"), col("p"), k = 5, margin = 0.3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(tight == Seq(22L, 23L), s"got $tight")
+
+    // a pair whose positive id is absent from the corpus yields no rows
+    val orphan = Similarity.hardNegatives(corpus, col("vec_id"), col("embedding"),
+      Seq((1L, 99L)).toDF("a", "p"), col("a"), col("p"), k = 5)
+    assert(orphan.isEmpty)
+  }
+
   test("MMR diversifies where plain top-k returns near-dups; λ=1 is pure relevance") {
     import SparkTest.spark
     import spark.implicits._
