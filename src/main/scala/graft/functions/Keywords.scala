@@ -477,12 +477,30 @@ object Keywords {
     * pair_count), `merges` rows (fewer only if the vocabulary runs out
     * of pairs) — the artifact a tokenizer ships.
     */
+  /** THE greedy left-to-right non-overlapping merge application both
+    * BPE halves share — training folds each learned merge into the
+    * vocabulary, [[bpeApply]] folds the shipped table into every word.
+    * One definition so the trainer and the tokenizer can never
+    * disagree on merge positions ("a a a" under (a,a) → ["aa","a"]).
+    * `pend` holds the last unmerged symbol ("" = none). */
+  private def greedyMergeFold(syms: Column, a: String, b: String, m: String): Column = {
+    val empty = struct(array().cast("array<string>").as("out"), lit("").as("pend"))
+    aggregate(syms, empty,
+      (acc, x) => when(acc("pend") === a && x === b,
+          struct(concat(acc("out"), array(lit(m))).as("out"), lit("").as("pend")))
+        .when(acc("pend") === "",
+          struct(acc("out").as("out"), x.as("pend")))
+        .otherwise(struct(concat(acc("out"), array(acc("pend"))).as("out"),
+          x.as("pend"))),
+      acc => when(acc("pend") === "", acc("out"))
+        .otherwise(concat(acc("out"), array(acc("pend")))))
+  }
+
   def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
     require(merges >= 1 && merges <= 64,
       s"merges must be in [1, 64] (each round is a Spark job), got $merges")
     val spark = df.sparkSession
     import spark.implicits._
-    val empty = struct(array().cast("array<string>").as("out"), lit("").as("pend"))
     var words = df.filter(text.isNotNull)
       .select(explode(split(lower(text), " ")).as("word"))
       .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
@@ -507,17 +525,7 @@ object Keywords {
           val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           val m = a + b
           learned += ((step.toLong, a, b, m, cnt))
-          // greedy fold: `pend` holds the last unmerged symbol ("" = none)
-          val folded = aggregate(col("syms"), empty,
-            (acc, x) => when(acc("pend") === a && x === b,
-                struct(concat(acc("out"), array(lit(m))).as("out"), lit("").as("pend")))
-              .when(acc("pend") === "",
-                struct(acc("out").as("out"), x.as("pend")))
-              .otherwise(struct(concat(acc("out"), array(acc("pend"))).as("out"),
-                x.as("pend"))),
-            acc => when(acc("pend") === "", acc("out"))
-              .otherwise(concat(acc("out"), array(acc("pend")))))
-          val next = words.select(col("wc"), folded.as("syms"))
+          val next = words.select(col("wc"), greedyMergeFold(col("syms"), a, b, m).as("syms"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize before dropping the parent
           words.unpersist()
@@ -526,6 +534,60 @@ object Keywords {
       }
     } finally words.unpersist()
     learned.toSeq.toDF("step", "l_sym", "r_sym", "merged", "pair_count")
+  }
+
+  /** BPE tokenization with a LEARNED merge table (SURVEY.md §2.C85) —
+    * the deployment half of [[bpeTrain]]: segment every document with
+    * the shipped merges and report the tokenizer-evaluation view
+    * `(doc_id, n_words, n_tokens, fertility, tokens)` — fertility
+    * (BPE tokens per word) is THE signal a vocab decision reads (a
+    * merge table that fits the corpus drives fertility toward 1; a
+    * mismatched one leaves every word at char+1 pieces), and the
+    * byte-exact `tokens` stream is what a downstream pipeline feeds
+    * the model.
+    *
+    * The merge table is a tokenizer ARTIFACT (≤ tens of rows here,
+    * ~30k in production) collected once and folded into a literal
+    * expression chain — each merge is one [[greedyMergeFold]] pass, so
+    * the whole operator is ONE codegen map stage over the corpus:
+    * zero shuffle, zero join, scan-bounded at 100 TB. The literal
+    * chain is capped at 16 merges (expression depth grows per merge);
+    * a production-vocab swap is the vocabulary-JOIN formulation —
+    * distinct words → fold once per word → word-keyed join back —
+    * which trades the map work for one string-keyed shuffle and no
+    * expression-depth bound. The cap keeps this operator honest about
+    * which regime it implements.
+    *
+    * Pre-tokenizer contract mirrors the trainer (lowercased whitespace
+    * words); words OUTSIDE the trainer's printable-ASCII alphabet
+    * can't match any merge by construction, so they pass through as
+    * one ATOMIC `word</w>` token (the unk-word convention) rather
+    * than exploding into characters the table never saw. NULL/empty
+    * text reports 0 words, 0 tokens, '' stream and NULL fertility —
+    * counts of work done are 0 when there was nothing to work on. */
+  def bpeApply(df: DataFrame, id: Column, text: Column, merges: DataFrame): DataFrame = {
+    val table = merges.select(col("step"), col("l_sym"), col("r_sym"), col("merged"))
+      .orderBy(col("step")).collect()
+    require(table.length <= 16,
+      s"literal-fold bpeApply is capped at 16 merges (expression depth); " +
+        s"got ${table.length} — use the vocabulary-join formulation for production tables")
+    def symsOf(w: Column): Column = {
+      val base = concat(regexp_extract_all(w, lit("(?s)."), lit(0)), array(lit("</w>")))
+      table.foldLeft(base)((s, r) =>
+        greedyMergeFold(s, r.getString(1), r.getString(2), r.getString(3)))
+    }
+    df.select(id.as("doc_id"),
+        filter(split(lower(coalesce(text, lit(""))), " "), w => w =!= "").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        flatten(transform(col("ws"), w =>
+          when(w.rlike("^[\\x21-\\x7e]+$"), symsOf(w))
+            .otherwise(array(concat(w, lit("</w>")))))).as("toks"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("n_words") > 0,
+          round(size(col("toks")).cast("double") / col("n_words").cast("double"), 6))
+          .as("fertility"),
+        array_join(col("toks"), " ").as("tokens"))
   }
 
   def pmiTopK(df: DataFrame, text: Column, k: Int,

@@ -983,10 +983,15 @@ object TextQueries {
     * fold branch-for-branch — a plain string replace would be wrong
     * in BOTH engines the same way, which is why the fold is spelled
     * out rather than shortcut. */
-  private def bpeOracleSql(merges: Int): String = {
+  /** The shared C69/C85 vocabulary chain `w0 → (p_r, b_r, w_r)*`:
+    * carries `word` through every round so the APPLY oracle can key
+    * the corpus tokenization on it (the train oracle simply ignores
+    * the column — one chain, two consumers, a fold fix can't diverge
+    * them). */
+  private def bpeChainCtes(merges: Int): String = {
     val sb = new StringBuilder(
       """WITH w0 AS MATERIALIZED (
-    SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wc,
            list_append(regexp_extract_all(word, '(?s).'), '</w>') AS syms
     FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
           FROM documents WHERE text IS NOT NULL)
@@ -1000,14 +1005,14 @@ object TextQueries {
     b$r AS (SELECT lft, rgt, lft || rgt AS m, cnt FROM p$r
              ORDER BY cnt DESC, lft, rgt LIMIT 1),
     w$r AS MATERIALIZED (
-      SELECT wc, string_split(CASE WHEN split_part(st, chr(30), 2) = ''
+      SELECT word, wc, string_split(CASE WHEN split_part(st, chr(30), 2) = ''
                    THEN split_part(st, chr(30), 1)
                    WHEN split_part(st, chr(30), 1) = ''
                    THEN split_part(st, chr(30), 2)
                    ELSE split_part(st, chr(30), 1) || chr(31) || split_part(st, chr(30), 2)
                  END, chr(31)) AS syms
       FROM (
-        SELECT wc, list_reduce(list_prepend(chr(30), syms),
+        SELECT word, wc, list_reduce(list_prepend(chr(30), syms),
           (acc, x) -> CASE
             WHEN split_part(acc, chr(30), 2) = b.lft AND x = b.rgt THEN
               (CASE WHEN split_part(acc, chr(30), 1) = '' THEN b.m
@@ -1020,12 +1025,44 @@ object TextQueries {
               || chr(30) || x
           END) AS st
         FROM w${r - 1}, b$r b))"""
-    sb ++= "\n    " + (1 to merges).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS step, lft AS l_sym, rgt AS r_sym, " +
-        s"m AS merged, cnt AS pair_count FROM b$r").mkString(" UNION ALL ")
-    sb ++= " ORDER BY step"
     sb.toString
   }
+
+  private def bpeOracleSql(merges: Int): String =
+    bpeChainCtes(merges) + "\n    " + (1 to merges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, lft AS l_sym, rgt AS r_sym, " +
+        s"m AS merged, cnt AS pair_count FROM b$r").mkString(" UNION ALL ") +
+      " ORDER BY step"
+
+  /** C85 oracle: the trained chain's FINAL vocabulary frame (word →
+    * folded syms) keys the corpus tokenization — per-occurrence merge
+    * folding (the engine) and per-distinct-word folding joined back
+    * (the oracle) are the same function of the word, so the token
+    * streams must agree byte-for-byte. Non-conforming words pass
+    * through as one atomic `word</w>` token in both formulations. */
+  private def bpeApplyOracleSql(merges: Int): String =
+    bpeChainCtes(merges) + s""",
+    dws AS (SELECT doc_id,
+              list_filter(string_split(lower(COALESCE(text, '')), ' '), w -> w <> '') AS ws
+            FROM documents),
+    dwi AS (SELECT doc_id, i, ws[i] AS word FROM (
+              SELECT doc_id, ws, unnest(range(1, length(ws) + 1)) AS i FROM dws)),
+    tk AS (SELECT d.doc_id, d.i,
+             CASE WHEN regexp_matches(d.word, '^[\\x21-\\x7e]+$$')
+                  THEN COALESCE(v.syms, [d.word || '</w>'])
+                  ELSE [d.word || '</w>'] END AS syms
+           FROM dwi d LEFT JOIN w$merges v ON v.word = d.word),
+    ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(length(syms)) AS BIGINT) AS n_tokens,
+                  array_to_string(flatten(list(syms ORDER BY i)), ' ') AS tokens
+           FROM tk GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           CASE WHEN a.n_words > 0
+                THEN ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END AS fertility,
+           COALESCE(a.tokens, '') AS tokens
+    FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
 
   // C69: BPE vocabulary training — 4 merge rounds, full oracle parity
   // on (pair, merged form, exact weighted count) per round. 4 rounds
@@ -1037,6 +1074,22 @@ object TextQueries {
     (s, dir) => Keywords.bpeTrain(
       Tables(s, dir).documents, col("text"), merges = 4),
     Some(bpeOracleSql(4)))
+
+  // C85: BPE tokenization with the learned table — train 4 merges on
+  // the corpus (the proven C69 chain), then segment the SAME corpus
+  // with them: the fertility/token-stream view a tokenizer decision
+  // reads. The oracle keys tokenization on the chain's final
+  // vocabulary frame; the engine folds merges per occurrence — same
+  // function of the word, byte-exact `tokens` parity.
+  val qBpeApply = Q(
+    "qtext_bpe_apply",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Keywords.bpeApply(docs, col("doc_id"), col("text"),
+        Keywords.bpeTrain(docs, col("text"), merges = 4))
+        .orderBy(col("doc_id"))
+    },
+    Some(bpeApplyOracleSql(4)))
 
   // C78: BM25 retrieval — contributions in single-rounded integer
   // micro-units off a pinned IEEE tree (the C37 discipline), summed
@@ -1140,6 +1193,6 @@ object TextQueries {
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources, qChunk, qBpe, qPplBuckets, qReadability, qBm25,
-    qZipf)
+    qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
+    qBm25, qZipf)
 }

@@ -280,6 +280,41 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got(5L) == ((None, "unscored")), s"got ${got(5L)}")
   }
 
+  test("bpeApply: hand-computed segmentation, fertility, atomic unk words, NULL text") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // merges trained on "aaa aaa aa" (see the bpeTrain spec): (a,a)→aa then
+    // (a,</w>)→a</w>. Applied: "aaa"→[aa,a</w>]; "aaaa"→[aa,aa,</w>]
+    // (greedy: no pending 'a' left for the second merge); "aa"→[aa,</w>];
+    // "café" fails the printable-ASCII gate → one atomic token.
+    val train = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val merges = Keywords.bpeTrain(train, col("text"), 2)
+    val docs = Seq((1L, "aaa aaaa"), (2L, "aa café"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Keywords.bpeApply(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))).toMap
+    assert(got(1L) == ((2L, 5L, Some(2.5), "aa a</w> aa aa </w>")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 3L, Some(1.5), "aa </w> café</w>")), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, None, "")), s"got ${got(3L)}")
+  }
+
+  test("bpeApply merge order matters: later merges see earlier merges' symbols") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // train on "abab abab ab": (a,b)→ab wins round 1 (count 5); round 2
+    // pairs over folded forms [ab,ab,</w>]×2 + [ab,</w>]: (ab,ab)=2,
+    // (ab,</w>)=3 → (ab,</w>) wins. Applying BOTH to "ababab" must fold
+    // round 1 first: [ab,ab,ab,</w>] → round 2 merges only the LAST pair.
+    val train = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = Keywords.bpeTrain(train, col("text"), 2)
+    val got = Keywords.bpeApply(Seq((1L, "ababab")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), merges).head()
+    assert(got.getString(4) == "ab ab ab</w>", s"got ${got.getString(4)}")
+  }
+
   test("bpeTrain stops early when the vocabulary runs out of pairs") {
     import SparkTest.spark
     import spark.implicits._
