@@ -118,6 +118,52 @@ object Curation {
       .drop("w_total")
   }
 
+  /** Weighted sampling WITHOUT replacement (SURVEY.md §2.C86;
+    * Efraimidis & Spirakis 2006, A-Res): exactly `k` rows with
+    * inclusion odds proportional to `weight` — the curation step
+    * between flat hash sampling (C15, every row equal) and mixture
+    * rates (C23, per-GROUP odds): per-ROW importance (token count,
+    * quality score, cluster mass) without replacement, in one pass.
+    * Classic key: keep the k largest `u^(1/w)`; ranked here by the
+    * monotone-equivalent `ln(u)/w` (maximized — ln u is negative, so
+    * big weights pull the key toward 0).
+    *
+    * Deterministic and engine-reproducible, no `rand()`: `u` derives
+    * from fnv1a64(salt:key) folded to 53 bits — `(h₅₃ + 0.5) / 2⁵³`
+    * is EXACT double arithmetic (53-bit numerator, power-of-two
+    * denominator) and never 0 or 1, so `ln` is finite. The one libm
+    * call (`ln u`) is rounded ONCE to integer micro-nats (the C37
+    * discipline); the ranking key is then a single IEEE division of
+    * exact values — bit-identical on any engine and partitioning.
+    *
+    * Scale shape: a pure codegen map stage computes the key, the
+    * global top-k plans as TakeOrderedAndProject (map-side partial
+    * top-k, k rows to the final merge — never a corpus sort); the
+    * rank window runs on the ALREADY-LIMITED k rows. Rows with NULL
+    * or non-positive weight cannot be sampled (zero mass, honestly
+    * excluded — a NULL weight is not a weight). */
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    val clash = df.columns.toSet.intersect(Set("es_key", "sample_rank"))
+    require(clash.isEmpty,
+      s"sampleByWeight writes reserved columns (es_key, sample_rank); " +
+        s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val h53 = pmod(
+      call_function("fnv1a64", concat(lit(salt + ":"), key.cast("string"))),
+      lit(9007199254740992L)) // 2^53
+    val u = (h53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val lnuMicro = round(log(u) * lit(1e6)).cast("long")
+    val w = weight.cast("long")
+    val ord = Seq(col("es_key").desc, key.asc)
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("es_key", lnuMicro.cast("double") / w.cast("double"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+  }
+
   /** Deterministic train/val/test split assignment (SURVEY.md §2.C30):
     * each row gets the label of the bucket range its [[hashBucket]]
     * falls in — the standard leakage-safe corpus split (hash of a

@@ -58,6 +58,34 @@ object CurationQueries {
       WHERE ((sb % 100) + 100) % 100 < 37
       ORDER BY doc_id"""))
 
+  // C86: Efraimidis-Spirakis weighted sampling without replacement —
+  // n_chars-proportional inclusion odds, exactly k=100 rows. The
+  // oracle mirrors the whole key derivation on the shared FNV recipe:
+  // 53-bit fold, the exact (h+0.5)/2^53 uniform, ln rounded once to
+  // micro-nats, ONE IEEE division — identical doubles, identical
+  // top-k boundary in both engines.
+  val qSampleWeighted = Q(
+    "qsample_weighted",
+    (s, dir) => {
+      Curation.sampleByWeight(
+          Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("sample_rank"), col("doc_id"), col("n_chars"), col("es_key"))
+        .orderBy(col("sample_rank"))
+    },
+    Some(s"""
+      WITH ${fnvKeyCtes("wsample", carry = "n_chars")},
+      keyed AS (SELECT doc_id, n_chars,
+          CAST(ROUND(ln((CAST(((sb % 9007199254740992) + 9007199254740992) % 9007199254740992 AS DOUBLE) + 0.5)
+                        / 9007199254740992.0) * 1e6) AS BIGINT) AS lnu_micro
+        FROM g WHERE n_chars IS NOT NULL AND n_chars > 0)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS sample_rank,
+             doc_id, n_chars, es_key
+      FROM (SELECT doc_id, n_chars,
+              CAST(lnu_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key
+            FROM keyed)
+      ORDER BY es_key DESC, doc_id LIMIT 100"""))
+
   /** Domain-mixture sampling (C23): per-language keep rates, including
     * a 0% exclusion and a fall-through default. */
   val qSampleMix = Q(
@@ -740,5 +768,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist)
+    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted)
 }

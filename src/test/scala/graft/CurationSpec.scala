@@ -327,6 +327,37 @@ class CurationSpec extends AnyFunSuite {
     assert(salted != ids1)
   }
 
+  test("weighted sample: exact k, weight-proportional keys, ineligible rows excluded") {
+    import spark.implicits._
+    // 1 heavy row (weight 10^9) among 50 unit-weight rows: ln(u)/1e9 is
+    // within micro-nats of 0 while every unit key is ≤ round(ln(u_max)e6)
+    // — the heavy row must take slot 1 at k=1 unless some unit row drew
+    // u > e^(-1e-6+ln(u_h)/1e9)… i.e. essentially never; pinned here as a
+    // deterministic fixture (fixed salt ⇒ fixed outcome, not a flake).
+    val df = ((1L to 50L).map(i => (i, 1L)) :+ (99L, 1000000000L))
+      .toDF("doc_id", "w")
+    val top = Curation.sampleByWeight(df, col("doc_id"), col("w"), k = 1)
+    assert(top.select("doc_id").head().getLong(0) == 99L)
+    // exact k, contiguous ranks, no duplicate selections
+    val k10 = Curation.sampleByWeight(df, col("doc_id"), col("w"), k = 10).collect()
+    assert(k10.length == 10)
+    assert(k10.map(_.getAs[Long]("sample_rank")).sorted.toSeq == (1L to 10L))
+    assert(k10.map(_.getAs[Long]("doc_id")).distinct.length == 10)
+    // k beyond the eligible population returns every eligible row;
+    // NULL / zero / negative weights carry no mass
+    val mixed = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
+      (5L, Some(1L))).toDF("doc_id", "w")
+    val all = Curation.sampleByWeight(mixed, col("doc_id"), col("w"), k = 100)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(all == Set(1L, 5L))
+    // reserved output columns fail fast instead of silently overwriting
+    val clash = intercept[IllegalArgumentException] {
+      Curation.sampleByWeight(df.withColumn("es_key", lit(1.0)),
+        col("doc_id"), col("w"), k = 1)
+    }
+    assert(clash.getMessage.contains("es_key"))
+  }
+
   test("mixture rates: 0% excludes, and each group equals its flat sample") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf).documents

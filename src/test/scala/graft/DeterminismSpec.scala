@@ -32,7 +32,10 @@ class DeterminismSpec extends AnyFunSuite {
     "qtext_oov", "qtext_pmi", "qcorpus_diff", "qcuration_recipe",
     // r10: the BPE trainer's per-round argmax (weighted-count ties) and
     // the exact-decimal moment sums behind the corr closed forms
-    "qtext_bpe", "q23_stats_corr", "q24_gapfill", "qvec_pca", "qprofile_drift")
+    "qtext_bpe", "q23_stats_corr", "q24_gapfill", "qvec_pca", "qprofile_drift",
+    // this session: the learned-merge tokenization (argmax chain feeds a
+    // byte-exact stream) and the weighted sample's global top-k boundary
+    "qtext_bpe_apply", "qsample_weighted")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
