@@ -607,7 +607,44 @@ object DedupQueries {
       FROM ct WHERE containment >= 0.5
       ORDER BY id_a, id_b"""))
 
+  // C87: edit-distance pairs over injected short titles — every
+  // doc_id%4 residue is one edit off the group's base form (insert /
+  // substitute / delete), so within-group pairs AND cross-group
+  // numeral-typo pairs are all non-vacuous; the oracle is the brute
+  // all-pairs levenshtein, so the deletion-neighborhood blocking's
+  // losslessness is what the hash-match proves.
+  val qEditDist = Q(
+    "qdedup_editdist",
+    (s, dir) => {
+      val res = pmod(col("doc_id"), lit(4))
+      val g = floor(col("doc_id") / 4).cast("long").cast("string")
+      val title = when(res === 0, concat(lit("record number "), g))
+        .when(res === 1, concat(lit("record number "), g, lit("s")))
+        .when(res === 2, concat(lit("record numbex "), g))
+        .otherwise(concat(lit("record numbe "), g))
+      Dedup.editDistancePairs(
+          Tables(s, dir).documents.select(col("doc_id"), title.as("t")),
+          col("doc_id"), col("t"), maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'record number ' || g
+            WHEN 1 THEN 'record number ' || g || 's'
+            WHEN 2 THEN 'record numbex ' || g
+            ELSE 'record numbe ' || g END AS t
+        FROM (SELECT doc_id,
+                CAST(CAST(FLOOR(doc_id / 4.0) AS BIGINT) AS VARCHAR) AS g
+              FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.t, b.t) AS INT) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.t, b.t) <= 1
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd, qUrl,
-    qWinnow, qContainment)
+    qWinnow, qContainment, qEditDist)
 }

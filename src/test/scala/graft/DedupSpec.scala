@@ -560,6 +560,45 @@ class DedupSpec extends AnyFunSuite {
     assert(j < 0.1, s"fixture broken: jaccard $j should be tiny")
   }
 
+  test("edit-distance pairs: lossless deletion blocking at d=1 and d=2") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat"), (2L, "cut"), (3L, "cats"), (4L, "ca"),
+      (5L, "dog"), (6L, "c"), (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "t")
+    def pairs(d: Int) = graft.operators.Dedup.editDistancePairs(
+        docs, col("doc_id"), col("t"), maxDist = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // d=1: substitution (cat,cut), insertion (cat,cats), deletions
+    // (cat,ca), (ca,c); NULL rows never pair
+    assert(pairs(1) == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (4L, 6L, 1)),
+      s"got ${pairs(1)}")
+    // d=2 adds the two-edit chains: (cut,ca) del+sub, (cats,ca) 2 del,
+    // (cat,c), (cut,cats) sub+ins, (cut,c)?=2 del+sub→ed 2, (cats,c)=3 no
+    assert(pairs(2) == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (4L, 6L, 1),
+      (2L, 3L, 2), (2L, 4L, 2), (2L, 6L, 2), (3L, 4L, 2), (1L, 6L, 2)),
+      s"got ${pairs(2)}")
+  }
+
+  test("edit-distance pairs: bucket cap evicts degenerate keys; maxLen fails fast") {
+    import spark.implicits._
+    // 5 identical strings share every signature: bucket size 5 > cap 4
+    // evicts the key cluster entirely (degenerate-key policy, the C2
+    // discipline — an exact-dup pile is C1's job, not a pair explosion)
+    val dup = (1L to 5L).map(i => (i, "same")).toDF("doc_id", "t")
+    val capped = graft.operators.Dedup.editDistancePairs(
+      dup, col("doc_id"), col("t"), maxDist = 1, maxBucket = 4)
+    assert(capped.count() == 0)
+    val ok = graft.operators.Dedup.editDistancePairs(
+      dup, col("doc_id"), col("t"), maxDist = 1, maxBucket = 50)
+    assert(ok.count() == 10) // all C(5,2) pairs at dist 0
+    val long = Seq((1L, "x" * 100)).toDF("doc_id", "t")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.editDistancePairs(
+        long, col("doc_id"), col("t"), maxDist = 1, maxLen = 64).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("winnowing: short docs emit nothing; sub-window docs winnow whole-doc") {
     import spark.implicits._
     val docs = Seq((1L, "tiny"), (2L, null: String), (3L, "exactly12ch!"))
