@@ -424,6 +424,83 @@ object Analytics {
       GROUP BY e1.user_id
       ORDER BY user_id"""))
 
+  /** Interval-overlap join (SURVEY.md §2.B25): all (a, b) with
+    * `[sa, ea) ∩ [sb, eb) ≠ ∅` — interval×interval, the join family
+    * member B14's point-in-range shape cannot express and Spark has
+    * no native operator for: without an equi key the naive plan is a
+    * BroadcastNestedLoopJoin over the full cross product.
+    *
+    * Blocking makes it an EQUI-join: each interval explodes into the
+    * fixed-width CELLS it spans. Overlapping intervals both contain
+    * some common point t, hence both emit cell(t) — the cell join is
+    * a LOSSLESS candidate generator and the exact predicate prunes
+    * false cell-mates. Duplicate elimination is arithmetic, not a
+    * distinct shuffle: a pair is emitted only from the cell holding
+    * the overlap's FIRST point (`cell == greatest(sa, sb) div w`) —
+    * exactly one cell qualifies per pair.
+    *
+    * Scale shape: explode is map-side (span/cellWidth rows per
+    * interval, fail-fast capped at `maxCellsPerRow` — size the cell
+    * width to the span distribution), the one shuffle is the cell
+    * equi-join, AQE handles hot cells. Bounds are nonneg longs (epoch
+    * micros); `end > start` is asserted per row — an empty interval
+    * overlaps nothing and a caller passing one has swapped columns. */
+  def intervalJoin(left: DataFrame, lId: Column, lStart: Column, lEnd: Column,
+                   right: DataFrame, rId: Column, rStart: Column, rEnd: Column,
+                   cellWidth: Long, maxCellsPerRow: Int = 64): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    require(maxCellsPerRow >= 1, s"maxCellsPerRow must be >= 1, got $maxCellsPerRow")
+    def prep(df: DataFrame, id: Column, s0: Column, e0: Column, tag: String) = {
+      val (sc, ec) = (s"s_$tag", s"e_$tag")
+      df.select(id.cast("long").as(s"id_$tag"),
+          s0.cast("long").as(sc), e0.cast("long").as(ec))
+        .withColumn(sc, when(assert_true(
+            col(sc) >= 0 && col(ec) > col(sc) &&
+              expr(s"($ec - 1) div $cellWidth - $sc div $cellWidth") < maxCellsPerRow,
+            lit(s"intervalJoin: need 0 <= start < end and span <= " +
+              s"$maxCellsPerRow cells of $cellWidth")).isNull,
+          col(sc)))
+        .withColumn("cell",
+          explode(sequence(expr(s"$sc div $cellWidth"), expr(s"($ec - 1) div $cellWidth"))))
+    }
+    prep(left, lId, lStart, lEnd, "a")
+      .join(prep(right, rId, rStart, rEnd, "b"), "cell")
+      .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .filter(col("cell") === expr(s"greatest(s_a, s_b) div $cellWidth"))
+      .select(col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_us"))
+  }
+
+  // B25: interval-overlap join — even-id event windows vs odd-id event
+  // windows (1..97 s durations derived from the id), 60 s cells; the
+  // oracle is the brute theta join, so the cell blocking's
+  // losslessness and the single-cell dedup are both what the
+  // hash-match proves.
+  val q25 = Q(
+    "q25_interval_join",
+    (s, dir) => {
+      val iv = eventsUs(Tables(s, dir))
+        .select(col("event_id"), col("ts_us").as("s0"),
+          (col("ts_us") + (lit(1L) + pmod(col("event_id"), lit(97L))) * lit(1000000L)).as("e0"))
+      val a = iv.filter(pmod(col("event_id"), lit(2)) === 0)
+      val b = iv.filter(pmod(col("event_id"), lit(2)) === 1)
+      intervalJoin(a, col("event_id"), col("s0"), col("e0"),
+          b, col("event_id"), col("s0"), col("e0"),
+          cellWidth = 60000000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH iv AS (SELECT event_id, epoch_us(ts) AS s,
+                    epoch_us(ts) + (1 + event_id % 97) * 1000000 AS e
+                  FROM events),
+      a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+      b AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      FROM a JOIN b ON a.s < b.e AND b.s < a.e
+      ORDER BY id_a, id_b"""))
+
   // B15: gap-based sessionization (30-minute inactivity gap).
   val q15 = Q(
     "q15_sessionize",
@@ -739,5 +816,5 @@ object Analytics {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23,
-    q24)
+    q24, q25)
 }

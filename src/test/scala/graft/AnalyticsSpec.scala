@@ -200,4 +200,40 @@ class AnalyticsSpec extends AnyFunSuite {
   test("every oracle name has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("interval join: boundary semantics, single emission per multi-cell pair, guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, 0L, 50L), (2L, 100L, 130L), (3L, 200L, 210L))
+      .toDF("id", "s", "e")
+    val b = Seq((10L, 45L, 60L),  // overlaps 1 by [45,50) = 5
+                (11L, 50L, 70L),  // touches 1 at 50: half-open ⇒ NO overlap
+                (12L, 0L, 300L),  // spans everything: overlaps 1, 2, 3
+                (13L, 129L, 131L) // overlaps 2 by [129,130) = 1
+      ).toDF("id", "s", "e")
+    val got = graft.operators.Analytics.intervalJoin(
+        a, col("id"), col("s"), col("e"),
+        b, col("id"), col("s"), col("e"), cellWidth = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each pair exactly ONCE even when it shares many cells (1×12
+    // share 5 cells, 12 spans 30)
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 10L, 5L), (1L, 12L, 50L), (2L, 12L, 30L),
+      (3L, 12L, 10L), (2L, 13L, 1L)), s"got ${got.toSet}")
+    // end <= start is a swapped-columns bug, not an empty result
+    val bad = Seq((1L, 5L, 5L)).toDF("id", "s", "e")
+    assertThrows[Exception] {
+      graft.operators.Analytics.intervalJoin(
+        bad, col("id"), col("s"), col("e"),
+        b, col("id"), col("s"), col("e"), cellWidth = 10L).count()
+    }
+    // a span past maxCellsPerRow fails fast instead of exploding
+    val wide = Seq((1L, 0L, 10000L)).toDF("id", "s", "e")
+    assertThrows[Exception] {
+      graft.operators.Analytics.intervalJoin(
+        wide, col("id"), col("s"), col("e"),
+        b, col("id"), col("s"), col("e"), cellWidth = 10L,
+        maxCellsPerRow = 8).count()
+    }
+  }
 }
