@@ -11,7 +11,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     Analytics.all ++ LogQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       CurationQueries.all ++ SimilarityQueries.all ++ Profile.all ++
-      graft.sources.LayoutQueries.all
+      graft.operators.Graph.all ++ graft.sources.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

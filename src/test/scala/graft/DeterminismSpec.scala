@@ -35,7 +35,10 @@ class DeterminismSpec extends AnyFunSuite {
     "qtext_bpe", "q23_stats_corr", "q24_gapfill", "qvec_pca", "qprofile_drift",
     // this session: the learned-merge tokenization (argmax chain feeds a
     // byte-exact stream) and the weighted sample's global top-k boundary
-    "qtext_bpe_apply", "qsample_weighted")
+    "qtext_bpe_apply", "qsample_weighted",
+    // iterative integer fixpoint: 5 join+agg rounds, any accumulation-
+    // order dependence compounds across rounds
+    "qgraph_pagerank")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), col("src"), col("dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank: a regular cycle is the exact fixpoint at every iteration") {
+    // 3-cycle: every node has outdeg 1 and one in-edge carrying full
+    // mass — ρ' = 150000 + 850000·1e6/1e6 = 1e6 exactly, forever
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(ranks(cyc, 1).values.toSet == Set(1000000L))
+    assert(ranks(cyc, 7).values.toSet == Set(1000000L))
+  }
+
+  test("pageRank: star hub accumulates, leaves decay, dangling mass leaks") {
+    // a,b,c → h. Round 1: leaves 150000 (no in-edges), h = 150000 +
+    // 850000·(3·1e6) div 1e6 = 2 700 000. Round 2: h = 150000 +
+    // 850000·(3·150000) div 1e6 = 532 500 (h's own mass leaked — h is
+    // dangling, the documented simple variant).
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L))
+    val r1 = ranks(star, 1)
+    assert(r1(9L) == 2700000L && r1(1L) == 150000L, s"got $r1")
+    val r2 = ranks(star, 2)
+    assert(r2(9L) == 532500L && r2(1L) == 150000L, s"got $r2")
+  }
+
+  test("pageRank: self-loops dropped, duplicate edges count once") {
+    // (1,2) twice + (1,1): node 1's outdeg must be 1, so node 2 gets
+    // the FULL damped mass, not half of it
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 1L))
+    val r1 = ranks(e, 1)
+    assert(r1(2L) == 1000000L, s"got $r1") // 150000 + 850000·1e6 div 1e6
+    assert(r1(1L) == 150000L, s"got $r1")
+  }
+
+  test("pageRank: rank mass ordering matches in-degree skew on the query graph") {
+    import spark.implicits._
+    // the registered query's shape in miniature: hubs (id % 5) over 40
+    // nodes — hub 0 also collects the tree edge mass; every hub must
+    // outrank every non-hub leaf
+    val d = (0L until 40L).toDF("doc_id")
+    val edges = d.select(col("doc_id").as("src"), pmod(col("doc_id"), lit(5L)).as("dst"))
+      .unionAll(d.select(col("doc_id").as("src"), expr("doc_id div 2").as("dst")))
+    val r = Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val hubs = (0L until 5L).map(r)
+    val leaves = (20L until 40L).map(r) // no tree children, not hubs
+    assert(hubs.min > leaves.max,
+      s"hubs $hubs must outrank leaves max ${leaves.max}")
+  }
+}
