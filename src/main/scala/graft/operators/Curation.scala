@@ -142,6 +142,20 @@ object Curation {
     * rank window runs on the ALREADY-LIMITED k rows. Rows with NULL
     * or non-positive weight cannot be sampled (zero mass, honestly
     * excluded — a NULL weight is not a weight). */
+  /** THE Efraimidis-Spirakis key both weighted samplers share:
+    * `lnu_micro / w` where u = (fnv₅₃(salt:key)+0.5)/2⁵³ exactly and
+    * the one libm `ln` is rounded ONCE to micro-nats — one shared
+    * definition so the flat and per-group samplers can never diverge
+    * on what "weight-proportional" means. */
+  private def esKeyMicroDiv(key: Column, w: Column, salt: String): Column = {
+    val h53 = pmod(
+      call_function("fnv1a64", concat(lit(salt + ":"), key.cast("string"))),
+      lit(9007199254740992L)) // 2^53
+    val u = (h53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val lnuMicro = round(log(u) * lit(1e6)).cast("long")
+    lnuMicro.cast("double") / w.cast("double")
+  }
+
   def sampleByWeight(df: DataFrame, key: Column, weight: Column, k: Int,
                      salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"sample size must be positive, got $k")
@@ -150,18 +164,40 @@ object Curation {
       s"sampleByWeight writes reserved columns (es_key, sample_rank); " +
         s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    val h53 = pmod(
-      call_function("fnv1a64", concat(lit(salt + ":"), key.cast("string"))),
-      lit(9007199254740992L)) // 2^53
-    val u = (h53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
-    val lnuMicro = round(log(u) * lit(1e6)).cast("long")
     val w = weight.cast("long")
     val ord = Seq(col("es_key").desc, key.asc)
     df.filter(w.isNotNull && w > 0)
-      .withColumn("es_key", lnuMicro.cast("double") / w.cast("double"))
+      .withColumn("es_key", esKeyMicroDiv(key, w, salt))
       .orderBy(ord: _*).limit(k)
       .withColumn("sample_rank",
         row_number().over(Window.orderBy(ord: _*)).cast("long"))
+  }
+
+  /** Per-group weighted sampling without replacement (SURVEY.md
+    * §2.C86): [[sampleByWeight]]'s key, exact-k PER GROUP — the
+    * balanced-mixture step (k docs per language/domain, chosen
+    * weight-proportionally WITHIN each group) that [[samplePerGroup]]
+    * is the unweighted special case of. Same key derivation (one
+    * shared definition via [[esKeyMicroDiv]]); the rank is a
+    * group-partitioned window, planned as a map-side WindowGroupLimit
+    * — ≤ k rows per group reach the final sort, never a corpus
+    * buffer. */
+  def sampleByWeightPerGroup(df: DataFrame, group: Column, key: Column,
+                             weight: Column, k: Int,
+                             salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    val clash = df.columns.toSet.intersect(Set("es_key", "sample_rank"))
+    require(clash.isEmpty,
+      s"sampleByWeightPerGroup writes reserved columns (es_key, sample_rank); " +
+        s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val w = weight.cast("long")
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("es_key", esKeyMicroDiv(key, w, salt))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(group)
+          .orderBy(col("es_key").desc, key.asc)).cast("long"))
+      .filter(col("sample_rank") <= k)
   }
 
   /** Deterministic train/val/test split assignment (SURVEY.md §2.C30):

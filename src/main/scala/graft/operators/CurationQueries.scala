@@ -86,6 +86,38 @@ object CurationQueries {
             FROM keyed)
       ORDER BY es_key DESC, doc_id LIMIT 100"""))
 
+  // C86b: the per-group variant — exact k=20 per language, chosen
+  // weight-proportionally WITHIN each group (the balanced-mixture
+  // shape); same shared key derivation, group-partitioned rank.
+  val qSampleWeightedGroup = Q(
+    "qsample_weighted_group",
+    (s, dir) => {
+      Curation.sampleByWeightPerGroup(
+          Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("n_chars")),
+          col("lang"), col("doc_id"), col("n_chars"), k = 20)
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"),
+          col("es_key"))
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+    Some(s"""
+      WITH ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'wsample:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "lang", "n_chars"), "documents")},
+      keyed AS (SELECT doc_id, lang, n_chars,
+          CAST(ROUND(ln((CAST(((sb % 9007199254740992) + 9007199254740992) % 9007199254740992 AS DOUBLE) + 0.5)
+                        / 9007199254740992.0) * 1e6) AS BIGINT) AS lnu_micro
+        FROM g WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT lang, doc_id, n_chars,
+              CAST(lnu_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key
+            FROM keyed)
+      SELECT lang, sample_rank, doc_id, n_chars, es_key FROM (
+        SELECT lang, doc_id, n_chars, es_key,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY es_key DESC, doc_id) AS BIGINT) AS sample_rank
+        FROM r)
+      WHERE sample_rank <= 20
+      ORDER BY lang, sample_rank"""))
+
   /** Domain-mixture sampling (C23): per-language keep rates, including
     * a 0% exclusion and a fall-through default. */
   val qSampleMix = Q(
@@ -768,5 +800,6 @@ object CurationQueries {
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted)
+    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
+    qSampleWeightedGroup)
 }

@@ -358,6 +358,30 @@ class CurationSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("es_key"))
   }
 
+  test("per-group weighted sample: exact k per group, equals the flat sampler per group") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))
+      .toDF("doc_id", "g", "w")
+    val got = Curation.sampleByWeightPerGroup(df, col("g"), col("doc_id"),
+      col("w"), k = 5).collect()
+    assert(got.count(_.getAs[String]("g") == "a") == 5)
+    assert(got.count(_.getAs[String]("g") == "b") == 5)
+    // one shared key definition: each group's winners ARE the flat
+    // sampler's winners on that group alone (same salt, same keys)
+    for (grp <- Seq("a", "b")) {
+      val flat = Curation.sampleByWeight(df.filter(col("g") === grp),
+          col("doc_id"), col("w"), k = 5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val per = got.filter(_.getAs[String]("g") == grp)
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(per == flat, s"group $grp: $per vs flat $flat")
+    }
+    // groups smaller than k return every eligible member
+    val tiny = Seq((1L, "a", 2L), (2L, "b", 3L)).toDF("doc_id", "g", "w")
+    assert(Curation.sampleByWeightPerGroup(tiny, col("g"), col("doc_id"),
+      col("w"), k = 10).count() == 2)
+  }
+
   test("mixture rates: 0% excludes, and each group equals its flat sample") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf).documents
