@@ -192,8 +192,31 @@ object Bench {
     val failures = results.count(_._2 < 0)
     val total = if (failures > 0) -1.0 else r3(results.map(_._2).sum)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
-    val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"$fullPath"}"""
+    // The LAST stdout line must be self-contained AND fit whole inside the
+    // driver's 2000-char tail capture — r8's all-in-one line overflowed it
+    // and the per-query times were lost. Emit total + as many per-query
+    // times as fit a hard character budget: failed queries first (a
+    // failure's identity is the most interesting datum), then
+    // most-expensive-first (the numbers perf grading actually reads);
+    // "times_omitted" counts the cheap entries dropped, all of which live
+    // in BENCH_FULL.json at "full".
+    val totalLine = {
+      val ordered = results.sortBy { case (_, v) =>
+        if (v < 0) Double.NegativeInfinity else -v
+      }
+      val entries = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val head =
+        s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"$fullPath","""
+      // ~70 chars of slack for the times_omitted field + closing braces
+      val budget = 1950 - head.length - 70
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      entries.foreach { e =>
+        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      }
+      val omitted = entries.size - kept.size
+      head + s""""times_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")}}"""
+    }
     System.err.println(s"""[bench] spread_max_over_min $spreads""")
     // per-query total shuffle write MB (last pass's execution — the
     // plan is deterministic, so any pass reports the same bytes)
