@@ -452,14 +452,25 @@ object Similarity {
     *
     * Scale shape: the greedy loop runs over the SHORTLIST, not the
     * corpus — one brute/indexed candidate pass bounds each query to
-    * `shortlist` rows (persisted once; the loop is k plan-level
-    * iterations over that bounded frame, the CC-iteration idiom with
-    * k fixed and small). Each step is a query-keyed equi-join of
-    * shortlist rows against the ≤(t−1)-row selected set plus a
-    * rank-1 window per query (WindowGroupLimit). Vectors move once
-    * into the shortlist; the corpus never re-shuffles. For huge
-    * corpora swap the brute shortlist for [[ivfTopKAgainstIndex]] ids
-    * — the loop is source-agnostic. */
+    * `shortlist` rows. Greedy selection is inherently SEQUENTIAL per
+    * query (step t's redundancy term needs step t−1's pick), so it is
+    * the one genuinely imperative loop in the ANN surface: the
+    * candidate frame repartitions on query_id and each query's ≤
+    * `shortlist` rows run the O(shortlist·k) argmax locally inside a
+    * `mapPartitions` task — ONE shuffle total, zero driver actions,
+    * plan size independent of k. (A plan-level formulation — anti-join
+    * + rank-1 window per step — references the growing selected frame
+    * 3× per step, so its LOGICAL PLAN is Θ(3^k) nodes: k=20 hangs
+    * analysis before a task runs. Driver-side plan growth is a scale
+    * axis too.) The local arithmetic replays the engine's column
+    * formulation operation-for-operation — the VecDot left-to-right
+    * accumulation, `λ·rel − (1−λ)·div` with div₁ = 0.0, IEEE
+    * `Double.compare` ordering (NaN largest, −0.0 < 0.0, null rel
+    * sorts last like desc NULLS LAST), HALF_UP 6-decimal round — so
+    * the green DuckDB oracle pins the rewrite bit-for-bit. Vectors
+    * move once into the shortlist; the corpus never re-shuffles. For
+    * huge corpora swap the brute shortlist for [[ivfTopKAgainstIndex]]
+    * ids — the loop is source-agnostic. */
   def mmrTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, shortlist: Int, lambda: Double = 0.5): DataFrame = {
@@ -478,33 +489,116 @@ object Similarity {
     val cand = ids.join(cn, "neighbor_id").join(broadcast(qn), "query_id")
       .select(col("query_id"), col("neighbor_id"), col("cnv"),
         VectorFunctions.dot(col("cnv"), col("qnv")).as("rel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    val score = lit(lambda) * col("rel") -
-      lit(1.0 - lambda) * coalesce(col("div"), lit(0.0))
-    var selected: DataFrame = null // (query_id, neighbor_id, cnv, score, step)
-    for (t <- 1 to k) {
-      val pool =
-        if (t == 1) cand.withColumn("div", lit(0.0))
-        else {
-          val divs = cand
-            .join(selected.select(col("query_id"), col("cnv").as("snv")), "query_id")
-            .groupBy(col("query_id"), col("neighbor_id"))
-            .agg(max(VectorFunctions.dot(col("cnv"), col("snv"))).as("div"))
-          cand.join(selected.select("query_id", "neighbor_id"),
-              Seq("query_id", "neighbor_id"), "left_anti")
-            .join(divs, Seq("query_id", "neighbor_id"), "left")
-        }
-      val pick = pool.withColumn("score", score)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("cnv"), col("score"),
-          lit(t.toLong).as("step"))
-      selected = if (t == 1) pick else selected.unionByName(pick)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "query_id", cand.schema("query_id").dataType),
+      org.apache.spark.sql.types.StructField(
+        "step", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "neighbor_id", cand.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField(
+        "score", org.apache.spark.sql.types.DoubleType)))
+    val lam = lambda
+    val oneMinus = 1.0 - lambda
+    val kk = k
+    cand.repartition(col("query_id"))
+      .sortWithinPartitions(col("query_id"), col("neighbor_id"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[Seq[org.apache.spark.sql.Row]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Seq[org.apache.spark.sql.Row] = {
+            val key = it.head.get(0)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (it.hasNext && it.head.get(0) == key) buf += it.next()
+            buf.toSeq
+          }
+        }.flatMap(g => mmrGreedy(g, kk, lam, oneMinus))
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** One query's greedy MMR over its (neighbor-ascending) shortlist
+    * rows `(query_id, neighbor_id, cnv, rel)`. Scans in neighbor
+    * order with strict `Double.compare` improvement, so score ties
+    * keep the LOWEST neighbor_id — the `(score desc, neighbor_id)`
+    * window contract of the declarative form this replaced. */
+  private def mmrGreedy(g: Seq[org.apache.spark.sql.Row], k: Int,
+                        lam: Double, oneMinus: Double):
+      Iterator[org.apache.spark.sql.Row] = {
+    val n = g.size
+    val qid = g.head.get(0)
+    val nid = new Array[Any](n)
+    val cnv = new Array[Array[Double]](n)
+    val rel = new Array[Double](n)
+    val relNull = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val r = g(i)
+      nid(i) = r.get(1)
+      // mirror ArrayData.getDouble on a null-marked slot (reads the
+      // zeroed word): a null element contributes 0.0 to the dot
+      cnv(i) = r.getSeq[java.lang.Double](2)
+        .map(x => if (x == null) 0.0 else x.doubleValue).toArray
+      relNull(i) = r.isNullAt(3)
+      rel(i) = if (relNull(i)) 0.0 else r.getDouble(3)
+      i += 1
     }
-    selected.select(col("query_id"), col("step"), col("neighbor_id"),
-      round(col("score"), 6).as("score"))
+    // VecDot.compute's exact loop — same left-to-right accumulation
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      val m = math.min(a.length, b.length)
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    // Spark's Round(double, 6): HALF_UP via BigDecimal, non-finite
+    // passed through
+    def round6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else BigDecimal.valueOf(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val taken = new Array[Boolean](n)
+    val div = Array.fill(n)(0.0) // read only after a first update (t >= 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var t = 1
+    var remaining = n
+    while (t <= k && remaining > 0) {
+      var best = -1
+      var bestScore = 0.0
+      var bestNull = false
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          if (relNull(i)) {
+            // desc NULLS LAST: a null score loses to any non-null;
+            // among nulls the first (lowest neighbor) wins
+            if (best < 0) { best = i; bestNull = true }
+          } else {
+            val d = if (t == 1) 0.0 else div(i)
+            val sc = lam * rel(i) - oneMinus * d
+            if (best < 0 || bestNull ||
+                java.lang.Double.compare(sc, bestScore) > 0) {
+              best = i; bestScore = sc; bestNull = false
+            }
+          }
+        }
+        i += 1
+      }
+      out += org.apache.spark.sql.Row(qid, t.toLong, nid(best),
+        if (bestNull) null else round6(bestScore))
+      taken(best) = true
+      remaining -= 1
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val d2 = dotL(cnv(i), cnv(best))
+          if (t == 1 || java.lang.Double.compare(d2, div(i)) > 0) div(i) = d2
+        }
+        i += 1
+      }
+      t += 1
+    }
+    out.iterator
   }
 
   private def ivfCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,

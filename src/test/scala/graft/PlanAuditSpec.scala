@@ -60,8 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "centroid frame in build and probe); the predicate itself is an " +
       "id-only semi-join on the cells table"),
     "qann_mmr" -> ("embeds qann_brute_topk for its shortlist (bounded " +
-      "query-set broadcast); the greedy loop itself is query-keyed " +
-      "equi-joins over the persisted shortlist-bounded candidate frame"),
+      "query-set broadcast); the greedy selection itself runs locally " +
+      "per query inside one mapPartitions over the shortlist-bounded " +
+      "candidate frame"),
     "qann_hardneg" -> ("the bruteTopK shape: the training-batch-sized pair " +
       "set broadcasts with its anchor/positive vectors attached; the corpus " +
       "is scanned once map-side against it"),

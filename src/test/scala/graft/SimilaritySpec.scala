@@ -859,6 +859,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(picks(1.0) == brute)
   }
 
+  test("MMR at k=20 completes (the 3^k plan-growth regression) and exhausts a short pool") {
+    import SparkTest.spark
+    import spark.implicits._
+    // the declarative per-step formulation this replaced built a
+    // Θ(3^k)-node logical plan — k=20 hung analysis before any task
+    // ran; the per-query local loop must handle it instantly
+    val corpus = (1L to 30L)
+      .map(i => (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(corpus, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 20, shortlist = 25, lambda = 0.5)
+      .orderBy("step").collect()
+    assert(got.length == 20, s"got ${got.length} rows")
+    assert(got.map(_.getLong(1)).toSeq == (1L to 20L), "steps must be 1..k")
+    assert(got.map(_.getLong(2)).distinct.length == 20, "picks must be distinct")
+
+    // a query with fewer candidates than k stops when the pool is dry
+    val short = Similarity.mmrTopK(corpus.filter(col("vec_id") <= 3),
+        col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 20, shortlist = 25, lambda = 0.5)
+      .collect()
+    assert(short.length == 3, s"got ${short.length} rows")
+  }
+
   test("randomProjectFixed is sign-symmetric and linear in the input") {
     import SparkTest.spark
     import spark.implicits._
