@@ -70,9 +70,16 @@ object Graph {
           .join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), expr("rm div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+        // the damped term widens to DECIMAL(38,0) before the multiply:
+        // a high in-degree hub on a 10^7+-node graph has cs past
+        // Long.MaxValue/dampingMicro (~1e13), and a bare long multiply
+        // would wrap silently negative — the oracle mirrors with
+        // HUGEINT; `div` truncates identically on the nonnegative
+        // fixed-point values
         val next = nodes.join(contribs, Seq("id"), "left")
           .select(col("id"),
-            (lit(base) + expr(s"($dampingMicro * coalesce(cs, 0L)) div 1000000"))
+            (lit(base) + expr(
+              s"(CAST($dampingMicro AS DECIMAL(38,0)) * coalesce(cs, 0L)) div 1000000"))
               .as("rm"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent
@@ -103,7 +110,7 @@ object Graph {
       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rm FROM n)""")
     for (k <- 1 to iters) sb ++= s""",
       r$k AS (SELECT n.id,
-          CAST($base + ($dampingMicro * COALESCE(s.cs, 0)) // 1000000 AS BIGINT) AS rm
+          CAST($base + (CAST($dampingMicro AS HUGEINT) * COALESCE(s.cs, 0)) // 1000000 AS BIGINT) AS rm
         FROM n LEFT JOIN (
           SELECT e.dst AS id, SUM(r.rm // od.deg) AS cs
           FROM e JOIN r${k - 1} r ON r.id = e.src

@@ -57,4 +57,20 @@ class GraphSpec extends AnyFunSuite {
     assert(hubs.min > leaves.max,
       s"hubs $hubs must outrank leaves max ${leaves.max}")
   }
+
+  test("pageRank damped term survives contribution sums past Long.MaxValue/damping") {
+    // a 2e7-leaf star gives the hub cs = 2e13; 850000 * 2e13 = 1.7e19
+    // wraps a long multiply silently negative — pin the DECIMAL(38,0)
+    // form at exactly that magnitude without materializing the graph
+    val wide = spark.sql(
+      "SELECT (CAST(850000 AS DECIMAL(38,0)) * 20000000000000) div 1000000 AS v")
+      .head().getLong(0)
+    assert(wide == 17000000000000L, s"got $wide")
+    val wrapped = spark.sql(
+      "SELECT CAST(850000 AS BIGINT) * 20000000000000 AS v")
+    // the unwidened multiply really does exceed Long range (ANSI mode
+    // errors; legacy mode wraps negative) — either way it is unusable
+    val bare = scala.util.Try(wrapped.head().getLong(0))
+    assert(bare.isFailure || bare.get < 0L, s"expected overflow, got $bare")
+  }
 }
