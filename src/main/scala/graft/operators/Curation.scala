@@ -141,7 +141,24 @@ object Curation {
     * top-k, k rows to the final merge — never a corpus sort); the
     * rank window runs on the ALREADY-LIMITED k rows. Rows with NULL
     * or non-positive weight cannot be sampled (zero mass, honestly
-    * excluded — a NULL weight is not a weight). */
+    * excluded — a NULL weight is not a weight).
+    *
+    * Weights are quantized ONCE to integer micro-units
+    * (`round(w·1e6)` — the same fixed-point discipline as the key's
+    * micro-nats), so FRACTIONAL weights work: the C80 soft-dedup
+    * weights (1/cluster_size ∈ (0,1]) sample proportionally instead
+    * of truncating to zero mass. Uniform scaling leaves the ranking
+    * invariant, the division stays exact-over-exact, and weights
+    * below 5e-7 honestly round to zero mass (excluded). */
+  /** THE weight quantization both weighted samplers share: one
+    * HALF_UP round to integer micro-units. `x·1e6` and the round are
+    * single IEEE operations on the caller's weight double, so the
+    * quantized mass is bit-identical on any engine (the oracle
+    * mirrors `CAST(ROUND(w * 1e6) AS BIGINT)`); sub-5e-7 weights
+    * round to zero and are excluded by the caller's `> 0` filter. */
+  private def microWeight(weight: Column): Column =
+    round(weight.cast("double") * lit(1e6)).cast("long")
+
   /** THE Efraimidis-Spirakis key both weighted samplers share:
     * `lnu_micro / w` where u = (fnv₅₃(salt:key)+0.5)/2⁵³ exactly and
     * the one libm `ln` is rounded ONCE to micro-nats — one shared
@@ -164,7 +181,7 @@ object Curation {
       s"sampleByWeight writes reserved columns (es_key, sample_rank); " +
         s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    val w = weight.cast("long")
+    val w = microWeight(weight)
     val ord = Seq(col("es_key").desc, key.asc)
     df.filter(w.isNotNull && w > 0)
       .withColumn("es_key", esKeyMicroDiv(key, w, salt))
@@ -191,7 +208,7 @@ object Curation {
       s"sampleByWeightPerGroup writes reserved columns (es_key, sample_rank); " +
         s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    val w = weight.cast("long")
+    val w = microWeight(weight)
     df.filter(w.isNotNull && w > 0)
       .withColumn("es_key", esKeyMicroDiv(key, w, salt))
       .withColumn("sample_rank",

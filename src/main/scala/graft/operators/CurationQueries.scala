@@ -76,13 +76,14 @@ object CurationQueries {
     Some(s"""
       WITH ${fnvKeyCtes("wsample", carry = "n_chars")},
       keyed AS (SELECT doc_id, n_chars,
+          CAST(ROUND(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS w_micro,
           CAST(ROUND(ln((CAST(((sb % 9007199254740992) + 9007199254740992) % 9007199254740992 AS DOUBLE) + 0.5)
                         / 9007199254740992.0) * 1e6) AS BIGINT) AS lnu_micro
-        FROM g WHERE n_chars IS NOT NULL AND n_chars > 0)
+        FROM g WHERE CAST(ROUND(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) > 0)
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS sample_rank,
              doc_id, n_chars, es_key
       FROM (SELECT doc_id, n_chars,
-              CAST(lnu_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key
+              CAST(lnu_micro AS DOUBLE) / CAST(w_micro AS DOUBLE) AS es_key
             FROM keyed)
       ORDER BY es_key DESC, doc_id LIMIT 100"""))
 
@@ -104,11 +105,12 @@ object CurationQueries {
         "'wsample:' || CAST(doc_id AS VARCHAR)",
         Seq("doc_id", "lang", "n_chars"), "documents")},
       keyed AS (SELECT doc_id, lang, n_chars,
+          CAST(ROUND(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS w_micro,
           CAST(ROUND(ln((CAST(((sb % 9007199254740992) + 9007199254740992) % 9007199254740992 AS DOUBLE) + 0.5)
                         / 9007199254740992.0) * 1e6) AS BIGINT) AS lnu_micro
-        FROM g WHERE n_chars IS NOT NULL AND n_chars > 0),
+        FROM g WHERE CAST(ROUND(CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) > 0),
       r AS (SELECT lang, doc_id, n_chars,
-              CAST(lnu_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key
+              CAST(lnu_micro AS DOUBLE) / CAST(w_micro AS DOUBLE) AS es_key
             FROM keyed)
       SELECT lang, sample_rank, doc_id, n_chars, es_key FROM (
         SELECT lang, doc_id, n_chars, es_key,

@@ -358,6 +358,35 @@ class CurationSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("es_key"))
   }
 
+  test("weighted sample: fractional weights carry proportional mass, not zero") {
+    import spark.implicits._
+    // the C80 soft-dedup shape: weight = 1/cluster_size in (0,1] — a
+    // long-truncating sampler would zero every clustered doc's mass
+    // and sample nothing; the micro-quantized key must sample all of
+    // them and put the heavy fractional row first (0.5 vs 49 rows at
+    // 0.0005: key ratio 1000x, pinned deterministic via the fixed salt)
+    val df = ((1L to 49L).map(i => (i, 0.0005)) :+ (99L, 0.5))
+      .toDF("doc_id", "w")
+    val got = Curation.sampleByWeight(df, col("doc_id"), col("w"), k = 50)
+      .collect()
+    assert(got.length == 50, s"fractional weights must be eligible, got ${got.length}")
+    assert(got.minBy(_.getAs[Long]("sample_rank")).getAs[Long]("doc_id") == 99L)
+    // scaling every weight by a constant leaves the SELECTION invariant
+    // (the quantization is uniform): integer weights w and w*1e-3 agree
+    val ints = ((1L to 30L).map(i => (i, (i % 7 + 1).toDouble))).toDF("doc_id", "w")
+    val a = Curation.sampleByWeight(ints, col("doc_id"), col("w"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Curation.sampleByWeight(
+        ints.withColumn("w", col("w") * lit(0.001)), col("doc_id"), col("w"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b, s"$a vs $b")
+    // sub-quantum weights round to zero mass and are excluded
+    val tiny = Seq((1L, 1e-9), (2L, 0.1)).toDF("doc_id", "w")
+    val kept = Curation.sampleByWeight(tiny, col("doc_id"), col("w"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L), s"got $kept")
+  }
+
   test("per-group weighted sample: exact k per group, equals the flat sampler per group") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))
