@@ -987,7 +987,15 @@ object TextQueries {
     * carries `word` through every round so the APPLY oracle can key
     * the corpus tokenization on it (the train oracle simply ignores
     * the column — one chain, two consumers, a fold fix can't diverge
-    * them). */
+    * them). `w_r` reads `b_r` via LEFT JOIN ON TRUE, not a cross
+    * join: when training exhausts pairs before `merges` rounds
+    * (every word a single symbol), `b_r` is EMPTY — a cross join
+    * would empty `w_r` and every later round, making the apply
+    * oracle tokenize all words as atomic while the engine (which
+    * stops early and keeps its vocabulary) segments normally; with
+    * the null-padded join the fold's merge branch never fires and
+    * `w_r` passes `w_{r-1}` through unchanged, mirroring
+    * bpeTrain's early stop. */
   private def bpeChainCtes(merges: Int): String = {
     val sb = new StringBuilder(
       """WITH w0 AS MATERIALIZED (
@@ -1024,7 +1032,7 @@ object TextQueries {
                     ELSE split_part(acc, chr(30), 1) || chr(31) || split_part(acc, chr(30), 2) END)
               || chr(30) || x
           END) AS st
-        FROM w${r - 1}, b$r b))"""
+        FROM w${r - 1} LEFT JOIN b$r b ON TRUE))"""
     sb.toString
   }
 
