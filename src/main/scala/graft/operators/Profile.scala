@@ -287,14 +287,21 @@ object Profile {
                     n: Int = 8, maxSources: Int = 256): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     require(maxSources >= 2, s"maxSources must allow a pair, got $maxSources")
+    // persisted: the tokenize+hash+distinct pass (a full corpus scan
+    // plus a shuffle) serves the cap count AND, via kept, the totals
+    // agg and BOTH sides of the pair self-join — unpersisted it would
+    // execute four times (the fps/sh/sigs discipline of the sibling
+    // pair operators)
     val sg = df
       .select(source.as("src"), explode(Dedup.wordShingles(text, n)).as("gram"))
       .select(col("src"), xxhash64(col("gram")).as("gh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sg is distinct (src, gh), so count(*) per gh == distinct sources
     val overCap = sg.groupBy(col("gh")).count()
       .filter(col("count") > maxSources).select(col("gh"))
     val kept = sg.join(overCap, Seq("gh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = kept.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val pairs = kept.toDF("gh", "src_a")
       .join(kept.toDF("gh", "src_b"), "gh")
