@@ -39,16 +39,28 @@ object StreamCuration {
 
   /** The shared stateless prefix: returns `df` with `clean` (the
     * delivered text) appended, rows failing either gate dropped.
-    * Batch callers can use this directly — it is mode-agnostic. */
+    * Batch callers can use this directly — it is mode-agnostic.
+    * The gate's internal measure/flag columns are DROPPED from the
+    * output: the delivered schema is the input columns plus `clean`,
+    * not ten per-row diagnostics written to the sink every
+    * micro-batch (a caller who wants the flags calls
+    * [[TextFunctions.gopherGate]] directly). Fails fast if the input
+    * already carries `clean` or `__txt` — silently replacing an
+    * upstream cleaning step's column is the bug class gopherGate's
+    * own reserved-name guard exists for. */
   def gateAndScrub(df: DataFrame, text: Column, gate: GateConfig): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("clean", "__txt"))
+    require(clash.isEmpty,
+      s"gateAndScrub writes reserved columns (clean, __txt); " +
+        s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
     val normed = df.withColumn("__txt", TextFunctions.nfcNormalize(text))
       .filter(TextFunctions.isCleanText(col("__txt")))
-    TextFunctions.gopherGate(normed, col("__txt"),
+    val gated = TextFunctions.gopherGate(normed, col("__txt"),
         gate.minTokens, gate.maxTokens, gate.minMeanLen, gate.maxMeanLen,
         gate.minStopwords)
       .filter(col("passes"))
       .withColumn("clean", TextFunctions.redactPii(col("__txt")))
-      .drop("__txt")
+    gated.select(df.columns.map(col) :+ col("clean"): _*)
   }
 
   /** Full streaming preprocess: gate + scrub, then streaming exact

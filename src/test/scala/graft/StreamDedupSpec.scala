@@ -89,7 +89,18 @@ class StreamDedupSpec extends AnyFunSuite {
       (5L, "a b c"), // too few tokens: quality gate drop
       (6L, "contact me at bob@example.com for the files and the notes"))
     val static = rows.toDF("id", "text")
-    val batchKept = StreamCuration.gateAndScrub(static, col("text"), gate)
+    val batchGated = StreamCuration.gateAndScrub(static, col("text"), gate)
+    // delivered schema = input columns + clean: the gate's internal
+    // measure/flag columns must not leak into every sink write
+    assert(batchGated.columns.toSeq == Seq("id", "text", "clean"),
+      s"got ${batchGated.columns.toSeq}")
+    // a pre-existing clean column fails fast instead of being replaced
+    val clash = intercept[IllegalArgumentException] {
+      StreamCuration.gateAndScrub(static.withColumn("clean", col("text")),
+        col("text"), gate)
+    }
+    assert(clash.getMessage.contains("clean"))
+    val batchKept = batchGated
       .select(col("id"), col("clean")).collect()
     val batchIds = batchKept.map(_.getLong(0)).toSet
     assert(batchIds == Set(1L, 2L, 3L, 6L), s"batch gate kept $batchIds")
