@@ -869,4 +869,91 @@ object Curation {
         col("matched_domain").isNotNull.as("blocked"),
         col("matched_domain"))
   }
+
+  /** DSIR importance weights (SURVEY.md §2.C89; Xie et al. 2023,
+    * arXiv:2302.03169): per-document log importance `log p_target(x)
+    * / q_raw(x)` under hashed-n-gram bag-of-words models — the
+    * data-selection signal that upweights raw-corpus documents
+    * distributed like a small high-quality TARGET corpus (the
+    * DSIR recipe: score raw with these weights, then resample —
+    * [[sampleByWeight]] on `exp` of the weight, or rank by it
+    * directly). Features are word n-grams hashed into `buckets`
+    * cells; both distributions are add-1-smoothed multinomials over
+    * the cells.
+    *
+    * Exactness: the per-bucket log ratio
+    * `ln(((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B)))` is ONE libm call on
+    * exact integer-valued doubles (counts and totals are longs;
+    * double products of values ≤ 2^53 at test scale, and the ratio
+    * formulation never overflows a double), rounded ONCE to integer
+    * micro-nats — a doc's weight is then an exact integer sum in any
+    * accumulation order (the C37/C52 discipline). Grams come from
+    * [[Dedup.wordShingles]] over lowercased text (bag semantics) —
+    * the one engine-wide shingling definition; the hash is the
+    * oracle-replicable fnv1a64 over `salt:gram`.
+    *
+    * Scale shape: the raw corpus is scanned ONCE — per-doc bucket
+    * counts persist and both the raw marginal `cr` and the scoring
+    * join aggregate from that frame. The target (a curated eval/
+    * reference set, small by construction) contributes one scan. The
+    * ratio table is ≤ `buckets` rows and BROADCASTS to the scoring
+    * join; totals ride on it (computed before the broadcast), so the
+    * corpus-side plan is map-side explode → hash → per-doc combine →
+    * one broadcast join → per-doc sum. Nothing corpus-sized
+    * shuffles except the (doc_id, bucket, count) partials. */
+  def dsirWeights(raw: DataFrame, rawId: Column, rawText: Column,
+                  target: DataFrame, targetText: Column,
+                  n: Int = 2, buckets: Int = 4096,
+                  salt: String = "dsir"): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    graft.GraftExtensions.ensureRegistered(raw.sparkSession)
+    def bucketOf(gram: Column): Column =
+      pmod(call_function("fnv1a64", concat(lit(salt + ":"), gram)),
+        lit(buckets.toLong))
+    val docFeats = raw
+      .select(rawId.as("doc_id"),
+        explode(Dedup.wordShingles(lower(rawText), n, distinct = false))
+          .as("gram"))
+      .select(col("doc_id"), bucketOf(col("gram")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cr = docFeats.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val ct = target
+      .select(explode(Dedup.wordShingles(lower(targetText), n,
+        distinct = false)).as("gram"))
+      .select(bucketOf(col("gram")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // 1-row totals, broadcast onto the <= buckets-row ratio frame
+    // (the established scalar-totals BNLJ shape) BEFORE that frame
+    // itself broadcasts to the corpus join
+    val totals = cr.agg(sum(col("cr")).as("nr"))
+      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+    val ratio = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") *
+            (col("nr") + lit(buckets.toLong)).cast("double")) /
+          ((col("cr") + lit(1L)).cast("double") *
+            (col("nt") + lit(buckets.toLong)).cast("double"))) * lit(1e6))
+          .cast("long").as("rm"))
+    val scored = docFeats.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nf"), sum(col("c") * col("rm")).as("lw"))
+    raw.select(rawId.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nf"), lit(0L)).as("n_feats"),
+        coalesce(col("lw"), lit(0L)).as("logw_micro"),
+        when(col("nf").isNull, lit(null).cast("double"))
+          // plain division, NOT round(·, 4): the integer micro value
+          // cast to double and divided by 1e6 is one IEEE op per
+          // engine — identical everywhere — while a 4-decimal round
+          // of a .XXXX5 binary tie is a cross-engine coin flip
+          // (Spark rounds the decimal string, DuckDB the binary)
+          .otherwise(col("lw").cast("double") / lit(1e6))
+          .as("logw"))
+  }
 }

@@ -799,9 +799,60 @@ object CurationQueries {
       ORDER BY doc_id"""
     })
 
+  /** DSIR importance weights (C89): target = the corpus's own English
+    * slice (a stand-in for a curated reference set), raw = everything
+    * — so the weights must separate en docs (target-like, high logw)
+    * from the rest. Oracle mirrors the hashed-bigram models
+    * stage-for-stage: the gram VOCAB is FNV-hashed once (the
+    * fnvSignedCtes recipe over distinct grams, not instances) and the
+    * per-bucket log ratio is the same single-rounded micro-nat term,
+    * so the per-doc integer sums agree in any order. MATERIALIZED on
+    * the fan-out CTEs keeps DuckDB from re-running the gram+hash
+    * chain once per downstream reference (the verify-skill gotcha). */
+  val qDsir = Q(
+    "qcuration_dsir",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      Curation.dsirWeights(
+          d, col("doc_id"), col("text"),
+          d.filter(col("lang") === "en"), col("text"),
+          n = 2, buckets = 4096)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+                   FROM documents),
+      gr AS MATERIALIZED (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+            FROM tok, UNNEST(range(1, len(w))) u(i)),
+      gv AS (SELECT DISTINCT g FROM gr),
+      ${graft.Q.sqlutil.fnvSignedCtes("ds", "'dsir:' || g", Seq("g"), "gv")},
+      vb AS (SELECT g, ((sb % 4096) + 4096) % 4096 AS b FROM dsg),
+      f AS MATERIALIZED (SELECT gr.doc_id, gr.lang, vb.b
+           FROM gr JOIN vb USING (g)),
+      cr AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr
+           FROM f GROUP BY b),
+      ct AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+           FROM f WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT (SELECT SUM(cr) FROM cr) AS nr,
+                     (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt),
+      r AS (SELECT cr.b,
+              CAST(ROUND(ln((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE)) /
+                            (CAST(cr.cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000) AS BIGINT) AS rm
+            FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+      dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+             FROM f GROUP BY doc_id, b),
+      sc AS (SELECT dc.doc_id, SUM(dc.c) AS nf, SUM(dc.c * r.rm) AS lw
+             FROM dc JOIN r USING (b) GROUP BY dc.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(sc.nf, 0) AS BIGINT) AS n_feats,
+             CAST(COALESCE(sc.lw, 0) AS BIGINT) AS logw_micro,
+             CASE WHEN sc.nf IS NULL THEN NULL
+                  ELSE CAST(sc.lw AS DOUBLE) / 1000000 END AS logw
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
-    qSampleWeightedGroup)
+    qSampleWeightedGroup, qDsir)
 }

@@ -387,6 +387,39 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(2L), s"got $kept")
   }
 
+  test("DSIR weights rank target-like docs above off-distribution docs") {
+    import spark.implicits._
+    // target speaks "the cat sat"; raw holds target-like docs, an
+    // off-distribution doc, and a mixed doc — log importance must
+    // order them target-like > mixed > off-distribution
+    val raw = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "zq xv qp zq xv qp zq xv qp zq xv qp"),
+      (3L, "the cat sat beside zq xv qp on the mat"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val target = Seq(
+      "the cat sat on the mat",
+      "the cat sat near the mat").toDF("text")
+    val got = Curation.dsirWeights(raw, col("doc_id"), col("text"),
+        target, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    // note: with buckets >> corpus size the smoothing prior dominates
+    // every ABSOLUTE value (all weights land negative on a toy
+    // corpus); the meaningful invariant is the ORDERING
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2,
+      s"expected target-like > mixed > off, got $got")
+    // per-feature normalized, the gap is wide: mean micro-nats of the
+    // target-like doc beat the off-distribution doc by > 1 nat
+    assert(got(1L)._2 / got(1L)._1 - got(2L)._2 / got(2L)._1 > 1000000L,
+      s"expected > 1 nat/feature separation, got $got")
+    // featureless docs (empty / NULL text): zero feats, zero micro
+    // weight, NULL cosmetic logw — present, not dropped
+    for (id <- Seq(4L, 5L))
+      assert(got(id) == ((0L, 0L, None)), s"doc $id: ${got(id)}")
+  }
+
   test("per-group weighted sample: exact k per group, equals the flat sampler per group") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))

@@ -18,6 +18,9 @@ class PlanAuditSpec extends AnyFunSuite {
   import SparkTest._
 
   private val bnljAllowed: Map[String, String] = Map(
+    "qcuration_dsir" -> ("crossJoin(broadcast(totals)) where totals is the " +
+      "1-row (Nr, Nt) feature-count pair, joined onto the <= buckets-row " +
+      "ratio frame (never the corpus)"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +
