@@ -870,6 +870,62 @@ object Curation {
         col("matched_domain"))
   }
 
+  /** Semantic benchmark decontamination (SURVEY.md §2.C90) — the
+    * embedding-space complement of [[contamination]]'s n-gram
+    * overlap: per corpus vector, the maximum cosine against a
+    * broadcast EVAL-set embedding table and a `contaminated` flag at
+    * `threshold`. N-gram overlap misses paraphrased/translated/
+    * reformatted leakage (the reason eval suites ship semantic
+    * dedup sweeps — e.g. Yang et al. 2023, arXiv:2311.04850);
+    * embedding similarity catches it. Returns EVERY corpus row
+    * (`vec_id`, flag, argmax eval id with ties to the lowest id,
+    * 4-decimal cosine — the audit view; filter on the flag to
+    * quarantine).
+    *
+    * Exactness: cosine is the engine's one proven formulation
+    * (codegen dot over normalized vectors, the qann_brute_topk
+    * oracle parity); the flag compares the UNROUNDED cosine. NULL
+    * vectors can't match (no similarity without an embedding —
+    * flagged false with NULL cosine).
+    *
+    * Scale shape: the eval set is small BY CONSTRUCTION (a benchmark
+    * suite — thousands of rows) and broadcasts with its normalized
+    * vectors; the corpus is scanned ONCE map-side against it (the
+    * bruteTopK discipline with the roles pinned: corpus scans, eval
+    * broadcasts), and the per-vector argmax is a rank-1 window
+    * (WindowGroupLimit — map-side, never a corpus buffer). Nothing
+    * corpus-sized shuffles. For eval suites too big to broadcast,
+    * screen against [[Similarity.ivfTopKAgainstIndex]] over an
+    * eval-side index instead. */
+  def contaminationSemantic(corpus: DataFrame, id: Column, vec: Column,
+                            evalSet: DataFrame, evalId: Column, evalVec: Column,
+                            threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val ev = evalSet.select(evalId.as("eval_id"),
+        VectorFunctions.normalized(evalVec).as("env"))
+      .filter(col("env").isNotNull)
+    val scored = corpus
+      .select(id.as("vec_id"), VectorFunctions.normalized(vec).as("cnv"))
+      .filter(col("cnv").isNotNull)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        VectorFunctions.dot(col("cnv"), col("env")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("eval_id"))
+    val top = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("eval_id").as("nearest_eval_id"), col("cos"))
+    corpus.select(id.as("vec_id"))
+      .join(top, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cos") >= lit(threshold), lit(false)).as("contaminated"),
+        col("nearest_eval_id"),
+        round(col("cos"), 4).as("max_cosine"))
+  }
+
   /** DSIR importance weights (SURVEY.md §2.C89; Xie et al. 2023,
     * arXiv:2302.03169): per-document log importance `log p_target(x)
     * / q_raw(x)` under hashed-n-gram bag-of-words models — the

@@ -850,9 +850,40 @@ object CurationQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Semantic decontamination (C90): the eval set IS a corpus slice
+    * (vec_id < 10 — planted leakage), so the 10 planted vectors
+    * self-match at cosine 1.0 and must flag at 0.95 while the rest of
+    * the corpus (max non-self cosine ≈ 0.49 on this data) must not.
+    * Cosine/argmax parity is the proven qann_brute_topk formulation;
+    * the flag compares the unrounded cosine in both engines. */
+  val qContamSem = Q(
+    "qcuration_contam_sem",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Curation.contaminationSemantic(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          threshold = 0.95)
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id < 10),
+      sc AS (SELECT c.vec_id, ev.eval_id,
+               list_cosine_similarity(c.v, ev.v) AS cos
+             FROM e c CROSS JOIN ev),
+      top AS (SELECT vec_id, eval_id AS nearest_eval_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, eval_id) AS rn
+             FROM sc)
+      SELECT e.vec_id, COALESCE(t.cos >= 0.95, FALSE) AS contaminated,
+             t.nearest_eval_id, ROUND(t.cos, 4) AS max_cosine
+      FROM e LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (vec_id)
+      ORDER BY e.vec_id"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
-    qSampleWeightedGroup, qDsir)
+    qSampleWeightedGroup, qDsir, qContamSem)
 }

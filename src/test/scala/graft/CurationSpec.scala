@@ -420,6 +420,35 @@ class CurationSpec extends AnyFunSuite {
       assert(got(id) == ((0L, 0L, None)), s"doc $id: ${got(id)}")
   }
 
+  test("semantic contamination flags planted eval copies, not unrelated docs") {
+    import spark.implicits._
+    // corpus doc 1 IS eval 100 (exact leak), doc 2 is a near-copy
+    // (paraphrase stand-in), docs 3-4 are orthogonal/unrelated, doc 5
+    // has no embedding
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)),
+      (5L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Curation.contaminationSemantic(corpus, col("vec_id"),
+        col("embedding"), eval, col("vec_id"), col("embedding"),
+        threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "every corpus row present")
+    assert(got(1L)._1 && got(1L)._2 == Some(100L), s"exact leak: ${got(1L)}")
+    assert(got(2L)._1 && got(2L)._2 == Some(100L), s"near-copy: ${got(2L)}")
+    assert(!got(3L)._1 && !got(4L)._1, s"unrelated flagged: $got")
+    // doc 3 is closer to eval 101 (cos 0.8) than 100 (cos 0): argmax
+    assert(got(3L)._2 == Some(101L), s"argmax: ${got(3L)}")
+    // no embedding -> unflagged with NULL cosine, still present
+    assert(got(5L) == ((false, None, None)), s"null vec: ${got(5L)}")
+  }
+
   test("per-group weighted sample: exact k per group, equals the flat sampler per group") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))

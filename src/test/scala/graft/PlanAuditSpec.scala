@@ -21,6 +21,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qcuration_dsir" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row (Nr, Nt) feature-count pair, joined onto the <= buckets-row " +
       "ratio frame (never the corpus)"),
+    "qcuration_contam_sem" -> ("crossJoin(broadcast(ev)) where ev is the " +
+      "eval-suite embedding table — small by construction; the corpus scans " +
+      "once map-side against it (the qann_brute_topk shape with the roles " +
+      "pinned: corpus scans, eval broadcasts)"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +
