@@ -38,7 +38,10 @@ class DeterminismSpec extends AnyFunSuite {
     "qtext_bpe_apply", "qsample_weighted",
     // iterative integer fixpoint: 5 join+agg rounds, any accumulation-
     // order dependence compounds across rounds
-    "qgraph_pagerank")
+    "qgraph_pagerank",
+    // this round: DSIR's per-doc micro-nat sums (integer-exact by
+    // design — prove it) and the semantic-contamination argmax window
+    "qcuration_dsir", "qcuration_contam_sem")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
