@@ -370,6 +370,97 @@ object Profile {
         CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS right_dup_ids
       FROM j"""))
 
+  /** Robust per-group outlier screen (SURVEY.md §2.C91) — the Hampel
+    * filter over an integer metric: per group, the EXACT lower median
+    * and MAD (median absolute deviation), and per row an `outlier`
+    * flag at `|x − med|·kDen > kNum·mad`. Mean/stddev outlier cuts are
+    * circular (the outliers they hunt inflate the very moments that
+    * define them — one 10⁹-char doc shifts a source's mean cut by
+    * orders of magnitude); median/MAD have a 50% breakdown point, the
+    * standard robust screen (Hampel 1974; Leys et al. 2013).
+    *
+    * Exactness: the lower median is the ⌈n/2⌉-th order statistic — an
+    * integer, found by a running-frame rank (never a whole-partition
+    * buffer) against a grouped count joined back; MAD repeats the same
+    * rank on `|x − med|`. The flag is a cross-multiplied integer
+    * comparison. Nothing here rounds, so engine parity is exact.
+    *
+    * Scale shape: two rank-windows over the corpus partitioned by
+    * group — each is a per-group SORT, the honest cost of an exact
+    * order statistic (spills, never buffers: row_number's frame is
+    * running). The count and the two per-group medians broadcast back
+    * (group cardinality = sources, small). At 100 TB prefer
+    * `approx_percentile(x, 0.5)` for both medians — one pass, constant
+    * state, the D8 tradeoff — at the cost of the oracle-exact
+    * boundary. NULL metrics can't be judged: excluded from the stats,
+    * flagged false, carried with NULL deviation. */
+  def robustOutliers(df: DataFrame, id: Column, group: Column, value: Column,
+                     kNum: Long = 9, kDen: Long = 2): DataFrame = {
+    require(kNum > 0 && kDen > 0, s"need positive k ratio, got $kNum/$kDen")
+    val base = df.select(id.as("doc_id"), group.as("source"),
+        value.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col(v).asc, col("doc_id").asc)
+      in.withColumn("__rn", row_number().over(w))
+        .join(broadcast(cnt), "source")
+        .filter(col("__rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col(v).as(out))
+    }
+    val med = lowerMedian(base, "x", "med")
+    val dev = base.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("x") - col("med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = lowerMedian(dev, "dev", "mad")
+    val stats = med.join(mad, "source")
+    df.select(id.as("doc_id"), group.as("source"),
+        value.cast("long").as("x"))
+      .join(broadcast(stats), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("x"),
+        col("med"), col("mad"),
+        abs(col("x") - col("med")).as("dev"),
+        coalesce(
+          abs(col("x") - col("med")) * lit(kDen) > lit(kNum) * col("mad"),
+          lit(false)).as("outlier"))
+  }
+
+  /** C91 registered at kNum=2/kDen=1 (2·MAD): the synthetic lengths
+    * are near-uniform (MAD ≈ 100 per source), so the Hampel default
+    * 4.5·MAD flags nothing — 2·MAD flags a real minority (51/500),
+    * keeping both flag branches non-vacuous. All-integer: exact. */
+  val qOutliers = Q(
+    "qprofile_outliers",
+    (s, dir) =>
+      Profile.robustOutliers(Tables(s, dir).documents,
+          col("doc_id"), col("source"), col("n_chars"), kNum = 2, kDen = 1)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+                 FROM documents WHERE n_chars IS NOT NULL),
+      cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source),
+      r1 AS (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn
+             FROM b),
+      med AS (SELECT r1.source, r1.x AS med
+              FROM r1 JOIN cnt USING (source) WHERE rn = (n + 1) // 2),
+      d AS (SELECT b.doc_id, b.source, b.x, abs(b.x - med.med) AS dev
+            FROM b JOIN med USING (source)),
+      r2 AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn
+             FROM d),
+      mad AS (SELECT r2.source, r2.dev AS mad
+              FROM r2 JOIN cnt USING (source) WHERE rn = (n + 1) // 2)
+      SELECT doc.doc_id, doc.source, CAST(doc.n_chars AS BIGINT) AS x,
+             med.med, mad.mad,
+             abs(CAST(doc.n_chars AS BIGINT) - med.med) AS dev,
+             COALESCE(abs(CAST(doc.n_chars AS BIGINT) - med.med) * 1 > 2 * mad.mad,
+                      FALSE) AS outlier
+      FROM documents doc
+      LEFT JOIN med ON med.source = doc.source
+      LEFT JOIN mad ON mad.source = doc.source
+      ORDER BY doc.doc_id"""))
+
   val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap)
+    qOverlap, qOutliers)
 }

@@ -449,6 +449,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == ((false, None, None)), s"null vec: ${got(5L)}")
   }
 
+  test("robust outliers: exact lower median/MAD, breakdown resistance, NULL rows") {
+    import spark.implicits._
+    // group a: values 10,10,12,14,1000 -> med=12 (3rd of 5), devs
+    // 2,2,0,2,988 -> mad=2; at the 2*MAD cut only 1000 flags. The
+    // 1000 also proves breakdown resistance: a mean/stddev cut at 2
+    // sigma would put the cut near the outlier itself
+    // group b: even n — lower median is the (n+1) div 2-th: values
+    // 1,2,3,4 -> med=2 (rank 2), devs 1,0,1,2 -> mad=1; doc 9's dev
+    // is EXACTLY 2*mad — the strict > boundary
+    val df = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(10L)), (3L, "a", Some(12L)),
+      (4L, "a", Some(14L)), (5L, "a", Some(1000L)),
+      (6L, "b", Some(1L)), (7L, "b", Some(2L)), (8L, "b", Some(3L)),
+      (9L, "b", Some(4L)), (10L, "b", None)).toDF("doc_id", "src", "x")
+    val got = graft.operators.Profile.robustOutliers(df, col("doc_id"),
+        col("src"), col("x"), kNum = 2, kDen = 1)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), r.getBoolean(6))).toMap
+    assert(got.size == 10, "every input row present")
+    assert(got(1L)._1 == Some(12L) && got(1L)._2 == Some(2L), s"a stats: ${got(1L)}")
+    assert(got(6L)._1 == Some(2L) && got(6L)._2 == Some(1L), s"b stats: ${got(6L)}")
+    assert(got(5L)._3, "the 1000 must flag")
+    assert(Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L).forall(!got(_)._3),
+      s"inliers flagged: $got")
+    // 4 deviates by 2 = 2*mad(b): strictly-greater boundary keeps it
+    assert(!got(9L)._3, "2*mad exactly is NOT an outlier (strict >)")
+    // NULL metric: carried, never flagged, stats still attached
+    assert(!got(10L)._3 && got(10L)._1 == Some(2L), s"null row: ${got(10L)}")
+  }
+
   test("per-group weighted sample: exact k per group, equals the flat sampler per group") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))
