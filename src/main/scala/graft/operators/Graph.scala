@@ -141,5 +141,139 @@ object Graph {
     },
     Some(pageRankOracleSql(5, 850000L)))
 
-  val all: Seq[Q] = Seq(qPageRank)
+  /** Deterministic fixed-iteration HITS (SURVEY.md §2.C92; Kleinberg
+    * 1999) — the hub/authority pair PageRank doesn't give: PageRank
+    * scores where surfers END UP; HITS separates pages that ARE good
+    * content (authorities) from pages that POINT AT good content
+    * (hubs/link directories) — for corpus curation the distinction
+    * matters because link-farm hubs score high on raw degree but are
+    * exactly what a quality mixture should downweight.
+    *
+    * Fixed-point discipline: scores are micro-unit longs; each
+    * half-iteration is an exact integer sum (`a ← Σ h(in)`,
+    * `h ← Σ a(out)`) followed by MAX-normalization — `v·1e6 div max`
+    * (one truncation, oracle-mirrored; L2 normalization would need a
+    * square root per round and break integer exactness, and max-norm
+    * is the standard convergent alternative). The multiply widens to
+    * DECIMAL(38,0)/HUGEINT — at 10¹⁰ nodes `v` reaches ~1e16 and
+    * `v·1e6` overflows a long (the pageRank lesson). Self-loops
+    * dropped, duplicate edges count once, dangling sides keep score
+    * 0 via the left join — same contract as [[pageRank]].
+    *
+    * Scale shape: edges and scores are (long, long) rows; each
+    * iteration is two keyed join+partial-agg shuffles plus two 1-ROW
+    * max broadcasts (the allowlisted scalar-totals BNLJ shape); the
+    * hub frame persists per round, the previous round unpersists. */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one raw-sum + max-normalize half-step: score(to) = sum over
+    // edges of score(from), 0 for nodes with no incoming side, then
+    // v*1e6 div max(v)
+    def halfStep(score: DataFrame, scoreCol: String,
+                 joinSide: String, aggSide: String): DataFrame = {
+      val raw = nodes.join(
+          e.join(score.withColumnRenamed("id", joinSide), joinSide)
+            .groupBy(col(aggSide).as("id")).agg(sum(col(scoreCol)).as("v")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))
+      val mx = raw.agg(max(col("v")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("mx") > 0,
+            expr("CAST((CAST(v AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)"))
+            .otherwise(lit(0L)).as(scoreCol))
+    }
+    var hub = nodes.select(col("id"), lit(1000000L).as("hm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = null
+    try {
+      for (_ <- 1 to iters) {
+        val a = halfStep(hub.withColumnRenamed("hm", "sc"), "sc", "src", "dst")
+          .withColumnRenamed("sc", "am")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        a.count()
+        if (auth != null) auth.unpersist()
+        auth = a
+        val h = halfStep(auth.withColumnRenamed("am", "sc"), "sc", "dst", "src")
+          .withColumnRenamed("sc", "hm")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        h.count()
+        hub.unpersist()
+        hub = h
+      }
+      auth.join(hub, "id")
+        .select(col("id").as("node_id"),
+          col("am").as("authority_micro"), col("hm").as("hub_micro"),
+          (col("am").cast("double") / lit(1e6)).as("authority"),
+          (col("hm").cast("double") / lit(1e6)).as("hub"))
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
+  /** C92 oracle generator: the integer half-steps unrolled as a
+    * linear CTE chain; raw-sum CTEs are MATERIALIZED because each is
+    * referenced twice (the normalize + its scalar max). */
+  private def hitsOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+      n AS MATERIALIZED (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hm FROM n)""")
+    for (k <- 1 to iters) sb ++= s""",
+      ar$k AS MATERIALIZED (SELECT n.id, COALESCE(s.v, 0) AS v
+        FROM n LEFT JOIN (
+          SELECT e.dst AS id, SUM(h.hm) AS v
+          FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst) s
+        ON s.id = n.id),
+      a$k AS (SELECT id, CASE WHEN mx > 0
+            THEN CAST((CAST(v AS HUGEINT) * 1000000) // mx AS BIGINT)
+            ELSE 0 END AS am
+        FROM ar$k CROSS JOIN (SELECT MAX(v) AS mx FROM ar$k) m),
+      hr$k AS MATERIALIZED (SELECT n.id, COALESCE(s.v, 0) AS v
+        FROM n LEFT JOIN (
+          SELECT e.src AS id, SUM(a.am) AS v
+          FROM e JOIN a$k a ON a.id = e.dst GROUP BY e.src) s
+        ON s.id = n.id),
+      h$k AS (SELECT id, CASE WHEN mx > 0
+            THEN CAST((CAST(v AS HUGEINT) * 1000000) // mx AS BIGINT)
+            ELSE 0 END AS hm
+        FROM hr$k CROSS JOIN (SELECT MAX(v) AS mx FROM hr$k) m)"""
+    sb ++= s"""
+      SELECT a.id AS node_id, a.am AS authority_micro, h.hm AS hub_micro,
+             CAST(a.am AS DOUBLE) / 1000000 AS authority,
+             CAST(h.hm AS DOUBLE) / 1000000 AS hub
+      FROM a$iters a JOIN h$iters h USING (id) ORDER BY node_id"""
+    sb.toString
+  }
+
+  // C92: HITS over the same injected link graph as qgraph_pagerank —
+  // the % 50 hubs give authority mass to low ids, every doc is a hub
+  // toward its two targets. 3 iterations = 6 integer half-steps, each
+  // max-truncation oracle-replayed.
+  val qHits = Q(
+    "qgraph_hits",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+      hits(edges, col("src"), col("dst"), iters = 3)
+        .orderBy(col("node_id"))
+    },
+    Some(hitsOracleSql(3)))
+
+  val all: Seq[Q] = Seq(qPageRank, qHits)
 }

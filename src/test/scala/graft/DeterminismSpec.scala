@@ -40,8 +40,9 @@ class DeterminismSpec extends AnyFunSuite {
     // order dependence compounds across rounds
     "qgraph_pagerank",
     // this round: DSIR's per-doc micro-nat sums (integer-exact by
-    // design — prove it) and the semantic-contamination argmax window
-    "qcuration_dsir", "qcuration_contam_sem")
+    // design — prove it), the semantic-contamination argmax window,
+    // and the HITS max-normalized integer fixpoint (6 half-steps)
+    "qcuration_dsir", "qcuration_contam_sem", "qgraph_hits")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

@@ -58,6 +58,24 @@ class GraphSpec extends AnyFunSuite {
       s"hubs $hubs must outrank leaves max ${leaves.max}")
   }
 
+  test("HITS separates the directory hub from the content authorities") {
+    import spark.implicits._
+    // d (100) links all three content pages; x,y (101,102) link only
+    // a1 — a1 is the top authority, d the top hub; content pages that
+    // link nothing have hub 0, pure linkers have authority 0
+    val e = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (102L, 1L)).toDF("src", "dst")
+    val r = Graph.hits(e, col("src"), col("dst"), iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // max-normalization pins the top of each scale at exactly 1e6
+    assert(r(1L)._1 == 1000000L, s"a1 must be the unit authority: $r")
+    assert(r(100L)._2 == 1000000L, s"d must be the unit hub: $r")
+    assert(r(1L)._1 > r(2L)._1 && r(2L)._1 == r(3L)._1, s"authority order: $r")
+    assert(r(100L)._2 > r(101L)._2 && r(101L)._2 == r(102L)._2, s"hub order: $r")
+    assert(Seq(1L, 2L, 3L).forall(r(_)._2 == 0L), s"content pages are not hubs: $r")
+    assert(Seq(100L, 101L, 102L).forall(r(_)._1 == 0L), s"linkers are not authorities: $r")
+  }
+
   test("pageRank damped term survives contribution sums past Long.MaxValue/damping") {
     // a 2e7-leaf star gives the hub cs = 2e13; 850000 * 2e13 = 1.7e19
     // wraps a long multiply silently negative — pin the DECIMAL(38,0)

@@ -25,6 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "eval-suite embedding table — small by construction; the corpus scans " +
       "once map-side against it (the qann_brute_topk shape with the roles " +
       "pinned: corpus scans, eval broadcasts)"),
+    "qgraph_hits" -> ("crossJoin(broadcast(mx)) where mx is the 1-row " +
+      "per-half-step score max used for the integer max-normalization — " +
+      "two per iteration, never node- or edge-sized"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +
