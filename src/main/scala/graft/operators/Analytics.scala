@@ -814,7 +814,104 @@ object Analytics {
       FROM j
       ORDER BY user_id, bucket"""))
 
+  /** B26: ordered conversion funnel (the ClickHouse `windowFunnel` /
+    * product-analytics staple) — per user, the earliest view, the
+    * earliest click STRICTLY AFTER it, the earliest purchase strictly
+    * after that, and the stage depth reached. Strict `>` means a
+    * same-microsecond pair never advances a stage (an ordered funnel
+    * without order is no funnel). Each stage is one filtered
+    * user-keyed min-agg joined to the previous stage's frame — three
+    * pruned scans and user-keyed shuffles, all map-side combined;
+    * depth-3 users are a subset of depth-2 by construction and the
+    * when-chain encodes that. Only users who entered the funnel (a
+    * view) appear. */
+  /** Per-entity ordered funnel over `stages` (first stage anchors;
+    * each later stage is the earliest occurrence STRICTLY AFTER the
+    * previous stage's time). Output: (user_id, t_<stage>..., stage_depth);
+    * only entities that entered the funnel appear. */
+  def funnel(events: DataFrame, user: Column, eventType: Column, tsUs: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    val ev = events.select(user.as("user_id"), eventType.as("__et"),
+      tsUs.as("__tu"))
+    def tcol(st: String) = s"t_$st"
+    val first = ev.filter(col("__et") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("__tu")).as(tcol(stages.head)))
+    val stageFrames = stages.tail.scanLeft(first) { (prev, st) =>
+      val prevT = prev.columns.last
+      ev.filter(col("__et") === st)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("__tu") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("__tu")).as(tcol(st)))
+    }
+    val joined = stageFrames.tail.foldLeft(first) { (acc, f) =>
+      acc.join(f.select(col("user_id"), col(f.columns.last)),
+        Seq("user_id"), "left")
+    }
+    val depth = stages.tail.map(st =>
+        when(col(tcol(st)).isNotNull, lit(1L)).otherwise(lit(0L)))
+      .foldLeft(lit(1L): Column)(_ + _)
+    joined.select(col("user_id") +: stages.map(st => col(tcol(st))) :+
+      depth.as("stage_depth"): _*)
+  }
+
+  val q26 = Q(
+    "q26_funnel",
+    (s, dir) =>
+      funnel(eventsUs(Tables(s, dir)), col("user_id"), col("event_type"),
+          col("ts_us"), Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      t1 AS (SELECT user_id, MIN(tu) AS t_view FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(e.tu) AS t_click
+             FROM ev e JOIN t1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.tu > t1.t_view
+             GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(e.tu) AS t_purchase
+             FROM ev e JOIN t2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.tu > t2.t_click
+             GROUP BY e.user_id)
+      SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+             CAST(1 + (CASE WHEN t2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN t3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS stage_depth
+      FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+      ORDER BY t1.user_id"""))
+
+  /** B27: weekly cohort retention — users bucketed by first-activity
+    * epoch-week, counted per (cohort, week offset) they were active
+    * in. The `(user, week)` frame is DISTINCT BEFORE the cohort join
+    * and the final count is `count(*)` — a `countDistinct` after the
+    * join would re-shuffle what the distinct already paid for. Epoch
+    * weeks are integer `µs div 604800000000` — no calendar library,
+    * no timezone, identical truncation in both engines. */
+  val q27 = Q(
+    "q27_retention",
+    (s, dir) => {
+      val ev = eventsUs(Tables(s, dir))
+        .select(col("user_id"), expr("ts_us div 604800000000").as("w"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("w") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+      cohort AS (SELECT user_id, MIN(w) AS cohort_week FROM ev GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, w FROM ev)
+      SELECT c.cohort_week, a.w - c.cohort_week AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM active a JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_week, week_offset
+      ORDER BY c.cohort_week, week_offset"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23,
-    q24, q25)
+    q24, q25, q26, q27)
 }

@@ -236,4 +236,31 @@ class AnalyticsSpec extends AnyFunSuite {
         maxCellsPerRow = 8).count()
     }
   }
+
+  test("funnel advances only on strictly-later stages, in order") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: purchase BEFORE click — depth stops at click
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // u3: click at the SAME instant as view — strict > blocks it
+      (3L, "view", 10L), (3L, "click", 10L),
+      // u4: never entered (no view) — absent from the output
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      // u5: two views; the funnel anchors on the EARLIEST
+      (5L, "view", 50L), (5L, "view", 10L), (5L, "click", 20L)
+    ).toDF("u", "et", "tu")
+    val got = graft.operators.Analytics.funnel(ev, col("u"), col("et"),
+        col("tu"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L), s"got ${got.keySet}")
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3L)), s"u1: ${got(1L)}")
+    assert(got(2L) == ((Some(10L), Some(20L), None, 2L)), s"u2: ${got(2L)}")
+    assert(got(3L) == ((Some(10L), None, None, 1L)), s"u3: ${got(3L)}")
+    assert(got(5L) == ((Some(10L), Some(20L), None, 2L)), s"u5: ${got(5L)}")
+  }
 }
