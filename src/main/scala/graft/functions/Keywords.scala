@@ -615,4 +615,83 @@ object Keywords {
         col("c2"), (col("pmi_micro").cast("double") / 1e6).as("pmi"))
       .orderBy(col("pmi_rank"))
   }
+
+  /** Reference-LM scoring with Jelinek-Mercer interpolation
+    * (SURVEY.md §2.C93; Jelinek & Mercer 1980; the CCNet filter
+    * shape, Wenzek et al. 2020): train a bigram LM on a REFERENCE
+    * corpus (Wikipedia-quality text), score every raw document by its
+    * mean token log-probability under it. This is what C52's same-
+    * corpus LM cannot do — rank a crawl against an EXTERNAL quality
+    * distribution — and unlike the unsmoothed C52, unseen contexts
+    * and OOV words BACK OFF instead of having no probability:
+    * `p(w2|w1) = λ·c12/c1 + (1−λ)·(c2+1)/(N+V)` (bigram ML term zero
+    * when the context is unseen; add-1 unigram term never zero, so
+    * `ln` is always finite).
+    *
+    * Exactness: each distinct (doc, bigram) row evaluates ONE pinned
+    * IEEE tree — integer-valued doubles through two divisions, the λ
+    * mix, one `ln`, rounded ONCE to micro-nats — identical on both
+    * engines (the C37/C52/DSIR discipline); per-doc sums are integer.
+    * The mean is plain division (never a 4-decimal round of a binary
+    * tie). Tokenization is the ONE bigramPairs/token definition.
+    *
+    * Scale shape: the reference tables are vocab-sized (bigram/
+    * context/unigram counts — web vocabularies grow sub-linearly) and
+    * join the doc-side bigram partials on 8-byte xxhash64 keys
+    * (strings never shuffle; the string-keyed oracle stays valid
+    * because counts, not hashes, are the output — C52's trade). The
+    * corpus contributes ONE bigram pass; `N + V` rides a 1-row
+    * broadcast. AQE broadcasts the ref tables when the reference is
+    * small. */
+  def jmRefLogProb(df: DataFrame, id: Column, text: Column,
+                   ref: DataFrame, refText: Column,
+                   lambdaMicro: Long = 800000L): DataFrame = {
+    require(lambdaMicro > 0 && lambdaMicro < 1000000L,
+      s"lambdaMicro must be in (0, 1e6), got $lambdaMicro")
+    val muMicro = 1000000L - lambdaMicro
+    val runi = ref
+      .select(explode(filter(split(lower(refText), " "), t => t =!= ""))
+        .as("w"))
+      .groupBy(xxhash64(col("w")).as("w2h")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N + V in one aggregate: total tokens + distinct tokens
+    val totals = runi.agg((sum(col("c2")) + count(lit(1))).as("nv"))
+    val rb = ref.select(explode(bigramPairs(refText)).as("p"))
+      .select(xxhash64(concat_ws(" ", col("p.w1"), col("p.w2"))).as("bh"),
+        xxhash64(col("p.w1")).as("uh"))
+      .groupBy(col("bh"), col("uh")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rc = rb.groupBy(col("uh")).agg(sum(col("c12")).as("c1"))
+    val perDoc = df.select(id.as("doc_id"), explode(bigramPairs(text)).as("p"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("p.w1"), col("p.w2"))).as("bh"),
+        xxhash64(col("p.w1")).as("uh"),
+        xxhash64(col("p.w2")).as("w2h"))
+      .groupBy(col("doc_id"), col("bh"), col("uh"), col("w2h"))
+      .agg(count(lit(1)).as("tf"))
+    val pBi = when(coalesce(col("c1"), lit(0L)) > 0,
+      lit(lambdaMicro.toDouble) *
+        (coalesce(col("c12"), lit(0L)).cast("double") / col("c1").cast("double")))
+      .otherwise(lit(0.0))
+    val pUni = lit(muMicro.toDouble) *
+      ((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+        col("nv").cast("double"))
+    val scored = perDoc
+      .join(rb.select(col("bh"), col("c12")), Seq("bh"), "left")
+      .join(rc, Seq("uh"), "left")
+      .join(runi, Seq("w2h"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        round(log((pBi + pUni) / lit(1e6)) * lit(1e6)).cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("nb"), sum(col("tf") * col("lp")).as("lps"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lps"), lit(0L)).as("lp_micro_sum"),
+        when(col("nb").isNull, lit(null).cast("double"))
+          .otherwise(col("lps").cast("double") / col("nb") / lit(1e6))
+          .as("mean_logprob"))
+  }
 }

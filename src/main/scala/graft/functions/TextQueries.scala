@@ -1198,9 +1198,64 @@ object TextQueries {
               CAST(n AS DOUBLE), 6) AS intercept
       FROM f"""))
 
+  /** C93: reference-LM JM scoring — reference = the en slice (the
+    * Wikipedia stand-in), scored corpus = everything, λ = 0.8. The
+    * oracle keys on strings (counts transfer across the hash keys)
+    * and evaluates the identical pinned probability tree per distinct
+    * (doc, bigram); MATERIALIZED keeps the ref model from re-running
+    * per downstream reference. */
+  val qLmRef = Q(
+    "qtext_lm_ref",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      Keywords.jmRefLogProb(d, col("doc_id"), col("text"),
+          d.filter(col("lang") === "en"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+            FROM documents),
+      rtk AS MATERIALIZED (SELECT w FROM tk
+            JOIN documents USING (doc_id) WHERE lang = 'en'),
+      runi AS MATERIALIZED (SELECT x AS w, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM (SELECT UNNEST(w) AS x FROM rtk) GROUP BY x),
+      tot AS (SELECT SUM(c2) + COUNT(*) AS nv FROM runi),
+      rb AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM (SELECT w[i] AS w1, w[i+1] AS w2
+                  FROM rtk, UNNEST(range(1, len(w))) u(i))
+            GROUP BY w1, w2),
+      rc AS MATERIALIZED (SELECT w1, SUM(c12) AS c1 FROM rb GROUP BY w1),
+      dbt AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM tk, UNNEST(range(1, len(w))) u(i))
+              GROUP BY doc_id, w1, w2),
+      sc AS (SELECT doc_id, tf,
+              CAST(ROUND(ln((
+                (CASE WHEN COALESCE(rc.c1, 0) > 0
+                      THEN 800000.0 * (CAST(COALESCE(rb.c12, 0) AS DOUBLE)
+                                       / CAST(rc.c1 AS DOUBLE))
+                      ELSE 0.0 END
+                 + 200000.0 * (CAST(COALESCE(ru.c2, 0) + 1 AS DOUBLE)
+                               / CAST(tot.nv AS DOUBLE)))
+                / 1000000.0)) * 1000000) AS BIGINT) AS lp
+            FROM dbt
+            LEFT JOIN rb USING (w1, w2)
+            LEFT JOIN rc USING (w1)
+            LEFT JOIN runi ru ON ru.w = dbt.w2
+            CROSS JOIN tot),
+      ag AS (SELECT doc_id, SUM(tf) AS nb, SUM(tf * lp) AS lps
+             FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(ag.nb, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(ag.lps, 0) AS BIGINT) AS lp_micro_sum,
+             CASE WHEN ag.nb IS NULL THEN NULL
+                  ELSE CAST(ag.lps AS DOUBLE) / ag.nb / 1000000 END AS mean_logprob
+      FROM documents d LEFT JOIN ag USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qZipf)
+    qBm25, qZipf, qLmRef)
 }

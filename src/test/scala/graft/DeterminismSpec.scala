@@ -42,7 +42,9 @@ class DeterminismSpec extends AnyFunSuite {
     // this round: DSIR's per-doc micro-nat sums (integer-exact by
     // design — prove it), the semantic-contamination argmax window,
     // and the HITS max-normalized integer fixpoint (6 half-steps)
-    "qcuration_dsir", "qcuration_contam_sem", "qgraph_hits")
+    "qcuration_dsir", "qcuration_contam_sem", "qgraph_hits",
+    // the reference-LM's per-(doc, bigram) micro-nat rounding + sums
+    "qtext_lm_ref")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

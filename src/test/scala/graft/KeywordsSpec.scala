@@ -383,4 +383,36 @@ class KeywordsSpec extends AnyFunSuite {
     // k truncates: with k=1 each query returns exactly its best doc
     assert(run(Seq("a" -> "rare", "b" -> "word"), k = 1).length == 2)
   }
+
+  test("reference-LM JM scoring: in-distribution beats OOV, backoff stays finite") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ref = Seq("the cat sat on the mat",
+      "the cat sat on the chair").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // pure in-distribution
+      (2L, "qq zz vv ww qq zz vv ww"),  // fully OOV: unigram backoff only
+      (3L, "the cat sat on qq zz"),     // mixed
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.functions.Keywords.jmRefLogProb(docs, col("doc_id"),
+        col("text"), ref, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    // every doc present; featureless docs have zero sums and NULL mean
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    for (id <- Seq(4L, 5L)) assert(got(id) == ((0L, 0L, None)), s"$id: ${got(id)}")
+    def mean(id: Long) = got(id)._2.toDouble / got(id)._1
+    // in-distribution > mixed > fully-OOV, and even full OOV is FINITE
+    // (the add-1 unigram term): an unsmoothed LM would have no score
+    assert(mean(1L) > mean(3L) && mean(3L) > mean(2L),
+      s"expected in-dist > mixed > OOV, got $got")
+    assert(got(2L)._2 > Long.MinValue / 4, "OOV score must be finite")
+    // lambda=1-epsilon ~ pure bigram; lambda near 0 ~ pure unigram:
+    // the knob moves the score of a bigram-breaking doc
+    val loLam = graft.functions.Keywords.jmRefLogProb(docs, col("doc_id"),
+        col("text"), ref, col("text"), lambdaMicro = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loLam(3L) != got(3L)._2, "lambda must change interpolated scores")
+  }
 }

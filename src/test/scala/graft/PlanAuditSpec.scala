@@ -28,6 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qgraph_hits" -> ("crossJoin(broadcast(mx)) where mx is the 1-row " +
       "per-half-step score max used for the integer max-normalization — " +
       "two per iteration, never node- or edge-sized"),
+    "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
+      "1-row N+V smoothing denominator of the reference LM, joined onto " +
+      "the per-doc bigram partials"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +
