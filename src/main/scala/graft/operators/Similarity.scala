@@ -1369,4 +1369,57 @@ object Similarity {
     exactReRank(cand, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, k)
   }
+
+  /** Clustering-vs-label agreement (SURVEY.md §2.C95; Hubert & Arabie
+    * 1985): purity and the Adjusted Rand Index between a cluster
+    * assignment and ground-truth labels — the evaluation every
+    * clustering consumer (SemDedup cells, IVF coarse quantizers,
+    * balanced-mixture planning) needs before trusting the cells:
+    * inertia (C57) says the cells are TIGHT, this says they mean
+    * something. ARI corrects raw pair-agreement for chance (a random
+    * partition scores ~0; raw Rand inflates with many clusters).
+    *
+    * Exactness: the contingency table and every pair-count sum
+    * `Σ x(x−1)` are exact integers, widened to DECIMAL(38,0)/HUGEINT
+    * before the multiply (x(x−1) overflows a long past x ≈ 3e9 rows —
+    * the pageRank lesson); the final ARI is ONE pinned IEEE tree over
+    * doubles of those exact sums, identical on both engines. ARI is
+    * NULL when the chance-corrected denominator is zero (both
+    * partitions trivial — undefined, not 1.0). Rows missing from
+    * either side are excluded (agreement over the labeled
+    * intersection).
+    *
+    * Scale shape: one id-keyed join, one (cluster, label) grouped
+    * count — contingency cells number ≤ clusters·labels, tiny — then
+    * scalar aggregates crossJoined as 1-row broadcasts. Nothing
+    * corpus-sized survives the first aggregation. */
+  def clusterLabelAgreement(asg: DataFrame, id: Column, cluster: Column,
+                            labels: DataFrame, labelId: Column,
+                            label: Column): DataFrame = {
+    val ct = asg.select(id.as("__id"), cluster.as("c"))
+      .join(labels.select(labelId.as("__id"), label.as("l")), "__id")
+      .groupBy(col("c"), col("l")).agg(count(lit(1)).as("nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byC = ct.groupBy(col("c"))
+      .agg(sum(col("nij")).as("ai"), max(col("nij")).as("mx"))
+    val totals = ct.agg(
+        sum(col("nij")).as("n"),
+        count_distinct(col("c")).as("n_clusters"),
+        count_distinct(col("l")).as("n_labels"),
+        sum(expr("CAST(nij AS DECIMAL(38,0)) * (nij - 1)")).as("tij"))
+      .crossJoin(broadcast(byC.agg(
+        sum(expr("CAST(ai AS DECIMAL(38,0)) * (ai - 1)")).as("ta"),
+        sum(col("mx")).as("purity_hits"))))
+      .crossJoin(broadcast(ct.groupBy(col("l"))
+        .agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("CAST(bj AS DECIMAL(38,0)) * (bj - 1)")).as("tb"))))
+    val e = (col("ta").cast("double") * col("tb").cast("double")) /
+      (col("n").cast("double") * (col("n") - lit(1L)).cast("double"))
+    val den = (col("ta").cast("double") + col("tb").cast("double")) / lit(2.0) - e
+    totals.select(col("n"), col("n_clusters"), col("n_labels"),
+      col("purity_hits"),
+      (col("purity_hits").cast("double") / col("n").cast("double")).as("purity"),
+      when(col("n") < 2 || den === lit(0.0), lit(null).cast("double"))
+        .otherwise((col("tij").cast("double") - e) / den).as("ari"))
+  }
 }

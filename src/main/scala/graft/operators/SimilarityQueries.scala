@@ -141,11 +141,12 @@ object SimilarityQueries {
     * assignment the index is built from (plain labels, or the trained
     * hash-seeded Lloyd cells). The tail is shared. */
   private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int,
-                           candFilter: String = ""): String =
+                           candFilter: String = "",
+                           nq: Int = 10): String =
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       $cells0Ctes,
-      ${ivfProbeCtes(nprobe, nq = 10)},
+      ${ivfProbeCtes(nprobe, nq = nq)},
       cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
                FROM qprobe q JOIN acell a ON a.cell = q.cell
                WHERE a.vec_id != q.query_id$candFilter),
@@ -237,6 +238,30 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
+
+  /** C94: k-NN graph — EVERY corpus vector is a query against the
+    * trained IVF index (self excluded), yielding the neighborhood
+    * graph SemDedup-style clustering, graph dedup, and label-
+    * propagation pipelines consume. The scale story is the whole
+    * point: a brute kNN graph is O(n²) by definition, the
+    * index-probed build is per-vector O(nprobe · cell); the queries
+    * frame being the corpus itself changes no plan shape (the probe
+    * side broadcasts only centroids). Oracle = the proven IVF recipe
+    * with the probe set widened to every vector. */
+  val qKnnGraph = Q(
+    "qann_knn_graph",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 1)
+      Similarity.ivfTopKAgainstIndex(cents, cells,
+          e, col("vec_id"), col("embedding"),
+          e, col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2,
+      nq = Int.MaxValue)))
 
   /** C79 exact baseline: top-k among even-label rows only — the
     * PRE-filter semantics (true top-k of the eligible subset; a
@@ -1130,8 +1155,58 @@ object SimilarityQueries {
       FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** C95: purity + ARI of the trained IVF cells against the embedding
+    * labels — the "do the cells MEAN anything" evaluation next to
+    * C57's "are they tight". Oracle replays the contingency table and
+    * the one pinned ARI tree over HUGEINT-widened pair sums. */
+  val qAri = Q(
+    "qvec_ari",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.clusterLabelAgreement(
+        Similarity.ivfTrainCells(e, col("vec_id"), col("embedding"),
+          nlist = 10, iters = 1),
+        col("vec_id"), col("cell"),
+        e, col("vec_id"), col("label"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ct AS MATERIALIZED (SELECT c0.grp AS c, em.label AS l,
+              CAST(COUNT(*) AS BIGINT) AS nij
+            FROM cells0 c0 JOIN embeddings em ON em.vec_id = c0.vec_id
+            GROUP BY c0.grp, em.label),
+      byc AS MATERIALIZED (SELECT c, SUM(nij) AS ai, MAX(nij) AS mx
+            FROM ct GROUP BY c),
+      byl AS (SELECT l, SUM(nij) AS bj FROM ct GROUP BY l),
+      tot AS (SELECT
+          (SELECT SUM(nij) FROM ct) AS n,
+          (SELECT COUNT(DISTINCT c) FROM ct) AS n_clusters,
+          (SELECT COUNT(DISTINCT l) FROM ct) AS n_labels,
+          (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1)) FROM ct) AS tij,
+          (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1)) FROM byc) AS ta,
+          (SELECT SUM(mx) FROM byc) AS purity_hits,
+          (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1)) FROM byl) AS tb)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_clusters AS BIGINT) AS n_clusters,
+        CAST(n_labels AS BIGINT) AS n_labels,
+        CAST(purity_hits AS BIGINT) AS purity_hits,
+        CAST(purity_hits AS DOUBLE) / CAST(n AS DOUBLE) AS purity,
+        CASE WHEN n < 2 OR
+              ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) / 2.0
+               - (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) = 0.0
+             THEN NULL
+             ELSE (CAST(tij AS DOUBLE)
+                   - (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                  / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) / 2.0
+                     - (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        END AS ari
+      FROM tot"""))
+
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qFiltered, qFilteredIvf, qMmr, qHardNeg,
+    qKnnGraph, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
     qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

@@ -44,7 +44,9 @@ class DeterminismSpec extends AnyFunSuite {
     // and the HITS max-normalized integer fixpoint (6 half-steps)
     "qcuration_dsir", "qcuration_contam_sem", "qgraph_hits",
     // the reference-LM's per-(doc, bigram) micro-nat rounding + sums
-    "qtext_lm_ref")
+    "qtext_lm_ref",
+    // the ARI's pair-count sums + pinned double tree over the trained cells
+    "qvec_ari")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

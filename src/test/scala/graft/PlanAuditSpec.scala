@@ -31,6 +31,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row N+V smoothing denominator of the reference LM, joined onto " +
       "the per-doc bigram partials"),
+    "qann_knn_graph" -> ("the qann_ivf_indexed broadcasts (bounded " +
+      "nlist-row centroid frame in build and probe); making every corpus " +
+      "vector a query adds no new join shape"),
+    "qvec_ari" -> ("crossJoins broadcast 1-row pair-count scalar frames " +
+      "(ta/tb/purity totals) onto the 1-row contingency aggregate, plus " +
+      "the bounded centroid broadcast of the embedded cell training"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +

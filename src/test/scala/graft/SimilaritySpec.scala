@@ -898,4 +898,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L).zip(got(2L)).forall { case (a, b) => a == -b },
       s"got ${got(1L)} vs ${got(2L)}")
   }
+
+  test("cluster-label agreement: ARI is 1 on identity, 0 on one cluster, NULL when trivial") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(asg: Seq[(Long, Long)], lbl: Seq[(Long, Long)]) =
+      Similarity.clusterLabelAgreement(
+          asg.toDF("id", "c"), col("id"), col("c"),
+          lbl.toDF("id", "l"), col("id"), col("l"))
+        .collect()(0)
+    val lbl = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L), (6L, 2L))
+    // identical partition: purity 1, ARI exactly 1.0 (same e cancels)
+    val perfect = run(lbl, lbl)
+    assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(5) == 1.0,
+      s"perfect: $perfect")
+    // everything in ONE cluster vs 3 labels: chance-level — ARI exactly 0
+    val one = run(lbl.map { case (id, _) => (id, 9L) }, lbl)
+    assert(one.getDouble(5) == 0.0, s"one-cluster ARI: $one")
+    assert(one.getLong(1) == 1L && one.getLong(2) == 3L, s"counts: $one")
+    // both partitions trivial: chance correction divides by zero -> NULL
+    val trivial = run(lbl.map { case (id, _) => (id, 9L) },
+      lbl.map { case (id, _) => (id, 7L) })
+    assert(trivial.isNullAt(5), s"trivial ARI must be NULL: $trivial")
+    // unlabeled rows are excluded: n counts the intersection only
+    val partial = run(lbl, lbl.take(4))
+    assert(partial.getLong(0) == 4L, s"intersection: $partial")
+  }
 }
