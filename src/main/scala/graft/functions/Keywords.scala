@@ -694,4 +694,79 @@ object Keywords {
           .otherwise(col("lps").cast("double") / col("nb") / lit(1e6))
           .as("mean_logprob"))
   }
+
+  /** EXACT corpus heavy hitters by two-pass Misra-Gries (C96; Misra &
+    * Gries 1982, mergeability per Agarwal et al. 2012): every term
+    * whose corpus frequency strictly exceeds `N / (budget + 1)` (N =
+    * total non-empty lowercased whitespace tokens), with its exact
+    * count. The result is EXACT and partitioning-independent even
+    * though pass 1 is a sketch — that is the whole design:
+    *
+    *  - Pass 1 (candidates): per-partition Misra-Gries with `budget`
+    *    counters over the exploded token stream. MG guarantees any
+    *    item with partition count > n_p/(budget+1) survives its
+    *    partition, so (pigeonhole over the sum) any term with GLOBAL
+    *    count > N/(budget+1) survives in ≥1 partition — the union of
+    *    survivors is a guaranteed candidate superset, ≤ budget rows
+    *    per partition. This is the one operator where declarative
+    *    aggregation genuinely can't express the semantics (bounded
+    *    memory per partition REGARDLESS of distinct-term count —
+    *    a groupBy must shuffle every distinct (partition, term) pair,
+    *    MG shuffles at most budget·partitions candidate terms), so it
+    *    uses the builder-preference-order (d) escape hatch: a typed
+    *    `mapPartitions` with an imperative O(budget) counter map.
+    *    Amortized O(1) per token: each decrement event consumes one
+    *    unit of count mass per counter, so total decrement work is
+    *    ≤ N/budget events × O(budget) each.
+    *  - Pass 2 (exact recount): re-tokenize, broadcast-semi-join the
+    *    tiny candidate set (map-side filter — only candidate term
+    *    occurrences reach the shuffle), exact groupBy count, then the
+    *    all-integer threshold `cnt · (budget+1) > N`. False candidates
+    *    are filtered here; true heavy hitters can't be missed (the
+    *    superset guarantee), so the output equals the exact
+    *    groupBy-everything answer — which is exactly what the oracle
+    *    computes.
+    *
+    * N is a pure map-side `sum(size(...))` — no explode, no shuffle —
+    * and rides a 1-row broadcast. At 100 TB: three streaming scans of
+    * the text column and a shuffle bounded by candidate occurrences;
+    * the trillion-term junk tail (the reason a full vocab groupBy is
+    * the cost center of C26) never shuffles at all. */
+  def heavyHitters(df: DataFrame, text: Column, budget: Int): DataFrame = {
+    require(budget >= 2 && budget <= 100000,
+      s"budget must be in [2, 100000], got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(split(lower(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < budget => counters.update(t, 1L)
+          case None =>
+            // decrement-all: iterate a snapshot — removing from the
+            // map mid-iteration is undefined on mutable.HashMap
+            counters.keysIterator.toArray.foreach { k =>
+              val c = counters(k)
+              if (c == 1L) counters.remove(k) else counters.update(k, c - 1)
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("term").distinct()
+    // total tokens WITHOUT an explode: per-row token count summed
+    // map-side (null text → null size → ignored by sum, matching
+    // explode-of-null producing no rows)
+    val total = df.select(
+      sum(size(filter(split(lower(text), " "), t => t =!= ""))).as("total"))
+    toks.join(broadcast(candidates), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * lit(budget + 1L) > col("total"))
+      .select(col("term"), col("n_occurrences"),
+        round(col("n_occurrences").cast("double") / col("total"), 6)
+          .as("corpus_frac"))
+  }
 }

@@ -1253,9 +1253,34 @@ object TextQueries {
       FROM documents d LEFT JOIN ag USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** C96: exact heavy hitters via two-pass Misra-Gries, budget 32 —
+    * terms above N/33 of the corpus (the ~30-term dominant head of
+    * the synthetic vocabulary). The oracle is the EXACT full-vocab
+    * aggregation with the same integer threshold: pass 1's sketch is
+    * only a candidate generator with a superset guarantee, so the
+    * two-pass result must equal the exact answer on any partitioning
+    * — precisely what the hash compare proves. */
+  val qHeavyHitters = Q(
+    "qtext_heavyhitters",
+    (s, dir) => {
+      Keywords.heavyHitters(Tables(s, dir).documents, col("text"), budget = 32)
+        .orderBy(col("n_occurrences").desc, col("term"))
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents),
+      t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks WHERE term <> '' GROUP BY term),
+      n AS (SELECT SUM(n_occurrences) AS total FROM t)
+      SELECT term, n_occurrences,
+             ROUND(CAST(n_occurrences AS DOUBLE) / total, 6) AS corpus_frac
+      FROM t CROSS JOIN n
+      WHERE n_occurrences * 33 > total
+      ORDER BY n_occurrences DESC, term"""))
+
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qZipf, qLmRef)
+    qBm25, qZipf, qLmRef, qHeavyHitters)
 }

@@ -369,6 +369,43 @@ object DedupQueries {
         WHERE h.ch = md5(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
       ORDER BY inc.doc_id"""))
 
+  /** Bloom-prefiltered incremental exact screen (C98): same semantics
+    * as qdedup_exact_inc on a different history cut — the Bloom filter
+    * is a pure shuffle-reduction prefilter, so the oracle is the plain
+    * exact NOT-EXISTS screen, proving no false negative ever drops a
+    * new row and no false positive survives the exact verify. Replays
+    * of docs 5 (normalization-collapsed) and 6 (byte-exact) force both
+    * drop paths through the bloom → exact-join route. */
+  val qBloomInc = Q(
+    "qdedup_bloom_inc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val d = t.documents.select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") <= 300)
+      val inc = d.filter(col("doc_id") > 300)
+        .unionByName(d.filter(col("doc_id") === 5)
+          .select((col("doc_id") + 9000).as("doc_id"),
+            concat(lit("  "), upper(col("text"))).as("text")))
+        .unionByName(d.filter(col("doc_id") === 6)
+          .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+      Dedup.bloomScreenAgainstIndex(inc, col("text"),
+          Dedup.contentHashIndex(hist, col("text")),
+          expectedItems = 1024, fpp = 0.03)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents),
+      inc AS (SELECT doc_id, text FROM d WHERE doc_id > 300
+              UNION ALL SELECT doc_id + 9000, '  ' || upper(text) FROM d WHERE doc_id = 5
+              UNION ALL SELECT doc_id + 9000, text FROM d WHERE doc_id = 6),
+      h AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+            FROM d WHERE doc_id <= 300)
+      SELECT inc.doc_id FROM inc
+      WHERE NOT EXISTS (SELECT 1 FROM h
+        WHERE h.ch = md5(regexp_replace(lower(trim(inc.text)), '\s+', ' ', 'g')))
+      ORDER BY inc.doc_id"""))
+
   /** Line-level cross-doc dedup (C47): the corpus has no newlines, so
     * each doc gets a deterministic multi-line tail — a line shared by
     * ALL docs (dropped), a doc-unique line (kept), a whitespace-only
@@ -645,6 +682,6 @@ object DedupQueries {
       ORDER BY id_a, id_b"""))
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
-    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qLines, qLinesWd, qUrl,
-    qWinnow, qContainment, qEditDist)
+    qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
+    qLinesWd, qUrl, qWinnow, qContainment, qEditDist)
 }

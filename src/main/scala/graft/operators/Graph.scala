@@ -275,5 +275,137 @@ object Graph {
     },
     Some(hitsOracleSql(3)))
 
-  val all: Seq[Q] = Seq(qPageRank, qHits)
+  /** Deterministic fixed-iteration label propagation with clamped
+    * seeds (SURVEY.md §2.C97; Zhu & Ghahramani 2002 / Raghavan et al.
+    * 2007) — semi-supervised label spreading over a link or similarity
+    * graph: a small seeded subset (hand-audited sources, fastText-
+    * classified domains, known-good/known-spam hosts) propagates its
+    * labels to the unlabeled rest along graph edges. This is the
+    * consumer the C94 k-NN graph was built for, and the cheap
+    * alternative to classifying 10¹⁰ documents one by one: classify
+    * 10⁶ seeds, propagate 3 rounds.
+    *
+    * Determinism contract (the classic LPA is RANDOMIZED — iteration
+    * order and tie coins — and useless as an oracle-able operator):
+    * synchronous rounds; per node the next label is the neighbor-vote
+    * argmax with ties broken by SMALLEST label; seeds are CLAMPED
+    * (keep their seed label every round — Zhu's variant); a node with
+    * no labeled neighbor keeps its current label (NULL while the
+    * frontier hasn't reached it). The argmax is
+    * `min(struct(-count, label))` — all-integer, engine-exact, no
+    * float score anywhere. Multi-labeled seed ids collapse to their
+    * min label up front (duplicate seed rows must not make the result
+    * depend on join multiplicity). Edges are symmetrized (votes flow
+    * both ways — similarity graphs are undirected; for a directed
+    * link graph pass the direction you mean twice), self-loops
+    * dropped, duplicates count once.
+    *
+    * Scale shape: the CC-resolution discipline — edges and labels are
+    * (long, long) rows; each round is ONE src-keyed join + ONE
+    * (dst, label) partial-agg shuffle + ONE dst-keyed argmax agg (both
+    * map-side combinable), then a label-frame left join; the label
+    * frame persists per round and the previous round unpersists.
+    * Payloads (text, vectors) never enter the loop. */
+  def labelPropagate(edges: DataFrame, src: Column, dst: Column,
+                     seeds: DataFrame, seedId: Column, seedLabel: Column,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
+    val ed = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // symmetric: src covers dst
+    val sd = seeds
+      .select(seedId.cast("long").as("id"), seedLabel.cast("long").as("seed_label"))
+      .filter(col("id").isNotNull && col("seed_label").isNotNull)
+      .groupBy(col("id")).agg(min(col("seed_label")).as("seed_label"))
+    var labels = nodes.join(sd, Seq("id"), "left")
+      .select(col("id"), col("seed_label"), col("seed_label").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val votes = e
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .filter(col("label").isNotNull)
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val winners = votes.groupBy(col("id"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("w"))
+          .select(col("id"), col("w.lb").as("vlabel"))
+        val next = labels.join(winners, Seq("id"), "left")
+          .select(col("id"), col("seed_label"),
+            when(col("seed_label").isNotNull, col("seed_label"))
+              .otherwise(coalesce(col("vlabel"), col("label"))).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        labels.unpersist()
+        labels = next
+      }
+      labels.select(col("id").as("node_id"), col("label"),
+        col("seed_label").isNotNull.as("is_seed"))
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
+  /** C97 oracle generator: the clamped synchronous rounds unrolled —
+    * each round's argmax is a ROW_NUMBER over (count desc, label asc),
+    * the exact tie order of the engine's `min(struct(-c, label))`;
+    * label frames are MATERIALIZED because round k reads l{k-1} twice
+    * (vote side + carry side). */
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents),
+      ed AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+      n AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+      sd AS (SELECT doc_id AS id, CAST(doc_id % 3 AS BIGINT) AS seed_label
+             FROM documents WHERE doc_id % 10 = 0),
+      l0 AS MATERIALIZED (SELECT n.id, sd.seed_label, sd.seed_label AS label
+            FROM n LEFT JOIN sd ON sd.id = n.id)""")
+    for (k <- 1 to iters) sb ++= s""",
+      v$k AS (SELECT e.dst AS id, l.label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM e JOIN l${k - 1} l ON l.id = e.src
+            WHERE l.label IS NOT NULL GROUP BY e.dst, l.label),
+      w$k AS (SELECT id, label AS vlabel FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+            FROM v$k) WHERE rn = 1),
+      l$k AS MATERIALIZED (SELECT l.id, l.seed_label,
+            CASE WHEN l.seed_label IS NOT NULL THEN l.seed_label
+                 ELSE COALESCE(w.vlabel, l.label) END AS label
+          FROM l${k - 1} l LEFT JOIN w$k w ON w.id = l.id)"""
+    sb ++= s"""
+      SELECT id AS node_id, label, (seed_label IS NOT NULL) AS is_seed
+      FROM l$iters ORDER BY node_id"""
+    sb.toString
+  }
+
+  // C97: label propagation over the same injected link graph as
+  // qgraph_pagerank/qgraph_hits (symmetrized), seeded on every 10th
+  // doc with label doc_id % 3 — the %50 hubs relay seed labels to the
+  // whole graph within 3 rounds, so the oracle exercises frontier
+  // growth, vote ties (broken by min label), and clamping together.
+  val qLabelProp = Q(
+    "qgraph_labelprop",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+      val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("lab"))
+      labelPropagate(edges, col("src"), col("dst"),
+          seeds, col("doc_id"), col("lab"), iters = 3)
+        .orderBy(col("node_id"))
+    },
+    Some(labelPropOracleSql(3)))
+
+  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp)
 }

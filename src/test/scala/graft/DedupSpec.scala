@@ -610,4 +610,40 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(fps.toSeq == Seq(3L), s"got ${fps.toSeq}")
   }
+
+  test("bloom screen ≡ exact screen: no false negatives, FPs cleared, nulls kept") {
+    import spark.implicits._
+    val hist = ((1 to 100).map(i => (i.toLong, s"history doc number $i")) :+
+      (999L, null: String)) // NULL-text history must not break the sketch build
+      .toDF("doc_id", "text")
+    val inc = (
+      (101 to 160).map(i => (i.toLong, s"fresh doc number $i")) ++
+      Seq((900L, "History DOC number 7"),      // normalization-collapsed dup
+          (901L, "history doc number 8"),      // byte-exact dup
+          (902L, null: String), (903L, ""))    // null/empty route to KEEP
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.contentHashIndex(hist, col("text"))
+    val exact = graft.operators.Dedup.exactDedupAgainstIndex(inc, col("text"), index)
+      .collect().map(_.getLong(0)).toSet
+    // a well-sized filter and a SATURATED one (expectedItems=1 forces
+    // ~every probe positive, driving all rows through the FP-clearing
+    // exact join) must both equal the plain exact screen
+    for (items <- Seq(1L, 1024L)) {
+      val got = graft.operators.Dedup.bloomScreenAgainstIndex(
+          inc, col("text"), index, expectedItems = items, fpp = 0.03)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == exact, s"expectedItems=$items: $got vs $exact")
+    }
+    assert(!exact.contains(900L) && !exact.contains(901L),
+      s"planted dups must drop: $exact")
+    assert(exact.contains(902L) && exact.contains(903L),
+      s"null/empty survive the screen: $exact")
+    // reserved-column guard fails fast
+    val clash = inc.withColumn("__maybe", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.bloomScreenAgainstIndex(
+        clash, col("text"), index, expectedItems = 10)
+    }
+    assert(e.getMessage.contains("__maybe"))
+  }
 }

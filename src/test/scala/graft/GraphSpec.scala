@@ -91,4 +91,45 @@ class GraphSpec extends AnyFunSuite {
     val bare = scala.util.Try(wrapped.head().getLong(0))
     assert(bare.isFailure || bare.get < 0L, s"expected overflow, got $bare")
   }
+
+  test("labelPropagate: frontier growth, clamping, vote ties, unreached nodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4 seeded at node 1 (label 7): the frontier reaches one
+    // hop per round; isolated edge 8-9 has no seed and stays NULL
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("s", "d")
+    val seeds = Seq((1L, 7L)).toDF("id", "lab")
+    def run(iters: Int) =
+      graft.operators.Graph.labelPropagate(edges, col("s"), col("d"),
+          seeds, col("id"), col("lab"), iters)
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toMap
+    val after1 = run(1)
+    assert(after1(2L)._1.contains(7L) && after1(3L)._1.isEmpty,
+      s"one round reaches exactly one hop: $after1")
+    val after3 = run(3)
+    assert(Seq(1L, 2L, 3L, 4L).forall(after3(_)._1.contains(7L)), s"$after3")
+    assert(after3(8L)._1.isEmpty && after3(9L)._1.isEmpty,
+      s"unreached component stays NULL: $after3")
+    assert(after3(1L)._2 && !after3(2L)._2, s"is_seed marks seeds only: $after3")
+
+    // ties break toward the SMALLEST label, and seeds are clamped even
+    // when outvoted: node 0 hears labels {5, 3} (one vote each) → 3;
+    // seed node 10 (label 9) hears two votes of 1 but keeps 9
+    val e2 = Seq((1L, 0L), (2L, 0L), (3L, 10L), (4L, 10L)).toDF("s", "d")
+    val s2 = Seq((1L, 5L), (2L, 3L), (3L, 1L), (4L, 1L), (10L, 9L)).toDF("id", "lab")
+    val r2 = graft.operators.Graph.labelPropagate(e2, col("s"), col("d"),
+        s2, col("id"), col("lab"), iters = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(r2(0L).contains(3L), s"tie must take the smaller label: $r2")
+    assert(r2(10L).contains(9L), s"clamped seed keeps its label: $r2")
+
+    // conflicting duplicate seed rows collapse to the min label before
+    // any voting — join multiplicity must not leak into counts
+    val s3 = Seq((1L, 7L), (1L, 2L)).toDF("id", "lab")
+    val r3 = graft.operators.Graph.labelPropagate(edges, col("s"), col("d"),
+        s3, col("id"), col("lab"), iters = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(r3(1L).contains(2L) && r3(2L).contains(2L), s"$r3")
+  }
 }

@@ -415,4 +415,36 @@ class KeywordsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(loLam(3L) != got(3L)._2, "lambda must change interpolated scores")
   }
+
+  test("heavy hitters: exact result, partitioning-independent, threshold boundary") {
+    import spark.implicits._
+    // 100 tokens total: "hot" 40, "warm" 26, "cool" 25, 9 junk singletons.
+    // budget=3 → threshold N/(b+1) = 25: strictly-above only, so "cool"
+    // (exactly 25·4 = 100 = N, not >) must be EXCLUDED — the boundary is
+    // the integer comparison, not a float ratio.
+    // one token per ROW so repartition genuinely scatters the stream
+    // across sketch partitions (a single concatenated row would land
+    // every token in one MG instance and test nothing)
+    val docs = (Seq.fill(40)("hot") ++ Seq.fill(26)("warm") ++ Seq.fill(25)("cool") ++
+      (1 to 9).map(i => s"junk$i")).map(Tuple1(_)).toDF("text")
+    for (parts <- Seq(1, 7)) {
+      val got = Keywords.heavyHitters(docs.repartition(parts), col("text"), budget = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(("hot", 40L, 0.4), ("warm", 26L, 0.26)),
+        s"parts=$parts: $got")
+    }
+    // many-partition split of a multi-row frame: counts still exact
+    val rows = ((1 to 50).map(_ => "alpha beta") ++ (1 to 30).map(_ => "alpha"))
+      .map(Tuple1(_)).toDF("text").repartition(13)
+    val got2 = Keywords.heavyHitters(rows, col("text"), budget = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // N=130: alpha 80 (>43.3), beta 50 (>43.3)
+    assert(got2 == Set(("alpha", 80L), ("beta", 50L)), got2.toString)
+    // null/empty text contribute nothing and don't crash the sketch
+    val withNulls = Seq(Tuple1("x x x"), Tuple1(""), Tuple1(null.asInstanceOf[String]))
+      .toDF("text")
+    val got3 = Keywords.heavyHitters(withNulls, col("text"), budget = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got3 == Set(("x", 3L)), got3.toString)
+  }
 }

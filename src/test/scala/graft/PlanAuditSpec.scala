@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "the bounded centroid broadcast of the embedded cell training"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
+    "qtext_heavyhitters" -> ("crossJoin(broadcast(total)) where total is the " +
+      "1-row map-side token count N of the Misra-Gries threshold, joined " +
+      "onto the <= budget-sized recounted candidate frame (never the corpus)"),
     "qtext_unigram_lp" -> ("crossJoin(broadcast(total)) where total is a 1-row " +
       "token count, joined onto the vocab frame (never the corpus)"),
     "qtext_boilerplate_rm" -> ("crossJoin(broadcast(gramList)) where gramList is " +
