@@ -407,5 +407,119 @@ object Graph {
     },
     Some(labelPropOracleSql(3)))
 
-  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp)
+  /** Per-node triangle counts + local clustering coefficient
+    * (SURVEY.md §2.C99; compact-forward, Latapy 2008 / Schank &
+    * Wagner 2005) — the link-farm/community signal degree alone
+    * can't give: a spam hub has high degree and near-zero clustering,
+    * a genuine community interlinks (high clustering), and the
+    * coefficient is the standard feature both curation blocklists and
+    * graph-dedup cluster audits consume.
+    *
+    * Scale shape — the whole algorithm is the ORIENTATION: counting
+    * wedges on the raw undirected graph is Σ deg² (a 10⁷-degree hub
+    * contributes 10¹⁴ wedges); orienting every edge from its
+    * (degree, id)-smaller endpoint to its larger one makes every
+    * out-degree O(√m), bounding total wedges by O(m^1.5) — each
+    * triangle {a≺b≺c} is generated exactly once, as the wedge
+    * (b, c) at its smallest-rank corner a closed by the oriented
+    * edge b→c. Three equi-join shuffles on node keys ((long, long)
+    * rows throughout): degree join, the wedge self-join on the
+    * source, the closing-edge join on (x, y). Duplicate and reversed
+    * input edges collapse (canonical least/greatest + distinct),
+    * self-loops drop. Clustering = 2T / (deg·(deg−1)) with the
+    * multiply in DOUBLE (a long deg² overflows past ~3·10⁹ degree),
+    * 0 for deg < 2 — one pinned IEEE tree, oracle-mirrored. */
+  def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient a→b iff (deg_a, a) ≺ (deg_b, b); a < b canonically, so the
+    // degree tie always keeps a→b
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at u: out-neighbor pairs ordered by orientation rank, so
+    // the closing edge is oriented x→y by construction
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val corners = tris.select(col("u").as("id"))
+      .unionAll(tris.select(col("x").as("id")))
+      .unionAll(tris.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("nt"))
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id").as("node_id"), col("deg").as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("nt"), lit(0L)).cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  // C99: triangles over the pagerank fixture plus a third edge family
+  // (doc_id % 20) — the two-family graph is nearly a forest (10
+  // triangles); the %20 hubs interlock with the %50 hubs and the
+  // binary tree to 176, enough to exercise per-node counts, the
+  // orientation pairing, and zero-triangle leaves together. The
+  // oracle enumerates id-ordered triangles by brute 3-way join — the
+  // SET of triangles is orientation-independent, which is exactly
+  // what the hash compare proves about the engine's oriented count.
+  val qTriangles = Q(
+    "qgraph_triangles",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+        .unionAll(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(20L)).as("dst")))
+      triangleStats(edges, col("src"), col("dst"))
+        .orderBy(col("node_id"))
+    },
+    Some("""
+      WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id % 20 AS dst FROM documents),
+      e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eraw WHERE src <> dst),
+      deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM
+            (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+      tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+            (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY id)
+      SELECT d.id AS node_id, d.degree,
+             COALESCE(tc.n_triangles, 0) AS n_triangles,
+             CASE WHEN d.degree >= 2
+                  THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0) /
+                       (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE)), 6)
+                  ELSE 0.0 END AS clustering
+      FROM deg d LEFT JOIN tc ON tc.id = d.id
+      ORDER BY node_id"""))
+
+  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles)
 }

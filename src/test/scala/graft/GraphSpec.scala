@@ -132,4 +132,31 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
     assert(r3(1L).contains(2L) && r3(2L).contains(2L), s"$r3")
   }
+
+  test("triangleStats: K4, triangle-free square, star with one cross edge, dup edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    // star 20-(21..25) plus ONE cross edge 21-22 → exactly one triangle
+    val star = (21L to 25L).map(l => (20L, l)) :+ (21L, 22L)
+    // duplicates, reversals, and a self-loop must all collapse/drop
+    val noise = Seq((2L, 1L), (1L, 2L), (3L, 3L))
+    val edges = (k4 ++ square ++ star ++ noise).toDF("s", "d")
+    val r = graft.operators.Graph.triangleStats(edges, col("s"), col("d"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    // K4: every node degree 3, member of 3 triangles, clustering 1.0
+    for (id <- 1L to 4L) assert(r(id) == ((3L, 3L, 1.0)), s"$id: ${r(id)}")
+    // square: degree 2, no triangles
+    for (id <- 10L to 13L) assert(r(id) == ((2L, 0L, 0.0)), s"$id: ${r(id)}")
+    // star: center degree 5, in 1 triangle, clustering 2·1/(5·4) = 0.1;
+    // the high-degree hub corner must be counted exactly once even
+    // though the wedge is generated at a low-rank corner
+    assert(r(20L) == ((5L, 1L, 0.1)), s"center: ${r(20L)}")
+    assert(r(21L) == ((2L, 1L, 1.0)) && r(22L) == ((2L, 1L, 1.0)), s"$r")
+    for (id <- 23L to 25L) assert(r(id) == ((1L, 0L, 0.0)), s"leaf $id: ${r(id)}")
+    // total triangle mass: 4 (K4) + 1 (star), each counted at 3 corners
+    assert(r.values.map(_._2).sum == 15L, s"$r")
+  }
 }
