@@ -354,11 +354,11 @@ object Curation {
     * (GraftSession sets `spark.cleaner.referenceTracking
     * .cleanCheckpoints=true`); without that, a 25-round resolution
     * retains 25 corpus-scale copies. */
-  private val installedCkptDirs =
+  private[operators] val installedCkptDirs =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
-  private def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  private[operators] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext

@@ -304,11 +304,15 @@ object Graph {
     * (long, long) rows; each round is ONE src-keyed join + ONE
     * (dst, label) partial-agg shuffle + ONE dst-keyed argmax agg (both
     * map-side combinable), then a label-frame left join; the label
-    * frame persists per round and the previous round unpersists.
-    * Payloads (text, vectors) never enter the loop. */
+    * frame is eagerly CHECKPOINTED per round (each round reads it
+    * twice — vote side + carry side — so persist-only rotation
+    * doubles the logical plan per round; pass `checkpointDir` for
+    * durable checkpoints on a real cluster, the CC-resolution
+    * contract). Payloads (text, vectors) never enter the loop. */
   def labelPropagate(edges: DataFrame, src: Column, dst: Column,
                      seeds: DataFrame, seedId: Column, seedLabel: Column,
-                     iters: Int = 3): DataFrame = {
+                     iters: Int = 3,
+                     checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
     val ed = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -322,9 +326,13 @@ object Graph {
       .select(seedId.cast("long").as("id"), seedLabel.cast("long").as("seed_label"))
       .filter(col("id").isNotNull && col("seed_label").isNotNull)
       .groupBy(col("id")).agg(min(col("seed_label")).as("seed_label"))
-    var labels = nodes.join(sd, Seq("id"), "left")
-      .select(col("id"), col("seed_label"), col("seed_label").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round reads the label frame TWICE (vote side + carry side),
+    // so a persist-only rotation doubles the logical plan per round —
+    // the eager checkpoint truncates lineage like the CC resolution
+    var labels = Curation.truncateLineage(
+      nodes.join(sd, Seq("id"), "left")
+        .select(col("id"), col("seed_label"), col("seed_label").as("label")),
+      checkpointDir)
     try {
       for (_ <- 1 to iters) {
         val votes = e
@@ -335,14 +343,12 @@ object Graph {
         val winners = votes.groupBy(col("id"))
           .agg(min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("w"))
           .select(col("id"), col("w.lb").as("vlabel"))
-        val next = labels.join(winners, Seq("id"), "left")
-          .select(col("id"), col("seed_label"),
-            when(col("seed_label").isNotNull, col("seed_label"))
-              .otherwise(coalesce(col("vlabel"), col("label"))).as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        labels.unpersist()
-        labels = next
+        labels = Curation.truncateLineage(
+          labels.join(winners, Seq("id"), "left")
+            .select(col("id"), col("seed_label"),
+              when(col("seed_label").isNotNull, col("seed_label"))
+                .otherwise(coalesce(col("vlabel"), col("label"))).as("label")),
+          checkpointDir)
       }
       labels.select(col("id").as("node_id"), col("label"),
         col("seed_label").isNotNull.as("is_seed"))
@@ -521,5 +527,137 @@ object Graph {
       FROM deg d LEFT JOIN tc ON tc.id = d.id
       ORDER BY node_id"""))
 
-  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles)
+  /** Fixed-round k-core peeling (SURVEY.md §2.C100; Seidman 1983;
+    * Batagelj & Zaveršnik 2003's peel, synchronized) — the densest-
+    * substructure membership signal: the k-core is the maximal
+    * subgraph where every node keeps ≥ k neighbors INSIDE the
+    * subgraph, the standard web-graph spam/community feature (a
+    * quality domain survives peeling, a sparse link-tendril does
+    * not) and the coarse sibling of C99's clustering coefficient.
+    *
+    * Synchronous rounds, fixed `iters`: each round drops EVERY node
+    * whose degree among currently-alive nodes is < k, simultaneously
+    * (the parallel peel — per-node sequential peeling is inherently
+    * serial and partitioning-dependent; the synchronous variant is
+    * deterministic and converges to the same fixpoint, Batagelj §4).
+    * Peeling cascades one "layer" per round, so `iters` bounds the
+    * peel DEPTH, not graph size — degenerate chains need diameter
+    * rounds; pick iters ≥ observed stabilization (the spec proves
+    * the fixture stabilizes strictly inside the budget by showing
+    * round R+1 changes nothing). Output covers every input node:
+    * `in_core` = alive after all rounds, `core_degree` = degree
+    * within the surviving subgraph (0 outside).
+    *
+    * Scale shape: the CC discipline again — (long, long) edges; each
+    * round is two node-keyed semi-join shuffles (edge endpoints vs
+    * the alive set) + one map-side-combinable degree count + the
+    * ≥ k filter; the alive frame is eagerly CHECKPOINTED per round
+    * (each round reads it twice — both endpoints — so persist-only
+    * rotation would double the logical plan per round; 2^iters
+    * lineage copies OOM the planner long before data does); pass
+    * `checkpointDir` for durable checkpoints on a real cluster, the
+    * CC-resolution contract; payloads never move. */
+  def kCore(edges: DataFrame, src: Column, dst: Column,
+            k: Int, iters: Int = 8,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
+    val und = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def liveEdges(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("id").as("a")), "a")
+      .join(alive.select(col("id").as("b")), "b")
+    def degrees(live: DataFrame): DataFrame = live
+      .select(col("a").as("id")).unionAll(live.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+    // each round reads the alive frame TWICE (both edge endpoints), so
+    // a persist-only rotation doubles the logical plan per round —
+    // 2^iters lineage copies OOM the planner before any data moves.
+    // The eager checkpoint truncates lineage exactly like the CC
+    // resolution's rounds (Curation.truncateLineage).
+    var alive = nodes
+    for (_ <- 1 to iters)
+      alive = Curation.truncateLineage(
+        degrees(liveEdges(alive)).filter(col("c") >= k).select(col("id")),
+        checkpointDir)
+    // und/nodes stay persisted for the returned frame's final degree
+    // pass — released by clearCache(), the docTermCounts discipline
+    nodes
+      .join(degrees(liveEdges(alive)), Seq("id"), "left")
+      .join(alive.select(col("id"), lit(true).as("__in")), Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("__in"), lit(false)).as("in_core"),
+        coalesce(col("c"), lit(0L)).as("core_degree"))
+  }
+
+  /** C100 oracle generator: the synchronous peel unrolled — each
+    * round's alive set is MATERIALIZED because the next round's edge
+    * restriction reads it twice (both endpoints). */
+  private def kCoreOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id % 20 AS dst FROM documents),
+      e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eraw WHERE src <> dst),
+      n AS MATERIALIZED (SELECT DISTINCT id FROM
+            (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+      a0 AS MATERIALIZED (SELECT id FROM n)""")
+    for (r <- 1 to iters) sb ++= s""",
+      a$r AS MATERIALIZED (SELECT id FROM (
+            SELECT g.id, COUNT(*) AS c FROM (
+              SELECT e.a AS id FROM e
+                JOIN a${r - 1} x ON x.id = e.a JOIN a${r - 1} y ON y.id = e.b
+              UNION ALL
+              SELECT e.b FROM e
+                JOIN a${r - 1} x ON x.id = e.a JOIN a${r - 1} y ON y.id = e.b) g
+            GROUP BY g.id) WHERE c >= $k)"""
+    sb ++= s""",
+      fd AS (SELECT g.id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT e.a AS id FROM e
+              JOIN a$iters x ON x.id = e.a JOIN a$iters y ON y.id = e.b
+            UNION ALL
+            SELECT e.b FROM e
+              JOIN a$iters x ON x.id = e.a JOIN a$iters y ON y.id = e.b) g
+          GROUP BY g.id)
+      SELECT n.id AS node_id,
+             (a.id IS NOT NULL) AS in_core,
+             COALESCE(fd.c, 0) AS core_degree
+      FROM n LEFT JOIN a$iters a ON a.id = n.id
+             LEFT JOIN fd ON fd.id = n.id
+      ORDER BY node_id"""
+    sb.toString
+  }
+
+  // C100: 3-core of the three-family fixture graph — the %50/%20 hub
+  // lattice survives, the binary-tree tendrils peel off layer by
+  // layer (4-6 rounds to the fixpoint across SFs; 8 budgeted). All 8
+  // alive sets are oracle-replayed, so a single node peeling one
+  // round early or late breaks the hash.
+  val qKCore = Q(
+    "qgraph_kcore",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+        .unionAll(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(20L)).as("dst")))
+      kCore(edges, col("src"), col("dst"), k = 3, iters = 8)
+        .orderBy(col("node_id"))
+    },
+    Some(kCoreOracleSql(k = 3, iters = 8)))
+
+  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore)
 }

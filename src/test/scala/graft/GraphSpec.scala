@@ -159,4 +159,42 @@ class GraphSpec extends AnyFunSuite {
     // total triangle mass: 4 (K4) + 1 (star), each counted at 3 corners
     assert(r.values.map(_._2).sum == 15L, s"$r")
   }
+
+  test("kCore: cascade peeling, fixpoint stability, k=2 cycle, tree dissolves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K4 {1..4} with a pendant chain 4-5-6-7: the chain peels one node
+    // per round from the tip (7, then 6, then 5) — round budget below
+    // the cascade depth must leave the tail partially peeled, proving
+    // rounds are synchronous layers, not a full drain
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ chain).toDF("s", "d")
+    def core(k: Int, iters: Int) =
+      graft.operators.Graph.kCore(edges, col("s"), col("d"), k, iters)
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val partial = core(2, 2) // 7 gone round 1, 6 gone round 2; 5 still in
+    assert(!partial(7L)._1 && !partial(6L)._1 && partial(5L)._1, s"$partial")
+    val full = core(2, 5)
+    assert(Seq(1L, 2L, 3L, 4L).forall(full(_)._1), s"$full")
+    assert(Seq(5L, 6L, 7L).forall(!full(_)._1), s"$full")
+    // stability: one extra round changes nothing once the peel is done
+    assert(core(2, 6) == full, "fixpoint must be stable")
+    // core degrees are WITHIN the surviving subgraph: node 4 had raw
+    // degree 4 (K4 + chain), core degree 3
+    assert(full(4L) == ((true, 3L)), s"${full(4L)}")
+    // k=3: K4 survives exactly
+    val k3 = core(3, 5)
+    assert(Seq(1L, 2L, 3L, 4L).forall(k3(_)._1) &&
+      Seq(5L, 6L, 7L).forall(!k3(_)._1), s"$k3")
+    // a pure cycle is its own 2-core; a tree has NO 2-core at all
+    val cyc = Seq((10L, 11L), (11L, 12L), (12L, 10L)).toDF("s", "d")
+    val rc = graft.operators.Graph.kCore(cyc, col("s"), col("d"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rc.values.forall(identity), s"$rc")
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("s", "d")
+    val rt = graft.operators.Graph.kCore(tree, col("s"), col("d"), k = 2, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rt.values.forall(v => !v), s"$rt")
+  }
 }
