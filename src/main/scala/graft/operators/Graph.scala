@@ -659,5 +659,132 @@ object Graph {
     },
     Some(kCoreOracleSql(k = 3, iters = 8)))
 
-  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore)
+  /** Personalized PageRank toward a SEED set (SURVEY.md §2.C101;
+    * Page et al. 1999 §6 / Haveliwala 2002) — the same damped
+    * propagation as [[pageRank]], but the teleport mass lands ONLY on
+    * seeds: scores measure proximity-weighted reachability FROM the
+    * seed set, not global authority. This is the trust/quality-
+    * propagation primitive (TrustRank, Gyöngyi et al. 2004): seed
+    * hand-audited good domains, rank the crawl by how much seed mass
+    * flows to each host — the C97 label propagation's continuous
+    * sibling (labels argmax votes; PPR accumulates a score you can
+    * threshold or mix per C23).
+    *
+    * Same fixed-point contract as [[pageRank]]: micro-unit longs,
+    * `ρ'(v) = (v ∈ S ? (1−d) : 0) + d·Σ ρ(u)/outdeg(u)`, init
+    * ρ = 1e6 on seeds and 0 elsewhere, per-edge `div` truncation
+    * mirrored by the oracle, DECIMAL(38,0) widening on the damped
+    * multiply, dangling mass leaks (stated), self-loops dropped,
+    * duplicate edges count once. Scores are per-seed-relative (no
+    * 1/|S| division — scale-free like pageRank's average-relative
+    * convention; divide by |S| cosmetically if normalized mass is
+    * wanted). A node unreachable from the seeds scores exactly 0 —
+    * the integer form makes "no seed mass" a hard zero, not a float
+    * residue. Same per-round shapes and persist rotation as
+    * [[pageRank]] (rank frame referenced once per round — linear
+    * lineage, no checkpoint needed). */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+                           seeds: DataFrame, seedId: Column,
+                           iters: Int = 5, dampingMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
+    require(dampingMicro > 0 && dampingMicro < 1000000L,
+      s"dampingMicro must be in (0, 1e6), got $dampingMicro")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(seedId.cast("long").as("id")).filter(col("id").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(sd.withColumn("__seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(false)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = 1000000L - dampingMicro
+    var ranks = nodes
+      .select(col("id"), when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val contribs = withDeg
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), expr("rm div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+        val next = nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + expr(
+              s"(CAST($dampingMicro AS DECIMAL(38,0)) * coalesce(cs, 0L)) div 1000000"))
+              .as("rm"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        ranks.unpersist()
+        ranks = next
+      }
+      nodes.join(ranks, "id")
+        .select(col("id").as("node_id"), col("is_seed"),
+          col("rm").as("rank_micro"),
+          (col("rm").cast("double") / lit(1e6)).as("rank"))
+    } finally { e.unpersist(); withDeg.unpersist() }
+  }
+
+  /** C101 oracle generator: [[pageRankOracleSql]]'s unroll with the
+    * teleport term gated on seed membership. */
+  private def pprOracleSql(iters: Int, dampingMicro: Long): String = {
+    val base = 1000000L - dampingMicro
+    val sb = new StringBuilder(
+      s"""WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+      sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0),
+      n AS MATERIALIZED (SELECT id, (sd.id IS NOT NULL) AS is_seed FROM
+        (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)) u
+        LEFT JOIN sd USING (id)),
+      od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                          FROM e GROUP BY src),
+      r0 AS (SELECT id, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS rm
+             FROM n)""")
+    for (k <- 1 to iters) sb ++= s""",
+      r$k AS (SELECT n.id,
+          CAST(CASE WHEN n.is_seed THEN $base ELSE 0 END
+               + (CAST($dampingMicro AS HUGEINT) * COALESCE(s.cs, 0)) // 1000000 AS BIGINT) AS rm
+        FROM n LEFT JOIN (
+          SELECT e.dst AS id, SUM(r.rm // od.deg) AS cs
+          FROM e JOIN r${k - 1} r ON r.id = e.src
+                 JOIN od ON od.src = e.src
+          GROUP BY e.dst) s ON s.id = n.id)"""
+    sb ++= s"""
+      SELECT n.id AS node_id, n.is_seed, r.rm AS rank_micro,
+             CAST(r.rm AS DOUBLE) / 1000000 AS rank
+      FROM n JOIN r$iters r USING (id) ORDER BY node_id"""
+    sb.toString
+  }
+
+  // C101: PPR on the pagerank fixture seeded at every 10th doc — the
+  // same seed set as qgraph_labelprop, so the two operators' outputs
+  // are directly comparable signals. 5 integer rounds oracle-replayed;
+  // unreached nodes must score a hard 0.
+  val qPpr = Q(
+    "qgraph_ppr",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+      val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      personalizedPageRank(edges, col("src"), col("dst"),
+          seeds, col("doc_id"), iters = 5)
+        .orderBy(col("node_id"))
+    },
+    Some(pprOracleSql(5, 850000L)))
+
+  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr)
 }

@@ -197,4 +197,35 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(rt.values.forall(v => !v), s"$rt")
   }
+
+  test("personalized PageRank: seed mass decays with distance, hard 0 beyond reach") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // directed chain 1→2→3 seeded at 1, plus a seedless component 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    def run(iters: Int) =
+      graft.operators.Graph.personalizedPageRank(edges, col("s"), col("d"),
+          seeds, col("id"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r1 = run(1)
+    // round 1: seed keeps the base term, hop 1 gets damped full mass,
+    // hop 2 is still EXACTLY zero (integer form: no float residue)
+    assert(r1(1L) == 150000L && r1(2L) == 850000L && r1(3L) == 0L, s"$r1")
+    val r2 = run(2)
+    assert(r2(3L) == 722500L, s"two hops: 0.85^2 * 1e6 exactly: $r2")
+    // the seedless component scores hard 0 at every depth
+    assert(r1(9L) == 0L && r1(10L) == 0L && r2(9L) == 0L && r2(10L) == 0L,
+      s"$r1 / $r2")
+    // seeding EVERY node recovers plain pageRank exactly (same init,
+    // same recursion) — the operators must agree long-for-long
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val allSeeds = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id")
+    val pr = graft.operators.Graph.pageRank(cyc, col("s"), col("d"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ppr = graft.operators.Graph.personalizedPageRank(cyc, col("s"), col("d"),
+        allSeeds, col("id"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr == ppr, s"$pr vs $ppr")
+  }
 }
