@@ -821,6 +821,55 @@ object SimilarityQueries {
       GROUP BY t.query_id
       ORDER BY t.query_id"""))
 
+  /** Recall-vs-nprobe curve (C102): the tuning table every IVF
+    * deployment needs — micro-averaged recall@5 of the trained index
+    * at nprobe 1, 2, and 10 against the brute truth, in ONE query.
+    * nprobe = nlist probes every cell, so its row is the built-in
+    * sanity anchor: recall must be exactly 1.0 (the re-rank is the
+    * brute formulation on the full candidate set). The truth frame
+    * persists (three consumers); each probe reuses the ONE trained
+    * index — what varies is only the probe set, which is the whole
+    * point of the curve. The oracle instantiates the proven IVF
+    * recipe once per nprobe plus the brute chain, each subquery
+    * referenced exactly once (the CTE-inlining discipline), and
+    * re-derives the same micro-average: sum(hits)/sum(truth_n) of
+    * exact integers, one ROUND. */
+  val qRecallCurve = Q(
+    "qann_recall_curve",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val qset = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteTopK(
+          e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+          k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 1)
+      Seq(1, 2, 10).map { np =>
+        val res = Similarity.ivfTopKAgainstIndex(cents, cells,
+          e, col("vec_id"), col("embedding"),
+          qset, col("vec_id"), col("embedding"), k = 5, nprobe = np)
+        Similarity.annRecall(truth, res)
+          .agg(sum(col("truth_n")).as("truth_n"), sum(col("hits")).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("truth_n"), col("hits"),
+            round(col("hits").cast("double") / col("truth_n"), 4).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    },
+    Some {
+      def leg(np: Int) = s"""(SELECT query_id, neighbor_id FROM
+        (${ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = np)}) s$np)"""
+      def row(np: Int) = s"""
+      SELECT CAST($np AS BIGINT) AS nprobe,
+        CAST(COUNT(*) AS BIGINT) AS truth_n,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+      FROM (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb) t
+      LEFT JOIN ${leg(np)} r
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id"""
+      s"""SELECT * FROM (${row(1)} UNION ALL ${row(2)} UNION ALL ${row(10)})
+          ORDER BY nprobe"""
+    })
+
   /** SQ8 scalar-quantized ANN (C54) under a full algorithm-parity
     * oracle: per-dim min/max stats (exactly order-independent — no
     * accumulation), the encode round/clamp, the dequantize arithmetic
@@ -1207,6 +1256,6 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnGraph, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qDecode, qFrames,
-    qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
+    qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }
