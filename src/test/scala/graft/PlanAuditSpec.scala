@@ -56,6 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),
+    "qann_recall_curve" -> ("EMBEDS qann_brute_topk once as the shared truth " +
+      "side (bounded query-set broadcast); the three probe legs are the " +
+      "allowlisted nlist-row centroid broadcasts and the per-leg recall joins " +
+      "are exact (query, neighbor) equi-joins over queries×k frames"),
     "qann_mips" -> ("exact MIPS is all-pairs by definition; the bounded query " +
       "set broadcasts so the corpus never shuffles — the scale path is the " +
       "mipsAugment reduction onto the cosine indexes"),
