@@ -217,6 +217,48 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Weighted sampling when only LOG weights exist (SURVEY.md
+    * §2.C103): exact top-k by the Gumbel-max key
+    * `logw_micro + round(−ln(−ln u)·1e6)` — equivalent to sampling
+    * without replacement proportional to `exp(logw)` (the Gumbel-
+    * top-k trick; Vieira 2014, Kool et al. 2019). This is the
+    * resampling end-cap C89's DSIR weights exist for: DSIR importance
+    * is a LOG weight in micro-nats (negative for off-target docs,
+    * |logw| can exceed 700 on long documents), so exponentiating into
+    * [[sampleByWeight]] would overflow/underflow the double AND add a
+    * second unpinnable libm call — the Gumbel key never leaves log
+    * space.
+    *
+    * Same determinism recipe as the ES key: u = (fnv₅₃(salt:key)+0.5)
+    * / 2⁵³ exactly; the chained `−ln(−ln u)` (two libm calls, same
+    * risk class as the proven single-ln keys) is rounded ONCE to
+    * integer micro-units, and the final ranking key is then an exact
+    * INTEGER sum — no float comparison anywhere in the order. Rows
+    * with NULL logw carry no importance estimate and are excluded
+    * (mirror: callers filter featureless docs via their n_feats
+    * column). Same plan shape as [[sampleByWeight]]: codegen key map,
+    * TakeOrderedAndProject global top-k, rank window on k rows. */
+  def sampleByLogWeight(df: DataFrame, key: Column, logWeightMicro: Column,
+                        k: Int, salt: String = "gumbel"): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    val clash = df.columns.toSet.intersect(Set("gumbel_key_micro", "sample_rank"))
+    require(clash.isEmpty,
+      s"sampleByLogWeight writes reserved columns (gumbel_key_micro, sample_rank); " +
+        s"input already carries: ${clash.toSeq.sorted.mkString(", ")} — drop or rename them first")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val h53 = pmod(
+      call_function("fnv1a64", concat(lit(salt + ":"), key.cast("string"))),
+      lit(9007199254740992L)) // 2^53
+    val u = (h53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val gMicro = round(-log(-log(u)) * lit(1e6)).cast("long")
+    val ord = Seq(col("gumbel_key_micro").desc, key.asc)
+    df.filter(logWeightMicro.isNotNull)
+      .withColumn("gumbel_key_micro", logWeightMicro.cast("long") + gMicro)
+      .orderBy(ord: _*).limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+  }
+
   /** Deterministic train/val/test split assignment (SURVEY.md §2.C30):
     * each row gets the label of the bucket range its [[hashBucket]]
     * falls in — the standard leakage-safe corpus split (hash of a

@@ -850,6 +850,45 @@ object CurationQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** DSIR resampling end-cap (C103): the operation C89's weights
+    * exist FOR — draw the 100 most-target-like docs, sampled without
+    * replacement proportional to exp(logw), via the Gumbel-top-k key
+    * (log space end to end: DSIR log-weights are negative and large,
+    * exponentiation would under/overflow). Featureless docs
+    * (n_feats = 0) carry no importance estimate and are excluded
+    * BEFORE keying. The oracle composes the proven DSIR chain as a
+    * subquery (referenced once) with the FNV u-derivation and the
+    * same round-once Gumbel arithmetic; the ranking key is an exact
+    * integer sum, so the top-100 boundary transfers exactly. */
+  val qDsirSample = Q(
+    "qcuration_dsir_sample",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val w = Curation.dsirWeights(d, col("doc_id"), col("text"),
+          d.filter(col("lang") === "en"), col("text"), n = 2, buckets = 4096)
+        .filter(col("n_feats") > 0)
+        .select(col("doc_id"), col("logw_micro"))
+      Curation.sampleByLogWeight(w, col("doc_id"), col("logw_micro"), k = 100)
+        .select(col("sample_rank"), col("doc_id"), col("logw_micro"),
+          col("gumbel_key_micro"))
+        .orderBy(col("sample_rank"))
+    },
+    Some(s"""
+      WITH dw AS (SELECT doc_id, logw_micro FROM (${qDsir.oracle.get}) t
+                  WHERE n_feats > 0),
+      ${graft.Q.sqlutil.fnvSignedCtes("gb",
+        "'gumbel:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "logw_micro"), "dw")},
+      keyed AS (SELECT doc_id, logw_micro,
+          logw_micro + CAST(ROUND(-LN(-LN(
+            (CAST(((sb % 9007199254740992) + 9007199254740992) % 9007199254740992
+                  AS DOUBLE) + 0.5) / 9007199254740992.0)) * 1e6) AS BIGINT) AS gk
+        FROM gbg)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY gk DESC, doc_id) AS BIGINT) AS sample_rank,
+             doc_id, logw_micro, gk AS gumbel_key_micro
+      FROM keyed
+      ORDER BY gk DESC, doc_id LIMIT 100"""))
+
   /** Semantic decontamination (C90): the eval set IS a corpus slice
     * (vec_id < 10 — planted leakage), so the 10 planted vectors
     * self-match at cosine 1.0 and must flag at 0.95 while the rest of
@@ -885,5 +924,5 @@ object CurationQueries {
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
-    qSampleWeightedGroup, qDsir, qContamSem)
+    qSampleWeightedGroup, qDsir, qDsirSample, qContamSem)
 }

@@ -163,9 +163,11 @@ object Graph {
     * Scale shape: edges and scores are (long, long) rows; each
     * iteration is two keyed join+partial-agg shuffles plus two 1-ROW
     * max broadcasts (the allowlisted scalar-totals BNLJ shape); the
-    * hub frame persists per round, the previous round unpersists. */
+    * hub frame is eagerly checkpointed per half-step (each half-step
+    * reads its input twice — see the in-loop comment). */
   def hits(edges: DataFrame, src: Column, dst: Column,
-           iters: Int = 3): DataFrame = {
+           iters: Int = 3,
+           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -192,23 +194,27 @@ object Graph {
             expr("CAST((CAST(v AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)"))
             .otherwise(lit(0L)).as(scoreCol))
     }
-    var hub = nodes.select(col("id"), lit(1000000L).as("hm"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // every half-step reads its input score frame TWICE (the raw sum
+    // inside the normalize + the scalar max over that same raw frame),
+    // so a persist-only rotation DOUBLES the logical plan per
+    // half-step — 2^(2·iters) nested copies. Execution would still hit
+    // the caches, but the ANALYZER walks the full tree: measured 98 s
+    // of pure planner CPU for 3 iterations on a 10k-edge graph. The
+    // eager checkpoint truncates lineage each half-step (the CC /
+    // kCore discipline); same `checkpointDir` durability knob.
+    var hub: DataFrame = Curation.truncateLineage(
+      nodes.select(col("id"), lit(1000000L).as("hm")), checkpointDir)
     var auth: DataFrame = null
     try {
       for (_ <- 1 to iters) {
-        val a = halfStep(hub.withColumnRenamed("hm", "sc"), "sc", "src", "dst")
-          .withColumnRenamed("sc", "am")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        a.count()
-        if (auth != null) auth.unpersist()
-        auth = a
-        val h = halfStep(auth.withColumnRenamed("am", "sc"), "sc", "dst", "src")
-          .withColumnRenamed("sc", "hm")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        h.count()
-        hub.unpersist()
-        hub = h
+        auth = Curation.truncateLineage(
+          halfStep(hub.withColumnRenamed("hm", "sc"), "sc", "src", "dst")
+            .withColumnRenamed("sc", "am"),
+          checkpointDir)
+        hub = Curation.truncateLineage(
+          halfStep(auth.withColumnRenamed("am", "sc"), "sc", "dst", "src")
+            .withColumnRenamed("sc", "hm"),
+          checkpointDir)
       }
       auth.join(hub, "id")
         .select(col("id").as("node_id"),

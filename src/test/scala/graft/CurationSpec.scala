@@ -781,4 +781,39 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.operators.Profile.sourceOverlap(
       sparse, col("source"), col("text"), n = 3).isEmpty)
   }
+
+  test("Gumbel log-weight sampling: dominance, exclusions, integer key, exact k") {
+    import spark.implicits._
+    // the Gumbel key's noise term is bounded: g = −ln(−ln u) with
+    // u ∈ (2⁻⁵⁴, 1−2⁻⁵⁴) spans at most ±~37 nats — a +100-nat
+    // log-weight gap is DETERMINISTICALLY decisive, the dominant doc
+    // must rank first (a float-space sampler could not even
+    // represent exp(100))
+    val docs = ((Seq((1L, 100000000L)) ++ (2L to 30L).map(i => (i, 0L)))
+      .map { case (i, w) => (i, java.lang.Long.valueOf(w)) } :+
+      ((99L, null.asInstanceOf[java.lang.Long])))
+      .toDF("doc_id", "lw")
+    val got = Curation.sampleByLogWeight(docs, col("doc_id"), col("lw"), k = 5)
+      .collect().map(r => (r.getLong(3), r.getLong(0), r.getLong(2)))
+    assert(got.length == 5)
+    assert(got.head._2 == 1L, s"dominant log-weight must win: ${got.toSeq}")
+    assert(!got.exists(_._2 == 99L), "NULL log-weight is excluded")
+    // ranks are 1..k in key order and the key is an exact integer
+    assert(got.map(_._1).toSeq == (1L to 5L), s"${got.toSeq}")
+    // deterministic: a repartitioned rerun returns the identical sample
+    val again = Curation.sampleByLogWeight(docs.repartition(7), col("doc_id"),
+        col("lw"), k = 5)
+      .collect().map(r => (r.getLong(3), r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+    // k past the eligible population returns everyone, still ranked
+    val all = Curation.sampleByLogWeight(docs, col("doc_id"), col("lw"), k = 500)
+      .collect()
+    assert(all.length == 30)
+    // reserved-column guard
+    val clash = docs.withColumn("sample_rank", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Curation.sampleByLogWeight(clash, col("doc_id"), col("lw"), k = 2)
+    }
+    assert(e.getMessage.contains("sample_rank"))
+  }
 }

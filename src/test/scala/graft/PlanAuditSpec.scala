@@ -21,13 +21,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "qcuration_dsir" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row (Nr, Nt) feature-count pair, joined onto the <= buckets-row " +
       "ratio frame (never the corpus)"),
+    "qcuration_dsir_sample" -> ("EMBEDS the qcuration_dsir weight chain " +
+      "(same 1-row totals broadcast); the Gumbel keying and top-k add no " +
+      "join at all"),
     "qcuration_contam_sem" -> ("crossJoin(broadcast(ev)) where ev is the " +
       "eval-suite embedding table — small by construction; the corpus scans " +
       "once map-side against it (the qann_brute_topk shape with the roles " +
       "pinned: corpus scans, eval broadcasts)"),
-    "qgraph_hits" -> ("crossJoin(broadcast(mx)) where mx is the 1-row " +
-      "per-half-step score max used for the integer max-normalization — " +
-      "two per iteration, never node- or edge-sized"),
+    // qgraph_hits needs no entry since its half-steps became eagerly
+    // checkpointed: the per-half-step 1-row max crossJoins run during
+    // construction and the registered frame's plan is two checkpoint
+    // scans joined on id — nothing BNLJ-shaped survives to audit
     "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row N+V smoothing denominator of the reference LM, joined onto " +
       "the per-doc bigram partials"),
