@@ -792,5 +792,80 @@ object Graph {
     },
     Some(pprOracleSql(5, 850000L)))
 
-  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr)
+  /** Log₂-bucketed degree distribution (SURVEY.md §2.C104) — the
+    * power-law audit every link-graph consumer runs first: a web
+    * graph's degree histogram is heavy-tailed (straight line on
+    * log-log), and a bucket that bulges off that line marks link
+    * farms / mirror clusters before PageRank or k-core spends a full
+    * fixpoint on them; the graph sibling of C60's Zipf fit.
+    *
+    * The bucket is INTEGER-exact: `length(bin(deg)) − 1` =
+    * ⌊log₂ deg⌋ for deg ≥ 1 via the binary-string length — no libm
+    * log2 whose sub-ulp rounding could flip a power-of-two boundary
+    * bucket between engines. Degrees count the UNDIRECTED distinct
+    * neighbor set (canonical least/greatest + distinct, self-loops
+    * dropped — the C99 edge contract). Output per bucket: node
+    * count, the [lo, hi] degree range covered, and the min/max
+    * OBSERVED degree (the tail bucket's hi is the graph's max
+    * degree — the single number that decides skew strategy).
+    *
+    * Scale: one distinct + one degree count + one ≤64-row bucket agg
+    * — all map-side combinable; nothing but (long, long) rows. */
+  def degreeProfile(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .select((length(bin(col("deg"))) - 1).cast("long").as("bucket"), col("deg"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .select(col("bucket"),
+        expr("CAST(1 AS BIGINT) << bucket").as("lo"),
+        (expr("CAST(1 AS BIGINT) << (bucket + 1)") - 1).as("hi"),
+        col("n_nodes"), col("min_deg"), col("max_deg"))
+  }
+
+  // C104: degree profile of the three-family fixture graph — leaves,
+  // the binary-tree middle, and the %50/%20 hubs land in well-
+  // separated buckets, so the histogram exercises the whole range
+  // including the skewed tail.
+  val qDegrees = Q(
+    "qgraph_degrees",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+        .unionAll(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(20L)).as("dst")))
+      degreeProfile(edges, col("src"), col("dst"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id % 20 AS dst FROM documents),
+      e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eraw WHERE src <> dst),
+      deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+            (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+      bk AS (SELECT CAST(LENGTH(bin(deg)) - 1 AS BIGINT) AS bucket, deg FROM deg)
+      SELECT bucket,
+             CAST(1 AS BIGINT) << bucket AS lo,
+             (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             MIN(deg) AS min_deg, MAX(deg) AS max_deg
+      FROM bk GROUP BY bucket
+      ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr,
+    qDegrees)
 }

@@ -228,4 +228,22 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(pr == ppr, s"$pr vs $ppr")
   }
+
+  test("degreeProfile: integer log2 buckets, exact power-of-two boundary, ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // star: center 0 with EXACTLY 8 leaves — degree 8 must land in
+    // bucket 3 [8, 15], the boundary a float log2 could misround;
+    // leaves have degree 1 → bucket 0 [1, 1]. Duplicates and
+    // reversals must not inflate any degree.
+    val star = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L), (0L, l)))
+    val edges = star.toDF("s", "d")
+    val r = graft.operators.Graph.degreeProfile(edges, col("s"), col("d"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap
+    assert(r.keySet == Set(0L, 3L), s"$r")
+    assert(r(0L) == ((1L, 1L, 8L, 1L, 1L)), s"leaves: ${r(0L)}")
+    assert(r(3L) == ((8L, 15L, 1L, 8L, 8L)), s"center: ${r(3L)}")
+  }
 }
