@@ -866,6 +866,106 @@ object Graph {
       FROM bk GROUP BY bucket
       ORDER BY bucket"""))
 
+  /** Degree assortativity coefficient (SURVEY.md §2.C105; Newman
+    * 2002) — the one-number answer to "do hubs link to hubs?":
+    * Pearson correlation of the endpoint degrees over every edge-end.
+    * Web/link graphs are characteristically DISassortative (hubs
+    * link to leaves, r < 0); a crawl slice that measures strongly
+    * assortative instead is usually a mirror-farm or template cluster
+    * talking to itself — the scalar companion to C104's histogram.
+    *
+    * Exactness: degrees are integers, so every moment (Σx, Σx², Σxy
+    * over the symmetrized edge-end pairs) is summed EXACTLY in
+    * DECIMAL(38,0) — partition order cannot flip a bit, and a long
+    * sum of deg² would overflow at ~10⁹-degree hubs; the final
+    * Pearson form is one pinned IEEE tree over the exact moments
+    * (the q23 correlation discipline). Each undirected edge
+    * contributes both (dₐ, d_b) and (d_b, dₐ) — the standard
+    * symmetrization that makes r direction-free. A degree-regular
+    * graph has zero variance and r is NULL (undefined, not 0 or
+    * NaN). C99's edge contract: canonical distinct, self-loops
+    * dropped.
+    *
+    * Scale: degree count + two broadcast-or-shuffle joins of the
+    * (long, long) edge list against the (long, long) degree frame +
+    * one 1-row moment aggregate (map-side combinable). */
+  def assortativity(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ed = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val pairs = ed.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(ed.select(col("db").as("x"), col("da").as("y")))
+    val DEC = "decimal(38,0)"
+    val m = pairs.agg(
+      count(lit(1)).as("n_ends"),
+      sum(col("x").cast(DEC)).cast("double").as("sx"),
+      sum(col("y").cast(DEC)).cast("double").as("sy"),
+      sum((col("x").cast(DEC) * col("x").cast(DEC)).cast(DEC)).cast("double").as("sxx"),
+      sum((col("x").cast(DEC) * col("y").cast(DEC)).cast(DEC)).cast("double").as("sxy"),
+      sum((col("y").cast(DEC) * col("y").cast(DEC)).cast(DEC)).cast("double").as("syy"))
+    val n = col("n_ends").cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    m.select(col("n_ends"),
+      when(vx > 0 && vy > 0,
+        (n * col("sxy") - col("sx") * col("sy")) / (sqrt(vx) * sqrt(vy)))
+        .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
+  // C105: assortativity of the three-family fixture — hubs (%50, %20)
+  // connect overwhelmingly to tree leaves, so the measured r is
+  // strongly negative (web-shaped); the moments are exact integers,
+  // so the single-row double result transfers bit-for-bit.
+  val qAssortativity = Q(
+    "qgraph_assortativity",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+        .unionAll(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(20L)).as("dst")))
+      assortativity(edges, col("src"), col("dst"))
+    },
+    Some("""
+      WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id % 20 AS dst FROM documents),
+      e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eraw WHERE src <> dst),
+      deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+            (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+      ed AS (SELECT x.deg AS dx, y.deg AS dy
+             FROM e JOIN deg x ON x.id = e.a JOIN deg y ON y.id = e.b),
+      p AS (SELECT dx AS x, dy AS y FROM ed UNION ALL SELECT dy, dx FROM ed),
+      m AS (SELECT COUNT(*) AS n_ends,
+              CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+            FROM p)
+      SELECT n_ends,
+        CASE WHEN CAST(n_ends AS DOUBLE) * sxx - sx * sx > 0
+              AND CAST(n_ends AS DOUBLE) * syy - sy * sy > 0
+             THEN (CAST(n_ends AS DOUBLE) * sxy - sx * sy) /
+                  (sqrt(CAST(n_ends AS DOUBLE) * sxx - sx * sx) *
+                   sqrt(CAST(n_ends AS DOUBLE) * syy - sy * sy))
+             ELSE NULL END AS assortativity
+      FROM m"""))
+
   val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr,
-    qDegrees)
+    qDegrees, qAssortativity)
 }

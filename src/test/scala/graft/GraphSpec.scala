@@ -246,4 +246,19 @@ class GraphSpec extends AnyFunSuite {
     assert(r(0L) == ((1L, 1L, 8L, 1L, 1L)), s"leaves: ${r(0L)}")
     assert(r(3L) == ((8L, 15L, 1L, 8L, 8L)), s"center: ${r(3L)}")
   }
+
+  test("assortativity: star is exactly -1, regular graph is NULL, noise collapses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2-leaf star: symmetrized pairs (2,1)x2, (1,2)x2 — the two-point
+    // anti-correlated distribution where every moment AND both sqrt
+    // arguments are perfect squares, so r = -1.0 EXACTLY, no epsilon
+    val star = Seq((0L, 1L), (0L, 2L), (1L, 0L), (0L, 1L)).toDF("s", "d")
+    val rs = graft.operators.Graph.assortativity(star, col("s"), col("d")).head()
+    assert(rs.getLong(0) == 4L && rs.getDouble(1) == -1.0, s"$rs")
+    // a cycle is 2-regular: zero degree variance, r undefined → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val rc = graft.operators.Graph.assortativity(cyc, col("s"), col("d")).head()
+    assert(rc.getLong(0) == 6L && rc.isNullAt(1), s"$rc")
+  }
 }
