@@ -52,7 +52,10 @@ class DeterminismSpec extends AnyFunSuite {
     // operator's central claim, probed here on the real corpus); the
     // LPA vote argmax ties; the PPR integer rounds; the oriented
     // wedge pairing behind the triangle counts
-    "qtext_heavyhitters", "qgraph_labelprop", "qgraph_ppr", "qgraph_triangles")
+    "qtext_heavyhitters", "qgraph_labelprop", "qgraph_ppr", "qgraph_triangles",
+    // the Gumbel top-k boundary (integer key sum over a composed DSIR
+    // chain) and the exact-moment Pearson tree over edge-end degrees
+    "qcuration_dsir_sample", "qgraph_assortativity")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
