@@ -966,6 +966,126 @@ object Graph {
              ELSE NULL END AS assortativity
       FROM m"""))
 
+  /** Full coreness (core-number) decomposition (SURVEY.md §2.C106;
+    * Seidman 1983; Batagelj & Zaveršnik 2003) — per node, the LARGEST
+    * k such that the node survives in the k-core: the standard graph
+    * quality feature ranking pages by how deeply embedded they are in
+    * a dense neighborhood (coreness 1 = tendril, high coreness =
+    * community member), where C100 answers only the yes/no at one k.
+    *
+    * One CONTINUED peel, not maxK independent runs: the k-core is a
+    * subset of the (k−1)-core, so phase k resumes peeling from phase
+    * k−1's fixpoint with the higher threshold — total work is one
+    * monotone shrink of the alive set. A node dropped during phase k
+    * was in the (k−1)-core but not the k-core: coreness k−1. Nodes
+    * surviving every phase report `maxK` — an explicit CAP, stated
+    * rather than hidden (raise maxK for graphs with deeper cores).
+    * Fixed `itersPerK` synchronous rounds per phase keep the oracle a
+    * finite unroll (same contract as C100: the spec proves the
+    * fixture stabilizes inside the budget).
+    *
+    * Scale shape: identical to [[kCore]] per round (two node-keyed
+    * semi-joins + a map-side degree count, alive frame eagerly
+    * checkpointed); the phase boundary adds one id-only left_anti per
+    * k (the dropped set). Output covers every input node exactly
+    * once. */
+  def coreness(edges: DataFrame, src: Column, dst: Column,
+               maxK: Int, itersPerK: Int = 8,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(maxK >= 1 && maxK <= 16, s"maxK must be in [1, 16], got $maxK")
+    require(itersPerK >= 1 && itersPerK <= 30,
+      s"itersPerK must be in [1, 30], got $itersPerK")
+    val und = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def liveEdges(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("id").as("a")), "a")
+      .join(alive.select(col("id").as("b")), "b")
+    def degrees(live: DataFrame): DataFrame = live
+      .select(col("a").as("id")).unionAll(live.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+    var alive: DataFrame = Curation.truncateLineage(nodes, checkpointDir)
+    var out: DataFrame = null
+    for (k <- 1 to maxK) {
+      val prev = alive
+      for (_ <- 1 to itersPerK)
+        alive = Curation.truncateLineage(
+          degrees(liveEdges(alive)).filter(col("c") >= k).select(col("id")),
+          checkpointDir)
+      val dropped = prev.join(alive, Seq("id"), "left_anti")
+        .select(col("id").as("node_id"), lit(k - 1L).as("coreness"))
+      out = if (out == null) dropped else out.unionByName(dropped)
+    }
+    out.unionByName(
+      alive.select(col("id").as("node_id"), lit(maxK.toLong).as("coreness")))
+  }
+
+  /** C106 oracle generator: maxK phases × itersPerK rounds unrolled;
+    * each phase's dropped set is the EXCEPT of consecutive phase
+    * fixpoints, survivors report the maxK cap. */
+  private def corenessOracleSql(maxK: Int, itersPerK: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id % 20 AS dst FROM documents),
+      e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eraw WHERE src <> dst),
+      n AS MATERIALIZED (SELECT DISTINCT id FROM
+            (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+      p0_$itersPerK AS MATERIALIZED (SELECT id FROM n)""")
+    for (k <- 1 to maxK) {
+      sb ++= s""",
+      p${k}_0 AS MATERIALIZED (SELECT id FROM p${k - 1}_$itersPerK)"""
+      for (r <- 1 to itersPerK) sb ++= s""",
+      p${k}_$r AS MATERIALIZED (SELECT id FROM (
+            SELECT g.id, COUNT(*) AS c FROM (
+              SELECT e.a AS id FROM e
+                JOIN p${k}_${r - 1} x ON x.id = e.a JOIN p${k}_${r - 1} y ON y.id = e.b
+              UNION ALL
+              SELECT e.b FROM e
+                JOIN p${k}_${r - 1} x ON x.id = e.a JOIN p${k}_${r - 1} y ON y.id = e.b) g
+            GROUP BY g.id) WHERE c >= $k)"""
+    }
+    val dropped = (1 to maxK).map { k =>
+      s"""SELECT id AS node_id, CAST(${k - 1} AS BIGINT) AS coreness
+          FROM (SELECT id FROM p${k - 1}_$itersPerK EXCEPT SELECT id FROM p${k}_$itersPerK)"""
+    }
+    sb ++= s"""
+      ${dropped.mkString("", "\n      UNION ALL\n      ", "")}
+      UNION ALL
+      SELECT id AS node_id, CAST($maxK AS BIGINT) AS coreness FROM p${maxK}_$itersPerK
+      ORDER BY node_id"""
+    sb.toString
+  }
+
+  // C106: coreness of the three-family fixture, maxK=4 — the binary
+  // tree peels at k=2 (coreness 1), the hub lattice layers out at 2-3,
+  // and the densest hub intersection reports the cap. Every one of
+  // the 32 alive sets is oracle-replayed.
+  val qCoreness = Q(
+    "qgraph_coreness",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+        .unionAll(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(20L)).as("dst")))
+      coreness(edges, col("src"), col("dst"), maxK = 4, itersPerK = 8)
+        .orderBy(col("node_id"))
+    },
+    Some(corenessOracleSql(maxK = 4, itersPerK = 8)))
+
   val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr,
-    qDegrees, qAssortativity)
+    qDegrees, qAssortativity, qCoreness)
 }

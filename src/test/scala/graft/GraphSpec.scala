@@ -261,4 +261,28 @@ class GraphSpec extends AnyFunSuite {
     val rc = graft.operators.Graph.assortativity(cyc, col("s"), col("d")).head()
     assert(rc.getLong(0) == 6L && rc.isNullAt(1), s"$rc")
   }
+
+  test("coreness: K4=3, cycle=2, tree=1, pendant chain, maxK cap, exact partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K4 {1..4} + pendant chain 4-5-6 + disjoint triangle {10,11,12}
+    // + disjoint path 20-21
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))).toDF("s", "d")
+    def run(maxK: Int) =
+      graft.operators.Graph.coreness(edges, col("s"), col("d"), maxK, itersPerK = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = run(4)
+    // every node appears exactly once
+    assert(c.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L, 20L, 21L), s"$c")
+    for (id <- 1L to 4L) assert(c(id) == 3L, s"K4 member $id: ${c(id)}")
+    for (id <- Seq(5L, 6L, 20L, 21L)) assert(c(id) == 1L, s"tendril $id: ${c(id)}")
+    for (id <- Seq(10L, 11L, 12L)) assert(c(id) == 2L, s"triangle $id: ${c(id)}")
+    // the cap is honest: maxK=2 reports K4 members as 2, rest unchanged
+    val capped = run(2)
+    for (id <- 1L to 4L) assert(capped(id) == 2L, s"capped $id: ${capped(id)}")
+    assert(capped.view.filterKeys(_ > 4L).toMap ==
+      c.view.filterKeys(_ > 4L).toMap, s"$capped")
+  }
 }
