@@ -400,8 +400,8 @@ object Curation {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
-  private[operators] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
+  private[operators] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
+    val ck = checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (installedCkptDirs.get(sc) != dir) {
@@ -411,6 +411,26 @@ object Curation {
         df.checkpoint() // eager + durable: replayable after executor loss
       case None => df.localCheckpoint()
     }
+    // Reset the size estimate, not just the lineage. `Dataset.checkpoint`
+    // copies the SOURCE plan's `sizeInBytes` onto the checkpointed
+    // LogicalRDD (rewriteStatsAndConstraints), and Catalyst's
+    // size-only visitor estimates a join as the PRODUCT of its
+    // children's sizes — so a loop that joins the checkpointed frame
+    // twice per round (CC, k-core, PageRank, …) SQUARES the carried
+    // estimate every round. The bit length doubles per round: by
+    // round ~30 the estimate is a multi-hundred-megabit BigInteger
+    // and the next checkpoint's stats rewrite spends minutes inside
+    // BigInteger.multiply — observed as a driver-side hang of
+    // qgraph_coreness (4 phases × 8 rounds). Re-wrapping the
+    // checkpointed RDD through createDataFrame drops the inherited
+    // estimate (fresh LogicalRDD, default size), which is also the
+    // honest value: post-filter loop frames shrink in ways the
+    // carried product never tracked. Costs one InternalRow↔Row pass
+    // per downstream read of skinny (id, …) rows; plans keep their
+    // shuffle-join shape (the carried estimates were far above the
+    // broadcast threshold anyway).
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node repeatedly takes the minimum

@@ -285,4 +285,28 @@ class GraphSpec extends AnyFunSuite {
     assert(capped.view.filterKeys(_ > 4L).toMap ==
       c.view.filterKeys(_ > 4L).toMap, s"$capped")
   }
+
+  test("checkpointed loops keep the Catalyst size estimate bounded (32+ rounds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Regression for the qgraph_coreness driver hang: Dataset.checkpoint
+    // copies the source plan's sizeInBytes onto the checkpointed
+    // LogicalRDD, and the size-only stats visitor estimates a join as
+    // the PRODUCT of its children — so a loop joining the checkpointed
+    // frame twice per round squared the carried estimate every round
+    // (bit length doubles; ~2^32 bits by round 32, and the stats
+    // rewrite inside the NEXT checkpoint ground forever in
+    // BigInteger.multiply). The blowup is data-independent: this tiny
+    // graph with the registered query's exact checkpoint count
+    // (maxK × itersPerK = 32) hung before the truncateLineage fix.
+    val edges = (1L to 12L).flatMap(a => Seq((a, a % 12 + 1), (a, (a + 3) % 12 + 1)))
+      .toDF("s", "d")
+    val out = graft.operators.Graph.coreness(
+      edges, col("s"), col("d"), maxK = 16, itersPerK = 2)
+    assert(out.count() == 12L)
+    // the final plan's estimate must be sane, not a compounded product
+    val bits = out.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits < 10000, s"sizeInBytes estimate has $bits bits — the " +
+      "checkpoint is carrying a compounding join-product estimate again")
+  }
 }
