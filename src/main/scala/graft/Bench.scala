@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Headline benchmark (driver contract): runs every registered query on
+/** Headline benchmark (driver contract): runs the HEADLINE query set on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
   * Queries execute into the `noop` sink — a plain `.count()` would let
@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * pure-projection pipeline would measure ~0). A warmup query absorbs
   * one-time session/codegen cost so per-query numbers are comparable.
   *
-  * Each query is timed in three INTERLEAVED passes over the whole
-  * registry and the per-query min reported. Back-to-back repeats (the
+  * Each query is timed in INTERLEAVED passes over the selected set and
+  * the per-query min reported. Back-to-back repeats (the
   * old min-of-two) proved blind to exactly the noise they were meant to
   * reject: a transient host disturbance lasting longer than one
   * query's repeats corrupts BOTH samples — observed as a 3-11× phantom
@@ -20,8 +20,72 @@ import org.apache.spark.sql.SparkSession
   * (minutes), so a transient burst lands in at most one sample and the
   * min survives it. A System.gc() between passes keeps one pass's
   * garbage from billing a later pass's first queries.
+  *
+  * MODE (round-10 change): the registry grew past the point where
+  * "everything × 3 passes" fits the driver's wall-clock budget — the
+  * round-9 suite (159 queries, ~230 s of measured work per pass-sum)
+  * ran the driver's bench step into its timeout (BENCH_r09: rc=124)
+  * and the round recorded NO perf numbers at all. A bench that doesn't
+  * finish measures nothing, so the driver-facing default is now a
+  * curated HEADLINE subset — every operator family's representative
+  * queries, stable across rounds for round-over-round comparison —
+  * while `SPARK_GRAFT_BENCH_MODE=full` keeps the complete registry
+  * sweep (builder-run each round; committed as BENCH_FULL.json).
+  *   headline: HEADLINE set, 2 interleaved passes, ~2-3 min wall —
+  *             writes BENCH_HEADLINE.json, leaves BENCH_FULL.json
+  *             untouched (the committed full record must not be
+  *             clobbered by a subset run).
+  *   full:     whole registry, 3 interleaved passes — writes
+  *             BENCH_FULL.json.
+  * SPARK_GRAFT_PASSES overrides the per-mode pass default either way.
+  *
+  * WATCHDOG (round-10 change): each timed run executes on a daemon
+  * worker with a hard deadline (SPARK_GRAFT_QUERY_DEADLINE, default
+  * 120 s — 6× the slowest healthy query at sf0.1). Round 9's lesson:
+  * one pathological query (a driver-side planner hang) turned the
+  * whole bench into rc=124 and zero data. On timeout the query is
+  * marked failed (-1), running jobs are cancelled, and the sweep
+  * continues — one bad query costs its deadline, not the round.
   */
 object Bench {
+  /** The driver-facing representative set: every family's anchor
+    * queries, chosen once and kept STABLE so BENCH_r{N} files compare
+    * across rounds. Heavier family members (winnow, bpe_apply, hits,
+    * coreness, …) are measured by the full sweep in BENCH_FULL.json —
+    * a subset entry here is a wall-clock budget decision, never a
+    * statement that the omitted queries don't matter. */
+  val headline: Seq[String] = Seq(
+    // TPC-H-ish analytics core — the cross-round anchor
+    "q01_pricing_summary", "q02_revenue_topk", "q03_region_revenue",
+    "q04_semi_join", "q05_anti_join", "q06_window_rank",
+    "q07_window_running", "q08_distinct_setops", "q09_rollup",
+    "q10_percentiles", "q10b_percentiles_approx", "q11_json_extract",
+    "q12_time_bucket", "q13_asof_join", "q13b_asof_custom",
+    "q13c_asof_tolerance", "q14_range_join", "q15_sessionize",
+    "q16_approx_distinct", "q16_distinct_exact", "q17_conditional_pivot",
+    "q18_above_brand_avg", "q19_salted_agg", "q20_sql_api",
+    "q21_salted_join", "q22_cube", "q23_stats_corr", "q24_gapfill",
+    "q25_interval_join", "q26_funnel", "q27_retention",
+    // reference surface (log parse / routing / drop-stats / ndjson)
+    "qlog_syslog_parse", "qlog_routing", "qlog_drop_stats",
+    "qlog_ndjson_roundtrip",
+    // dedup family
+    "qdedup_exact", "qdedup_minhash_lsh", "qdedup_simhash",
+    "qdedup_ngram_jaccard", "qdedup_clusters_star",
+    // ANN family
+    "qann_brute_topk", "qann_ivf", "qann_pq", "qann_ivfpq",
+    // text family
+    "qtext_quality", "qtext_langid", "qtext_tokens", "qtext_tfidf",
+    "qtext_scrub",
+    // curation family
+    "qcuration_contam", "qcuration_pipeline",
+    // graph family
+    "qgraph_pagerank", "qgraph_triangles",
+    // vectors / profiling / splits / layout / multimodal / sampling / packing
+    "qvec_centroid", "qvec_pca", "qprofile_table", "qsplit_assign",
+    "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",
+    "qpack_shards")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,19 +165,35 @@ object Bench {
     }
     val shuffleBytes = scala.collection.mutable.Map.empty[String, Long]
 
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_DEADLINE", "120").toInt
     def runOnce(name: String): Double = {
       // some queries persist an intermediate frame (e.g. the ngram shingle
       // cache); every timed run must recompute it or the min would
       // report a warm-cache number
       spark.catalog.clearCache()
       lastQe.set(null)
+      // watchdog: the timed write runs on a daemon worker so a hung
+      // query (planner-side hangs included, which cancelAllJobs can't
+      // reach) costs its deadline, not the whole bench — round 9's
+      // rc=124 failure mode
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e")
-          return -1.0
+      val worker = new Thread(() => {
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => err.set(e) }
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(deadlineSec * 1000L)
+      if (worker.isAlive) {
+        System.err.println(s"[bench] $name TIMED OUT after $deadlineSec s — abandoning")
+        spark.sparkContext.cancelAllJobs()
+        return -1.0
+      }
+      if (err.get != null) {
+        System.err.println(s"[bench] $name failed: ${err.get}")
+        return -1.0
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val sb = drainShuffleBytes()
@@ -125,10 +205,20 @@ object Bench {
     // land on an arbitrary query's number.
     runOnce("q01_pricing_summary")
 
+    // Mode select: headline (driver default, budget-bounded) vs full
+    // (whole registry, builder-run). The headline list is validated
+    // against the registry LOUDLY — a renamed query must fail the
+    // bench, not silently shrink the anchor set.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "headline")
+    require(mode == "headline" || mode == "full",
+      s"SPARK_GRAFT_BENCH_MODE must be 'headline' or 'full', got '$mode'")
+    val missingHeadline = headline.filterNot(SparkEntry.queries.contains)
+    require(missingHeadline.isEmpty,
+      s"headline queries missing from registry: ${missingHeadline.mkString(", ")}")
     // SPARK_GRAFT_ONLY=q1,q2 narrows to named queries for local iteration;
-    // unset (the driver's mode) runs everything. Unknown names warn loudly
-    // instead of silently shrinking the run (a typo must not read as a
-    // clean bench).
+    // unset (the driver's mode) runs the selected mode's set. Unknown
+    // names warn loudly instead of silently shrinking the run (a typo
+    // must not read as a clean bench).
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(list) =>
         val asked = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -136,9 +226,11 @@ object Bench {
         if (unknown.nonEmpty)
           System.err.println(s"[bench] WARNING: unknown SPARK_GRAFT_ONLY queries ignored: ${unknown.mkString(", ")}")
         known.sorted
+      case None if mode == "headline" => headline.sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES",
+      if (mode == "headline") "2" else "3").toInt
     // pass-interleaved timing: min over `passes` full sweeps; a query
     // that fails on ANY sample is marked failed (-1) — a flaky failure
     // must not read as a fast run
@@ -191,7 +283,11 @@ object Bench {
     // FASTER: report total=-1 plus an explicit failure count
     val failures = results.count(_._2 < 0)
     val total = if (failures > 0) -1.0 else r3(results.map(_._2).sum)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    // headline mode must NOT clobber the committed full-registry record
+    // — it writes its own sidecar instead
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (mode == "headline") "/root/repo/BENCH_HEADLINE.json"
+      else "/root/repo/BENCH_FULL.json")
     // The LAST stdout line must be self-contained AND fit whole inside the
     // driver's 2000-char tail capture — r8's all-in-one line overflowed it
     // and the per-query times were lost. Emit total + as many per-query
@@ -206,7 +302,7 @@ object Bench {
       }
       val entries = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       val head =
-        s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"sf":"$sfDir","full":"$fullPath","""
+        s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"mode":"$mode","registered":${SparkEntry.queries.size},"passes":$passes,"sf":"$sfDir","full":"$fullPath","""
       // ~70 chars of slack for the times_omitted field + closing braces
       val budget = 1950 - head.length - 70
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -226,7 +322,7 @@ object Bench {
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
-        (s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},""" +
+        (s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n":${names.size},"mode":"$mode","registered":${SparkEntry.queries.size},"passes":$passes,""" +
           s""""queries":$qs,"spread_max_over_min":$spreads,"shuffle_mb":$shuffles,"sf":"$sfDir"}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(e) =>
@@ -235,5 +331,8 @@ object Bench {
     println(s"""{"metric":"times","queries":$qs}""")
     println(totalLine)
     spark.stop()
+    // abandoned watchdog workers may be stuck in non-interruptible
+    // driver code; don't let them block JVM exit
+    System.exit(0)
   }
 }
