@@ -702,6 +702,93 @@ object Keywords {
           .as("mean_logprob"))
   }
 
+  /** Interpolated Kneser-Ney reference-LM scoring (SURVEY.md §2.C107;
+    * Kneser & Ney 1995, formulation per Chen & Goodman 1998): score
+    * every raw document by its mean bigram log-probability under an
+    * absolute-discount model of a REFERENCE corpus —
+    * `p(w2|w1) = max(c12 − D, 0)/c1 + (D·N₁₊(w1·)/c1)·p_cont(w2)`,
+    * where the continuation probability `p_cont(w2) ∝ how many
+    * DISTINCT contexts w2 completes` (type count, not token count).
+    * This is the distinction C93's Jelinek-Mercer mix cannot draw:
+    * "francisco" is frequent but follows almost nothing except "san",
+    * so KN backs it off hard where JM's unigram term overrates it —
+    * the standard smoothing for CCNet-style quality ranking. Unseen
+    * contexts back off to the continuation distribution alone, and
+    * `p_cont` is add-1-over-types smoothed
+    * (`(N₁₊(·w2) + 1)/(B + V)`, B = distinct ref bigrams, V = distinct
+    * ref unigram types) so every bigram has finite log-probability.
+    *
+    * Exactness: the C93 discipline verbatim — all model inputs are
+    * INTEGER type/token counts, each distinct (doc, bigram) row
+    * evaluates ONE pinned IEEE tree (the discount `D =
+    * discountMicro/1e6` is a single exact division; 750000 → exactly
+    * 0.75), one `ln`, rounded ONCE to micro-nats; per-doc sums are
+    * integer.
+    *
+    * Scale shape: identical to [[jmRefLogProb]] — the model tables
+    * are vocab-sized and join the doc-side distinct-bigram partials
+    * on 8-byte xxhash64 keys (strings never shuffle; the string-keyed
+    * oracle stays valid because counts, not hashes, are the output);
+    * `B + V` rides a 1-row broadcast; ONE bigram pass per corpus. */
+  def knRefLogProb(df: DataFrame, id: Column, text: Column,
+                   ref: DataFrame, refText: Column,
+                   discountMicro: Long = 750000L): DataFrame = {
+    require(discountMicro > 0 && discountMicro < 1000000L,
+      s"discountMicro must be in (0, 1e6), got $discountMicro")
+    val dD = lit(discountMicro.toDouble) / lit(1e6)
+    val runi = ref
+      .select(explode(filter(split(lower(refText), " "), t => t =!= ""))
+        .as("w"))
+      .groupBy(xxhash64(col("w")).as("w2h")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rb = ref.select(explode(bigramPairs(refText)).as("p"))
+      .select(xxhash64(concat_ws(" ", col("p.w1"), col("p.w2"))).as("bh"),
+        xxhash64(col("p.w1")).as("uh"),
+        xxhash64(col("p.w2")).as("w2h"))
+      .groupBy(col("bh"), col("uh"), col("w2h")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // context totals + context TYPE fan-out (N₁₊(w1·)) in one agg
+    val rcx = rb.groupBy(col("uh"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("ctx"))
+    // continuation type counts N₁₊(·w2): distinct contexts w2 completes
+    val ct = rb.groupBy(col("w2h")).agg(count(lit(1)).as("cont"))
+    // B + V in one 1-row broadcast
+    val totals = rb.agg(count(lit(1)).as("b"))
+      .crossJoin(runi.agg(count(lit(1)).as("v")))
+      .select((col("b") + col("v")).as("bv"))
+    val perDoc = df.select(id.as("doc_id"), explode(bigramPairs(text)).as("p"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("p.w1"), col("p.w2"))).as("bh"),
+        xxhash64(col("p.w1")).as("uh"),
+        xxhash64(col("p.w2")).as("w2h"))
+      .groupBy(col("doc_id"), col("bh"), col("uh"), col("w2h"))
+      .agg(count(lit(1)).as("tf"))
+    val pCont = (coalesce(col("cont"), lit(0L)) + lit(1L)).cast("double") /
+      col("bv").cast("double")
+    val seen = coalesce(col("c1"), lit(0L)) > 0
+    val term1 = greatest(coalesce(col("c12"), lit(0L)).cast("double") - dD,
+      lit(0.0)) / col("c1").cast("double")
+    val term2 = ((dD * col("ctx").cast("double")) / col("c1").cast("double")) * pCont
+    val scored = perDoc
+      .join(rb.select(col("bh"), col("c12")), Seq("bh"), "left")
+      .join(rcx, Seq("uh"), "left")
+      .join(ct, Seq("w2h"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        round(log(when(seen, term1 + term2).otherwise(pCont)) * lit(1e6))
+          .cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("nb"), sum(col("tf") * col("lp")).as("lps"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lps"), lit(0L)).as("lp_micro_sum"),
+        when(col("nb").isNull, lit(null).cast("double"))
+          .otherwise(col("lps").cast("double") / col("nb") / lit(1e6))
+          .as("mean_logprob"))
+  }
+
   /** EXACT corpus heavy hitters by two-pass Misra-Gries (C96; Misra &
     * Gries 1982, mergeability per Agarwal et al. 2012): every term
     * whose corpus frequency strictly exceeds `N / (budget + 1)` (N =

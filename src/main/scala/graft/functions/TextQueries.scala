@@ -1253,6 +1253,69 @@ object TextQueries {
       FROM documents d LEFT JOIN ag USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** C107: interpolated Kneser-Ney scoring against the English slice
+    * as reference, D = 0.75 (exactly representable). The oracle keys
+    * on strings and mirrors the pinned probability tree node-for-node:
+    * `greatest(c12 − D, 0)/c1 + ((D·ctx)/c1)·pcont` seen,
+    * add-1-over-types-smoothed continuation otherwise — any deviation
+    * in the type counts (contexts-completed vs token frequency, the
+    * KN distinction) breaks the micro-nat hash. */
+  val qKnRef = Q(
+    "qtext_kn_ref",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      Keywords.knRefLogProb(d, col("doc_id"), col("text"),
+          d.filter(col("lang") === "en"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+            FROM documents),
+      rtk AS MATERIALIZED (SELECT w FROM tk
+            JOIN documents USING (doc_id) WHERE lang = 'en'),
+      runi AS MATERIALIZED (SELECT x AS w, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM (SELECT UNNEST(w) AS x FROM rtk) GROUP BY x),
+      rb AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM (SELECT w[i] AS w1, w[i+1] AS w2
+                  FROM rtk, UNNEST(range(1, len(w))) u(i))
+            GROUP BY w1, w2),
+      rcx AS MATERIALIZED (SELECT w1, SUM(c12) AS c1,
+              CAST(COUNT(*) AS BIGINT) AS ctx FROM rb GROUP BY w1),
+      ct AS MATERIALIZED (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont
+            FROM rb GROUP BY w2),
+      tot AS (SELECT (SELECT COUNT(*) FROM rb) + (SELECT COUNT(*) FROM runi) AS bv),
+      dbt AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM tk, UNNEST(range(1, len(w))) u(i))
+              GROUP BY doc_id, w1, w2),
+      sc AS (SELECT doc_id, tf,
+              CAST(ROUND(ln((
+                CASE WHEN COALESCE(rcx.c1, 0) > 0
+                  THEN (GREATEST(CAST(COALESCE(rb.c12, 0) AS DOUBLE)
+                                 - (CAST(750000 AS DOUBLE) / 1000000.0), 0.0)
+                        / CAST(rcx.c1 AS DOUBLE))
+                     + (((CAST(750000 AS DOUBLE) / 1000000.0)
+                         * CAST(rcx.ctx AS DOUBLE)) / CAST(rcx.c1 AS DOUBLE))
+                       * (CAST(COALESCE(ct.cont, 0) + 1 AS DOUBLE)
+                          / CAST(tot.bv AS DOUBLE))
+                  ELSE CAST(COALESCE(ct.cont, 0) + 1 AS DOUBLE)
+                       / CAST(tot.bv AS DOUBLE)
+                END)) * 1000000) AS BIGINT) AS lp
+            FROM dbt
+            LEFT JOIN rb USING (w1, w2)
+            LEFT JOIN rcx USING (w1)
+            LEFT JOIN ct ON ct.w2 = dbt.w2
+            CROSS JOIN tot),
+      ag AS (SELECT doc_id, SUM(tf) AS nb, SUM(tf * lp) AS lps
+             FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(ag.nb, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(ag.lps, 0) AS BIGINT) AS lp_micro_sum,
+             CASE WHEN ag.nb IS NULL THEN NULL
+                  ELSE CAST(ag.lps AS DOUBLE) / ag.nb / 1000000 END AS mean_logprob
+      FROM documents d LEFT JOIN ag USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** C96: exact heavy hitters via two-pass Misra-Gries, budget 32 —
     * terms above N/33 of the corpus (the ~30-term dominant head of
     * the synthetic vocabulary). The oracle is the EXACT full-vocab
@@ -1282,5 +1345,5 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qZipf, qLmRef, qHeavyHitters)
+    qBm25, qZipf, qLmRef, qKnRef, qHeavyHitters)
 }

@@ -447,4 +447,50 @@ class KeywordsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got3 == Set(("x", 3L)), got3.toString)
   }
+
+  test("Kneser-Ney: hand-computed probabilities, continuation backoff, empty docs") {
+    import spark.implicits._
+    // ref: bigrams (san,francisco) (san,diego) (los,angeles) — B=3,
+    // V=5 types {san, francisco, diego, los, angeles} → B+V = 8
+    val ref = Seq("san francisco", "san diego", "los angeles").map(Tuple1(_))
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val docs = Seq(
+      1L -> "san francisco",  // seen bigram, seen context
+      2L -> "francisco san",  // unseen context → pure continuation backoff
+      3L -> "",               // no bigrams
+      4L -> "solo").toDF("doc_id", "text")
+    val got = Keywords.knRefLogProb(docs, col("doc_id"), col("text"),
+        ref, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    // doc 1: p = (1−0.75)/2 + (0.75·2/2)·((1+1)/(3+5)) = 0.125 + 0.1875
+    //       = 0.3125 → round(ln(0.3125)·1e6) = −1163151
+    assert(got(1L)._1 == 1L && got(1L)._2 == math.round(math.log(0.3125) * 1e6),
+      s"${got(1L)}")
+    // doc 2: context "francisco" has c1=0 → backoff; "san" completes no
+    // bigram (cont=0) → p = (0+1)/(3+5) = 0.125
+    assert(got(2L)._2 == math.round(math.log(0.125) * 1e6), s"${got(2L)}")
+    // empty / one-token docs: 0 bigrams, NULL mean
+    assert(got(3L) == ((0L, 0L, null)) && got(4L) == ((0L, 0L, null)))
+  }
+
+  test("Kneser-Ney continuation uses TYPE counts, not token frequency") {
+    import spark.implicits._
+    // "b" is 3× more frequent than "d" as a token, but each completes
+    // exactly ONE distinct context — their continuation probabilities
+    // are EQUAL, so a novel context scores them identically (the
+    // distinction JM's frequency-weighted unigram term cannot draw)
+    val ref = Seq("a b", "a b", "a b", "c d").map(Tuple1(_))
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val docs = Seq(1L -> "z b", 2L -> "z d").toDF("doc_id", "text")
+    val got = Keywords.knRefLogProb(docs, col("doc_id"), col("text"),
+        ref, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == got(2L), s"$got")
+    val jm = Keywords.jmRefLogProb(docs, col("doc_id"), col("text"),
+        ref, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(jm(1L) > jm(2L), s"JM should overrate the frequent token: $jm")
+  }
 }
