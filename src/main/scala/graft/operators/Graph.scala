@@ -366,7 +366,10 @@ object Graph {
     * the exact tie order of the engine's `min(struct(-c, label))`;
     * label frames are MATERIALIZED because round k reads l{k-1} twice
     * (vote side + carry side). */
-  private def labelPropOracleSql(iters: Int): String = {
+  /** The labelprop fixture's CTE chain up to `l{iters}` — shared by
+    * the C97 oracle and the C108 modularity oracle that audits C97's
+    * own output. */
+  private def labelPropOracleCtes(iters: Int): String = {
     val sb = new StringBuilder(
       s"""WITH eraw AS (
         SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
@@ -392,11 +395,13 @@ object Graph {
             CASE WHEN l.seed_label IS NOT NULL THEN l.seed_label
                  ELSE COALESCE(w.vlabel, l.label) END AS label
           FROM l${k - 1} l LEFT JOIN w$k w ON w.id = l.id)"""
-    sb ++= s"""
-      SELECT id AS node_id, label, (seed_label IS NOT NULL) AS is_seed
-      FROM l$iters ORDER BY node_id"""
     sb.toString
   }
+
+  private def labelPropOracleSql(iters: Int): String =
+    labelPropOracleCtes(iters) + s"""
+      SELECT id AS node_id, label, (seed_label IS NOT NULL) AS is_seed
+      FROM l$iters ORDER BY node_id"""
 
   // C97: label propagation over the same injected link graph as
   // qgraph_pagerank/qgraph_hits (symmetrized), seeded on every 10th
@@ -1086,6 +1091,120 @@ object Graph {
     },
     Some(corenessOracleSql(maxK = 4, itersPerK = 8)))
 
+  /** Newman modularity per community (SURVEY.md §2.C108; Newman &
+    * Girvan 2004) — the quality score OF a community assignment:
+    * `Q = Σ_c [ e_c/m − (d_c/2m)² ]`, each community's excess of
+    * internal edges over the degree-preserving random expectation.
+    * This is the audit the C97 label propagation (or a CC dedup
+    * clustering read as communities) was missing: near-zero Q says
+    * the "communities" are degree artifacts, strongly positive Q says
+    * the partition tracks real link structure — the number a curation
+    * pipeline checks before trusting per-community decisions.
+    *
+    * Exactness: per-community contribution as EXACT integers —
+    * `q_micro = round(1e6 · (4·m·e_c − d_c²) / (4·m²))` with the
+    * numerator/denominator widened to DECIMAL(38,0)/HUGEINT (the
+    * C92/C105 overflow discipline: d_c² overflows a long past
+    * ~3·10⁹ summed degree), each cast to double from the SAME exact
+    * integer (identical round-half-even on both engines), ONE IEEE
+    * division, rounded once. The raw integers (n_nodes,
+    * internal_edges, degree_sum) are emitted alongside so the float
+    * never carries information the hash can't check.
+    *
+    * Contract: C99's undirected edge contract (distinct
+    * least/greatest pairs, self-loops dropped, duplicates/reversals
+    * collapse); nodes missing from `labels` fall into community −1
+    * (stated, not silent — modularity needs a full partition);
+    * duplicate label rows collapse to the min community.
+    *
+    * Scale shape: one distinct + one degree count + two node-keyed
+    * equi-joins (the triangle-stats shape) + a community-keyed
+    * partial agg; `m` rides a 1-row broadcast; (long, long) rows
+    * throughout — community count, not corpus size, bounds the
+    * output. */
+  def modularity(edges: DataFrame, src: Column, dst: Column,
+                 labels: DataFrame, nodeId: Column, community: Column): DataFrame = {
+    val und = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m1 = und.agg(count(lit(1)).as("m"))
+    val comm = labels
+      .select(nodeId.cast("long").as("id"), community.cast("long").as("comm"))
+      .filter(col("id").isNotNull)
+      .groupBy(col("id")).agg(min(col("comm")).as("comm"))
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val nc = deg.join(comm, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comm"), lit(-1L)).as("comm"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ein = und
+      .join(nc.select(col("id").as("a"), col("comm").as("ca")), "a")
+      .join(nc.select(col("id").as("b"), col("comm").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_in"))
+    val ds = nc.groupBy(col("comm"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val DEC = "decimal(38,0)"
+    val eInt = coalesce(col("e_in"), lit(0L))
+    val num = (lit(4L).cast(DEC) * col("m").cast(DEC) * eInt.cast(DEC) -
+      col("deg_sum").cast(DEC) * col("deg_sum").cast(DEC)).cast(DEC)
+    val den = (lit(4L).cast(DEC) * col("m").cast(DEC) * col("m").cast(DEC)).cast(DEC)
+    ds.join(ein, Seq("comm"), "left")
+      .crossJoin(broadcast(m1))
+      .select(col("comm").as("community"), col("n_nodes"),
+        eInt.as("internal_edges"), col("deg_sum").as("degree_sum"),
+        round((num.cast("double") / den.cast("double")) * lit(1e6))
+          .cast("long").as("q_micro"))
+  }
+
+  // C108: modularity OF the C97 label propagation's own output on the
+  // shared fixture (unlabeled nodes → community −1) — the composed
+  // audit, with every alive count integer and the oracle replaying the
+  // full 3-round propagation before the modularity arithmetic.
+  val qModularity = Q(
+    "qgraph_modularity",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+      val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("lab"))
+      val labels = labelPropagate(edges, col("src"), col("dst"),
+        seeds, col("doc_id"), col("lab"), iters = 3)
+      modularity(edges, col("src"), col("dst"),
+          labels, col("node_id"), coalesce(col("label"), lit(-1L)))
+        .orderBy(col("community"))
+    },
+    Some(labelPropOracleCtes(3) + s""",
+      und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM eraw WHERE src <> dst),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+      degm AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+            (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+      cm AS (SELECT id, COALESCE(label, -1) AS comm FROM l3),
+      nc AS MATERIALIZED (SELECT degm.id, COALESCE(cm.comm, -1) AS comm, degm.deg
+            FROM degm LEFT JOIN cm ON cm.id = degm.id),
+      ein AS (SELECT x.comm AS comm, CAST(COUNT(*) AS BIGINT) AS e_in
+            FROM und JOIN nc x ON x.id = und.a JOIN nc y ON y.id = und.b
+            WHERE x.comm = y.comm GROUP BY x.comm),
+      ds AS (SELECT comm, SUM(deg) AS deg_sum, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM nc GROUP BY comm)
+      SELECT ds.comm AS community, ds.n_nodes,
+        CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS internal_edges,
+        CAST(ds.deg_sum AS BIGINT) AS degree_sum,
+        CAST(ROUND((CAST(CAST(4 AS HUGEINT) * mm.m * COALESCE(ein.e_in, 0)
+                         - CAST(ds.deg_sum AS HUGEINT) * ds.deg_sum AS DOUBLE)
+                    / CAST(CAST(4 AS HUGEINT) * mm.m * mm.m AS DOUBLE))
+                   * 1000000) AS BIGINT) AS q_micro
+      FROM ds LEFT JOIN ein ON ein.comm = ds.comm
+      CROSS JOIN mm
+      ORDER BY community"""))
+
   val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr,
-    qDegrees, qAssortativity, qCoreness)
+    qDegrees, qAssortativity, qCoreness, qModularity)
 }

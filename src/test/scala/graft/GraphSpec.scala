@@ -286,6 +286,43 @@ class GraphSpec extends AnyFunSuite {
       c.view.filterKeys(_ > 4L).toMap, s"$capped")
   }
 
+  test("modularity: two bridged triangles, single community, unlabeled fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4: m=7,
+    // per-community e_c=3, d_c=7 →
+    // q_micro = round(1e6·(4·7·3 − 49)/(4·49)) = round(178571.43) = 178571
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("s", "d")
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L).toDF("id", "c")
+    val got = graft.operators.Graph.modularity(
+        edges, col("s"), col("d"), labels, col("id"), col("c"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(10L -> ((3L, 3L, 7L, 178571L)),
+      20L -> ((3L, 3L, 7L, 178571L))), s"$got")
+    // the whole graph as one community: e_c = m, d_c = 2m → Q = 0 exactly
+    val one = graft.operators.Graph.modularity(
+        edges, col("s"), col("d"),
+        labels.select(col("id"), org.apache.spark.sql.functions.lit(7L).as("c")),
+        col("id"), col("c"))
+      .collect()
+    assert(one.length == 1 && one(0).getLong(4) == 0L, one.mkString(","))
+    // nodes absent from the label frame land in the stated −1 community
+    val partial = graft.operators.Graph.modularity(
+        edges, col("s"), col("d"),
+        labels.filter(col("id") <= 3L), col("id"), col("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial == Map(10L -> 3L, -1L -> 3L), s"$partial")
+    // duplicate + reversed + self-loop edges don't change the counts
+    val noisy = edges.unionAll(Seq((2L, 1L), (1L, 1L), (3L, 1L)).toDF("s", "d"))
+    val got2 = graft.operators.Graph.modularity(
+        noisy, col("s"), col("d"), labels, col("id"), col("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got2 == Map(10L -> 178571L, 20L -> 178571L), s"$got2")
+  }
+
   test("checkpointed loops keep the Catalyst size estimate bounded (32+ rounds)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
