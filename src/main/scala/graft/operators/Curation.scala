@@ -705,6 +705,122 @@ object Curation {
         (least(col("cum"), (col("seq_id") + 1) * seqLen) - from).as("span_len"))
   }
 
+  /** Length-bucketed batch assignment (SURVEY.md §2.C109) — the
+    * dynamic-batching plan a trainer uses to kill padding waste:
+    * batching docs of wildly different lengths pads every sequence to
+    * the batch max (a 10-token doc next to a 2000-token doc wastes
+    * 99.5% of its slot), so docs are first grouped into power-of-two
+    * length buckets and batches are cut WITHIN a bucket. Per doc:
+    * `(doc_id, n_tokens, bucket = ⌊log₂ n⌋, bucket_cap = 2^(b+1)−1,
+    * rank, batch_id, batch_pos)` — capacity per batch is
+    * `max(budget div bucket_cap, 1)` rows, so every batch's padded
+    * cost (rows × bucket ceiling) is ≤ budget (single-doc batches
+    * where one doc exceeds it). Order within a bucket is the
+    * [[packShards]] salted-FNV shuffle order — deterministic,
+    * partitioning-independent, and a different `salt` gives an
+    * independent epoch order.
+    *
+    * Integer discipline: the bucket is the C104/D11 binary-string
+    * length (never a libm log2); capacity/batch arithmetic is all
+    * integer division.
+    *
+    * Scale shape: the per-bucket global rank is [[packShards]]'
+    * distributed two-pass prefix sum RE-KEYED by (bucket, 256-way
+    * hash sub-bucket) — local row_number windows are bounded by
+    * ~corpus/256 rows, the (bucket, sub) offset frame is ≤ 64·256
+    * tiny rows and broadcasts; no corpus-wide or per-bucket window
+    * ever buffers. Payloads never move (id + count only); the caller
+    * joins text back by id per batch. */
+  def packLengthBuckets(df: DataFrame, id: Column, sizeCol: Column,
+                        budget: Long, salt: String = "shuffle"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val h = call_function("fnv1a64", concat(lit(salt + ":"), id.cast("string")))
+    val rows = df.select(id.as("doc_id"), sizeCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("h", h)
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .withColumn("sub", shiftrightunsigned(col("h"), 56).cast("long"))
+    // within a bucket, (sub asc, h asc) IS unsigned-h order: sub is h's
+    // top byte, and within one sub the sign bit is constant — the same
+    // argument that makes packShards' global order match the oracle's
+    // unsigned ORDER BY
+    val inSub = Window.partitionBy(col("bucket"), col("sub"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = rows.withColumn("local_pos", row_number().over(inSub).cast("long"))
+    val subTotals = rows.groupBy(col("bucket"), col("sub"))
+      .agg(count(lit(1)).as("s_rows"))
+    val off = Window.partitionBy(col("bucket")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subTotals
+      .withColumn("pos_off", coalesce(sum(col("s_rows")).over(off), lit(0L)))
+      .select(col("bucket").as("ob"), col("sub").as("os"), col("pos_off"))
+    local.join(broadcast(offsets),
+        col("bucket") === col("ob") && col("sub") === col("os"))
+      .withColumn("bucket_cap", expr("shiftleft(1L, cast(bucket + 1 as int)) - 1"))
+      .withColumn("capacity", greatest(expr(s"${budget}L div bucket_cap"), lit(1L)))
+      .withColumn("rank", col("pos_off") + col("local_pos"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bucket_cap"),
+        col("rank"),
+        expr("(rank - 1) div capacity").as("batch_id"),
+        expr("(rank - 1) % capacity").as("batch_pos"))
+  }
+
+  /** Per-source token cap (SURVEY.md §2.C110) — the domain-quota
+    * operator web-corpus recipes apply before mixing (Common Crawl
+    * derivatives cap each domain's contribution so one mirror farm or
+    * SEO host can't dominate an epoch): within each source, docs are
+    * taken in the salted-FNV shuffle order until the source's token
+    * budget is exhausted. A doc is kept iff it STARTS strictly inside
+    * the budget (`src_cum − n_tokens < budget`, the [[sampleByBudget]]
+    * boundary rule — the first straddling doc is kept whole, docs are
+    * never split), so every source contributes < budget + one doc.
+    * Emits every doc with its per-source position/cumsum and the
+    * `kept` verdict — the audit view; filter `kept` for the capped
+    * corpus.
+    *
+    * Scale shape: per-source prefix sums via the [[packShards]]
+    * two-pass discipline RE-KEYED by (source, 256-way hash
+    * sub-bucket): local windows are bounded by ~|source|/256 rows
+    * (a 10⁸-doc megadomain never buffers in one task), the
+    * (source, sub) offset frame is sources×256 small rows and
+    * broadcasts. Deterministic and partitioning-independent; a
+    * different `salt` draws an independent epoch. */
+  def capPerSource(df: DataFrame, id: Column, sizeCol: Column,
+                   groupCol: Column, budget: Long,
+                   salt: String = "shuffle"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val h = call_function("fnv1a64", concat(lit(salt + ":"), id.cast("string")))
+    val rows = df.select(id.as("doc_id"), sizeCol.cast("long").as("n_tokens"),
+        groupCol.cast("string").as("source"))
+      .filter(col("n_tokens") > 0 && col("source").isNotNull)
+      .withColumn("h", h)
+      .withColumn("sub", shiftrightunsigned(col("h"), 56).cast("long"))
+    // within a source, (sub asc, h asc) IS unsigned-h order (the
+    // packShards argument: sub is h's top byte)
+    val inSub = Window.partitionBy(col("source"), col("sub"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = rows
+      .withColumn("local_pos", row_number().over(inSub).cast("long"))
+      .withColumn("local_cum", sum(col("n_tokens")).over(inSub))
+    val subTotals = rows.groupBy(col("source"), col("sub"))
+      .agg(count(lit(1)).as("s_rows"), sum(col("n_tokens")).as("s_tokens"))
+    val off = Window.partitionBy(col("source")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subTotals
+      .withColumn("pos_off", coalesce(sum(col("s_rows")).over(off), lit(0L)))
+      .withColumn("cum_off", coalesce(sum(col("s_tokens")).over(off), lit(0L)))
+      .select(col("source").as("og"), col("sub").as("os"),
+        col("pos_off"), col("cum_off"))
+    local.join(broadcast(offsets),
+        col("source") === col("og") && col("sub") === col("os"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("pos_off") + col("local_pos")).as("src_pos"),
+        (col("cum_off") + col("local_cum")).as("src_cum"))
+      .withColumn("kept", col("src_cum") - col("n_tokens") < budget)
+  }
+
   /** Near-dup cluster resolution: run [[connectedComponents]] over a
     * dup-pair frame and emit `(doc_id, cluster_id, cluster_size)` —
     * `cluster_id` is the minimum member id (the doc a keep-first

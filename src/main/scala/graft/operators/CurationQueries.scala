@@ -338,6 +338,79 @@ object CurationQueries {
       WHERE n_tokens > 0
       ORDER BY pos, seq_id"""))
 
+  /** C110: per-source token caps at 20k tokens — the domain-quota
+    * audit view. The oracle runs the per-source running sum as one
+    * window; the Spark side's (source, sub-bucket) two-pass prefix
+    * sum must reproduce every src_pos/src_cum exactly or a kept
+    * verdict flips at the budget boundary. */
+  val qSourceCap = Q(
+    "qcuration_source_cap",
+    (s, dir) => {
+      Curation.capPerSource(
+          Tables(s, dir).documents,
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          col("source"),
+          budget = 20000L)
+        .orderBy(col("source"), col("src_pos"))
+    },
+    Some(s"""
+      WITH sized AS (SELECT doc_id, source,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents
+                     WHERE text IS NOT NULL AND source IS NOT NULL),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "source", "n_tokens"), "sized")},
+      o AS (SELECT doc_id, source, n_tokens,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY fh, doc_id)
+                AS BIGINT) AS src_pos,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS src_cum
+            FROM f WHERE n_tokens > 0)
+      SELECT doc_id, source, n_tokens, src_pos, src_cum,
+             (src_cum - n_tokens < 20000) AS kept
+      FROM o
+      ORDER BY source, src_pos"""))
+
+  /** C109: length-bucketed batching at a 4096-token padded budget.
+    * The oracle ranks within each ⌊log₂⌋ bucket directly (DuckDB can
+    * afford the per-bucket window; the Spark side's two-pass
+    * sub-bucket prefix sum must land the IDENTICAL rank for every doc
+    * or batch boundaries shift and the hash breaks). */
+  val qPackLengthBuckets = Q(
+    "qpack_length_buckets",
+    (s, dir) => {
+      Curation.packLengthBuckets(
+          Tables(s, dir).documents,
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 4096L)
+        .orderBy(col("bucket"), col("rank"))
+    },
+    Some(s"""
+      WITH sized AS (SELECT doc_id,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents WHERE text IS NOT NULL),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens"), "sized")},
+      b AS (SELECT doc_id, n_tokens,
+              CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+              fh
+            FROM f WHERE n_tokens > 0),
+      r AS (SELECT doc_id, n_tokens, bucket,
+              CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS bucket_cap,
+              CAST(row_number() OVER (PARTITION BY bucket ORDER BY fh, doc_id)
+                AS BIGINT) AS rank
+            FROM b),
+      c AS (SELECT *, GREATEST(4096 // bucket_cap, 1) AS capacity FROM r)
+      SELECT doc_id, n_tokens, bucket, bucket_cap, rank,
+             (rank - 1) // capacity AS batch_id,
+             (rank - 1) % capacity AS batch_pos
+      FROM c
+      ORDER BY bucket, rank"""))
+
   /** The end-to-end curation story in ONE oracle-checked query:
     * language filter → length filter → exact dedup → deterministic 50%
     * sample. Every filter is INTEGER-exact (predicted-language argmax
@@ -921,7 +994,8 @@ object CurationQueries {
       ORDER BY e.vec_id"""))
 
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
-    qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences, qPipeline,
+    qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences,
+    qPackLengthBuckets, qSourceCap, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem)

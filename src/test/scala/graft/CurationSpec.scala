@@ -816,4 +816,81 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("sample_rank"))
   }
+
+  test("length-bucketed batching: integer buckets, capacity, padded-cost bound") {
+    import spark.implicits._
+    // token counts hitting exact power-of-two boundaries: 1, 7, 8
+    val docs = Seq(
+      (1L, 1L), (2L, 1L),                    // bucket 0, cap 1
+      (10L, 7L), (11L, 5L), (12L, 4L),       // bucket 2, cap 7
+      (20L, 8L), (21L, 15L), (22L, 9L))      // bucket 3, cap 15
+      .toDF("doc_id", "n")
+    val got = Curation.packLengthBuckets(docs, col("doc_id"), col("n"),
+        budget = 30L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // bucket boundaries are the binary-length integers, never a libm log2
+    assert(got(1L)._1 == 0L && got(1L)._2 == 1L, s"${got(1L)}")
+    assert(got(10L)._1 == 2L && got(10L)._2 == 7L, s"${got(10L)}")
+    assert(got(20L)._1 == 3L && got(20L)._2 == 15L, s"${got(20L)}")
+    // ranks are a 1..k permutation per bucket; batch arithmetic follows
+    for (b <- Seq(0L, 2L, 3L)) {
+      val members = got.values.filter(_._1 == b).toSeq
+      assert(members.map(_._3).sorted == (1L to members.size), s"bucket $b: $members")
+      members.foreach { case (_, cap, rank, batchId, batchPos) =>
+        val capacity = math.max(30L / cap, 1L)
+        assert(batchId == (rank - 1) / capacity && batchPos == (rank - 1) % capacity,
+          s"bucket $b rank $rank")
+      }
+    }
+    // budget=30: bucket 0 capacity 30, bucket 2 capacity 4, bucket 3
+    // capacity 2 → the 3 bucket-3 docs split into 2 batches
+    assert(got.values.filter(_._1 == 3L).map(_._4).toSet == Set(0L, 1L))
+    // every batch's padded cost (rows × cap) stays within the budget
+    // whenever capacity > 1
+    val costs = got.values.groupBy(v => (v._1, v._4)).map { case ((_, _), vs) =>
+      vs.size * vs.head._2 }
+    assert(costs.forall(_ <= 30L), s"$costs")
+    // deterministic across partitioning
+    val again = Curation.packLengthBuckets(docs.repartition(7), col("doc_id"),
+        col("n"), budget = 30L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == again)
+  }
+
+  test("per-source token cap: boundary rule, independence, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L, "a"), (2L, 10L, "a"), (3L, 10L, "a"), (4L, 10L, "a"),
+      (5L, 100L, "b"),                    // single doc far over budget
+      (6L, 5L, "c"), (7L, 0L, "c"),       // zero-size doc dropped
+      (8L, 5L, null.asInstanceOf[String])) // NULL source dropped
+      .toDF("doc_id", "n", "src")
+    val got = Curation.capPerSource(docs, col("doc_id"), col("n"), col("src"),
+        budget = 25L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(!got.contains(7L) && !got.contains(8L), s"$got")
+    // source a: 4×10 tokens against budget 25 — positions 1,2 start at
+    // 0,10 (kept), position 3 starts at 20 < 25 (kept whole — the
+    // straddler), position 4 starts at 30 (dropped)
+    val a = got.collect { case (id, (s, pos, cum, kept)) if s == "a" => (pos, cum, kept) }
+      .toSeq.sortBy(_._1)
+    assert(a.map(_._2) == Seq(10L, 20L, 30L, 40L), s"$a")
+    assert(a.map(_._3) == Seq(true, true, true, false), s"$a")
+    // a single over-budget doc still enters (starts at 0)
+    assert(got(5L) == (("b", 1L, 100L, true)), s"${got(5L)}")
+    assert(got(6L) == (("c", 1L, 5L, true)), s"${got(6L)}")
+    // deterministic across partitioning
+    val again = Curation.capPerSource(docs.repartition(5), col("doc_id"),
+        col("n"), col("src"), budget = 25L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got == again)
+  }
 }
