@@ -55,7 +55,14 @@ class DeterminismSpec extends AnyFunSuite {
     "qtext_heavyhitters", "qgraph_labelprop", "qgraph_ppr", "qgraph_triangles",
     // the Gumbel top-k boundary (integer key sum over a composed DSIR
     // chain) and the exact-moment Pearson tree over edge-end degrees
-    "qcuration_dsir_sample", "qgraph_assortativity")
+    "qcuration_dsir_sample", "qgraph_assortativity",
+    // r10: the KN micro-nat type-count tree; the coreness 32-round
+    // continued peel; modularity's exact decimal contribution; the two
+    // new (group, sub-bucket) two-pass prefix sums, whose ranks/cumsums
+    // would drift under a changed partitioning if any stage leaked
+    // physical order
+    "qtext_kn_ref", "qgraph_coreness", "qgraph_modularity",
+    "qpack_length_buckets", "qcuration_source_cap")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

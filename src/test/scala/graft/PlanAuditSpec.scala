@@ -35,6 +35,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row N+V smoothing denominator of the reference LM, joined onto " +
       "the per-doc bigram partials"),
+    "qtext_kn_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
+      "1-row B+V continuation-smoothing denominator of the Kneser-Ney " +
+      "model, joined onto the per-doc bigram partials (the qtext_lm_ref " +
+      "shape)"),
+    "qgraph_modularity" -> ("crossJoin(broadcast(m1)) where m1 is the " +
+      "1-row undirected edge count, joined onto the per-community " +
+      "aggregate (community count rows, never the corpus)"),
     "qann_knn_graph" -> ("the qann_ivf_indexed broadcasts (bounded " +
       "nlist-row centroid frame in build and probe); making every corpus " +
       "vector a query adds no new join shape"),
