@@ -580,7 +580,7 @@ object Keywords {
     // fold-replaying DuckDB oracle is the proof)
     val mergeLit =
       if (table.isEmpty) array().cast("array<struct<l:string,r:string,m:string>>")
-      else array(table.map(r => struct(lit(r.getString(1)).as("l"),
+      else array(table.toIndexedSeq.map(r => struct(lit(r.getString(1)).as("l"),
         lit(r.getString(2)).as("r"), lit(r.getString(3)).as("m"))): _*)
     def symsOf(w: Column): Column = call_function("graft_bpe_segment", w, mergeLit)
     df.select(id.as("doc_id"),

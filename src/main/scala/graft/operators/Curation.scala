@@ -790,6 +790,43 @@ object Curation {
                    groupCol: Column, budget: Long,
                    salt: String = "shuffle"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    sourcePrefixSums(df, id, sizeCol, groupCol, salt)
+      .withColumn("kept", col("src_cum") - col("n_tokens") < budget)
+  }
+
+  /** [[capPerSource]] with PER-SOURCE budgets — the execution half of
+    * [[mixturePlan]] (SURVEY.md §2.C111): the plan's `alloc_tokens`
+    * frame decides how many tokens each source may contribute, this
+    * operator cuts each source at its allocation in deterministic
+    * salted-FNV order. Sources missing from `budgets` get budget 0
+    * (their rows stay in the audit view, kept = false — absence of an
+    * allocation is a decision, not a silent pass-through). Allocation
+    * is truncation-only: a source whose allocation EXCEEDS its token
+    * count (`epochs > 1` in the plan) keeps everything here, and the
+    * >1-epoch upsampling factor is the training reader's repeat
+    * count — an executor that duplicated rows would silently distort
+    * every downstream dedup/count audit.
+    *
+    * `budgets` is source-cardinality-sized (~10² rows) and rides a
+    * broadcast; everything else is the [[capPerSource]] shape. */
+  def capPerSourceBudgets(df: DataFrame, id: Column, sizeCol: Column,
+                          groupCol: Column,
+                          budgets: DataFrame, budgetSource: Column,
+                          budgetTokens: Column,
+                          salt: String = "shuffle"): DataFrame = {
+    val b = budgets.select(budgetSource.cast("string").as("source"),
+      budgetTokens.cast("long").as("src_budget"))
+    sourcePrefixSums(df, id, sizeCol, groupCol, salt)
+      .join(broadcast(b), Seq("source"), "left")
+      .withColumn("src_budget", coalesce(col("src_budget"), lit(0L)))
+      .withColumn("kept", col("src_cum") - col("n_tokens") < col("src_budget"))
+  }
+
+  /** The shared (source, 256-way sub-bucket) two-pass prefix sum under
+    * C110/C111: `(doc_id, source, n_tokens, src_pos, src_cum)` in
+    * salted-FNV order within each source. */
+  private def sourcePrefixSums(df: DataFrame, id: Column, sizeCol: Column,
+                               groupCol: Column, salt: String): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val h = call_function("fnv1a64", concat(lit(salt + ":"), id.cast("string")))
     val rows = df.select(id.as("doc_id"), sizeCol.cast("long").as("n_tokens"),
@@ -818,7 +855,6 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("pos_off") + col("local_pos")).as("src_pos"),
         (col("cum_off") + col("local_cum")).as("src_cum"))
-      .withColumn("kept", col("src_cum") - col("n_tokens") < budget)
   }
 
   /** Near-dup cluster resolution: run [[connectedComponents]] over a

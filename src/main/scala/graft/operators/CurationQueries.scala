@@ -374,6 +374,58 @@ object CurationQueries {
       FROM o
       ORDER BY source, src_pos"""))
 
+  /** C111: mixture-plan EXECUTION — the C59 temperature plan's
+    * per-source token allocations applied by C110's deterministic
+    * per-source truncation, composed end to end in one query (plan →
+    * allocation frame → capped corpus audit view). The oracle chains
+    * both proven formulations: the sqrt-weight/share/trunc allocation
+    * arithmetic, then the per-source running-sum cut against it.
+    * Budget 200k at α = ½ makes big sources truncate and small ones
+    * keep everything (epochs > 1 stays the reader's repeat factor —
+    * the executor never duplicates rows). */
+  val qMixApply = Q(
+    "qmix_apply",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val plan = Curation.mixturePlan(d, col("source"), col("n_chars"),
+        budget = 200000L, sqrtTimes = 1)
+      Curation.capPerSourceBudgets(
+          d, col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          col("source"),
+          plan, col("source"), col("alloc_tokens"))
+        .orderBy(col("source"), col("src_pos"))
+    },
+    Some(s"""
+      WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+      w AS (SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                        AS w_micro FROM t),
+      sw AS (SELECT SUM(w_micro) AS wt FROM w),
+      alloc AS (SELECT source,
+              CAST(trunc((CAST(w_micro AS DOUBLE) / CAST(wt AS DOUBLE))
+                         * CAST(200000 AS DOUBLE)) AS BIGINT) AS src_budget
+            FROM w, sw),
+      sized AS (SELECT doc_id, source,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents
+                     WHERE text IS NOT NULL AND source IS NOT NULL),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "source", "n_tokens"), "sized")},
+      o AS (SELECT doc_id, source, n_tokens,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY fh, doc_id)
+                AS BIGINT) AS src_pos,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS src_cum
+            FROM f WHERE n_tokens > 0)
+      SELECT o.doc_id, o.source, o.n_tokens, o.src_pos, o.src_cum,
+             CAST(COALESCE(alloc.src_budget, 0) AS BIGINT) AS src_budget,
+             (o.src_cum - o.n_tokens < COALESCE(alloc.src_budget, 0)) AS kept
+      FROM o LEFT JOIN alloc USING (source)
+      ORDER BY o.source, o.src_pos"""))
+
   /** C109: length-bucketed batching at a 4096-token padded budget.
     * The oracle ranks within each ⌊log₂⌋ bucket directly (DuckDB can
     * afford the per-bucket window; the Spark side's two-pass
@@ -995,7 +1047,7 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences,
-    qPackLengthBuckets, qSourceCap, qPipeline,
+    qPackLengthBuckets, qSourceCap, qMixApply, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem)

@@ -180,7 +180,7 @@ object Layout {
     val keys = increment.select(col(key))
     val survivors = base.join(
       if (broadcastIncrement) broadcast(keys) else keys, Seq(key), "left_anti")
-    survivors.unionByName(increment.select(base.columns.map(col): _*))
+    survivors.unionByName(increment.select(base.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Write `df` as a hash-bucketed (and per-bucket sorted) parquet

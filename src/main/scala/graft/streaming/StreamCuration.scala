@@ -60,7 +60,7 @@ object StreamCuration {
         gate.minStopwords)
       .filter(col("passes"))
       .withColumn("clean", TextFunctions.redactPii(col("__txt")))
-    gated.select(df.columns.map(col) :+ col("clean"): _*)
+    gated.select(df.columns.toIndexedSeq.map(col) :+ col("clean"): _*)
   }
 
   /** Full streaming preprocess: gate + scrub, then streaming exact

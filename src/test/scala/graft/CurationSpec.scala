@@ -893,4 +893,25 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(got == again)
   }
+
+  test("per-source budget frame: allocations apply, missing source means 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L, "a"), (2L, 10L, "a"), (3L, 10L, "a"),
+      (4L, 10L, "b"), (5L, 10L, "b"),
+      (6L, 10L, "c")).toDF("doc_id", "n", "src")
+    // a: budget 15 → straddler rule keeps 2 of 3; b: over-allocated
+    // (epochs > 1) keeps everything; c: NO allocation row → budget 0
+    val budgets = Seq(("a", 15L), ("b", 100L)).toDF("s", "alloc")
+    val got = Curation.capPerSourceBudgets(docs, col("doc_id"), col("n"),
+        col("src"), budgets, col("s"), col("alloc"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getString(0), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got.values.count(v => v._1 == "a" && v._3) == 2, s"$got")
+    assert(got.values.filter(_._1 == "b").forall(_._3), s"$got")
+    // c's rows stay in the audit view, budget 0, kept = false
+    val c = got.values.filter(_._1 == "c")
+    assert(c.size == 1 && c.forall(v => v._2 == 0L && !v._3), s"$got")
+  }
 }

@@ -62,7 +62,7 @@ class DeterminismSpec extends AnyFunSuite {
     // would drift under a changed partitioning if any stage leaked
     // physical order
     "qtext_kn_ref", "qgraph_coreness", "qgraph_modularity",
-    "qpack_length_buckets", "qcuration_source_cap")
+    "qpack_length_buckets", "qcuration_source_cap", "qmix_apply")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

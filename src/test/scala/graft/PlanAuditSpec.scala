@@ -42,6 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qgraph_modularity" -> ("crossJoin(broadcast(m1)) where m1 is the " +
       "1-row undirected edge count, joined onto the per-community " +
       "aggregate (community count rows, never the corpus)"),
+    "qmix_apply" -> ("EMBEDS the qmix_plan allocation chain (same 1-row " +
+      "weight-total broadcast onto the ~10^2-row per-source frame); the " +
+      "execution side adds only source-keyed equi-joins"),
     "qann_knn_graph" -> ("the qann_ivf_indexed broadcasts (bounded " +
       "nlist-row centroid frame in build and probe); making every corpus " +
       "vector a query adds no new join shape"),
