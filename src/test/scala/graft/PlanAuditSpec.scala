@@ -150,10 +150,26 @@ class PlanAuditSpec extends AnyFunSuite {
   // only their post-checkpoint tail here. Their upstream pair
   // pipeline is audited twice anyway: via qdedup_simhash (same plan,
   // un-checkpointed) and explicitly below.
-  private lazy val planStrings: Seq[(String, String)] =
+  private lazy val physicalPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+      name -> fn(spark, sf).queryExecution.executedPlan
     }
+
+  private lazy val planStrings: Seq[(String, String)] =
+    physicalPlans.map { case (name, p) => name -> p.toString }
+
+  /** Pre-order flatten that descends through the AQE wrapper (a
+    * LeafExecNode whose real tree hangs off `inputPlan`, invisible to
+    * `children`-based collect). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>
@@ -197,6 +213,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"whole-partition-buffering window frames planned:\n${offenders.mkString("\n")}")
   }
 
+  // Third guard class (round-10): a PARTITION-LESS window funnels the
+  // entire input through ONE task — the r9 bench tail was wall-to-wall
+  // "No Partition Defined for Window operation" warnings. The shape is
+  // fine only when the single task provably sees a BOUNDED row count:
+  // (a) Spark's WindowGroupLimitExec rescue (a rank ≤ k filter plants
+  // a partial top-k BEFORE the window, so only ~k·partitions rows
+  // reach it), or (b) a global top-k / limit node below the window
+  // (TakeOrderedAndProject / GlobalLimit — the row_number-filter and
+  // .limit(k) shapes). Both are detected mechanically; anything else
+  // must be allowlisted with the bound spelled out.
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "qpack_shards" -> ("the partition-less prefix-sum window runs over " +
+      "bucketTotals — ≤256 rows by construction (top-8-bit hash buckets); " +
+      "the corpus itself takes the bucket-PARTITIONED windows"),
+    "qpack_sequences" -> ("same two-pass prefix-sum: the global window " +
+      "orders the per-(bucket, sub) totals frame — ≤ 64·256 rows by " +
+      "construction — while corpus rows stay in partitioned windows"),
+    "qsample_budget" -> ("embeds the packShards offset chain: the " +
+      "partition-less window sums the ≤256-row bucket-totals frame, " +
+      "never the corpus")
+  )
+
+  private def unrescuedGlobalWindow(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    flatten(plan).exists {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        !flatten(w.child).exists {
+          case g: WindowGroupLimitExec     => g.partitionSpec.isEmpty
+          case _: TakeOrderedAndProjectExec => true
+          case _: GlobalLimitExec           => true
+          case _: CollectLimitExec          => true
+          case _                            => false
+        }
+      case _ => false
+    }
+  }
+
+  test("every partition-less window is top-k-rescued or allowlisted") {
+    val offenders = physicalPlans.flatMap { case (name, plan) =>
+      if (unrescuedGlobalWindow(plan) && !globalWindowAllowed.contains(name))
+        Some(s"$name plans an unrescued partition-less window (single-task funnel)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows without a bounded-input rescue:\n${offenders.mkString("\n")}")
+  }
+
   test("allowlists are self-cleaning: every entry names a query that plans its shape") {
     // a stale/misspelled entry is a permanent silent exemption — the
     // exact class of future bug these audits exist to catch
@@ -210,6 +274,14 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plans.contains(name), s"unboundedWindowAllowed entry '$name' is not a registered query")
       assert(plans(name).contains("unboundedfollowing$()"),
         s"unboundedWindowAllowed entry '$name' no longer plans an unbounded frame — drop the exemption ($why)")
+    }
+    locally {
+      val byName = physicalPlans.toMap
+      for ((name, why) <- globalWindowAllowed) {
+        assert(byName.contains(name), s"globalWindowAllowed entry '$name' is not a registered query")
+        assert(unrescuedGlobalWindow(byName(name)),
+          s"globalWindowAllowed entry '$name' no longer plans an unrescued global window — drop the exemption ($why)")
+      }
     }
   }
 
