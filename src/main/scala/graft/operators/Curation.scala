@@ -641,11 +641,18 @@ object Curation {
     * global ordering.
     */
   def packShards(df: DataFrame, id: Column, sizeCol: Column, budget: Long,
-                 salt: String = "shuffle"): DataFrame = {
+                 salt: String = "shuffle",
+                 carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val reserved = Set("doc_id", "n_tokens", "h", "bucket", "pos", "cum", "shard")
+    require(carry.forall(c => !reserved.contains(c._1)),
+      s"carry column names clash with packShards' own: ${carry.map(_._1)}")
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val h = call_function("fnv1a64", concat(lit(salt + ":"), id.cast("string")))
-    val rows = df.select(id.as("doc_id"), sizeCol.cast("long").as("n_tokens"))
+    // carry columns ride the row through both passes (no join-back to
+    // recover them — at scale a second corpus shuffle)
+    val rows = df.select(id.as("doc_id") +: sizeCol.cast("long").as("n_tokens") +:
+        carry.map { case (nm, c) => c.as(nm) }: _*)
       .withColumn("h", h)
       .withColumn("bucket", shiftrightunsigned(col("h"), 56).cast("long"))
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
@@ -661,10 +668,11 @@ object Curation {
       .withColumn("cum_off", coalesce(sum(col("b_tokens")).over(off), lit(0L)))
       .select(col("bucket").as("ob"), col("pos_off"), col("cum_off"))
     local.join(broadcast(offsets), col("bucket") === col("ob"))
-      .select(col("doc_id"),
-        (col("pos_off") + col("local_pos")).as("pos"),
-        col("n_tokens"),
-        (col("cum_off") + col("local_cum")).as("cum"))
+      .select(col("doc_id") +:
+        (col("pos_off") + col("local_pos")).as("pos") +:
+        col("n_tokens") +:
+        (col("cum_off") + col("local_cum")).as("cum") +:
+        carry.map { case (nm, _) => col(nm) }: _*)
       .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
   }
 
@@ -820,6 +828,43 @@ object Curation {
       .join(broadcast(b), Seq("source"), "left")
       .withColumn("src_budget", coalesce(col("src_budget"), lit(0L)))
       .withColumn("kept", col("src_cum") - col("n_tokens") < col("src_budget"))
+  }
+
+  /** One-call training-epoch assembly (SURVEY.md §2.C113): the
+    * end-to-end composition a training run actually executes —
+    * temperature [[mixturePlan]] decides each source's token
+    * allocation, [[capPerSourceBudgets]] cuts every source at its
+    * allocation in deterministic shuffle order, and [[packShards]]
+    * lays the surviving docs into fixed-budget shards — returned as
+    * the SHARD MANIFEST `(shard, n_docs, shard_tokens, n_sources,
+    * first_pos, last_pos)` the data loader reads to plan an epoch
+    * (per-doc layout is [[packShards]]' own contract, available by
+    * running the stages separately). Every stage is its proven single
+    * definition; this operator adds only the wiring, so a manifest
+    * mismatch isolates to a stage, not the composition.
+    *
+    * Scale shape: three corpus passes, all map-heavy — the plan is
+    * one partial agg to a ~10²-row frame; the cap and the pack are
+    * the shared two-pass prefix-sum discipline (sub-bucketed windows,
+    * broadcast offset frames, no corpus-wide window); `source` rides
+    * [[packShards]]' carry columns so no join-back shuffle recovers
+    * it. The manifest aggregate itself is shard-keyed — output rows
+    * = corpus tokens / shardBudget. */
+  def epochPack(df: DataFrame, id: Column, sizeCol: Column, source: Column,
+                tokenBudget: Long, sqrtTimes: Int, shardBudget: Long,
+                salt: String = "shuffle"): DataFrame = {
+    val plan = mixturePlan(df, source, sizeCol, tokenBudget, sqrtTimes)
+    val capped = capPerSourceBudgets(df, id, sizeCol, source,
+      plan, col("source"), col("alloc_tokens"), salt)
+    val kept = capped.filter(col("kept"))
+    val packed = packShards(kept, col("doc_id"), col("n_tokens"), shardBudget,
+      salt, carry = Seq("source" -> col("source")))
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
   }
 
   /** The shared (source, 256-way sub-bucket) two-pass prefix sum under
@@ -1003,6 +1048,67 @@ object Curation {
       .join(broadcast(evalGrams), "gram_h")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram_h")).as("shared_grams"))
+  }
+
+  /** Span-level benchmark contamination audit (SURVEY.md §2.C112):
+    * WHERE in each document the eval-set overlap sits, as maximal
+    * merged token spans — the evidence view behind [[contamination]]'s
+    * per-doc count. A count says "doc 17 shares 40 grams"; the span
+    * table says "tokens 120..215 are a verbatim benchmark passage,
+    * tokens 3..10 an incidental idiom" — which is what decides
+    * between dropping the doc and surgically trimming it (the C34/
+    * passage-removal distinction, applied to eval leakage). Emits one
+    * row per span: `(doc_id, span_start, span_end, span_tokens,
+    * n_grams)` — token offsets 0-based inclusive, `n_grams` = matched
+    * n-grams merged into the span.
+    *
+    * A matched n-gram at token position p covers [p, p+n−1]; two
+    * matches merge iff the next starts within or immediately after
+    * the previous gram's span (`pos ≤ prev + n` — overlapping or
+    * token-contiguous coverage is ONE passage). The merge is the
+    * classic gaps-and-islands: a lag-flag marks span starts, a
+    * running sum numbers the islands, one grouped aggregate collapses
+    * them — all windows PARTITIONED BY doc_id with running
+    * (unbounded-preceding..current) frames, never whole-partition
+    * buffers.
+    *
+    * Scale shape: the eval side is distinct-ed, hashed to xxhash64
+    * and broadcast exactly as in [[contamination]] (one shared
+    * discipline — 8 bytes per gram); corpus grams are probed
+    * map-side and only HIT positions (doc_id, pos — 16 bytes) ever
+    * shuffle, into doc-partitioned windows bounded by per-doc hit
+    * counts. */
+  def contaminationSpans(corpus: DataFrame, id: Column, text: Column,
+                         evalSet: DataFrame, evalText: Column,
+                         n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val evalGrams = evalSet
+      .select(explode(Dedup.wordShingles(evalText, n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
+      .distinct()
+    // positional grams: posexplode of the NON-distinct shingle array
+    // keeps one row per token offset (array_distinct would shift them)
+    val hits = corpus
+      .select(id.as("doc_id"),
+        posexplode(Dedup.wordShingles(text, n, distinct = false)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("gram_h"))
+      .join(broadcast(evalGrams), "gram_h")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__new_span",
+        when(lag(col("pos"), 1).over(byPos).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byPos) + n, 1L).otherwise(0L))
+      .withColumn("__span_idx", sum(col("__new_span")).over(run))
+      .groupBy(col("doc_id"), col("__span_idx"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
   }
 
   /** Corpus snapshot diff (SURVEY.md §2.C63): per-document status of

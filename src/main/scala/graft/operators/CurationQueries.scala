@@ -1045,10 +1045,109 @@ object CurationQueries {
       FROM e LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (vec_id)
       ORDER BY e.vec_id"""))
 
+  /** Span-level contamination audit (C112): same eval set as
+    * qcuration_contam (every 97th doc), but the output is the WHERE —
+    * maximal merged token spans of 8-gram overlap. The oracle matches
+    * gram STRINGS where Spark matches xxhash64 hashes (the C22
+    * argument: counting/merging hashes equals strings up to ~1e-11
+    * collision odds) and mirrors the lag-flag/running-sum island
+    * merge window-for-window. */
+  val qContamSpans = Q(
+    "qcuration_contam_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Curation.contaminationSpans(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8),
+      eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+      h AS (SELECT g.doc_id, g.pos FROM grams g JOIN eg USING (gram)),
+      fl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                    THEN 1 ELSE 0 END AS fstart
+             FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      sp AS (SELECT doc_id, pos,
+               SUM(fstart) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_idx
+             FROM fl)
+      SELECT doc_id, MIN(pos) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+             CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM sp GROUP BY doc_id, span_idx
+      ORDER BY doc_id, span_start"""))
+
+  /** One-call epoch assembly (C113): mixture plan at α = ½ over a
+    * 15k-token budget (every source truncates at this corpus — the
+    * keep-everything branch is qmix_apply's), per-source cap in
+    * salted-FNV order, 1500-token shard packing, shard manifest. The
+    * oracle chains the three proven formulations (qmix_plan's
+    * sqrt/share/trunc arithmetic, qmix_apply's per-source running-sum
+    * cut, qpack_shards' unsigned-FNV global prefix sum) into one
+    * end-to-end check — a mismatch in ANY stage moves shard
+    * boundaries and breaks the hash. */
+  val qPackEpoch = Q(
+    "qpack_epoch",
+    (s, dir) => {
+      Curation.epochPack(
+          Tables(s, dir).documents,
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          col("source"),
+          tokenBudget = 15000L, sqrtTimes = 1, shardBudget = 1500L)
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, source, text,
+                     CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+      t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s_tokens
+            FROM tok GROUP BY source),
+      w AS (SELECT source,
+              CAST(ROUND(sqrt(CAST(s_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+            FROM t),
+      sw AS (SELECT SUM(w_micro) AS wt FROM w),
+      alloc AS (SELECT source,
+              CAST(trunc((CAST(w_micro AS DOUBLE) / CAST(wt AS DOUBLE))
+                         * CAST(15000 AS DOUBLE)) AS BIGINT) AS src_budget
+            FROM w, sw),
+      sized AS (SELECT doc_id, source, n_tokens FROM tok
+                WHERE text IS NOT NULL AND source IS NOT NULL),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "source", "n_tokens"), "sized")},
+      o AS (SELECT doc_id, source, n_tokens, fh,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS src_cum
+            FROM f WHERE n_tokens > 0),
+      kept AS (SELECT o.doc_id, o.source, o.n_tokens, o.fh
+               FROM o LEFT JOIN alloc USING (source)
+               WHERE o.src_cum - o.n_tokens < COALESCE(alloc.src_budget, 0)),
+      p AS (SELECT doc_id, source, n_tokens,
+              CAST(row_number() OVER (ORDER BY fh, doc_id) AS BIGINT) AS pos,
+              CAST(SUM(n_tokens) OVER (ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM kept),
+      sh AS (SELECT *, (cum - n_tokens) // 1500 AS shard FROM p)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             MIN(pos) AS first_pos, MAX(pos) AS last_pos
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[Q] = Seq(qSampleHash, qSampleMix, qSampleGroupTopK, qClusters,
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences,
     qPackLengthBuckets, qSourceCap, qMixApply, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
-    qSampleWeightedGroup, qDsir, qDsirSample, qContamSem)
+    qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans, qPackEpoch)
 }

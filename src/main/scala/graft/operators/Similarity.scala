@@ -40,6 +40,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** kNN majority-vote label spreading (SURVEY.md §2.C114) — the
+    * semi-supervised step that turns a small human/LLM-labeled seed
+    * set into corpus-scale labels (quality tiers, topics, safety
+    * classes): each unlabeled vector takes the most common label
+    * among its k nearest LABELED neighbors by cosine. Returns
+    * `(vec_id, pred_label, votes)`; ties break deterministically to
+    * the lexicographically smallest label (and the neighbor ranking
+    * itself ties to the smallest id — [[bruteTopK]]'s contract).
+    *
+    * Scale shape: the kNN search is [[bruteTopK]] (labeled corpus
+    * scans ONCE map-side against the broadcast query batch); the
+    * label attach inverts the join — the |queries|·k result frame
+    * broadcasts and the labeled corpus is probed map-side again, so
+    * nothing corpus-sized ever shuffles. The vote itself aggregates
+    * ≤ |queries|·k rows. For labeling an entire corpus (queries too
+    * big to broadcast), run the same vote over
+    * [[ivfTopKAgainstIndex]] batches instead — label spreading is
+    * embarrassingly batchable because queries never interact. */
+  def knnLabel(labeled: DataFrame, id: Column, vec: Column, label: Column,
+               queries: DataFrame, queryId: Column, queryVec: Column,
+               k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val top = bruteTopK(labeled, id, vec, queries, queryId, queryVec, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = labeled
+      .select(id.as("neighbor_id"), label.cast("string").as("label"))
+      .join(broadcast(top), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("__vr", row_number().over(w))
+      .filter(col("__vr") === 1)
+      .select(col("query_id").as("vec_id"), col("label").as("pred_label"),
+        col("votes"))
+  }
+
   /** Exact max-inner-product search (SURVEY.md §2.C58): top-k neighbors
     * per query by INNER PRODUCT, not cosine — the scoring a two-tower
     * retrieval / recommender serving path needs, where vector norms

@@ -1254,8 +1254,50 @@ object SimilarityQueries {
         END AS ari
       FROM tot"""))
 
+  /** kNN label spreading (C114): vectors at vec_id % 7 == 0 stand in
+    * as the labeled seed set (label `c(vec_id % 3)` — arbitrary but
+    * deterministic classes; the vote machinery is what's under test),
+    * a bounded unlabeled batch takes the majority label of its 7
+    * nearest seeds. The oracle mirrors qann_brute_topk's proven
+    * cosine/rank formulation, then the vote and the
+    * (votes desc, label asc) argmax. */
+  val qKnnLabel = Q(
+    "qvec_knn_label",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.knnLabel(
+          e.filter(col("vec_id") % 7 === 0), col("vec_id"), col("embedding"),
+          concat(lit("c"), col("vec_id") % 3),
+          e.filter(col("vec_id") % 7 =!= 0 && col("vec_id") < 60),
+          col("vec_id"), col("embedding"),
+          k = 7)
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      l AS (SELECT vec_id, 'c' || CAST(vec_id % 3 AS VARCHAR) AS label, v
+            FROM e WHERE vec_id % 7 = 0),
+      q AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0 AND vec_id < 60),
+      scored AS (
+        SELECT q.vec_id AS query_id, l.vec_id AS neighbor_id, l.label,
+               list_cosine_similarity(l.v, q.v) AS cos
+        FROM l JOIN q ON l.vec_id != q.vec_id),
+      r AS (SELECT query_id, label,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored),
+      votes AS (SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+                FROM r WHERE rank <= 7 GROUP BY query_id, label),
+      top AS (SELECT query_id, label, votes,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, label) AS vr
+              FROM votes)
+      SELECT query_id AS vec_id, label AS pred_label, votes
+      FROM top WHERE vr = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qKnnGraph, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
+    qKnnLabel, qKnnGraph, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
     qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

@@ -312,6 +312,95 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("contaminationSpans: merged maximal spans, contiguity boundary, clean docs absent") {
+    import spark.implicits._
+    val passage = "a b c d e f g h" // 8 tokens → exactly one 8-gram
+    val long = "a b c d e f g h i j" // 10 tokens → grams at pos 0,1,2
+    val corpus = Seq(
+      // passage embedded at token offset 2 → one span [2, 11] of 3 grams
+      (1L, "p q " + long),
+      // two copies separated by ONE filler token: matches at pos 0 and 9,
+      // 9 > 0 + 8 → TWO spans, [0,7] and [9,16]
+      (2L, passage + " z " + passage),
+      // two copies back-to-back: matches at pos 0 and 8 = prev + n —
+      // token-contiguous coverage, ONE span [0,15] of 2 grams
+      (3L, passage + " " + passage),
+      (4L, "totally different words that never overlap with the eval set at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq((0L, long)).toDF("doc_id", "text")
+    val got = Curation.contaminationSpans(corpus, col("doc_id"), col("text"),
+        eval, col("text"), n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 11L, 10L, 3L),
+      (2L, 0L, 7L, 8L, 1L), (2L, 9L, 16L, 8L, 1L),
+      (3L, 0L, 15L, 16L, 2L)))
+  }
+
+  test("packShards carry columns ride through identically to a join-back") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, "web"), (2L, 13L, "web"), (3L, 7L, "code"),
+      (4L, 8L, "code"), (5L, 3L, "books")).toDF("doc_id", "n", "src")
+    val carried = Curation.packShards(df, col("doc_id"), col("n"), 10L,
+        carry = Seq("src" -> col("src")))
+      .select("doc_id", "pos", "n_tokens", "cum", "shard", "src")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    val joined = Curation.packShards(df, col("doc_id"), col("n"), 10L)
+      .join(df.select(col("doc_id"), col("src")), "doc_id")
+      .select("doc_id", "pos", "n_tokens", "cum", "shard", "src")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(carried == joined && carried.size == 5)
+    // reserved names cannot be shadowed by a carry column
+    intercept[IllegalArgumentException] {
+      Curation.packShards(df, col("doc_id"), col("n"), 10L,
+        carry = Seq("pos" -> col("src")))
+    }
+  }
+
+  test("epochPack manifest equals the staged plan→cap→pack composition") {
+    import spark.implicits._
+    val df = (1L to 40L).map { i =>
+      val src = if (i % 3 == 0) "code" else if (i % 3 == 1) "web" else "books"
+      (i, s"doc $i", src, 10L + (i % 7))
+    }.toDF("doc_id", "title", "source", "n")
+    val manifest = Curation.epochPack(df, col("doc_id"), col("n"), col("source"),
+        tokenBudget = 300L, sqrtTimes = 1, shardBudget = 64L)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // the staged composition, run stage by stage with the proven pieces
+    val plan = Curation.mixturePlan(df, col("source"), col("n"), 300L, 1)
+    val kept = Curation.capPerSourceBudgets(df, col("doc_id"), col("n"),
+        col("source"), plan, col("source"), col("alloc_tokens"))
+      .filter(col("kept"))
+    val packed = Curation.packShards(kept, col("doc_id"), col("n_tokens"), 64L,
+      carry = Seq("source" -> col("source")))
+    val want = packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(manifest.toSeq == want.toSeq)
+
+    // manifest invariants: shards contiguous from 0; positions tile 1..N
+    // gap-free; every shard but the last holds ≥ the budget's floor
+    assert(manifest.map(_._1).toSeq == manifest.indices.map(_.toLong))
+    val n = manifest.map(_._2).sum
+    assert(manifest.head._5 == 1L && manifest.last._6 == n)
+    manifest.zip(manifest.drop(1)).foreach { case (a, b) =>
+      assert(b._5 == a._6 + 1, s"shard ${b._1} first_pos")
+    }
+    // the mixture cap actually cut something (the fixture over-subscribes)
+    assert(n < 40L)
+  }
+
   test("hash sample is deterministic and bucket-bounded") {
     val t = graft.sources.Tables(spark, sf)
     val one = Curation.sampleByHash(t.documents.select(col("doc_id")), col("doc_id"), 37)

@@ -137,7 +137,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "qtext_bm25" -> ("crossJoin(broadcast(stats)) where stats is the 1-row " +
       "(n_docs, total_tokens) index summary — the qtext_tfidf shape; the " +
       "postings and dl joins are term-/doc-keyed equi-joins and the query " +
-      "set is a bounded broadcast")
+      "set is a bounded broadcast"),
+    "qpack_epoch" -> ("EMBEDS the qmix_plan allocation chain (same 1-row " +
+      "weight-total crossJoin over the per-source frame); the cap and pack " +
+      "stages themselves join only broadcast offset/allocation frames on " +
+      "equi-keys"),
+    "qvec_knn_label" -> ("embeds qann_brute_topk for the seed-neighbor " +
+      "search (bounded query batch broadcast, labeled corpus scanned once " +
+      "map-side); the label attach and vote are |queries|*k-row equi-joins")
   )
 
   // ONE registry pass shared by every audit below: building a cluster
@@ -232,7 +239,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "construction — while corpus rows stay in partitioned windows"),
     "qsample_budget" -> ("embeds the packShards offset chain: the " +
       "partition-less window sums the ≤256-row bucket-totals frame, " +
-      "never the corpus")
+      "never the corpus"),
+    "qpack_epoch" -> ("embeds packShards after the mixture cap: the " +
+      "partition-less window is the same ≤256-row bucket-totals offset " +
+      "sum; capped corpus rows stay in (bucket)-partitioned windows")
   )
 
   private def unrescuedGlobalWindow(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {

@@ -21,6 +21,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("knnLabel: majority vote, vote counts, and lexicographic tie-break") {
+    import spark.implicits._
+    // two well-separated labeled clusters in 2D: x-axis = "a", y-axis = "b"
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.95f, 0.05f), "a"),
+      (3L, Array(0.9f, 0.1f), "a"),
+      (4L, Array(0.0f, 1.0f), "b"), (5L, Array(0.05f, 0.95f), "b"),
+      (6L, Array(0.1f, 0.9f), "b")).toDF("vec_id", "embedding", "lbl")
+    val queries = Seq(
+      (10L, Array(1.0f, 0.02f)),  // firmly in the "a" cluster
+      (11L, Array(0.02f, 1.0f))   // firmly in the "b" cluster
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnLabel(labeled, col("vec_id"), col("embedding"),
+        col("lbl"), queries, col("vec_id"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((10L, "a", 3L), (11L, "b", 3L)))
+
+    // k=2 on a mid-diagonal query: nearest two are one from each cluster
+    // (1 vote each) — the tie must go to the lexicographically smallest
+    // label, deterministically, not to whichever partition answered first
+    val mid = Seq((12L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val tie = Similarity.knnLabel(labeled, col("vec_id"), col("embedding"),
+        col("lbl"), mid, col("vec_id"), col("embedding"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(tie.toSeq == Seq((12L, "a", 1L)))
+  }
+
   test("lshTopK recall@5 vs brute force is high on test embeddings") {
     val e = Tables(spark, sf).embeddings
     val q = e.filter(col("vec_id") < 10)
