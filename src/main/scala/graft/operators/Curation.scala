@@ -1081,19 +1081,8 @@ object Curation {
   def contaminationSpans(corpus: DataFrame, id: Column, text: Column,
                          evalSet: DataFrame, evalText: Column,
                          n: Int = 8): DataFrame = {
-    require(n >= 1, s"n must be positive, got $n")
-    val evalGrams = evalSet
-      .select(explode(Dedup.wordShingles(evalText, n)).as("gram"))
-      .select(xxhash64(col("gram")).as("gram_h"))
-      .distinct()
-    // positional grams: posexplode of the NON-distinct shingle array
-    // keeps one row per token offset (array_distinct would shift them)
-    val hits = corpus
-      .select(id.as("doc_id"),
-        posexplode(Dedup.wordShingles(text, n, distinct = false)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("col")).as("gram_h"))
-      .join(broadcast(evalGrams), "gram_h")
+    val hits = contaminationHits(corpus, id, text, evalSet, evalText, n)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1109,6 +1098,88 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
+  }
+
+  /** The shared eval-overlap probe under C22/C112/C115: `(doc_id, pos)`
+    * rows for every corpus token offset whose word-n-gram occurs in the
+    * eval set. Eval grams distinct → xxhash64 → 8-byte broadcast (the
+    * C22 discipline); corpus positional grams (posexplode of the
+    * NON-distinct shingle array — array_distinct would shift offsets)
+    * probe map-side, so only HIT positions ever shuffle. */
+  private def contaminationHits(corpus: DataFrame, id: Column, text: Column,
+                                evalSet: DataFrame, evalText: Column,
+                                n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val evalGrams = evalSet
+      .select(explode(Dedup.wordShingles(evalText, n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
+      .distinct()
+    corpus
+      .select(id.as("doc_id"),
+        posexplode(Dedup.wordShingles(text, n, distinct = false)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram_h"))
+      .join(broadcast(evalGrams), "gram_h")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Benchmark-contamination REMOVAL (SURVEY.md §2.C115) — the surgery
+    * [[contaminationSpans]]' evidence view exists to drive, when the
+    * decision is trim-not-drop: rewrite each corpus document to delete
+    * every token covered by an eval-set-matched word-n-gram, keeping
+    * the rest (the C41 rewrite discipline applied to eval leakage
+    * instead of cross-document duplication). Survivor tokens re-join
+    * with single spaces; documents with no eval overlap return
+    * BYTE-IDENTICAL through the short-circuit branch — a fully
+    * contaminated doc (an eval member leaked verbatim) comes back as
+    * the empty string with every token counted removed. Returns
+    * `(doc_id, clean, removed_tokens)`.
+    *
+    * Scale shape: the probe is [[contaminationHits]] (hashed broadcast
+    * eval side, map-side probe — only hit positions shuffle); hit
+    * offsets collect into per-doc sorted start arrays (ints, bounded
+    * by doc length) and equi-join back to the corpus by id; the
+    * rewrite is the shared one-map-stage C41 kernel. */
+  def contaminationRemove(corpus: DataFrame, id: Column, text: Column,
+                          evalSet: DataFrame, evalText: Column,
+                          n: Int = 8): DataFrame = {
+    val starts = contaminationHits(corpus, id, text, evalSet, evalText, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    Dedup.removeCoveredTokens(
+      corpus.select(id.as("doc_id"), text.as("doc_text")), starts, n)
+  }
+
+  /** Cross-split leakage audit (SURVEY.md §2.C116) — the measurement
+    * that justifies (or indicts) a train/val/test split: given a
+    * near-duplicate PAIR frame and a split ASSIGNMENT, count every
+    * pair by the (unordered) split combination of its endpoints.
+    * Off-diagonal rows ARE the leakage — a test doc whose near-twin
+    * sits in train inflates eval scores without the model generalizing
+    * (the failure C40's cluster-aware split exists to prevent; this
+    * audit proves a given assignment's exposure, e.g. before adopting
+    * an inherited split). Returns `(split_a, split_b, n_pairs,
+    * leaked)` with `split_a ≤ split_b` lexicographically so symmetric
+    * combinations collapse to one row; pairs with an endpoint missing
+    * from the assignment are excluded (audit the assigned population,
+    * not the pair generator's domain).
+    *
+    * Scale shape: two id-keyed equi-joins of the pair frame (8-byte
+    * ids) against the assignment — the corpus-sized side shuffles by
+    * id once per endpoint, the pair side is usually the small side
+    * (AQE broadcast); the aggregate lands on ≤ |splits|² rows with
+    * map-side partials. Nothing corpus-sized crosses twice. */
+  def splitLeakage(pairs: DataFrame, a: Column, b: Column,
+                   assign: DataFrame, id: Column, split: Column): DataFrame = {
+    val asg = assign.select(id.as("__sl_id"), split.cast("string").as("__sl_split"))
+    pairs.select(a.as("__pa"), b.as("__pb"))
+      .join(asg, col("__pa") === col("__sl_id")).drop("__sl_id")
+      .withColumnRenamed("__sl_split", "__sa")
+      .join(asg, col("__pb") === col("__sl_id")).drop("__sl_id")
+      .withColumnRenamed("__sl_split", "__sb")
+      .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
 
   /** Corpus snapshot diff (SURVEY.md §2.C63): per-document status of

@@ -190,6 +190,80 @@ object CurationQueries {
       FROM g
       ORDER BY doc_id"""))
 
+  /** Cross-split leakage audit of the NAIVE hash split (C116): the
+    * same simhash pair source and the same 90/5/5 assignment as
+    * qsplit_assign, composed — off-diagonal rows are near-dup pairs
+    * straddling splits, the exposure qsplit_clustered exists to
+    * prevent. Oracle chains the two proven formulations + the
+    * least/greatest fold. */
+  val qSplitLeakage = Q(
+    "qsplit_leakage",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      val asg = Curation.splitByHash(t.documents.select(col("doc_id")), col("doc_id"),
+        splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      Curation.splitLeakage(pairs, col("doc_a"), col("doc_b"),
+          asg, col("doc_id"), col("split"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+    Some(s"""
+      WITH ${DedupQueries.simhashPairCtes(3)},
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'split:' || CAST(doc_id AS VARCHAR)", Seq("doc_id"), "documents")},
+      asg AS (SELECT doc_id,
+                CASE WHEN ((sb % 100) + 100) % 100 < 90 THEN 'train'
+                     WHEN ((sb % 100) + 100) % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS s
+              FROM g),
+      j AS (SELECT LEAST(x.s, y.s) AS split_a, GREATEST(x.s, y.s) AS split_b
+            FROM pairs p
+            JOIN asg x ON p.doc_a = x.doc_id
+            JOIN asg y ON p.doc_b = y.doc_id)
+      SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             split_a <> split_b AS leaked
+      FROM j GROUP BY split_a, split_b
+      ORDER BY split_a, split_b"""))
+
+  /** The same audit over the CLUSTER-AWARE split (C116b): by
+    * construction every near-dup pair shares a cluster, every cluster
+    * shares a split key — the off-diagonal MUST be empty, and this
+    * query proves it mechanically (diagonal rows remain, so an empty
+    * result can't pass vacuously). */
+  val qSplitLeakageCl = Q(
+    "qsplit_leakage_cl",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
+      val cl = Curation.clusters(pairs, col("doc_a"), col("doc_b"))
+      val asg = Curation.splitByHashClustered(
+        t.documents.select(col("doc_id")), col("doc_id"), cl,
+        splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      Curation.splitLeakage(pairs, col("doc_a"), col("doc_b"),
+          asg, col("doc_id"), col("split"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      $ComponentCcCtes,
+      keyed AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS skey
+                FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'split:' || CAST(skey AS VARCHAR)", Seq("doc_id"), "keyed")},
+      asg AS (SELECT doc_id,
+                CASE WHEN ((sb % 100) + 100) % 100 < 90 THEN 'train'
+                     WHEN ((sb % 100) + 100) % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS s
+              FROM g),
+      j AS (SELECT LEAST(x.s, y.s) AS split_a, GREATEST(x.s, y.s) AS split_b
+            FROM pairs p
+            JOIN asg x ON p.doc_a = x.doc_id
+            JOIN asg y ON p.doc_b = y.doc_id)
+      SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             split_a <> split_b AS leaked
+      FROM j GROUP BY split_a, split_b
+      ORDER BY split_a, split_b"""))
+
   /** Token-budget carve-out (C30b): the minimal FNV-ordered prefix
     * covering 5000 tokens — [[Curation.sampleByBudget]], i.e. shard 0
     * of the qpack_shards prefix sum (same oracle formulation, cut at
@@ -1084,6 +1158,42 @@ object CurationQueries {
       FROM sp GROUP BY doc_id, span_idx
       ORDER BY doc_id, span_start"""))
 
+  /** Contamination removal (C115): same eval set as qcuration_contam /
+    * _spans (every 97th doc), but the output is the SURGERY — each doc
+    * rewritten with eval-matched 8-gram coverage deleted. The oracle
+    * mirrors qdedup_passage_rm's proven rewrite formulation with the
+    * dup-gram rule swapped for the eval join; untouched docs must come
+    * back byte-identical, fully-contaminated (eval member) docs empty. */
+  val qContamRm = Q(
+    "qcuration_contam_rm",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Curation.contaminationRemove(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+        WHERE len(t) >= 8),
+      eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+      cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS p
+              FROM grams g JOIN eg USING (gram), UNNEST(range(0, 8)) AS v(j)),
+      cl AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id),
+      k AS (SELECT toks.doc_id, toks.text, toks.t, COALESCE(cl.cov, []) AS cov
+            FROM toks LEFT JOIN cl USING (doc_id)),
+      r AS (SELECT doc_id, text, t, cov,
+              [t[CAST(i + 1 AS BIGINT)] FOR i IN range(0, len(t)) IF NOT list_contains(cov, i)] AS kept
+            FROM k)
+      SELECT doc_id,
+        CASE WHEN len(cov) = 0 THEN text
+             ELSE COALESCE(array_to_string(kept, ' '), '') END AS clean,
+        CAST(len(t) - len(kept) AS BIGINT) AS removed_tokens
+      FROM r ORDER BY doc_id"""))
+
   /** One-call epoch assembly (C113): mixture plan at α = ½ over a
     * 15k-token budget (every source truncates at this corpus — the
     * keep-everything branch is qmix_apply's), per-source cap in
@@ -1149,5 +1259,6 @@ object CurationQueries {
     qPackLengthBuckets, qSourceCap, qMixApply, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
-    qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans, qPackEpoch)
+    qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
+    qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl)
 }

@@ -339,6 +339,55 @@ class CurationSpec extends AnyFunSuite {
       (3L, 0L, 15L, 16L, 2L)))
   }
 
+  test("contaminationRemove trims covered tokens, empties full leaks, keeps clean docs byte-identical") {
+    import spark.implicits._
+    val passage = "a b c d e f g h"
+    val long = "a b c d e f g h i j"
+    val corpus = Seq(
+      (1L, "p q " + long),              // covered 2..11 → "p q" survives
+      (2L, passage + " z " + passage),  // covered 0..7, 9..16 → "z" survives
+      (3L, long),                       // eval member leaked verbatim → ""
+      (4L, "no overlap  here at all with anything from the eval side okay"))
+      .toDF("doc_id", "text")
+    val eval = Seq((0L, long)).toDF("doc_id", "text")
+    val got = Curation.contaminationRemove(corpus, col("doc_id"), col("text"),
+        eval, col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ("p q", 10L))
+    assert(got(2L) == ("z", 16L))
+    assert(got(3L) == ("", 10L))
+    // untouched docs short-circuit: the double space survives byte-exactly
+    assert(got(4L) ==
+      ("no overlap  here at all with anything from the eval side okay", 0L))
+  }
+
+  test("splitLeakage: symmetric matrix, leaked flag, clustered split leaks nothing") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val asg = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"),
+      (5L, "val"), (6L, "train"), (7L, "val")).toDF("id", "sp")
+    val got = Curation.splitLeakage(pairs, col("a"), col("b"),
+        asg, col("id"), col("sp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(("test", "train", 1L, true), ("train", "train", 1L, false),
+      ("train", "val", 1L, true)))
+    // a pair with an endpoint outside the assignment is excluded
+    val stray = Seq((1L, 99L)).toDF("a", "b")
+    assert(Curation.splitLeakage(stray, col("a"), col("b"),
+      asg, col("id"), col("sp")).count() == 0)
+    // the cluster-aware split over the SAME pairs must leak nothing —
+    // and the diagonal must be non-empty so this can't pass vacuously
+    val cl = Curation.clusters(pairs, col("a"), col("b"))
+    val casg = Curation.splitByHashClustered(
+      (1L to 7L).toDF("doc_id"), col("doc_id"), cl,
+      splits = Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val leak = Curation.splitLeakage(pairs, col("a"), col("b"),
+      casg, col("doc_id"), col("split"))
+    assert(leak.filter(col("leaked")).count() == 0 && leak.count() > 0)
+  }
+
   test("packShards carry columns ride through identically to a join-back") {
     import spark.implicits._
     val df = Seq((1L, 5L, "web"), (2L, 13L, "web"), (3L, 7L, "code"),
