@@ -91,6 +91,51 @@ object TextQueries {
       FROM m
       ORDER BY doc_id"""))
 
+  /** Per-source quantile calibration of the quality score (C117): the
+    * proven qtext_quality formulation micro-scaled, then the exact
+    * within-source ECDF and a τ = 0.70 percentile gate. The oracle
+    * states the DEFINITION (`RANK() − 1` = strictly-smaller count in
+    * one per-source window) while the operator computes it under the
+    * scale-bounded two-pass value-count discipline — a mismatch
+    * isolates the prefix-sum arithmetic. */
+  val qCalibrate = Q(
+    "qtext_calibrate",
+    (s, dir) => {
+      val scored = Tables(s, dir).documents.select(
+        col("doc_id"), col("source"),
+        round(TextFunctions.qualityScore(col("text")) * lit(1e6)).cast("long")
+          .as("sm"))
+      graft.operators.Curation.calibrateBySource(scored, col("doc_id"),
+          col("source"), col("sm"), tauMicro = 700000L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, source,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / length(string_split(text, ' ')) AS dr,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / length(string_split(text, ' ')) AS mtl,
+          CAST(${langHitsSql(TextFunctions.StopwordProfiles.toMap.apply("en"))} AS DOUBLE)
+            / length(string_split(text, ' ')) AS sr
+        FROM documents),
+      sc AS (SELECT doc_id, source,
+               CAST(ROUND(1e6 * ROUND(0.4 * dr + 0.3 * LEAST(mtl / 8.0, 1.0)
+                 + 0.3 * LEAST(sr * 5.0, 1.0), 4)) AS BIGINT) AS score_micro
+             FROM m),
+      s AS (SELECT * FROM sc WHERE score_micro IS NOT NULL),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM s GROUP BY source),
+      r AS (SELECT doc_id, source, score_micro,
+              CAST(RANK() OVER (PARTITION BY source ORDER BY score_micro) - 1
+                AS BIGINT) AS below
+            FROM s)
+      SELECT r.doc_id, r.source, r.score_micro,
+             (1000000 * below) // n_src AS pct_micro,
+             (1000000 * below) // n_src >= 700000 AS kept
+      FROM r JOIN n USING (source)
+      ORDER BY r.doc_id"""))
+
   // Custom-Expression fingerprint WITH a full-parity oracle: FNV-1a is
   // not a DuckDB built-in, but it IS expressible as a list_reduce over
   // character codes with HUGEINT modular arithmetic (h = (h XOR b) *
@@ -1341,7 +1386,7 @@ object TextQueries {
       WHERE n_occurrences * 33 > total
       ORDER BY n_occurrences DESC, term"""))
 
-  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qFingerprint, qTfIdf, qScrub,
+  val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qCalibrate, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,

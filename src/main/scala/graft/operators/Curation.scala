@@ -1149,6 +1149,68 @@ object Curation {
       corpus.select(id.as("doc_id"), text.as("doc_text")), starts, n)
   }
 
+  /** Per-source exact quantile calibration (SURVEY.md §2.C117) — the
+    * CCNet-style normalization that makes one quality threshold mean
+    * the same thing in every source (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): a raw score of 0.55 may be the 90th
+    * percentile of a code crawl and the 30th of curated books, so
+    * gating on the RAW score skews the mixture; gating on the
+    * within-source percentile doesn't. For each row: `below` = rows in
+    * the SAME source with strictly smaller score, `pct_micro` =
+    * `(1e6 · below) div n_src` — pure integer arithmetic end to end,
+    * so the percentile (and the τ cut) transfers across engines and
+    * partitionings exactly; ties share one percentile. `kept` =
+    * `pct_micro ≥ tauMicro`. Rows with a NULL score are EXCLUDED (no
+    * estimate ≠ a rank — the C103 discipline). Returns
+    * `(doc_id, source, score_micro, pct_micro, kept)`.
+    *
+    * Scale shape: the corpus never enters a window. The ECDF is
+    * computed on the (source, score) VALUE-COUNT frame — bounded by
+    * score granularity (≤ 1e6+1 rows per source at micro scale), not
+    * corpus size — under the shared two-pass prefix-sum discipline
+    * RANGE-keyed by the score's top bits: local running sums inside
+    * (source, score div 2^coarseBits) partitions of ≤ 2^coarseBits
+    * rows, a per-source offset window over the ≤ range/2^coarseBits
+    * bucket totals, both bounded by CONSTANTS. Arithmetic
+    * `shiftright` keeps the coarse bucket monotone for signed scores.
+    * The corpus takes one (source, score)-keyed equi-join against the
+    * ranked value frame (broadcast when granularity × sources is
+    * small; a plain 16-byte-key shuffle join otherwise).
+    * `1e6 · below` stays inside a long up to n_src ≈ 9·10¹². */
+  def calibrateBySource(df: DataFrame, id: Column, source: Column,
+                        scoreMicro: Column, tauMicro: Long,
+                        coarseBits: Int = 12): DataFrame = {
+    require(coarseBits >= 1 && coarseBits <= 40,
+      s"coarseBits must be 1..40, got $coarseBits")
+    val s = df
+      .select(id.as("doc_id"), source.as("source"),
+        scoreMicro.cast("long").as("score_micro"))
+      .filter(col("score_micro").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vc = s.groupBy(col("source"), col("score_micro"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cb", shiftright(col("score_micro"), coarseBits))
+    val wLocal = Window.partitionBy(col("source"), col("cb"))
+      .orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = vc
+      .withColumn("local_below", sum(col("c")).over(wLocal) - col("c"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = vc.groupBy(col("source"), col("cb")).agg(sum(col("c")).as("bt"))
+      .withColumn("cum_off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("source").as("__o_src"), col("cb").as("__o_cb"), col("cum_off"))
+    val n = s.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val ranked = local
+      .join(off, col("source") === col("__o_src") && col("cb") === col("__o_cb"))
+      .join(broadcast(n), Seq("source"))
+      .select(col("source"), col("score_micro"),
+        expr("(1000000 * (cum_off + local_below)) div n_src").as("pct_micro"))
+    s.join(ranked, Seq("source", "score_micro"))
+      .select(col("doc_id"), col("source"), col("score_micro"),
+        col("pct_micro"), (col("pct_micro") >= tauMicro).as("kept"))
+  }
+
   /** Cross-split leakage audit (SURVEY.md §2.C116) — the measurement
     * that justifies (or indicts) a train/val/test split: given a
     * near-duplicate PAIR frame and a split ASSIGNMENT, count every

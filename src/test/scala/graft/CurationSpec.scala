@@ -361,6 +361,36 @@ class CurationSpec extends AnyFunSuite {
       ("no overlap  here at all with anything from the eval side okay", 0L))
   }
 
+  test("calibrateBySource: exact ECDF, ties, bucket straddles, negatives, NULL exclusion") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, java.lang.Long)], tau: Long, bits: Int = 12) =
+      Curation.calibrateBySource(rows.toDF("doc_id", "source", "sm"),
+          col("doc_id"), col("source"), col("sm"), tauMicro = tau,
+          coarseBits = bits)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+
+    // hand ECDF: A = [10, 20, 20, 30] (ties share below=1), B = [5]
+    val a = run(Seq((1L, "A", 10L: java.lang.Long), (2L, "A", 20L), (3L, "A", 20L),
+      (4L, "A", 30L), (5L, "B", 5L), (6L, "B", null)), tau = 700000L)
+    assert(a == Map(1L -> ((0L, false)), 2L -> ((250000L, false)),
+      3L -> ((250000L, false)), 4L -> ((750000L, true)), 5L -> ((0L, false))))
+
+    // scores straddling coarse buckets (bits=2 → bucket width 4) and
+    // negatives (arithmetic shiftright keeps bucket order monotone)
+    val b = run(Seq((1L, "A", -5L: java.lang.Long), (2L, "A", 0L), (3L, "A", 3L),
+      (4L, "A", 4L), (5L, "A", 8L)), tau = 0L, bits = 2)
+    assert(b.view.mapValues(_._1).toMap ==
+      Map(1L -> 0L, 2L -> 200000L, 3L -> 400000L, 4L -> 600000L, 5L -> 800000L))
+
+    // partitioning invariance: the integer ECDF is order-independent
+    val df = (1L to 200L).map(i => (i, s"s${i % 3}", (i * 37 % 50): java.lang.Long))
+    assert(run(df, tau = 500000L) ==
+      Curation.calibrateBySource(df.toDF("doc_id", "source", "sm").repartition(13),
+          col("doc_id"), col("source"), col("sm"), 500000L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap)
+  }
+
   test("splitLeakage: symmetric matrix, leaked flag, clustered split leaks nothing") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
