@@ -1280,6 +1280,34 @@ object Curation {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Snapshot patch application (SURVEY.md §2.C118) — the inverse of
+    * [[corpusDiff]], completing the versioning pair: given the OLD
+    * snapshot and a patch frame `(doc_id, status, text)` with status ∈
+    * {added, changed, removed} (the shippable increment — new payloads
+    * for added/changed, ids alone for removed), reconstruct the NEW
+    * snapshot. Old rows absent from the patch pass through untouched;
+    * added/changed rows take the PATCH payload (an `added` id that
+    * already exists upserts — idempotent re-application beats a
+    * distribution failure); `removed` rows drop. The round-trip
+    * contract — patch(old, diff-with-payloads(old, new)) ≡ new,
+    * byte-for-byte — is what the registered oracle checks.
+    *
+    * Scale shape: NOT a full-outer join (wide rows, both payloads
+    * resident): one id-keyed LEFT-ANTI of the old corpus against the
+    * patch ids (drops removed/changed/shadowed rows; payload moves
+    * once) unioned with the patch's own added/changed payloads. The
+    * patch is usually ≪ corpus, so the anti-join broadcasts under
+    * AQE and the corpus never shuffles. */
+  def corpusPatch(oldDf: DataFrame, id: Column, text: Column,
+                  patch: DataFrame, patchId: Column, status: Column,
+                  patchText: Column): DataFrame = {
+    val p = patch.select(patchId.as("doc_id"), status.cast("string").as("__status"),
+      patchText.as("text"))
+    oldDf.select(id.as("doc_id"), text.as("text"))
+      .join(p.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(p.filter(col("__status") =!= "removed").drop("__status"))
+  }
+
   /** Domain-blocklist screen (SURVEY.md §2.C81) — the UT1/RefinedWeb-
     * style web-corpus hygiene gate: flag every document whose text
     * links a blocked domain, where a blocklist entry matches its

@@ -190,6 +190,34 @@ object CurationQueries {
       FROM g
       ORDER BY doc_id"""))
 
+  /** Snapshot patch round-trip (C118): the same old/new fixture as
+    * qcorpus_diff, with the patch CONSTRUCTED from corpusDiff (non-
+    * unchanged rows + new-side payloads) and applied by corpusPatch.
+    * The oracle is the target snapshot itself — the whole
+    * diff → patch → apply machine must reproduce it byte-for-byte,
+    * which pins both operators' semantics against each other. */
+  val qCorpusPatch = Q(
+    "qcorpus_patch",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val old = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val neu = d.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 2,
+            concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      val patch = Curation.corpusDiff(old, neu, col("doc_id"), col("text"))
+        .filter(col("status") =!= "unchanged")
+        .join(neu.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+      Curation.corpusPatch(old, col("doc_id"), col("text"),
+          patch, col("doc_id"), col("status"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 = 2 THEN text || ' [v2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 1
+      ORDER BY doc_id"""))
+
   /** Cross-split leakage audit of the NAIVE hash split (C116): the
     * same simhash pair source and the same 90/5/5 assignment as
     * qsplit_assign, composed — off-diagonal rows are near-dup pairs
@@ -1260,5 +1288,5 @@ object CurationQueries {
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
-    qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl)
+    qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch)
 }

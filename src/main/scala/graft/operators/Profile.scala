@@ -144,6 +144,35 @@ object Profile {
       ORDER BY bucket"""
     })
 
+  /** Join-key skew profile (SURVEY.md §2.C119) — the measurement that
+    * decides the skew strategy BEFORE a 100 TB join or aggregation
+    * melts one task: per-key multiplicities, log₂-bucketed (the C104
+    * binary-length integer — no libm log2 at a power-of-two boundary).
+    * One row per occupied bucket: `(bucket, lo, hi, n_keys, n_rows,
+    * max_cnt)` — the tail bucket's `max_cnt` against an even
+    * per-partition row target IS the salt factor (C19/C21's knob), a
+    * bulging tail bucket says salt-or-AQE-skew-join, a flat profile
+    * says plain hash join is fine. NULL keys are counted as a key
+    * (they hash to one partition like any other value — exactly the
+    * skew this audit exists to catch).
+    *
+    * Scale shape: one key-keyed count with map-side partials, then a
+    * ≤64-row bucket aggregate — nothing but (key, count) pairs ever
+    * shuffle, and the output is bounded by 64 rows regardless of
+    * corpus size. */
+  def keySkew(df: DataFrame, key: Column): DataFrame = {
+    df.select(key.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .select((length(bin(col("cnt"))) - 1).cast("long").as("bucket"), col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("bucket"),
+        expr("CAST(1 AS BIGINT) << bucket").as("lo"),
+        (expr("CAST(1 AS BIGINT) << (bucket + 1)") - 1).as("hi"),
+        col("n_keys"), col("n_rows"), col("max_cnt"))
+  }
+
   /** Referential-integrity profile (SURVEY.md §2.C65): one summary
     * row auditing an id relationship between two tables — orphans on
     * each side, matched ids, duplicate ids per side, raw row counts.
@@ -461,6 +490,29 @@ object Profile {
       LEFT JOIN mad ON mad.source = doc.source
       ORDER BY doc.doc_id"""))
 
+  /** Key-skew profile (C119) over lineitem's join key: l_orderkey
+    * multiplicity is 1-7 (TPC-H line counts), so the fixture occupies
+    * buckets 0-2 with a known total — plus a NULL-key path exercised
+    * in the spec. Oracle mirrors the binary-length bucket (DuckDB
+    * `bin` is leading-zero-free like Spark's). */
+  val qKeySkew = Q(
+    "qprofile_skew",
+    (s, dir) =>
+      Profile.keySkew(Tables(s, dir).lineitem, col("l_orderkey"))
+        .orderBy(col("bucket")),
+    Some("""
+      WITH c AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM lineitem GROUP BY l_orderkey),
+      b AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket, cnt FROM c)
+      SELECT bucket,
+        CAST(1 AS BIGINT) << bucket AS lo,
+        (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi,
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        MAX(cnt) AS max_cnt
+      FROM b GROUP BY bucket
+      ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers)
+    qOverlap, qOutliers, qKeySkew)
 }

@@ -361,6 +361,46 @@ class CurationSpec extends AnyFunSuite {
       ("no overlap  here at all with anything from the eval side okay", 0L))
   }
 
+  test("keySkew: integer log2 buckets, NULL keys counted, power-of-two boundaries") {
+    import spark.implicits._
+    // key multiplicities: a×1, b×2, c×3, d×4, NULL×2 → buckets
+    // 0:[1,1] 1 key, 1:[2,3] 3 keys (b, c, NULL), 2:[4,7] 1 key
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d") ++ Seq.fill(2)(null.asInstanceOf[String]))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = graft.operators.Profile.keySkew(df, col("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (0L, 1L, 1L, 1L, 1L, 1L),
+      (1L, 2L, 3L, 3L, 7L, 3L),
+      (2L, 4L, 7L, 1L, 4L, 4L)))
+    // exactly 4 lands in bucket 2, exactly 3 stays in bucket 1 — the
+    // binary-length boundary is integer-exact at the power of two
+  }
+
+  test("corpusPatch: upsert, delete, pass-through, and idempotent re-application") {
+    import spark.implicits._
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val patch = Seq(
+      (2L, "changed", "two-v2"),
+      (3L, "removed", null.asInstanceOf[String]),
+      (4L, "added", "four"),
+      (1L, "added", "one-upsert"), // added-but-exists: patch payload wins
+      (9L, "removed", null.asInstanceOf[String])) // remove-missing: no-op
+      .toDF("doc_id", "status", "text")
+    def apply(base: org.apache.spark.sql.DataFrame) =
+      Curation.corpusPatch(base, col("doc_id"), col("text"),
+          patch, col("doc_id"), col("status"), col("text"))
+    val got = apply(old).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "one-upsert", 2L -> "two-v2", 4L -> "four"))
+    // idempotent: re-applying the same patch changes nothing
+    val again = apply(apply(old)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("calibrateBySource: exact ECDF, ties, bucket straddles, negatives, NULL exclusion") {
     import spark.implicits._
     def run(rows: Seq[(Long, String, java.lang.Long)], tau: Long, bits: Int = 12) =
