@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -206,4 +206,106 @@ object WinnowSelect {
     FunctionIdentifier("graft_winnow"),
     new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow"),
     (children: Seq[Expression]) => WinnowSelect(children(0), children(1), children(2)))
+}
+
+/** Content-defined chunk boundaries (C121) — the storage-dedup cut
+  * rule (Muthitacharoen et al. 2001, LBFS; FastCDC is the modern
+  * refinement) applied to a text/blob payload: cut after code-point
+  * position i whenever the FNV-1a hash of the trailing `w`-char
+  * window satisfies `hash mod div == 0` (div a power of two, so the
+  * signed/unsigned residue agrees bit-for-bit with the oracle's
+  * unsigned fold), plus a deterministic ANCHORED max-length cut at
+  * every absolute position k·maxLen — unlike FastCDC's
+  * relative-to-chunk-start max (which makes every cut depend
+  * sequentially on the previous one), anchored cuts keep the cut set
+  * a pure per-position predicate, so the whole chunking is
+  * order-free, SQL-expressible, and identical under any parallel
+  * split of the scan. Content cuts dominate: an insertion early in a
+  * doc shifts only the chunks up to the next surviving content cut,
+  * which is the entire point of CDC dedup.
+  *
+  * Returns `array<struct<start: long, len: long>>` of 1-based
+  * code-point chunk spans covering the text exactly (`substr`
+  * coordinates); empty text → empty array, text shorter than `w` →
+  * one whole-text chunk.
+  */
+case class CdcChunks(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (StringType, IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_chunks requires (string, int, int, int), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString}, ${d.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("start", LongType, nullable = false),
+      StructField("len", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def nullSafeEval(t: Any, w: Any, d: Any, m: Any): Any =
+    CdcChunks.compute(t.asInstanceOf[UTF8String], w.asInstanceOf[Int],
+      d.asInstanceOf[Int], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, d, m) =>
+      s"graft.functions.CdcChunks.compute($t, $w, $d, $m)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): CdcChunks =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object CdcChunks {
+  /** Static so generated code can call it. */
+  def compute(text: UTF8String, w: Int, div: Int, maxLen: Int): ArrayData = {
+    require(w > 0 && maxLen > 0 && div > 0 && (div & (div - 1)) == 0,
+      s"graft_cdc_chunks: need w>0, maxLen>0, div a positive power of two; " +
+        s"got w=$w div=$div maxLen=$maxLen")
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    if (nChars == 0) return new GenericArrayData(Array.empty[Any])
+    val offsets = new Array[Int](nChars + 1)
+    var cp = 0
+    var off = 0
+    while (off < bytes.length) {
+      offsets(cp) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      cp += 1
+    }
+    offsets(nChars) = bytes.length
+    val mask = div - 1
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var start = 1 // 1-based start of the current chunk
+    var i = 1     // 1-based code-point position under test
+    while (i <= nChars) {
+      // content cut: FNV-1a over the trailing w-char window [i-w+1, i]
+      var isCut = i == nChars || i % maxLen == 0
+      if (!isCut && i >= w) {
+        var acc = 0xcbf29ce484222325L
+        var b = offsets(i - w)
+        val end = offsets(i)
+        while (b < end) { acc ^= (bytes(b) & 0xff); acc *= 0x100000001b3L; b += 1 }
+        isCut = (acc & mask) == 0
+      }
+      if (isCut) {
+        val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        r.setLong(0, start.toLong)
+        r.setLong(1, (i - start + 1).toLong)
+        out += r
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+    (children: Seq[Expression]) =>
+      CdcChunks(children(0), children(1), children(2), children(3)))
 }

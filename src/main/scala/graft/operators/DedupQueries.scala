@@ -681,7 +681,53 @@ object DedupQueries {
       WHERE levenshtein(a.t, b.t) <= 1
       ORDER BY id_a, id_b"""))
 
+  // C121: content-defined chunk dedup (LBFS cut rule, anchored max).
+  // The oracle replays the whole chunking: per-position FNV window
+  // hashes on the shared fold recipe, power-of-two residue cuts
+  // (unsigned HUGEINT `% 64` ≡ the kernel's signed `& 63` — low bits
+  // agree bit-for-bit), anchored 256-cuts, md5 per chunk substring.
+  // w=8/div=64 → mean chunk ~64 chars on this ~300-char corpus, so
+  // the duplicate report is non-vacuous (shared template spans align
+  // to content cuts regardless of offset shift).
+  val qCdc = Q(
+    "qdedup_cdc_chunks",
+    (s, dir) =>
+      Dedup.cdcChunkDedup(Tables(s, dir).documents, col("doc_id"), col("text"),
+          w = 8, div = 64, maxLen = 256)
+        .orderBy(col("chunk_hash")),
+    Some("""
+      WITH d AS (SELECT doc_id, text AS t FROM documents
+                 WHERE text IS NOT NULL AND length(text) > 0),
+      by AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n,
+              [ord(substring(t, i, 1)) FOR i IN range(1, length(t)+1)] AS bytes
+             FROM d),
+      hs AS (SELECT doc_id, t, n,
+              [CAST(i AS BIGINT) FOR i IN range(8, n + 1)
+               IF list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                 list_transform(list_slice(bytes, i - 7, i), x -> CAST(x AS HUGEINT))),
+                    (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) % 64 = 0] AS ccuts
+             FROM by),
+      cts AS (SELECT doc_id,
+               list_sort(list_distinct(
+                 ccuts
+                 || [CAST(k * 256 AS BIGINT) FOR k IN range(1, CAST((n - 1) // 256 AS BIGINT) + 1)]
+                 || [n])) AS cuts
+              FROM hs),
+      ch AS (SELECT doc_id,
+               unnest([{s: CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END, e: cuts[j]}
+                       FOR j IN range(1, len(cuts) + 1)]) AS c
+             FROM cts),
+      h2 AS (SELECT ch.doc_id, c.s AS start, c.e - c.s + 1 AS len,
+               md5(substring(d.t, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS chunk_hash
+             FROM ch JOIN d USING (doc_id))
+      SELECT chunk_hash, MAX(len) AS chunk_len,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM h2 GROUP BY chunk_hash HAVING COUNT(*) >= 2
+      ORDER BY chunk_hash"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
-    qLinesWd, qUrl, qWinnow, qContainment, qEditDist)
+    qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc)
 }

@@ -513,6 +513,108 @@ object Profile {
       FROM b GROUP BY bucket
       ORDER BY bucket"""))
 
+  /** Inter-rater agreement (Cohen's kappa) between two boolean raters
+    * over the same corpus (C120) — the calibration check a curation
+    * pipeline runs before swapping one quality gate for another
+    * (rule-based vs learned, old vs retrained model): observed
+    * agreement alone is inflated by marginal prevalence, kappa
+    * corrects for chance.
+    *
+    * Scale shape: ONE aggregation pass (map-side partials, 5 long
+    * counters per partition — a single ~40-byte row shuffles
+    * regardless of corpus size); the kappa arithmetic runs on the
+    * driver-side 1-row frame. NULL rater verdicts count as `false`
+    * (an un-ratable doc is a rejection, mirroring `gopherGate`'s
+    * coalesced `passes`).
+    *
+    * Exactness: the confusion counts are exact longs; po/pe/kappa are
+    * IEEE-double divisions of those longs, identical in any engine.
+    * pe = 1 (both raters constant and equal) makes kappa undefined →
+    * NULL, not a 0/0 NaN. */
+  def raterAgreement(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val ra = coalesce(a, lit(false))
+    val rb = coalesce(b, lit(false))
+    val c = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(ra && rb, lit(1L)).otherwise(lit(0L))).as("n_both"),
+      sum(when(ra && !rb, lit(1L)).otherwise(lit(0L))).as("n_a_only"),
+      sum(when(!ra && rb, lit(1L)).otherwise(lit(0L))).as("n_b_only"),
+      sum(when(!ra && !rb, lit(1L)).otherwise(lit(0L))).as("n_neither"))
+    val po = (col("n_both") + col("n_neither")).cast("double") / col("n")
+    val pe = ((col("n_both") + col("n_a_only")) * (col("n_both") + col("n_b_only")) +
+        (col("n_b_only") + col("n_neither")) * (col("n_a_only") + col("n_neither")))
+      .cast("double") / (col("n") * col("n"))
+    c.select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+      col("n_neither"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round(when(pe === lit(1.0), lit(null).cast("double"))
+        .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  /** C120 registered over the two raters the suite already proves
+    * individually: the Gopher structural gate (qtext_gopher's exact
+    * settings) vs the hashed-linear classifier's keep verdict
+    * (qtext_classifier's weights). The oracle composes both proven
+    * oracle fragments — a disagreement isolates to the kappa stage,
+    * never the raters. */
+  val qKappa = Q(
+    "qprofile_kappa",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      import graft.functions.{TextFunctions, TextQueries}
+      val gated = TextFunctions.gopherGate(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        col("text"),
+        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+        minStopwords = 1)
+      // NULL text: gate says false (coalesced `passes`); the
+      // classifier's verdict is forced false to match — an un-ratable
+      // doc must not read as "keep" on either side
+      val rated = gated.select(
+        col("passes").as("ra"),
+        (col("text").isNotNull &&
+          TextFunctions.hashedLinearScore(col("text"), TextQueries.demoWeights,
+            nBuckets = 512L) >= lit(0L)).as("rb"))
+      Profile.raterAgreement(rated, col("ra"), col("rb"))
+    },
+    Some {
+      import graft.functions.TextQueries.{GopherMCte, GopherPassSql}
+      s"""
+      WITH $GopherMCte,
+      ga AS (SELECT doc_id, COALESCE($GopherPassSql, FALSE) AS ra FROM m),
+      toks AS (SELECT doc_id, u.t AS t
+               FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+               WHERE u.t <> ''),
+      ${graft.Q.sqlutil.fnvSignedCtes("c", "t", Seq("doc_id"), "toks")},
+      w AS (SELECT doc_id,
+              ((((sb % 512) + 512) % 512) * 2654435761) % 2001 - 1000 AS wt
+            FROM cg),
+      sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score
+             FROM w GROUP BY doc_id),
+      gb AS (SELECT d.doc_id,
+               (d.text IS NOT NULL AND COALESCE(sc.score, 0) >= 0) AS rb
+             FROM documents d LEFT JOIN sc USING (doc_id)),
+      j AS (SELECT ga.ra, gb.rb FROM ga JOIN gb USING (doc_id)),
+      cts AS (SELECT
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+          CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+          CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        FROM j),
+      k AS (SELECT *,
+          CAST(n_both + n_neither AS DOUBLE) / n AS po_raw,
+          CAST((n_both + n_a_only) * (n_both + n_b_only)
+             + (n_b_only + n_neither) * (n_a_only + n_neither) AS DOUBLE)
+            / (n * n) AS pe_raw
+        FROM cts)
+      SELECT n, n_both, n_a_only, n_b_only, n_neither,
+        ROUND(po_raw, 6) AS po, ROUND(pe_raw, 6) AS pe,
+        ROUND(CASE WHEN pe_raw = 1 THEN NULL
+              ELSE (po_raw - pe_raw) / (1 - pe_raw) END, 6) AS kappa
+      FROM k"""
+    })
+
   val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers, qKeySkew)
+    qOverlap, qOutliers, qKeySkew, qKappa)
 }

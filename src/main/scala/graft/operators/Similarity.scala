@@ -369,6 +369,54 @@ object Similarity {
       queries, queryId, queryVec, k)
   }
 
+  /** Graph-expanded ANN search (C122): [[ivfTopKAgainstIndex]]'s
+    * candidate stage widened by ONE hop through a prebuilt neighbor
+    * graph — the batch-Spark rendition of the graph-traversal idea
+    * behind HNSW/NSG (Malkov & Yashunin 2016; arXiv:1603.09320):
+    * vectors near a query's IVF seeds are themselves likely near the
+    * query, even when their own cell was not probed. Seeds come from
+    * the probed cells as usual; each seed then contributes its stored
+    * out-neighbors (`graph(src, dst)` — typically the
+    * [[ivfTopKAgainstIndex]]-built kNN graph, C94) as extra
+    * candidates; the union is exact-re-ranked. This buys back exactly
+    * the recall a starved `nprobe` loses: a true neighbor in an
+    * unprobed cell is rescued whenever ANY probed-cell vector lists
+    * it — at the cost of ≤ k_graph extra candidates per seed, NOT an
+    * extra probe's whole cell (the spec pins recall ≥ the unexpanded
+    * search on the same seeds).
+    *
+    * Scale shape: the expansion is one equi-join of the id-only seed
+    * frame against the (src, dst) edge table — co-partitionable on
+    * src, carries two longs per edge; full vectors appear only in the
+    * shared exact re-rank, fetched for candidate ids. Iterating the
+    * hop (beam search) would re-join the same edge table; one hop is
+    * the sweet spot for a batch engine (each extra hop multiplies
+    * candidates by ~k_graph while recall gains collapse). */
+  def graphExpandedTopK(centroids: DataFrame, cells: DataFrame,
+                        graph: DataFrame,
+                        corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                        queries: DataFrame, queryId: Column, queryVec: Column,
+                        k: Int, nprobe: Int = 2): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    require(Seq("vec_id", "cell").forall(cells.columns.contains),
+      s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
+    require(Seq("src", "dst").forall(graph.columns.contains),
+      s"graph frame must carry (src, dst); got ${graph.columns.mkString(", ")}")
+    val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    val seeds = ivfCandOf(
+      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
+    val edges = graph.select(col("src"), col("dst"))
+    val hop = seeds.join(edges, seeds("neighbor_id") === edges("src"))
+      .select(col("query_id"), col("dst").as("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val cand = seeds.unionByName(hop).distinct()
+    exactReRank(cand, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+  }
+
   // --- C79: filtered (predicate-constrained) ANN --------------------------
 
   /** Exact filtered vector search (SURVEY.md §2.C79): top-k cosine

@@ -1296,8 +1296,64 @@ object SimilarityQueries {
       FROM top WHERE vr = 1
       ORDER BY vec_id"""))
 
+  /** C122: graph-expanded search — a deliberately STARVED nprobe=1
+    * probe whose candidates are widened one hop through the C94 kNN
+    * graph (k=5, nprobe=2 — qann_knn_graph's exact build), then
+    * exact-re-ranked. The oracle reuses the shared probe CTEs once
+    * and derives BOTH probe sets from the single `ranked` frame
+    * (graph build: rn ≤ 2 for every vector; search: rn ≤ 1 for the
+    * query batch) — the graph edges, seeds, hop expansion, and
+    * re-rank are each the already-proven formulation, so a mismatch
+    * isolates to the expansion wiring. */
+  val qGraphSearch = Q(
+    "qann_graph_search",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+        nlist = 10, iters = 1)
+      val graph = Similarity.ivfTopKAgainstIndex(cents, cells,
+          e, col("vec_id"), col("embedding"),
+          e, col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      Similarity.graphExpandedTopK(cents, cells, graph,
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ${ivfProbeCtes(nprobe = 2, nq = Int.MaxValue)},
+      gcand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+                FROM qprobe q JOIN acell a ON a.cell = q.cell
+                WHERE a.vec_id != q.query_id),
+      gsc AS (SELECT gcand.query_id, gcand.neighbor_id,
+                list_cosine_similarity(c.v, qv.v) AS cos
+              FROM gcand
+              JOIN e c ON c.vec_id = gcand.neighbor_id
+              JOIN e qv ON qv.vec_id = gcand.query_id),
+      edges AS (SELECT query_id AS src, neighbor_id AS dst FROM (
+                  SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+                  FROM gsc) WHERE rnk <= 5),
+      sprobe AS (SELECT vec_id AS query_id, grp AS cell FROM ranked
+                 WHERE vec_id < 10 AND rn <= 1),
+      seeds AS (SELECT s.query_id, a.vec_id AS neighbor_id
+                FROM sprobe s JOIN acell a ON a.cell = s.cell
+                WHERE a.vec_id != s.query_id),
+      hop AS (SELECT s.query_id, ed.dst AS neighbor_id
+              FROM seeds s JOIN edges ed ON ed.src = s.neighbor_id
+              WHERE ed.dst != s.query_id),
+      cand AS (SELECT DISTINCT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id FROM seeds
+                 UNION ALL SELECT query_id, neighbor_id FROM hop)),
+      ${reRankSql("cand", 5)}"""))
+
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
-    qKnnLabel, qKnnGraph, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
+    qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
     qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
 }

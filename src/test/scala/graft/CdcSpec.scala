@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Profile}
+
+/** C121 content-defined chunking and C120 rater-agreement contracts —
+  * the structural invariants the corpus oracles can't isolate:
+  * exact tiling, the anchored max-length bound, boundary stability
+  * under an offset shift (the property CDC exists for), and kappa on
+  * hand-computable confusion matrices.
+  */
+class CdcSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def chunksOf(df: org.apache.spark.sql.DataFrame) =
+    Dedup.cdcChunks(df, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  // deterministic pseudo-random ASCII text: enough entropy that
+  // content cuts actually fire (~every div chars)
+  private def lcgText(n: Int, seed: Long): String = {
+    val sb = new StringBuilder(n)
+    var x = seed
+    (0 until n).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append(('a' + ((x >>> 33) % 26)).toChar)
+    }
+    sb.toString
+  }
+
+  test("chunks tile the text exactly and respect the anchored max bound") {
+    val t = lcgText(2000, seed = 7)
+    val ch = chunksOf(docs(1L -> t))
+    assert(ch.nonEmpty)
+    // contiguous 1-based tiling: starts chain, lengths sum to the text
+    assert(ch.head._2 == 1L)
+    ch.sliding(2).foreach {
+      case Array((_, s1, l1, _), (_, s2, _, _)) => assert(s2 == s1 + l1)
+      case _ =>
+    }
+    assert(ch.map(_._3).sum == t.length.toLong)
+    // anchored cuts at every multiple of maxLen bound every chunk
+    assert(ch.forall(_._3 <= 256L), s"over-long chunk: ${ch.maxBy(_._3)}")
+    // content cuts actually fire: far more chunks than the anchored
+    // minimum of len/maxLen
+    assert(ch.length > 2000 / 256 * 2, s"only ${ch.length} chunks")
+  }
+
+  test("boundaries realign after an offset shift (the CDC property)") {
+    val t = lcgText(2000, seed = 11)
+    val shifted = "XYZXYZX" + t // 7-char insertion at the front
+    val a = chunksOf(docs(1L -> t)).map(_._4)
+    val b = chunksOf(docs(1L -> shifted)).map(_._4)
+    // every cut depends on a 8-char window (content) or an absolute
+    // anchor (rare: ~1/8 of cuts here), so most chunk CONTENT survives
+    // the shift even though every absolute offset moved
+    val shared = a.toSet.intersect(b.toSet).size
+    assert(shared * 2 > a.length,
+      s"only $shared of ${a.length} chunk hashes survived a 7-char prefix insertion")
+    // fixed-size blocking, by contrast, loses every block after the
+    // insertion point — the comparison that motivates CDC
+    val fixedA = t.grouped(64).toSeq
+    val fixedB = shifted.grouped(64).toSeq
+    assert(fixedA.toSet.intersect(fixedB.toSet).isEmpty)
+  }
+
+  test("edges: empty text chunks to nothing, NULL text drops, short text is one chunk") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (3L, "tiny")).toDF("doc_id", "text")
+      .union(Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val ch = chunksOf(df)
+    assert(ch.toSeq.map(c => (c._1, c._2, c._3)) == Seq((3L, 1L, 4L)))
+  }
+
+  test("cdcChunkDedup reports a shared span across docs with different prefixes") {
+    val shared = lcgText(600, seed = 23)
+    val d = docs(
+      1L -> (lcgText(100, seed = 1) + shared),
+      2L -> (lcgText(150, seed = 2) + shared))
+    val dup = Dedup.cdcChunkDedup(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dup.exists(_._3 == 2L),
+      s"no chunk shared by both docs in ${dup.toSeq}")
+    // a reported duplicate's length is a real chunk length
+    assert(dup.forall(x => x._2 >= 1 && x._2 <= 256))
+  }
+
+  test("kappa on a hand confusion matrix; chance-only and degenerate cases") {
+    import spark.implicits._
+    def frame(tt: Int, tf: Int, ft: Int, ff: Int) =
+      (Seq.fill(tt)((true, true)) ++ Seq.fill(tf)((true, false)) ++
+        Seq.fill(ft)((false, true)) ++ Seq.fill(ff)((false, false)))
+        .toDF("ra", "rb")
+    // po = 0.7, pe = (50·60 + 50·40)/100² = 0.5 → kappa = 0.4
+    val r = Profile.raterAgreement(frame(40, 10, 20, 30), col("ra"), col("rb"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((100L, 40L, 10L, 20L, 30L)))
+    assert(r.getDouble(5) == 0.7 && r.getDouble(6) == 0.5 && r.getDouble(7) == 0.4)
+    // both raters constant-true: agreement is perfect but pe = 1 →
+    // kappa undefined (NULL), never NaN
+    val deg = Profile.raterAgreement(frame(5, 0, 0, 0), col("ra"), col("rb"))
+      .collect().head
+    assert(deg.getDouble(5) == 1.0 && deg.isNullAt(7))
+    // independent raters with these marginals: po == pe → kappa 0
+    val chance = Profile.raterAgreement(frame(25, 25, 25, 25), col("ra"), col("rb"))
+      .collect().head
+    assert(chance.getDouble(7) == 0.0)
+    // NULL verdicts count as rejections
+    val withNull = Seq((Some(true), Some(true)), (None, Some(true)), (Some(false), None))
+      .toDF("ra", "rb")
+    val n = Profile.raterAgreement(withNull, col("ra"), col("rb")).collect().head
+    assert((n.getLong(1), n.getLong(2), n.getLong(3), n.getLong(4)) == ((1L, 0L, 1L, 1L)))
+  }
+}

@@ -48,6 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qann_knn_graph" -> ("the qann_ivf_indexed broadcasts (bounded " +
       "nlist-row centroid frame in build and probe); making every corpus " +
       "vector a query adds no new join shape"),
+    "qann_graph_search" -> ("the qann_knn_graph broadcasts (bounded " +
+      "nlist-row centroid frame in the index build, graph build, and " +
+      "search probe); the hop expansion itself is an equi-join on src — " +
+      "ids only, never a nested loop"),
     "qvec_ari" -> ("crossJoins broadcast 1-row pair-count scalar frames " +
       "(ta/tb/purity totals) onto the 1-row contingency aggregate, plus " +
       "the bounded centroid broadcast of the embedded cell training"),

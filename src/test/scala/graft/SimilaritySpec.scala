@@ -952,4 +952,37 @@ class SimilaritySpec extends AnyFunSuite {
     val partial = run(lbl, lbl.take(4))
     assert(partial.getLong(0) == 4L, s"intersection: $partial")
   }
+
+  test("graph expansion: recall ≥ the starved probe, empty graph is a no-op") {
+    val e = Tables(spark, sf).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5))
+    val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+      nlist = 10, iters = 1)
+    val graph = Similarity.ivfTopKAgainstIndex(cents, cells,
+        e, col("vec_id"), col("embedding"),
+        e, col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    def search(g: org.apache.spark.sql.DataFrame) =
+      pairs(Similarity.graphExpandedTopK(cents, cells, g,
+        e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5, nprobe = 1))
+    val starved = pairs(Similarity.ivfTopKAgainstIndex(cents, cells,
+      e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5, nprobe = 1))
+    val expanded = search(graph)
+    // candidate growth is recall-monotone under exact re-rank: a true
+    // neighbor in the starved top-k stays in the expanded top-k
+    assert((truth intersect starved).subsetOf(truth intersect expanded),
+      s"expansion lost truth pairs: ${(truth intersect starved) diff expanded}")
+    // on this corpus the hop rescues at least one truth pair the
+    // starved probe missed (nprobe=1 starves ~half the queries)
+    assert((truth intersect expanded).size > (truth intersect starved).size,
+      s"expansion rescued nothing: starved=${(truth intersect starved).size}")
+    // an edgeless graph degenerates to the plain indexed search
+    assert(search(graph.filter(lit(false))) == starved)
+  }
 }
