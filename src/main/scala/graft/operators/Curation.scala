@@ -325,6 +325,39 @@ object Curation {
       when(ts.isNull, lit(null).cast("string")).otherwise(label))
   }
 
+  /** Exact stratified split (C123): within every stratum (source,
+    * lang, …) EXACTLY floor(n_src · valNum/valDen) rows go to `val`,
+    * the rest to `train` — the split a small-or-skewed-strata corpus
+    * needs where [[splitByHash]]'s independent-coin-flip assignment
+    * only hits the proportion in expectation (a 40-doc source at 10%
+    * draws 0-9 val docs; an eval set that under-represents a stratum
+    * stops measuring it). Membership is deterministic: rows are taken
+    * in salted-FNV order within their stratum (the [[capPerSource]]
+    * shuffle discipline — re-running, re-partitioning, or growing
+    * OTHER strata never flips a row's split; adding rows to a stratum
+    * re-draws only that stratum).
+    *
+    * Scale shape: the per-stratum rank is [[sourcePrefixSums]]' 256
+    * sub-bucketed two-pass prefix sum (no stratum-wide window — a
+    * 10⁸-doc megasource never buffers in one task); the stratum sizes
+    * are a ~#strata-row broadcast; the verdict is one integer
+    * comparison. NULL strata are excluded (a row in no stratum
+    * belongs to no stratified split — audit with isNull upstream). */
+  def stratifiedSplit(df: DataFrame, id: Column, groupCol: Column,
+                      valNum: Int, valDen: Int,
+                      salt: String = "split"): DataFrame = {
+    require(valDen > 0 && valNum >= 0 && valNum <= valDen,
+      s"val fraction must satisfy 0 <= valNum/valDen <= 1, got $valNum/$valDen")
+    val ranked = sourcePrefixSums(df, id, lit(1L), groupCol, salt)
+    val counts = df.select(groupCol.cast("string").as("source"))
+      .filter(col("source").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(counts), "source")
+      .select(col("doc_id"), col("source"), col("src_pos"), col("n_src"),
+        when(col("src_pos") * valDen <= col("n_src") * valNum, "val")
+          .otherwise("train").as("split"))
+  }
+
   /** Leakage-safe [[splitByHash]]: every member of a near-dup cluster
     * lands in the SAME split. Splitting docs independently leaks —
     * a train doc's near-duplicate in the test split means the model

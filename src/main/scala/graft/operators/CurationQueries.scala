@@ -190,6 +190,36 @@ object CurationQueries {
       FROM g
       ORDER BY doc_id"""))
 
+  /** C123: exact stratified split — 10% val per source, floor-exact
+    * and deterministic in salted-FNV order. The oracle replays the
+    * proven per-source rank recipe (the qcuration_source_cap unsigned
+    * fh ordering) against a per-source count join; the verdict is the
+    * same integer comparison on both sides. */
+  val qSplitStratified = Q(
+    "qsplit_stratified",
+    (s, dir) =>
+      Curation.stratifiedSplit(
+          Tables(s, dir).documents, col("doc_id"), col("source"),
+          valNum = 1, valDen = 10)
+        .orderBy(col("source"), col("src_pos")),
+    Some(s"""
+      WITH base AS (SELECT doc_id, source FROM documents
+                    WHERE source IS NOT NULL),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'split:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "source"), "base")},
+      o AS (SELECT doc_id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY fh, doc_id)
+                AS BIGINT) AS src_pos
+            FROM f),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM base GROUP BY source)
+      SELECT o.doc_id, o.source, o.src_pos, n.n_src,
+             CASE WHEN o.src_pos * 10 <= n.n_src * 1
+                  THEN 'val' ELSE 'train' END AS split
+      FROM o JOIN n USING (source)
+      ORDER BY source, src_pos"""))
+
   /** Snapshot patch round-trip (C118): the same old/new fixture as
     * qcorpus_diff, with the patch CONSTRUCTED from corpusDiff (non-
     * unchanged rows + new-side payloads) and applied by corpusPatch.
@@ -1288,5 +1318,6 @@ object CurationQueries {
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
-    qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch)
+    qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
+    qSplitStratified)
 }

@@ -551,6 +551,37 @@ object Profile {
         .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
+  /** Score-bucketed reliability profile (C124) — kappa's ([[raterAgreement]])
+    * per-score-band refinement: bucket a learned score into fixed-width
+    * integer bands and report each band's agreement rate with a
+    * reference boolean gate. This is the calibration diagram a
+    * classifier swap is judged on: a well-calibrated score should show
+    * the gate's pass rate RISING monotonically with the band — a flat
+    * or inverted band says the score does not track the quality the
+    * gate measures, no matter how good the global kappa looks.
+    *
+    * Buckets are FLOOR division implemented with pmod (score −
+    * pmod(score, width)) / width — exact for negative scores in any
+    * engine (`/` truncation and `%` sign conventions differ across
+    * engines; pmod-floor does not). One map stage + one grouped agg
+    * on the band key (cardinality = score range / width, corpus-size
+    * independent); pass_rate is an IEEE division of exact longs. */
+  def reliability(df: DataFrame, score: Column, flag: Column,
+                  width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val f = coalesce(flag, lit(false))
+    val bucket = ((score - pmod(score, lit(width))) / lit(width)).cast("long")
+    df.select(bucket.as("bucket"), f.as("f"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("f"), lit(1L)).otherwise(lit(0L))).as("n_pass"))
+      .select(col("bucket"),
+        (col("bucket") * width).as("lo"),
+        (col("bucket") * width + (width - 1)).as("hi"),
+        col("n"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n"), 6).as("pass_rate"))
+  }
+
   /** C120 registered over the two raters the suite already proves
     * individually: the Gopher structural gate (qtext_gopher's exact
     * settings) vs the hashed-linear classifier's keep verdict
@@ -615,6 +646,58 @@ object Profile {
       FROM k"""
     })
 
+  /** C124 registered over the same two raters as qprofile_kappa
+    * (classifier score vs Gopher gate), width 200 — the score's
+    * ±1000-per-token range occupies a handful of bands on this
+    * corpus, each with both verdicts represented. NULL-text docs
+    * score 0 (the qtext_classifier LEFT-JOIN coalesce) and fail the
+    * gate, mirrored on both sides. */
+  val qReliability = Q(
+    "qprofile_reliability",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      import graft.functions.{TextFunctions, TextQueries}
+      val gated = TextFunctions.gopherGate(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        col("text"),
+        minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+        minStopwords = 1)
+      val scored = gated.select(
+        coalesce(TextFunctions.hashedLinearScore(col("text"),
+          TextQueries.demoWeights, nBuckets = 512L), lit(0L)).as("score"),
+        col("passes"))
+      Profile.reliability(scored, col("score"), col("passes"), width = 200L)
+        .orderBy(col("bucket"))
+    },
+    Some {
+      import graft.functions.TextQueries.{GopherMCte, GopherPassSql}
+      s"""
+      WITH $GopherMCte,
+      ga AS (SELECT doc_id, COALESCE($GopherPassSql, FALSE) AS f FROM m),
+      toks AS (SELECT doc_id, u.t AS t
+               FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+               WHERE u.t <> ''),
+      ${graft.Q.sqlutil.fnvSignedCtes("c", "t", Seq("doc_id"), "toks")},
+      w AS (SELECT doc_id,
+              ((((sb % 512) + 512) % 512) * 2654435761) % 2001 - 1000 AS wt
+            FROM cg),
+      sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score
+             FROM w GROUP BY doc_id),
+      j AS (SELECT COALESCE(sc.score, 0) AS score, ga.f
+            FROM documents d
+            LEFT JOIN sc ON sc.doc_id = d.doc_id
+            JOIN ga ON ga.doc_id = d.doc_id),
+      b AS (SELECT (score - ((score % 200) + 200) % 200) // 200 AS bucket, f
+            FROM j),
+      agg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+              FROM b GROUP BY bucket)
+      SELECT bucket, bucket * 200 AS lo, bucket * 200 + 199 AS hi,
+             n, n_pass, ROUND(CAST(n_pass AS DOUBLE) / n, 6) AS pass_rate
+      FROM agg
+      ORDER BY bucket"""
+    })
+
   val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers, qKeySkew, qKappa)
+    qOverlap, qOutliers, qKeySkew, qKappa, qReliability)
 }

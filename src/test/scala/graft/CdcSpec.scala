@@ -92,6 +92,49 @@ class CdcSpec extends AnyFunSuite {
     assert(dup.forall(x => x._2 >= 1 && x._2 <= 256))
   }
 
+  test("stratifiedSplit: floor-exact per-stratum counts, stratum independence, NULL drop") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val a = (1L to 20L).map(i => (i, "a"))
+    val b = (100L to 103L).map(i => (i, "b"))
+    val df = (a ++ b).toDF("doc_id", "source")
+      .union(Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val got = Curation.stratifiedSplit(df, col("doc_id"), col("source"),
+        valNum = 1, valDen = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    // floor-exact: 20/4 = 5 val in a, 4/4 = 1 val in b; NULL stratum gone
+    assert(got.length == 24)
+    assert(got.count(x => x._2 == "a" && x._3 == "val") == 5)
+    assert(got.count(x => x._2 == "b" && x._3 == "val") == 1)
+    // stratum independence: growing b never flips a's assignments
+    val aOnly = Curation.stratifiedSplit(a.toDF("doc_id", "source"),
+        col("doc_id"), col("source"), valNum = 1, valDen = 4)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(got.filter(_._2 == "a").map(x => (x._1, x._3)).toSet == aOnly)
+    // a 0-fraction split sends everything to train
+    val none = Curation.stratifiedSplit(df, col("doc_id"), col("source"),
+      valNum = 0, valDen = 10)
+    assert(none.filter(col("split") === "val").count() == 0)
+  }
+
+  test("reliability: pmod-floor bands for negative scores, exact rates") {
+    import spark.implicits._
+    val df = Seq((-201L, false), (-200L, false), (-1L, false), (0L, true),
+      (199L, true), (200L, true), (399L, false))
+      .toDF("score", "f")
+    val got = Profile.reliability(df, col("score"), col("f"), width = 200L)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // floor semantics: -201 → band -2, -200 and -1 → band -1 (an
+    // engine-truncating division would put -201 in band -1)
+    assert(got.toSeq == Seq(
+      (-2L, -400L, -201L, 1L, 0L, 0.0),
+      (-1L, -200L, -1L, 2L, 0L, 0.0),
+      (0L, 0L, 199L, 2L, 2L, 1.0),
+      (1L, 200L, 399L, 2L, 1L, 0.5)), s"got ${got.toSeq}")
+  }
+
   test("kappa on a hand confusion matrix; chance-only and degenerate cases") {
     import spark.implicits._
     def frame(tt: Int, tf: Int, ft: Int, ff: Int) =
