@@ -565,8 +565,13 @@ object Keywords {
     * than exploding into characters the table never saw. NULL/empty
     * text reports 0 words, 0 tokens, '' stream and NULL fertility —
     * counts of work done are 0 when there was nothing to work on. */
-  def bpeApply(df: DataFrame, id: Column, text: Column, merges: DataFrame): DataFrame = {
+  def bpeApply(df: DataFrame, id: Column, text: Column, merges: DataFrame,
+               carry: Seq[(String, Column)] = Nil): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val reserved = Set("doc_id", "n_words", "n_tokens", "fertility", "tokens", "ws", "toks")
+    val clash = carry.map(_._1).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"bpeApply carry names collide with its outputs: ${clash.toSeq.sorted.mkString(", ")}")
     val table = merges.select(col("step"), col("l_sym"), col("r_sym"), col("merged"))
       .orderBy(col("step")).collect()
     require(table.length <= 16,
@@ -583,18 +588,87 @@ object Keywords {
       else array(table.toIndexedSeq.map(r => struct(lit(r.getString(1)).as("l"),
         lit(r.getString(2)).as("r"), lit(r.getString(3)).as("m"))): _*)
     def symsOf(w: Column): Column = call_function("graft_bpe_segment", w, mergeLit)
-    df.select(id.as("doc_id"),
-        filter(split(lower(coalesce(text, lit(""))), " "), w => w =!= "").as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+    val carried = carry.map { case (n, c) => c.as(n) }
+    val carriedRefs = carry.map { case (n, _) => col(n) }
+    df.select(id.as("doc_id") +: carried :+
+        filter(split(lower(coalesce(text, lit(""))), " "), w => w =!= "").as("ws"): _*)
+      .select(col("doc_id") +: carriedRefs :+
+        size(col("ws")).cast("long").as("n_words") :+
         flatten(transform(col("ws"), w =>
           when(w.rlike("^[\\x21-\\x7e]+$"), symsOf(w))
-            .otherwise(array(concat(w, lit("</w>")))))).as("toks"))
-      .select(col("doc_id"), col("n_words"),
-        size(col("toks")).cast("long").as("n_tokens"),
+            .otherwise(array(concat(w, lit("</w>")))))).as("toks"): _*)
+      .select(col("doc_id") +: carriedRefs :+ col("n_words") :+
+        size(col("toks")).cast("long").as("n_tokens") :+
         when(col("n_words") > 0,
           round(size(col("toks")).cast("double") / col("n_words").cast("double"), 6))
-          .as("fertility"),
-        array_join(col("toks"), " ").as("tokens"))
+          .as("fertility") :+
+        array_join(col("toks"), " ").as("tokens"): _*)
+  }
+
+  /** Per-source tokenizer-fertility rollup (C125) — the mixture
+    * diagnostic a tokenizer decision reads corpus-wide: for each
+    * source, total whitespace words, total BPE tokens under the given
+    * merge table, and their ratio. A source whose fertility is far
+    * above the corpus mean is paying more sequence length per word
+    * (domain far from the trainer corpus, mojibake, code-in-prose) —
+    * exactly the strata a mixture plan reweights or a tokenizer
+    * retrain targets.
+    *
+    * Scale shape: [[bpeApply]]'s codegen map stage (merge table rides
+    * as a literal; `source` rides the carry columns so no corpus
+    * join-back recovers it) into ONE source-keyed map-side-combined
+    * aggregation; only per-source long triples shuffle. Fertility is
+    * an IEEE division of exact longs; sources with zero words report
+    * NULL (nothing was tokenized), never 0 or a division error. */
+  def fertilityBySource(df: DataFrame, id: Column, text: Column,
+                        source: Column, merges: DataFrame): DataFrame =
+    bpeApply(df, id, text, merges, carry = Seq("source" -> source))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6)))
+
+  /** Inverted-index build (C126) — the materialized search structure
+    * BM25 (C78) scores against: one row per retained term carrying its
+    * document frequency, total term frequency, and the SORTED postings
+    * list (comma-joined doc ids — a string so the driver's
+    * value-hash compare sees a deterministic scalar). `minDf` drops
+    * hapax noise; `maxDf` drops stopword-grade terms BEFORE the
+    * postings aggregation — the cap is the scale guard: an uncapped
+    * ubiquitous term materializes one row holding a corpus-sized id
+    * list (10¹⁰ ids in one aggregation buffer at web scale), which is
+    * exactly what IR stop lists exist to prevent. Production postings
+    * for mid-df terms are bounded by df ≤ maxDf ids per row.
+    *
+    * Scale shape: explode → (term, doc) map-side-combined count →
+    * term-keyed aggregation; only (term, doc_id, tf) triples shuffle,
+    * never text. The df cap applies via HAVING-style post-agg filter
+    * on the (term, doc) frame's grouped count — computed in the SAME
+    * aggregation that builds the postings (no second pass), because
+    * dropping rows after the fact costs nothing compared to the
+    * buffer; callers indexing truly adversarial corpora should
+    * pre-filter with a stop list instead. */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+                    n: Int = 1, minDf: Int = 2, maxDf: Int = 100): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf, got minDf=$minDf maxDf=$maxDf")
+    // n = 1 indexes plain terms; n >= 2 builds the PHRASE index (the
+    // C34 shingle definition, order-preserving, non-distinct — a
+    // phrase occurring twice in a doc counts twice in tf_total)
+    val toks = df.select(id.as("doc_id"),
+        explode(graft.operators.Dedup.wordShingles(text, n, distinct = false))
+          .as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"),
+        sum(col("tf")).as("tf_total"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
   }
 
   def pmiTopK(df: DataFrame, text: Column, k: Int,

@@ -1093,7 +1093,11 @@ object TextQueries {
     * (the oracle) are the same function of the word, so the token
     * streams must agree byte-for-byte. Non-conforming words pass
     * through as one atomic `word</w>` token in both formulations. */
-  private def bpeApplyOracleSql(merges: Int): String =
+  /** The per-doc tokenization CTE chain shared by the apply and
+    * fertility oracles: the trained-vocabulary chain, then per-word
+    * segmentation and per-doc (n_words, n_tokens, tokens) in `ag` —
+    * docs with zero words have no `ag` row (the consumers COALESCE). */
+  private def bpeTokCtes(merges: Int): String =
     bpeChainCtes(merges) + s""",
     dws AS (SELECT doc_id,
               list_filter(string_split(lower(COALESCE(text, '')), ' '), w -> w <> '') AS ws
@@ -1108,7 +1112,10 @@ object TextQueries {
     ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
                   CAST(SUM(length(syms)) AS BIGINT) AS n_tokens,
                   array_to_string(flatten(list(syms ORDER BY i)), ' ') AS tokens
-           FROM tk GROUP BY doc_id)
+           FROM tk GROUP BY doc_id)"""
+
+  private def bpeApplyOracleSql(merges: Int): String =
+    bpeTokCtes(merges) + s"""
     SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
            COALESCE(a.n_tokens, 0) AS n_tokens,
            CASE WHEN a.n_words > 0
@@ -1143,6 +1150,63 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     Some(bpeApplyOracleSql(4)))
+
+  // C125: per-source tokenizer fertility — the C85 tokenization
+  // rolled up to the mixture-planning grain. The oracle reuses the
+  // shared per-doc tokenization chain (bpeTokCtes) and adds only the
+  // source join + grouped sums, so a mismatch isolates to the rollup.
+  val qFertility = Q(
+    "qtext_fertility",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Keywords.fertilityBySource(docs, col("doc_id"), col("text"),
+          col("source"), Keywords.bpeTrain(docs, col("text"), merges = 4))
+        .orderBy(col("source"))
+    },
+    Some(bpeTokCtes(4) + """,
+    per AS (SELECT d.doc_id, d.source,
+              COALESCE(a.n_words, 0) AS n_words,
+              COALESCE(a.n_tokens, 0) AS n_tokens
+            FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(n_words) > 0
+                THEN ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6)
+           END AS fertility
+    FROM per GROUP BY source
+    ORDER BY source"""))
+
+  // C126: inverted-index build at PHRASE (bigram) grain — this
+  // corpus's unigram vocabulary is 31 near-ubiquitous terms (every df
+  // band but one is empty), while its ~900 bigrams spread across the
+  // whole df range, so the phrase index exercises both cut lines.
+  // The df band [2, 100] keeps hapax noise and template-grade phrases
+  // out of the postings; the sorted comma-joined postings string
+  // makes the whole structure one hashable scalar per term.
+  val qIndex = Q(
+    "qtext_index",
+    (s, dir) =>
+      Keywords.invertedIndex(Tables(s, dir).documents,
+          col("doc_id"), col("text"), n = 2, minDf = 2, maxDf = 100)
+        .orderBy(col("term")),
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE text IS NOT NULL),
+      bg AS (SELECT doc_id,
+               unnest([array_to_string(w[i:i+1], ' ')
+                       FOR i IN range(1, greatest(len(w) - 1, 0) + 1)]) AS term
+             FROM ws),
+      toks AS (SELECT doc_id, term FROM bg WHERE term <> ''),
+      td AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      agg AS (SELECT term,
+                CAST(COUNT(*) AS BIGINT) AS df_docs,
+                CAST(SUM(tf) AS BIGINT) AS tf_total,
+                array_to_string(list_sort(list(doc_id)), ',') AS postings
+              FROM td GROUP BY term)
+      SELECT term, df_docs, tf_total, postings
+      FROM agg WHERE df_docs BETWEEN 2 AND 100
+      ORDER BY term"""))
 
   // C78: BM25 retrieval — contributions in single-rounded integer
   // micro-units off a pinned IEEE tree (the C37 discipline), summed
@@ -1390,5 +1454,5 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qZipf, qLmRef, qKnRef, qHeavyHitters)
+    qBm25, qZipf, qLmRef, qKnRef, qHeavyHitters, qFertility, qIndex)
 }

@@ -727,7 +727,50 @@ object DedupQueries {
       FROM h2 GROUP BY chunk_hash HAVING COUNT(*) >= 2
       ORDER BY chunk_hash"""))
 
+  // C121 pairs: same chunk machinery, winnowPairs discipline (distinct
+  // per doc, ubiquity cap 20, >= 2 shared chunks).
+  val qCdcPairs = Q(
+    "qdedup_cdc_pairs",
+    (s, dir) =>
+      Dedup.cdcPairs(Tables(s, dir).documents, col("doc_id"), col("text"),
+          w = 8, div = 64, maxLen = 256, minShared = 2, maxDocsPerChunk = 20)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH d AS (SELECT doc_id, text AS t FROM documents
+                 WHERE text IS NOT NULL AND length(text) > 0),
+      by AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n,
+              [ord(substring(t, i, 1)) FOR i IN range(1, length(t)+1)] AS bytes
+             FROM d),
+      hs AS (SELECT doc_id, t, n,
+              [CAST(i AS BIGINT) FOR i IN range(8, n + 1)
+               IF list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                 list_transform(list_slice(bytes, i - 7, i), x -> CAST(x AS HUGEINT))),
+                    (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) % 64 = 0] AS ccuts
+             FROM by),
+      cts AS (SELECT doc_id,
+               list_sort(list_distinct(
+                 ccuts
+                 || [CAST(k * 256 AS BIGINT) FOR k IN range(1, CAST((n - 1) // 256 AS BIGINT) + 1)]
+                 || [n])) AS cuts
+              FROM hs),
+      ch AS (SELECT doc_id,
+               unnest([{s: CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END, e: cuts[j]}
+                       FOR j IN range(1, len(cuts) + 1)]) AS c
+             FROM cts),
+      h2 AS (SELECT ch.doc_id,
+               md5(substring(d.t, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS chunk_hash
+             FROM ch JOIN d USING (doc_id)),
+      dc AS (SELECT DISTINCT doc_id, chunk_hash FROM h2),
+      capd AS (SELECT doc_id, chunk_hash FROM dc
+               WHERE chunk_hash NOT IN (SELECT chunk_hash FROM dc
+                                        GROUP BY chunk_hash HAVING COUNT(*) > 20))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM capd a JOIN capd b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
-    qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc)
+    qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs)
 }

@@ -135,5 +135,46 @@ object LayoutQueries {
     Some("""
       SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge, qJsonl)
+  /** CSV interchange round-trip (D14) — the remaining bulk-interchange
+    * format next to parquet and NDJSON: write with Spark's quoting
+    * (embedded commas and quote characters in the `tricky` column
+    * force real quoting+escaping, not the happy path), read back under
+    * an explicit schema, and hash-compare against the parquet truth.
+    * Timestamps travel as unix-micros longs (the suite's canonical
+    * parity time) — CSV has no timestamp type, and a string format
+    * would re-open every timezone/precision trap the long avoids.
+    * Scale notes in the writer's favor: default (single-line) CSV
+    * stays SPLITTABLE — one 100 GB file still fans out by range;
+    * fields with embedded NEWLINES would need multiLine=true reads,
+    * which makes each file one task — keep newlines out of
+    * interchange CSV (scrub or \\n-escape upstream) rather than
+    * paying an unsplittable scan. */
+  val qCsv = Q(
+    "qlayout_csv",
+    (s, dir) => {
+      val src = Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        concat(col("o_orderstatus"), lit(",\"q"), col("o_orderpriority"))
+          .as("tricky"))
+      val out = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_q_csv").toString
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, o_us BIGINT, tricky STRING")
+        .csv(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_us"), col("tricky"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             epoch_us(o_orderdate) AS o_us,
+             o_orderstatus || ',"q' || o_orderpriority AS tricky
+      FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge, qJsonl, qCsv)
 }

@@ -92,6 +92,23 @@ class CdcSpec extends AnyFunSuite {
     assert(dup.forall(x => x._2 >= 1 && x._2 <= 256))
   }
 
+  test("cdcPairs pairs the shared-span docs; the ubiquity cap evicts template chunks") {
+    val shared = lcgText(600, seed = 23)
+    val d = docs(
+      1L -> (lcgText(100, seed = 1) + shared),
+      2L -> (lcgText(150, seed = 2) + shared),
+      3L -> lcgText(300, seed = 3))
+    val pairs = Dedup.cdcPairs(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2), s"got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // every chunk of 5 identical docs is in 5 > cap docs → all evicted,
+    // no pairs: a template cluster must not explode the join
+    val many = docs((1L to 5L).map(i => i -> ("X" + shared)): _*)
+    assert(Dedup.cdcPairs(many, col("doc_id"), col("text"),
+      maxDocsPerChunk = 4).count() == 0)
+  }
+
   test("stratifiedSplit: floor-exact per-stratum counts, stratum independence, NULL drop") {
     import graft.operators.Curation
     import spark.implicits._

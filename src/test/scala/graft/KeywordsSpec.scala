@@ -300,6 +300,53 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, None, "")), s"got ${got(3L)}")
   }
 
+  test("invertedIndex: hand postings, df band edges, repeated phrase bills tf twice") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x y"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Keywords.invertedIndex(docs, col("doc_id"), col("text"),
+        n = 2, minDf = 2, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "a b" occurs twice in doc 1 (overlapping windows) and once in
+    // doc 2: df counts DOCS, tf_total counts occurrences
+    assert(got.toSeq == Seq(("a b", 2L, 3L, "1,2")), s"got ${got.toSeq}")
+    // unigram grain + open band: every term indexed, hapax included
+    val uni = Keywords.invertedIndex(docs, col("doc_id"), col("text"),
+        n = 1, minDf = 1, maxDf = 100)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // postings are DOC grain (one entry per doc, not per occurrence)
+    assert(uni("a") == "1,2" && uni("x") == "3", s"got $uni")
+  }
+
+  test("fertilityBySource: carry rides without a join-back; zero-word source is NULL") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val merges = Keywords.bpeTrain(train, col("text"), 2)
+    // srcA: "aaa aaaa" (2 words → 5 toks) + "aa" (1 word → 2 toks);
+    // srcB: one empty doc → 0 words, NULL fertility
+    val docs = Seq((1L, "aaa aaaa", "srcA"), (2L, "aa", "srcA"), (3L, "", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Keywords.fertilityBySource(docs, col("doc_id"), col("text"),
+        col("source"), merges)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got("srcA") == ((2L, 3L, 7L, Some(round6(7.0 / 3)))), s"got ${got("srcA")}")
+    assert(got("srcB") == ((1L, 0L, 0L, None)), s"got ${got("srcB")}")
+    // carry names that collide with bpeApply outputs fail fast
+    val ex = intercept[IllegalArgumentException] {
+      Keywords.bpeApply(docs, col("doc_id"), col("text"), merges,
+        carry = Seq("n_tokens" -> col("source")))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
+  private def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
+
   test("bpeApply merge order matters: later merges see earlier merges' symbols") {
     import SparkTest.spark
     import spark.implicits._
