@@ -80,28 +80,61 @@ object Keywords {
     * frame broadcasts. Documents themselves never shuffle — postings
     * (doc_id, term, tf) do. The top-k window gets the map-side
     * WindowGroupLimit rescue, partitioned by query_id. */
-  def bm25TopK(df: DataFrame, id: Column, text: Column,
-               queries: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The materialized retrieval structure [[bm25AgainstIndex]] scores
+    * from (C127, the `pqIndex`/`minhashIndex` discipline applied to
+    * text): term postings with per-doc tf, per-term document
+    * frequencies, per-doc lengths, and the 1-row corpus stats. Build
+    * once, write all four as tables (partition/bucket `postings` by
+    * term for postings-pruned reads), then search any query batch
+    * without re-tokenizing or re-scanning the corpus — the build is
+    * the corpus pass, a search touches only the QUERY terms' postings.
+    * `docs`/`stats` count docs with ≥ 1 token (BM25's population —
+    * empty docs can't be retrieved and must not dilute avgdl). */
+  final case class TextIndex(postings: DataFrame, terms: DataFrame,
+                             docs: DataFrame, stats: DataFrame)
+
+  def textIndex(df: DataFrame, id: Column, text: Column): TextIndex = {
+    val tf = docTermCounts(df, id, text)
+    val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    TextIndex(
+      postings = tf.select(col("doc_id"), col("term"), col("tf")),
+      terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      docs = docs,
+      stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens")))
+  }
+
+  /** BM25 search served entirely from a prebuilt [[TextIndex]] — no
+    * corpus access: the broadcast query-term frame semi-cuts the
+    * postings (with term-bucketed storage only matching buckets are
+    * even read), df/dl/stats join in from their materialized frames,
+    * and the scoring tree is IDENTICAL to [[bm25TopK]] (which now
+    * delegates here — one definition, so the inline and indexed paths
+    * cannot drift; the shared DuckDB oracle gates both). */
+  def bm25AgainstIndex(ix: TextIndex, queries: DataFrame, k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(Seq("doc_id", "term", "tf").forall(ix.postings.columns.contains),
+      s"postings must carry (doc_id, term, tf); got ${ix.postings.columns.mkString(", ")}")
+    require(Seq("term", "df").forall(ix.terms.columns.contains),
+      s"terms must carry (term, df); got ${ix.terms.columns.mkString(", ")}")
+    require(Seq("doc_id", "dl").forall(ix.docs.columns.contains),
+      s"docs must carry (doc_id, dl); got ${ix.docs.columns.mkString(", ")}")
+    require(Seq("n_docs", "total_tokens").forall(ix.stats.columns.contains),
+      s"stats must carry (n_docs, total_tokens); got ${ix.stats.columns.mkString(", ")}")
     val Seq(qidC, termC) = queries.columns.toSeq.take(2).map(col)
     val qterms = queries.select(qidC.as("query_id"),
       lower(termC).as("term")).distinct()
-    val tf = docTermCounts(df, id, text)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_tokens"))
     val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df").cast("double")
         + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfPart = (col("tf").cast("double") * lit(k1 + 1)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
-    tf.join(broadcast(qterms), "term")
-      .join(dfreq, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    ix.postings.join(broadcast(qterms), "term")
+      .join(ix.terms, "term")
+      .join(ix.docs, "doc_id")
+      .crossJoin(broadcast(ix.stats))
       .select(col("query_id"), col("doc_id"),
         round(idf * tfPart * lit(1e6)).cast("long").as("contrib_micro"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -115,6 +148,11 @@ object Keywords {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_hit_terms"), col("score_micro"))
   }
+
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25AgainstIndex(textIndex(df, id, text), queries, k, k1, b)
 
   /** Zipf-law fit of the corpus token distribution (SURVEY.md §2.C82)
     * — the least-squares slope of `ln(tf)` against `ln(rank)` over

@@ -1230,7 +1230,9 @@ object TextQueries {
           Bm25QueryTerms.toDF("query_id", "term"), k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some {
+    Some(bm25OracleSql))
+
+  private lazy val bm25OracleSql: String = {
       val k1 = 1.2; val b = 0.75
       val vals = Bm25QueryTerms
         .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
@@ -1265,7 +1267,32 @@ object TextQueries {
       SELECT query_id, rank, doc_id, n_hit_terms, score_micro
       FROM r WHERE rank <= 10
       ORDER BY query_id, rank"""
-    })
+  }
+
+  /** C127: the SAME search served from a parquet-round-tripped
+    * [[Keywords.TextIndex]] — the build/search split under the SAME
+    * oracle as qtext_bm25 (the qann_ivf_indexed precedent: oracle
+    * equality proves the split changes the cost model, never the
+    * answer). */
+  val qBm25Indexed = Q(
+    "qtext_bm25_indexed",
+    (s, dir) => {
+      import s.implicits._
+      val ix = Keywords.textIndex(Tables(s, dir).documents,
+        col("doc_id"), col("text"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q_bm25idx"
+      def rt(f: org.apache.spark.sql.DataFrame, name: String) = {
+        f.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/$name")
+        s.read.parquet(s"$base/$name")
+      }
+      val stored = Keywords.TextIndex(rt(ix.postings, "postings"),
+        rt(ix.terms, "terms"), rt(ix.docs, "docs"), rt(ix.stats, "stats"))
+      Keywords.bm25AgainstIndex(stored, Bm25QueryTerms.toDF("query_id", "term"),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25OracleSql))
 
   // C82: Zipf fit — every regression sum is an exact long over
   // once-rounded micro-nat points; the closed-form slope/intercept is
@@ -1454,5 +1481,5 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qZipf, qLmRef, qKnRef, qHeavyHitters, qFertility, qIndex)
+    qBm25, qBm25Indexed, qZipf, qLmRef, qKnRef, qHeavyHitters, qFertility, qIndex)
 }

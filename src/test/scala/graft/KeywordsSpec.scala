@@ -300,6 +300,36 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, None, "")), s"got ${got(3L)}")
   }
 
+  test("bm25 from a parquet-round-tripped index equals the inline search pair-for-pair") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val docs = Tables(spark, SparkTest.sf).documents
+    val queries = Seq(("q1", "hash"), ("q2", "vector"), ("q2", "scan"))
+      .toDF("query_id", "term")
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("query_id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val inline = rows(Keywords.bm25TopK(docs, col("doc_id"), col("text"),
+      queries, k = 5))
+    assert(inline.nonEmpty)
+    val ix = Keywords.textIndex(docs, col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    def rt(f: org.apache.spark.sql.DataFrame, name: String) = {
+      f.write.parquet(s"$base/$name"); spark.read.parquet(s"$base/$name")
+    }
+    val stored = Keywords.TextIndex(rt(ix.postings, "p"), rt(ix.terms, "t"),
+      rt(ix.docs, "d"), rt(ix.stats, "s"))
+    assert(rows(Keywords.bm25AgainstIndex(stored, queries, k = 5)) == inline)
+    // a frame missing its contract columns fails fast, not silently
+    val ex = intercept[IllegalArgumentException] {
+      Keywords.bm25AgainstIndex(stored.copy(terms = stored.docs), queries, k = 5)
+    }
+    assert(ex.getMessage.contains("terms must carry"))
+  }
+
   test("invertedIndex: hand postings, df band edges, repeated phrase bills tf twice") {
     import SparkTest.spark
     import spark.implicits._

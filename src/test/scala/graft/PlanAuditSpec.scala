@@ -142,6 +142,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "(n_docs, total_tokens) index summary — the qtext_tfidf shape; the " +
       "postings and dl joins are term-/doc-keyed equi-joins and the query " +
       "set is a bounded broadcast"),
+    "qtext_bm25_indexed" -> ("the qtext_bm25 shape served from the " +
+      "materialized index frames — the same 1-row stats broadcast, now " +
+      "read from its parquet table"),
     "qpack_epoch" -> ("EMBEDS the qmix_plan allocation chain (same 1-row " +
       "weight-total crossJoin over the per-source frame); the cap and pack " +
       "stages themselves join only broadcast offset/allocation frames on " +
