@@ -154,6 +154,40 @@ object Keywords {
                k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25AgainstIndex(textIndex(df, id, text), queries, k, k1, b)
 
+  /** Incremental [[TextIndex]] maintenance (the `ivfPqResAppend`
+    * discipline for retrieval): fold a NEW document batch into an
+    * existing index with work linear in the increment and ZERO in the
+    * history — the historical postings are unioned untouched (under
+    * term-bucketed storage the new files land beside the old), term
+    * dfs add via one outer-merge on the increment's terms, doc
+    * lengths union, and the 1-row stats add. A daily crawl updates a
+    * 100 TB corpus's index without re-tokenizing the corpus; spec
+    * pins append ≡ full rebuild frame-for-frame AND search-for-search.
+    * Caller contract: increment ids must be new (an upsert would need
+    * the old rows subtracted first — compose with a keyed anti-join
+    * of the increment against `docs` when re-crawling). */
+  def textIndexAppend(ix: TextIndex, increment: DataFrame,
+                      id: Column, text: Column): TextIndex = {
+    val inc = textIndex(increment, id, text)
+    val mergedTerms = ix.terms.select(col("term"), col("df").as("__df_old"))
+      .join(inc.terms.select(col("term"), col("df").as("__df_new")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__df_old"), lit(0L)) +
+          coalesce(col("__df_new"), lit(0L))).as("df"))
+    val mergedStats = ix.stats.select(col("n_docs").as("__n0"),
+        col("total_tokens").as("__t0"))
+      .crossJoin(broadcast(inc.stats.select(col("n_docs").as("__n1"),
+        col("total_tokens").as("__t1"))))
+      .select((col("__n0") + col("__n1")).as("n_docs"),
+        (col("__t0") + col("__t1")).as("total_tokens"))
+    TextIndex(
+      postings = ix.postings.unionByName(inc.postings),
+      terms = mergedTerms,
+      docs = ix.docs.unionByName(inc.docs),
+      stats = mergedStats)
+  }
+
   /** Zipf-law fit of the corpus token distribution (SURVEY.md §2.C82)
     * — the least-squares slope of `ln(tf)` against `ln(rank)` over
     * the top-N vocabulary: natural language sits near −1 (Zipf 1949);

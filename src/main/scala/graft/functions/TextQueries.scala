@@ -1294,6 +1294,26 @@ object TextQueries {
     },
     Some(bm25OracleSql))
 
+  /** C128: incremental index maintenance — index HALF the corpus,
+    * append the other half as the "new crawl", search the result.
+    * Oracle: qtext_bm25's, a THIRD time — append(half, half) must be
+    * indistinguishable from indexing everything at once. */
+  val qBm25Inc = Q(
+    "qtext_bm25_inc",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val base = Keywords.textIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        col("doc_id"), col("text"))
+      val grown = Keywords.textIndexAppend(base,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"))
+      Keywords.bm25AgainstIndex(grown, Bm25QueryTerms.toDF("query_id", "term"),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25OracleSql))
+
   // C82: Zipf fit — every regression sum is an exact long over
   // once-rounded micro-nat points; the closed-form slope/intercept is
   // one pinned double tree mirrored term-for-term.
@@ -1481,5 +1501,6 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qBm25Indexed, qZipf, qLmRef, qKnRef, qHeavyHitters, qFertility, qIndex)
+    qBm25, qBm25Indexed, qBm25Inc, qZipf, qLmRef, qKnRef, qHeavyHitters,
+    qFertility, qIndex)
 }

@@ -330,6 +330,31 @@ class KeywordsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("terms must carry"))
   }
 
+  test("textIndexAppend equals the full rebuild frame-for-frame and search-for-search") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.sources.Tables
+    val docs = Tables(spark, SparkTest.sf).documents
+    val full = Keywords.textIndex(docs, col("doc_id"), col("text"))
+    val grown = Keywords.textIndexAppend(
+      Keywords.textIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        col("doc_id"), col("text")),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      col("doc_id"), col("text"))
+    def sorted(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(grown.terms) == sorted(full.terms))
+    assert(sorted(grown.docs) == sorted(full.docs))
+    assert(sorted(grown.stats) == sorted(full.stats))
+    assert(sorted(grown.postings) == sorted(full.postings))
+    val queries = Seq(("q1", "hash"), ("q2", "vector")).toDF("query_id", "term")
+    def rows(ix: Keywords.TextIndex) =
+      Keywords.bm25AgainstIndex(ix, queries, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(grown) == rows(full) && rows(full).nonEmpty)
+  }
+
   test("invertedIndex: hand postings, df band edges, repeated phrase bills tf twice") {
     import SparkTest.spark
     import spark.implicits._

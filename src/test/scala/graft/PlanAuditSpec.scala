@@ -145,6 +145,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "qtext_bm25_indexed" -> ("the qtext_bm25 shape served from the " +
       "materialized index frames — the same 1-row stats broadcast, now " +
       "read from its parquet table"),
+    "qtext_bm25_inc" -> ("the qtext_bm25 stats broadcast plus the append's " +
+      "1-row x 1-row stats merge — both sides single-row scalar frames"),
     "qpack_epoch" -> ("EMBEDS the qmix_plan allocation chain (same 1-row " +
       "weight-total crossJoin over the per-source frame); the cap and pack " +
       "stages themselves join only broadcast offset/allocation frames on " +
