@@ -770,7 +770,57 @@ object DedupQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY id_a, id_b"""))
 
+  // C121 rewrite: one copy of every duplicated span survives
+  // corpus-wide; the oracle replays the chunk chain, picks the same
+  // (doc_id, start)-minimal keeper via a window rank, and reassembles
+  // each doc as the ordered string_agg of its kept chunk substrings —
+  // byte-exact against the engine's sorted-struct concat.
+  val qCdcRm = Q(
+    "qdedup_cdc_rm",
+    (s, dir) =>
+      Dedup.cdcDedupRewrite(Tables(s, dir).documents, col("doc_id"), col("text"),
+          w = 8, div = 64, maxLen = 256)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH d AS (SELECT doc_id, text AS t FROM documents
+                 WHERE text IS NOT NULL AND length(text) > 0),
+      by AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n,
+              [ord(substring(t, i, 1)) FOR i IN range(1, length(t)+1)] AS bytes
+             FROM d),
+      hs AS (SELECT doc_id, t, n,
+              [CAST(i AS BIGINT) FOR i IN range(8, n + 1)
+               IF list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                 list_transform(list_slice(bytes, i - 7, i), x -> CAST(x AS HUGEINT))),
+                    (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616::HUGEINT) % 64 = 0] AS ccuts
+             FROM by),
+      cts AS (SELECT doc_id,
+               list_sort(list_distinct(
+                 ccuts
+                 || [CAST(k * 256 AS BIGINT) FOR k IN range(1, CAST((n - 1) // 256 AS BIGINT) + 1)]
+                 || [n])) AS cuts
+              FROM hs),
+      ch AS (SELECT doc_id,
+               unnest([{s: CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END, e: cuts[j]}
+                       FOR j IN range(1, len(cuts) + 1)]) AS c
+             FROM cts),
+      h2 AS (SELECT ch.doc_id, c.s AS start, c.e - c.s + 1 AS len,
+               md5(substring(d.t, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))) AS chunk_hash
+             FROM ch JOIN d USING (doc_id)),
+      kd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                          ORDER BY doc_id, start) = 1 AS keep
+             FROM h2)
+      SELECT kd.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             COALESCE(string_agg(CASE WHEN keep
+               THEN substring(d.t, CAST(start AS INT), CAST(len AS INT)) END,
+               '' ORDER BY start), '') AS new_text
+      FROM kd JOIN d USING (doc_id)
+      GROUP BY kd.doc_id
+      ORDER BY kd.doc_id"""))
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
-    qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs)
+    qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs, qCdcRm)
 }

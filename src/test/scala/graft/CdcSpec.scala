@@ -92,6 +92,31 @@ class CdcSpec extends AnyFunSuite {
     assert(dup.forall(x => x._2 >= 1 && x._2 <= 256))
   }
 
+  test("cdcDedupRewrite keeps exactly one copy of a duplicated span, min-keyed") {
+    val shared = lcgText(600, seed = 31)
+    val pre1 = lcgText(64, seed = 41)
+    val pre2 = lcgText(96, seed = 42)
+    val d = docs(1L -> (pre1 + shared), 2L -> (pre2 + shared))
+    val got = Dedup.cdcDedupRewrite(d, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val Array(r1, r2) = got
+    // doc 1 is the (doc_id, start)-minimal keeper everywhere → loses
+    // nothing and reassembles byte-exactly; doc 2 drops the shared
+    // interior chunks but keeps its unique prefix
+    assert(r1._3 == 0L && r1._4 == pre1 + shared, s"doc1: $r1")
+    assert(r2._3 >= 1L && r2._4.length < (pre2 + shared).length)
+    assert(r2._4.startsWith(pre2.take(8)))
+    // conservation: doc 2's kept chunks are a subsequence of its text
+    assert((pre2 + shared).indexOf(r2._4.take(50)) >= 0 || r2._4.isEmpty)
+    // no duplicates: with both docs identical, the second empties
+    val twin = docs(1L -> shared, 2L -> shared)
+    val t = Dedup.cdcDedupRewrite(twin, col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    assert(t(0).getString(3) == shared && t(1).getString(3) == "")
+    assert(t(1).getLong(2) == t(1).getLong(1)) // every chunk dropped
+  }
+
   test("cdcPairs pairs the shared-span docs; the ubiquity cap evicts template chunks") {
     val shared = lcgText(600, seed = 23)
     val d = docs(
