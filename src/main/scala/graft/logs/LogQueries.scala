@@ -194,5 +194,41 @@ routes:
       GROUP BY 1
       ORDER BY route"""))
 
-  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting)
+  /** A14: rate-spike detection — the alerting read of the drop-stats
+    * surface, over the same app grain the lines carry (user_id % 3)
+    * at 10-minute buckets; z-cut k = 2. ~190 of ~2 300 buckets per
+    * app flag at sf0.01, so both verdict branches are non-vacuous.
+    * The oracle mirrors the exact-moment arithmetic term for term
+    * (including the var-clamp before sqrt). */
+  val qSpikes = Q(
+    "qlog_spikes",
+    (s, dir) =>
+      graft.streaming.DropStats.rateSpikes(
+          Tables(s, dir).events,
+          concat(lit("app"), (col("user_id") % 3).cast("string")),
+          expr("(ts div 1000) div 600000000"),
+          k = 2.0)
+        .orderBy(col("grp"), col("bucket")),
+    Some("""
+      WITH c AS (SELECT 'app' || CAST(user_id % 3 AS VARCHAR) AS grp,
+                   epoch_us(ts) // 600000000 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(n) AS BIGINT) AS s1,
+                   CAST(SUM(n * n) AS BIGINT) AS s2
+            FROM c GROUP BY grp),
+      x AS (SELECT grp, nb, CAST(s1 AS DOUBLE) / nb AS mean_r,
+              sqrt(greatest(CAST(s2 AS DOUBLE) / nb
+                - (CAST(s1 AS DOUBLE) / nb) * (CAST(s1 AS DOUBLE) / nb),
+                0.0)) AS sd_r
+            FROM m)
+      SELECT c.grp, c.bucket, c.n,
+             ROUND(mean_r, 6) AS mean_n,
+             ROUND(sd_r, 6) AS sd_n,
+             CAST(c.n AS DOUBLE) > mean_r + 2.0 * sd_r AS spike
+      FROM c JOIN x USING (grp)
+      ORDER BY grp, bucket"""))
+
+  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes)
 }

@@ -172,4 +172,39 @@ object DropStats {
       }
       .start()
   }
+
+  /** Rate-spike detection over bucketed per-group counts (A14) — the
+    * alerting read of the drop-stats surface: for each group (app,
+    * series), count events per integer time bucket, then flag buckets
+    * whose count exceeds mean + k·σ of that group's own history. The
+    * z-score cut is the classic ops-dashboard spike rule; the robust
+    * (median/MAD) alternative for outlier-poisoned baselines is
+    * [[graft.operators.Profile.robustOutliers]] — same output
+    * discipline, pick by contamination expectations.
+    *
+    * Exactness: per-bucket counts and the (n, Σn, Σn²) moments are
+    * exact longs; mean/σ/cut is ONE pinned IEEE tree over them
+    * (var clamped at 0 before sqrt — FP cancellation on a constant
+    * series must read σ = 0, not NaN), identical in any engine, so
+    * the spike verdict transfers exactly. Scale shape: one map-side-
+    * combined (group, bucket) count, one ~#groups-row moment
+    * aggregate broadcast back — the event stream shuffles only as
+    * (group, bucket) count pairs. */
+  def rateSpikes(df: DataFrame, group: Column, bucket: Column,
+                 k: Double = 2.0): DataFrame = {
+    val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+    val moments = counts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_buckets").cast("double")
+    val variance = greatest(
+      col("s2").cast("double") / col("n_buckets").cast("double") - mean * mean,
+      lit(0.0))
+    counts.join(broadcast(moments), "grp")
+      .select(col("grp"), col("bucket"), col("n"),
+        round(mean, 6).as("mean_n"),
+        round(sqrt(variance), 6).as("sd_n"),
+        (col("n").cast("double") > mean + lit(k) * sqrt(variance)).as("spike"))
+  }
 }

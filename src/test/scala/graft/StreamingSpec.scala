@@ -682,4 +682,28 @@ class StreamingSpec extends AnyFunSuite {
       .flatMap(f => Files.readAllLines(f).asScala.iterator).size
     assert(total == 8) // 5 + 3, a.log not replayed on resume
   }
+
+  test("rateSpikes: hand moments, k sensitivity, zero-variance series never flags") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    // group a: bucket counts (1, 1, 4) → mean 2, σ = sqrt(2);
+    // group b: constant counts (3, 3) → σ = 0, nothing may flag
+    val events = (Seq.fill(1)(("a", 10L)) ++ Seq.fill(1)(("a", 11L)) ++
+      Seq.fill(4)(("a", 12L)) ++ Seq.fill(3)(("b", 20L)) ++ Seq.fill(3)(("b", 21L)))
+      .toDF("g", "b")
+    def run(k: Double) = DropStats.rateSpikes(events, col("g"), col("b"), k)
+      .orderBy("grp", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val k2 = run(2.0)
+    // cut at k=2: 2 + 2·1.414214 = 4.83 → the 4-count bucket does NOT flag
+    assert(k2.forall(!_._6), s"got ${k2.toSeq}")
+    assert(k2.filter(_._1 == "a").map(x => (x._4, x._5)).distinct.toSeq ==
+      Seq((2.0, 1.414214)))
+    // cut at k=1: 3.41 → only the 4-count bucket flags
+    val k1 = run(1.0)
+    assert(k1.count(_._6) == 1 && k1.find(_._6).get._3 == 4L)
+    // constant series: σ = 0, n > mean is false for every bucket
+    assert(k1.filter(_._1 == "b").forall(x => x._5 == 0.0 && !x._6))
+  }
 }
