@@ -911,7 +911,80 @@ object Analytics {
       GROUP BY c.cohort_week, week_offset
       ORDER BY c.cohort_week, week_offset"""))
 
+  /** B28: RANGE-frame sliding window — the one window frame the rest
+    * of the suite doesn't exercise (q07 runs ROWS/running frames, q24
+    * gap-fills): per user, each event also reports how many events
+    * that user produced in the PRECEDING HOUR (inclusive), a
+    * value-based frame over the canonical epoch-µs time — the
+    * sliding-rate view feeding abuse/velocity rules. ROWS frames
+    * can't express it (equal event spacing is not guaranteed) and a
+    * self-join range predicate would rebuild what WindowExec's
+    * sliding range frame already does in one sorted pass per user
+    * partition. Counts are exact longs; the frame boundary is integer
+    * µs arithmetic — no timezone, no interval type, identical in both
+    * engines. */
+  val q28 = Q(
+    "q28_range_window",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      e.withColumn("n_last_hour", count(lit(1)).over(w))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_last_hour
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      ORDER BY user_id, ts_us, event_id"""))
+
+  /** B29: native session-window aggregation — q15 counts sessions
+    * with a custom lag/island pass; this is the same 30-minute-gap
+    * semantics expressed as Spark's `session_window` GROUPED
+    * AGGREGATION (the form that also runs under Structured Streaming
+    * with state eviction — the lag formulation can't), emitting one
+    * row per (user, session) with its exact span. `session_window.end`
+    * is last-event + gap by Spark's contract, so the LAST EVENT time
+    * is end − gap — reported instead of the padded end (a session's
+    * observable extent must not depend on the gap parameter).
+    * Oracle: the classic gaps-and-islands rewrite (lag → is_new →
+    * running island id → per-island min/max/count). */
+  val q29 = Q(
+    "q29_session_window",
+    (s, dir) => {
+      val gapUs = 1800000000L
+      eventsUs(Tables(s, dir))
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("t"))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      l AS (SELECT user_id, us,
+              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      g AS (SELECT user_id, us,
+              SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sess
+            FROM l)
+      SELECT user_id, MIN(us) AS start_us, MAX(us) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sess
+      ORDER BY user_id, start_us"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23,
-    q24, q25, q26, q27)
+    q24, q25, q26, q27, q28, q29)
 }

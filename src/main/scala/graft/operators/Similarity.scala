@@ -1425,6 +1425,62 @@ object Similarity {
         (col("sse_micro").cast("double") / lit(1e9)).as("sse"))
   }
 
+  /** Davies-Bouldin index of a trained quantizer (C129; Davies &
+    * Bouldin 1979) — the SEPARATION metric completing the clustering-
+    * eval triad: inertia ([[clusterStats]]) measures tightness alone,
+    * ARI needs labels; DB needs neither and punishes exactly the
+    * failure inertia can't see — tight clusters sitting on top of
+    * each other. Per cluster: RMS scatter S_i = sqrt(SSE_i/n_i) and
+    * the worst similarity ratio R_i = max_{j≠i} (S_i+S_j)/‖c_i−c_j‖;
+    * the corpus DB index is the mean of R_i (left to the reader of
+    * the per-cluster frame — the per-cluster view is the actionable
+    * one: WHICH cells to merge/re-train).
+    *
+    * Exactness: SSE and pairwise centroid distances accumulate as
+    * once-truncated 1e9 fixed-point longs (the C56/C57 recipe), so
+    * every sqrt/ratio is one pinned IEEE tree over exact integers.
+    * Scale shape: the member pass is [[clusterStats]]' map-side scan
+    * against broadcast centroids; everything after runs on
+    * nlist-bounded frames (the nlist×nlist centroid self-join is a
+    * bounded broadcast). */
+  def daviesBouldin(corpus: DataFrame, id: Column, vec: Column,
+                    nlist: Int, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cells = ivfTrainCells(corpus, id, vec, nlist, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val assigned = v.join(cells, "vec_id")
+    val cents = centroidFrame(
+        assigned.select(col("cell"), col("v")), col("cell"), col("v"))
+      .select(col("grp").as("cell"), col("cv"))
+    def sqDistMicro(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, c) => ((x - c) * (x - c) * lit(1e9)).cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    val s = assigned.join(broadcast(cents), "cell")
+      .select(col("cell"), sqDistMicro(col("v"), col("cv")).as("vm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sse_micro"))
+      .select(col("cell"), col("n"),
+        sqrt(col("sse_micro").cast("double") / lit(1e9) / col("n").cast("double"))
+          .as("s_raw"))
+    val m2 = cents.as("a")
+      .join(broadcast(cents.as("b")), col("a.cell") =!= col("b.cell"))
+      .select(col("a.cell").as("gi"), col("b.cell").as("gj"),
+        sqDistMicro(col("a.cv"), col("b.cv")).as("m2"))
+    val r = m2
+      .join(broadcast(s.select(col("cell").as("gi"), col("s_raw").as("sa"))), "gi")
+      .join(broadcast(s.select(col("cell").as("gj"), col("s_raw").as("sb"))), "gj")
+      .groupBy(col("gi"))
+      .agg(max((col("sa") + col("sb")) /
+        sqrt(col("m2").cast("double") / lit(1e9))).as("r_raw"))
+      .select(col("gi").as("cell"), col("r_raw"))
+    s.join(r, "cell")
+      .select(col("cell"), col("n"),
+        round(col("s_raw"), 6).as("s_i"),
+        round(col("r_raw"), 6).as("r_max"))
+  }
+
   /** Approximate top-k: `tables` independent hyperplane tables of
     * `planesPerTable` bits each; a corpus vector is a candidate for a
     * query if they share a bucket in ANY table (OR-construction).

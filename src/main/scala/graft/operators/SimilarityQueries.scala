@@ -1172,6 +1172,50 @@ object SimilarityQueries {
       FROM t GROUP BY grp
       ORDER BY cell"""))
 
+  /** C129: Davies-Bouldin separation — the oracle reuses the proven
+    * inertia chain (trained cells → fixed-point centroids →
+    * once-truncated SSE terms) and adds the pairwise-centroid
+    * fixed-point distances + the max-ratio fold, term for term. */
+  val qDbi = Q(
+    "qvec_dbi",
+    (s, dir) =>
+      Similarity.daviesBouldin(
+          graft.sources.Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), nlist = 10, iters = 1)
+        .orderBy(col("cell")),
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10, iters = 1)},
+      u AS (SELECT c0.grp, c0.vec_id,
+              unnest(range(0, len(e2.embedding))) AS pos,
+              unnest(CAST(e2.embedding AS DOUBLE[])) AS x
+            FROM embeddings e2 JOIN cells0 c0 ON e2.vec_id = c0.vec_id),
+      cent AS (SELECT grp, pos,
+                 (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                   / COUNT(*) AS c
+               FROM u GROUP BY grp, pos),
+      t AS (SELECT u.grp, u.vec_id,
+              CAST(trunc((u.x - cent.c) * (u.x - cent.c) * 1e9) AS BIGINT) AS tm
+            FROM u JOIN cent ON cent.grp = u.grp AND cent.pos = u.pos),
+      sse AS (SELECT grp, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+                SUM(tm) AS sse_micro
+              FROM t GROUP BY grp),
+      sc AS (SELECT grp, n,
+               sqrt(CAST(sse_micro AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS s_raw
+             FROM sse),
+      cm AS (SELECT a.grp AS gi, b.grp AS gj,
+               SUM(CAST(trunc((a.c - b.c) * (a.c - b.c) * 1e9) AS BIGINT)) AS m2
+             FROM cent a JOIN cent b ON a.pos = b.pos AND a.grp <> b.grp
+             GROUP BY 1, 2),
+      r AS (SELECT cm.gi,
+              MAX((sa.s_raw + sb.s_raw) / sqrt(CAST(cm.m2 AS DOUBLE) / 1e9)) AS r_raw
+            FROM cm JOIN sc sa ON sa.grp = cm.gi JOIN sc sb ON sb.grp = cm.gj
+            GROUP BY cm.gi)
+      SELECT sc.grp AS cell, sc.n,
+             ROUND(sc.s_raw, 6) AS s_i, ROUND(r.r_raw, 6) AS r_max
+      FROM sc JOIN r ON r.gi = sc.grp
+      ORDER BY cell"""))
+
   /** Max-inner-product search (C58). The oracle mirrors the per-term
     * `x·y·1e9` truncation with a lateral position unnest — the inner
     * product is the same exact integer in both engines, so rank
@@ -1355,5 +1399,5 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
-    qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qMips, qRp, qPca)
+    qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qDbi, qMips, qRp, qPca)
 }

@@ -52,6 +52,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "nlist-row centroid frame in the index build, graph build, and " +
       "search probe); the hop expansion itself is an equi-join on src — " +
       "ids only, never a nested loop"),
+    "qvec_dbi" -> ("the bounded centroid broadcasts of the embedded cell " +
+      "training plus an nlist x nlist centroid self-join and nlist-row " +
+      "scatter joins — every non-equi side is <= nlist rows"),
     "qvec_ari" -> ("crossJoins broadcast 1-row pair-count scalar frames " +
       "(ta/tb/purity totals) onto the 1-row contingency aggregate, plus " +
       "the bounded centroid broadcast of the embedded cell training"),

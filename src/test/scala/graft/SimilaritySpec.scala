@@ -953,6 +953,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(partial.getLong(0) == 4L, s"intersection: $partial")
   }
 
+  test("daviesBouldin: separation worsens when two planted clusters approach") {
+    import spark.implicits._
+    // unit-circle clouds: the trainer assigns by COSINE, so clusters
+    // must separate in ANGLE; jitter is angular too, keeping Euclidean
+    // scatter (what S_i measures) ≈ chord length, consistent. Each
+    // cloud's ids are drawn from one fnv1a64("ivf:"+id) % 2 residue
+    // class (the lists below are the first 30 of each, verified
+    // against the expression), so the hash-seeded init IS the true
+    // clustering: a uniform hash init would hand both cells the same
+    // cloud MIX, identical centroids, and a degenerate one-cell
+    // collapse — the spec pins the metric, not k-means symmetry
+    // breaking.
+    val idsCell0 = Seq(0L, 2, 4, 6, 8, 11, 13, 15, 17, 19, 20, 22, 24, 26, 28,
+      31, 33, 35, 37, 39, 40, 42, 44, 46, 48, 51, 53, 55, 57, 59)
+    val idsCell1 = Seq(1L, 3, 5, 7, 9, 10, 12, 14, 16, 18, 21, 23, 25, 27, 29,
+      30, 32, 34, 36, 38, 41, 43, 45, 47, 49, 50, 52, 54, 56, 58)
+    def cloud(deg: Double, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) =>
+        val a = math.toRadians(deg + (i % 5) * 0.5 - 1.0)
+        (id, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }
+    def worstR(degB: Double) = {
+      val df = (cloud(0.0, idsCell0) ++ cloud(degB, idsCell1))
+        .toDF("vec_id", "embedding")
+      val rows = Similarity.daviesBouldin(df, col("vec_id"), col("embedding"),
+          nlist = 2, iters = 1)
+        .collect()
+      assert(rows.length == 2, s"training collapsed to ${rows.length} cell(s)")
+      rows.map(_.getDouble(3)).max
+    }
+    val far = worstR(degB = 90.0)
+    val near = worstR(degB = 20.0)
+    assert(far > 0 && near > far,
+      s"DB ratio should rise as centroids approach: far=$far near=$near")
+  }
+
   test("graph expansion: recall ≥ the starved probe, empty graph is a no-op") {
     val e = Tables(spark, sf).embeddings
     val q = e.filter(col("vec_id") < 10)
