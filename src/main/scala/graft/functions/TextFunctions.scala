@@ -160,6 +160,154 @@ object TextFunctions {
       .agg((sum(coalesce(col("w"), lit(0L))) + bias).as("score"))
   }
 
+  /** Fixed-point hashed feature frame shared by the logistic TRAINER
+    * ([[trainHashedLogistic]]) and its scorer
+    * ([[hashedLogisticScoreJoined]]): per doc, every whitespace token
+    * hashes into `pmod(fnv1a64(token), nBuckets)` and contributes its
+    * L1-NORMALIZED share `x = cnt·1e6 div len` (an exact integer —
+    * shares, not raw counts, or every feature is collinear with
+    * document length and full-batch GD conditions terribly), plus one
+    * pseudo-bucket −2 carrying `trunc(ln(1+len)·1e6) div 10` — the
+    * log-length signal the shares deliberately normalize away (length
+    * rules are what quality gates mostly cut on). A NULL/empty text
+    * doc keeps its −2 row (x = 0), so it never silently drops out of
+    * a training batch. Returns `(doc_id, bucket, x)`. */
+  def hashedShareFeatures(df: org.apache.spark.sql.DataFrame,
+                          id: Column, text: Column,
+                          nBuckets: Long): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val toks = coalesce(filter(split(text, " "), t => t =!= lit("")),
+      array().cast("array<string>"))
+    val base = df.select(id.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("len"))
+    val tokFeats = base
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), col("len"),
+        pmod(call_function("fnv1a64", col("t")), lit(nBuckets)).as("bucket"))
+      .groupBy(col("doc_id"), col("len"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("bucket"),
+        expr("(cnt * 1000000L) div len").as("x"))
+    val lenFeat = base.select(col("doc_id"), lit(-2L).as("bucket"),
+      expr("CAST(ln(1.0D + len) * 1e6 AS LONG) div 10L").as("x"))
+    tokFeats.unionByName(lenFeat)
+  }
+
+  /** Distributed full-batch training for a hashed linear text
+    * classifier (C131) — the TRAIN half the C49 scorers have always
+    * presumed ("the weights come from an offline training run"):
+    * logistic-style gradient descent over [[hashedShareFeatures]],
+    * with every quantity a pinned fixed-point integer so the whole
+    * training TRAJECTORY is engine-reproducible (DuckDB-oracle-
+    * checkable), not just spec-trusted.
+    *
+    * Features are MEAN-CENTERED — without centering the intercept must
+    * crawl to −w̄·x̄ while the weights race ahead, and full-batch GD
+    * stalls at the majority-class predictor for any practical step
+    * count. Centering is implemented SPARSELY by the classic offset
+    * trick (the feature frame is never densified):
+    *   score_d = Σ_b x_db·w_b − C,       C = Σ_b w_b·m_b,
+    *   grad_b  = Σ_d e_d·x_db − m_b·E,   E = Σ_d e_d,
+    * where m_b = (Σ_d x_db) div n is the corpus mean feature. With
+    * zero-mean features the optimal intercept for a balanced label is
+    * logit(½) = 0, so no explicit bias is trained and `s ≥ 0` is the
+    * decision boundary.
+    *
+    * Per step, entirely as DataFrame algebra:
+    *   z_d = (Σx·w − C)/1e12 (x and w both 1e6-scaled),
+    *   p_d = σ̃(z) with the ALGEBRAIC sigmoid σ̃(z) = 0.5 + z/(2(1+|z|))
+    *         — rational arithmetic only, one pinned IEEE tree
+    *         identical in any engine (libm `exp` is NOT guaranteed
+    *         bit-identical across engines; σ̃ is monotone and keeps
+    *         the logistic gradient's direction),
+    *   e_d = trunc((p_d − y_d)·1e6)            (exact long),
+    *   w_b −= trunc(lr · (g_b − m_b·E)/1e12/n · 1e6)  (one pinned tree).
+    *
+    * Scale shape: the feature frame is built ONCE (one tokenize+hash
+    * pass, persisted); each step is one broadcast of the ≤nBuckets+1-
+    * row weight frame onto it, one per-doc and one per-bucket
+    * partial-agg shuffle (ids and longs only — text never moves after
+    * featurization), and a ≤nBuckets+1-row update join. C, E and the
+    * doc count ride as broadcast 1-row frames — no driver-side action
+    * in the lazy plan; everything map-side-combines.
+    *
+    * Returns the model frame `(bucket, w, m)` (weights AND centering
+    * means, both 1e6 fixed-point) — [[hashedLogisticScoreJoined]]'s
+    * input contract. */
+  def trainHashedLogistic(df: org.apache.spark.sql.DataFrame,
+                          id: Column, text: Column, label: Column,
+                          nBuckets: Long, steps: Int,
+                          lr: Double): org.apache.spark.sql.DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val feats = hashedShareFeatures(df, id, text, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = df.select(id.as("doc_id"), label.cast("long").as("y"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val mu = feats.groupBy(col("bucket"))
+      .agg(sum(col("x")).as("sx"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("bucket"), expr("sx div n_docs").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = mu.select(col("bucket"), lit(0L).as("w"))
+    for (_ <- 0 until steps) {
+      val cFrame = w.join(mu, "bucket")
+        .agg(coalesce(sum(col("w") * col("m")), lit(0L)).as("c0"))
+      val errs = feats.join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("x") * col("w")).as("sraw"))
+        .join(labels, "doc_id")
+        .crossJoin(broadcast(cFrame))
+        .select(col("doc_id"), {
+          val z = (col("sraw") - col("c0")).cast("double") / lit(1e12)
+          val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+          ((p - col("y").cast("double")) * lit(1e6)).cast("long").as("e_micro")
+        })
+      val eTot = errs.agg(coalesce(sum(col("e_micro")), lit(0L)).as("e_tot"))
+      val grad = feats.join(errs, "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(col("e_micro") * col("x")).as("graw"))
+      w = w.join(grad, Seq("bucket"), "left")
+        .join(mu, "bucket")
+        .crossJoin(broadcast(eTot))
+        .crossJoin(broadcast(nDocs))
+        .select(col("bucket"),
+          (col("w") - ((coalesce(col("graw"), lit(0L)) - col("m") * col("e_tot"))
+            .cast("double") / lit(1e12) / col("n_docs").cast("double")
+            * lit(lr) * lit(1e6)).cast("long")).as("w"))
+      // eager tiny checkpoint (≤ nBuckets+1 rows): without it the
+      // weight lineage nests one broadcast-join tree per step and the
+      // planner re-walks the whole unrolled history at every step —
+      // the qgraph_hits/coreness lesson applied at train time
+      w = graft.operators.Curation.truncateLineage(w, None)
+    }
+    w.join(mu, "bucket").select(col("bucket"), col("w"), col("m"))
+  }
+
+  /** Score documents with a [[trainHashedLogistic]] model frame:
+    * `s_fp = Σ_b x_db·w_b − Σ_b w_b·m_b` in 1e12 fixed-point (x and w
+    * are each 1e6-scaled; divide by 1e12 for the real-valued margin —
+    * `s_fp ≥ 0` is the trained decision). Buckets unseen at train
+    * time drop out of the inner join — exactly weight 0 — and every
+    * doc still scores via its −2 length row (always in the model).
+    * One broadcast of the model, one per-doc partial-agg shuffle, one
+    * 1-row offset crossJoin: document payloads never move. */
+  def hashedLogisticScoreJoined(df: org.apache.spark.sql.DataFrame,
+                                id: Column, text: Column,
+                                model: org.apache.spark.sql.DataFrame,
+                                nBuckets: Long): org.apache.spark.sql.DataFrame = {
+    val cFrame = model
+      .agg(coalesce(sum(col("w") * col("m")), lit(0L)).as("c0"))
+    hashedShareFeatures(df, id, text, nBuckets)
+      .join(broadcast(model.select(col("bucket"), col("w"))), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * col("w")).as("sraw"))
+      .crossJoin(broadcast(cFrame))
+      .select(col("doc_id"), (col("sraw") - col("c0")).as("s_fp"))
+  }
+
   /** Normalization for exact dedup: lowercase, trim, collapse runs of
     * whitespace. Byte-level only — for Unicode corpora compose with
     * [[nfcNormalize]] first so canonically-equivalent spellings (é

@@ -795,6 +795,249 @@ object TextQueries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** C131: hashed-logistic classifier TRAINING, as gate
+    * distillation — the standard quality-classifier recipe (weak
+    * rule labels -> learned scorer): 10 full-batch centered-GD
+    * steps on the C25 Gopher gate's own pass/fail label, then the
+    * trained model scores the corpus through the PUBLIC
+    * [[TextFunctions.hashedLogisticScoreJoined]] scorer. Reaches
+    * ~93% agreement with the gate at sf0.01 (majority class: 50.2%)
+    * — the ln-length pseudo-feature learns the word-count rule, the
+    * share features learn the stopword rule. The oracle unrolls the
+    * identical steps as MATERIALIZED CTEs — fixed-point share
+    * features, the algebraic sigmoid's pinned IEEE tree, truncated
+    * errors, the sparse-centering offset algebra — so the hash-match
+    * proves the whole training TRAJECTORY, not just the final
+    * scoring pass. */
+  val qTrainLr = Q(
+    "qtext_train_lr",
+    (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      val d = Tables(s, dir).documents
+      val gate = TextFunctions.gopherGate(
+          d.select(col("doc_id"), col("text")), col("text"),
+          minTokens = 50, maxTokens = 100000, minMeanLen = 4, maxMeanLen = 10,
+          minStopwords = 1)
+        .select(col("doc_id"), col("passes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = TextFunctions.trainHashedLogistic(
+          d.join(gate, "doc_id"), col("doc_id"), col("text"), col("passes"),
+          nBuckets = 256L, steps = 10, lr = 1000.0)
+      TextFunctions.hashedLogisticScoreJoined(
+          d, col("doc_id"), col("text"), model, nBuckets = 256L)
+        .join(gate, "doc_id")
+        .select(col("doc_id"), col("s_fp"),
+          (col("s_fp") >= 0L).as("pred"),
+          col("passes").cast("long").as("y"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, u.t AS t
+             FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+             WHERE u.t <> ''),
+      ${graft.Q.sqlutil.fnvSignedCtes("tk", "t", Seq("doc_id"), "tk")},
+      dl AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS BIGINT) AS len
+             FROM documents),
+      fb AS (SELECT doc_id, ((sb % 256) + 256) % 256 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tkg GROUP BY 1, 2),
+      feats AS MATERIALIZED (
+        SELECT doc_id, bucket, (fb.cnt * 1000000) // dl.len AS x
+        FROM fb JOIN dl USING (doc_id)
+        UNION ALL
+        SELECT doc_id, CAST(-2 AS BIGINT),
+               CAST(trunc(ln(1.0 + len) * 1e6) AS BIGINT) // 10
+        FROM dl),
+      $GopherMCte,
+      lab AS MATERIALIZED (SELECT doc_id,
+               CASE WHEN $GopherPassSql THEN 1 ELSE 0 END AS y
+             FROM m),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      mu AS MATERIALIZED (SELECT bucket,
+             CAST(SUM(x) AS BIGINT) // (SELECT n_docs FROM nd) AS m
+           FROM feats GROUP BY 1),
+      w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS w FROM mu),
+      c1 AS (SELECT COALESCE(SUM(w0.w * mu.m), 0) AS c0
+             FROM w0 JOIN mu USING (bucket)),
+      sr1 AS (SELECT doc_id, SUM(feats.x * w0.w) AS sraw
+              FROM feats JOIN w0 USING (bucket) GROUP BY 1),
+      er1 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr1 JOIN lab USING (doc_id), c1),
+      et1 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er1),
+      gr1 AS (SELECT bucket, SUM(er1.e_micro * feats.x) AS graw
+              FROM feats JOIN er1 USING (doc_id) GROUP BY 1),
+      w1 AS MATERIALIZED (SELECT bucket,
+             w0.w - CAST(trunc(CAST(COALESCE(gr1.graw, 0) - mu.m * et1.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w0 JOIN mu USING (bucket) LEFT JOIN gr1 USING (bucket), et1, nd),
+      c2 AS (SELECT COALESCE(SUM(w1.w * mu.m), 0) AS c0
+             FROM w1 JOIN mu USING (bucket)),
+      sr2 AS (SELECT doc_id, SUM(feats.x * w1.w) AS sraw
+              FROM feats JOIN w1 USING (bucket) GROUP BY 1),
+      er2 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr2 JOIN lab USING (doc_id), c2),
+      et2 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er2),
+      gr2 AS (SELECT bucket, SUM(er2.e_micro * feats.x) AS graw
+              FROM feats JOIN er2 USING (doc_id) GROUP BY 1),
+      w2 AS MATERIALIZED (SELECT bucket,
+             w1.w - CAST(trunc(CAST(COALESCE(gr2.graw, 0) - mu.m * et2.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w1 JOIN mu USING (bucket) LEFT JOIN gr2 USING (bucket), et2, nd),
+      c3 AS (SELECT COALESCE(SUM(w2.w * mu.m), 0) AS c0
+             FROM w2 JOIN mu USING (bucket)),
+      sr3 AS (SELECT doc_id, SUM(feats.x * w2.w) AS sraw
+              FROM feats JOIN w2 USING (bucket) GROUP BY 1),
+      er3 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr3 JOIN lab USING (doc_id), c3),
+      et3 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er3),
+      gr3 AS (SELECT bucket, SUM(er3.e_micro * feats.x) AS graw
+              FROM feats JOIN er3 USING (doc_id) GROUP BY 1),
+      w3 AS MATERIALIZED (SELECT bucket,
+             w2.w - CAST(trunc(CAST(COALESCE(gr3.graw, 0) - mu.m * et3.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w2 JOIN mu USING (bucket) LEFT JOIN gr3 USING (bucket), et3, nd),
+      c4 AS (SELECT COALESCE(SUM(w3.w * mu.m), 0) AS c0
+             FROM w3 JOIN mu USING (bucket)),
+      sr4 AS (SELECT doc_id, SUM(feats.x * w3.w) AS sraw
+              FROM feats JOIN w3 USING (bucket) GROUP BY 1),
+      er4 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr4 JOIN lab USING (doc_id), c4),
+      et4 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er4),
+      gr4 AS (SELECT bucket, SUM(er4.e_micro * feats.x) AS graw
+              FROM feats JOIN er4 USING (doc_id) GROUP BY 1),
+      w4 AS MATERIALIZED (SELECT bucket,
+             w3.w - CAST(trunc(CAST(COALESCE(gr4.graw, 0) - mu.m * et4.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w3 JOIN mu USING (bucket) LEFT JOIN gr4 USING (bucket), et4, nd),
+      c5 AS (SELECT COALESCE(SUM(w4.w * mu.m), 0) AS c0
+             FROM w4 JOIN mu USING (bucket)),
+      sr5 AS (SELECT doc_id, SUM(feats.x * w4.w) AS sraw
+              FROM feats JOIN w4 USING (bucket) GROUP BY 1),
+      er5 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr5 JOIN lab USING (doc_id), c5),
+      et5 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er5),
+      gr5 AS (SELECT bucket, SUM(er5.e_micro * feats.x) AS graw
+              FROM feats JOIN er5 USING (doc_id) GROUP BY 1),
+      w5 AS MATERIALIZED (SELECT bucket,
+             w4.w - CAST(trunc(CAST(COALESCE(gr5.graw, 0) - mu.m * et5.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w4 JOIN mu USING (bucket) LEFT JOIN gr5 USING (bucket), et5, nd),
+      c6 AS (SELECT COALESCE(SUM(w5.w * mu.m), 0) AS c0
+             FROM w5 JOIN mu USING (bucket)),
+      sr6 AS (SELECT doc_id, SUM(feats.x * w5.w) AS sraw
+              FROM feats JOIN w5 USING (bucket) GROUP BY 1),
+      er6 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr6 JOIN lab USING (doc_id), c6),
+      et6 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er6),
+      gr6 AS (SELECT bucket, SUM(er6.e_micro * feats.x) AS graw
+              FROM feats JOIN er6 USING (doc_id) GROUP BY 1),
+      w6 AS MATERIALIZED (SELECT bucket,
+             w5.w - CAST(trunc(CAST(COALESCE(gr6.graw, 0) - mu.m * et6.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w5 JOIN mu USING (bucket) LEFT JOIN gr6 USING (bucket), et6, nd),
+      c7 AS (SELECT COALESCE(SUM(w6.w * mu.m), 0) AS c0
+             FROM w6 JOIN mu USING (bucket)),
+      sr7 AS (SELECT doc_id, SUM(feats.x * w6.w) AS sraw
+              FROM feats JOIN w6 USING (bucket) GROUP BY 1),
+      er7 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr7 JOIN lab USING (doc_id), c7),
+      et7 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er7),
+      gr7 AS (SELECT bucket, SUM(er7.e_micro * feats.x) AS graw
+              FROM feats JOIN er7 USING (doc_id) GROUP BY 1),
+      w7 AS MATERIALIZED (SELECT bucket,
+             w6.w - CAST(trunc(CAST(COALESCE(gr7.graw, 0) - mu.m * et7.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w6 JOIN mu USING (bucket) LEFT JOIN gr7 USING (bucket), et7, nd),
+      c8 AS (SELECT COALESCE(SUM(w7.w * mu.m), 0) AS c0
+             FROM w7 JOIN mu USING (bucket)),
+      sr8 AS (SELECT doc_id, SUM(feats.x * w7.w) AS sraw
+              FROM feats JOIN w7 USING (bucket) GROUP BY 1),
+      er8 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr8 JOIN lab USING (doc_id), c8),
+      et8 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er8),
+      gr8 AS (SELECT bucket, SUM(er8.e_micro * feats.x) AS graw
+              FROM feats JOIN er8 USING (doc_id) GROUP BY 1),
+      w8 AS MATERIALIZED (SELECT bucket,
+             w7.w - CAST(trunc(CAST(COALESCE(gr8.graw, 0) - mu.m * et8.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w7 JOIN mu USING (bucket) LEFT JOIN gr8 USING (bucket), et8, nd),
+      c9 AS (SELECT COALESCE(SUM(w8.w * mu.m), 0) AS c0
+             FROM w8 JOIN mu USING (bucket)),
+      sr9 AS (SELECT doc_id, SUM(feats.x * w8.w) AS sraw
+              FROM feats JOIN w8 USING (bucket) GROUP BY 1),
+      er9 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr9 JOIN lab USING (doc_id), c9),
+      et9 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er9),
+      gr9 AS (SELECT bucket, SUM(er9.e_micro * feats.x) AS graw
+              FROM feats JOIN er9 USING (doc_id) GROUP BY 1),
+      w9 AS MATERIALIZED (SELECT bucket,
+             w8.w - CAST(trunc(CAST(COALESCE(gr9.graw, 0) - mu.m * et9.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w8 JOIN mu USING (bucket) LEFT JOIN gr9 USING (bucket), et9, nd),
+      c10 AS (SELECT COALESCE(SUM(w9.w * mu.m), 0) AS c0
+             FROM w9 JOIN mu USING (bucket)),
+      sr10 AS (SELECT doc_id, SUM(feats.x * w9.w) AS sraw
+              FROM feats JOIN w9 USING (bucket) GROUP BY 1),
+      er10 AS (SELECT doc_id, CAST(trunc((0.5 +
+                (CAST(sraw - c0 AS DOUBLE) / 1e12)
+                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
+                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
+              FROM sr10 JOIN lab USING (doc_id), c10),
+      et10 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er10),
+      gr10 AS (SELECT bucket, SUM(er10.e_micro * feats.x) AS graw
+              FROM feats JOIN er10 USING (doc_id) GROUP BY 1),
+      w10 AS MATERIALIZED (SELECT bucket,
+             w9.w - CAST(trunc(CAST(COALESCE(gr10.graw, 0) - mu.m * et10.e_tot
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS BIGINT) AS w
+           FROM w9 JOIN mu USING (bucket) LEFT JOIN gr10 USING (bucket), et10, nd),
+      cf AS (SELECT COALESCE(SUM(w10.w * mu.m), 0) AS c0
+             FROM w10 JOIN mu USING (bucket)),
+      sf AS (SELECT doc_id, SUM(feats.x * w10.w) AS sraw
+             FROM feats JOIN w10 USING (bucket) GROUP BY 1)
+      SELECT doc_id, CAST(sraw - c0 AS BIGINT) AS s_fp,
+             (sraw - c0) >= 0 AS pred, CAST(y AS BIGINT) AS y
+      FROM sf JOIN lab USING (doc_id), cf
+      ORDER BY doc_id"""))
+
   /** OOV rate vs the corpus's own top-100 vocabulary (C61). The
     * vocab boundary is integer-exact (tf desc, term asc — the tfidf
     * tie discipline) so membership never depends on a float; the
@@ -1502,5 +1745,5 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qZipf, qLmRef, qKnRef, qHeavyHitters,
-    qFertility, qIndex)
+    qFertility, qIndex, qTrainLr)
 }

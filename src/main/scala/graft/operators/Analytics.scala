@@ -984,7 +984,110 @@ object Analytics {
       FROM g GROUP BY user_id, sess
       ORDER BY user_id, start_us"""))
 
+  /** Point-in-interval range join WITHOUT a nested loop (B30) — the
+    * degenerate-but-common sibling of [[intervalJoin]] (B25): `points
+    * JOIN intervals ON t BETWEEN lo AND hi`, both sides corpus-sized,
+    * no equi key, which Spark plans as BroadcastNestedLoopJoin (fine
+    * only when one side is tiny) or a cartesian (never fine).
+    *
+    * Same cell-blocking rewrite as B25, simpler in two ways a
+    * dedicated entry point earns: a point lands in exactly ONE cell,
+    * so a (point, interval) match is emitted exactly once with no
+    * first-cell dedup arithmetic; and both inputs pass through with
+    * ALL their columns (B25's kernel reduces to id pairs), so callers
+    * join-free carry their payload into the containment result.
+    * Bounds are INCLUSIVE (`lo <= t <= hi` — q29's session spans are
+    * closed on both ends).
+    *
+    * Scale: the one shuffle is the cell equi-join; interval blow-up is
+    * `span div cellWidth + 1` map-side rows (size `cellWidth` near the
+    * median span; `maxCellsPerRow` fail-fasts on a degenerate span
+    * instead of exploding); hot cells are ordinary join skew that AQE
+    * splits. Work ∝ candidate pairs sharing a cell, not |P|×|I|.
+    *
+    * Caller contract: disjoint column names across the two frames;
+    * `pointCol`/`loCol`/`hiCol` non-negative longs on a shared axis
+    * (epoch-µs here); `lo <= hi` per row. */
+  def pointInIntervalJoin(points: DataFrame, pointCol: String,
+                          intervals: DataFrame, loCol: String, hiCol: String,
+                          cellWidth: Long, maxCellsPerRow: Int = 4096): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    require(maxCellsPerRow >= 1, s"maxCellsPerRow must be >= 1, got $maxCellsPerRow")
+    val guarded = intervals.withColumn(loCol,
+      when(assert_true(
+          col(loCol) >= 0 && col(hiCol) >= col(loCol) &&
+            expr(s"$hiCol div ${cellWidth}L - $loCol div ${cellWidth}L") < maxCellsPerRow,
+          lit(s"pointInIntervalJoin: need 0 <= lo <= hi and span <= " +
+            s"$maxCellsPerRow cells of $cellWidth")).isNull,
+        col(loCol)))
+    val binned = guarded.withColumn("__cell",
+      explode(sequence(expr(s"$loCol div ${cellWidth}L"),
+                       expr(s"$hiCol div ${cellWidth}L"))))
+    points.withColumn("__cell", expr(s"$pointCol div ${cellWidth}L"))
+      .join(binned, "__cell")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__cell")
+  }
+
+  /** B30: concurrency via range join — for every event, how many
+    * OTHER users had an active session (q29's 30-minute-gap spans)
+    * covering that instant. The load/abuse signal behind "how busy
+    * was the system when this happened", and the suite's only
+    * big×big POINT-in-interval join: both sides grow with the corpus
+    * and no equi key exists, so it exercises [[pointInIntervalJoin]]'s
+    * cell-blocked rewrite (1-hour cells ≈ the session-span scale).
+    * Events inside no foreign session keep a 0 row via the left
+    * merge-back.
+    * Oracle: DuckDB's IEJoin evaluates the BETWEEN predicate
+    * directly — same pairs, no binning. */
+  val q30 = Q(
+    "q30_interval_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val gapUs = 1800000000L
+      val ev = eventsUs(t)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val sess = eventsUs(t)
+        .select(col("user_id").as("s_user"), timestamp_micros(col("ts_us")).as("t"))
+        .groupBy(col("s_user"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("s_user"),
+          unix_micros(col("session_window.start")).as("lo_us"),
+          (unix_micros(col("session_window.end")) - gapUs).as("hi_us"))
+      val counts = pointInIntervalJoin(ev, "ts_us", sess, "lo_us", "hi_us",
+          cellWidth = 3600L * 1000000L)
+        .filter(col("s_user") =!= col("user_id"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_concurrent"))
+      ev.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      l AS (SELECT user_id, epoch_us(ts) AS us,
+              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      g AS (SELECT user_id, us,
+              SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sess
+            FROM l),
+      s AS (SELECT user_id AS s_user, MIN(us) AS lo_us, MAX(us) AS hi_us
+            FROM g GROUP BY user_id, sess),
+      c AS (SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_concurrent
+            FROM e JOIN s ON s.s_user <> e.user_id
+                         AND e.ts_us BETWEEN s.lo_us AND s.hi_us
+            GROUP BY e.event_id)
+      SELECT e.event_id, e.user_id, e.ts_us,
+             COALESCE(c.n_concurrent, CAST(0 AS BIGINT)) AS n_concurrent
+      FROM e LEFT JOIN c ON c.event_id = e.event_id
+      ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23,
-    q24, q25, q26, q27, q28, q29)
+    q24, q25, q26, q27, q28, q29, q30)
 }

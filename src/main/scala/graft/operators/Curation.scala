@@ -433,7 +433,7 @@ object Curation {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
-  private[operators] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
+  private[graft] def truncateLineage(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
     val ck = checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext

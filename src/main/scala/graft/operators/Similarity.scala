@@ -1425,6 +1425,16 @@ object Similarity {
         (col("sse_micro").cast("double") / lit(1e9)).as("sse"))
   }
 
+  /** Per-term once-truncated squared Euclidean distance in 1e9
+    * fixed-point — each `(x−c)²` term truncates to a long BEFORE the
+    * sum, so the accumulated distance is an exact integer identical in
+    * any summation order and any engine (the C56/C57 recipe). Shared
+    * by the DBI and silhouette cluster metrics. */
+  private def sqDistMicro(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, c) => ((x - c) * (x - c) * lit(1e9)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+
   /** Davies-Bouldin index of a trained quantizer (C129; Davies &
     * Bouldin 1979) — the SEPARATION metric completing the clustering-
     * eval triad: inertia ([[clusterStats]]) measures tightness alone,
@@ -1453,10 +1463,6 @@ object Similarity {
     val cents = centroidFrame(
         assigned.select(col("cell"), col("v")), col("cell"), col("v"))
       .select(col("grp").as("cell"), col("cv"))
-    def sqDistMicro(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, c) => ((x - c) * (x - c) * lit(1e9)).cast("long")),
-        lit(0L), (acc, t) => acc + t)
     val s = assigned.join(broadcast(cents), "cell")
       .select(col("cell"), sqDistMicro(col("v"), col("cv")).as("vm"))
       .groupBy(col("cell"))
@@ -1479,6 +1485,55 @@ object Similarity {
       .select(col("cell"), col("n"),
         round(col("s_raw"), 6).as("s_i"),
         round(col("r_raw"), 6).as("r_max"))
+  }
+
+  /** Simplified (centroid-based) silhouette of a trained quantizer
+    * (C130; Hruschka et al.'s medoid-free variant of Rousseeuw 1987)
+    * — the PER-POINT read the corpus-level DBI ([[daviesBouldin]])
+    * can't give: for each vector, a = distance to its own centroid,
+    * b = distance to the nearest FOREIGN centroid, s = (b−a)/max(a,b)
+    * ∈ [−1, 1]; negative s marks vectors sitting closer to another
+    * cell than their own — the exact rows a cluster-scoped operation
+    * (SemDedup, cluster-aware splits) treats least reliably. Reported
+    * per cell as (n, mean_s): WHICH cells are porous, not just how
+    * separated the clustering is overall.
+    *
+    * The classic silhouette's mean-pairwise-distance a/b is O(n²) and
+    * irreparably shuffle-heavy; the centroid form is one map-side
+    * pass against the broadcast nlist-row centroid frame — the same
+    * scale shape as IVF assignment itself.
+    *
+    * Exactness: squared distances accumulate via [[sqDistMicro]]
+    * (exact longs); each vector's s truncates to 1e6 fixed-point
+    * BEFORE the per-cell mean, so the mean is an exact integer sum in
+    * both engines. max(a,b)=0 (vector equal to both centroids) reads
+    * s=0 by convention. */
+  def silhouette(corpus: DataFrame, id: Column, vec: Column,
+                 nlist: Int, iters: Int = 1): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cells = ivfTrainCells(corpus, id, vec, nlist, iters)
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val assigned = v.join(cells, "vec_id")
+    val cents = centroidFrame(
+        assigned.select(col("cell"), col("v")), col("cell"), col("v"))
+    val ab = assigned.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), col("grp"),
+        sqDistMicro(col("v"), col("cv")).as("d2m"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(when(col("grp") === col("cell"), col("d2m"))).as("a2m"),
+        min(when(col("grp") =!= col("cell"), col("d2m"))).as("b2m"))
+    val sv = ab.select(col("vec_id"), col("cell"),
+      sqrt(col("a2m").cast("double") / lit(1e9)).as("a"),
+      sqrt(col("b2m").cast("double") / lit(1e9)).as("b"))
+    val sm = sv.select(col("cell"),
+      when(greatest(col("a"), col("b")) === 0d, lit(0L))
+        .otherwise(((col("b") - col("a")) / greatest(col("a"), col("b")) * lit(1e6))
+          .cast("long")).as("s_micro"))
+    sm.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("s_micro")).as("sm"))
+      .select(col("cell"), col("n"),
+        round(col("sm").cast("double") / lit(1e6) / col("n").cast("double"), 6)
+          .as("mean_s"))
   }
 
   /** Approximate top-k: `tables` independent hyperplane tables of

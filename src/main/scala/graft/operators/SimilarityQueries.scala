@@ -1216,6 +1216,51 @@ object SimilarityQueries {
       FROM sc JOIN r ON r.gi = sc.grp
       ORDER BY cell"""))
 
+  /** C130: simplified silhouette — the oracle reuses the trained-cells
+    * chain and its fixed-point centroids, then mirrors the per-vector
+    * all-centroid distance pass (own = a, min foreign = b), the pinned
+    * (b−a)/max(a,b) tree, and the 1e6 truncation before the per-cell
+    * mean, term for term. */
+  val qSil = Q(
+    "qvec_silhouette",
+    (s, dir) =>
+      Similarity.silhouette(
+          graft.sources.Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"), nlist = 10, iters = 1)
+        .orderBy(col("cell")),
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10, iters = 1)},
+      u AS (SELECT c0.grp, c0.vec_id,
+              unnest(range(0, len(e2.embedding))) AS pos,
+              unnest(CAST(e2.embedding AS DOUBLE[])) AS x
+            FROM embeddings e2 JOIN cells0 c0 ON e2.vec_id = c0.vec_id),
+      cent AS (SELECT grp, pos,
+                 (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+                   / COUNT(*) AS c
+               FROM u GROUP BY grp, pos),
+      d AS (SELECT u.vec_id, u.grp AS own, cent.grp AS g,
+              SUM(CAST(trunc((u.x - cent.c) * (u.x - cent.c) * 1e9) AS BIGINT)) AS d2m
+            FROM u JOIN cent ON cent.pos = u.pos
+            GROUP BY 1, 2, 3),
+      ab AS (SELECT vec_id, own,
+               MIN(CASE WHEN g = own THEN d2m END) AS a2m,
+               MIN(CASE WHEN g <> own THEN d2m END) AS b2m
+             FROM d GROUP BY 1, 2),
+      sv AS (SELECT vec_id, own,
+               sqrt(CAST(a2m AS DOUBLE) / 1e9) AS a,
+               sqrt(CAST(b2m AS DOUBLE) / 1e9) AS b
+             FROM ab),
+      sm AS (SELECT own,
+               CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(trunc((b - a) / greatest(a, b) * 1e6) AS BIGINT)
+               END AS s_micro
+             FROM sv)
+      SELECT own AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(s_micro) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_s
+      FROM sm GROUP BY own
+      ORDER BY cell"""))
+
   /** Max-inner-product search (C58). The oracle mirrors the per-term
     * `x·y·1e9` truncation with a lateral position unnest — the inner
     * product is the same exact integer in both engines, so rank
@@ -1399,5 +1444,6 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
-    qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qDbi, qMips, qRp, qPca)
+    qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qDbi, qSil, qMips,
+    qRp, qPca)
 }

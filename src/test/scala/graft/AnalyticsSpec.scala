@@ -237,6 +237,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-interval join: inclusive bounds, one emission per pair, payload carried") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((1L, 10L, "p1"), (2L, 30L, "p2"), (3L, 31L, "p3"))
+      .toDF("pid", "t", "ptag")
+    val ivs = Seq((10L, 10L, 30L, "A"),  // inclusive both ends: catches t=10 AND t=30
+                  (11L, 0L, 95L, "B"),   // spans 10 cells: each pair still once
+                  (12L, 32L, 40L, "C")   // catches nothing
+      ).toDF("iid", "lo", "hi", "itag")
+    val got = graft.operators.Analytics.pointInIntervalJoin(
+        pts, "t", ivs, "lo", "hi", cellWidth = 10L)
+      .select(col("pid"), col("iid"), col("ptag"), col("itag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 10L, "p1", "A"), (2L, 10L, "p2", "A"),
+      (1L, 11L, "p1", "B"), (2L, 11L, "p2", "B"), (3L, 11L, "p3", "B")),
+      s"got ${got.toSet}")
+    // hi < lo is a swapped-columns bug, not an empty result
+    val bad = Seq((9L, 50L, 40L, "X")).toDF("iid", "lo", "hi", "itag")
+    assertThrows[Exception] {
+      graft.operators.Analytics.pointInIntervalJoin(
+        pts, "t", bad, "lo", "hi", cellWidth = 10L).count()
+    }
+    // a span past maxCellsPerRow fails fast instead of exploding
+    val wide = Seq((9L, 0L, 100000L, "X")).toDF("iid", "lo", "hi", "itag")
+    assertThrows[Exception] {
+      graft.operators.Analytics.pointInIntervalJoin(
+        pts, "t", wide, "lo", "hi", cellWidth = 10L, maxCellsPerRow = 8).count()
+    }
+  }
+
   test("funnel advances only on strictly-later stages, in order") {
     import SparkTest.spark
     import spark.implicits._

@@ -62,4 +62,55 @@ class ClassifierSpec extends AnyFunSuite {
       TextFunctions.hashedLinearScore(col("t"), Map(-1L -> 1L), 512L)
     }
   }
+
+  test("training separates a separable corpus and composes with the scorer") {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    // disjoint vocabularies, equal lengths (so the ln-length feature
+    // centers to zero and the SHARE features must do the separating):
+    // the trained model must classify the corpus perfectly
+    val docs = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "good solid clean prose here", 1L)
+      else (i, "junk junk spam garbage noise", 0L)
+    }.toDF("doc_id", "text", "y")
+    val model = TextFunctions.trainHashedLogistic(
+      docs, col("doc_id"), col("text"), col("y") === 1L,
+      nBuckets = 64L, steps = 5, lr = 500.0)
+    val rows = model.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.contains(-2L), "length pseudo-bucket must be present")
+    assert(rows.keys.forall(b => (b >= 0L && b < 64L) || b == -2L))
+    // equal-length classes: the length feature's centered value is 0
+    // for every doc, so its weight must have stayed exactly 0
+    assert(rows(-2L)._1 == 0L, s"length weight should be 0: ${rows(-2L)}")
+    // compose through the PUBLIC scorer: model frame in, labels out
+    val scored = TextFunctions.hashedLogisticScoreJoined(
+        docs, col("doc_id"), col("text"), model, 64L)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+      .collect().map(r => (r.getAs[Long]("s_fp") >= 0L, r.getAs[Long]("y") == 1L))
+    assert(scored.length == 20 && scored.forall { case (p, t) => p == t },
+      s"trained classifier must separate the disjoint-vocab corpus: ${scored.toSeq}")
+  }
+
+  test("training keeps NULL-text docs in the batch (length row, scoring row)") {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    // all-null corpus: every doc survives featurization via its −2
+    // length row (x = ln(1+0)-scaled = 0); the model is exactly the
+    // single centered length bucket and every doc still gets a score
+    val docs = Seq((1L, null: String, 1L), (2L, null: String, 1L),
+      (3L, null: String, 0L)).toDF("doc_id", "text", "y")
+    val model = TextFunctions.trainHashedLogistic(
+      docs, col("doc_id"), col("text"), col("y") === 1L,
+      nBuckets = 64L, steps = 3, lr = 1.0)
+    val rows = model.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(-2L), s"only the length bucket should exist: $rows")
+    val scored = TextFunctions.hashedLogisticScoreJoined(
+        docs, col("doc_id"), col("text"), model, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L), s"every doc must score: $scored")
+    assert(scored.values.forall(_ == 0L),
+      s"identical zero features must score the centered 0: $scored")
+  }
 }

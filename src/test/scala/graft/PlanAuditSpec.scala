@@ -35,6 +35,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row N+V smoothing denominator of the reference LM, joined onto " +
       "the per-doc bigram partials"),
+    "qtext_train_lr" -> ("crossJoin(broadcast(nDocs)) — the 1-row doc " +
+      "count joined onto the <= nBuckets+1-row weight frame at each GD " +
+      "step — plus crossJoin(broadcast(bias)), the trained 1-row bias " +
+      "added to every per-doc score; the corpus itself only ever " +
+      "equi-joins on bucket/doc_id"),
     "qtext_kn_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row B+V continuation-smoothing denominator of the Kneser-Ney " +
       "model, joined onto the per-doc bigram partials (the qtext_lm_ref " +
@@ -55,6 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qvec_dbi" -> ("the bounded centroid broadcasts of the embedded cell " +
       "training plus an nlist x nlist centroid self-join and nlist-row " +
       "scatter joins — every non-equi side is <= nlist rows"),
+    "qvec_silhouette" -> ("the bounded centroid broadcasts of the embedded " +
+      "cell training plus the per-vector all-centroid scoring pass — the " +
+      "non-equi side is the nlist-row centroid frame"),
     "qvec_ari" -> ("crossJoins broadcast 1-row pair-count scalar frames " +
       "(ta/tb/purity totals) onto the 1-row contingency aggregate, plus " +
       "the bounded centroid broadcast of the embedded cell training"),

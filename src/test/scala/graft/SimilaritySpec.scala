@@ -987,6 +987,24 @@ class SimilaritySpec extends AnyFunSuite {
     val near = worstR(degB = 20.0)
     assert(far > 0 && near > far,
       s"DB ratio should rise as centroids approach: far=$far near=$near")
+
+    // silhouette reads the same geometry the opposite way: mean_s is
+    // high for well-separated clouds and FALLS as they approach (same
+    // hash-residue fixture, so the trained cells are the true clouds)
+    def meanSil(degB: Double) = {
+      val df = (cloud(0.0, idsCell0) ++ cloud(degB, idsCell1))
+        .toDF("vec_id", "embedding")
+      val rows = Similarity.silhouette(df, col("vec_id"), col("embedding"),
+          nlist = 2, iters = 1)
+        .collect()
+      assert(rows.length == 2, s"training collapsed to ${rows.length} cell(s)")
+      assert(rows.map(_.getLong(1)).sum == 60L, "every vector scored once")
+      rows.map(_.getDouble(2)).min
+    }
+    val sFar = meanSil(degB = 90.0)
+    val sNear = meanSil(degB = 20.0)
+    assert(sFar > 0.5 && sFar > sNear,
+      s"silhouette should fall as clusters approach: far=$sFar near=$sNear")
   }
 
   test("graph expansion: recall ≥ the starved probe, empty graph is a no-op") {
