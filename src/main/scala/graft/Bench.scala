@@ -66,6 +66,7 @@ object Bench {
     "q18_above_brand_avg", "q19_salted_agg", "q20_sql_api",
     "q21_salted_join", "q22_cube", "q23_stats_corr", "q24_gapfill",
     "q25_interval_join", "q26_funnel", "q27_retention",
+    "q28_range_window", "q29_session_window", "q30_interval_join",
     // reference surface (log parse / routing / drop-stats / ndjson)
     "qlog_syslog_parse", "qlog_routing", "qlog_drop_stats",
     "qlog_ndjson_roundtrip",
@@ -76,13 +77,13 @@ object Bench {
     "qann_brute_topk", "qann_ivf", "qann_pq", "qann_ivfpq",
     // text family
     "qtext_quality", "qtext_langid", "qtext_tokens", "qtext_tfidf",
-    "qtext_scrub",
+    "qtext_scrub", "qtext_train_lr",
     // curation family
     "qcuration_contam", "qcuration_pipeline",
     // graph family
     "qgraph_pagerank", "qgraph_triangles",
     // vectors / profiling / splits / layout / multimodal / sampling / packing
-    "qvec_centroid", "qvec_pca", "qprofile_table", "qsplit_assign",
+    "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",
     "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",
     "qpack_shards")
 

@@ -797,7 +797,7 @@ object TextQueries {
 
   /** C131: hashed-logistic classifier TRAINING, as gate
     * distillation — the standard quality-classifier recipe (weak
-    * rule labels -> learned scorer): 10 full-batch centered-GD
+    * rule labels -> learned scorer): 5 full-batch centered-GD
     * steps on the C25 Gopher gate's own pass/fail label, then the
     * trained model scores the corpus through the PUBLIC
     * [[TextFunctions.hashedLogisticScoreJoined]] scorer. Reaches
@@ -822,7 +822,7 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = TextFunctions.trainHashedLogistic(
           d.join(gate, "doc_id"), col("doc_id"), col("text"), col("passes"),
-          nBuckets = 256L, steps = 10, lr = 1000.0)
+          nBuckets = 256L, steps = 5, lr = 500.0)
       TextFunctions.hashedLogisticScoreJoined(
           d, col("doc_id"), col("text"), model, nBuckets = 256L)
         .join(gate, "doc_id")
@@ -873,7 +873,7 @@ object TextQueries {
               FROM feats JOIN er1 USING (doc_id) GROUP BY 1),
       w1 AS MATERIALIZED (SELECT bucket,
              w0.w - CAST(trunc(CAST(COALESCE(gr1.graw, 0) - mu.m * et1.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 500.0 * 1e6)
                AS BIGINT) AS w
            FROM w0 JOIN mu USING (bucket) LEFT JOIN gr1 USING (bucket), et1, nd),
       c2 AS (SELECT COALESCE(SUM(w1.w * mu.m), 0) AS c0
@@ -890,7 +890,7 @@ object TextQueries {
               FROM feats JOIN er2 USING (doc_id) GROUP BY 1),
       w2 AS MATERIALIZED (SELECT bucket,
              w1.w - CAST(trunc(CAST(COALESCE(gr2.graw, 0) - mu.m * et2.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 500.0 * 1e6)
                AS BIGINT) AS w
            FROM w1 JOIN mu USING (bucket) LEFT JOIN gr2 USING (bucket), et2, nd),
       c3 AS (SELECT COALESCE(SUM(w2.w * mu.m), 0) AS c0
@@ -907,7 +907,7 @@ object TextQueries {
               FROM feats JOIN er3 USING (doc_id) GROUP BY 1),
       w3 AS MATERIALIZED (SELECT bucket,
              w2.w - CAST(trunc(CAST(COALESCE(gr3.graw, 0) - mu.m * et3.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 500.0 * 1e6)
                AS BIGINT) AS w
            FROM w2 JOIN mu USING (bucket) LEFT JOIN gr3 USING (bucket), et3, nd),
       c4 AS (SELECT COALESCE(SUM(w3.w * mu.m), 0) AS c0
@@ -924,7 +924,7 @@ object TextQueries {
               FROM feats JOIN er4 USING (doc_id) GROUP BY 1),
       w4 AS MATERIALIZED (SELECT bucket,
              w3.w - CAST(trunc(CAST(COALESCE(gr4.graw, 0) - mu.m * et4.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 500.0 * 1e6)
                AS BIGINT) AS w
            FROM w3 JOIN mu USING (bucket) LEFT JOIN gr4 USING (bucket), et4, nd),
       c5 AS (SELECT COALESCE(SUM(w4.w * mu.m), 0) AS c0
@@ -941,98 +941,13 @@ object TextQueries {
               FROM feats JOIN er5 USING (doc_id) GROUP BY 1),
       w5 AS MATERIALIZED (SELECT bucket,
              w4.w - CAST(trunc(CAST(COALESCE(gr5.graw, 0) - mu.m * et5.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
+               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 500.0 * 1e6)
                AS BIGINT) AS w
            FROM w4 JOIN mu USING (bucket) LEFT JOIN gr5 USING (bucket), et5, nd),
-      c6 AS (SELECT COALESCE(SUM(w5.w * mu.m), 0) AS c0
+      cf AS (SELECT COALESCE(SUM(w5.w * mu.m), 0) AS c0
              FROM w5 JOIN mu USING (bucket)),
-      sr6 AS (SELECT doc_id, SUM(feats.x * w5.w) AS sraw
-              FROM feats JOIN w5 USING (bucket) GROUP BY 1),
-      er6 AS (SELECT doc_id, CAST(trunc((0.5 +
-                (CAST(sraw - c0 AS DOUBLE) / 1e12)
-                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
-                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
-              FROM sr6 JOIN lab USING (doc_id), c6),
-      et6 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er6),
-      gr6 AS (SELECT bucket, SUM(er6.e_micro * feats.x) AS graw
-              FROM feats JOIN er6 USING (doc_id) GROUP BY 1),
-      w6 AS MATERIALIZED (SELECT bucket,
-             w5.w - CAST(trunc(CAST(COALESCE(gr6.graw, 0) - mu.m * et6.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
-               AS BIGINT) AS w
-           FROM w5 JOIN mu USING (bucket) LEFT JOIN gr6 USING (bucket), et6, nd),
-      c7 AS (SELECT COALESCE(SUM(w6.w * mu.m), 0) AS c0
-             FROM w6 JOIN mu USING (bucket)),
-      sr7 AS (SELECT doc_id, SUM(feats.x * w6.w) AS sraw
-              FROM feats JOIN w6 USING (bucket) GROUP BY 1),
-      er7 AS (SELECT doc_id, CAST(trunc((0.5 +
-                (CAST(sraw - c0 AS DOUBLE) / 1e12)
-                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
-                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
-              FROM sr7 JOIN lab USING (doc_id), c7),
-      et7 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er7),
-      gr7 AS (SELECT bucket, SUM(er7.e_micro * feats.x) AS graw
-              FROM feats JOIN er7 USING (doc_id) GROUP BY 1),
-      w7 AS MATERIALIZED (SELECT bucket,
-             w6.w - CAST(trunc(CAST(COALESCE(gr7.graw, 0) - mu.m * et7.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
-               AS BIGINT) AS w
-           FROM w6 JOIN mu USING (bucket) LEFT JOIN gr7 USING (bucket), et7, nd),
-      c8 AS (SELECT COALESCE(SUM(w7.w * mu.m), 0) AS c0
-             FROM w7 JOIN mu USING (bucket)),
-      sr8 AS (SELECT doc_id, SUM(feats.x * w7.w) AS sraw
-              FROM feats JOIN w7 USING (bucket) GROUP BY 1),
-      er8 AS (SELECT doc_id, CAST(trunc((0.5 +
-                (CAST(sraw - c0 AS DOUBLE) / 1e12)
-                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
-                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
-              FROM sr8 JOIN lab USING (doc_id), c8),
-      et8 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er8),
-      gr8 AS (SELECT bucket, SUM(er8.e_micro * feats.x) AS graw
-              FROM feats JOIN er8 USING (doc_id) GROUP BY 1),
-      w8 AS MATERIALIZED (SELECT bucket,
-             w7.w - CAST(trunc(CAST(COALESCE(gr8.graw, 0) - mu.m * et8.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
-               AS BIGINT) AS w
-           FROM w7 JOIN mu USING (bucket) LEFT JOIN gr8 USING (bucket), et8, nd),
-      c9 AS (SELECT COALESCE(SUM(w8.w * mu.m), 0) AS c0
-             FROM w8 JOIN mu USING (bucket)),
-      sr9 AS (SELECT doc_id, SUM(feats.x * w8.w) AS sraw
-              FROM feats JOIN w8 USING (bucket) GROUP BY 1),
-      er9 AS (SELECT doc_id, CAST(trunc((0.5 +
-                (CAST(sraw - c0 AS DOUBLE) / 1e12)
-                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
-                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
-              FROM sr9 JOIN lab USING (doc_id), c9),
-      et9 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er9),
-      gr9 AS (SELECT bucket, SUM(er9.e_micro * feats.x) AS graw
-              FROM feats JOIN er9 USING (doc_id) GROUP BY 1),
-      w9 AS MATERIALIZED (SELECT bucket,
-             w8.w - CAST(trunc(CAST(COALESCE(gr9.graw, 0) - mu.m * et9.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
-               AS BIGINT) AS w
-           FROM w8 JOIN mu USING (bucket) LEFT JOIN gr9 USING (bucket), et9, nd),
-      c10 AS (SELECT COALESCE(SUM(w9.w * mu.m), 0) AS c0
-             FROM w9 JOIN mu USING (bucket)),
-      sr10 AS (SELECT doc_id, SUM(feats.x * w9.w) AS sraw
-              FROM feats JOIN w9 USING (bucket) GROUP BY 1),
-      er10 AS (SELECT doc_id, CAST(trunc((0.5 +
-                (CAST(sraw - c0 AS DOUBLE) / 1e12)
-                  / (2.0 * (1.0 + abs(CAST(sraw - c0 AS DOUBLE) / 1e12)))
-                - CAST(y AS DOUBLE)) * 1e6) AS BIGINT) AS e_micro
-              FROM sr10 JOIN lab USING (doc_id), c10),
-      et10 AS (SELECT COALESCE(SUM(e_micro), 0) AS e_tot FROM er10),
-      gr10 AS (SELECT bucket, SUM(er10.e_micro * feats.x) AS graw
-              FROM feats JOIN er10 USING (doc_id) GROUP BY 1),
-      w10 AS MATERIALIZED (SELECT bucket,
-             w9.w - CAST(trunc(CAST(COALESCE(gr10.graw, 0) - mu.m * et10.e_tot
-               AS DOUBLE) / 1e12 / CAST(nd.n_docs AS DOUBLE) * 1000.0 * 1e6)
-               AS BIGINT) AS w
-           FROM w9 JOIN mu USING (bucket) LEFT JOIN gr10 USING (bucket), et10, nd),
-      cf AS (SELECT COALESCE(SUM(w10.w * mu.m), 0) AS c0
-             FROM w10 JOIN mu USING (bucket)),
-      sf AS (SELECT doc_id, SUM(feats.x * w10.w) AS sraw
-             FROM feats JOIN w10 USING (bucket) GROUP BY 1)
+      sf AS (SELECT doc_id, SUM(feats.x * w5.w) AS sraw
+             FROM feats JOIN w5 USING (bucket) GROUP BY 1)
       SELECT doc_id, CAST(sraw - c0 AS BIGINT) AS s_fp,
              (sraw - c0) >= 0 AS pred, CAST(y AS BIGINT) AS y
       FROM sf JOIN lab USING (doc_id), cf
