@@ -49,4 +49,54 @@ class SessionizeSpec extends AnyFunSuite {
     // (1 event) closed by timeout; user 2: closed by timeout
     assert(got == Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("native session_window aggregation (q29's form) runs under streaming append") {
+    // B29's claim made concrete: the EXACT q29 grouped-agg shape —
+    // groupBy(user, session_window(t, gap)) with last-event = end − gap
+    // — runs as a streaming query with watermark state eviction, and
+    // its finalized sessions equal the same aggregation run in batch
+    // over the same data. (Sessionize above proves the custom-state
+    // API; this proves Spark's native operator form.)
+    val in = Files.createTempDirectory("sw-in").toString
+    val ck = Files.createTempDirectory("sw-ck").toString
+    Files.write(Paths.get(in, "a.json"), Seq(
+      """{"user_id":1,"ts":"2024-01-01T00:00:00Z"}""",
+      """{"user_id":1,"ts":"2024-01-01T00:10:00Z"}""",
+      """{"user_id":1,"ts":"2024-01-01T02:00:00Z"}""",
+      """{"user_id":2,"ts":"2024-01-01T00:05:00Z"}""").asJava)
+    Files.write(Paths.get(in, "b.json"), Seq(
+      """{"user_id":99,"ts":"2024-01-01T08:00:00Z"}""").asJava)
+    Files.write(Paths.get(in, "c.json"), Seq(
+      """{"user_id":99,"ts":"2024-01-01T09:00:00Z"}""").asJava)
+
+    val gapUs = 1800000000L
+    def sessionAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
+        col("n_events"))
+
+    val q = sessionAgg(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(in)
+          .withWatermark("ts", "1 minute"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("session_window_test").start()
+    q.awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = rows(spark.table("session_window_test"))
+    val batch = rows(sessionAgg(spark.read.schema(schema).json(in)))
+    assert(streamed == batch,
+      s"streamed finalized sessions must equal the batch twin: $streamed vs $batch")
+    assert(streamed.exists { case (u, s, l, n) => u == 1L && n == 2L && l > s },
+      s"user 1's two-event session must carry its true span: $streamed")
+  }
 }
