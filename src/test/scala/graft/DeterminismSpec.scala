@@ -62,7 +62,12 @@ class DeterminismSpec extends AnyFunSuite {
     // would drift under a changed partitioning if any stage leaked
     // physical order
     "qtext_kn_ref", "qgraph_coreness", "qgraph_modularity",
-    "qpack_length_buckets", "qcuration_source_cap", "qmix_apply")
+    "qpack_length_buckets", "qcuration_source_cap", "qmix_apply",
+    // this session: the GD trainer's per-step integer gradient sums
+    // (any accumulation-order drift compounds across 5 steps), the
+    // DBI/silhouette fixed-point distance sums + argmin/argmax over
+    // trained cells, and the cell-blocked point-in-interval counts
+    "qtext_train_lr", "qvec_dbi", "qvec_silhouette", "q30_interval_join")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
