@@ -1087,7 +1087,55 @@ object Analytics {
       FROM e LEFT JOIN c ON c.event_id = e.event_id
       ORDER BY e.event_id"""))
 
+  /** B31: contiguous sequence-motif counting (the ClickHouse
+    * `sequenceCount`-style product-analytics read): per user, how
+    * often the exact ordered run view→click→purchase occurs with NO
+    * intervening event — B26's funnel asks "did the user ever
+    * progress"; this asks "how many times did the uninterrupted
+    * pattern fire", the signal behind bot/abuse run detection and
+    * strict conversion paths.
+    *
+    * The per-user event stream is totally ordered by (ts_us,
+    * event_id) — the unique-id tie-break, so collect_list's
+    * partition-dependent arrival order can't leak into the result —
+    * then joined to one CSV string and counted by LITERAL split
+    * (split on a metacharacter-free pattern is engine-identical;
+    * regex dialects are not). Event-type names are whole comma-
+    * separated tokens, so a motif match can't start mid-token.
+    *
+    * Scale: one per-user shuffle of (ts, id, type) triples with
+    * map-side partial collect; per-user state is that user's OWN
+    * event count (the per-entity bound every sessionize/funnel
+    * operator already carries), never corpus-sized. */
+  val q31 = Q(
+    "q31_sequence_motif",
+    (s, dir) => {
+      val motif = "view,click,purchase"
+      eventsUs(Tables(s, dir))
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq"))
+        .select(col("user_id"), col("n_events"),
+          (size(split(col("seq"), motif, -1)) - 1).cast("long").as("n_motifs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                 FROM events WHERE user_id IS NOT NULL),
+      s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              string_agg(event_type, ',' ORDER BY us, event_id) AS seq
+            FROM e GROUP BY user_id)
+      SELECT user_id, n_events,
+        CAST(len(string_split(seq, 'view,click,purchase')) - 1 AS BIGINT)
+          AS n_motifs
+      FROM s ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q21,
     q11, q12, q13, q13b, q13c, q14, q15, q16, q16b, q17, q18, q19, q20, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30)
+    q24, q25, q26, q27, q28, q29, q30, q31)
 }

@@ -268,6 +268,30 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("motif counting is contiguous, ordered, and repeat-aware") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // back-to-back repeats count twice; an intervening event breaks the
+    // run; out-of-order stages never match
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "view"), (1L, 5L, "click"), (1L, 6L, "purchase"), // u1: 2 motifs
+      (2L, 1L, "view"), (2L, 2L, "error"), (2L, 3L, "click"),
+      (2L, 4L, "purchase"),                                      // u2: broken run
+      (3L, 1L, "purchase"), (3L, 2L, "click"), (3L, 3L, "view")) // u3: reversed
+      .map { case (u, t, ty) => (u, t * 1000000L, ty) }
+    val df = rows.toDF("user_id", "ts_us", "event_type")
+      .withColumn("event_id", col("user_id") * 100 + col("ts_us"))
+    val got = df.groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ",").as("seq"))
+      .select(col("user_id"),
+        (size(split(col("seq"), "view,click,purchase", -1)) - 1).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L), s"got $got")
+  }
+
   test("funnel advances only on strictly-later stages, in order") {
     import SparkTest.spark
     import spark.implicits._
