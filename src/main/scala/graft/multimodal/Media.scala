@@ -113,6 +113,103 @@ object Media {
     }
   }
 
+  /** pHash DCT basis in 1e6 fixed-point:
+    * `cosT(u)(x) = trunc(cos(π(2x+1)u/64)·1e6)`. A FIXED constant
+    * table (truncated once, here, at class-load from constant
+    * arguments), shared verbatim with the DuckDB oracle as literals —
+    * so the spectral hash needs NO cross-engine libm agreement at
+    * all: every DCT coefficient is an exact integer sum of
+    * gray·cosT·cosT products. */
+  private[graft] val PhashCosMicro: Array[Array[Long]] =
+    Array.tabulate(32, 32)((u, x) =>
+      (math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 1e6).toLong)
+
+  object MediaCodecPhash {
+    /** 63-bit perceptual DCT hash over the 32×32 [[MediaCodec.resize]]
+      * raster (the classic pHash recipe): gray = integer mean of RGB;
+      * 2-D DCT restricted to the top-left 8×8 frequency block; each of
+      * the 63 AC coefficients sets bit `u·8+v−1` when it exceeds the
+      * AC MEDIAN (the 32nd smallest of 63 — exact integer, no
+      * interpolation). dHash reads local gradients; pHash reads global
+      * spectral structure — the canonical complementary pair for
+      * image near-dup. Pure integer arithmetic end to end
+      * (gray ≤ 255, cos terms 1e6-scaled: |coef| ≤ 255·1e12·1024 ≈
+      * 2.6e17 < 2^63). */
+    def pHash64(bytes: Array[Byte]): Long = {
+      val px = MediaCodec.resize(bytes, 32, 32)
+      val g = new Array[Long](1024)
+      var i = 0
+      while (i < 1024) {
+        val o = i * 3
+        g(i) = ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+        i += 1
+      }
+      val coef = new Array[Long](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0L
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              s += g(y * 32 + x) * PhashCosMicro(u)(x) * PhashCosMicro(v)(y)
+              x += 1
+            }
+            y += 1
+          }
+          coef(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+      java.util.Arrays.sort(ac)
+      val med = ac(31)
+      var h = 0L
+      var b = 1
+      while (b < 64) {
+        if (coef(b) > med) h |= 1L << (b - 1)
+        b += 1
+      }
+      h
+    }
+  }
+
+  /** [[dHash]]'s spectral sibling: 63-bit perceptual DCT hash per
+    * blob ([[MediaCodecPhash.pHash64]]). Same scale contract — blobs
+    * hash in place, only `(media_id, 8-byte sig)` ever leaves the
+    * partition; NULL blob → NULL hash. */
+  def pHash(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mid, bytes) =>
+          (mid, if (bytes == null) Option.empty[Long]
+                else Some(MediaCodecPhash.pHash64(bytes)))
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Spectral near-duplicate image pairs (C51b): pHash signatures fed
+    * to the shared pigeonhole Hamming pairer, exactly [[dHashPairs]]'
+    * plan shape — one (chunk, value) equi-join shuffle over 8-byte
+    * sigs, image bytes never move. */
+  def pHashPairs(df: DataFrame, id: Column, blob: Column,
+                 maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = pHash(df, id, blob)
+      .filter(col("phash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.hammingPairs64(sigs, maxDist, maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
   /** Attach a binary media column derived from a text column (the test
     * corpus carries no real media; UTF-8 bytes stand in for a blob). */
   def withFakeBlob(df: DataFrame, text: Column): DataFrame =

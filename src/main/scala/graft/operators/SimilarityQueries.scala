@@ -974,6 +974,84 @@ object SimilarityQueries {
     },
     Some(dhashPairOracleSql(maxDist = 3)))
 
+  /** Oracle for [[qPhash]]: rebuilds the stub 32×32 raster from the
+    * text bytes (the dhash oracle's stride recipe at 3072 samples),
+    * re-derives every DCT coefficient RELATIONALLY — gray rows join
+    * the 8×32 fixed-point cosine table twice (u-by-x, v-by-y) and
+    * SUM exact integer products — then takes the AC median as the
+    * 32nd-smallest row and folds bits through a HUGEINT weight
+    * lookup (shifts on HUGEINT are unreliable; literals are not).
+    * The cosine table literal is generated FROM
+    * [[graft.multimodal.Media.PhashCosMicro]], so both engines use
+    * byte-identical basis constants and no libm call crosses the
+    * engine boundary. */
+  private def phashPairOracleSql(maxDist: Int): String = {
+    val cosLit = graft.multimodal.Media.PhashCosMicro.take(8)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val bitVals = (0 until 63)
+      .map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    s"""
+      WITH m AS (
+        SELECT doc_id * 2 AS mid, text AS t FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS mid, 'X' || substring(text, 2) AS t FROM documents),
+      gp AS MATERIALIZED (
+        SELECT mid, pp.p AS p,
+          CAST((ord(substring(t, ((3*pp.p)*length(t))//3072 + 1, 1)) +
+           ord(substring(t, ((3*pp.p+1)*length(t))//3072 + 1, 1)) +
+           ord(substring(t, ((3*pp.p+2)*length(t))//3072 + 1, 1))) // 3
+            AS BIGINT) AS gray
+        FROM m, UNNEST(range(0, 1024)) AS pp(p)),
+      ct AS MATERIALIZED (
+        SELECT u.i - 1 AS u, x.i - 1 AS x, CAST(ll[u.i][x.i] AS BIGINT) AS c
+        FROM (SELECT $cosLit AS ll),
+             UNNEST(range(1, 9)) AS u(i), UNNEST(range(1, 33)) AS x(i)),
+      coef AS MATERIALIZED (
+        SELECT g.mid, cx.u AS u, cy.u AS v, SUM(g.gray * cx.c * cy.c) AS s
+        FROM gp g
+        JOIN ct cx ON cx.x = g.p % 32
+        JOIN ct cy ON cy.x = g.p // 32
+        GROUP BY 1, 2, 3),
+      med AS (SELECT mid, s AS med FROM (
+                SELECT mid, s, ROW_NUMBER() OVER (PARTITION BY mid ORDER BY s) AS rn
+                FROM coef WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+      bv AS (SELECT * FROM (VALUES $bitVals) AS t(b, w)),
+      sig AS (SELECT coef.mid,
+                SUM(CASE WHEN coef.s > med.med THEN bv.w ELSE 0::HUGEINT END) AS s
+              FROM coef
+              JOIN med USING (mid)
+              JOIN bv ON bv.b = coef.u * 8 + coef.v - 1
+              WHERE NOT (coef.u = 0 AND coef.v = 0)
+              GROUP BY 1),
+      sigb AS (SELECT mid,
+                 CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sb
+               FROM sig)
+      SELECT a.mid AS media_a, b.mid AS media_b,
+             CAST(bit_count(xor(a.sb, b.sb)) AS BIGINT) AS hamming
+      FROM sigb a JOIN sigb b ON a.mid < b.mid
+      WHERE bit_count(xor(a.sb, b.sb)) <= $maxDist
+      ORDER BY media_a, media_b"""
+  }
+
+  /** Spectral image near-dup pairs (C51b): pHash on the same
+    * planted-perturbation fixture as [[qDhash]] — the flipped first
+    * byte moves a few raster samples, the DCT spectrum barely shifts
+    * (measured: planted pairs ≤ 6 bits, unrelated ≥ 26), so the pair
+    * detection is a Hamming-6 problem on 63-bit signatures. */
+  val qPhash = Q(
+    "qmm_phash_pairs",
+    (s, dir) => {
+      val t = Tables(s, dir).documents
+      val media = t.select((col("doc_id") * 2).as("mid"),
+          encode(col("text"), "UTF-8").as("blob"))
+        .unionAll(t.select((col("doc_id") * 2 + 1).as("mid"),
+          encode(concat(lit("X"), expr("substring(text, 2)")), "UTF-8").as("blob")))
+      Media.pHashPairs(media, col("mid"), col("blob"), maxDist = 6)
+        .orderBy(col("media_a"), col("media_b"))
+    },
+    Some(phashPairOracleSql(maxDist = 6)))
+
   val qHistogram = Q(
     "qmm_byte_histogram",
     (s, dir) => {
@@ -1444,6 +1522,6 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
-    qFrames, qHistogram, qDhash, qCentroid, qProto, qInertia, qDbi, qSil, qMips,
-    qRp, qPca)
+    qFrames, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia, qDbi, qSil,
+    qMips, qRp, qPca)
 }

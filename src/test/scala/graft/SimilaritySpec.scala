@@ -622,6 +622,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
   }
 
+  test("pHash: upscale-invariant on real images, spectral separation on stubs") {
+    import spark.implicits._
+    // same PNG fixture discipline as the dHash spec: the 32×32 pHash
+    // raster maps x·18/32 and x·36/64 to the SAME source pixel, so an
+    // exact 2× nearest-neighbor upscale must hash bit-identically
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in this JDK?")
+      bos.toByteArray
+    }
+    val a = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      a.setRGB(x, y, ((x * 14) << 16) | ((y * 15) << 8) | ((x + y) * 7))
+    val b = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) b.setRGB(x, y, a.getRGB(x / 2, y / 2))
+    val c = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18)
+      c.setRGB(x, y, (((17 - x) * 14) << 16) | (((15 - y) * 15) << 8) | (255 - (x + y) * 7))
+    val imgs = Seq((1L, png(a)), (2L, png(b)), (3L, png(c)), (4L, null))
+      .toDF("media_id", "media")
+    val hashes = Media.pHash(imgs, col("media_id"), col("media"))
+      .orderBy("media_id").collect()
+    assert(hashes(0).getLong(1) == hashes(1).getLong(1), "upscale changed the pHash")
+    assert(hashes(3).isNullAt(1), "NULL blob must yield NULL phash")
+    val imgPairs = Media.pHashPairs(imgs, col("media_id"), col("media"), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(imgPairs.toSeq == Seq((1L, 2L, 0L)), s"got ${imgPairs.toSeq}")
+
+    // stub path: a first-byte flip moves a handful of raster samples —
+    // the spectrum barely shifts; a reversed/uppercased stream is a
+    // different signal entirely
+    val t = "the quick brown fox jumps over the lazy dog " * 8
+    val stubs = Seq(
+      (1L, t.getBytes("UTF-8")),
+      (2L, ("X" + t.substring(1)).getBytes("UTF-8")),
+      (3L, t.reverse.toUpperCase.getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val stubPairs = Media.pHashPairs(stubs, col("media_id"), col("media"), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stubPairs.toSeq == Seq((1L, 2L)), s"got ${stubPairs.toSeq}")
+  }
+
   test("frame split + stride sampling shapes") {
     import spark.implicits._
     val text = "x" * 1000 // 1000 bytes → 4 frames of 256 (last 232)
