@@ -141,4 +141,50 @@ object LogColumns {
     * firehose_sender.go:65-72 (json.Marshal + '\n' is the sink's framing;
     * the object itself is this column). */
   def toNdjson(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** Multiline log-record reassembly (A15) — the stack-trace problem:
+    * a Java/Python traceback arrives as one head line followed by N
+    * continuation lines ("  at …", "  ... 3 more"), and every
+    * line-oriented stage downstream (parse, dedup, routing) mangles
+    * the record unless the lines are re-glued first. `isHead` is the
+    * caller's head predicate (the universal heuristic: continuation
+    * lines start with whitespace); each record is the head line plus
+    * every following line up to the next head, WITHIN its file —
+    * reassembly across file boundaries would be wrong, so `file`
+    * partitions.
+    *
+    * Record ids come from a running count of heads per file — an
+    * UnboundedPreceding..CurrentRow RUNNING frame partitioned by the
+    * high-cardinality file key (the q07 class: streamed, never
+    * whole-partition buffered). Orphan continuations BEFORE a file's
+    * first head (a tail cut mid-record by rotation) carry record id 0
+    * and are dropped — the documented contract; count them upstream
+    * if loss auditing matters. Line order inside a record is pinned
+    * by `offset` (byte offset / line number — unique within a file),
+    * so the collect_list's arrival order never leaks into the glued
+    * text.
+    *
+    * Returns `(file, head_off, n_lines, record)` — record = lines
+    * joined by '\n'. Scale: one per-(file) window pass + one
+    * per-record partial-agg shuffle; record size is bounded by the
+    * true multiline record, not the file. */
+  def reassembleMultiline(df: DataFrame, file: Column, offset: Column,
+                          line: Column, isHead: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__file")).orderBy(col("__off"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(file.as("__file"), offset.as("__off"), line.as("__line"),
+        isHead.cast("int").as("__h"))
+      .withColumn("__rec", sum(col("__h")).over(w))
+      .filter(col("__rec") > 0)
+      .groupBy(col("__file"), col("__rec"))
+      .agg(min(col("__off")).as("head_off"),
+        count(lit(1)).as("n_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__off"), col("__line")))),
+          x => x.getField("__line")), "\n").as("record"))
+      .select(col("__file").as("file"), col("head_off"), col("n_lines"),
+        col("record"))
+  }
 }

@@ -27,6 +27,7 @@ object LogQueries {
     val k = get_json_object(col("props"), "$.k").cast("long")
     val lvl = when(col("event_type") === "error", lit("error")).otherwise(lit("info"))
     e.select(
+      col("event_id"), col("user_id"), col("event_type"),
       concat(
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"),
         lit(" host-"), col("user_id").cast("string"),
@@ -41,7 +42,8 @@ object LogQueries {
   /** DuckDB mirror of the line construction (shared CTE). */
   private val LinesCte = """
     WITH lines AS (
-      SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%dT%H:%M:%S') || '+00:00'
+      SELECT event_id, user_id, event_type,
+        strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%dT%H:%M:%S') || '+00:00'
         || ' host-' || CAST(user_id AS VARCHAR)
         || ' production--app' || CAST(user_id % 3 AS VARCHAR)
         || '/arn%3Aaws%3Aecs%3Aus-west-1%3A589690932525%3Atask%2Ft-' || CAST(event_id AS VARCHAR)
@@ -230,5 +232,60 @@ routes:
       FROM c JOIN x USING (grp)
       ORDER BY grp, bucket"""))
 
-  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes)
+  /** A15: multiline record reassembly — error events expand to a
+    * 3-line stack-trace shape (head + "  at …" + "  ... 3 more"),
+    * interleaved with every other event's single head line at
+    * deterministic per-file offsets (event_id·3 within the per-user
+    * file — a partition key that scales with the corpus, not a
+    * fixed fan-in), then re-glued by [[LogColumns.reassembleMultiline]]
+    * with the whitespace-prefix head heuristic. The oracle rebuilds
+    * the same corpus and reassembles it with the window-sum +
+    * ordered string_agg equivalent — so the head detection, the
+    * running record ids, and the byte-exact glued text are all what
+    * the hash-match proves. */
+  val qMultiline = Q(
+    "qlog_multiline",
+    (s, dir) => {
+      val l = lines(Tables(s, dir))
+      val file = concat(lit("f"), col("user_id").cast("string"))
+      val heads = l.select(file.as("file"), (col("event_id") * 3).as("off"),
+        col("line"))
+      val errs = l.filter(col("event_type") === "error")
+      val conts = errs.select(file.as("file"), (col("event_id") * 3 + 1).as("off"),
+          concat(lit("  at com.example.Handler(Handler.scala:"),
+            pmod(col("event_id"), lit(97)).cast("string"), lit(")")).as("line"))
+        .unionAll(errs.select(file.as("file"), (col("event_id") * 3 + 2).as("off"),
+          lit("  ... 3 more").as("line")))
+      LogColumns.reassembleMultiline(
+          heads.unionAll(conts), col("file"), col("off"), col("line"),
+          !col("line").startsWith(" "))
+        .orderBy(col("file"), col("head_off"))
+    },
+    Some(LinesCte + """,
+      heads AS (SELECT 'f' || CAST(user_id AS VARCHAR) AS file,
+                  event_id * 3 AS off, line
+                FROM lines),
+      conts AS (
+        SELECT 'f' || CAST(user_id AS VARCHAR) AS file,
+               event_id * 3 + 1 AS off,
+               '  at com.example.Handler(Handler.scala:'
+                 || CAST(event_id % 97 AS VARCHAR) || ')' AS line
+        FROM lines WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'f' || CAST(user_id AS VARCHAR), event_id * 3 + 2,
+               '  ... 3 more'
+        FROM lines WHERE event_type = 'error'),
+      al AS (SELECT * FROM heads UNION ALL SELECT * FROM conts),
+      rec AS (SELECT file, off, line,
+                SUM(CASE WHEN line NOT LIKE ' %' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file ORDER BY off
+                        ROWS UNBOUNDED PRECEDING) AS rec
+              FROM al)
+      SELECT file, MIN(off) AS head_off, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             string_agg(line, chr(10) ORDER BY off) AS record
+      FROM rec WHERE rec > 0
+      GROUP BY file, rec
+      ORDER BY file, head_off"""))
+
+  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes, qMultiline)
 }

@@ -108,4 +108,29 @@ class LogColumnsSpec extends AnyFunSuite {
       .head()
     assert(j.getLong(0) == 1L && j.getString(1) == "hello")
   }
+
+  test("multiline reassembly: glue order, file isolation, orphan drop") {
+    import spark.implicits._
+    val rows = Seq(
+      // file a: head + 2 continuations, then a second single-line record
+      ("a", 10L, "ERROR boom"),
+      ("a", 11L, "  at Frame1"),
+      ("a", 12L, "  at Frame2"),
+      ("a", 20L, "INFO fine"),
+      // file b: an orphan continuation BEFORE any head must be dropped,
+      // and b's head must not absorb a's continuations
+      ("b", 1L, "  at OrphanFrame"),
+      ("b", 2L, "WARN later"),
+      ("b", 3L, "  at Frame3"))
+      .toDF("file", "off", "line")
+    val got = LogColumns.reassembleMultiline(
+        rows, col("file"), col("off"), col("line"),
+        !col("line").startsWith(" "))
+      .orderBy(col("file"), col("head_off"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("a", 10L, 3L, "ERROR boom\n  at Frame1\n  at Frame2"),
+      ("a", 20L, 1L, "INFO fine"),
+      ("b", 2L, 2L, "WARN later\n  at Frame3")), s"got ${got.toSeq}")
+  }
 }
