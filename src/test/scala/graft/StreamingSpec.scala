@@ -706,4 +706,51 @@ class StreamingSpec extends AnyFunSuite {
     // constant series: σ = 0, n > mean is false for every bucket
     assert(k1.filter(_._1 == "b").forall(x => x._5 == 0.0 && !x._6))
   }
+
+  test("stream-stream join: attribution within the window, batch-equal, inner drop") {
+    import org.apache.spark.sql.types._
+    val viewsDir = tmp(); val buysDir = tmp(); val ck = tmp()
+    val vSchema = StructType(Seq(
+      StructField("v_user", LongType), StructField("v_ts", TimestampType),
+      StructField("view_id", LongType)))
+    val bSchema = StructType(Seq(
+      StructField("b_user", LongType), StructField("b_ts", TimestampType),
+      StructField("buy_id", LongType)))
+    Files.write(Paths.get(viewsDir, "v.json"), Seq(
+      """{"v_user":1,"v_ts":"2024-01-01T00:00:00Z","view_id":10}""",
+      """{"v_user":1,"v_ts":"2024-01-01T00:05:00Z","view_id":11}""",
+      """{"v_user":1,"v_ts":"2024-01-01T00:50:00Z","view_id":12}""",
+      """{"v_user":2,"v_ts":"2024-01-01T00:00:00Z","view_id":20}""").asJava)
+    Files.write(Paths.get(buysDir, "b.json"), Seq(
+      """{"b_user":1,"b_ts":"2024-01-01T00:08:00Z","buy_id":100}""",
+      """{"b_user":2,"b_ts":"2024-01-01T00:30:00Z","buy_id":200}""").asJava)
+
+    val q = graft.streaming.StreamJoin.withinWindow(
+        spark.readStream.schema(vSchema).json(viewsDir),
+        col("v_user"), col("v_ts"),
+        spark.readStream.schema(bSchema).json(buysDir),
+        col("b_user"), col("b_ts"),
+        windowSeconds = 600)
+      .select(col("view_id"), col("buy_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("ssjoin_test").start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // u1's buy at 00:08 attributes to views 00:00 and 00:05 (within 10
+    // min, inclusive both ends), NOT the later 00:50 view; u2's buy has
+    // no view within the window and inner-drops
+    assert(got == Set((10L, 100L), (11L, 100L)), s"got $got")
+    // batch twin over the same files, same predicate
+    val batch = spark.read.schema(vSchema).json(viewsDir)
+      .join(spark.read.schema(bSchema).json(buysDir),
+        col("v_user") === col("b_user") &&
+          col("v_ts") <= col("b_ts") &&
+          col("v_ts") >= col("b_ts") - expr("INTERVAL 600 SECONDS"))
+      .select(col("view_id"), col("buy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"stream result must equal batch twin: $got vs $batch")
+  }
 }
