@@ -698,6 +698,48 @@ object Profile {
       ORDER BY bucket"""
     })
 
+  /** Materialized HLL sketches per fine-grained key (D16) — the
+    * sketch-reuse OLAP trick: build the expensive distinct-state ONCE
+    * at the finest grain you'll ever roll up from, persist it as a
+    * table of (keys…, sketch) BYTES, and answer every coarser
+    * distinct-count question by MERGING sketches instead of
+    * re-scanning the corpus. At 100 TB "distinct users per X" is a
+    * full-scan question each time without this, and an O(groups ×
+    * sketch-bytes) question with it. A datasketches HLL union preserves the sketch
+    * family's error bounds (NOT bit-equality with the direct coarse
+    * sketch — low-cardinality sketches union out of sparse mode along
+    * a different path), so the rollup answers carry the same ±1.6%/
+    * √2^lgK guarantee the rescan would have bought (spec pins merged
+    * AND direct to the same truth). */
+  def hllSketches(df: DataFrame, keys: Seq[Column], value: Column,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(value, lgK).as("sketch"))
+
+  /** Roll [[hllSketches]] up to coarser keys: union the sketch bytes,
+    * estimate once. No corpus access — input is the sketch table. */
+  def hllRollup(sketches: DataFrame, keys: Seq[Column]): DataFrame =
+    sketches.groupBy(keys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("approx_distinct"))
+
+  /** D16 registered: distinct users per event type, answered from
+    * per-(type, day) sketches — the fine grain a daily pipeline would
+    * materialize — merged up to type. Approximate ⇒ no DuckDB oracle
+    * (q10b/q16b discipline); the spec pins merge-equals-direct
+    * exactly and the estimate within 5% of truth. */
+  val qHllRollup = Q(
+    "qprofile_hll_rollup",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      val fine = hllSketches(e, Seq(col("event_type"), col("day")), col("user_id"))
+      hllRollup(fine, Seq(col("event_type")))
+        .select(col("event_type"),
+          col("approx_distinct").cast("long").as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers, qKeySkew, qKappa, qReliability)
+    qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup)
 }

@@ -380,6 +380,35 @@ class CurationSpec extends AnyFunSuite {
     // binary-length boundary is integer-exact at the power of two
   }
 
+  test("HLL rollup: merged fine sketches track truth like the direct coarse sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 3000).map { i =>
+      (s"t${i % 3}", s"d${i % 7}", (i % 911).toLong) // users overlap across days
+    }
+    val df = rows.toDF("typ", "day", "user")
+    val fine = graft.operators.Profile.hllSketches(
+      df, Seq(col("typ"), col("day")), col("user"))
+    assert(fine.count() == 21L, "one sketch per (type, day)")
+    val merged = graft.operators.Profile.hllRollup(fine, Seq(col("typ")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the union is NOT bit-identical to the direct coarse sketch
+    // (sparse-mode sketches union along a different promotion path) —
+    // the operator's contract is that BOTH carry the family's error
+    // bound against the same truth
+    val direct = graft.operators.Profile.hllSketches(df, Seq(col("typ")), col("user"))
+      .select(col("typ"), hll_sketch_estimate(col("sketch")).cast("long").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = df.groupBy(col("typ")).agg(countDistinct(col("user")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((t, n) <- exact) {
+      assert(math.abs(merged(t) - n).toDouble / n < 0.05,
+        s"$t: merged estimate ${merged(t)} vs exact $n")
+      assert(math.abs(direct(t) - n).toDouble / n < 0.05,
+        s"$t: direct estimate ${direct(t)} vs exact $n")
+    }
+  }
+
   test("corpusPatch: upsert, delete, pass-through, and idempotent re-application") {
     import spark.implicits._
     val old = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
