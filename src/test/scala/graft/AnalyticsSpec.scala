@@ -184,6 +184,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan.take(2000))
   }
 
+  test("q30 plans the range join as a cell equi-join with a pruned events scan") {
+    val plan = executedPlan(Analytics.q30.fn(spark, sf)).toString
+    // the whole point of the cell blocking: a big×big BETWEEN join that
+    // never falls back to a nested loop or cartesian
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("__cell"), "cell-blocked equi join key missing from plan")
+    // events carries (event_id, ts, user_id, event_type, value, props);
+    // q30 needs only the first three — the scan must not read the rest
+    assert(!plan.contains("props") && !plan.contains("event_type"),
+      "unused events columns not pruned from scan")
+  }
+
   test("q19 salting produces a two-stage aggregation over (key, salt)") {
     val df = Analytics.q19.fn(spark, sf)
     df.collect()
