@@ -753,4 +753,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == batch, s"stream result must equal batch twin: $got vs $batch")
   }
+
+  test("stream-stream LEFT OUTER join emits unmatched views at watermark expiry") {
+    import org.apache.spark.sql.types._
+    val viewsDir = tmp(); val buysDir = tmp(); val ck = tmp()
+    val vSchema = StructType(Seq(
+      StructField("v_user", LongType), StructField("v_ts", TimestampType),
+      StructField("view_id", LongType)))
+    val bSchema = StructType(Seq(
+      StructField("b_user", LongType), StructField("b_ts", TimestampType),
+      StructField("buy_id", LongType)))
+    Files.write(Paths.get(viewsDir, "v1.json"), Seq(
+      """{"v_user":1,"v_ts":"2024-01-01T00:00:00Z","view_id":10}""",
+      """{"v_user":3,"v_ts":"2024-01-01T00:00:00Z","view_id":30}""").asJava)
+    Files.write(Paths.get(buysDir, "b1.json"), Seq(
+      """{"b_user":1,"b_ts":"2024-01-01T00:05:00Z","buy_id":100}""").asJava)
+    // sentinels on BOTH sides (the join watermark is the MIN of the two
+    // streams'), staggered across extra files because an outer result
+    // only flushes in a batch AFTER the watermark that expired it
+    for ((f, ts) <- Seq(("v2", "02:30"), ("v3", "03:30"), ("v4", "04:30")))
+      Files.write(Paths.get(viewsDir, s"$f.json"),
+        Seq(s"""{"v_user":9,"v_ts":"2024-01-01T$ts:00Z","view_id":90}""").asJava)
+    for ((f, ts) <- Seq(("b2", "02:00"), ("b3", "03:00"), ("b4", "04:00")))
+      Files.write(Paths.get(buysDir, s"$f.json"),
+        Seq(s"""{"b_user":8,"b_ts":"2024-01-01T$ts:00Z","buy_id":800}""").asJava)
+
+    val q = graft.streaming.StreamJoin.withinWindow(
+        spark.readStream.schema(vSchema)
+          .option("maxFilesPerTrigger", 1).json(viewsDir),
+        col("v_user"), col("v_ts"),
+        spark.readStream.schema(bSchema)
+          .option("maxFilesPerTrigger", 1).json(buysDir),
+        col("b_user"), col("b_ts"),
+        windowSeconds = 600, joinType = "leftOuter")
+      .select(col("view_id"), col("buy_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("ssjoin_outer_test").start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin_outer_test")
+      .filter(col("view_id") < 90)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // view 10 matched its buy; view 30 never matched and must surface
+    // as a NULL-padded row once the watermark proves no buy can come
+    assert(got == Set((10L, 100L), (30L, -1L)), s"got $got")
+  }
 }
