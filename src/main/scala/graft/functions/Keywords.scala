@@ -154,6 +154,108 @@ object Keywords {
                k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25AgainstIndex(textIndex(df, id, text), queries, k, k1, b)
 
+  /** Dirichlet-smoothed query-likelihood retrieval (C132; Zhai &
+    * Lafferty 2004) — the classic SECOND retrieval model next to BM25
+    * (different failure modes: QL's length normalization is
+    * probabilistic, its missing-term penalty comes from the corpus
+    * LM), which is exactly why hybrid stacks fuse the two
+    * ([[rrfFuse]]). score(q,d) = Σ_t ln((tf_td + µ·p(t|C)) / (dl_d + µ)),
+    * decomposed so the plan never densifies over absent terms:
+    *   Σ_present [L1(t,d) − L2(t)]  +  Σ_t L2(t)  −  |q|·L3(d)
+    * with L1 = round(ln(tf + µp)·1e6), L2 = round(ln(µp)·1e6),
+    * L3 = round(ln(dl + µ)·1e6) — each ln rounded ONCE to micro-nats
+    * (the C37 discipline), everything after exact integer arithmetic.
+    * Query terms absent from the corpus drop (they shift every doc by
+    * the same −∞ under pure Dirichlet smoothing; dropping is the
+    * standard practical contract and is mirrored by the oracle's
+    * inner ctf join).
+    *
+    * Scale shape: matching postings join broadcast query terms (the
+    * BM25 path); the ranking base is docs × queries — |queries|-
+    * bounded, with the per-query constants riding as a broadcast
+    * ≤|queries|-row frame — and the top-k is a rank window cut
+    * (map-side WindowGroupLimit). Every doc scores, as QL semantics
+    * require: a doc with no query term still ranks by its length
+    * penalty. */
+  def qlTopK(df: DataFrame, id: Column, text: Column,
+             queries: DataFrame, k: Int, mu: Double = 300.0): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val ix = textIndex(df, id, text)
+    val Seq(qidC, termC) = queries.columns.toSeq.take(2).map(col)
+    val qterms = queries.select(qidC.as("query_id"),
+      lower(termC).as("term")).distinct()
+    val ctf = ix.postings.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    // in-vocab query terms with their smoothing mass L2
+    val qv = qterms.join(ctf, "term")
+      .crossJoin(broadcast(ix.stats))
+      .select(col("query_id"), col("term"),
+        (lit(mu) * (col("ctf").cast("double") / col("total_tokens").cast("double")))
+          .as("mu_p"))
+      .select(col("query_id"), col("term"), col("mu_p"),
+        round(log(col("mu_p")) * lit(1e6)).cast("long").as("l2"))
+    val qstats = qv.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("l2")).as("qconst"))
+    // present-term deltas: only matching postings move
+    val hits = ix.postings.join(broadcast(qv), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (round(log(col("tf").cast("double") + col("mu_p")) * lit(1e6)).cast("long")
+          - col("l2")).as("delta"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("delta")).as("hit_micro"))
+    // every doc's per-query base: qconst − |q|·ln(dl + µ)
+    val base = ix.docs.crossJoin(broadcast(qstats))
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("qconst"),
+        round(log(col("dl").cast("double") + lit(mu)) * lit(1e6)).cast("long").as("l3"))
+      .select(col("query_id"), col("doc_id"),
+        (col("qconst") - col("n_terms") * col("l3")).as("base_micro"))
+    base.join(hits, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("n_hit_terms"), lit(0L)).as("n_hit_terms"),
+        (col("base_micro") + coalesce(col("hit_micro"), lit(0L))).as("score_micro"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hit_terms"), col("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion (C133; Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: each ranking contributes
+    * `1/(kRrf + rank)` per doc, missing docs contribute 0, fuse by the
+    * sum. Rank-based, so the two retrievers' score SCALES never need
+    * reconciling — exactly why RRF is the default in production
+    * hybrid (lexical + semantic / BM25 + QL) stacks. Contributions
+    * truncate once to 1e9 fixed-point so the fused order is an exact
+    * integer comparison in any engine. Inputs are two
+    * `(query_id, rank, doc_id, …)` frames (the [[bm25AgainstIndex]] /
+    * [[qlTopK]] output contract); the join is per-(query, doc) over
+    * two already-top-k-bounded frames — nothing corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    for ((f, n) <- Seq(a -> "a", b -> "b"))
+      require(Seq("query_id", "rank", "doc_id").forall(f.columns.contains),
+        s"ranking '$n' must carry (query_id, rank, doc_id); got ${f.columns.mkString(", ")}")
+    def contrib(rank: Column): Column =
+      (lit(1e9) / (lit(kRrf.toDouble) + rank.cast("double"))).cast("long")
+    val ra = a.select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+    val rb = b.select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+    ra.join(rb, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(contrib(col("rank_a")), lit(0L)) +
+          coalesce(contrib(col("rank_b")), lit(0L))).as("rrf_nano"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf_nano").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_nano"))
+  }
+
   /** Incremental [[TextIndex]] maintenance (the `ivfPqResAppend`
     * discipline for retrieval): fold a NEW document batch into an
     * existing index with work linear in the increment and ZERO in the

@@ -1427,6 +1427,131 @@ object TextQueries {
       ORDER BY query_id, rank"""
   }
 
+  /** Shared QL CTE chain (assumes q/tf/dl/st CTEs in scope; emits
+    * ctf/qv2/qs/hits/qbase/qsc/qr) ending in `qr` = the ranked QL
+    * result. Mirrors [[Keywords.qlTopK]]'s decomposition: each ln
+    * rounded once to micro-nats, integer arithmetic after; OOV query
+    * terms drop at the inner ctf join exactly like the engine. */
+  private def qlCtes(mu: Double): String = s"""
+      ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+      qv2 AS (SELECT query_id, term, mu_p,
+                CAST(ROUND(ln(mu_p) * 1e6) AS BIGINT) AS l2
+              FROM (SELECT q.query_id, q.term,
+                      $mu * (CAST(ctf.ctf AS DOUBLE) / CAST(st.total_tokens AS DOUBLE)) AS mu_p
+                    FROM q JOIN ctf USING (term), st)),
+      qs AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(l2) AS BIGINT) AS qconst
+             FROM qv2 GROUP BY 1),
+      hits AS (SELECT qv2.query_id, tf.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+                 CAST(SUM(CAST(ROUND(ln(CAST(tf.tf AS DOUBLE) + qv2.mu_p) * 1e6) AS BIGINT)
+                   - qv2.l2) AS BIGINT) AS hit_micro
+               FROM tf JOIN qv2 USING (term) GROUP BY 1, 2),
+      qbase AS (SELECT qs.query_id, dl.doc_id,
+                  qs.qconst - qs.n_terms *
+                    CAST(ROUND(ln(CAST(dl.dl AS DOUBLE) + $mu) * 1e6) AS BIGINT) AS base_micro
+                FROM dl, qs),
+      qsc AS (SELECT qbase.query_id, qbase.doc_id,
+                COALESCE(hits.n_hit_terms, 0) AS n_hit_terms,
+                qbase.base_micro + COALESCE(hits.hit_micro, 0) AS score_micro
+              FROM qbase LEFT JOIN hits
+                ON hits.query_id = qbase.query_id AND hits.doc_id = qbase.doc_id),
+      qr AS (SELECT query_id, doc_id,
+               CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+               CAST(score_micro AS BIGINT) AS score_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+             FROM qsc)"""
+
+  private lazy val qlSharedHead: String = {
+    val vals = Bm25QueryTerms.map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+    s"""
+      WITH q AS (SELECT DISTINCT query_id, lower(term) AS term
+                 FROM (VALUES $vals) v(query_id, term)),
+      toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+      tf AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks WHERE term <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl)"""
+  }
+
+  /** C132: Dirichlet query-likelihood retrieval — the second classic
+    * retrieval model next to BM25 (probabilistic length penalty,
+    * corpus-LM smoothing of missing terms), every ln rounded once to
+    * micro-nats so rank boundaries are exact integers in both
+    * engines. The out-of-vocabulary query term ('zebra' in q3) drops
+    * on BOTH sides by the same inner join. */
+  val qQl = Q(
+    "qtext_ql",
+    (s, dir) => {
+      import s.implicits._
+      Keywords.qlTopK(Tables(s, dir).documents, col("doc_id"), col("text"),
+          Bm25QueryTerms.toDF("query_id", "term"), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""$qlSharedHead,
+      ${qlCtes(mu = 300.0)}
+      SELECT query_id, rank, doc_id, n_hit_terms, score_micro
+      FROM qr WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
+  /** C133: reciprocal-rank-fusion hybrid retrieval — BM25's lexical
+    * ranking fused with QL's probabilistic one, `1/(60+rank)` each,
+    * truncated once to 1e9 fixed-point; the oracle reruns BOTH
+    * ranked chains off one shared token frame and mirrors the fusion
+    * arithmetic, so the fused order is what the hash proves. */
+  val qHybrid = Q(
+    "qtext_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir).documents
+      val qs = Bm25QueryTerms.toDF("query_id", "term")
+      val a = Keywords.bm25TopK(d, col("doc_id"), col("text"), qs, k = 20)
+      val b = Keywords.qlTopK(d, col("doc_id"), col("text"), qs, k = 20)
+      Keywords.rrfFuse(a, b, kRrf = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val k1 = 1.2; val b = 0.75
+      s"""$qlSharedHead,
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      c AS (SELECT q.query_id, tf.doc_id,
+              CAST(ROUND(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                            (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+                ((CAST(tf.tf AS DOUBLE) * ${k1 + 1}) /
+                 (CAST(tf.tf AS DOUBLE) + $k1 * (${1 - b} + $b *
+                   (CAST(dl.dl AS DOUBLE) /
+                    (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+                1000000.0) AS BIGINT) AS contrib
+            FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN st),
+      bsc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro
+              FROM c GROUP BY 1, 2),
+      br AS (SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+             FROM bsc),
+      ${qlCtes(mu = 300.0)},
+      a AS (SELECT query_id, doc_id, rank FROM br WHERE rank <= 20),
+      b AS (SELECT query_id, doc_id, rank FROM qr WHERE rank <= 20),
+      f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+              COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              COALESCE(CAST(trunc(1e9 / (60.0 + CAST(a.rank AS DOUBLE))) AS BIGINT), 0)
+                + COALESCE(CAST(trunc(1e9 / (60.0 + CAST(b.rank AS DOUBLE))) AS BIGINT), 0)
+                AS rrf_nano
+            FROM a FULL OUTER JOIN b
+              ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+      fr AS (SELECT query_id, doc_id, rrf_nano,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank
+             FROM f)
+      SELECT query_id, rank, doc_id, rrf_nano
+      FROM fr WHERE rank <= 10
+      ORDER BY query_id, rank"""
+    })
+
   /** C127: the SAME search served from a parquet-round-tripped
     * [[Keywords.TextIndex]] — the build/search split under the SAME
     * oracle as qtext_bm25 (the qann_ivf_indexed precedent: oracle
@@ -1659,6 +1784,6 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
-    qBm25, qBm25Indexed, qBm25Inc, qZipf, qLmRef, qKnRef, qHeavyHitters,
-    qFertility, qIndex, qTrainLr)
+    qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
+    qHeavyHitters, qFertility, qIndex, qTrainLr)
 }

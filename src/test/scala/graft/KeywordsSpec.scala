@@ -595,4 +595,41 @@ class KeywordsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(jm(1L) > jm(2L), s"JM should overrate the frequent token: $jm")
   }
+
+  test("QL retrieval: term presence ranks first at equal length, OOV terms drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "needle filler filler filler"),
+      (2L, "other filler filler filler"),   // same length, no needle
+      (3L, "needle needle filler filler"))  // more needle mass
+      .toDF("doc_id", "text")
+    val qs = Seq(("q1", "needle"), ("q1", "unicorn")).toDF("query_id", "term")
+    val got = Keywords.qlTopK(docs, col("doc_id"), col("text"), qs, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // OOV 'unicorn' dropped on both sides: n_hit_terms counts only 'needle'
+    assert(got.forall(_._3 <= 1), s"OOV term leaked into hits: ${got.toSeq}")
+    val order = got.sortBy(_._1).map(_._2).toSeq
+    assert(order == Seq(3L, 1L, 2L),
+      s"QL must rank by smoothed term mass, got $order")
+  }
+
+  test("RRF fusion: consensus beats a single-list winner, missing side adds 0") {
+    import spark.implicits._
+    // doc 5 is rank 2 in BOTH lists; docs 1/9 each win one list only.
+    // 1/(60+2)+1/(60+2) > 1/(60+1)+0, so consensus must fuse first.
+    val a = Seq(("q1", 1L, 1L), ("q1", 2L, 5L), ("q1", 3L, 7L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq(("q1", 1L, 9L), ("q1", 2L, 5L), ("q1", 3L, 8L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Keywords.rrfFuse(a, b, kRrf = 60, topK = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.head._2 == 5L, s"consensus doc must fuse first: ${got.toSeq}")
+    // a doc present in one list scores exactly its single truncated term
+    val single = got.find(_._2 == 7L).get._3
+    assert(single == (1e9 / 63.0).toLong, s"one-sided contribution: $single")
+    intercept[IllegalArgumentException] {
+      Keywords.rrfFuse(a.drop("rank"), b)
+    }
+  }
 }

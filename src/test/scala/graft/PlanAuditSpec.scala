@@ -153,6 +153,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "(n_docs, total_tokens) index summary — the qtext_tfidf shape; the " +
       "postings and dl joins are term-/doc-keyed equi-joins and the query " +
       "set is a bounded broadcast"),
+    "qtext_ql" -> ("crossJoin(broadcast(stats)) — the 1-row corpus LM " +
+      "denominator — plus crossJoin(broadcast(qstats)), the <= |queries|-row " +
+      "per-query constant frame every doc's ranking base joins; the corpus " +
+      "itself only equi-joins on term/doc_id"),
+    "qtext_hybrid_rrf" -> ("EMBEDS the qtext_bm25 and qtext_ql chains (the " +
+      "same 1-row stats and <= |queries|-row constant broadcasts); the " +
+      "fusion itself is a (query, doc) equi-join of two top-k-bounded " +
+      "frames"),
     "qtext_bm25_indexed" -> ("the qtext_bm25 shape served from the " +
       "materialized index frames — the same 1-row stats broadcast, now " +
       "read from its parquet table"),
