@@ -77,7 +77,7 @@ object Bench {
     "qann_brute_topk", "qann_ivf", "qann_pq", "qann_ivfpq",
     // text family
     "qtext_quality", "qtext_langid", "qtext_tokens", "qtext_tfidf",
-    "qtext_scrub", "qtext_train_lr",
+    "qtext_scrub", "qtext_train_lr", "qtext_hybrid_rrf",
     // curation family
     "qcuration_contam", "qcuration_pipeline",
     // graph family

@@ -67,7 +67,10 @@ class DeterminismSpec extends AnyFunSuite {
     // (any accumulation-order drift compounds across 5 steps), the
     // DBI/silhouette fixed-point distance sums + argmin/argmax over
     // trained cells, and the cell-blocked point-in-interval counts
-    "qtext_train_lr", "qvec_dbi", "qvec_silhouette", "q30_interval_join")
+    "qtext_train_lr", "qvec_dbi", "qvec_silhouette", "q30_interval_join",
+    // retrieval: micro-nat contribution sums + integer rank boundaries,
+    // and the fused ranking over two such lists
+    "qtext_ql", "qtext_hybrid_rrf")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

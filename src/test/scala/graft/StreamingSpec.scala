@@ -768,30 +768,30 @@ class StreamingSpec extends AnyFunSuite {
       """{"v_user":3,"v_ts":"2024-01-01T00:00:00Z","view_id":30}""").asJava)
     Files.write(Paths.get(buysDir, "b1.json"), Seq(
       """{"b_user":1,"b_ts":"2024-01-01T00:05:00Z","buy_id":100}""").asJava)
-    // sentinels on BOTH sides (the join watermark is the MIN of the two
-    // streams'), staggered across extra files because an outer result
-    // only flushes in a batch AFTER the watermark that expired it
-    for ((f, ts) <- Seq(("v2", "02:30"), ("v3", "03:30"), ("v4", "04:30")))
-      Files.write(Paths.get(viewsDir, s"$f.json"),
-        Seq(s"""{"v_user":9,"v_ts":"2024-01-01T$ts:00Z","view_id":90}""").asJava)
-    for ((f, ts) <- Seq(("b2", "02:00"), ("b3", "03:00"), ("b4", "04:00")))
-      Files.write(Paths.get(buysDir, s"$f.json"),
-        Seq(s"""{"b_user":8,"b_ts":"2024-01-01T$ts:00Z","buy_id":800}""").asJava)
 
     val q = graft.streaming.StreamJoin.withinWindow(
-        spark.readStream.schema(vSchema)
-          .option("maxFilesPerTrigger", 1).json(viewsDir),
+        spark.readStream.schema(vSchema).json(viewsDir),
         col("v_user"), col("v_ts"),
-        spark.readStream.schema(bSchema)
-          .option("maxFilesPerTrigger", 1).json(buysDir),
+        spark.readStream.schema(bSchema).json(buysDir),
         col("b_user"), col("b_ts"),
         windowSeconds = 600, joinType = "leftOuter")
       .select(col("view_id"), col("buy_id"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", ck)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName("ssjoin_outer_test").start()
-    q.awaitTermination()
+    q.processAllAvailable()
+    // sentinels on BOTH sides (the join watermark is the MIN of the two
+    // streams'), SEQUENCED between processAllAvailable calls — an outer
+    // result only flushes in a batch AFTER the watermark that expired
+    // it, and pre-written files could be picked up in any order
+    for ((vts, bts) <- Seq(("02:30", "02:00"), ("03:30", "03:00"), ("04:30", "04:00"))) {
+      Files.write(Paths.get(viewsDir, s"v$vts.json".replace(":", "")),
+        Seq(s"""{"v_user":9,"v_ts":"2024-01-01T$vts:00Z","view_id":90}""").asJava)
+      Files.write(Paths.get(buysDir, s"b$bts.json".replace(":", "")),
+        Seq(s"""{"b_user":8,"b_ts":"2024-01-01T$bts:00Z","buy_id":800}""").asJava)
+      q.processAllAvailable()
+    }
+    q.stop()
     val got = spark.table("ssjoin_outer_test")
       .filter(col("view_id") < 90)
       .collect()
