@@ -178,10 +178,17 @@ object Keywords {
     * require: a doc with no query term still ranks by its length
     * penalty. */
   def qlTopK(df: DataFrame, id: Column, text: Column,
-             queries: DataFrame, k: Int, mu: Double = 300.0): DataFrame = {
+             queries: DataFrame, k: Int, mu: Double = 300.0): DataFrame =
+    qlAgainstIndex(textIndex(df, id, text), queries, k, mu)
+
+  /** [[qlTopK]] served from a prebuilt [[TextIndex]] — the
+    * [[bm25AgainstIndex]] split: ONE index build serves both hybrid
+    * retrievers (and any query batch) without re-tokenizing the
+    * corpus. */
+  def qlAgainstIndex(ix: TextIndex, queries: DataFrame, k: Int,
+                     mu: Double = 300.0): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(mu > 0, s"mu must be positive, got $mu")
-    val ix = textIndex(df, id, text)
     val Seq(qidC, termC) = queries.columns.toSeq.take(2).map(col)
     val qterms = queries.select(qidC.as("query_id"),
       lower(termC).as("term")).distinct()

@@ -1508,8 +1508,16 @@ object TextQueries {
       import s.implicits._
       val d = Tables(s, dir).documents
       val qs = Bm25QueryTerms.toDF("query_id", "term")
-      val a = Keywords.bm25TopK(d, col("doc_id"), col("text"), qs, k = 20)
-      val b = Keywords.qlTopK(d, col("doc_id"), col("text"), qs, k = 20)
+      // ONE index build serves both retrievers — the production shape.
+      // Persisted: the index frames are consumed by both chains (and
+      // twice within QL), and a lazy index would re-tokenize per read.
+      val ix0 = Keywords.textIndex(d, col("doc_id"), col("text"))
+      def p(f: org.apache.spark.sql.DataFrame) =
+        f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ix = Keywords.TextIndex(p(ix0.postings), p(ix0.terms),
+        p(ix0.docs), p(ix0.stats))
+      val a = Keywords.bm25AgainstIndex(ix, qs, k = 20)
+      val b = Keywords.qlAgainstIndex(ix, qs, k = 20)
       Keywords.rrfFuse(a, b, kRrf = 60, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     },
