@@ -13,6 +13,15 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
+  /** Per-run scratch path for queries that materialize an
+    * intermediate layout (index round-trips, format round-trips).
+    * Suffixed with the Spark application id so two concurrent
+    * verify/bench runs on one machine never race on the same
+    * directory (a fixed path under java.io.tmpdir did). */
+  def scratchDir(s: SparkSession, name: String): String =
+    new java.io.File(s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_${name}_${s.sparkContext.applicationId}").toString
+
   /** Shared oracle-parity helpers (see SURVEY.md §6). */
   object sqlutil {
     /** DuckDB side of decimal-exact double aggregation. */

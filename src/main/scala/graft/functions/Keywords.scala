@@ -98,10 +98,16 @@ object Keywords {
     val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     TextIndex(
       postings = tf.select(col("doc_id"), col("term"), col("tf")),
-      terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      // ctf (corpus term frequency) rides in `terms` at BUILD time so
+      // QL search never rescans postings beyond the query terms'
+      terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("ctf")),
       docs = docs,
+      // coalesce: an empty (or all-token-free) corpus must yield
+      // (0, 0), not (0, NULL) — a NULL here poisons every avgdl /
+      // smoothing-mass division downstream and silently NULLs scores
       stats = docs.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_tokens")))
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens")))
   }
 
   /** BM25 search served entirely from a prebuilt [[TextIndex]] — no
@@ -192,7 +198,19 @@ object Keywords {
     val Seq(qidC, termC) = queries.columns.toSeq.take(2).map(col)
     val qterms = queries.select(qidC.as("query_id"),
       lower(termC).as("term")).distinct()
-    val ctf = ix.postings.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    // ctf comes from the materialized `terms` frame when the index
+    // carries it (build-time since C132's indexed split); a legacy
+    // df-only index falls back to postings — semi-cut to the QUERY
+    // terms first, so even the fallback never re-aggregates the
+    // whole corpus vocabulary per search
+    val ctf =
+      if (ix.terms.columns.contains("ctf"))
+        ix.terms.select(col("term"), col("ctf"))
+      else
+        ix.postings
+          .join(broadcast(qterms.select(col("term")).distinct()),
+            Seq("term"), "left_semi")
+          .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     // in-vocab query terms with their smoothing mass L2
     val qv = qterms.join(ctf, "term")
       .crossJoin(broadcast(ix.stats))
@@ -278,18 +296,25 @@ object Keywords {
   def textIndexAppend(ix: TextIndex, increment: DataFrame,
                       id: Column, text: Column): TextIndex = {
     val inc = textIndex(increment, id, text)
-    val mergedTerms = ix.terms.select(col("term"), col("df").as("__df_old"))
-      .join(inc.terms.select(col("term"), col("df").as("__df_new")),
-        Seq("term"), "full_outer")
+    val mergedTerms = ix.terms.select(col("term"), col("df").as("__df_old"),
+        col("ctf").as("__ctf_old"))
+      .join(inc.terms.select(col("term"), col("df").as("__df_new"),
+        col("ctf").as("__ctf_new")), Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("__df_old"), lit(0L)) +
-          coalesce(col("__df_new"), lit(0L))).as("df"))
+          coalesce(col("__df_new"), lit(0L))).as("df"),
+        (coalesce(col("__ctf_old"), lit(0L)) +
+          coalesce(col("__ctf_new"), lit(0L))).as("ctf"))
+    // the per-side coalesce guards an index whose stats row predates
+    // the coalesced build (or a hand-built one): + NULL would
+    // otherwise NULL total_tokens and every later score
     val mergedStats = ix.stats.select(col("n_docs").as("__n0"),
         col("total_tokens").as("__t0"))
       .crossJoin(broadcast(inc.stats.select(col("n_docs").as("__n1"),
         col("total_tokens").as("__t1"))))
       .select((col("__n0") + col("__n1")).as("n_docs"),
-        (col("__t0") + col("__t1")).as("total_tokens"))
+        (coalesce(col("__t0"), lit(0L)) +
+          coalesce(col("__t1"), lit(0L))).as("total_tokens"))
     TextIndex(
       postings = ix.postings.unionByName(inc.postings),
       terms = mergedTerms,
@@ -826,12 +851,12 @@ object Keywords {
     *
     * Scale shape: explode → (term, doc) map-side-combined count →
     * term-keyed aggregation; only (term, doc_id, tf) triples shuffle,
-    * never text. The df cap applies via HAVING-style post-agg filter
-    * on the (term, doc) frame's grouped count — computed in the SAME
-    * aggregation that builds the postings (no second pass), because
-    * dropping rows after the fact costs nothing compared to the
-    * buffer; callers indexing truly adversarial corpora should
-    * pre-filter with a stop list instead. */
+    * never text. The df bounds apply as a SEMI-JOIN against the
+    * (map-side-partialed) per-term df frame BEFORE the postings
+    * aggregation — the cdcPairs dropOverCapBuckets discipline — so a
+    * stopword-grade term never materializes its corpus-sized id list
+    * in an aggregation buffer; the extra df pass reads the persisted
+    * (term, doc, tf) frame, not the corpus. */
   def invertedIndex(df: DataFrame, id: Column, text: Column,
                     n: Int = 1, minDf: Int = 2, maxDf: Int = 100): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
@@ -844,12 +869,16 @@ object Keywords {
         explode(graft.operators.Dedup.wordShingles(text, n, distinct = false))
           .as("term"))
       .filter(col("term") =!= "")
-    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
+    tf.join(kept, Seq("term"), "left_semi")
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df_docs"),
         sum(col("tf")).as("tf_total"),
         array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
-      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
   }
 
   def pmiTopK(df: DataFrame, text: Column, k: Int,

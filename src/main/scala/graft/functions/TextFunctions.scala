@@ -265,16 +265,25 @@ object TextFunctions {
           val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
           ((p - col("y").cast("double")) * lit(1e6)).cast("long").as("e_micro")
         })
-      val eTot = errs.agg(coalesce(sum(col("e_micro")), lit(0L)).as("e_tot"))
+      // decimal(38,0) accumulation: each |e_micro·x| term is ≤ 1e12,
+      // so a LONG sum wraps silently past ~9e6 feature rows per
+      // bucket while the DuckDB oracle promotes to HUGEINT. A
+      // decimal sum is exact to 38 digits (the HUGEINT behavior),
+      // and the exact integer → double conversion rounds to nearest
+      // in both engines, so parity holds at any corpus size.
+      val eTot = errs.agg(coalesce(
+        sum(col("e_micro").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("e_tot"))
       val grad = feats.join(errs, "doc_id")
         .groupBy(col("bucket"))
-        .agg(sum(col("e_micro") * col("x")).as("graw"))
+        .agg(sum((col("e_micro") * col("x")).cast("decimal(38,0)")).as("graw"))
       w = w.join(grad, Seq("bucket"), "left")
         .join(mu, "bucket")
         .crossJoin(broadcast(eTot))
         .crossJoin(broadcast(nDocs))
         .select(col("bucket"),
-          (col("w") - ((coalesce(col("graw"), lit(0L)) - col("m") * col("e_tot"))
+          (col("w") - ((coalesce(col("graw"), lit(0L).cast("decimal(38,0)"))
+            - col("m").cast("decimal(38,0)") * col("e_tot"))
             .cast("double") / lit(1e12) / col("n_docs").cast("double")
             * lit(lr) * lit(1e6)).cast("long")).as("w"))
       // eager tiny checkpoint (≤ nBuckets+1 rows): without it the

@@ -1571,7 +1571,7 @@ object TextQueries {
       import s.implicits._
       val ix = Keywords.textIndex(Tables(s, dir).documents,
         col("doc_id"), col("text"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q_bm25idx"
+      val base = graft.Q.scratchDir(s, "q_bm25idx")
       def rt(f: org.apache.spark.sql.DataFrame, name: String) = {
         f.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$base/$name")

@@ -1245,7 +1245,7 @@ object SimilarityQueries {
               CAST(trunc((u.x - cent.c) * (u.x - cent.c) * 1e9) AS BIGINT) AS tm
             FROM u JOIN cent ON cent.grp = u.grp AND cent.pos = u.pos)
       SELECT grp AS cell, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
-             SUM(tm) AS sse_micro,
+             CAST(SUM(tm) AS BIGINT) AS sse_micro,
              CAST(SUM(tm) AS DOUBLE) / 1e9 AS sse
       FROM t GROUP BY grp
       ORDER BY cell"""))

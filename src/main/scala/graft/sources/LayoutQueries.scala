@@ -55,8 +55,7 @@ object LayoutQueries {
     "qlayout_zorder_roundtrip",
     (s, dir) => {
       val t = Tables(s, dir)
-      val out = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_q_zorder_li").toString
+      val out = graft.Q.scratchDir(s, "q_zorder_li")
       Layout.writeZOrdered(
         t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
           "l_quantity", "l_extendedprice"),
@@ -123,8 +122,7 @@ object LayoutQueries {
     (s, dir) => {
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      val out = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_q_jsonl").toString
+      val out = graft.Q.scratchDir(s, "q_jsonl")
       docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "gzip").json(out)
       s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
@@ -158,8 +156,7 @@ object LayoutQueries {
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
         concat(col("o_orderstatus"), lit(",\"q"), col("o_orderpriority"))
           .as("tricky"))
-      val out = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_q_csv").toString
+      val out = graft.Q.scratchDir(s, "q_csv")
       src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("header", "true").csv(out)
       s.read.option("header", "true")
