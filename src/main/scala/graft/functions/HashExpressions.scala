@@ -36,6 +36,59 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Seeded murmur3 fmix64 re-hash (SURVEY.md §2.C134) — the MinHash
+  * "permutation" family as one oracle-replicable finalizer chain:
+  * `z = h XOR seed`, then the public MurmurHash3 fmix64 avalanche
+  * (Appleby 2011, public domain) of two xorshift-multiply rounds. A
+  * single wrapped multiply (the FNV step) is NOT enough here: its
+  * slot-to-slot rankings stay correlated and the MinHash match-count
+  * estimator's variance blows past the k-slot bound (measured 2.5× σ
+  * with pathological all-slots-match pairs at true J ≈ 0.6; fmix64
+  * lands on the theoretical √(J(1−J)/k)). Every step is xor /
+  * logical-shift / mod-2⁶⁴ multiply — DuckDB mirrors with HUGEINT
+  * arithmetic and `// 2^33` for the unsigned shift (the C3 recipe).
+  * A native expression because ANSI mode makes wrapped `*` on long
+  * columns a runtime error — codegen Java wraps intentionally. */
+case class Mix64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_mix64 requires (BIGINT, BIGINT), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override protected def nullSafeEval(seed: Any, h: Any): Any =
+    Mix64.mix(seed.asInstanceOf[Long], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, h) => s"graft.functions.Mix64.mix($s, $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Mix64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object Mix64 {
+  /** Static so generated code can call it. */
+  def mix(seed: Long, h: Long): Long = {
+    var z = h ^ seed
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mix64"),
+    new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
+    (children: Seq[Expression]) => Mix64(children(0), children(1)))
+}
+
 object Fnv1a64 {
   private final val Offset = 0xcbf29ce484222325L
   private final val Prime  = 0x100000001b3L

@@ -740,6 +740,145 @@ object Profile {
     },
     None)
 
-  val all: Seq[Q] = Seq(qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
+  // --- C134: union-MinHash source-similarity sketch ---------------------
+
+  /** Deterministic per-slot seeds for the source sketch — FNV of the
+    * slot label, so both engines can embed the same literal values. */
+  private[operators] def sketchSeeds(k: Int): Seq[Long] =
+    (0 until k).map(i => graft.functions.Fnv1a64.hash(s"slot:$i".getBytes("UTF-8")))
+
+  /** Per-source union-MinHash signature (C134) — the SCALE path next
+    * to [[sourceOverlap]]'s exact pair join: each source collapses to
+    * k longs (slot i = min over the source's shingle hashes of
+    * `fnv_mix64(seed_i, fnv1a64(gram))`), and because min is
+    * associative the signature of a UNION of corpora is the
+    * elementwise min of their signatures — a daily increment folds
+    * into last night's sketch table with [[mergeSourceSketches]], no
+    * rescan of history. Estimated Jaccard between two sources is then
+    * matching-slots/k (Broder 1997: P[min agrees] = J), answered from
+    * an S×k-long frame instead of a per-gram pair join that fans out
+    * quadratically on shared grams.
+    *
+    * Exactness: the gram hash is the engine-wide [[graft.functions.Fnv1a64]]
+    * (DuckDB-replicable via the HUGEINT CTE recipe) and the slot
+    * re-hash is the wrapped `(seed XOR h) · FNV_PRIME` of
+    * [[graft.functions.FnvMix64]] — mod-2⁶⁴ arithmetic both engines
+    * compute bit-identically; min compares signed longs in both.
+    *
+    * Scale shape: ONE corpus scan; no distinct (min over duplicates
+    * IS min over the set — the shingle set never materializes); the
+    * k mins partial-aggregate map-side, so the shuffle carries
+    * |sources|·k longs, nothing gram- or corpus-sized. */
+  def sourceMinhashSketches(df: DataFrame, source: Column, text: Column,
+                            n: Int = 2, k: Int = 64): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(k >= 1 && k <= 512, s"k must be in [1, 512], got $k")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val gh = df
+      .select(source.as("src"),
+        explode(Dedup.wordShingles(text, n, distinct = false)).as("gram"))
+      .select(col("src"), call_function("fnv1a64", col("gram")).as("h"))
+    val aggs = sketchSeeds(k).zipWithIndex.map { case (sd, i) =>
+      min(call_function("graft_mix64", lit(sd), col("h"))).as(s"m$i")
+    }
+    gh.groupBy(col("src"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("src"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Fold a new increment's sketch table into an existing one: the
+    * union-sketch property (min is associative and commutative) makes
+    * this ONE elementwise-min merge on a |sources|-row frame — the
+    * entire daily maintenance cost of the cross-source similarity
+    * matrix. New sources pass through; k must match both builds. */
+  def mergeSourceSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("src"), col("sig").as("__sig_a"))
+      .join(b.select(col("src"), col("sig").as("__sig_b")), Seq("src"),
+        "full_outer")
+      .select(col("src"),
+        when(col("__sig_a").isNull, col("__sig_b"))
+          .when(col("__sig_b").isNull, col("__sig_a"))
+          .otherwise(zip_with(col("__sig_a"), col("__sig_b"),
+            (x, y) => least(x, y))).as("sig"))
+
+  /** Pairwise estimated Jaccard from a sketch frame: matches/k per
+    * (a, b) source pair. The self-join is |sources|²-bounded — the
+    * whole point: the corpus-sized gram frame never joins itself. */
+  def sourceSketchSimilarity(sketches: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val a = sketches.select(col("src").as("source_a"), col("sig").as("__a"))
+    val b = sketches.select(col("src").as("source_b"), col("sig").as("__b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        aggregate(zip_with(col("__a"), col("__b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, t) => acc + t).as("matches"))
+      .select(col("source_a"), col("source_b"), col("matches"),
+        round(col("matches").cast("double") / lit(k.toDouble), 6)
+          .as("est_jaccard"))
+  }
+
+  /** C134 registered: the cross-source similarity matrix answered
+    * from 64-slot union-MinHash sketches at word-bigram grain — the
+    * sketch-reuse discipline of D16 applied to Jaccard: S sources
+    * collapse to S·64 longs in one corpus pass, the S² compare is a
+    * broadcast of that frame, and tomorrow's crawl folds in by
+    * elementwise min. The oracle replays the ENTIRE sketch — FNV gram
+    * hashes (the engine-wide HUGEINT recipe), the wrapped
+    * `(seed XOR h)·PRIME` slot re-hash, signed per-slot mins, and the
+    * match count — so the hash-match proves the sketch arithmetic,
+    * not just the estimates' neighborhood. */
+  val qSourceSim = Q(
+    "qprofile_source_sim",
+    (s, dir) => {
+      val sk = Profile.sourceMinhashSketches(Tables(s, dir).documents,
+        col("source"), col("text"), n = 2, k = 64)
+      Profile.sourceSketchSimilarity(sk, k = 64)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some {
+      val seeds = sketchSeeds(64).mkString("[", ", ", "]")
+      s"""
+      WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      g0 AS (
+        SELECT DISTINCT source,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS gram
+        FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      ${graft.Q.sqlutil.fnvSignedCtes("sk", "gram", Seq("source"), "g0")},
+      seeds AS (SELECT unnest(range(0, 64)) AS i, unnest($seeds) AS seed),
+      z0 AS (SELECT source, i,
+               CASE WHEN x < 0
+                    THEN CAST(x AS HUGEINT) + 18446744073709551616::HUGEINT
+                    ELSE CAST(x AS HUGEINT) END AS u
+             FROM (SELECT skg.source, s.i, xor(skg.sb, s.seed) AS x
+                   FROM skg CROSS JOIN seeds s)),
+      z1 AS (SELECT source, i,
+               ((v * 3981806797::HUGEINT) % 18446744073709551616::HUGEINT
+                 + ((v * 4283543511::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                 % 18446744073709551616::HUGEINT AS u
+             FROM (SELECT source, i, xor(u, u // 8589934592) AS v FROM z0)),
+      z2 AS (SELECT source, i,
+               ((v * 444984403::HUGEINT) % 18446744073709551616::HUGEINT
+                 + ((v * 3301882366::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                 % 18446744073709551616::HUGEINT AS u
+             FROM (SELECT source, i, xor(u, u // 8589934592) AS v FROM z1)),
+      mx AS (SELECT source, i, xor(u, u // 8589934592) AS mm FROM z2),
+      sig AS (SELECT source, i,
+                MIN(CAST(CASE WHEN mm >= 9223372036854775808::HUGEINT
+                         THEN mm - 18446744073709551616::HUGEINT
+                         ELSE mm END AS BIGINT)) AS mn
+              FROM mx GROUP BY 1, 2),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS matches
+            FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, matches,
+             ROUND(CAST(matches AS DOUBLE) / 64.0, 6) AS est_jaccard
+      FROM p ORDER BY source_a, source_b"""
+    })
+
+  val all: Seq[Q] = Seq(qSourceSim, qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
     qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup)
 }

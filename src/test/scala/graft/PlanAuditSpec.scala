@@ -32,6 +32,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // checkpointed: the per-half-step 1-row max crossJoins run during
     // construction and the registered frame's plan is two checkpoint
     // scans joined on id — nothing BNLJ-shaped survives to audit
+    "qprofile_source_sim" -> ("the source_a < source_b pair join runs " +
+      "over the SKETCH frame — |sources| rows of 64 longs each, never " +
+      "the corpus or its grams; the broadcast side is the whole point " +
+      "of the union-MinHash collapse"),
     "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row N+V smoothing denominator of the reference LM, joined onto " +
       "the per-doc bigram partials"),
