@@ -322,6 +322,43 @@ object Keywords {
       stats = mergedStats)
   }
 
+  /** Dictionary tagging (C135) — taxonomy/topic labeling of a corpus
+    * against a curated term list, the FlashText/gazetteer problem: a
+    * `(tag, term)` dictionary where terms are single words OR
+    * word-boundary-exact phrases up to `maxWords` words ("hash join"
+    * matches the token pair, never the substring of "rehash joining").
+    * Output is one row per (doc, tag) that matched: occurrence count
+    * (bag semantics — a doc saying "join" thrice bills "joins" three
+    * times) and distinct matched terms (breadth — one term repeating
+    * is weaker evidence than three different ones). Docs matching
+    * nothing are absent by construction (the absent row IS "untagged";
+    * left-join against the corpus to materialize zeros).
+    *
+    * Scale shape: the dictionary distinct-s and BROADCASTS (term
+    * lists are 10²-10⁵ rows); the corpus explodes to its 1..maxWords
+    * positional grams MAP-SIDE and probes the broadcast — only
+    * matching (doc, tag, term) hits ever shuffle, into one partial-agg
+    * count. The text is rescanned once per gram width (maxWords narrow
+    * map passes, no join, no shuffle between them) — at maxWords ≤ 3
+    * that is cheaper than materializing a combined gram frame. */
+  def tagByDictionary(df: DataFrame, id: Column, text: Column,
+                      dict: DataFrame, maxWords: Int = 2): DataFrame = {
+    require(maxWords >= 1 && maxWords <= 5,
+      s"maxWords must be in [1, 5], got $maxWords")
+    val Seq(tagC, termC) = dict.columns.toSeq.take(2).map(col)
+    val d = dict.select(tagC.as("tag"), lower(termC).as("term")).distinct()
+    val grams = (1 to maxWords)
+      .map(n => df.select(id.as("doc_id"),
+        explode(graft.operators.Dedup.wordShingles(lower(text), n,
+          distinct = false)).as("term")))
+      .reduce(_ unionAll _)
+    grams.filter(col("term") =!= "")
+      .join(broadcast(d), "term")
+      .groupBy(col("doc_id"), col("tag"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_terms"))
+  }
+
   /** Zipf-law fit of the corpus token distribution (SURVEY.md §2.C82)
     * — the least-squares slope of `ln(tf)` against `ln(rank)` over
     * the top-N vocabulary: natural language sits near −1 (Zipf 1949);

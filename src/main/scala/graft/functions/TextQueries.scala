@@ -957,6 +957,54 @@ object TextQueries {
     * vocab boundary is integer-exact (tf desc, term asc — the tfidf
     * tie discipline) so membership never depends on a float; the
     * oracle rebuilds the identical vocab with SQL window rank. */
+  /** The fixture taxonomy for C135 — single tokens plus two-word
+    * phrases over the corpus vocabulary, shared verbatim by the Spark
+    * frame and the oracle VALUES list. */
+  private[graft] val TagDict: Seq[(String, String)] = Seq(
+    "joins" -> "join", "joins" -> "merge", "joins" -> "hash join",
+    "joins" -> "merge join",
+    "layout" -> "table", "layout" -> "row", "layout" -> "column",
+    "layout" -> "part",
+    "exec" -> "scan", "exec" -> "filter", "exec" -> "sort",
+    "exec" -> "window", "exec" -> "agg", "exec" -> "window agg",
+    "perf" -> "fast", "perf" -> "slow", "perf" -> "small", "perf" -> "big")
+
+  /** C135: dictionary tagging — taxonomy labels with word-boundary
+    * phrase matching. The oracle rebuilds the 1- and 2-gram streams
+    * with the proven positional-slice CTEs and joins the same VALUES
+    * dictionary, so gram construction, phrase boundaries, bag counts
+    * and distinct-term breadth are all hash-gated. */
+  val qTag = Q(
+    "qtext_tag",
+    (s, dir) => {
+      import s.implicits._
+      Keywords.tagByDictionary(Tables(s, dir).documents,
+          col("doc_id"), col("text"), TagDict.toDF("tag", "term"),
+          maxWords = 2)
+        .orderBy(col("doc_id"), col("tag"))
+    },
+    Some {
+      val values = TagDict.map { case (t, w) => s"('$t', '$w')" }
+        .mkString(",\n               ")
+      s"""
+      WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                    FROM documents),
+      g1 AS (SELECT doc_id, u.x AS term FROM toks, UNNEST(t) AS u(x)),
+      g2 AS (SELECT doc_id,
+               array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS term
+             FROM toks, UNNEST(range(0, len(t) - 1)) AS u(i)
+             WHERE len(t) >= 2),
+      g AS (SELECT * FROM g1 WHERE term <> ''
+            UNION ALL SELECT * FROM g2 WHERE term <> ''),
+      d(tag, term) AS (VALUES $values)
+      SELECT g.doc_id, d.tag,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT g.term) AS BIGINT) AS n_terms
+      FROM g JOIN d ON g.term = d.term
+      GROUP BY 1, 2
+      ORDER BY doc_id, tag"""
+    })
+
   val qOov = Q(
     "qtext_oov",
     (s, dir) =>
@@ -1793,5 +1841,5 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
-    qHeavyHitters, qFertility, qIndex, qTrainLr)
+    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag)
 }

@@ -232,6 +232,52 @@ routes:
       FROM c JOIN x USING (grp)
       ORDER BY grp, bucket"""))
 
+  /** A16: CUSUM level-shift detection — the drift alarm next to A14's
+    * spike rule. The fixture plants a real changepoint: every 'error'
+    * event from Jan 22 on is replayed once, doubling that group's
+    * bucket rate for the last ~9 of 30 days, while the other event
+    * types stay flat. CUSUM accumulates the excess and latches
+    * `shifted` for the error group shortly after the cutoff; flat
+    * groups never cross (both verdict branches non-vacuous at every
+    * sf — the time span is 30 days at all scales). The oracle mirrors
+    * the closed form (running sum + running min over the same sort)
+    * term-for-term in exact integers. */
+  val qCusum = Q(
+    "qlog_cusum",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      val burst = e.filter(col("event_type") === "error" &&
+        col("us") >= lit(1705881600000000L))
+      graft.streaming.DropStats.cusumShift(
+          e.unionAll(burst), col("event_type"),
+          expr("us div 600000000"), slack = 1L, threshold = 15L)
+        .orderBy(col("grp"), col("bucket"))
+    },
+    Some("""
+      WITH base AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      inp AS (SELECT * FROM base
+              UNION ALL
+              SELECT * FROM base
+              WHERE event_type = 'error' AND us >= 1705881600000000),
+      c AS (SELECT event_type AS grp, us // 600000000 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM inp GROUP BY 1, 2),
+      r AS (SELECT grp, SUM(n) // COUNT(*) AS ref FROM c GROUP BY grp),
+      p AS (SELECT c.grp, bucket, n, ref,
+              SUM(n - ref - 1) OVER (PARTITION BY c.grp ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS pp
+            FROM c JOIN r USING (grp)),
+      m AS (SELECT grp, bucket, n, ref, pp,
+              MIN(pp) OVER (PARTITION BY grp ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS mp
+            FROM p)
+      SELECT grp, bucket, n, CAST(ref AS BIGINT) AS ref,
+             CAST(pp - least(mp, 0) AS BIGINT) AS cusum,
+             (pp - least(mp, 0)) >= 15 AS shifted
+      FROM m
+      ORDER BY grp, bucket"""))
+
   /** A15: multiline record reassembly — error events expand to a
     * 3-line stack-trace shape (head + "  at …" + "  ... 3 more"),
     * interleaved with every other event's single head line at
@@ -287,5 +333,5 @@ routes:
       GROUP BY file, rec
       ORDER BY file, head_off"""))
 
-  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes, qMultiline)
+  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes, qCusum, qMultiline)
 }

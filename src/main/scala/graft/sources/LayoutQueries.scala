@@ -133,6 +133,32 @@ object LayoutQueries {
     Some("""
       SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"""))
 
+  /** ORC interchange round-trip (D17) — the other columnar format a
+    * Spark-native engine must speak (Hive-ecosystem handoffs arrive
+    * and leave as ORC): write documents with zlib compression, read
+    * back under the same schema, hash-match the original rows. Like
+    * parquet, ORC is splittable with predicate-pushdown-capable
+    * stripes, so the 100 TB read path keeps partition fan-out and
+    * filter pushdown; value-transparent like the jsonl twin, so the
+    * oracle is the plain table. */
+  val qOrc = Q(
+    "qlayout_orc",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val out = graft.Q.scratchDir(s, "q_orc")
+      docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zlib").orc(out)
+      s.read.orc(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
   /** CSV interchange round-trip (D14) — the remaining bulk-interchange
     * format next to parquet and NDJSON: write with Spark's quoting
     * (embedded commas and quote characters in the `tricky` column
@@ -173,5 +199,5 @@ object LayoutQueries {
              o_orderstatus || ',"q' || o_orderpriority AS tricky
       FROM orders ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge, qJsonl, qCsv)
+  val all: Seq[Q] = Seq(qBucketedJoin, qZOrdered, qMerge, qJsonl, qCsv, qOrc)
 }

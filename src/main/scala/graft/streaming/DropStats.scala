@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import graft.logs.LogColumns
@@ -190,6 +191,50 @@ object DropStats {
     * combined (group, bucket) count, one ~#groups-row moment
     * aggregate broadcast back — the event stream shuffles only as
     * (group, bucket) count pairs. */
+  /** One-sided CUSUM level-shift detection over bucketed per-group
+    * counts (A16; Page 1954) — the changepoint signal [[rateSpikes]]'
+    * z-cut can't give: a spike rule flags single outlier buckets,
+    * CUSUM accumulates SMALL persistent drifts (a route leaking 10%
+    * more errors every bucket) until the cumulated excess crosses a
+    * threshold. Update: `s_i = max(0, s_{i-1} + n_i − ref − slack)`,
+    * flagged when `s_i ≥ threshold`; `ref` is the group's own mean
+    * bucket count (integer-truncated), `slack` absorbs noise drift
+    * (Page's k), `threshold` is the decision interval (Page's h). The
+    * downward twin is the same call on a negated series — compose,
+    * don't parameterize.
+    *
+    * The recurrence is NOT computed as a sequential fold: the closed
+    * form `s_i = P_i − min(0, min_{j≤i} P_j)` (P = running sum of
+    * the slack-adjusted deviations) turns it into two stacked RUNNING
+    * window frames over the same (group, bucket) sort — one shuffle,
+    * one sort, no per-row recursion anywhere. All-integer arithmetic,
+    * so the flag boundary is exact in any engine.
+    *
+    * Scale shape: the event stream collapses map-side to (group,
+    * bucket) counts; the ~#groups-row reference frame broadcasts
+    * back; the running windows partition BY GROUP and hold one long
+    * of state per row — rows per partition are bounded by the
+    * monitored time range over the bucket width, not the corpus. */
+  def cusumShift(df: DataFrame, group: Column, bucket: Column,
+                 slack: Long = 1L, threshold: Long = 15L): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold >= 1, s"threshold must be positive, got $threshold")
+    val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+    val ref = counts.groupBy(col("grp"))
+      .agg(expr("sum(n) div count(1)").as("ref"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(ref), "grp")
+      .select(col("grp"), col("bucket"), col("n"), col("ref"),
+        sum(col("n") - col("ref") - lit(slack)).over(w).as("p"))
+      .select(col("grp"), col("bucket"), col("n"), col("ref"), col("p"),
+        min(col("p")).over(w).as("mp"))
+      .select(col("grp"), col("bucket"), col("n"), col("ref"),
+        (col("p") - least(col("mp"), lit(0L))).as("cusum"))
+      .withColumn("shifted", col("cusum") >= lit(threshold))
+  }
+
   def rateSpikes(df: DataFrame, group: Column, bucket: Column,
                  k: Double = 2.0): DataFrame = {
     val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
