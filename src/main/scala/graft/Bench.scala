@@ -82,6 +82,8 @@ object Bench {
     "qcuration_contam", "qcuration_pipeline",
     // graph family
     "qgraph_pagerank", "qgraph_triangles",
+    // round-11 additions: source sketches, changepoints, tagging, ORC
+    "qprofile_source_sim", "qlog_cusum", "qtext_tag", "qlayout_orc",
     // vectors / profiling / splits / layout / multimodal / sampling / packing
     "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",
     "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",

@@ -54,16 +54,23 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes and the degree-annotated edge list are cached PRE-HASHED on
+    // their iteration-time join keys: each round's src-join then only
+    // shuffles the (small) rank frame, and the dst-aggregated contribs
+    // land already co-partitioned with nodes — two exchanges per round
+    // instead of four, and the exchange that remains moves (long, long)
+    // rank rows, never edges
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = 1000000L - dampingMicro
     var ranks = nodes.select(col("id"), lit(1000000L).as("rm"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {
         val contribs = withDeg
@@ -81,10 +88,11 @@ object Graph {
             (lit(base) + expr(
               s"(CAST($dampingMicro AS DECIMAL(38,0)) * coalesce(cs, 0L)) div 1000000"))
               .as("rm"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        ranks.unpersist()
-        ranks = next
+        // eager tiny checkpoint per round (the CC/train-lr discipline):
+        // constant-size plans instead of an iteration-nested tree, and
+        // it doubles as the materialization barrier the old
+        // persist+count+unpersist dance bought
+        ranks = graft.operators.Curation.truncateLineage(next, None)
       }
       ranks.select(col("id").as("node_id"), col("rm").as("rank_micro"),
         (col("rm").cast("double") / lit(1e6)).as("rank"))
