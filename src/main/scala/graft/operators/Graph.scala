@@ -182,6 +182,11 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // NOTE: pre-hashing cached edge copies per join direction (the
+    // pageRank trick) was MEASURED SLOWER here (5.9 s -> 6.7 s at
+    // sf0.1): the two upfront edge repartitions don't amortize over
+    // 2·iters=6 half-steps the way pageRank's single layout does over
+    // its 5 same-key rounds
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
