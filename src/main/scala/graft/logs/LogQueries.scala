@@ -278,6 +278,61 @@ routes:
       FROM m
       ORDER BY grp, bucket"""))
 
+  /** A17: seasonal-naive residual anomaly — same-bucket-yesterday
+    * comparison (lag = 144 ten-minute buckets) with a 3σ cut on the
+    * residuals. The fixture plants a one-hour 4× burst in the error
+    * group (Jan 25 10:00-11:00, three replays of each event): those
+    * buckets flag against their previous-day baseline, the echo
+    * buckets a day later flag negative (|resid| — a vanished burst is
+    * as anomalous as an arrived one), and the first day's buckets
+    * carry a NULL verdict (no baseline exists — stated, not zeroed).
+    * Oracle mirrors the lag self-join and the residual-moment tree. */
+  val qSeasonal = Q(
+    "qlog_seasonal",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+      val burst = e.filter(col("event_type") === "error" &&
+        col("us") >= lit(1706176800000000L) && col("us") < lit(1706180400000000L))
+      val input = e.unionAll(burst).unionAll(burst).unionAll(burst)
+      graft.streaming.DropStats.seasonalResiduals(
+          input, col("event_type"), expr("us div 600000000"),
+          lag = 144L, k = 3.0)
+        .orderBy(col("grp"), col("bucket"))
+    },
+    Some("""
+      WITH base AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      b1 AS (SELECT * FROM base
+             WHERE event_type = 'error'
+               AND us >= 1706176800000000 AND us < 1706180400000000),
+      inp AS (SELECT * FROM base
+              UNION ALL SELECT * FROM b1
+              UNION ALL SELECT * FROM b1
+              UNION ALL SELECT * FROM b1),
+      c AS (SELECT event_type AS grp, us // 600000000 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM inp GROUP BY 1, 2),
+      r AS (SELECT c.grp, c.bucket, c.n, p.n AS n_prev,
+              c.n - p.n AS resid
+            FROM c LEFT JOIN c p
+              ON p.grp = c.grp AND p.bucket = c.bucket - 144),
+      m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nb,
+              CAST(SUM(resid) AS BIGINT) AS s1,
+              CAST(SUM(resid * resid) AS BIGINT) AS s2
+            FROM r WHERE resid IS NOT NULL GROUP BY grp),
+      x AS (SELECT grp, CAST(s1 AS DOUBLE) / nb AS mean_r,
+              sqrt(greatest(CAST(s2 AS DOUBLE) / nb
+                - (CAST(s1 AS DOUBLE) / nb) * (CAST(s1 AS DOUBLE) / nb),
+                0.0)) AS sd_r
+            FROM m)
+      SELECT r.grp, r.bucket, r.n, r.n_prev, CAST(r.resid AS BIGINT) AS resid,
+             ROUND(x.mean_r, 6) AS mean_r, ROUND(x.sd_r, 6) AS sd_r,
+             CASE WHEN r.resid IS NULL THEN NULL
+                  ELSE abs(CAST(r.resid AS DOUBLE) - x.mean_r) > 3.0 * x.sd_r
+             END AS anomalous
+      FROM r JOIN x USING (grp)
+      ORDER BY grp, bucket"""))
+
   /** A15: multiline record reassembly — error events expand to a
     * 3-line stack-trace shape (head + "  at …" + "  ... 3 more"),
     * interleaved with every other event's single head line at
@@ -333,5 +388,5 @@ routes:
       GROUP BY file, rec
       ORDER BY file, head_off"""))
 
-  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes, qCusum, qMultiline)
+  val all: Seq[Q] = Seq(qParse, qDropStats, qNdjson, qRouting, qSpikes, qCusum, qSeasonal, qMultiline)
 }

@@ -949,6 +949,49 @@ object Curation {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
 
+  /** Dedup impact report (C137) — the sign-off artifact every
+    * production dedup run ships BEFORE the drop is applied: per
+    * cluster-size, how many clusters, how many docs they hold, how
+    * many docs and bytes the keep-min rule would drop. Size 1 rows are
+    * the untouched singletons (dropped = 0 by construction); the
+    * heavy-tail rows are where a reviewer looks first (one 10⁶-member
+    * "cluster" usually means a degenerate template, not real dups).
+    * `members` is a `(doc_id, cluster_id)` frame ([[connectedComponents]]
+    * output renamed, or a stored cluster table); the survivor is the
+    * minimum doc id — the [[applyClusters]] contract, so the report's
+    * bytes_dropped is exactly what the apply step will delete.
+    *
+    * Scale shape: the corpus joins the (dup-graph-sized) member frame
+    * on doc_id, collapses to per-cluster (size, bytes, keep) partials
+    * map-side, and the report aggregates ≤distinct-sizes rows — the
+    * corpus never shuffles twice, nothing is per-doc in the output. */
+  def dedupReport(corpus: DataFrame, id: Column, bytes: Column,
+                  members: DataFrame): DataFrame = {
+    require(Seq("doc_id", "cluster_id").forall(members.columns.contains),
+      s"members must carry (doc_id, cluster_id); got ${members.columns.mkString(", ")}")
+    val d = corpus.select(id.as("doc_id"), bytes.cast("long").as("bytes"))
+    val assigned = d
+      .join(members.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bytes"),
+        // singletons cluster as themselves; no collision with member
+        // cluster ids, which are always ids of MEMBER docs
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+    val per = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("sz"), sum(col("bytes")).as("b_total"),
+        // struct min orders on doc_id first (unique) — the keep-min
+        // survivor's bytes ride along without a second join
+        min(struct(col("doc_id"), col("bytes"))).as("keep"))
+      .select(col("sz"), col("b_total"),
+        col("keep").getField("bytes").as("b_keep"))
+    per.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        sum(col("b_total")).as("bytes_total"),
+        sum(col("b_total") - col("b_keep")).as("bytes_dropped"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), (col("n_docs") - col("n_clusters")).as("n_dropped"),
+        col("bytes_total"), col("bytes_dropped"))
+  }
+
   /** [[clusters]] resolved with [[connectedComponentsStar]] instead of
     * min-label propagation — identical output contract (and an
     * identical DuckDB oracle gates both), depth-robust round count for

@@ -43,6 +43,44 @@ object CurationQueries {
                 FROM e JOIN reach r ON r.id = e.t),
       cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
 
+  /** C137: the dedup sign-off report over the same simhash dup graph
+    * the cluster queries resolve — per cluster-size: clusters, docs,
+    * docs/bytes the keep-min apply would drop. The oracle recomputes
+    * the whole chain (pairs → recursive CC → singleton coalesce →
+    * keep-min byte attribution) so the report's totals are gated, not
+    * just its shape. */
+  val qDedupReport = Q(
+    "qdedup_report",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"),
+        maxDist = 3)
+      val members = Curation.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      Curation.dedupReport(t.documents, col("doc_id"), col("n_chars"), members)
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
+      $ComponentCcCtes,
+      alld AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS bytes,
+                 COALESCE(cc.cluster_id, d.doc_id) AS cid
+               FROM documents d LEFT JOIN cc USING (doc_id)),
+      per AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz,
+                CAST(SUM(bytes) AS BIGINT) AS b_total,
+                MIN(doc_id) AS keep_id
+              FROM alld GROUP BY cid),
+      kb AS (SELECT per.sz, per.b_total, a.bytes AS b_keep
+             FROM per JOIN alld a ON a.doc_id = per.keep_id)
+      SELECT sz AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs,
+             CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dropped,
+             CAST(SUM(b_total) AS BIGINT) AS bytes_total,
+             CAST(SUM(b_total - b_keep) AS BIGINT) AS bytes_dropped
+      FROM kb GROUP BY sz
+      ORDER BY cluster_size"""))
+
   val qSampleHash = Q(
     "qsample_hash",
     (s, dir) => {
@@ -1319,5 +1357,5 @@ object CurationQueries {
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
-    qSplitStratified)
+    qSplitStratified, qDedupReport)
 }

@@ -1074,6 +1074,40 @@ object SimilarityQueries {
       FROM h JOIN n ON h.doc_id = n.doc_id
       ORDER BY media_id, byte"""))
 
+  /** C136: per-dimension z-score standardization — the scale
+    * normalizer before k-means/PCA/euclidean ANN. The oracle rebuilds
+    * the same once-truncated moment sums (the centroid recipe plus an
+    * x² sum), the identical clamped-variance IEEE tree, and the
+    * per-element rounded z — list order pinned by pos on both sides,
+    * so the hash proves moments, stats broadcast and rebuild at once. */
+  val qStandardize = Q(
+    "qvec_standardize",
+    (s, dir) =>
+      VectorFunctions.standardize(
+          graft.sources.Tables(s, dir).embeddings,
+          col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      u AS (SELECT vec_id, unnest(range(0, len(v))) AS pos, unnest(v) AS x
+            FROM e),
+      st AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS s1,
+               SUM(CAST(trunc(x * x * 1e9) AS BIGINT)) AS s2
+             FROM u GROUP BY pos),
+      m AS (SELECT pos,
+              (CAST(s1 AS DOUBLE) / 1e9) / n AS mu,
+              sqrt(greatest(
+                CAST(s2 AS DOUBLE) / 1e9 / n
+                  - ((CAST(s1 AS DOUBLE) / 1e9) / n) * ((CAST(s1 AS DOUBLE) / 1e9) / n),
+                0.0)) AS sd
+            FROM st),
+      z AS (SELECT vec_id, u.pos,
+              CASE WHEN sd = 0.0 THEN 0.0 ELSE ROUND((x - mu) / sd, 6) END AS z
+            FROM u JOIN m ON m.pos = u.pos)
+      SELECT vec_id, list(z ORDER BY pos) AS zvec
+      FROM z GROUP BY vec_id ORDER BY vec_id"""))
+
   /** C74: hash-sign random projection. The engine derives the ±1
     * projection matrix per row from the FNV hash (no join, pure map);
     * the oracle MATERIALIZES the same matrix as a (j, i, sign) table
@@ -1523,5 +1557,5 @@ object SimilarityQueries {
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
     qFrames, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia, qDbi, qSil,
-    qMips, qRp, qPca)
+    qMips, qRp, qPca, qStandardize)
 }

@@ -54,6 +54,51 @@ object VectorFunctions {
       .select(col("grp"), col("pos").cast("long").as("pos"),
         col("centroid"), col("n"))
 
+  /** Per-dimension z-score standardization of an embedding column
+    * (SURVEY.md §2.C136) — the preprocessing step before any
+    * scale-sensitive vector op (k-means cells, PCA, euclidean ANN):
+    * without it one wide dimension dominates every distance. Two
+    * frames come back: `stats` — (pos, n, mean, std) per dimension —
+    * and the corpus rebuilt as `(vec_id, zvec)` with
+    * `z = (x − mean)/std` rounded once to 6 places (std = 0 ⇒ z = 0:
+    * a constant dimension carries no information and must not divide
+    * by zero). Rows with NULL vectors drop (posexplode contract —
+    * same as every sibling vector op).
+    *
+    * Exactness: per-dim moment sums are once-truncated 1e9
+    * fixed-point longs (the [[groupCentroids]] recipe, extended with
+    * the x² sum), so mean and the clamped population variance are ONE
+    * pinned IEEE tree over exact integers in any engine and any
+    * partitioning. Scale shape: one posexplode → dim-keyed moment agg
+    * (map-side combined, ≤dim rows out) → broadcast back into a
+    * second map-side pass; the corpus shuffles only for the per-vec
+    * array rebuild (dim·n thin rows), and at 100 TB the rebuild can
+    * skip entirely by fusing the broadcast z-map into the consumer. */
+  def standardize(df: org.apache.spark.sql.DataFrame, id: Column,
+                  vec: Column): org.apache.spark.sql.DataFrame = {
+    val u = df.select(id.as("vec_id"),
+        posexplode(vec.cast("array<double>")).as(Seq("pos", "x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ANSI double→long cast truncates toward zero (DuckDB: trunc)
+    val mu = (col("s1").cast("double") / lit(1e9)) / col("n")
+    val stats = u.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") * lit(1e9)).cast("long")).as("s1"),
+        sum((col("x") * col("x") * lit(1e9)).cast("long")).as("s2"))
+      .select(col("pos"), mu.as("mean"),
+        sqrt(greatest(
+          col("s2").cast("double") / lit(1e9) / col("n") - mu * mu,
+          lit(0.0))).as("sd"))
+    u.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("sd") === 0.0, lit(0.0))
+          .otherwise(round((col("x") - col("mean")) / col("sd"), 6)).as("z"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("z")))),
+        s => s.getField("z")).as("zvec"))
+  }
+
   /** Hash-sign random projection (SURVEY.md §2.C74; Achlioptas 2001 /
     * the Johnson-Lindenstrauss lemma with a ±1 projection matrix):
     * reduce a d-dim embedding to k dims via `y_j = Σ_i sign(j,i)·x_i`,

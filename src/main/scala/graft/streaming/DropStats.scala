@@ -216,11 +216,20 @@ object DropStats {
     * of state per row — rows per partition are bounded by the
     * monitored time range over the bucket width, not the corpus. */
   def cusumShift(df: DataFrame, group: Column, bucket: Column,
-                 slack: Long = 1L, threshold: Long = 15L): DataFrame = {
+                 slack: Long = 1L, threshold: Long = 15L): DataFrame =
+    cusumOverCounts(
+      df.select(group.as("grp"), bucket.cast("long").as("bucket"))
+        .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n")),
+      slack, threshold)
+
+  /** [[cusumShift]] over an already-counted `(grp, bucket, n)` frame —
+    * the form the STREAMING monitor recomputes per micro-batch from
+    * its accumulated partial-count table (counts add across batches;
+    * raw lines never persist). */
+  def cusumOverCounts(counts: DataFrame,
+                      slack: Long, threshold: Long): DataFrame = {
     require(slack >= 0, s"slack must be >= 0, got $slack")
     require(threshold >= 1, s"threshold must be positive, got $threshold")
-    val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
-      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
     val ref = counts.groupBy(col("grp"))
       .agg(expr("sum(n) div count(1)").as("ref"))
     val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
@@ -233,6 +242,95 @@ object DropStats {
       .select(col("grp"), col("bucket"), col("n"), col("ref"),
         (col("p") - least(col("mp"), lit(0L))).as("cusum"))
       .withColumn("shifted", col("cusum") >= lit(threshold))
+  }
+
+  /** Streaming CUSUM drift monitor (A16 streaming): tail the log
+    * stream, maintain a PARTIAL-COUNT table — each micro-batch appends
+    * its own (app, bucket) counts, so a bucket spanning batches sums
+    * correctly on read and raw lines are never retained — and after
+    * every batch recompute the full CUSUM frame into `alarmsDir`
+    * (atomic overwrite: readers always see one consistent verdict
+    * set). Exactly the batch operator re-run on growing state, so the
+    * monitor's output after N files ≡ [[cusumShift]] over those N
+    * files' lines (the C18 batch-twin discipline, spec-pinned).
+    *
+    * Scale shape: per batch, lines collapse map-side to (app, bucket)
+    * counts before anything persists; the recompute reads only the
+    * count table (time-range-bounded, not corpus-bounded). Compact
+    * `countsDir` periodically (Layout.compact) if bucket cardinality
+    * makes the per-batch file count matter. */
+  def startCusumMonitor(spark: SparkSession, inputDir: String,
+                        checkpointDir: String, countsDir: String,
+                        alarmsDir: String, deployEnv: String,
+                        bucketSeconds: Long = 60L,
+                        slack: Long = 1L, threshold: Long = 15L): StreamingQuery = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be positive, got $bucketSeconds")
+    graft.GraftExtensions.ensureRegistered(spark)
+    val lines = spark.readStream.text(inputDir)
+    val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
+    parsed
+      // an unparseable timestamp has no bucket to drift in — dropping
+      // beats a NULL bucket silently heading every group's CUSUM sort
+      .filter(col("timestamp").isNotNull)
+      .select(col("container_app").as("grp"),
+        expr(s"unix_seconds(timestamp) div $bucketSeconds").as("bucket"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("grp"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(countsDir)
+        val counts = batch.sparkSession.read.parquet(countsDir)
+          .groupBy(col("grp"), col("bucket")).agg(sum(col("n")).as("n"))
+        cusumOverCounts(counts, slack, threshold)
+          .write.mode("overwrite").parquet(alarmsDir)
+      }
+      .start()
+  }
+
+  /** Seasonal-naive residual anomaly (A17) — the detector for metrics
+    * with a daily/weekly shape, where A14's global z-cut flags every
+    * healthy peak hour: compare each bucket to the SAME bucket one
+    * season earlier (`lag` buckets back, e.g. 144 ten-minute buckets =
+    * 1 day), and z-cut the RESIDUALS against the group's own residual
+    * distribution. The lag lookup is a (group, bucket−lag) equi
+    * self-join — never a window over the full series — so a sparse
+    * series costs only its occupied buckets; first-season buckets have
+    * no baseline and are emitted with a NULL verdict (honest absence,
+    * not an implicit 0 baseline).
+    *
+    * Exactness: counts and residuals are exact longs, the residual
+    * moments are exact (n, Σr, Σr²) longs, mean/σ/cut is one pinned
+    * IEEE tree with the variance clamped at 0 (the A14 recipe on
+    * residuals). Scale shape: one map-side-combined (group, bucket)
+    * count, one equi self-join of that counts frame with itself, one
+    * ~#groups-row moment broadcast back. */
+  def seasonalResiduals(df: DataFrame, group: Column, bucket: Column,
+                        lag: Long, k: Double = 3.0): DataFrame = {
+    require(lag >= 1, s"lag must be positive, got $lag")
+    val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = counts.select(col("grp"),
+      (col("bucket") + lit(lag)).as("bucket"), col("n").as("n_prev"))
+    val resid = counts.join(prev, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"), col("n"), col("n_prev"),
+        (col("n") - col("n_prev")).as("resid"))
+    val moments = resid.filter(col("resid").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("resid")).as("s1"), sum(col("resid") * col("resid")).as("s2"))
+    val mean = col("s1").cast("double") / col("nb").cast("double")
+    val sd = sqrt(greatest(
+      col("s2").cast("double") / col("nb").cast("double") - mean * mean,
+      lit(0.0)))
+    resid.join(broadcast(moments), Seq("grp"))
+      .select(col("grp"), col("bucket"), col("n"), col("n_prev"), col("resid"),
+        round(mean, 6).as("mean_r"), round(sd, 6).as("sd_r"),
+        when(col("resid").isNotNull,
+          abs(col("resid").cast("double") - mean) > lit(k) * sd).as("anomalous"))
   }
 
   def rateSpikes(df: DataFrame, group: Column, bucket: Column,
