@@ -413,6 +413,69 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Neyman-optimal stratified sample allocation (C138; Neyman 1934)
+    * — how many docs to draw from each source when a fixed labeling /
+    * eval budget must estimate a corpus mean (quality rate, toxicity
+    * share, mean length) with minimum variance: n_h ∝ N_h·S_h, so
+    * big AND internally-diverse strata get the samples, while a huge
+    * but homogeneous crawl source gets few — proportional allocation
+    * wastes budget exactly there. Returns the per-source plan
+    * `(source, n_docs, std_micro, alloc)`; compose with
+    * [[samplePerGroup]] (k = alloc) to draw the sample itself.
+    *
+    * Exactness: per-source (n, Σx, Σx²) are exact longs, S_h is one
+    * pinned IEEE sqrt rounded ONCE to 1e6 fixed-point, and the
+    * allocation is ALL-INTEGER largest-remainder apportionment:
+    * q_h = ⌊B·N_h·S⌋_micro/T⌋ with the B−Σq leftover going to the
+    * largest remainders (rem desc, source asc — a total order, no
+    * float boundary). Products ride DECIMAL(38,0) — B·N_h·S_micro
+    * overflows a long at corpus scale. Zero-variance strata get
+    * allocation 0 (one doc already tells you everything a constant
+    * stratum can say — the textbook contract); an allocation larger
+    * than the stratum is capped at N_h, and the capped surplus is NOT
+    * re-spread (stated: re-spreading iterates to a fixpoint and the
+    * honest fix is a bigger budget or collapsing tiny strata).
+    *
+    * Scale shape: one map-side-combined moment pass per source, then
+    * every step runs on the ≤|sources|-row plan frame (1-row total
+    * broadcast, one ≤|sources| rank window). */
+  def neymanAllocation(df: DataFrame, source: Column, metric: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    val m = df.select(source.as("source"), metric.cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_docs").cast("double")
+    val stats = m.select(col("source"), col("n_docs"),
+      round(sqrt(greatest(
+          col("s2").cast("double") / col("n_docs").cast("double") - mean * mean,
+          lit(0.0))) * lit(1e6)).cast("long").as("std_micro"))
+    val weighted = stats.withColumn("w",
+      (col("n_docs").cast("decimal(38,0)") * col("std_micro")).cast("decimal(38,0)"))
+    val tot = weighted.agg(sum(col("w")).cast("decimal(38,0)").as("t"),
+      count(lit(1)).as("n_strata"))
+    // div/% are EXACT integral ops on decimals — a decimal `/` would
+    // round HALF_UP at result scale and a 2.9999995 true quotient
+    // becomes 3, silently over-apportioning vs the oracle's `//`
+    val apportioned = weighted.crossJoin(broadcast(tot))
+      .withColumn("bw", lit(budget).cast("decimal(38,0)") * col("w"))
+      .select(col("source"), col("n_docs"), col("std_micro"),
+        when(col("t") > 0, expr("CAST(bw div t AS BIGINT)"))
+          .otherwise(lit(0L)).as("q"),
+        when(col("t") > 0, expr("bw % t"))
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("rem"))
+    val leftover = apportioned
+      .agg((lit(budget) - coalesce(sum(col("q")), lit(0L))).as("left"))
+    apportioned.crossJoin(broadcast(leftover))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
+      .select(col("source"), col("n_docs"), col("std_micro"),
+        least(col("n_docs"),
+          col("q") + when(col("rr") <= col("left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Lineage truncation for iterative loops: executor-local blocks by
     * default (fast, but lost with the executor), reliable files under
     * `checkpointDir` when the caller needs the resolution to survive

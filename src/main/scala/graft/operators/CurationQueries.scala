@@ -43,6 +43,52 @@ object CurationQueries {
                 FROM e JOIN reach r ON r.id = e.t),
       cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
 
+  /** C138: Neyman-optimal labeling-budget allocation across sources —
+    * n_h ∝ N_h·S_h with all-integer largest-remainder apportionment
+    * (div/% on DECIMAL, never a rounding decimal divide) and the
+    * N_h cap. The oracle replays moments, the one-rounded sqrt, and
+    * the HUGEINT apportionment term-for-term, so the ±1 remainder
+    * boundary is hash-gated. */
+  val qNeyman = Q(
+    "qsample_neyman",
+    (s, dir) => {
+      Curation.neymanAllocation(
+          Tables(s, dir).documents, col("source"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 100L)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sized AS (SELECT source,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS x
+             FROM documents),
+      m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+            FROM sized GROUP BY source),
+      st AS (SELECT source, n_docs,
+               CAST(ROUND(sqrt(greatest(
+                 CAST(s2 AS DOUBLE) / n_docs
+                   - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs),
+                 0.0)) * 1e6) AS BIGINT) AS std_micro
+             FROM m),
+      w AS (SELECT source, n_docs, std_micro,
+              CAST(n_docs AS HUGEINT) * std_micro AS wt
+            FROM st),
+      t AS (SELECT SUM(wt) AS t FROM w),
+      a AS (SELECT source, n_docs, std_micro,
+              CASE WHEN t.t > 0 THEN CAST((100 * wt) // t.t AS BIGINT) ELSE 0 END AS q,
+              CASE WHEN t.t > 0 THEN (100 * wt) % t.t ELSE 0::HUGEINT END AS rem
+            FROM w, t),
+      lo AS (SELECT 100 - CAST(COALESCE(SUM(q), 0) AS BIGINT) AS leftover FROM a),
+      r AS (SELECT a.*, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+              AS BIGINT) AS rr
+            FROM a)
+      SELECT source, n_docs, std_micro,
+             least(n_docs, q + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END)
+               AS alloc
+      FROM r, lo
+      ORDER BY source"""))
+
   /** C137: the dedup sign-off report over the same simhash dup graph
     * the cluster queries resolve — per cluster-size: clusters, docs,
     * docs/bytes the keep-min apply would drop. The oracle recomputes
@@ -1357,5 +1403,5 @@ object CurationQueries {
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
-    qSplitStratified, qDedupReport)
+    qSplitStratified, qDedupReport, qNeyman)
 }

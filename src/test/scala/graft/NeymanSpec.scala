@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** C138 Neyman allocation: hand-computable apportionment, the N_h cap,
+  * the zero-variance contract, and exact budget conservation.
+  */
+class NeymanSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def alloc(rows: Seq[(String, Long)], budget: Long) = {
+    import spark.implicits._
+    Curation.neymanAllocation(rows.toDF("src", "x"), col("src"), col("x"), budget)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+  }
+
+  test("allocation follows N_h * S_h, conserves the budget exactly") {
+    // a: 4 docs, values {0,0,10,10} -> sd 5; b: 4 docs {0,0,2,2} -> sd 1
+    // weights 20 : 4 -> budget 12 splits 10 : 2
+    val rows = Seq("a" -> 0L, "a" -> 0L, "a" -> 10L, "a" -> 10L,
+      "b" -> 0L, "b" -> 0L, "b" -> 2L, "b" -> 2L)
+    val got = alloc(rows, budget = 12)
+    assert(got("a") == (4L, 4L), "Neyman allocation 10 caps at N_h = 4")
+    assert(got("b") == (4L, 2L))
+  }
+
+  test("zero-variance strata get zero; budget still conserved via remainders") {
+    val rows = Seq("c" -> 7L, "c" -> 7L, "c" -> 7L) ++       // sd 0
+      (for (s <- Seq("d", "e"); v <- Seq(0L, 0L, 6L, 6L)) yield (s, v))
+    val got = alloc(rows, budget = 5)
+    assert(got("c")._2 == 0L, "a constant stratum earns no samples")
+    // d and e split 5 as 2/3 or 3/2 — remainder tie broken by source asc
+    assert(got("d")._2 + got("e")._2 == 5L)
+    assert(got("d")._2 == 3L && got("e")._2 == 2L,
+      "equal remainders break on source asc (d before e)")
+  }
+
+  test("largest-remainder hands out exactly budget - sum(floors)") {
+    // three equal 4-doc strata, budget 10: floors 3/3/3, one +1 by
+    // remainder (strata must hold >= 4 docs or the N_h cap bites)
+    val rows = for (s <- Seq("x", "y", "z"); v <- Seq(0L, 0L, 4L, 4L)) yield (s, v)
+    val got = alloc(rows, budget = 10)
+    assert(got.values.map(_._2).sum == 10L)
+    assert(got.values.map(_._2).toSeq.sorted == Seq(3L, 3L, 4L))
+  }
+}

@@ -36,6 +36,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "over the SKETCH frame — |sources| rows of 64 longs each, never " +
       "the corpus or its grams; the broadcast side is the whole point " +
       "of the union-MinHash collapse"),
+    "qsample_neyman" -> ("crossJoin(broadcast(tot)) and " +
+      "crossJoin(broadcast(leftover)) — two 1-row scalar frames joined " +
+      "onto the <= |sources|-row allocation plan; the corpus collapsed " +
+      "to per-source moments one map-side agg earlier"),
     "qtext_lm_ref" -> ("crossJoin(broadcast(totals)) where totals is the " +
       "1-row N+V smoothing denominator of the reference LM, joined onto " +
       "the per-doc bigram partials"),
@@ -272,6 +276,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qsample_budget" -> ("embeds the packShards offset chain: the " +
       "partition-less window sums the ≤256-row bucket-totals frame, " +
       "never the corpus"),
+    "qsample_neyman" -> ("the largest-remainder rank window runs over " +
+      "the per-source allocation plan frame — <= |sources| rows by " +
+      "construction; the corpus collapsed to per-source moments one " +
+      "map-side agg earlier"),
     "qpack_epoch" -> ("embeds packShards after the mixture cap: the " +
       "partition-less window is the same ≤256-row bucket-totals offset " +
       "sum; capped corpus rows stay in (bucket)-partitioned windows")
