@@ -455,25 +455,69 @@ object Curation {
       (col("n_docs").cast("decimal(38,0)") * col("std_micro")).cast("decimal(38,0)"))
     val tot = weighted.agg(sum(col("w")).cast("decimal(38,0)").as("t"),
       count(lit(1)).as("n_strata"))
-    // div/% are EXACT integral ops on decimals — a decimal `/` would
-    // round HALF_UP at result scale and a 2.9999995 true quotient
-    // becomes 3, silently over-apportioning vs the oracle's `//`
+    largestRemainder(weighted, budget)
+      .select(col("source"), col("n_docs"), col("std_micro"),
+        least(col("n_docs"), col("alloc")).as("alloc"))
+  }
+
+  /** Exact integer largest-remainder apportionment of `budget` over a
+    * keyed weight frame (must carry `source` and a DECIMAL(38,0) `w`):
+    * q_h = ⌊B·w_h/T⌋ plus +1 for the B−Σq largest remainders
+    * (rem desc, source asc — a total order). div/% are EXACT integral
+    * ops on decimals — a decimal `/` would round HALF_UP at result
+    * scale and a 2.9999995 true quotient becomes 3, silently
+    * over-apportioning vs the oracle's `//`. Shared by the Neyman
+    * (C138) and temperature (C139) allocators; the rank window is
+    * partition-less but runs over the ≤|sources|-row plan frame. */
+  private[operators] def largestRemainder(weighted: DataFrame,
+                                          budget: Long): DataFrame = {
+    val tot = weighted.agg(sum(col("w")).cast("decimal(38,0)").as("t"))
     val apportioned = weighted.crossJoin(broadcast(tot))
       .withColumn("bw", lit(budget).cast("decimal(38,0)") * col("w"))
-      .select(col("source"), col("n_docs"), col("std_micro"),
-        when(col("t") > 0, expr("CAST(bw div t AS BIGINT)"))
-          .otherwise(lit(0L)).as("q"),
+      .withColumn("q",
+        when(col("t") > 0, expr("CAST(bw div t AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("rem",
         when(col("t") > 0, expr("bw % t"))
-          .otherwise(lit(0L).cast("decimal(38,0)")).as("rem"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
     val leftover = apportioned
       .agg((lit(budget) - coalesce(sum(col("q")), lit(0L))).as("left"))
     apportioned.crossJoin(broadcast(leftover))
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
-      .select(col("source"), col("n_docs"), col("std_micro"),
-        least(col("n_docs"),
-          col("q") + when(col("rr") <= col("left"), 1L).otherwise(0L))
-          .as("alloc"))
+      .withColumn("alloc",
+        col("q") + when(col("rr") <= col("left"), 1L).otherwise(0L))
+      .drop("t", "bw", "q", "rem", "rr", "left")
+  }
+
+  /** Temperature-scaled mixture allocation (C139; the multilingual /
+    * multi-source sampling rule of XLM-R, Conneau et al. 2020, and
+    * every LLM data recipe since): sampling share p_h ∝ (size_h)^α
+    * with α ∈ (0, 1] — α = 1 is proportional (big sources drown the
+    * tail), α → 0 is uniform (tiny sources over-repeat); α = 0.5-0.7
+    * is the published sweet spot that up-samples low-resource sources
+    * without flattening everything. This implementation pins
+    * **α = 0.5**: √size is ONE correctly-rounded IEEE op from an
+    * exact long (any other α needs pow/exp/ln — libm-dependent and
+    * not cross-engine bit-stable), rounded once to 1e6 fixed-point;
+    * the token budget then apportions by the shared exact
+    * [[largestRemainder]]. Returns `(source, size, alloc)` — alloc in
+    * the same unit as `size` (tokens in, tokens out); feed C30's
+    * per-source budget truncation or C23's rate sampler to execute.
+    * Allocations are NOT capped at size_h: α < 1 deliberately
+    * OVER-samples small sources (repeat epochs — the published
+    * behavior), unlike the Neyman cap.
+    *
+    * Scale shape: one map-side-combined size pass per source; the
+    * apportionment runs on the ≤|sources|-row plan frame. */
+  def temperatureAllocation(df: DataFrame, source: Column, size: Column,
+                            budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    val sizes = df.select(source.as("source"), size.cast("long").as("sz"))
+      .groupBy(col("source")).agg(sum(col("sz")).as("size"))
+    val weighted = sizes.withColumn("w",
+      round(sqrt(col("size").cast("double")) * lit(1e6)).cast("decimal(38,0)"))
+    largestRemainder(weighted, budget)
+      .select(col("source"), col("size"), col("alloc"))
   }
 
   /** Lineage truncation for iterative loops: executor-local blocks by

@@ -43,6 +43,43 @@ object CurationQueries {
                 FROM e JOIN reach r ON r.id = e.t),
       cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
 
+  /** C139: temperature-scaled mixture allocation at α = 0.5 — the
+    * XLM-R low-resource up-sampling rule over per-source token masses,
+    * apportioned by the shared exact largest-remainder integer path.
+    * The oracle mirrors √size rounded once to fixed point and the
+    * HUGEINT apportionment, so the ±1 boundaries are hash-gated. */
+  val qMixTemperature = Q(
+    "qmix_temperature",
+    (s, dir) => {
+      Curation.temperatureAllocation(
+          Tables(s, dir).documents, col("source"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 10000L)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sized AS (SELECT source,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS sz
+             FROM documents),
+      m AS (SELECT source, CAST(SUM(sz) AS BIGINT) AS size
+            FROM sized GROUP BY source),
+      w AS (SELECT source, size,
+              CAST(ROUND(sqrt(CAST(size AS DOUBLE)) * 1e6) AS HUGEINT) AS wt
+            FROM m),
+      t AS (SELECT SUM(wt) AS t FROM w),
+      a AS (SELECT source, size,
+              CASE WHEN t.t > 0 THEN CAST((10000 * wt) // t.t AS BIGINT) ELSE 0 END AS q,
+              CASE WHEN t.t > 0 THEN (10000 * wt) % t.t ELSE 0::HUGEINT END AS rem
+            FROM w, t),
+      lo AS (SELECT 10000 - CAST(COALESCE(SUM(q), 0) AS BIGINT) AS leftover FROM a),
+      r AS (SELECT a.*, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+              AS BIGINT) AS rr
+            FROM a)
+      SELECT source, size,
+             q + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END AS alloc
+      FROM r, lo
+      ORDER BY source"""))
+
   /** C138: Neyman-optimal labeling-budget allocation across sources —
     * n_h ∝ N_h·S_h with all-integer largest-remainder apportionment
     * (div/% on DECIMAL, never a rounding decimal divide) and the
@@ -1403,5 +1440,5 @@ object CurationQueries {
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
-    qSplitStratified, qDedupReport, qNeyman)
+    qSplitStratified, qDedupReport, qNeyman, qMixTemperature)
 }

@@ -37,6 +37,20 @@ class NeymanSpec extends AnyFunSuite {
       "equal remainders break on source asc (d before e)")
   }
 
+  test("temperature allocation up-samples small sources, conserves budget") {
+    import spark.implicits._
+    // sizes 9 : 1 -> α=0.5 weights 3 : 1 -> budget 100 splits 75 : 25
+    val rows = Seq.fill(9)(("big", 1L)) ++ Seq(("small", 1L))
+    val got = Curation.temperatureAllocation(rows.toDF("src", "sz"),
+        col("src"), col("sz"), budget = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("big") == (9L, 75L))
+    assert(got("small") == (1L, 25L),
+      "a 10% source gets 25% of the budget at alpha = 0.5 — and may " +
+        "exceed its own size (epoch repetition is the published contract)")
+    assert(got.values.map(_._2).sum == 100L)
+  }
+
   test("largest-remainder hands out exactly budget - sum(floors)") {
     // three equal 4-doc strata, budget 10: floors 3/3/3, one +1 by
     // remainder (strata must hold >= 4 docs or the N_h cap bites)

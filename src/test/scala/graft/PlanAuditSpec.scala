@@ -36,6 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "over the SKETCH frame — |sources| rows of 64 longs each, never " +
       "the corpus or its grams; the broadcast side is the whole point " +
       "of the union-MinHash collapse"),
+    "qmix_temperature" -> ("the shared largestRemainder scalar " +
+      "crossJoins (1-row total and leftover frames) onto the " +
+      "<= |sources|-row allocation plan — the qsample_neyman shape"),
     "qsample_neyman" -> ("crossJoin(broadcast(tot)) and " +
       "crossJoin(broadcast(leftover)) — two 1-row scalar frames joined " +
       "onto the <= |sources|-row allocation plan; the corpus collapsed " +
@@ -276,6 +279,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "qsample_budget" -> ("embeds the packShards offset chain: the " +
       "partition-less window sums the ≤256-row bucket-totals frame, " +
       "never the corpus"),
+    "qmix_temperature" -> ("the shared largestRemainder rank window " +
+      "over the <= |sources|-row plan frame (the qsample_neyman shape)"),
     "qsample_neyman" -> ("the largest-remainder rank window runs over " +
       "the per-source allocation plan frame — <= |sources| rows by " +
       "construction; the corpus collapsed to per-source moments one " +
