@@ -816,6 +816,42 @@ object Curation {
       .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
   }
 
+  /** Shard manifest with content checksums (C140) — the shipping
+    * record a training-data export writes NEXT TO the shards: per
+    * shard, its doc count, token total, and an ORDER-INDEPENDENT
+    * 64-bit content checksum (sum mod 2⁶⁴ of per-doc id fingerprints
+    * — commutative, so any partitioning/write order yields the same
+    * manifest, and a loader re-derives it from whatever order it
+    * reads). This is how a 1000-shard corpus hand-off is verified
+    * without trusting file sizes: recompute, compare one small table.
+    *
+    * `packed` is [[packShards]] output (or any frame carrying
+    * `doc_id`, `n_tokens`, `shard`). The unsigned mod-2⁶⁴ sum rides
+    * DECIMAL(38,0) (a long sum wraps ANSI-fatally; decimal matches
+    * the oracle's HUGEINT exactly). One shard-keyed partial agg —
+    * output is |shards| rows. */
+  def shardManifest(packed: DataFrame): DataFrame = {
+    require(Seq("doc_id", "n_tokens", "shard").forall(packed.columns.contains),
+      s"packed must carry (doc_id, n_tokens, shard); got ${packed.columns.mkString(", ")}")
+    graft.GraftExtensions.ensureRegistered(packed.sparkSession)
+    val two64 = lit("18446744073709551616").cast("decimal(38,0)")
+    val two63 = lit("9223372036854775808").cast("decimal(38,0)")
+    val mh = call_function("fnv1a64",
+      concat(lit("manifest:"), col("doc_id").cast("string")))
+    packed
+      .withColumn("__hu",
+        when(mh < 0, mh.cast("decimal(38,0)") + two64)
+          .otherwise(mh.cast("decimal(38,0)")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__hu")).as("__s"))
+      .withColumn("__m", expr(
+        "__s % CAST('18446744073709551616' AS DECIMAL(38,0))"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        when(col("__m") >= two63, col("__m") - two64).otherwise(col("__m"))
+          .cast("long").as("checksum"))
+  }
+
   /** Fixed-length training-sequence packing (SURVEY.md §2.C48):
     * concat-and-chunk, the step a training data loader performs when
     * it concatenates the shuffled corpus into one token stream and

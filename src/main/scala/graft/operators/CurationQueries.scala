@@ -43,6 +43,51 @@ object CurationQueries {
                 FROM e JOIN reach r ON r.id = e.t),
       cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
 
+  /** C140: shard manifests over the C17 packing — per shard, doc
+    * count, token total, and the order-independent mod-2⁶⁴ content
+    * checksum a loader re-derives to verify a hand-off. The oracle
+    * replays the shuffle-hash shard assignment (the green qpack_shards
+    * chain) plus a second FNV pass for the manifest fingerprints and
+    * the HUGEINT checksum arithmetic. */
+  val qPackManifest = Q(
+    "qpack_manifest",
+    (s, dir) => {
+      Curation.shardManifest(
+        Curation.packShards(
+          Tables(s, dir).documents, col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 1000L))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH sized AS (SELECT doc_id,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+      ${graft.Q.sqlutil.fnvSignedCtes("",
+        "'shuffle:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens"), "sized")},
+      o AS (SELECT doc_id, n_tokens,
+              CAST(SUM(n_tokens) OVER (ORDER BY fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM f),
+      sh AS (SELECT doc_id, n_tokens, (cum - n_tokens) // 1000 AS shard FROM o),
+      ${graft.Q.sqlutil.fnvSignedCtes("mf",
+        "'manifest:' || CAST(doc_id AS VARCHAR)", Seq("doc_id", "n_tokens", "shard"), "sh")},
+      u AS (SELECT shard, n_tokens,
+              CASE WHEN sb < 0
+                   THEN CAST(sb AS HUGEINT) + 18446744073709551616::HUGEINT
+                   ELSE CAST(sb AS HUGEINT) END AS hu
+            FROM mfg),
+      agg AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                SUM(hu) % 18446744073709551616::HUGEINT AS s
+              FROM u GROUP BY shard)
+      SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+             CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                  THEN s - 18446744073709551616::HUGEINT
+                  ELSE s END AS BIGINT) AS checksum
+      FROM agg
+      ORDER BY shard"""))
+
   /** C139: temperature-scaled mixture allocation at α = 0.5 — the
     * XLM-R low-resource up-sampling rule over per-source token masses,
     * apportioned by the shared exact largest-remainder integer path.
@@ -1440,5 +1485,5 @@ object CurationQueries {
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
-    qSplitStratified, qDedupReport, qNeyman, qMixTemperature)
+    qSplitStratified, qDedupReport, qNeyman, qMixTemperature, qPackManifest)
 }

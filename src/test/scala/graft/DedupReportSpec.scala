@@ -29,6 +29,30 @@ class DedupReportSpec extends AnyFunSuite {
       (3L, 1L, 3L, 2L, 175L, 75L)))  // {1,2,3}: keep 1 (100 B), drop 75 B
   }
 
+  test("shard manifest is partitioning-independent and detects a swapped doc") {
+    import spark.implicits._
+    val packed = Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 5L, 1L))
+      .toDF("doc_id", "n_tokens", "shard")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Curation.shardManifest(df).orderBy(col("shard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = m(packed)
+    assert(m(packed.repartition(7, col("n_tokens"))) == base,
+      "checksums must not depend on row order or partitioning")
+    // swapping which doc sits in shard 0 changes its checksum even
+    // though counts and token totals stay identical
+    val swapped = Seq((2L, 10L, 0L), (1L, 20L, 0L), (3L, 5L, 1L))
+      .toDF("doc_id", "n_tokens", "shard")
+    val sw = m(swapped)
+    assert(sw.head._2 == base.head._2 && sw.head._3 == base.head._3)
+    assert(sw.head._4 == base.head._4,
+      "same doc SET -> same checksum (content-addressed, not position)")
+    val moved = Seq((1L, 10L, 0L), (4L, 20L, 0L), (3L, 5L, 1L))
+      .toDF("doc_id", "n_tokens", "shard")
+    assert(m(moved).head._4 != base.head._4,
+      "a different doc set must change the checksum")
+  }
+
   test("seasonal residuals: first season NULL, burst flags, echo flags negative") {
     import spark.implicits._
     // group g, lag 10: buckets 0-49 at 5/bucket, except bucket 12
