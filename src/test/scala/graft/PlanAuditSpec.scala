@@ -285,6 +285,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "the per-source allocation plan frame — <= |sources| rows by " +
       "construction; the corpus collapsed to per-source moments one " +
       "map-side agg earlier"),
+    "qpack_manifest" -> ("embeds packShards for the shard assignment: " +
+      "the partition-less window is the same <= 256-row bucket-totals " +
+      "offset sum; the manifest itself is one shard-keyed partial agg"),
     "qpack_epoch" -> ("embeds packShards after the mixture cap: the " +
       "partition-less window is the same ≤256-row bucket-totals offset " +
       "sum; capped corpus rows stay in (bucket)-partitioned windows")
