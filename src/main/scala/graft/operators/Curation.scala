@@ -442,7 +442,10 @@ object Curation {
   def neymanAllocation(df: DataFrame, source: Column, metric: Column,
                        budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
-    val m = df.select(source.as("source"), metric.cast("long").as("x"))
+    // NULL metrics read as 0 — the stratum keeps its size (N_h is a
+    // row count), the unknown value just contributes no variance
+    val m = df.select(source.as("source"),
+        coalesce(metric.cast("long"), lit(0L)).as("x"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
@@ -512,7 +515,8 @@ object Curation {
   def temperatureAllocation(df: DataFrame, source: Column, size: Column,
                             budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
-    val sizes = df.select(source.as("source"), size.cast("long").as("sz"))
+    val sizes = df.select(source.as("source"),
+        coalesce(size.cast("long"), lit(0L)).as("sz"))
       .groupBy(col("source")).agg(sum(col("sz")).as("size"))
     val weighted = sizes.withColumn("w",
       round(sqrt(col("size").cast("double")) * lit(1e6)).cast("decimal(38,0)"))
@@ -1112,7 +1116,11 @@ object Curation {
                   members: DataFrame): DataFrame = {
     require(Seq("doc_id", "cluster_id").forall(members.columns.contains),
       s"members must carry (doc_id, cluster_id); got ${members.columns.mkString(", ")}")
-    val d = corpus.select(id.as("doc_id"), bytes.cast("long").as("bytes"))
+    // NULL bytes count as 0 (the doc is real; its size is unknown) —
+    // a bare NULL would erase the survivor's b_keep and NULL the
+    // cluster's bytes_dropped
+    val d = corpus.select(id.as("doc_id"),
+      coalesce(bytes.cast("long"), lit(0L)).as("bytes"))
     val assigned = d
       .join(members.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("bytes"),

@@ -70,7 +70,16 @@ class DeterminismSpec extends AnyFunSuite {
     "qtext_train_lr", "qvec_dbi", "qvec_silhouette", "q30_interval_join",
     // retrieval: micro-nat contribution sums + integer rank boundaries,
     // and the fused ranking over two such lists
-    "qtext_ql", "qtext_hybrid_rrf")
+    "qtext_ql", "qtext_hybrid_rrf",
+    // r11: union-MinHash slot mins (map-side min partials in any
+    // order), the CUSUM running prefix/min frames, the largest-
+    // remainder ±1 boundaries of both allocators, the manifest's
+    // mod-2^64 checksum (order-independence is its CONTRACT), the
+    // keep-min byte attribution through CC, and the standardize
+    // moment sums + per-element rounding
+    "qprofile_source_sim", "qlog_cusum", "qsample_neyman",
+    "qmix_temperature", "qpack_manifest", "qdedup_report",
+    "qvec_standardize", "qlog_seasonal")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

@@ -107,6 +107,55 @@ class NullSafetySpec extends AnyFunSuite {
     zeroRow.foreach(d => assert(d.count() == 0L, d.schema.simpleString))
     // the integrity profile's contract on two empty inputs is ONE
     // all-zeros summary row (pinned in CurationSpec) — not zero rows
+    // r11 additions flow through empty too
+    val zeroRow11 = Seq(
+      graft.operators.Profile.sourceMinhashSketches(
+        docs.withColumn("source", lit("s")), col("source"), col("text"), 2, 8),
+      graft.functions.Keywords.tagByDictionary(docs, col("doc_id"), col("text"),
+        Seq(("t", "x")).toDF("tag", "term")),
+      graft.operators.VectorFunctions.standardize(embs, col("vec_id"), col("embedding")),
+      graft.operators.Curation.dedupReport(docs, col("doc_id"), lit(1L),
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")),
+      graft.operators.Curation.neymanAllocation(
+        docs.withColumn("source", lit("s")), col("source"), lit(1L), budget = 10L),
+      graft.streaming.DropStats.cusumShift(docs, col("doc_id"), lit(0L)),
+      graft.streaming.DropStats.seasonalResiduals(docs, col("doc_id"), lit(0L), lag = 1L))
+    zeroRow11.foreach(d => assert(d.count() == 0L, d.schema.simpleString))
+  }
+
+  test("r11 operators honor the NULL contracts") {
+    import spark.implicits._
+    // NULL text: no shingles -> no sketch row for an all-NULL source,
+    // other sources unaffected
+    val mixed = Seq(("a", "x y z w"), ("b", null: String))
+      .toDF("source", "text")
+    val sk = graft.operators.Profile.sourceMinhashSketches(
+        mixed, col("source"), col("text"), n = 2, k = 8)
+      .collect().map(_.getString(0)).toSeq
+    assert(sk == Seq("a"), s"NULL-text source must emit no sketch: $sk")
+    // NULL text: no grams -> no tags, no crash
+    val tagged = graft.functions.Keywords.tagByDictionary(
+      Seq((1L, null: String), (2L, "x y")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq(("t", "x")).toDF("tag", "term"))
+    assert(tagged.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // NULL bytes: count as 0, never NULL the cluster's byte totals
+    val rep = graft.operators.Curation.dedupReport(
+        Seq((1L, java.lang.Long.valueOf(10L)), (2L, null: java.lang.Long))
+          .toDF("doc_id", "n_bytes"),
+        col("doc_id"), col("n_bytes"),
+        Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id"))
+      .collect()
+    assert(rep.length == 1)
+    assert(rep.head.getLong(4) == 10L && rep.head.getLong(5) == 0L,
+      "NULL-byte member contributes 0 bytes; keep-min survivor is doc 1")
+    // NULL metric: stratum keeps its size, contributes no variance
+    val ney = graft.operators.Curation.neymanAllocation(
+        Seq(("a", java.lang.Long.valueOf(1L)), ("a", null: java.lang.Long),
+          ("a", java.lang.Long.valueOf(5L)), ("b", java.lang.Long.valueOf(3L)))
+          .toDF("src", "x"),
+        col("src"), col("x"), budget = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ney("a") == 3L, "NULL-metric rows still count toward N_h")
   }
 
   test("LM scorers and oovRate report zero-token NULL-text docs honestly") {
