@@ -296,8 +296,16 @@ object Keywords {
   def textIndexAppend(ix: TextIndex, increment: DataFrame,
                       id: Column, text: Column): TextIndex = {
     val inc = textIndex(increment, id, text)
-    val mergedTerms = ix.terms.select(col("term"), col("df").as("__df_old"),
+    // a legacy df-only index (pre-ctf builds) merges without ctf — the
+    // QL search path then takes its query-term-semi-cut postings
+    // fallback; a ctf-bearing index keeps ctf maintained exactly
+    val hasCtf = ix.terms.columns.contains("ctf")
+    val oldTerms =
+      if (hasCtf) ix.terms.select(col("term"), col("df").as("__df_old"),
         col("ctf").as("__ctf_old"))
+      else ix.terms.select(col("term"), col("df").as("__df_old"),
+        lit(null).cast("long").as("__ctf_old"))
+    val mergedTerms0 = oldTerms
       .join(inc.terms.select(col("term"), col("df").as("__df_new"),
         col("ctf").as("__ctf_new")), Seq("term"), "full_outer")
       .select(col("term"),
@@ -305,6 +313,7 @@ object Keywords {
           coalesce(col("__df_new"), lit(0L))).as("df"),
         (coalesce(col("__ctf_old"), lit(0L)) +
           coalesce(col("__ctf_new"), lit(0L))).as("ctf"))
+    val mergedTerms = if (hasCtf) mergedTerms0 else mergedTerms0.drop("ctf")
     // the per-side coalesce guards an index whose stats row predates
     // the coalesced build (or a hand-built one): + NULL would
     // otherwise NULL total_tokens and every later score

@@ -355,6 +355,28 @@ class KeywordsSpec extends AnyFunSuite {
     assert(rows(grown) == rows(full) && rows(full).nonEmpty)
   }
 
+  test("textIndexAppend tolerates a legacy df-only index; QL falls back and matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "alpha beta beta"), (2L, "gamma alpha")).toDF("doc_id", "text")
+    val inc = Seq((3L, "beta delta")).toDF("doc_id", "text")
+    val full = Keywords.textIndex(base.unionByName(inc), col("doc_id"), col("text"))
+    val legacy0 = Keywords.textIndex(base, col("doc_id"), col("text"))
+    val legacy = legacy0.copy(terms = legacy0.terms.drop("ctf")) // pre-ctf build
+    val grown = Keywords.textIndexAppend(legacy, inc, col("doc_id"), col("text"))
+    assert(!grown.terms.columns.contains("ctf"),
+      "a df-only index must stay df-only after append, not half-merge")
+    def sorted(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(grown.terms) == sorted(full.terms.drop("ctf")))
+    // the QL search's postings fallback must equal the ctf-bearing path
+    val queries = Seq(("q1", "beta"), ("q1", "delta")).toDF("query_id", "term")
+    def rows(ix: Keywords.TextIndex) =
+      Keywords.qlAgainstIndex(ix, queries, k = 3)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(grown) == rows(full) && rows(full).nonEmpty)
+  }
+
   test("invertedIndex: hand postings, df band edges, repeated phrase bills tf twice") {
     import SparkTest.spark
     import spark.implicits._
