@@ -368,6 +368,76 @@ object Keywords {
         countDistinct(col("term")).as("n_terms"))
   }
 
+  /** RAKE keyphrase extraction (C141; Rose et al. 2010) — the classic
+    * MULTI-WORD keyphrase ranker next to tf-idf's single terms:
+    * candidate phrases are the maximal token runs between stopword
+    * delimiters, each word scores degree/frequency over the doc's
+    * candidates (degree = Σ length of phrases it appears in — words
+    * that ride long phrases with other content words outrank words
+    * that repeat alone), and a phrase scores the sum of its words.
+    * Candidates longer than `maxPhraseWords` DROP (the standard cap:
+    * it bounds the per-run collect buffer AND keeps "keyphrase"
+    * meaning short); word stats are computed over the capped
+    * candidate set, per document.
+    *
+    * Exactness: run ids come from a RUNNING stopword-count frame
+    * (the A15 prefix-count idiom — partition key scales with docs);
+    * degree/frequency are exact longs, the word score is ONE
+    * integral `(1e6·deg) div freq`, and phrase scores are integer
+    * sums — every rank boundary is an integer comparison with a
+    * phrase-text tiebreak. Scale shape: one tokenize pass, one
+    * per-doc window, two (doc, run)/(doc, term) partial aggs and a
+    * per-doc top-k rank window (map-side WindowGroupLimit). */
+  def rakeTopK(df: DataFrame, id: Column, text: Column,
+               stopwords: Seq[String], k: Int,
+               maxPhraseWords: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxPhraseWords >= 1,
+      s"maxPhraseWords must be positive, got $maxPhraseWords")
+    require(stopwords.nonEmpty, "RAKE needs a delimiter stopword set")
+    val sw = stopwords.map(_.toLowerCase)
+    val toks = df.select(id.as("doc_id"),
+        posexplode(split(lower(text), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = toks
+      .withColumn("run",
+        sum(when(col("term").isInCollection(sw), 1L).otherwise(0L)).over(wRun))
+      .filter(!col("term").isInCollection(sw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val phrases = cand.groupBy(col("doc_id"), col("run"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          s => s.getField("term")), " ").as("phrase"))
+      .filter(col("plen") <= maxPhraseWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = cand
+      .join(phrases.select(col("doc_id"), col("run"), col("plen")),
+        Seq("doc_id", "run"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("doc_id"), col("term"),
+        expr("(1000000 * deg) div freq").as("wscore"))
+    cand
+      .join(phrases, Seq("doc_id", "run"))
+      .join(words, Seq("doc_id", "term"))
+      .groupBy(col("doc_id"), col("run"), col("phrase"), col("plen"))
+      .agg(sum(col("wscore")).as("score_micro"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"),
+        max(col("plen")).as("n_words"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score_micro").desc, col("phrase").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
+        col("n_occurrences"), col("score_micro"))
+  }
+
   /** Zipf-law fit of the corpus token distribution (SURVEY.md §2.C82)
     * — the least-squares slope of `ln(tf)` against `ln(rank)` over
     * the top-N vocabulary: natural language sits near −1 (Zipf 1949);

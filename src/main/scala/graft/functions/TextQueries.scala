@@ -957,6 +957,62 @@ object TextQueries {
     * vocab boundary is integer-exact (tf desc, term asc — the tfidf
     * tie discipline) so membership never depends on a float; the
     * oracle rebuilds the identical vocab with SQL window rank. */
+  /** C141: RAKE keyphrase extraction — stopword-delimited candidate
+    * runs, degree/frequency word scores, phrase-sum ranking, top-5
+    * per doc. Delimiters = the en stopword profile plus the corpus's
+    * other filler token 'a'. The oracle replays the prefix-count run
+    * ids, the cap, both integral score trees and the rank cut. */
+  val qRake = Q(
+    "qtext_rake",
+    (s, dir) => {
+      Keywords.rakeTopK(Tables(s, dir).documents, col("doc_id"), col("text"),
+          stopwords = TextFunctions.StopwordWords.toMap.apply("en") :+ "a",
+          k = 5, maxPhraseWords = 8)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some {
+      val sw = (TextFunctions.StopwordWords.toMap.apply("en") :+ "a")
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+      tk AS (SELECT doc_id, i AS pos, t[CAST(i + 1 AS BIGINT)] AS term
+             FROM t0, UNNEST(range(0, len(t))) AS u(i)),
+      tk2 AS (SELECT * FROM tk WHERE term <> ''),
+      r AS (SELECT doc_id, pos, term, term IN ($sw) AS is_stop,
+              SUM(CASE WHEN term IN ($sw) THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS run
+            FROM tk2),
+      cand AS (SELECT doc_id, pos, term, run FROM r WHERE NOT is_stop),
+      ph AS (SELECT doc_id, run, CAST(COUNT(*) AS BIGINT) AS plen,
+               string_agg(term, ' ' ORDER BY pos) AS phrase
+             FROM cand GROUP BY 1, 2 HAVING COUNT(*) <= 8),
+      w AS (SELECT c.doc_id, c.term,
+              (1000000 * CAST(SUM(ph.plen) AS BIGINT))
+                // CAST(COUNT(*) AS BIGINT) AS wscore
+            FROM cand c JOIN ph ON ph.doc_id = c.doc_id AND ph.run = c.run
+            GROUP BY 1, 2),
+      ps AS (SELECT c.doc_id, c.run, ph.phrase, ph.plen,
+               CAST(SUM(w.wscore) AS BIGINT) AS score_micro
+             FROM cand c
+             JOIN ph ON ph.doc_id = c.doc_id AND ph.run = c.run
+             JOIN w ON w.doc_id = c.doc_id AND w.term = c.term
+             GROUP BY 1, 2, 3, 4),
+      dd AS (SELECT doc_id, phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MAX(score_micro) AS score_micro,
+               MAX(plen) AS n_words
+             FROM ps GROUP BY 1, 2),
+      rk AS (SELECT doc_id, phrase, n_occurrences, score_micro, n_words,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score_micro DESC, phrase ASC) AS BIGINT) AS rank
+             FROM dd)
+      SELECT doc_id, rank, phrase, n_words, n_occurrences, score_micro
+      FROM rk WHERE rank <= 5
+      ORDER BY doc_id, rank"""
+    })
+
   /** The fixture taxonomy for C135 — single tokens plus two-word
     * phrases over the corpus vocabulary, shared verbatim by the Spark
     * frame and the oracle VALUES list. */
@@ -1841,5 +1897,5 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
-    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag)
+    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake)
 }

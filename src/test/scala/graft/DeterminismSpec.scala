@@ -79,7 +79,9 @@ class DeterminismSpec extends AnyFunSuite {
     // moment sums + per-element rounding
     "qprofile_source_sim", "qlog_cusum", "qsample_neyman",
     "qmix_temperature", "qpack_manifest", "qdedup_report",
-    "qvec_standardize", "qlog_seasonal")
+    "qvec_standardize", "qlog_seasonal",
+    // RAKE: per-doc integral word scores summed into phrase ranks
+    "qtext_rake")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
