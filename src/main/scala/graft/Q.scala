@@ -13,14 +13,43 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
+  /** Scratch paths handed out this JVM, reaped on exit: the
+    * per-applicationId suffix that fixed the concurrent-run race also
+    * means no run ever overwrites another's dirs, so without a reaper
+    * every verify/bench invocation would leave corpus-sized parquet/
+    * ORC/CSV copies under java.io.tmpdir forever. */
+  private val issuedScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val reaperInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Per-run scratch path for queries that materialize an
     * intermediate layout (index round-trips, format round-trips).
     * Suffixed with the Spark application id so two concurrent
     * verify/bench runs on one machine never race on the same
-    * directory (a fixed path under java.io.tmpdir did). */
-  def scratchDir(s: SparkSession, name: String): String =
-    new java.io.File(s"${System.getProperty("java.io.tmpdir")}/" +
+    * directory (a fixed path under java.io.tmpdir did); a JVM
+    * shutdown hook deletes every dir issued by THIS process (each
+    * run reaps only its own applicationId-suffixed paths, so the
+    * concurrent-run safety is untouched). */
+  def scratchDir(s: SparkSession, name: String): String = {
+    val dir = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_${name}_${s.sparkContext.applicationId}").toString
+    issuedScratch.add(dir)
+    if (reaperInstalled.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread("graft-scratch-reaper") {
+        override def run(): Unit = {
+          val it = issuedScratch.iterator()
+          while (it.hasNext) deleteRecursively(new java.io.File(it.next()))
+        }
+      })
+    }
+    dir
+  }
 
   /** Shared oracle-parity helpers (see SURVEY.md §6). */
   object sqlutil {

@@ -456,8 +456,6 @@ object Curation {
           lit(0.0))) * lit(1e6)).cast("long").as("std_micro"))
     val weighted = stats.withColumn("w",
       (col("n_docs").cast("decimal(38,0)") * col("std_micro")).cast("decimal(38,0)"))
-    val tot = weighted.agg(sum(col("w")).cast("decimal(38,0)").as("t"),
-      count(lit(1)).as("n_strata"))
     largestRemainder(weighted, budget)
       .select(col("source"), col("n_docs"), col("std_micro"),
         least(col("n_docs"), col("alloc")).as("alloc"))
@@ -469,9 +467,15 @@ object Curation {
     * (rem desc, source asc — a total order). div/% are EXACT integral
     * ops on decimals — a decimal `/` would round HALF_UP at result
     * scale and a 2.9999995 true quotient becomes 3, silently
-    * over-apportioning vs the oracle's `//`. Shared by the Neyman
-    * (C138) and temperature (C139) allocators; the rank window is
-    * partition-less but runs over the ≤|sources|-row plan frame. */
+    * over-apportioning vs the oracle's `//`. The +1 requires rem > 0:
+    * when T > 0 this is vacuous (Σrem = leftover·T and each rem < T,
+    * so leftover ≤ #{rem > 0}), but when T = 0 — every weight zero,
+    * e.g. all-constant Neyman strata — it makes every allocation 0
+    * instead of handing the whole budget +1-by-+1 to the first strata
+    * by name; a degenerate all-zero-weight input intentionally leaves
+    * the budget unspent. Shared by the Neyman (C138) and temperature
+    * (C139) allocators; the rank window is partition-less but runs
+    * over the ≤|sources|-row plan frame. */
   private[operators] def largestRemainder(weighted: DataFrame,
                                           budget: Long): DataFrame = {
     val tot = weighted.agg(sum(col("w")).cast("decimal(38,0)").as("t"))
@@ -488,7 +492,8 @@ object Curation {
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
       .withColumn("alloc",
-        col("q") + when(col("rr") <= col("left"), 1L).otherwise(0L))
+        col("q") + when(col("rr") <= col("left") && col("rem") > 0, 1L)
+          .otherwise(0L))
       .drop("t", "bw", "q", "rem", "rr", "left")
   }
 

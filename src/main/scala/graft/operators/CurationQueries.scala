@@ -121,7 +121,7 @@ object CurationQueries {
               AS BIGINT) AS rr
             FROM a)
       SELECT source, size,
-             q + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END AS alloc
+             q + CASE WHEN rr <= lo.leftover AND rem > 0 THEN 1 ELSE 0 END AS alloc
       FROM r, lo
       ORDER BY source"""))
 
@@ -166,7 +166,8 @@ object CurationQueries {
               AS BIGINT) AS rr
             FROM a)
       SELECT source, n_docs, std_micro,
-             least(n_docs, q + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END)
+             least(n_docs, q + CASE WHEN rr <= lo.leftover AND rem > 0
+                               THEN 1 ELSE 0 END)
                AS alloc
       FROM r, lo
       ORDER BY source"""))

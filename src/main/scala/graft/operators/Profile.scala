@@ -761,9 +761,14 @@ object Profile {
     *
     * Exactness: the gram hash is the engine-wide [[graft.functions.Fnv1a64]]
     * (DuckDB-replicable via the HUGEINT CTE recipe) and the slot
-    * re-hash is the wrapped `(seed XOR h) · FNV_PRIME` of
-    * [[graft.functions.FnvMix64]] — mod-2⁶⁴ arithmetic both engines
-    * compute bit-identically; min compares signed longs in both.
+    * re-hash is the seeded murmur3 fmix64 finalizer of
+    * [[graft.functions.Mix64]] (`graft_mix64`) — chosen over the
+    * earlier single wrapped `(seed XOR h)·PRIME` multiply because that
+    * mix left slot rankings CORRELATED across seeds (measured 2.5× the
+    * theoretical √(J(1−J)/k) estimator variance, with pathological
+    * all-slots-match pairs); the xor-shift/multiply chain decorrelates
+    * them. Mod-2⁶⁴ arithmetic both engines compute bit-identically;
+    * min compares signed longs in both.
     *
     * Scale shape: ONE corpus scan; no distinct (min over duplicates
     * IS min over the set — the shingle set never materializes); the
@@ -825,10 +830,11 @@ object Profile {
     * collapse to S·64 longs in one corpus pass, the S² compare is a
     * broadcast of that frame, and tomorrow's crawl folds in by
     * elementwise min. The oracle replays the ENTIRE sketch — FNV gram
-    * hashes (the engine-wide HUGEINT recipe), the wrapped
-    * `(seed XOR h)·PRIME` slot re-hash, signed per-slot mins, and the
-    * match count — so the hash-match proves the sketch arithmetic,
-    * not just the estimates' neighborhood. */
+    * hashes (the engine-wide HUGEINT recipe), the seeded fmix64 slot
+    * re-hash (`graft_mix64`, hi/lo-split mod-2⁶⁴ multiplies in the
+    * CTE), signed per-slot mins, and the match count — so the
+    * hash-match proves the sketch arithmetic, not just the estimates'
+    * neighborhood. */
   val qSourceSim = Q(
     "qprofile_source_sim",
     (s, dir) => {

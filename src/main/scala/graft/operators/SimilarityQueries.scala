@@ -1075,18 +1075,21 @@ object SimilarityQueries {
       ORDER BY media_id, byte"""))
 
   /** C136: per-dimension z-score standardization — the scale
-    * normalizer before k-means/PCA/euclidean ANN. The oracle rebuilds
-    * the same once-truncated moment sums (the centroid recipe plus an
-    * x² sum), the identical clamped-variance IEEE tree, and the
-    * per-element rounded z — list order pinned by pos on both sides,
-    * so the hash proves moments, stats broadcast and rebuild at once. */
+    * normalizer before k-means/PCA/euclidean ANN. Registered in the
+    * exploded `(vec_id, pos, z)` scalar form (the [[qRp]] idiom; the
+    * driver's comparator can't sort/hash array columns, and the thin
+    * rows are the primary API anyway). The oracle rebuilds the same
+    * once-truncated moment sums (the centroid recipe plus an x² sum),
+    * the identical clamped-variance IEEE tree, and the per-element
+    * rounded z — so the hash proves moments, stats broadcast and
+    * per-element z all at once. */
   val qStandardize = Q(
     "qvec_standardize",
     (s, dir) =>
-      VectorFunctions.standardize(
+      VectorFunctions.standardizeExploded(
           graft.sources.Tables(s, dir).embeddings,
           col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")),
+        .orderBy(col("vec_id"), col("pos")),
     Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       u AS (SELECT vec_id, unnest(range(0, len(v))) AS pos, unnest(v) AS x
@@ -1101,12 +1104,11 @@ object SimilarityQueries {
                 CAST(s2 AS DOUBLE) / 1e9 / n
                   - ((CAST(s1 AS DOUBLE) / 1e9) / n) * ((CAST(s1 AS DOUBLE) / 1e9) / n),
                 0.0)) AS sd
-            FROM st),
-      z AS (SELECT vec_id, u.pos,
-              CASE WHEN sd = 0.0 THEN 0.0 ELSE ROUND((x - mu) / sd, 6) END AS z
-            FROM u JOIN m ON m.pos = u.pos)
-      SELECT vec_id, list(z ORDER BY pos) AS zvec
-      FROM z GROUP BY vec_id ORDER BY vec_id"""))
+            FROM st)
+      SELECT vec_id, CAST(u.pos AS BIGINT) AS pos,
+             CASE WHEN sd = 0.0 THEN 0.0 ELSE ROUND((x - mu) / sd, 6) END AS z
+      FROM u JOIN m ON m.pos = u.pos
+      ORDER BY vec_id, pos"""))
 
   /** C74: hash-sign random projection. The engine derives the ±1
     * projection matrix per row from the FNV hash (no join, pure map);

@@ -71,11 +71,14 @@ object VectorFunctions {
     * pinned IEEE tree over exact integers in any engine and any
     * partitioning. Scale shape: one posexplode → dim-keyed moment agg
     * (map-side combined, ≤dim rows out) → broadcast back into a
-    * second map-side pass; the corpus shuffles only for the per-vec
-    * array rebuild (dim·n thin rows), and at 100 TB the rebuild can
-    * skip entirely by fusing the broadcast z-map into the consumer. */
-  def standardize(df: org.apache.spark.sql.DataFrame, id: Column,
-                  vec: Column): org.apache.spark.sql.DataFrame = {
+    * second map-side pass. The exploded `(vec_id, pos, z)` frame is
+    * the PRIMARY output — at 100 TB the thin rows fuse straight into
+    * the next map stage (no shuffle at all: the stats broadcast and
+    * the z-map is codegen over the scan); [[standardize]] re-packs it
+    * into `(vec_id, zvec)` for consumers that want arrays back, which
+    * costs one dim·n-row shuffle. */
+  def standardizeExploded(df: org.apache.spark.sql.DataFrame, id: Column,
+                          vec: Column): org.apache.spark.sql.DataFrame = {
     val u = df.select(id.as("vec_id"),
         posexplode(vec.cast("array<double>")).as(Seq("pos", "x")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -90,14 +93,20 @@ object VectorFunctions {
           col("s2").cast("double") / lit(1e9) / col("n") - mu * mu,
           lit(0.0))).as("sd"))
     u.join(broadcast(stats), "pos")
-      .select(col("vec_id"), col("pos"),
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
         when(col("sd") === 0.0, lit(0.0))
           .otherwise(round((col("x") - col("mean")) / col("sd"), 6)).as("z"))
+  }
+
+  /** Convenience wrapper over [[standardizeExploded]]: re-pack the
+    * thin `(vec_id, pos, z)` rows into `(vec_id, zvec)` arrays. */
+  def standardize(df: org.apache.spark.sql.DataFrame, id: Column,
+                  vec: Column): org.apache.spark.sql.DataFrame =
+    standardizeExploded(df, id, vec)
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("z")))),
         s => s.getField("z")).as("zvec"))
-  }
 
   /** Hash-sign random projection (SURVEY.md §2.C74; Achlioptas 2001 /
     * the Johnson-Lindenstrauss lemma with a ±1 projection matrix):

@@ -248,11 +248,16 @@ object DropStats {
     * stream, maintain a PARTIAL-COUNT table — each micro-batch appends
     * its own (app, bucket) counts, so a bucket spanning batches sums
     * correctly on read and raw lines are never retained — and after
-    * every batch recompute the full CUSUM frame into `alarmsDir`
-    * (atomic overwrite: readers always see one consistent verdict
-    * set). Exactly the batch operator re-run on growing state, so the
-    * monitor's output after N files ≡ [[cusumShift]] over those N
-    * files' lines (the C18 batch-twin discipline, spec-pinned).
+    * every batch recompute the full CUSUM frame into `alarmsDir`.
+    * The recompute is STAGED: it writes to a side directory first,
+    * then deletes the old verdicts and renames the staging dir into
+    * place — a reader can no longer observe a half-written recompute
+    * (Spark's own overwrite is delete-then-write for the whole job);
+    * what remains is the two-metadata-op delete→rename gap, in which
+    * a reader sees a missing dir, never a partial one. Exactly the
+    * batch operator re-run on growing state, so the monitor's output
+    * after N files ≡ [[cusumShift]] over those N files' lines (the
+    * C18 batch-twin discipline, spec-pinned).
     *
     * Scale shape: per batch, lines collapse map-side to (app, bucket)
     * counts before anything persists; the recompute reads only the
@@ -284,8 +289,14 @@ object DropStats {
           .write.mode("append").parquet(countsDir)
         val counts = batch.sparkSession.read.parquet(countsDir)
           .groupBy(col("grp"), col("bucket")).agg(sum(col("n")).as("n"))
+        val staging = alarmsDir.stripSuffix("/") + "__staging"
         cusumOverCounts(counts, slack, threshold)
-          .write.mode("overwrite").parquet(alarmsDir)
+          .write.mode("overwrite").parquet(staging)
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(alarmsDir)
+        val fs = dst.getFileSystem(conf)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), dst): Unit
       }
       .start()
   }

@@ -51,6 +51,15 @@ class NeymanSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 100L)
   }
 
+  test("all-constant strata (T = 0) allocate zero everywhere") {
+    // every stratum has sd 0 -> total weight 0: the budget is left
+    // unspent rather than handed +1-by-+1 to the first names
+    val rows = Seq("p" -> 5L, "p" -> 5L, "q" -> 9L, "q" -> 9L)
+    val got = alloc(rows, budget = 7)
+    assert(got("p")._2 == 0L && got("q")._2 == 0L,
+      "T = 0 must not spray the budget over zero-information strata")
+  }
+
   test("largest-remainder hands out exactly budget - sum(floors)") {
     // three equal 4-doc strata, budget 10: floors 3/3/3, one +1 by
     // remainder (strata must hold >= 4 docs or the N_h cap bites)
