@@ -268,14 +268,60 @@ object DropStats {
                         checkpointDir: String, countsDir: String,
                         alarmsDir: String, deployEnv: String,
                         bucketSeconds: Long = 60L,
-                        slack: Long = 1L, threshold: Long = 15L): StreamingQuery = {
+                        slack: Long = 1L, threshold: Long = 15L): StreamingQuery =
+    startCountMonitor(spark, inputDir, checkpointDir, countsDir, alarmsDir,
+      deployEnv, bucketSeconds)(cusumOverCounts(_, slack, threshold))
+
+  /** Streaming twin of [[rateSpikes]] (A14 streaming): the same
+    * tail→partial-count-table→recompute plumbing as
+    * [[startCusumMonitor]], recomputing the global-moment z-cut per
+    * micro-batch. Output after N files ≡ `rateSpikes` over those N
+    * files' lines (spec-pinned, incl. checkpoint resume). */
+  def startSpikeMonitor(spark: SparkSession, inputDir: String,
+                        checkpointDir: String, countsDir: String,
+                        alarmsDir: String, deployEnv: String,
+                        bucketSeconds: Long = 60L,
+                        k: Double = 2.0): StreamingQuery =
+    startCountMonitor(spark, inputDir, checkpointDir, countsDir, alarmsDir,
+      deployEnv, bucketSeconds)(rateSpikesOverCounts(_, k))
+
+  /** Streaming twin of [[seasonalResiduals]] (A17 streaming): per
+    * micro-batch, re-derive every bucket's seasonal residual against
+    * the bucket one season back in the accumulated count table and
+    * z-cut the residual distribution. `lag` is in buckets (e.g. 1440
+    * one-minute buckets = 1 day). Output after N files ≡
+    * `seasonalResiduals` over those N files' lines (spec-pinned). */
+  def startSeasonalMonitor(spark: SparkSession, inputDir: String,
+                           checkpointDir: String, countsDir: String,
+                           alarmsDir: String, deployEnv: String,
+                           lag: Long, bucketSeconds: Long = 60L,
+                           k: Double = 3.0): StreamingQuery =
+    startCountMonitor(spark, inputDir, checkpointDir, countsDir, alarmsDir,
+      deployEnv, bucketSeconds)(seasonalResidualsOverCounts(_, lag, k))
+
+  /** The shared monitor plumbing all three anomaly detectors ride:
+    * tail `inputDir`, collapse each micro-batch map-side to
+    * (grp, bucket) partial counts appended to `countsDir` (raw lines
+    * never persist; a bucket spanning batches sums on read), then
+    * recompute the full verdict frame from the summed table and stage
+    * it into `alarmsDir` (write-aside + delete/rename — a reader can
+    * see a missing dir for two metadata ops, never a partial one).
+    * The detector-specific math is the `recompute` function over the
+    * `(grp, bucket, n)` frame — exactly the batch operator's core, so
+    * the batch-twin law is a property of this plumbing, proven once
+    * per detector by spec. */
+  private def startCountMonitor(spark: SparkSession, inputDir: String,
+                                checkpointDir: String, countsDir: String,
+                                alarmsDir: String, deployEnv: String,
+                                bucketSeconds: Long)
+                               (recompute: DataFrame => DataFrame): StreamingQuery = {
     require(bucketSeconds >= 1, s"bucketSeconds must be positive, got $bucketSeconds")
     graft.GraftExtensions.ensureRegistered(spark)
     val lines = spark.readStream.text(inputDir)
     val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
     parsed
       // an unparseable timestamp has no bucket to drift in — dropping
-      // beats a NULL bucket silently heading every group's CUSUM sort
+      // beats a NULL bucket silently heading every group's series
       .filter(col("timestamp").isNotNull)
       .select(col("container_app").as("grp"),
         expr(s"unix_seconds(timestamp) div $bucketSeconds").as("bucket"))
@@ -290,7 +336,7 @@ object DropStats {
         val counts = batch.sparkSession.read.parquet(countsDir)
           .groupBy(col("grp"), col("bucket")).agg(sum(col("n")).as("n"))
         val staging = alarmsDir.stripSuffix("/") + "__staging"
-        cusumOverCounts(counts, slack, threshold)
+        recompute(counts)
           .write.mode("overwrite").parquet(staging)
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
         val dst = new org.apache.hadoop.fs.Path(alarmsDir)
@@ -319,10 +365,21 @@ object DropStats {
     * count, one equi self-join of that counts frame with itself, one
     * ~#groups-row moment broadcast back. */
   def seasonalResiduals(df: DataFrame, group: Column, bucket: Column,
-                        lag: Long, k: Double = 3.0): DataFrame = {
+                        lag: Long, k: Double = 3.0): DataFrame =
+    seasonalResidualsOverCounts(
+      df.select(group.as("grp"), bucket.cast("long").as("bucket"))
+        .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n")),
+      lag, k)
+
+  /** [[seasonalResiduals]] over an already-counted `(grp, bucket, n)`
+    * frame — the form [[startSeasonalMonitor]] recomputes per
+    * micro-batch from its accumulated partial-count table. */
+  def seasonalResidualsOverCounts(countsIn: DataFrame,
+                                  lag: Long, k: Double = 3.0): DataFrame = {
     require(lag >= 1, s"lag must be positive, got $lag")
-    val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
-      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+    // three consumers (lag self-join x2, moments) — persist, don't
+    // recompute the upstream count from the scan three times
+    val counts = countsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = counts.select(col("grp"),
       (col("bucket") + lit(lag)).as("bucket"), col("n").as("n_prev"))
@@ -345,9 +402,16 @@ object DropStats {
   }
 
   def rateSpikes(df: DataFrame, group: Column, bucket: Column,
-                 k: Double = 2.0): DataFrame = {
-    val counts = df.select(group.as("grp"), bucket.cast("long").as("bucket"))
-      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+                 k: Double = 2.0): DataFrame =
+    rateSpikesOverCounts(
+      df.select(group.as("grp"), bucket.cast("long").as("bucket"))
+        .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n")),
+      k)
+
+  /** [[rateSpikes]] over an already-counted `(grp, bucket, n)` frame —
+    * the form [[startSpikeMonitor]] recomputes per micro-batch from
+    * its accumulated partial-count table. */
+  def rateSpikesOverCounts(counts: DataFrame, k: Double = 2.0): DataFrame = {
     val moments = counts.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))

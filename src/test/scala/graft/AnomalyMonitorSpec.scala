@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.DropStats
+
+/** A14/A17 streaming: the spike and seasonal monitors over a tailed
+  * log stream share the CUSUM monitor's partial-count-table plumbing,
+  * so each is pinned by the same law — monitor output after N files ≡
+  * the batch operator over those N files' lines, row for row,
+  * including across a checkpoint resume.
+  */
+class AnomalyMonitorSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def tmp(): String = Files.createTempDirectory("graft-anom").toString
+
+  /** `perApp(app) = lines per minute` over minutes [from, until). */
+  private def lines(from: Int, until: Int, perApp: Map[String, Int]): Seq[String] =
+    for {
+      m <- from until until
+      (app, n) <- perApp.toSeq.sortBy(_._1)
+      i <- 0 until n
+    } yield {
+      val ts = f"2024-01-01T${m / 60}%02d:${m % 60}%02d:${i % 60}%02d+00:00"
+      s"$ts host-1 production--$app/arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-$m[$m]: " +
+        s"""{"title":"t$m","level":"info"}"""
+    }
+
+  private def allParsed(in: String) =
+    graft.logs.LogColumns.enhance(spark.read.text(in), col("value"), "production")
+      .filter(col("timestamp").isNotNull)
+
+  test("spike monitor == rateSpikes batch twin across a checkpoint resume") {
+    val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
+    Files.write(Paths.get(in, "p1.log"),
+      lines(0, 10, Map("app0" -> 3, "app1" -> 3)).asJava)
+    DropStats.startSpikeMonitor(spark, in, ck, counts, alarms,
+      "production", bucketSeconds = 60, k = 2.0).awaitTermination()
+    assert(spark.read.parquet(alarms).filter(col("spike")).count() == 0,
+      "flat history must not spike")
+
+    // one minute of app1 at 5x rate; the monitor resumes from the
+    // checkpoint and sees only the new file
+    Files.write(Paths.get(in, "p2.log"),
+      lines(10, 11, Map("app0" -> 3, "app1" -> 15)).asJava)
+    DropStats.startSpikeMonitor(spark, in, ck, counts, alarms,
+      "production", bucketSeconds = 60, k = 2.0).awaitTermination()
+    val after = spark.read.parquet(alarms)
+    val flagged = after.filter(col("spike"))
+      .select(col("grp")).distinct().collect().map(_.getString(0)).toSeq
+    assert(flagged == Seq("app1"), s"only the spiked group flags: $flagged")
+
+    val twin = DropStats.rateSpikes(allParsed(in),
+      col("container_app"), expr("unix_seconds(timestamp) div 60"), k = 2.0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "bucket", "n", "mean_n", "sd_n", "spike")
+        .orderBy("grp", "bucket").collect().toSeq
+    assert(canon(after) == canon(twin))
+  }
+
+  test("seasonal monitor == seasonalResiduals batch twin across a resume") {
+    val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
+    // season = 12 one-minute buckets (a single outlier among nb
+    // residuals peaks at z = sqrt(nb-1), so nb must exceed k^2 + 1 for
+    // the plant to clear the cut); season 1 establishes the baseline
+    Files.write(Paths.get(in, "s1.log"),
+      lines(0, 12, Map("app0" -> 2, "app1" -> 4)).asJava)
+    DropStats.startSeasonalMonitor(spark, in, ck, counts, alarms,
+      "production", lag = 12, bucketSeconds = 60, k = 3.0).awaitTermination()
+    val first = spark.read.parquet(alarms)
+    assert(first.filter(col("anomalous").isNotNull).count() == 0,
+      "first-season buckets have no baseline: NULL verdicts, not false")
+
+    // season 2 repeats the shape except one planted minute on app1
+    Files.write(Paths.get(in, "s2.log"),
+      (lines(12, 20, Map("app0" -> 2, "app1" -> 4)) ++
+        lines(20, 21, Map("app0" -> 2, "app1" -> 14)) ++
+        lines(21, 24, Map("app0" -> 2, "app1" -> 4))).asJava)
+    DropStats.startSeasonalMonitor(spark, in, ck, counts, alarms,
+      "production", lag = 12, bucketSeconds = 60, k = 3.0).awaitTermination()
+    val after = spark.read.parquet(alarms)
+    val flagged = after.filter(col("anomalous"))
+      .select(col("grp"), col("bucket")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // buckets are epoch-minutes: 2024-01-01T00:00Z = 28401120
+    assert(flagged == Seq(("app1", 28401120L + 20L)),
+      s"exactly the planted (app1, minute 20) anomaly flags: $flagged")
+
+    val twin = DropStats.seasonalResiduals(allParsed(in),
+      col("container_app"), expr("unix_seconds(timestamp) div 60"),
+      lag = 12, k = 3.0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "bucket", "n", "n_prev", "resid", "mean_r", "sd_r",
+          "anomalous")
+        .orderBy("grp", "bucket").collect().toSeq
+    assert(canon(after) == canon(twin))
+  }
+}
