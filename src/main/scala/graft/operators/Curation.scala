@@ -503,28 +503,45 @@ object Curation {
     * with α ∈ (0, 1] — α = 1 is proportional (big sources drown the
     * tail), α → 0 is uniform (tiny sources over-repeat); α = 0.5-0.7
     * is the published sweet spot that up-samples low-resource sources
-    * without flattening everything. This implementation pins
-    * **α = 0.5**: √size is ONE correctly-rounded IEEE op from an
-    * exact long (any other α needs pow/exp/ln — libm-dependent and
-    * not cross-engine bit-stable), rounded once to 1e6 fixed-point;
-    * the token budget then apportions by the shared exact
-    * [[largestRemainder]]. Returns `(source, size, alloc)` — alloc in
-    * the same unit as `size` (tokens in, tokens out); feed C30's
-    * per-source budget truncation or C23's rate sampler to execute.
-    * Allocations are NOT capped at size_h: α < 1 deliberately
+    * without flattening everything. α is DYADIC — `alphaNum / 2^m`
+    * with `alphaLog2Den = m ≤ 4` (so ¼, ½, ¾, ⅜, …, 1): size^α is
+    * then a PRODUCT over α's binary digits of repeated-√ chains
+    * (size^(2⁻ʲ) = √ applied j times), and because IEEE-754 sqrt and
+    * multiply are correctly rounded, the whole weight is bit-identical
+    * on every engine — unlike `pow(t, α)`, whose libm results differ
+    * across platforms (the [[mixturePlan]] α-chain trick, extended
+    * from 2⁻ᵏ to any dyadic rational). The weight rounds ONCE to 1e6
+    * fixed-point; the token budget then apportions by the shared
+    * exact [[largestRemainder]]. Returns `(source, size, alloc)` —
+    * alloc in the same unit as `size` (tokens in, tokens out); feed
+    * C30's per-source budget truncation or C23's rate sampler to
+    * execute. Allocations are NOT capped at size_h: α < 1 deliberately
     * OVER-samples small sources (repeat epochs — the published
-    * behavior), unlike the Neyman cap.
+    * behavior), unlike the Neyman cap. Default α = ½ (XLM-R's
+    * published setting).
     *
     * Scale shape: one map-side-combined size pass per source; the
     * apportionment runs on the ≤|sources|-row plan frame. */
   def temperatureAllocation(df: DataFrame, source: Column, size: Column,
-                            budget: Long): DataFrame = {
+                            budget: Long, alphaNum: Int = 1,
+                            alphaLog2Den: Int = 1): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
+    require(alphaLog2Den >= 0 && alphaLog2Den <= 4,
+      s"alphaLog2Den must be 0..4, got $alphaLog2Den")
+    require(alphaNum >= 1 && alphaNum <= (1 << alphaLog2Den),
+      s"alpha must be in (0, 1]: got $alphaNum / 2^$alphaLog2Den")
     val sizes = df.select(source.as("source"),
         coalesce(size.cast("long"), lit(0L)).as("sz"))
       .groupBy(col("source")).agg(sum(col("sz")).as("size"))
+    // size^(2^-j) = sqrt applied j times, each correctly rounded
+    def chain(j: Int): Column =
+      (0 until j).foldLeft(col("size").cast("double"))((a, _) => sqrt(a))
+    val w = (0 to alphaLog2Den)
+      .filter(j => (alphaNum >> j & 1) == 1)       // α's binary digits
+      .map(j => chain(alphaLog2Den - j))
+      .reduce(_ * _)
     val weighted = sizes.withColumn("w",
-      round(sqrt(col("size").cast("double")) * lit(1e6)).cast("decimal(38,0)"))
+      round(w * lit(1e6)).cast("decimal(38,0)"))
     largestRemainder(weighted, budget)
       .select(col("source"), col("size"), col("alloc"))
   }

@@ -125,6 +125,43 @@ object CurationQueries {
       FROM r, lo
       ORDER BY source"""))
 
+  /** C139 at dyadic α = ¾ (num 3, 2² den): the weight is the product
+    * of the √- and √√-chains — two correctly-rounded IEEE sqrts and
+    * one multiply, mirrored literally by the oracle, so arbitrary-
+    * dyadic-α parity is hash-gated, not just the α = ½ special case. */
+  val qMixTemperature75 = Q(
+    "qmix_temperature75",
+    (s, dir) => {
+      Curation.temperatureAllocation(
+          Tables(s, dir).documents, col("source"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          budget = 10000L, alphaNum = 3, alphaLog2Den = 2)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sized AS (SELECT source,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS sz
+             FROM documents),
+      m AS (SELECT source, CAST(SUM(sz) AS BIGINT) AS size
+            FROM sized GROUP BY source),
+      w AS (SELECT source, size,
+              CAST(ROUND(sqrt(CAST(size AS DOUBLE))
+                         * sqrt(sqrt(CAST(size AS DOUBLE))) * 1e6) AS HUGEINT) AS wt
+            FROM m),
+      t AS (SELECT SUM(wt) AS t FROM w),
+      a AS (SELECT source, size,
+              CASE WHEN t.t > 0 THEN CAST((10000 * wt) // t.t AS BIGINT) ELSE 0 END AS q,
+              CASE WHEN t.t > 0 THEN (10000 * wt) % t.t ELSE 0::HUGEINT END AS rem
+            FROM w, t),
+      lo AS (SELECT 10000 - CAST(COALESCE(SUM(q), 0) AS BIGINT) AS leftover FROM a),
+      r AS (SELECT a.*, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+              AS BIGINT) AS rr
+            FROM a)
+      SELECT source, size,
+             q + CASE WHEN rr <= lo.leftover AND rem > 0 THEN 1 ELSE 0 END AS alloc
+      FROM r, lo
+      ORDER BY source"""))
+
   /** C138: Neyman-optimal labeling-budget allocation across sources —
     * n_h ∝ N_h·S_h with all-integer largest-remainder apportionment
     * (div/% on DECIMAL, never a rounding decimal divide) and the
@@ -1486,5 +1523,6 @@ object CurationQueries {
     qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
-    qSplitStratified, qDedupReport, qNeyman, qMixTemperature, qPackManifest)
+    qSplitStratified, qDedupReport, qNeyman, qMixTemperature,
+    qMixTemperature75, qPackManifest)
 }

@@ -78,7 +78,7 @@ class DeterminismSpec extends AnyFunSuite {
     // keep-min byte attribution through CC, and the standardize
     // moment sums + per-element rounding
     "qprofile_source_sim", "qlog_cusum", "qsample_neyman",
-    "qmix_temperature", "qpack_manifest", "qdedup_report",
+    "qmix_temperature", "qmix_temperature75", "qpack_manifest", "qdedup_report",
     "qvec_standardize", "qlog_seasonal",
     // RAKE: per-doc integral word scores summed into phrase ranks
     "qtext_rake")

@@ -51,6 +51,34 @@ class NeymanSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 100L)
   }
 
+  test("dyadic alpha: conservation holds and smaller alpha flattens harder") {
+    import spark.implicits._
+    val rows = Seq.fill(81)(("big", 1L)) ++ Seq(("small", 1L))
+    def small(num: Int, log2den: Int): Long =
+      Curation.temperatureAllocation(rows.toDF("src", "sz"),
+          col("src"), col("sz"), budget = 1000L,
+          alphaNum = num, alphaLog2Den = log2den)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        .apply("small")
+    // sizes 81 : 1 -> exact shares: alpha 1 -> 1/82; 3/4 -> 1/28;
+    // 1/2 -> 1/10; 1/4 -> 1/4 (81^(1/4) = 3)
+    val byAlpha = Seq(
+      small(1, 0),   // alpha = 1
+      small(3, 2),   // alpha = 3/4
+      small(1, 1),   // alpha = 1/2
+      small(1, 2))   // alpha = 1/4
+    assert(byAlpha == Seq(12L, 36L, 100L, 250L),
+      s"hand-computed shares at sizes 81:1, budget 1000: $byAlpha")
+    // conservation at every alpha
+    for ((num, den) <- Seq((1, 0), (3, 2), (1, 1), (1, 2), (3, 4))) {
+      val tot = Curation.temperatureAllocation(rows.toDF("src", "sz"),
+          col("src"), col("sz"), budget = 1000L,
+          alphaNum = num, alphaLog2Den = den)
+        .agg(sum(col("alloc"))).collect().head.getLong(0)
+      assert(tot == 1000L, s"budget conserved at alpha $num/2^$den")
+    }
+  }
+
   test("all-constant strata (T = 0) allocate zero everywhere") {
     // every stratum has sd 0 -> total weight 0: the budget is left
     // unspent rather than handed +1-by-+1 to the first names

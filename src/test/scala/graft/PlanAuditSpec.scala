@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qmix_temperature" -> ("the shared largestRemainder scalar " +
       "crossJoins (1-row total and leftover frames) onto the " +
       "<= |sources|-row allocation plan — the qsample_neyman shape"),
+    "qmix_temperature75" -> ("same shared largestRemainder scalar " +
+      "crossJoins as qmix_temperature; only the weight exponent " +
+      "(alpha = 3/4 sqrt-chain product) differs"),
     "qsample_neyman" -> ("crossJoin(broadcast(tot)) and " +
       "crossJoin(broadcast(leftover)) — two 1-row scalar frames joined " +
       "onto the <= |sources|-row allocation plan; the corpus collapsed " +
@@ -281,6 +284,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "never the corpus"),
     "qmix_temperature" -> ("the shared largestRemainder rank window " +
       "over the <= |sources|-row plan frame (the qsample_neyman shape)"),
+    "qmix_temperature75" -> ("the same largestRemainder rank window " +
+      "as qmix_temperature — <= |sources|-row plan frame"),
     "qsample_neyman" -> ("the largest-remainder rank window runs over " +
       "the per-source allocation plan frame — <= |sources| rows by " +
       "construction; the corpus collapsed to per-source moments one " +
