@@ -255,6 +255,79 @@ object Media {
       .toDF("media_id", "resized")
   }
 
+  /** Aspect-ratio bucketing (SURVEY.md §2.C143) — the batching step
+    * every image/video training pipeline runs between decode and the
+    * dataloader (the SDXL / NovelAI recipe): padding a 9:16 portrait
+    * into a square batch wastes ~44% of the pixels AND teaches the
+    * model letterboxing, so images are snapped to the nearest ratio
+    * in a fixed ladder and batches form WITHIN a bucket. Input is a
+    * [[decodeMeta]]-shaped frame (`media_id`, `width`, `height`);
+    * output adds `bucket` ("num:den"), the deterministic within-bucket
+    * `pos`, and `batch_idx` (`(pos-1) div batchSize` — the last batch
+    * per bucket may be short). Rows with NULL/zero dims drop (no media
+    * ⇒ no aspect ratio — the decodeMeta NULL contract).
+    *
+    * Exactness: nearest-ratio is an ALL-INTEGER argmin — comparing
+    * |w/h − n_i/d_i| across buckets multiplies through by h·lcm(d):
+    * key_i = |w·d_i − n_i·h| · (lcm/d_i), exact longs, ties to the
+    * earlier ladder entry — no float ratio ever forms. Within-bucket
+    * order is the packShards discipline: FNV(salt:id) compared
+    * UNSIGNED via the top-8-bit range split, so batch membership is
+    * reproducible on any cluster and any partitioning.
+    *
+    * Scale shape: bucket assignment is a pure codegen map; the
+    * within-bucket positions use per-(bucket, range) partitioned
+    * windows (256-way parallel per bucket — never one task per
+    * bucket), and the only cross-range state is the
+    * ≤ |ladder|·256-row offsets frame, broadcast back. */
+  def arBuckets(meta: DataFrame,
+                ladder: Seq[(Int, Int)] = Seq((1, 1), (4, 3), (3, 4), (16, 9),
+                  (9, 16), (3, 2), (2, 3)),
+                batchSize: Int = 8,
+                salt: String = "arb"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    require(ladder.nonEmpty && ladder.forall { case (n, d) => n >= 1 && d >= 1 },
+      s"ladder ratios must be positive, got $ladder")
+    graft.GraftExtensions.ensureRegistered(meta.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmDen = ladder.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    def key(bn: Int, bd: Int): Column =
+      abs(w * lit(bd.toLong) - lit(bn.toLong) * h) * lit(lcmDen / bd)
+    val (n0, d0) = ladder.head
+    val best = ladder.tail.foldLeft(
+        struct(key(n0, d0).as("k"), lit(s"$n0:$d0").as("b"))) {
+      case (acc, (bn, bd)) =>
+        // strict < keeps the EARLIER ladder entry on ties
+        when(key(bn, bd) < acc.getField("k"),
+          struct(key(bn, bd).as("k"), lit(s"$bn:$bd").as("b"))).otherwise(acc)
+    }
+    val rows = meta
+      .filter(col("width").isNotNull && col("height").isNotNull &&
+        col("width") > 0 && col("height") > 0)
+      .select(col("media_id"), w.as("width"), h.as("height"),
+        best.getField("b").as("bucket"))
+      .withColumn("h",
+        call_function("fnv1a64", concat(lit(salt + ":"), col("media_id").cast("string"))))
+      .withColumn("rng", shiftrightunsigned(col("h"), 56).cast("long"))
+    val inRange = Window.partitionBy(col("bucket"), col("rng"))
+      .orderBy(col("h"), col("media_id"))
+    val local = rows.withColumn("local_pos", row_number().over(inRange).cast("long"))
+    val totals = rows.groupBy(col("bucket"), col("rng")).agg(count(lit(1)).as("r_rows"))
+    val off = Window.partitionBy(col("bucket")).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("pos_off", coalesce(sum(col("r_rows")).over(off), lit(0L)))
+      .select(col("bucket").as("ob"), col("rng").as("orng"), col("pos_off"))
+    local.join(broadcast(offsets),
+        col("bucket") === col("ob") && col("rng") === col("orng"))
+      .select(col("media_id"), col("width"), col("height"), col("bucket"),
+        (col("pos_off") + col("local_pos")).as("pos"))
+      .withColumn("batch_idx", expr(s"(pos - 1) div ${batchSize}L"))
+  }
+
   /** Feature extraction — a REAL computation, not a stub: the
     * L1-normalized 256-bin byte histogram of each blob as
     * `array<float>`, shaped exactly like an embedding column so it

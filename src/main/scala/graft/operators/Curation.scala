@@ -842,6 +842,66 @@ object Curation {
       .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
   }
 
+  /** Curriculum staging (C144; Bengio et al. 2009 applied to corpus
+    * packing) — order the corpus easy→hard by an integer difficulty
+    * LEVEL (length bucket, perplexity bucket C70, readability band —
+    * any coarse ordinal the pipeline already computes) and cut it into
+    * `nStages` stages of ~equal TOKEN mass, so stage s of the training
+    * run streams stage-s shards: the standard pacing schedule, as a
+    * deterministic table. Within a level, order is the reproducible
+    * FNV shuffle (pedagogically interchangeable; determinism is what
+    * matters). Emits `(doc_id, level, n_tokens, pos, cum, stage)`; a
+    * doc lands in the stage its starting offset falls in —
+    * `stage = ⌊cum_before·nStages/total⌋` — so no doc splits and
+    * stages differ by at most one doc's tokens. The multiply rides
+    * DECIMAL(38,0) (cum·nStages overflows a long past ~10¹⁷ tokens)
+    * and div is the exact integral op; zero-token docs at the very
+    * end would index stage nStages, clamped by least().
+    *
+    * Scale shape: the [[packShards]] two-pass prefix-sum discipline,
+    * keyed (level, unsigned-hash-range) so the corpus-sized windows
+    * stay 256-way parallel per level; the only partition-less window
+    * orders the ≤ levels·256-row range-totals frame, and the 1-row
+    * token total broadcasts back for the stage cut. */
+  def curriculumStages(df: DataFrame, id: Column, sizeCol: Column,
+                       levelCol: Column, nStages: Int,
+                       salt: String = "curriculum"): DataFrame = {
+    require(nStages >= 1, s"nStages must be positive, got $nStages")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val rows = df.select(id.as("doc_id"), sizeCol.cast("long").as("n_tokens"),
+        levelCol.cast("long").as("level"))
+      .withColumn("h", call_function("fnv1a64",
+        concat(lit(salt + ":"), col("doc_id").cast("string"))))
+      .withColumn("rng", shiftrightunsigned(col("h"), 56).cast("long"))
+    val inCell = Window.partitionBy(col("level"), col("rng"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = rows
+      .withColumn("local_pos", row_number().over(inCell).cast("long"))
+      .withColumn("local_cum", sum(col("n_tokens")).over(inCell))
+    val cellTotals = rows.groupBy(col("level"), col("rng"))
+      .agg(count(lit(1)).as("c_rows"), sum(col("n_tokens")).as("c_tokens"))
+    val off = Window.orderBy(col("level"), col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cellTotals
+      .withColumn("pos_off", coalesce(sum(col("c_rows")).over(off), lit(0L)))
+      .withColumn("cum_off", coalesce(sum(col("c_tokens")).over(off), lit(0L)))
+      .select(col("level").as("ol"), col("rng").as("orng"),
+        col("pos_off"), col("cum_off"))
+    val total = rows.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("total"))
+    local.join(broadcast(offsets),
+        col("level") === col("ol") && col("rng") === col("orng"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("level"), col("n_tokens"),
+        (col("pos_off") + col("local_pos")).as("pos"),
+        (col("cum_off") + col("local_cum")).as("cum"), col("total"))
+      .withColumn("stage",
+        when(col("total") > 0, least(
+          expr(s"CAST((CAST(cum - n_tokens AS DECIMAL(38,0)) * ${nStages}L) " +
+            s"div CAST(total AS DECIMAL(38,0)) AS BIGINT)"),
+          lit(nStages - 1L))).otherwise(lit(0L)))
+      .drop("total")
+  }
+
   /** Shard manifest with content checksums (C140) — the shipping
     * record a training-data export writes NEXT TO the shards: per
     * shard, its doc count, token total, and an ORDER-INDEPENDENT

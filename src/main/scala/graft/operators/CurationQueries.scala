@@ -125,6 +125,44 @@ object CurationQueries {
       FROM r, lo
       ORDER BY source"""))
 
+  /** C144: curriculum staging by length-decile difficulty — the
+    * easy→hard pacing table: 10 levels (50-token bands, capped),
+    * 4 equal-token stages cut by the exact DECIMAL offset rule. The
+    * oracle replays the unsigned-FNV within-level order, the global
+    * running sums, and the integer stage cut, so every stage boundary
+    * is hash-gated. */
+  val qPackCurriculum = Q(
+    "qpack_curriculum",
+    (s, dir) => {
+      val toks = graft.functions.TextFunctions.tokenCountWs(col("text"))
+      // `div` keeps the band boundary integer-exact (Spark `/` on
+      // longs is DOUBLE division)
+      val level = least(floor(toks.cast("long") / lit(50L)).cast("long"), lit(9L))
+      Curation.curriculumStages(Tables(s, dir).documents, col("doc_id"),
+          toks, level, nStages = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH sized AS (SELECT doc_id,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+      lv AS (SELECT doc_id, n_tokens,
+               least(n_tokens // 50, 9) AS level FROM sized),
+      ${graft.Q.sqlutil.fnvSignedCtes("cu",
+        "'curriculum:' || CAST(doc_id AS VARCHAR)",
+        Seq("doc_id", "n_tokens", "level"), "lv")},
+      o AS (SELECT doc_id, n_tokens, level,
+              CAST(ROW_NUMBER() OVER (ORDER BY level, fh, doc_id) AS BIGINT) AS pos,
+              CAST(SUM(n_tokens) OVER (ORDER BY level, fh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM cuf),
+      t AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total FROM sized)
+      SELECT doc_id, level, n_tokens, pos, cum,
+             CASE WHEN t.total > 0
+                  THEN least(((cum - n_tokens) * 4) // t.total, 3)
+                  ELSE 0 END AS stage
+      FROM o, t ORDER BY doc_id"""))
+
   /** C139 at dyadic α = ¾ (num 3, 2² den): the weight is the product
     * of the √- and √√-chains — two correctly-rounded IEEE sqrts and
     * one multiply, mirrored literally by the oracle, so arbitrary-
@@ -1524,5 +1562,5 @@ object CurationQueries {
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
     qSplitStratified, qDedupReport, qNeyman, qMixTemperature,
-    qMixTemperature75, qPackManifest)
+    qMixTemperature75, qPackManifest, qPackCurriculum)
 }

@@ -885,6 +885,60 @@ object Profile {
       FROM p ORDER BY source_a, source_b"""
     })
 
+  /** Per-source lexical diversity (C142) — the vocabulary-richness
+    * profile next to [[sourceProfiles]]'s volume stats: type-token
+    * ratio (distinct words / word occurrences — LOW means templated/
+    * boilerplate-heavy text, the classic symptom of scraped listings
+    * or log spam) and the hapax ratio (share of the vocabulary seen
+    * exactly once — HIGH means long-tail-rich prose, low means a
+    * closed vocabulary). Both are standard corpus-linguistics gates a
+    * mixture designer reads per source before weighting it.
+    *
+    * Scale shape: one explode → (source, word)-keyed count with
+    * map-side combine (the only corpus-sized shuffle, same grain as
+    * tf-idf's), then a per-source agg over the type frame — output is
+    * |sources| rows. Ratios are one IEEE division of exact longs,
+    * rounded once. Empty-token filtering matches the engine-wide
+    * whitespace convention (C8). */
+  def lexicalDiversity(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val types = df
+      .select(source.as("source"), explode(split(text, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    types.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_ratio"))
+  }
+
+  /** C142 registered: the per-source TTR/hapax profile over the
+    * documents table. The oracle recomputes the same (source, word)
+    * counts and the two rounded divisions — exact longs up to the one
+    * pinned IEEE division on each side. */
+  val qTtr = Q(
+    "qprofile_ttr",
+    (s, dir) =>
+      lexicalDiversity(Tables(s, dir).documents, col("source"), col("text"))
+        .orderBy(col("source")),
+    Some("""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+      t AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks WHERE word <> '' GROUP BY source, word),
+      a AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+            FROM t GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+             ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+             ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
+      FROM a ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qSourceSim, qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup)
+    qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup, qTtr)
 }

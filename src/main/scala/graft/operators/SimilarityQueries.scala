@@ -762,6 +762,43 @@ object SimilarityQueries {
       FROM documents
       ORDER BY media_id"""))
 
+  /** C143: aspect-ratio bucketing over decode metadata — the all-
+    * integer nearest-ratio argmin (keys multiplied through by
+    * lcm(dens) so no float ratio forms; ties to the earlier ladder
+    * entry) and the packShards-discipline within-bucket batch order.
+    * The oracle replays the stub decode dims, the same integer keys
+    * via a ladder VALUES table with ROW_NUMBER tie-break, and the
+    * unsigned-FNV within-bucket positions. */
+  val qArBuckets = Q(
+    "qmm_ar_buckets",
+    (s, dir) => {
+      val docs = Media.withFakeBlob(Tables(s, dir).documents, col("text"))
+      Media.arBuckets(Media.decodeMeta(docs, col("doc_id"), col("media")))
+        .orderBy(col("media_id"))
+    },
+    Some(s"""
+      WITH meta AS (SELECT doc_id AS media_id,
+              CAST(16 + octet_length(encode(text)) % 113 AS BIGINT) AS width,
+              CAST(16 + (octet_length(encode(text)) * 7) % 97 AS BIGINT) AS height
+            FROM documents),
+      lad AS (SELECT * FROM (VALUES (1, 1, 1), (2, 4, 3), (3, 3, 4), (4, 16, 9),
+                                    (5, 9, 16), (6, 3, 2), (7, 2, 3)) t(idx, bn, bd)),
+      scored AS (SELECT media_id, width, height, idx, bn, bd,
+              abs(width * bd - bn * height) * (144 // bd) AS k
+            FROM meta CROSS JOIN lad),
+      best AS (SELECT media_id, width, height, bn || ':' || bd AS bucket
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY k, idx) AS rn
+                  FROM scored) WHERE rn = 1),
+      ${graft.Q.sqlutil.fnvSignedCtes("ab",
+        "'arb:' || CAST(media_id AS VARCHAR)",
+        Seq("media_id", "width", "height", "bucket"), "best")},
+      pos AS (SELECT media_id, width, height, bucket,
+              CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY fh, media_id)
+                AS BIGINT) AS pos
+            FROM abf)
+      SELECT media_id, width, height, bucket, pos, (pos - 1) // 8 AS batch_idx
+      FROM pos ORDER BY media_id"""))
+
   val qFrames = Q(
     "qmm_frame_sample",
     (s, dir) => {
@@ -1558,6 +1595,6 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
-    qFrames, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia, qDbi, qSil,
-    qMips, qRp, qPca, qStandardize)
+    qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
+    qDbi, qSil, qMips, qRp, qPca, qStandardize)
 }

@@ -42,6 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "qmix_temperature75" -> ("same shared largestRemainder scalar " +
       "crossJoins as qmix_temperature; only the weight exponent " +
       "(alpha = 3/4 sqrt-chain product) differs"),
+    "qpack_curriculum" -> ("crossJoin(broadcast(total)) — the 1-row " +
+      "corpus token total joined onto the packShards-shaped prefix " +
+      "frame for the stage cut; corpus rows ride partitioned windows"),
     "qsample_neyman" -> ("crossJoin(broadcast(tot)) and " +
       "crossJoin(broadcast(leftover)) — two 1-row scalar frames joined " +
       "onto the <= |sources|-row allocation plan; the corpus collapsed " +
@@ -293,6 +296,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qpack_manifest" -> ("embeds packShards for the shard assignment: " +
       "the partition-less window is the same <= 256-row bucket-totals " +
       "offset sum; the manifest itself is one shard-keyed partial agg"),
+    "qpack_curriculum" -> ("the packShards discipline keyed " +
+      "(level, range): the partition-less window orders the " +
+      "<= levels*256-row cell-totals frame (10 levels here), never " +
+      "the corpus — corpus rows stay in (level, range) windows"),
     "qpack_epoch" -> ("embeds packShards after the mixture cap: the " +
       "partition-less window is the same ≤256-row bucket-totals offset " +
       "sum; capped corpus rows stay in (bucket)-partitioned windows")
