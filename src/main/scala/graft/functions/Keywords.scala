@@ -281,6 +281,44 @@ object Keywords {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_nano"))
   }
 
+  /** Mean reciprocal rank (C145) — THE retrieval-quality gate every
+    * index change ships behind (BM25 parameter tweaks, df cuts,
+    * incremental appends, hybrid fusion weights): given a ranked
+    * result frame (`query_id`, `rank`, `doc_id` — any of [[bm25TopK]]
+    * / [[qlTopK]] / [[rrfFuse]]'s output contracts) and a relevance
+    * table (`query_id`, `doc_id`), score MRR = mean over queries of
+    * 1/rank-of-first-relevant (0 when no relevant doc ranks). One
+    * summary row: `(n_queries, n_hit, mrr)`.
+    *
+    * Exactness: each reciprocal is the INTEGER `1000000 div rank`
+    * (never a float 1/3), the sum is an exact long, and the mean is
+    * one pinned two-division IEEE tree rounded once — so an MRR
+    * regression gate compares bit-identical doubles run to run.
+    * Every query in the relevance table counts in the denominator,
+    * hit or not (dropping misses would inflate the metric —
+    * the left join is the honest part).
+    *
+    * Scale shape: the ranked frame is already top-k-bounded per
+    * query; the relevance join is per-(query, doc) equi; everything
+    * after runs on ≤|queries| rows. */
+  def mrrAtK(ranked: DataFrame, relevant: DataFrame): DataFrame = {
+    require(Seq("query_id", "rank", "doc_id").forall(ranked.columns.contains),
+      s"ranked must carry (query_id, rank, doc_id); got ${ranked.columns.mkString(", ")}")
+    val Seq(qC, dC) = relevant.columns.toSeq.take(2).map(col)
+    val rel = relevant.select(qC.as("query_id"), dC.as("doc_id")).distinct()
+    val firstHit = ranked.join(rel, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_hit"))
+    rel.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .select(coalesce(expr("1000000L div first_hit"), lit(0L)).as("rr_micro"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rr_micro") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("rr_micro")).as("rr_sum"))
+      .select(col("n_queries"), col("n_hit"),
+        round(col("rr_sum").cast("double") / col("n_queries").cast("double")
+          / lit(1e6), 6).as("mrr"))
+  }
+
   /** Incremental [[TextIndex]] maintenance (the `ivfPqResAppend`
     * discipline for retrieval): fold a NEW document batch into an
     * existing index with work linear in the increment and ZERO in the

@@ -1494,13 +1494,12 @@ object TextQueries {
     },
     Some(bm25OracleSql))
 
-  private lazy val bm25OracleSql: String = {
-      val k1 = 1.2; val b = 0.75
-      val vals = Bm25QueryTerms
-        .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
-      s"""
-      WITH q AS (SELECT DISTINCT query_id, lower(term) AS term
-                 FROM (VALUES $vals) v(query_id, term)),
+  /** Shared BM25 CTE chain (assumes a `q(query_id, term)` CTE in
+    * scope; emits toks/tf/dfreq/dl/st/c/sc/r) ending in `r` = the
+    * ranked (query_id, doc_id, n_hit_terms, score_micro, rank) frame.
+    * ONE definition so the three index-path oracles and the MRR eval
+    * can't diverge from qtext_bm25's proven arithmetic. */
+  private def bm25RankCtes(k1: Double = 1.2, b: Double = 0.75): String = s"""
       toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
                FROM documents),
       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1525,7 +1524,15 @@ object TextQueries {
       r AS (SELECT query_id, doc_id, n_hit_terms, score_micro,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
-            FROM sc)
+            FROM sc)"""
+
+  private lazy val bm25OracleSql: String = {
+      val vals = Bm25QueryTerms
+        .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+      s"""
+      WITH q AS (SELECT DISTINCT query_id, lower(term) AS term
+                 FROM (VALUES $vals) v(query_id, term)),
+      ${bm25RankCtes()}
       SELECT query_id, rank, doc_id, n_hit_terms, score_micro
       FROM r WHERE rank <= 10
       ORDER BY query_id, rank"""
@@ -1708,6 +1715,45 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(bm25OracleSql))
+
+  /** C145: the MRR gate run as a SELF-RETRIEVAL eval — each of the
+    * first 20 docs queries the index with its own first 3 tokens and
+    * the doc itself is the relevant answer (the classic zero-label
+    * retrieval sanity: near-1 MRR means the index finds its own
+    * documents; a drop means tokenization/scoring broke). The oracle
+    * reruns the SHARED bm25 chain under the generated query set and
+    * mirrors the integer reciprocals. */
+  val qMrr = Q(
+    "qtext_mrr",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val queries = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(lower(col("text")), " "), 1, 3)).as("term"))
+        .filter(col("term") =!= "")
+      val ranked = Keywords.bm25TopK(docs, col("doc_id"), col("text"),
+        queries, k = 10)
+      Keywords.mrrAtK(ranked,
+        docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("query_id"), col("doc_id")))
+    },
+    Some(s"""
+      WITH qsrc AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents WHERE doc_id < 20),
+      q AS (SELECT DISTINCT doc_id AS query_id, term
+            FROM (SELECT doc_id, unnest(w[1:3]) AS term FROM qsrc)
+            WHERE term <> ''),
+      ${bm25RankCtes()},
+      hits AS (SELECT query_id, MIN(rank) AS first_hit
+               FROM r WHERE rank <= 10 AND doc_id = query_id GROUP BY 1),
+      perq AS (SELECT qsrc.doc_id AS query_id,
+                 COALESCE(1000000 // hits.first_hit, 0) AS rr_micro
+               FROM qsrc LEFT JOIN hits ON hits.query_id = qsrc.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN rr_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             ROUND(CAST(SUM(rr_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1e6, 6) AS mrr
+      FROM perq"""))
 
   // C82: Zipf fit — every regression sum is an exact long over
   // once-rounded micro-nat points; the closed-form slope/intercept is
@@ -1897,5 +1943,5 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
-    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake)
+    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr)
 }

@@ -116,6 +116,41 @@ object DedupQueries {
     },
     Some(simhashOracleSql(maxDist = 3)))
 
+  /** C146: the cross-source duplication matrix over the SAME simhash
+    * pair chain the cluster/report queries consume — per canonical
+    * source pair, how many near-dup pairs cross it and the rate
+    * against possible pairs. Oracle: the proven pair CTEs + the
+    * doc→source fold + the mirrored one-tree rate. */
+  val qSourceMatrix = Q(
+    "qdedup_source_matrix",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"),
+        maxDist = 3)
+      graft.operators.Profile.crossSourceDupMatrix(pairs, t.documents,
+          col("doc_id"), col("source"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      WITH ${simhashPairCtes(maxDist = 3)},
+      ds AS (SELECT doc_id, source FROM documents),
+      j AS (SELECT least(a.source, b.source) AS source_a,
+                   greatest(a.source, b.source) AS source_b
+            FROM pairs p JOIN ds a ON a.doc_id = p.doc_a
+                         JOIN ds b ON b.doc_id = p.doc_b),
+      m AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM j GROUP BY 1, 2),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             FROM documents GROUP BY source)
+      SELECT m.source_a, m.source_b, m.n_pairs,
+             ROUND(CAST(m.n_pairs AS DOUBLE) /
+                   (CASE WHEN m.source_a = m.source_b
+                         THEN CAST(a.n AS DOUBLE) * (a.n - 1) / 2
+                         ELSE CAST(a.n AS DOUBLE) * b.n END), 9) AS pair_rate
+      FROM m JOIN sz a ON a.source = m.source_a
+             JOIN sz b ON b.source = m.source_b
+      ORDER BY source_a, source_b"""))
+
   val qEmbedding = Q(
     "qdedup_embedding",
     (s, dir) => {
@@ -820,7 +855,8 @@ object DedupQueries {
       GROUP BY kd.doc_id
       ORDER BY kd.doc_id"""))
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbedding, qEmbeddingLsh,
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qSourceMatrix,
+    qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
     qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs, qCdcRm)
 }

@@ -916,6 +916,49 @@ object Profile {
           .as("hapax_ratio"))
   }
 
+  /** Cross-source duplication matrix (C146) — WHERE the near-dups
+    * live: fold any dup-pair frame (simhash/minhash/CDC — the C1-C5
+    * family's `(doc_a, doc_b)` output) through the doc→source map and
+    * count pairs per (source_a, source_b), normalized by the number
+    * of possible cross pairs (n_a·n_b off-diagonal, n·(n−1)/2 on it).
+    * A hot off-diagonal cell means one source mirrors another
+    * (CommonCrawl vs a curated slice — down-weight or dedup-first);
+    * a hot diagonal means the source self-repeats. This is the
+    * mixture-design read of the dedup graph, the per-source sibling
+    * of C137's size report.
+    *
+    * Exactness: pair counts are exact longs; the rate is ONE pinned
+    * IEEE tree (cast, multiply, divide) rounded once to 9 places,
+    * mirrored by the oracle. Source pairs are canonicalized
+    * least/greatest — pair direction is meaningless. Scale shape: two
+    * id-keyed joins attach sources to id-pair rows (the pair frame is
+    * candidate-bounded, never corpus²), one map-side-combined count
+    * to a ≤|sources|²-row matrix, and the per-source sizes broadcast
+    * back. */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame,
+                           id: Column, source: Column): DataFrame = {
+    val ds = docs.select(id.as("doc_id"), source.as("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pairs
+      .join(ds.select(col("doc_id").as("doc_a"), col("src").as("sa")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("src").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val sizes = ds.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val possible =
+      when(col("source_a") === col("source_b"),
+        col("na").cast("double") * (col("na") - 1) / lit(2))
+        .otherwise(col("na").cast("double") * col("nb"))
+    m.join(broadcast(sizes.select(col("src").as("source_a"), col("n").as("na"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("src").as("source_b"), col("n").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / possible, 9).as("pair_rate"))
+  }
+
   /** C142 registered: the per-source TTR/hapax profile over the
     * documents table. The oracle recomputes the same (source, word)
     * counts and the two rounded divisions — exact longs up to the one

@@ -183,6 +183,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "read from its parquet table"),
     "qtext_bm25_inc" -> ("the qtext_bm25 stats broadcast plus the append's " +
       "1-row x 1-row stats merge — both sides single-row scalar frames"),
+    "qtext_mrr" -> ("EMBEDS the qtext_bm25 chain (same 1-row stats " +
+      "broadcast, bounded self-retrieval query set); the eval itself " +
+      "runs on <= |queries| rows after the top-k"),
     "qpack_epoch" -> ("EMBEDS the qmix_plan allocation chain (same 1-row " +
       "weight-total crossJoin over the per-source frame); the cap and pack " +
       "stages themselves join only broadcast offset/allocation frames on " +
