@@ -546,6 +546,51 @@ object Curation {
       .select(col("source"), col("size"), col("alloc"))
   }
 
+  /** Recency-weighted budget allocation (C147) — freshness weighting
+    * for replay/eval/training budgets: each row decays by
+    * 2^-(age/halflife) from the corpus max timestamp, group weights
+    * sum the decayed masses, and the budget apportions by the shared
+    * exact [[largestRemainder]]. A group whose volume is all stale
+    * history gets little; a smaller but fresh group gets much — the
+    * standard freshness bias of news/code mixtures and incident
+    * replay, as a deterministic table.
+    *
+    * ALL-INTEGER exactness: age is `(max_us − ts_us) div halflifeUs`
+    * half-lives (exact), and the decay weight is a LEFT SHIFT —
+    * w = 1 << (maxHalfLives − age) for age < maxHalfLives, else 0
+    * (beyond ~16 half-lives the weight is numerically nothing; the
+    * cap makes it exactly nothing) — so the whole chain is integer
+    * arithmetic, no pow/exp ever runs, and the dyadic-α lesson (C139)
+    * applies: exponential decay with a dyadic base is exact in any
+    * engine. NULL timestamps get weight 0 but still count in
+    * `n_events` (unknown age must not claim freshness).
+    *
+    * Scale shape: one 1-row max broadcast, one codegen map for the
+    * weight, one map-side-combined group sum; the apportionment runs
+    * on the ≤|groups|-row plan frame. */
+  def recencyAllocation(df: DataFrame, group: Column, tsUs: Column,
+                        budget: Long, halflifeUs: Long,
+                        maxHalfLives: Int = 16): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    require(halflifeUs >= 1, s"halflifeUs must be positive, got $halflifeUs")
+    require(maxHalfLives >= 1 && maxHalfLives <= 62,
+      s"maxHalfLives must be 1..62 (shift into a long), got $maxHalfLives")
+    val ev = df.select(group.as("source"), tsUs.cast("long").as("us"))
+    val mx = ev.agg(max(col("us")).as("max_us"))
+    val aged = ev.crossJoin(broadcast(mx))
+      .withColumn("age_hl", expr(s"(max_us - us) div ${halflifeUs}L"))
+      .withColumn("w_e",
+        when(col("age_hl") < maxHalfLives,
+          expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(${maxHalfLives}L - age_hl AS INT))"))
+          .otherwise(lit(0L)))
+    val weighted = aged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w_e")).cast("decimal(38,0)").as("w"))
+    largestRemainder(weighted, budget)
+      .select(col("source"), col("n_events"), col("alloc"))
+  }
+
   /** Lineage truncation for iterative loops: executor-local blocks by
     * default (fast, but lost with the executor), reliable files under
     * `checkpointDir` when the caller needs the resolution to survive

@@ -125,6 +125,44 @@ object CurationQueries {
       FROM r, lo
       ORDER BY source"""))
 
+  /** C147: recency-weighted replay-budget allocation over the events
+    * stream — per-event 2^-(age/halflife) decay as an exact left
+    * shift (3-day half-life, 16-half-life floor), apportioned by the
+    * shared exact largest-remainder path. All-integer end to end;
+    * the oracle mirrors the epoch-µs ages, the shift, and the
+    * HUGEINT apportionment. */
+  val qSampleRecency = Q(
+    "qsample_recency",
+    (s, dir) => {
+      Curation.recencyAllocation(Tables(s, dir).events,
+          col("event_type"), expr("ts div 1000"),
+          budget = 1000L, halflifeUs = 259200000000L)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type AS source, epoch_us(ts) AS us FROM events),
+      mx AS (SELECT MAX(us) AS max_us FROM ev),
+      aged AS (SELECT source,
+               CASE WHEN (mx.max_us - us) // 259200000000 < 16
+                    THEN (1::BIGINT << CAST(16 - (mx.max_us - us) // 259200000000 AS INT))
+                    ELSE 0 END AS w_e
+               FROM ev, mx),
+      w AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(w_e) AS HUGEINT) AS wt FROM aged GROUP BY source),
+      t AS (SELECT SUM(wt) AS t FROM w),
+      a AS (SELECT source, n_events,
+              CASE WHEN t.t > 0 THEN CAST((1000 * wt) // t.t AS BIGINT) ELSE 0 END AS q,
+              CASE WHEN t.t > 0 THEN (1000 * wt) % t.t ELSE 0::HUGEINT END AS rem
+            FROM w, t),
+      lo AS (SELECT 1000 - CAST(COALESCE(SUM(q), 0) AS BIGINT) AS leftover FROM a),
+      r AS (SELECT a.*, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+              AS BIGINT) AS rr
+            FROM a)
+      SELECT source, n_events,
+             q + CASE WHEN rr <= lo.leftover AND rem > 0 THEN 1 ELSE 0 END AS alloc
+      FROM r, lo
+      ORDER BY source"""))
+
   /** C144: curriculum staging by length-decile difficulty — the
     * easy→hard pacing table: 10 levels (50-token bands, capped),
     * 4 equal-token stages cut by the exact DECIMAL offset rule. The
@@ -1562,5 +1600,5 @@ object CurationQueries {
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
     qSplitStratified, qDedupReport, qNeyman, qMixTemperature,
-    qMixTemperature75, qPackManifest, qPackCurriculum)
+    qMixTemperature75, qPackManifest, qPackCurriculum, qSampleRecency)
 }

@@ -810,6 +810,93 @@ object Graph {
     },
     Some(pprOracleSql(5, 850000L)))
 
+  /** Bounded-hop BFS distances from a seed set (C148) — the
+    * reachability audit next to C101's PPR mass: how many hops does
+    * each node sit from the trusted (or contaminated) seeds, with the
+    * frontier bounded at `k` hops so cost is k node-keyed shuffles,
+    * never a full closure. The discrete sibling of PPR (exact hop
+    * counts instead of decayed mass): leakage audits ask "is this
+    * eval doc within 2 link-hops of training?", curation asks "how
+    * far does the seed whitelist actually reach?".
+    *
+    * Synchronous frontier expansion on the canonical UNDIRECTED edge
+    * set (least/greatest + distinct, self-loops dropped — the C99
+    * contract): round h joins the (h−1)-frontier to the edges and
+    * anti-joins everything already labeled, so each node is labeled
+    * exactly once at its true BFS distance — deterministic on any
+    * partitioning (set semantics, no order anywhere). Unreached
+    * nodes are ABSENT (honest absence; left-join a node table for
+    * NULL rows if needed). The dist frame is checkpoint-truncated per
+    * round (the CC discipline — k rounds of union would stack 2^k
+    * plan copies). Scale: (long, long) edges; each round shuffles
+    * only frontier-adjacent ids. */
+  def kHopDistances(edges: DataFrame, src: Column, dst: Column,
+                    seeds: DataFrame, seedId: Column, k: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be 1..64, got $k")
+    val und0 = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val und = und0.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und0.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = graft.operators.Curation.truncateLineage(
+      seeds.select(seedId.cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L)),
+      checkpointDir)
+    var frontier = dist
+    var h = 1L
+    while (h <= k && !frontier.isEmpty) {
+      val next = graft.operators.Curation.truncateLineage(
+        frontier.join(und, col("id") === col("u"))
+          .select(col("v").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .withColumn("dist", lit(h)),
+        checkpointDir)
+      dist = graft.operators.Curation.truncateLineage(
+        dist.unionByName(next), checkpointDir)
+      frontier = next
+      h += 1
+    }
+    dist.select(col("id").as("node_id"), col("dist"))
+  }
+
+  /** C148 registered: 4-hop BFS from the doc%10 seed set over the
+    * shared two-family edge fixture — directly comparable to
+    * qgraph_ppr's decayed mass on the same seeds. Oracle: recursive
+    * CTE with UNION (set) semantics over (id, dist) states, min dist
+    * per node, depth-bounded at 4. */
+  val qKhop = Q(
+    "qgraph_khop",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst")))
+      val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      kHopDistances(edges, col("src"), col("dst"), seeds, col("doc_id"), k = 4)
+        .orderBy(col("node_id"))
+    },
+    Some("""
+      WITH RECURSIVE eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents),
+      eu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+             FROM eraw WHERE src <> dst),
+      e AS (SELECT a AS u, b AS v FROM eu UNION ALL SELECT b, a FROM eu),
+      seeds AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 10 = 0),
+      r AS (SELECT id, 0 AS dist FROM seeds
+            UNION
+            SELECT e.v AS id, r.dist + 1 AS dist
+            FROM r JOIN e ON e.u = r.id WHERE r.dist < 4)
+      SELECT id AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
+      FROM r GROUP BY id
+      ORDER BY node_id"""))
+
   /** Log₂-bucketed degree distribution (SURVEY.md §2.C104) — the
     * power-law audit every link-graph consumer runs first: a web
     * graph's degree histogram is heavy-tailed (straight line on
@@ -1219,5 +1306,5 @@ object Graph {
       ORDER BY community"""))
 
   val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr,
-    qDegrees, qAssortativity, qCoreness, qModularity)
+    qDegrees, qAssortativity, qCoreness, qModularity, qKhop)
 }

@@ -79,7 +79,7 @@ class DeterminismSpec extends AnyFunSuite {
     // moment sums + per-element rounding
     "qprofile_source_sim", "qlog_cusum", "qsample_neyman",
     "qmix_temperature", "qmix_temperature75", "qpack_manifest", "qdedup_report",
-    "qpack_curriculum", "qmm_ar_buckets",
+    "qpack_curriculum", "qmm_ar_buckets", "qsample_recency", "qgraph_khop",
     "qvec_standardize", "qlog_seasonal",
     // RAKE: per-doc integral word scores summed into phrase ranks
     "qtext_rake")

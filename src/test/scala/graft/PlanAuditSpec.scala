@@ -45,6 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qpack_curriculum" -> ("crossJoin(broadcast(total)) — the 1-row " +
       "corpus token total joined onto the packShards-shaped prefix " +
       "frame for the stage cut; corpus rows ride partitioned windows"),
+    "qsample_recency" -> ("crossJoin(broadcast(max_us)) — the 1-row " +
+      "corpus max timestamp every event's age derives from — plus the " +
+      "shared largestRemainder scalar crossJoins on the <= |groups|-row " +
+      "plan frame (the qsample_neyman shape)"),
     "qsample_neyman" -> ("crossJoin(broadcast(tot)) and " +
       "crossJoin(broadcast(leftover)) — two 1-row scalar frames joined " +
       "onto the <= |sources|-row allocation plan; the corpus collapsed " +
@@ -303,6 +307,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "(level, range): the partition-less window orders the " +
       "<= levels*256-row cell-totals frame (10 levels here), never " +
       "the corpus — corpus rows stay in (level, range) windows"),
+    "qsample_recency" -> ("the shared largestRemainder rank window " +
+      "over the <= |groups|-row allocation frame (the qsample_neyman " +
+      "shape); events collapsed to per-group sums one map-side agg " +
+      "earlier"),
     "qpack_epoch" -> ("embeds packShards after the mixture cap: the " +
       "partition-less window is the same ≤256-row bucket-totals offset " +
       "sum; capped corpus rows stay in (bucket)-partitioned windows")
