@@ -146,6 +146,36 @@ object Similarity {
     * Scale shape: both sides are result sets (queries × k rows, never
     * corpus-sized) — one small equi-join + partial-agg count. Safe to
     * run after every index (re)build as a gate. */
+  /** Matryoshka truncation recall curve (C149; Kusupati et al. 2022,
+    * MRL) — the dimension-budget read before indexing truncated
+    * embeddings: modern MRL-trained encoders front-load information
+    * so the FIRST d' dims are themselves a usable embedding; this
+    * curve measures micro-averaged recall@k of brute search on each
+    * prefix-dim slice against the full-dim truth, telling you which
+    * prefix is safe to build the IVF/PQ index on (scan bytes and
+    * index size drop d'/d before ANY approximate structure is
+    * introduced — the cheapest lever in the whole stack). Cosine is
+    * scale-invariant per vector, so slicing needs no re-normalize.
+    * One exact truth pass (persisted), one d'/d-cost brute pass per
+    * requested dim; output one row per dim:
+    * `(dims, truth_n, hits, recall)`. */
+  def matryoshkaRecallCurve(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                            queries: DataFrame, queryId: Column, queryVec: Column,
+                            dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"dims must be positive prefixes, got $dims")
+    val truth = bruteTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dims.map { d =>
+      val res = bruteTopK(corpus, corpusId, slice(corpusVec, 1, d),
+        queries, queryId, slice(queryVec, 1, d), k)
+      annRecall(truth, res)
+        .agg(sum(col("truth_n")).as("truth_n"), sum(col("hits")).as("hits"))
+        .select(lit(d.toLong).as("dims"), col("truth_n"), col("hits"),
+          round(col("hits").cast("double") / col("truth_n"), 4).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   def annRecall(truth: DataFrame, result: DataFrame): DataFrame =
     // both sides distinct-ed first: a duplicate (query, neighbor) row
     // in either input would multiply through the join and inflate

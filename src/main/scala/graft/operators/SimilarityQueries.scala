@@ -907,6 +907,46 @@ object SimilarityQueries {
           ORDER BY nprobe"""
     })
 
+  /** C149: the Matryoshka truncation recall curve — brute recall@5 of
+    * the 8-, 16- and 32-dim prefixes against the 64-dim truth. The
+    * oracle instantiates the PROVEN brute formulation once per prefix
+    * (v[1:d] slices — cosine is scale-invariant, no re-normalize) and
+    * re-derives the same micro-average of exact integers. */
+  val qMatryoshka = Q(
+    "qann_matryoshka",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.matryoshkaRecallCurve(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          dims = Seq(8, 16, 32), k = 5)
+        .orderBy(col("dims"))
+    },
+    Some {
+      def leg(d: Int) = s"""(
+        WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$d] AS v
+                   FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(c.v, q.v) AS cos
+                   FROM e c JOIN q ON c.vec_id != q.vec_id),
+        rr AS (SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id FROM rr WHERE rank <= 5)"""
+      def row(d: Int) = s"""
+        SELECT CAST($d AS BIGINT) AS dims,
+          CAST(COUNT(*) AS BIGINT) AS truth_n,
+          CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+          ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+        FROM (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb) t
+        LEFT JOIN ${leg(d)} r
+          ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id"""
+      s"""SELECT * FROM (${row(8)} UNION ALL ${row(16)} UNION ALL ${row(32)})
+          ORDER BY dims"""
+    })
+
   /** SQ8 scalar-quantized ANN (C54) under a full algorithm-parity
     * oracle: per-dim min/max stats (exactly order-independent — no
     * accumulation), the encode round/clamp, the dequantize arithmetic
@@ -1596,5 +1636,5 @@ object SimilarityQueries {
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
-    qDbi, qSil, qMips, qRp, qPca, qStandardize)
+    qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka)
 }

@@ -196,7 +196,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "equi-keys"),
     "qvec_knn_label" -> ("embeds qann_brute_topk for the seed-neighbor " +
       "search (bounded query batch broadcast, labeled corpus scanned once " +
-      "map-side); the label attach and vote are |queries|*k-row equi-joins")
+      "map-side); the label attach and vote are |queries|*k-row equi-joins"),
+    "qann_matryoshka" -> ("embeds the qann_brute_topk shape four times " +
+      "(full-dim truth + three prefix slices) — the same bounded " +
+      "10-query broadcast against one corpus scan each; the recall " +
+      "join runs on |queries|*k rows")
   )
 
   // ONE registry pass shared by every audit below: building a cluster

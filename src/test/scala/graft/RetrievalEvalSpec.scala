@@ -37,6 +37,30 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(got.getAs[Double]("mrr") == 0.5, "min rank (2) scores, not rank 3")
   }
 
+  test("matryoshkaRecallCurve: a misleading prefix scores below full recall") {
+    import spark.implicits._
+    // query q = (1, 0, 0, 0). Full-dim nearest is A (same direction).
+    // The 2-dim prefix of B is identical to A's, but B's tail points
+    // away — at d=2 both A and B tie perfectly while at full dim only
+    // A is near. k=1: prefix search may pick B (tie on cosine breaks
+    // by id: A=1 wins) — so construct B with a BETTER prefix: B's
+    // prefix aligns more than A's.
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // A: true nearest
+      (2L, Array(1.0f, 0.0f, 0.9f, 0.9f)),   // B: perfect 2-prefix, bad tail
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))  // far everywhere
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.matryoshkaRecallCurve(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), dims = Seq(2, 4), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    assert(got(4L) == 1.0, "full-dim search against full-dim truth is exact")
+    assert(got(2L) == 0.0,
+      s"the 2-dim prefix ranks B (perfect prefix) over A: recall 0 at k=1: $got")
+  }
+
   test("crossSourceDupMatrix: canonical pairs, hand-checked rates") {
     import spark.implicits._
     // sources: A = {1, 2, 3}, B = {4, 5}
