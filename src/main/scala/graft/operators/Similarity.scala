@@ -723,6 +723,31 @@ object Similarity {
     ivfFrontEnd(corpus, corpusId, corpusVec, cellSeed,
       queries, queryId, queryVec, nprobe).cand
 
+  /** IVF over a TRUNCATED (Matryoshka-prefix) quantizer with
+    * full-dimension re-rank (C150) — the composite the C149 recall
+    * curve exists to justify: centroids, cell assignment and query
+    * probes all run on the first `prefixDims` dims (the coarse
+    * quantizer's memory and probe arithmetic drop d'/d — at 100 TB
+    * the centroid table and every probe dot shrink 4-8×), while the
+    * final candidate scoring fetches the FULL vectors — so truncation
+    * can only cost recall at the candidate-generation boundary, never
+    * final-ranking precision (the FAISS refine/rerank discipline,
+    * with MRL truncation as the coarse stage). Train the cells on the
+    * SAME slice (`ivfTrainCells` over `slice(vec, 1, prefixDims)`) —
+    * a full-dim-trained quantizer probed with truncated queries would
+    * systematically mis-probe. Cosine is scale-invariant per vector,
+    * so slices need no re-normalize. */
+  def ivfTopKTruncated(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       cellSeed: Column,
+                       queries: DataFrame, queryId: Column, queryVec: Column,
+                       prefixDims: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val cand = ivfCandidates(corpus, corpusId, slice(corpusVec, 1, prefixDims),
+      cellSeed, queries, queryId, slice(queryVec, 1, prefixDims), nprobe)
+    exactReRank(cand, corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
   /** The exact-cosine re-rank tail every candidate-generating search
     * shares (ivf / pq / ivf+pq): fetch full vectors for the candidate
     * ids only, score, keep the top k per query. */

@@ -101,10 +101,16 @@ object SimilarityQueries {
     * per-query nprobe probing (`qprobe`) — the SQL twin of
     * Similarity.ivfCandidates' front-end, shared by every IVF-family
     * oracle so the probe recipe can't drift. */
-  private def ivfProbeCtes(nprobe: Int, nq: Int): String = s"""
+  private def ivfProbeCtes(nprobe: Int, nq: Int,
+                           dim: Option[Int] = None): String = {
+    val vr = dim.map(d => s"range(0, $d)").getOrElse("range(0, len(e2.embedding))")
+    val vx = dim.map(d => s"(CAST(e2.embedding AS DOUBLE[]))[1:$d]")
+      .getOrElse("CAST(e2.embedding AS DOUBLE[])")
+    val ev = dim.map(d => s"e.v[1:$d]").getOrElse("e.v")
+    s"""
       u AS (SELECT c0.grp,
-              unnest(range(0, len(e2.embedding))) AS pos,
-              unnest(CAST(e2.embedding AS DOUBLE[])) AS x
+              unnest($vr) AS pos,
+              unnest($vx) AS x
             FROM embeddings e2 JOIN cells0 c0 ON e2.vec_id = c0.vec_id),
       cent AS (SELECT grp, pos,
                  (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
@@ -112,7 +118,7 @@ object SimilarityQueries {
                FROM u GROUP BY grp, pos),
       cvecs AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent GROUP BY grp),
       ascore AS (SELECT e.vec_id, cvecs.grp,
-                   list_cosine_similarity(e.v, cvecs.cv) AS s
+                   list_cosine_similarity($ev, cvecs.cv) AS s
                  FROM e, cvecs),
       ranked AS (SELECT vec_id, grp,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, grp) AS rn
@@ -120,6 +126,7 @@ object SimilarityQueries {
       acell AS (SELECT vec_id, grp AS cell FROM ranked WHERE rn = 1),
       qprobe AS (SELECT vec_id AS query_id, grp AS cell
                  FROM ranked WHERE vec_id < $nq AND rn <= $nprobe)"""
+  }
 
   /** The exact-re-rank tail every candidate oracle shares — `cand`
     * must hold (query_id, neighbor_id). */
@@ -142,11 +149,12 @@ object SimilarityQueries {
     * hash-seeded Lloyd cells). The tail is shared. */
   private def ivfOracleSql(cells0Ctes: String, k: Int, nprobe: Int,
                            candFilter: String = "",
-                           nq: Int = 10): String =
+                           nq: Int = 10,
+                           probeDim: Option[Int] = None): String =
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       $cells0Ctes,
-      ${ivfProbeCtes(nprobe, nq = nq)},
+      ${ivfProbeCtes(nprobe, nq = nq, dim = probeDim)},
       cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
                FROM qprobe q JOIN acell a ON a.cell = q.cell
                WHERE a.vec_id != q.query_id$candFilter),
@@ -171,16 +179,21 @@ object SimilarityQueries {
     * recipe; the chain is generated per iteration (k0 → k1 → … →
     * k`iters`) because each step's centroids depend on the previous
     * step's assignment. */
-  private[operators] def trainedCellsCtes(nlist: Int, iters: Int = 1): String = {
+  private[operators] def trainedCellsCtes(nlist: Int, iters: Int = 1,
+                                          dim: Option[Int] = None): String = {
     val init = s"""${graft.Q.sqlutil.fnvSignedCtes("t",
         "'ivf:' || CAST(vec_id AS VARCHAR)", Seq("vec_id"), "embeddings")},
       k0 AS (SELECT vec_id, ((sb % $nlist) + $nlist) % $nlist AS grp
              FROM tg)"""
     val steps = (1 to iters).map { i =>
       val p = i - 1
+      val vr = dim.map(d => s"range(0, $d)").getOrElse(s"range(0, len(e$i.embedding))")
+      val vx = dim.map(d => s"(CAST(e$i.embedding AS DOUBLE[]))[1:$d]")
+        .getOrElse(s"CAST(e$i.embedding AS DOUBLE[])")
+      val ev = dim.map(d => s"e.v[1:$d]").getOrElse("e.v")
       s"""u$i AS (SELECT k$p.grp,
-               unnest(range(0, len(e$i.embedding))) AS pos,
-               unnest(CAST(e$i.embedding AS DOUBLE[])) AS x
+               unnest($vr) AS pos,
+               unnest($vx) AS x
              FROM embeddings e$i JOIN k$p ON e$i.vec_id = k$p.vec_id),
       cent$i AS (SELECT grp, pos,
                   (CAST(SUM(CAST(trunc(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
@@ -188,7 +201,7 @@ object SimilarityQueries {
                 FROM u$i GROUP BY grp, pos),
       cv$i AS (SELECT grp, list(c ORDER BY pos) AS cv FROM cent$i GROUP BY grp),
       as$i AS (SELECT e.vec_id, cv$i.grp,
-                list_cosine_similarity(e.v, cv$i.cv) AS s
+                list_cosine_similarity($ev, cv$i.cv) AS s
               FROM e, cv$i),
       k$i AS (SELECT vec_id, grp FROM (
                    SELECT vec_id, grp,
@@ -238,6 +251,29 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
+
+  /** C150: the C149 curve's scale path made concrete — IVF trained,
+    * assigned and probed entirely on the 16-dim Matryoshka prefix,
+    * with the exact re-rank on full 64-dim vectors. The oracle is the
+    * proven trained-IVF recipe with every quantizer-side vector
+    * sliced [1:16] (probeDim/dim parameters) and the UNTOUCHED
+    * full-dim re-rank tail — parity proves truncation moved only the
+    * candidate boundary, never the scoring. */
+  val qIvfMrl = Q(
+    "qann_ivf_mrl",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cells = Similarity.ivfTrainCells(e, col("vec_id"),
+        slice(col("embedding"), 1, 16), nlist = 10, iters = 1)
+      val indexed = e.join(cells, "vec_id")
+      Similarity.ivfTopKTruncated(
+          indexed, col("vec_id"), col("embedding"), col("cell"),
+          indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          prefixDims = 16, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfOracleSql(trainedCellsCtes(nlist = 10, dim = Some(16)),
+      k = 5, nprobe = 2, probeDim = Some(16))))
 
   /** C94: k-NN graph — EVERY corpus vector is a query against the
     * trained IVF index (self excluded), yielding the neighborhood
@@ -1636,5 +1672,5 @@ object SimilarityQueries {
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
-    qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka)
+    qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

@@ -151,6 +151,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "an id-keyed candidate join against the materialized cells"),
     "qann_ivf_trained2" -> ("same bounded centroid broadcast, once per Lloyd " +
       "iteration and once in the search"),
+    "qann_ivf_mrl" -> ("the qann_ivf_trained broadcasts with the quantizer " +
+      "side sliced to the 16-dim prefix — same nlist-bounded centroid " +
+      "frames in train, assign and probe; the re-rank join is id-keyed"),
     "qdedup_semantic" -> ("the Lloyd train step's bounded centroid broadcast " +
       "(nlist rows); the within-cell pair join itself is an equi-join on cell"),
     "qvec_prototypicality" -> ("the same bounded centroid broadcast, in the " +

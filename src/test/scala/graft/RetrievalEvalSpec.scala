@@ -61,6 +61,29 @@ class RetrievalEvalSpec extends AnyFunSuite {
       s"the 2-dim prefix ranks B (perfect prefix) over A: recall 0 at k=1: $got")
   }
 
+  test("ivfTopKTruncated: truncated probe, full-dim final ranking") {
+    import spark.implicits._
+    // two cells split on the 2-dim prefix; within the query's cell the
+    // FULL-dim order disagrees with the prefix order — the re-rank
+    // must decide by full dim (B over A), proving the truncation
+    // stops at the candidate boundary
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.9f), 0L),   // A: perfect prefix, bad tail
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.05f), 0L),  // B: good prefix, right tail
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1L))  // other cell
+      .toDF("vec_id", "embedding", "cell")
+    val queries = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfTopKTruncated(
+        corpus, col("vec_id"), col("embedding"), col("cell"),
+        queries, col("vec_id"), col("embedding"),
+        prefixDims = 2, k = 1, nprobe = 1)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("neighbor_id") == 2L,
+      s"full-dim re-rank prefers B despite A's perfect 2-dim prefix: " +
+        got.mkString(","))
+  }
+
   test("crossSourceDupMatrix: canonical pairs, hand-checked rates") {
     import spark.implicits._
     // sources: A = {1, 2, 3}, B = {4, 5}
