@@ -342,7 +342,12 @@ object DropStats {
         val dst = new org.apache.hadoop.fs.Path(alarmsDir)
         val fs = dst.getFileSystem(conf)
         fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), dst): Unit
+        // a silently-failed rename would leave NO verdicts at all —
+        // fail the batch loudly so the stream surfaces it and the
+        // next trigger retries the recompute
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
+          throw new java.io.IOException(
+            s"monitor: rename $staging -> $alarmsDir failed")
       }
       .start()
   }
