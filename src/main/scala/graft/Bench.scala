@@ -88,7 +88,7 @@ object Bench {
     "qvec_standardize", "qdedup_report", "qlog_seasonal",
     "qmix_temperature75", "qpack_curriculum", "qmm_ar_buckets", "qprofile_ttr",
     "qtext_mrr", "qdedup_source_matrix", "qsample_recency", "qgraph_khop",
-    "qann_matryoshka", "qann_ivf_mrl",
+    "qann_matryoshka", "qann_ivf_mrl", "qtext_scripts", "qprofile_psi",
     "qsample_neyman", "qmix_temperature", "qpack_manifest", "qtext_rake",
     // vectors / profiling / splits / layout / multimodal / sampling / packing
     "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",

@@ -27,6 +27,48 @@ object TextFunctions {
   def tokenCountBpe(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
+  /** Per-document codepoint-class mix (C151) — the script/charset
+    * profile that runs BEFORE trigram language-ID (C8): a doc that is
+    * 40% digits is a table dump, one that is mostly non-ASCII needs a
+    * different langid model, and a code file shows a punctuation
+    * fraction prose never has. Counts ASCII letters, digits,
+    * whitespace (space/tab/CR/LF) and everything else over the
+    * codepoint stream, plus the four fractions rounded once.
+    *
+    * Exactness: classification is pure integer codepoint-range
+    * comparison (no regex — Java and RE2 classes disagree on Unicode
+    * edges; `ascii()`/`ord()` agree by definition), counts are exact,
+    * each fraction is ONE IEEE division rounded once. A zero-length
+    * doc reports zero counts and NULL fractions (no honest
+    * denominator). Scale: one codegen map pass per doc —
+    * `filter`/`size` over the char array, no explode, nothing
+    * shuffles. */
+  def charClassMix(text: Column): Column = {
+    val chars = split(text, "")
+    def cnt(pred: Column => Column): Column =
+      size(filter(chars, pred)).cast("long")
+    graft.functions.Cols.let(length(text).cast("long")) { n =>
+      val letters = cnt(c => (ascii(c) >= 65 && ascii(c) <= 90) ||
+        (ascii(c) >= 97 && ascii(c) <= 122))
+      val digits = cnt(c => ascii(c) >= 48 && ascii(c) <= 57)
+      val spaces = cnt(c => ascii(c) === 32 || ascii(c) === 9 ||
+        ascii(c) === 10 || ascii(c) === 13)
+      def frac(c: Column): Column =
+        when(n > 0, round(c.cast("double") / n.cast("double"), 6))
+      graft.functions.Cols.let(letters) { lt =>
+        graft.functions.Cols.let(digits) { dg =>
+          graft.functions.Cols.let(spaces) { sp =>
+            struct(n.as("n_chars"), lt.as("n_letters"), dg.as("n_digits"),
+              sp.as("n_spaces"), (n - lt - dg - sp).as("n_other"),
+              frac(lt).as("letter_frac"), frac(dg).as("digit_frac"),
+              frac(sp).as("space_frac"),
+              frac(n - lt - dg - sp).as("other_frac"))
+          }
+        }
+      }
+    }
+  }
+
   // --- language ID (C8) -------------------------------------------------
 
   /** Public high-frequency stopwords per language — WORD LISTS are the

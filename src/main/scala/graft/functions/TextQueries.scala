@@ -1755,6 +1755,43 @@ object TextQueries {
                / 1e6, 6) AS mrr
       FROM perq"""))
 
+  /** C151: per-doc codepoint-class mix — integer range classification
+    * only (no regex: Java and RE2 Unicode classes disagree at the
+    * edges; ord/ascii agree by definition), one codegen map pass, the
+    * four fractions each one rounded division. */
+  val qScripts = Q(
+    "qtext_scripts",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.charClassMix(col("text")).as("m"))
+        .select(col("doc_id"), col("m.*"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH ch AS (SELECT doc_id, length(text) AS n,
+              [ord(substring(text, i, 1)) FOR i IN range(1, length(text)+1)] AS cps
+            FROM documents),
+      c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+              CAST(len(list_filter(cps, x -> (x BETWEEN 65 AND 90)
+                OR (x BETWEEN 97 AND 122))) AS BIGINT) AS n_letters,
+              CAST(len(list_filter(cps, x -> x BETWEEN 48 AND 57)) AS BIGINT)
+                AS n_digits,
+              CAST(len(list_filter(cps, x -> x IN (32, 9, 10, 13))) AS BIGINT)
+                AS n_spaces
+            FROM ch)
+      SELECT doc_id, n_chars, n_letters, n_digits, n_spaces,
+             n_chars - n_letters - n_digits - n_spaces AS n_other,
+             CASE WHEN n_chars > 0
+                  THEN ROUND(CAST(n_letters AS DOUBLE) / n_chars, 6) END AS letter_frac,
+             CASE WHEN n_chars > 0
+                  THEN ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6) END AS digit_frac,
+             CASE WHEN n_chars > 0
+                  THEN ROUND(CAST(n_spaces AS DOUBLE) / n_chars, 6) END AS space_frac,
+             CASE WHEN n_chars > 0
+                  THEN ROUND(CAST(n_chars - n_letters - n_digits - n_spaces
+                    AS DOUBLE) / n_chars, 6) END AS other_frac
+      FROM c ORDER BY doc_id"""))
+
   // C82: Zipf fit — every regression sum is an exact long over
   // once-rounded micro-nat points; the closed-form slope/intercept is
   // one pinned double tree mirrored term-for-term.
@@ -1943,5 +1980,5 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
-    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr)
+    qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

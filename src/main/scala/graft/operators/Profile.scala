@@ -959,6 +959,107 @@ object Profile {
         round(col("n_pairs").cast("double") / possible, 9).as("pair_rate"))
   }
 
+  /** Population stability index between two corpus snapshots (C152;
+    * the credit-scoring drift metric, standard in every feature-drift
+    * monitor) — per group, PSI = Σ_b (p_new − p_old)·ln(p_new/p_old)
+    * over power-of-two buckets of a metric (length here; any
+    * non-negative integer feature plugs in). The operating folklore:
+    * PSI < 0.1 stable, 0.1-0.25 investigate, > 0.25 the distribution
+    * moved — the one-number sibling of [[categoryDrift]]'s per-bucket
+    * deltas. Buckets are the D11/C104 `length(bin(x)) − 1` integer
+    * recipe; counts are add-1 smoothed over the union bucket set
+    * (zero buckets otherwise put ±∞ in the sum — smoothing is the
+    * textbook fix and keeps every term finite and mirrored).
+    *
+    * Exactness: each bucket's ln rides the ratio of two exact-long
+    * products ((c_n+1)·(t_o+nb)) / ((c_o+1)·(t_n+nb)), rounded ONCE
+    * to micro-nats; the probability diff is a pinned two-division
+    * tree; the per-bucket term rounds once to 1e-9 fixed-point and
+    * the per-group sum is then an exact long — no float accumulation
+    * order anywhere (the C37 discipline).
+    *
+    * Scale shape: each snapshot collapses map-side to (group, bucket)
+    * counts; everything after runs on ≤|groups|·64-row frames. */
+  def psiByGroup(oldDf: DataFrame, newDf: DataFrame,
+                 group: Column, metric: Column): DataFrame = {
+    def counted(df: DataFrame, side: String): DataFrame =
+      df.select(group.as("source"),
+          (length(bin(greatest(metric.cast("long"), lit(1L)))) - 1)
+            .cast("long").as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    val o = counted(oldDf, "old")
+    val n = counted(newDf, "new")
+    val cells = o.join(n, Seq("source", "bucket"), "full_outer")
+      .select(col("source"), col("bucket"),
+        coalesce(col("c_old"), lit(0L)).as("co"),
+        coalesce(col("c_new"), lit(0L)).as("cn"))
+    val tots = cells.groupBy(col("source"))
+      .agg(sum(col("co")).as("to"), sum(col("cn")).as("tn"),
+        count(lit(1)).as("nb"))
+    val lnMicro = round(
+      log((col("cn") + 1).cast("double") * (col("to") + col("nb")).cast("double")
+        / ((col("co") + 1).cast("double") * (col("tn") + col("nb")).cast("double")))
+        * lit(1e6)).cast("long")
+    val diff = (col("cn") + 1).cast("double") / (col("tn") + col("nb")).cast("double") -
+      (col("co") + 1).cast("double") / (col("to") + col("nb")).cast("double")
+    cells.join(broadcast(tots), "source")
+      .select(col("source"), col("nb"),
+        round(diff * lnMicro.cast("double") * lit(1e3)).cast("long").as("term_fx"))
+      .groupBy(col("source"))
+      .agg(first(col("nb")).as("n_buckets"), sum(col("term_fx")).as("s"))
+      .select(col("source"), col("n_buckets"),
+        round(col("s").cast("double") / lit(1e9), 6).as("psi"))
+  }
+
+  /** C152 registered: PSI of the per-doc token-count distribution,
+    * even doc_ids as the "old" snapshot vs odd as the "new" — per
+    * source. The oracle replays buckets, smoothing, the once-rounded
+    * micro-nat ln, the fixed-point terms and the exact sum. */
+  val qPsi = Q(
+    "qprofile_psi",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = graft.functions.TextFunctions.tokenCountWs(col("text"))
+      Profile.psiByGroup(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+          col("source"), toks)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH sized AS (SELECT doc_id, source,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+      b AS (SELECT doc_id, source,
+              CAST(LENGTH(bin(greatest(n_tokens, 1))) - 1 AS BIGINT) AS bucket
+            FROM sized),
+      o AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS co
+            FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      nn AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cn
+             FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      cells AS (SELECT COALESCE(o.source, nn.source) AS source,
+                  COALESCE(o.bucket, nn.bucket) AS bucket,
+                  COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+                FROM o FULL OUTER JOIN nn
+                  ON o.source = nn.source AND o.bucket = nn.bucket),
+      tots AS (SELECT source, CAST(SUM(co) AS BIGINT) AS t_o,
+                 CAST(SUM(cn) AS BIGINT) AS t_n,
+                 CAST(COUNT(*) AS BIGINT) AS nb
+               FROM cells GROUP BY source),
+      terms AS (SELECT c.source, t.nb,
+                  CAST(ROUND((CAST(cn + 1 AS DOUBLE) / (t_n + nb)
+                      - CAST(co + 1 AS DOUBLE) / (t_o + nb))
+                    * CAST(CAST(ROUND(ln(CAST(cn + 1 AS DOUBLE) * (t_o + nb)
+                        / (CAST(co + 1 AS DOUBLE) * (t_n + nb))) * 1e6)
+                      AS BIGINT) AS DOUBLE)
+                    * 1e3) AS BIGINT) AS term_fx
+                FROM cells c JOIN tots t ON t.source = c.source)
+      SELECT source, CAST(MIN(nb) AS BIGINT) AS n_buckets,
+             ROUND(CAST(SUM(term_fx) AS DOUBLE) / 1e9, 6) AS psi
+      FROM terms GROUP BY source
+      ORDER BY source"""))
+
   /** C142 registered: the per-source TTR/hapax profile over the
     * documents table. The oracle recomputes the same (source, word)
     * counts and the two rounded divisions — exact longs up to the one
@@ -983,5 +1084,5 @@ object Profile {
       FROM a ORDER BY source"""))
 
   val all: Seq[Q] = Seq(qSourceSim, qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup, qTtr)
+    qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup, qTtr, qPsi)
 }
