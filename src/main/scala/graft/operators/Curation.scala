@@ -586,7 +586,9 @@ object Curation {
           .otherwise(lit(0L)))
     val weighted = aged.groupBy(col("source"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("w_e")).cast("decimal(38,0)").as("w"))
+        // accumulate in DECIMAL, not long: at maxHalfLives near the 62
+        // cap, two age-0 events (2^62 + 2^62) already wrap a long sum
+        sum(col("w_e").cast("decimal(38,0)")).cast("decimal(38,0)").as("w"))
     largestRemainder(weighted, budget)
       .select(col("source"), col("n_events"), col("alloc"))
   }

@@ -173,8 +173,10 @@ object CurationQueries {
     "qpack_curriculum",
     (s, dir) => {
       val toks = graft.functions.TextFunctions.tokenCountWs(col("text"))
-      // `div` keeps the band boundary integer-exact (Spark `/` on
-      // longs is DOUBLE division)
+      // floor(double division) is the chosen exact-in-range band cut:
+      // exact for token counts below 2^53 (a single document's
+      // whitespace token count is nowhere near that), matching the
+      // oracle's integral `// 50`
       val level = least(floor(toks.cast("long") / lit(50L)).cast("long"), lit(9L))
       Curation.curriculumStages(Tables(s, dir).documents, col("doc_id"),
           toks, level, nStages = 4)

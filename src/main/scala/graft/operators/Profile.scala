@@ -940,6 +940,10 @@ object Profile {
     val ds = docs.select(id.as("doc_id"), source.as("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = pairs
+      // the dedup-family pair contract is doc_a != doc_b; enforce it
+      // here so a degenerate self-pair in a single-doc source cannot
+      // make `possible` = 0 and the rate Infinity
+      .filter(col("doc_a") =!= col("doc_b"))
       .join(ds.select(col("doc_id").as("doc_a"), col("src").as("sa")), "doc_a")
       .join(ds.select(col("doc_id").as("doc_b"), col("src").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
@@ -973,10 +977,14 @@ object Profile {
     *
     * Exactness: each bucket's ln rides the ratio of two exact-long
     * products ((c_n+1)·(t_o+nb)) / ((c_o+1)·(t_n+nb)), rounded ONCE
-    * to micro-nats; the probability diff is a pinned two-division
-    * tree; the per-bucket term rounds once to 1e-9 fixed-point and
-    * the per-group sum is then an exact long — no float accumulation
-    * order anywhere (the C37 discipline).
+    * to micro-nats; the probability diff is two IEEE divisions and a
+    * subtraction all in UNROUNDED double space — a pinned tree, but
+    * pinned as doubles, so the diff·lnMicro product mixes a raw
+    * double with a once-rounded long before its own single 1e-9
+    * rounding (keep the oracle's term expression mirrored
+    * character-for-character if this is ever refactored); the
+    * per-group sum of the fixed-point terms is then an exact long —
+    * no float accumulation order anywhere (the C37 discipline).
     *
     * Scale shape: each snapshot collapses map-side to (group, bucket)
     * counts; everything after runs on ≤|groups|·64-row frames. */

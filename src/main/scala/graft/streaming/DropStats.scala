@@ -329,25 +329,48 @@ object DropStats {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy(col("grp"), col("bucket"))
           .agg(count(lit(1)).as("n"))
           .write.mode("append").parquet(countsDir)
         val counts = batch.sparkSession.read.parquet(countsDir)
           .groupBy(col("grp"), col("bucket")).agg(sum(col("n")).as("n"))
-        val staging = alarmsDir.stripSuffix("/") + "__staging"
+        // batchId-suffixed staging: a driver death between write and
+        // rename leaves a stale dir a LATER batch would otherwise race
+        // on / resurrect; unique names make stale staging inert (the
+        // reaper below clears our own leftovers). alarmsDir must be
+        // per-monitor and on a rename-capable filesystem (object
+        // stores copy — the delete/rename window widens there).
+        val stagingBase = alarmsDir.stripSuffix("/") + "__staging"
+        val staging = s"${stagingBase}_$batchId"
         recompute(counts)
           .write.mode("overwrite").parquet(staging)
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
         val dst = new org.apache.hadoop.fs.Path(alarmsDir)
         val fs = dst.getFileSystem(conf)
+        // clear stale staging dirs from prior crashed batches of THIS
+        // monitor (same base, different batchId)
+        val parent = dst.getParent
+        if (parent != null && fs.exists(parent)) {
+          val baseName = new org.apache.hadoop.fs.Path(stagingBase).getName
+          val curName = new org.apache.hadoop.fs.Path(staging).getName
+          fs.listStatus(parent).foreach { st =>
+            val n = st.getPath.getName
+            // compare by NAME: listStatus returns qualified URIs
+            // (file:/...), never string-equal to the raw path
+            if (n.startsWith(baseName + "_") && n != curName)
+              fs.delete(st.getPath, true)
+          }
+        }
         fs.delete(dst, true)
         // a silently-failed rename would leave NO verdicts at all —
-        // fail the batch loudly so the stream surfaces it and the
-        // next trigger retries the recompute
-        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
+        // delete our staging then fail the batch loudly so the stream
+        // surfaces it and the next trigger retries the recompute
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst)) {
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
           throw new java.io.IOException(
             s"monitor: rename $staging -> $alarmsDir failed")
+        }
       }
       .start()
   }
