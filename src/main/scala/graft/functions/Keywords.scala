@@ -965,6 +965,134 @@ object Keywords {
         array_join(col("toks"), " ").as("tokens"): _*)
   }
 
+  /** Production-vocab BPE tokenization (SURVEY.md §2.C85's documented
+    * vocabulary-JOIN formulation, now implemented — C153) — the same
+    * contract and output schema as [[bpeApply]], with NO bound on the
+    * merge-table size: a real tokenizer ships ~50k merges, far past
+    * the literal fold's 16-merge expression-depth cap.
+    *
+    * The scale decomposition trades [[bpeApply]]'s per-occurrence map
+    * work for per-DISTINCT-WORD work plus one word-keyed join back
+    * (Zipf makes that trade enormous at 100 TB: ~10⁶ distinct words
+    * carry ~10¹⁰ occurrences): (1) the merge table collapses to ONE
+    * ordered array<struct> row (array_sort on the unique `step` key —
+    * deterministic on any partitioning) and broadcast-cross-joins the
+    * distinct-word frame (1-row build side, PlanAuditSpec-allowlisted);
+    * (2) each distinct word runs the SAME native `graft_bpe_segment`
+    * kernel — per-occurrence folding and per-distinct-word folding are
+    * the same function of the word, so the two formulations are
+    * token-for-token identical (spec-proven at ≤16 merges where both
+    * run); (3) occurrences rejoin the word→tokens dictionary on the
+    * word key (the ONE string-keyed shuffle this formulation pays —
+    * AQE broadcasts the dictionary when it fits) and reassemble per
+    * doc via an array_sort on the unique occurrence position; (4) docs
+    * with zero words are recovered by an id-keyed left join back (a
+    * column-pruned second pass over (id, text) — cheaper than
+    * persisting the corpus between passes).
+    *
+    * Pre-tokenizer contract mirrors [[bpeApply]]: lowercased
+    * whitespace words; non-printable-ASCII words pass through as one
+    * atomic `word</w>` token (they are absent from the dictionary by
+    * construction — the unk-word convention); NULL/empty text reports
+    * 0 words, 0 tokens, '' stream, NULL fertility. */
+  def bpeApplyJoined(df: DataFrame, id: Column, text: Column,
+                     merges: DataFrame,
+                     carry: Seq[(String, Column)] = Nil): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    val reserved = Set("doc_id", "n_words", "n_tokens", "fertility", "tokens",
+      "ws", "toks", "pos", "word", "wtoks", "marr")
+    val clash = carry.map(_._1).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"bpeApplyJoined carry names collide with its internals: " +
+        clash.toSeq.sorted.mkString(", "))
+    // merge table → ONE ordered array row: array_sort on the struct's
+    // leading (unique) step key replays the table in step order on any
+    // partitioning; an EMPTY table still yields one row (empty array)
+    val marr = merges
+      .agg(transform(
+        array_sort(collect_list(struct(col("step"),
+          struct(col("l_sym").as("l"), col("r_sym").as("r"),
+            col("merged").as("m")).as("mg")))),
+        e => e("mg")).as("marr"))
+    val wsOf = filter(split(lower(coalesce(text, lit(""))), " "), w => w =!= "")
+    val occ = df.select(id.as("doc_id"), posexplode(wsOf).as(Seq("pos", "word")))
+    val dict = occ.select(col("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
+      .distinct()
+      .crossJoin(broadcast(marr))
+      .select(col("word"),
+        call_function("graft_bpe_segment", col("word"), col("marr")).as("wtoks"))
+    val perDoc = occ.join(dict, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        // only non-ASCII words miss the dictionary → atomic unk token
+        coalesce(col("wtoks"), array(concat(col("word"), lit("</w>")))).as("wtoks"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wtoks")))),
+        e => e("wtoks"))).as("toks"))
+    val carried = carry.map { case (n, c) => c.as(n) }
+    val carriedRefs = carry.map { case (n, _) => col(n) }
+    df.select(id.as("doc_id") +: carried :+
+        size(wsOf).cast("long").as("n_words"): _*)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id") +: carriedRefs :+ col("n_words") :+
+        when(col("toks").isNull, lit(0L))
+          .otherwise(size(col("toks")).cast("long")).as("n_tokens") :+
+        when(col("n_words") > 0,
+          round(size(col("toks")).cast("double") / col("n_words").cast("double"), 6))
+          .as("fertility") :+
+        coalesce(array_join(col("toks"), " "), lit("")).as("tokens"): _*)
+  }
+
+  /** Word-chain merge-table bootstrap (C153's table builder) — the
+    * deterministic way a WORD-LEVEL tokenizer vocabulary becomes a BPE
+    * merge table: for each of the `topWords` most frequent conforming
+    * words (count desc, word asc — integer-exact rank), emit the
+    * word's left-to-right build chain ((w₁,w₂), (w₁w₂,w₃), …,
+    * (word,</w>)), dedupe on the (l,r) pair keeping its FIRST
+    * appearance, and number the survivors in (word-rank, position)
+    * order. Applying the table greedily reproduces exactly the
+    * interactions a trained table has — an early word's chain can
+    * pre-merge a later word's interior (e.g. 'st' from a frequent
+    * word splits a rarer word into multi-char pieces), which is why
+    * the apply side must REPLAY the table, never shortcut it.
+    *
+    * Scale shape: one corpus scan into the (word, count) vocabulary,
+    * a topWords-row ordered limit, and chain explosion on that
+    * bounded frame — the rank and step windows run over ≤ topWords
+    * and ≤ topWords·maxWordLen rows respectively, never the corpus. */
+  def wordChainMerges(df: DataFrame, text: Column, topWords: Int): DataFrame = {
+    require(topWords >= 1 && topWords <= 65536,
+      s"topWords must be in [1, 65536], got $topWords")
+    val vocab = df.filter(text.isNotNull)
+      .select(explode(split(lower(text), " ")).as("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val top = vocab.orderBy(col("wc").desc, col("word")).limit(topWords)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("wc").desc, col("word"))))
+    val wlen = length(col("word"))
+    val chains = top
+      .select(col("rk"), col("word"),
+        explode(sequence(lit(1), wlen)).as("j"))
+      .select(col("rk"), col("j"),
+        when(col("j") < length(col("word")),
+          col("word").substr(lit(1), col("j"))).otherwise(col("word")).as("l_sym"),
+        when(col("j") < length(col("word")),
+          col("word").substr(col("j") + 1, lit(1))).otherwise(lit("</w>")).as("r_sym"),
+        when(col("j") < length(col("word")),
+          col("word").substr(lit(1), col("j") + 1))
+          .otherwise(concat(col("word"), lit("</w>"))).as("merged"))
+    chains
+      .withColumn("dup", row_number().over(
+        Window.partitionBy(col("l_sym"), col("r_sym"))
+          .orderBy(col("rk"), col("j"))))
+      .filter(col("dup") === 1)
+      .withColumn("step", row_number().over(
+        Window.orderBy(col("rk"), col("j"))).cast("long"))
+      .select(col("step"), col("l_sym"), col("r_sym"), col("merged"))
+  }
+
   /** Per-source tokenizer-fertility rollup (C125) — the mixture
     * diagnostic a tokenizer decision reads corpus-wide: for each
     * source, total whitespace words, total BPE tokens under the given

@@ -1439,6 +1439,131 @@ object TextQueries {
     FROM per GROUP BY source
     ORDER BY source"""))
 
+  /** Shared C153 merge-table CTE chain `vocab → topw → chains → ded →
+    * realm` (no WITH prefix: the apply oracle runs it under WITH
+    * RECURSIVE). Mirrors Keywords.wordChainMerges at topWords = 256:
+    * integer-exact (wc desc, word) rank, per-word build chains,
+    * first-appearance pair dedupe, (rank, position) step numbering. */
+  private val mergeChainCtes: String = """
+    vocab AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE regexp_matches(word, '^[\x21-\x7e]+$')
+      GROUP BY word),
+    topw AS (SELECT word, wc, ROW_NUMBER() OVER (ORDER BY wc DESC, word) AS rk
+             FROM (SELECT * FROM vocab ORDER BY wc DESC, word LIMIT 256)),
+    chains AS (
+      SELECT rk, j,
+        CASE WHEN j < length(word) THEN substring(word, 1, j) ELSE word END AS l_sym,
+        CASE WHEN j < length(word) THEN substring(word, j + 1, 1) ELSE '</w>' END AS r_sym,
+        CASE WHEN j < length(word) THEN substring(word, 1, j + 1)
+             ELSE word || '</w>' END AS merged
+      FROM (SELECT rk, word, unnest(range(1, length(word) + 1)) AS j FROM topw)),
+    ded AS (SELECT l_sym, r_sym, merged, rk, j,
+              ROW_NUMBER() OVER (PARTITION BY l_sym, r_sym ORDER BY rk, j) AS dup
+            FROM chains),
+    realm AS (SELECT l_sym, r_sym, merged,
+                CAST(ROW_NUMBER() OVER (ORDER BY rk, j) AS BIGINT) AS ord
+              FROM ded WHERE dup = 1)"""
+
+  // C153a: the word-chain merge-table bootstrap — every (step, pair,
+  // merged form) hash-gated, so the apply query's table is itself
+  // proven before it is applied.
+  val qMergeChains = Q(
+    "qtext_merge_chains",
+    (s, dir) => Keywords.wordChainMerges(
+        Tables(s, dir).documents, col("text"), topWords = 256)
+      .orderBy(col("step")),
+    Some("WITH " + mergeChainCtes + """
+    SELECT ord AS step, l_sym, r_sym, merged FROM realm ORDER BY step"""))
+
+  // C153: production-vocab BPE apply — the vocabulary-JOIN formulation
+  // at a 1024-row merge table, 64× past bpeApply's literal-fold cap.
+  // The real rows are the corpus word chains (they fire and interact:
+  // an early word's chain pre-merges a later word's interior); the
+  // inert '#k' pad rows mirror what a production 50k table looks like
+  // against any one document — mostly non-firing merges the kernel
+  // still has to scan. At 100 TB the table is a pay-once artifact you
+  // persist; here it rebuilds per run (a bounded vocab agg).
+  // The oracle REPLAYS all 1024 merges per distinct word as a
+  // recursive CTE over steps (state = (word, step, syms); one
+  // list_reduce state machine per step — the proven C69 fold), then
+  // reassembles docs via the C85 chain. Byte-exact `tokens` parity.
+  val qBpeApplyVocab = Q(
+    "qtext_bpe_apply_vocab",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val chains = Keywords.wordChainMerges(docs, col("text"), topWords = 256)
+      val nReal = chains.count() // bounded: ≤ topWords · maxWordLen rows
+      val nFill = math.max(0L, 1024L - nReal)
+      val filler = s.range(1, nFill + 1).toDF("k")
+        .select((col("k") + nReal).cast("long").as("step"),
+          concat(lit("#"), col("k").cast("string")).as("l_sym"),
+          concat(lit("#"), col("k").cast("string")).as("r_sym"),
+          concat(lit("#"), col("k").cast("string"), lit("#"),
+            col("k").cast("string")).as("merged"))
+      Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"),
+          chains.unionByName(filler))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " + mergeChainCtes + """,
+    fill AS (SELECT '#' || CAST(k AS VARCHAR) AS l_sym,
+                    '#' || CAST(k AS VARCHAR) AS r_sym,
+                    '#' || CAST(k AS VARCHAR) || '#' || CAST(k AS VARCHAR) AS merged,
+                    CAST(k AS BIGINT) AS ord
+             FROM (SELECT unnest(range(1, GREATEST(CAST(0 AS BIGINT),
+                     1024 - (SELECT COUNT(*) FROM realm)) + 1)) AS k)),
+    mt AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY grp, ord) AS BIGINT) AS step,
+             l_sym, r_sym, merged
+      FROM (SELECT 0 AS grp, ord, l_sym, r_sym, merged FROM realm
+            UNION ALL SELECT 1, ord, l_sym, r_sym, merged FROM fill)),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mt),
+    rec AS (
+      SELECT word, CAST(0 AS BIGINT) AS st,
+             list_append(regexp_extract_all(word, '(?s).'), '</w>') AS syms
+      FROM vocab
+      UNION ALL
+      SELECT word, st + 1,
+        string_split(CASE WHEN split_part(s2, chr(30), 2) = '' THEN split_part(s2, chr(30), 1)
+                          WHEN split_part(s2, chr(30), 1) = '' THEN split_part(s2, chr(30), 2)
+                          ELSE split_part(s2, chr(30), 1) || chr(31) || split_part(s2, chr(30), 2)
+                     END, chr(31)) AS syms
+      FROM (
+        SELECT r.word AS word, r.st AS st, list_reduce(list_prepend(chr(30), r.syms),
+          (acc, x) -> CASE
+            WHEN split_part(acc, chr(30), 2) = m.l_sym AND x = m.r_sym THEN
+              (CASE WHEN split_part(acc, chr(30), 1) = '' THEN m.merged
+                    ELSE split_part(acc, chr(30), 1) || chr(31) || m.merged END) || chr(30)
+            WHEN split_part(acc, chr(30), 2) = '' THEN
+              split_part(acc, chr(30), 1) || chr(30) || x
+            ELSE
+              (CASE WHEN split_part(acc, chr(30), 1) = '' THEN split_part(acc, chr(30), 2)
+                    ELSE split_part(acc, chr(30), 1) || chr(31) || split_part(acc, chr(30), 2) END)
+              || chr(30) || x
+          END) AS s2
+        FROM rec r JOIN mt m ON m.step = r.st + 1)),
+    fin AS (SELECT word, syms FROM rec WHERE st = (SELECT n FROM nm)),
+    dws AS (SELECT doc_id,
+              list_filter(string_split(lower(COALESCE(text, '')), ' '), w -> w <> '') AS ws
+            FROM documents),
+    dwi AS (SELECT doc_id, i, ws[i] AS word FROM (
+              SELECT doc_id, ws, unnest(range(1, length(ws) + 1)) AS i FROM dws)),
+    tk AS (SELECT d.doc_id, d.i, COALESCE(v.syms, [d.word || '</w>']) AS syms
+           FROM dwi d LEFT JOIN fin v ON v.word = d.word),
+    ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(length(syms)) AS BIGINT) AS n_tokens,
+                  array_to_string(flatten(list(syms ORDER BY i)), ' ') AS tokens
+           FROM tk GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           CASE WHEN a.n_words > 0
+                THEN ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END AS fertility,
+           COALESCE(a.tokens, '') AS tokens
+    FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id"""))
+
   // C126: inverted-index build at PHRASE (bigram) grain — this
   // corpus's unigram vocabulary is 31 near-ubiquitous terms (every df
   // band but one is empty), while its ~900 bigrams spread across the
@@ -1978,7 +2103,8 @@ object TextQueries {
   val all: Seq[Q] = Seq(qTokens, qLangid, qQuality, qCalibrate, qFingerprint, qTfIdf, qScrub,
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
-    qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qPplBuckets, qReadability,
+    qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
+    qBpeApplyVocab, qPplBuckets, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

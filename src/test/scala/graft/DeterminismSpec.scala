@@ -82,7 +82,12 @@ class DeterminismSpec extends AnyFunSuite {
     "qpack_curriculum", "qmm_ar_buckets", "qsample_recency", "qgraph_khop",
     "qvec_standardize", "qlog_seasonal",
     // RAKE: per-doc integral word scores summed into phrase ranks
-    "qtext_rake")
+    "qtext_rake",
+    // r13: the vocabulary-JOIN BPE apply — the collected merge array
+    // (array_sort on step), the per-doc position reassembly (array_sort
+    // on pos) and the chain builder's rank/step windows must all be
+    // partitioning-invariant for the byte-exact token stream to hold
+    "qtext_merge_chains", "qtext_bpe_apply_vocab")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

@@ -439,6 +439,94 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got.getString(4) == "ab ab ab</w>", s"got ${got.getString(4)}")
   }
 
+  test("bpeApplyJoined equals bpeApply row-for-row on a trained table (<=16 merges)") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    // the C153 formulation law: per-occurrence literal folding and
+    // per-distinct-word joined folding are the same function of the
+    // word — on the REAL corpus (unk words, repeated words, the lot)
+    val docs = Tables(spark, SparkTest.sf).documents
+    val merges = Keywords.bpeTrain(docs, col("text"), merges = 4)
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val lit16 = rows(Keywords.bpeApply(docs, col("doc_id"), col("text"), merges))
+    val joined = rows(Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"), merges))
+    assert(lit16.nonEmpty && joined == lit16)
+  }
+
+  test("bpeApplyJoined: hand segmentation, atomic unk, NULL text, empty table, carry guard") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val merges = Keywords.bpeTrain(train, col("text"), 2)
+    val docs = Seq((1L, "aaa aaaa"), (2L, "aa café"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))).toMap
+    assert(got(1L) == ((2L, 5L, Some(2.5), "aa a</w> aa aa </w>")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 3L, Some(1.5), "aa </w> café</w>")), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, None, "")), s"got ${got(3L)}")
+    // empty merge table: every word stays char+1 pieces (no NPE on the
+    // collected-empty array row)
+    val none = Keywords.bpeApplyJoined(
+      Seq((1L, "ab")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      merges.filter(col("step") < 0)).head()
+    assert(none.getString(4) == "a b </w>", s"got ${none.getString(4)}")
+    val ex = intercept[IllegalArgumentException] {
+      Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"), merges,
+        carry = Seq("wtoks" -> col("text")))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
+  test("bpeApplyJoined runs a 1000+-merge table past bpeApply's literal cap") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1 real chain + 1020 inert pad merges: the literal fold refuses,
+    // the joined formulation segments under the full table — and the
+    // firing merges still fire with 1000 dead rows around them
+    val docs = Seq((1L, "abc zz")).toDF("doc_id", "text")
+    val real = Keywords.wordChainMerges(docs, col("text"), topWords = 1)
+    val pad = spark.range(1, 1021).toDF("k")
+      .select((col("k") + 100).as("step"),
+        concat(lit("#"), col("k")).as("l_sym"),
+        concat(lit("#"), col("k")).as("r_sym"),
+        concat(lit("#"), col("k"), lit("#"), col("k")).as("merged"))
+    val table = real.unionByName(pad)
+    assert(table.count() == 1023L) // 3 chain rows for "abc" + 1020 pad
+    intercept[IllegalArgumentException] {
+      Keywords.bpeApply(docs, col("doc_id"), col("text"), table)
+    }
+    val got = Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"), table)
+      .orderBy("doc_id").head()
+    // "abc" fully merges to one token; "zz" (rank 2, no chain) stays chars
+    assert(got.getString(4) == "abc</w> z z </w>", s"got ${got.getString(4)}")
+  }
+
+  test("wordChainMerges: rank order, chain shape, first-appearance dedupe") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // vocab: ab (2 occurrences, rank 1), aba (1, rank 2). aba's (a,b)
+    // duplicates ab's chain head and must dedupe to ab's position.
+    val docs = Seq((1L, "ab aba ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Keywords.wordChainMerges(docs, col("text"), topWords = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "ab"), (2L, "ab", "</w>", "ab</w>"),
+      (3L, "ab", "a", "aba"), (4L, "aba", "</w>", "aba</w>")), s"got ${got.toSeq}")
+    // topWords cuts at the integer-exact (count desc, word asc) rank
+    val one = Keywords.wordChainMerges(docs, col("text"), topWords = 1)
+      .collect().map(_.getString(3))
+    assert(one.toSeq == Seq("ab", "ab</w>"), s"got ${one.toSeq}")
+  }
+
   test("bpeTrain stops early when the vocabulary runs out of pairs") {
     import SparkTest.spark
     import spark.implicits._

@@ -87,6 +87,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "qvec_ari" -> ("crossJoins broadcast 1-row pair-count scalar frames " +
       "(ta/tb/purity totals) onto the 1-row contingency aggregate, plus " +
       "the bounded centroid broadcast of the embedded cell training"),
+    "qtext_bpe_apply_vocab" -> ("crossJoin(broadcast(marr)) where marr is " +
+      "the 1-ROW collected merge-array frame (the whole 1024-merge table " +
+      "as one array<struct> row) joined onto the distinct-word dictionary " +
+      "frame — never the corpus; occurrences rejoin by word-keyed equi-join"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_heavyhitters" -> ("crossJoin(broadcast(total)) where total is the " +
