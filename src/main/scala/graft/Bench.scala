@@ -91,8 +91,9 @@ object Bench {
     "qann_matryoshka", "qann_ivf_mrl", "qtext_scripts", "qprofile_psi",
     "qsample_neyman", "qmix_temperature", "qpack_manifest", "qtext_rake",
     // round-13 additions: production-vocab BPE apply (the 1024-merge
-    // vocabulary-JOIN formulation) and its merge-table bootstrap
-    "qtext_merge_chains", "qtext_bpe_apply_vocab",
+    // vocabulary-JOIN formulation), its merge-table bootstrap, and the
+    // quantile-cut perplexity buckets
+    "qtext_merge_chains", "qtext_bpe_apply_vocab", "qtext_ppl_quantile",
     // vectors / profiling / splits / layout / multimodal / sampling / packing
     "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",
     "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",

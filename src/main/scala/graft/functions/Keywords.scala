@@ -776,14 +776,14 @@ object Keywords {
     *
     * Cut derivation: thirds of the [min, max] score RANGE via exact
     * integer lerp — one 1-row scalar fetch (the z-order stats idiom),
-    * then the labeling is a pure map-side when-chain. A production
-    * deployment would derive cuts from an offline QUANTILE job against
-    * a held-out sample (range-thirds are sensitive to outlier docs);
-    * the operator keeps the cut policy in one place so that swap is a
-    * two-line change — and range cuts keep the whole operator exactly
-    * reproducible cross-engine, which a float-interpolated quantile
-    * cut would not be. Zero-token docs are 'unscored': no sentinel
-    * score is an honest probability for "nothing to score".
+    * then the labeling is a pure map-side when-chain. Range cuts keep
+    * the whole operator exactly reproducible cross-engine (the driver
+    * oracle rides this path); they are also sensitive to outlier docs
+    * — ONE extreme score drags both cuts toward it and empties a
+    * bucket. The 100 TB production path is [[pplBucketsQuantile]]:
+    * same output contract, cuts at the score distribution's own
+    * tertiles. Zero-token docs are 'unscored': no sentinel score is
+    * an honest probability for "nothing to score".
     */
   def pplBuckets(df: DataFrame, id: Column, text: Column): DataFrame = {
     val scored = unigramLogProb(df, id, text)
@@ -805,6 +805,57 @@ object Keywords {
       when(col("lp_mean_micro").isNull, lit("unscored"))
         .when(col("lp_mean_micro") >= c2, lit("head"))
         .when(col("lp_mean_micro") >= c1, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** [[pplBuckets]] with QUANTILE cuts (C70's 100 TB cut policy) —
+    * same scoring, same output contract, but the head/middle/tail
+    * boundaries sit at the score distribution's own tertiles
+    * (`approx_percentile` at 1/3 and 2/3) instead of range thirds,
+    * so ONE outlier document can no longer drag both cuts toward it
+    * and empty a bucket: on a skewed corpus the buckets hold ~equal
+    * DOC COUNTS, which is what CCNet's train-on-head/audit-middle/
+    * drop-tail recipe actually wants (Wenzek et al. 2020 cut on
+    * perplexity terciles, not range).
+    *
+    * The cuts come from Spark's Greenwald-Khanna sketch over the
+    * integer micro-nat scores — returned values are ACTUAL corpus
+    * scores within `accuracy`-bounded rank error (exact on inputs
+    * smaller than `accuracy`), so the label chain still compares
+    * exact integers; only the cut SELECTION is approximate. That
+    * makes this the q10b/no_oracle discipline: registered and
+    * driver-exercised but not hash-gated — the spec pins it to the
+    * exact ECDF tertiles on fixtures where the sketch is exact, and
+    * [[pplBuckets]] keeps the byte-exact oracle coverage of the
+    * shared scoring chain.
+    *
+    * Scale shape: identical to [[pplBuckets]] except the 1-row stats
+    * fetch is the sketch aggregate (map-side partials, mergeable —
+    * one pass, no sort, no window); labeling stays a map-side
+    * when-chain. */
+  def pplBucketsQuantile(df: DataFrame, id: Column, text: Column,
+                         accuracy: Int = 100000): DataFrame = {
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val scored = unigramLogProb(df, id, text)
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0, expr("lp_micro_sum div n_tokens"))
+          .as("lp_mean_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts = scored
+      .agg(percentile_approx(col("lp_mean_micro"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cs"))
+      .collect()(0)
+    // empty corpus / all-unscored: the sketch sees no values — every
+    // row (if any) is honestly 'unscored'
+    if (cuts.isNullAt(0))
+      return scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),
+        lit("unscored").as("bucket"))
+    val cs = cuts.getSeq[Long](0)
+    val (c1, c2) = (cs(0), cs(1))
+    scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),
+      when(col("lp_mean_micro").isNull, lit("unscored"))
+        .when(col("lp_mean_micro") > c2, lit("head"))
+        .when(col("lp_mean_micro") > c1, lit("middle"))
         .otherwise(lit("tail")).as("bucket"))
   }
 

@@ -1245,6 +1245,21 @@ object TextQueries {
   // micro-nat mean (lp_sum div n_tokens; `div`/`//` both truncate
   // toward zero), cuts = exact integer thirds of the [min, max] range
   // computed in a 1-row CTE. Extends the green C37 oracle chain.
+  // C70b: the quantile-cut bucket policy — the 100 TB path (range
+  // thirds misbucket skewed score distributions; tertile cuts hold
+  // ~equal doc counts). Approximate cut SELECTION by construction →
+  // no DuckDB oracle (the q10b discipline: driver records rows-only);
+  // KeywordsSpec pins it to the exact ECDF tertiles on fixtures where
+  // the sketch is exact, and qtext_ppl_bucket keeps the byte-exact
+  // oracle on the shared scoring chain.
+  val qPplQuantile = Q(
+    "qtext_ppl_quantile",
+    (s, dir) =>
+      Keywords.pplBucketsQuantile(Tables(s, dir).documents,
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id")),
+    None)
+
   val qPplBuckets = Q(
     "qtext_ppl_bucket",
     (s, dir) =>
@@ -2104,7 +2119,7 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
-    qBpeApplyVocab, qPplBuckets, qReadability,
+    qBpeApplyVocab, qPplBuckets, qPplQuantile, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

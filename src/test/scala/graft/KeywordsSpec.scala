@@ -280,6 +280,47 @@ class KeywordsSpec extends AnyFunSuite {
     assert(got(5L) == ((None, "unscored")), s"got ${got(5L)}")
   }
 
+  test("pplBucketsQuantile: exact ECDF tertiles on a skewed corpus where range cuts misbucket") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc j = its own word repeated f_j times → lp_mean(doc j) =
+    // round(1e6·ln(f_j / total)): nine DISTINCT scores with one
+    // high-frequency outlier (f=100) far above the pack (f=1..8)
+    val fs = Seq(1, 2, 3, 4, 5, 6, 7, 8, 100)
+    val docs = fs.zipWithIndex.map { case (f, i) =>
+      ((i + 1).toLong, Seq.fill(f)(s"w$i").mkString(" "))
+    } :+ ((100L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val got = Keywords.pplBucketsQuantile(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(got.find(_._1 == 100L).get._3 == "unscored")
+    val scored = got.filter(_._1 != 100L).map(t => (t._2.get, t._3))
+    // pin against the exact ECDF: tertile cuts are the rank-3 and
+    // rank-6 ELEMENTS of the 9 sorted scores; labels are strict-above
+    val sorted = scored.map(_._1).sorted
+    val (c1, c2) = (sorted(2), sorted(5))
+    for ((s, b) <- scored) {
+      val want = if (s > c2) "head" else if (s > c1) "middle" else "tail"
+      assert(b == want, s"score $s: got $b, want $want (cuts $c1/$c2)")
+    }
+    // 3/3/3 by construction — the property range cuts LOSE here:
+    val qCounts = scored.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(qCounts == Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"got $qCounts")
+    val rCounts = Keywords.pplBuckets(df, col("doc_id"), col("text"))
+      .collect().filter(!_.isNullAt(2))
+      .groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(rCounts.getOrElse("head", 0) == 1,
+      s"range cuts should isolate the outlier as the lone head doc, got $rCounts")
+    // empty / all-unscored corpus: no cuts, honestly 'unscored'
+    val none = Keywords.pplBucketsQuantile(
+      Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .collect().map(_.getString(3)).toSet
+    assert(none == Set("unscored"), s"got $none")
+  }
+
   test("bpeApply: hand-computed segmentation, fertility, atomic unk words, NULL text") {
     import SparkTest.spark
     import spark.implicits._
