@@ -42,7 +42,12 @@ object TextFunctions {
     * doc reports zero counts and NULL fractions (no honest
     * denominator). Scale: one codegen map pass per doc —
     * `filter`/`size` over the char array, no explode, nothing
-    * shuffles. */
+    * shuffles. The single-`aggregate` fold (one scan, all classes in
+    * a struct accumulator) was A/B'd solo at sf0.1 and is NOT faster:
+    * fold 3.15/3.26 s vs filter 2.66/3.14 s across repeated runs —
+    * the per-element struct allocation in the interpreted HOF lambda
+    * costs more than three extra vectorized filter passes, so the
+    * four-pass form stays. */
   def charClassMix(text: Column): Column = {
     val chars = split(text, "")
     def cnt(pred: Column => Column): Column =
