@@ -990,14 +990,26 @@ object Profile {
     * counts; everything after runs on ≤|groups|·64-row frames. */
   def psiByGroup(oldDf: DataFrame, newDf: DataFrame,
                  group: Column, metric: Column): DataFrame = {
-    def counted(df: DataFrame, side: String): DataFrame =
+    def counted(df: DataFrame): DataFrame =
       df.select(group.as("source"),
           (length(bin(greatest(metric.cast("long"), lit(1L)))) - 1)
             .cast("long").as("bucket"))
         .groupBy(col("source"), col("bucket"))
-        .agg(count(lit(1)).as(s"c_$side"))
-    val o = counted(oldDf, "old")
-    val n = counted(newDf, "new")
+        .agg(count(lit(1)).as("n"))
+    psiOverCounts(counted(oldDf), counted(newDf))
+  }
+
+  /** [[psiByGroup]] over two already-counted `(source, bucket, n)`
+    * frames — the form the STREAMING drift monitor recomputes per
+    * micro-batch (the A16/C18 `...OverCounts` discipline): the
+    * reference window's counts are a pinned table, the live side is
+    * the monitor's accumulated partial-count table. ONE definition of
+    * the smoothing / micro-nat / fixed-point term tree, shared with
+    * the batch operator, so the monitor and the oracle-gated path can
+    * never diverge. */
+  def psiOverCounts(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val o = oldCounts.select(col("source"), col("bucket"), col("n").as("c_old"))
+    val n = newCounts.select(col("source"), col("bucket"), col("n").as("c_new"))
     val cells = o.join(n, Seq("source", "bucket"), "full_outer")
       .select(col("source"), col("bucket"),
         coalesce(col("c_old"), lit(0L)).as("co"),

@@ -299,6 +299,57 @@ object DropStats {
     startCountMonitor(spark, inputDir, checkpointDir, countsDir, alarmsDir,
       deployEnv, bucketSeconds)(seasonalResidualsOverCounts(_, lag, k))
 
+  /** The per-line (grp, bucket) projection the PSI drift monitor
+    * persists: app × power-of-two LINE-LENGTH bucket (C152's
+    * `length(bin(x)) − 1` integer recipe over the raw line). Line
+    * length is the cheapest per-line distribution with real failure
+    * modes behind it — a format change, a runaway stack-trace app, a
+    * payload-shape migration all move it — and unlike the rate
+    * detectors it needs NO parseable timestamp: unparseable garbage
+    * lines still have a length, and their drift is exactly what the
+    * monitor should see (they land in `_UNKNOWN_`'s group). ONE
+    * definition shared by the monitor and its batch twin. */
+  private[graft] def psiLineBuckets(lines: DataFrame, deployEnv: String): DataFrame =
+    LogColumns.enhance(lines, col("value"), deployEnv)
+      .select(col("container_app").as("grp"),
+        (length(bin(greatest(length(col("rawlog")).cast("long"), lit(1L)))) - 1)
+          .cast("long").as("bucket"))
+
+  /** Batch side of the PSI monitor's twin law — the accumulated
+    * `(grp, bucket, n)` count frame over a batch of raw lines; also
+    * how a REFERENCE window becomes the pinned counts table
+    * [[startPsiMonitor]] compares against (run it over a healthy
+    * window, write the result to `refCountsDir`). */
+  def psiIngestCounts(lines: DataFrame, deployEnv: String): DataFrame =
+    psiLineBuckets(lines, deployEnv)
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Streaming PSI drift monitor (C152 streaming; completes D14/C152's
+    * drift story at INGEST): tail the log stream, maintain the
+    * (app, length-bucket) partial-count table — the same raw-lines-
+    * never-persist plumbing as the rate monitors, with a VALUE bucket
+    * instead of a time bucket — and after every micro-batch recompute
+    * each app's PSI against the pinned reference-window counts at
+    * `refCountsDir` into `alarmsDir` as `(grp, n_buckets, psi)`.
+    * Read the verdicts with the C152 folklore (< 0.1 stable, 0.1-0.25
+    * investigate, > 0.25 moved). Output after N files ≡
+    * `Profile.psiOverCounts(ref, psiIngestCounts(those N files))`
+    * (spec-pinned, incl. checkpoint resume) — the smoothing/micro-nat/
+    * fixed-point tree is psiByGroup's single definition, so the
+    * monitor inherits the oracle-gated exactness. */
+  def startPsiMonitor(spark: SparkSession, inputDir: String,
+                      checkpointDir: String, countsDir: String,
+                      alarmsDir: String, deployEnv: String,
+                      refCountsDir: String): StreamingQuery =
+    startBucketMonitor(spark, inputDir, checkpointDir, countsDir, alarmsDir)(
+      psiLineBuckets(_, deployEnv)) { counts =>
+      val ref = counts.sparkSession.read.parquet(refCountsDir)
+        .select(col("grp").as("source"), col("bucket"), col("n"))
+      graft.operators.Profile.psiOverCounts(ref,
+          counts.select(col("grp").as("source"), col("bucket"), col("n")))
+        .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    }
+
   /** The shared monitor plumbing all three anomaly detectors ride:
     * tail `inputDir`, collapse each micro-batch map-side to
     * (grp, bucket) partial counts appended to `countsDir` (raw lines
@@ -316,15 +367,30 @@ object DropStats {
                                 bucketSeconds: Long)
                                (recompute: DataFrame => DataFrame): StreamingQuery = {
     require(bucketSeconds >= 1, s"bucketSeconds must be positive, got $bucketSeconds")
+    startBucketMonitor(spark, inputDir, checkpointDir, countsDir, alarmsDir) {
+      lines =>
+        LogColumns.enhance(lines, col("value"), deployEnv)
+          // an unparseable timestamp has no bucket to drift in — dropping
+          // beats a NULL bucket silently heading every group's series
+          .filter(col("timestamp").isNotNull)
+          .select(col("container_app").as("grp"),
+            expr(s"unix_seconds(timestamp) div $bucketSeconds").as("bucket"))
+    }(recompute)
+  }
+
+  /** The (grp, bucket)-agnostic layer under [[startCountMonitor]]:
+    * `prep` maps the raw line frame to one (grp, bucket) row per line
+    * — a TIME bucket for the rate detectors, a VALUE bucket for the
+    * distribution-drift monitor — and everything downstream (partial-
+    * count appends, full recompute, staged rename) is shared. */
+  private def startBucketMonitor(spark: SparkSession, inputDir: String,
+                                 checkpointDir: String, countsDir: String,
+                                 alarmsDir: String)
+                                (prep: DataFrame => DataFrame)
+                                (recompute: DataFrame => DataFrame): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
     val lines = spark.readStream.text(inputDir)
-    val parsed = LogColumns.enhance(lines, col("value"), deployEnv)
-    parsed
-      // an unparseable timestamp has no bucket to drift in — dropping
-      // beats a NULL bucket silently heading every group's series
-      .filter(col("timestamp").isNotNull)
-      .select(col("container_app").as("grp"),
-        expr(s"unix_seconds(timestamp) div $bucketSeconds").as("bucket"))
+    prep(lines)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

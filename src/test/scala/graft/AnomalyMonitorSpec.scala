@@ -61,6 +61,59 @@ class AnomalyMonitorSpec extends AnyFunSuite {
     assert(canon(after) == canon(twin))
   }
 
+  test("psi monitor == psiOverCounts batch twin across a resume; drifted app moves") {
+    val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
+    val refIn = tmp(); val refCounts = tmp() + "/ref"
+    // reference window: both apps emit short lines (one length bucket)
+    def padded(from: Int, until: Int, perApp: Map[String, Int], pad: Map[String, Int]) =
+      for {
+        m <- from until until
+        (app, n) <- perApp.toSeq.sortBy(_._1)
+        i <- 0 until n
+      } yield {
+        val ts = f"2024-01-01T${m / 60}%02d:${m % 60}%02d:${i % 60}%02d+00:00"
+        s"$ts host-1 production--$app/arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-$m[$m]: " +
+          s"""{"title":"t$m${"x" * pad.getOrElse(app, 0)}","level":"info"}"""
+      }
+    Files.write(Paths.get(refIn, "ref.log"),
+      padded(0, 10, Map("app0" -> 4, "app1" -> 4), Map.empty).asJava)
+    DropStats.psiIngestCounts(spark.read.text(refIn), "production")
+      .write.parquet(refCounts)
+
+    // live phase 1: same shape as the reference -> PSI ~ 0 everywhere
+    Files.write(Paths.get(in, "p1.log"),
+      padded(10, 20, Map("app0" -> 4, "app1" -> 4), Map.empty).asJava)
+    DropStats.startPsiMonitor(spark, in, ck, counts, alarms,
+      "production", refCounts).awaitTermination()
+    val calm = spark.read.parquet(alarms)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(calm.keySet == Set("app0", "app1"), s"got ${calm.keySet}")
+    assert(calm.values.forall(_ < 0.1), s"same-shape window must read stable: $calm")
+
+    // live phase 2: app1's lines grow ~256 chars (a new length bucket);
+    // the monitor resumes from the checkpoint and sees only the new file
+    Files.write(Paths.get(in, "p2.log"),
+      padded(20, 30, Map("app0" -> 4, "app1" -> 4), Map("app1" -> 256)).asJava)
+    DropStats.startPsiMonitor(spark, in, ck, counts, alarms,
+      "production", refCounts).awaitTermination()
+    val after = spark.read.parquet(alarms)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(after("app0") < 0.1, s"undrifted app stays stable: $after")
+    assert(after("app1") > 0.25, s"half of app1's mass moved buckets: $after")
+
+    // the twin law: monitor output after N files == psiOverCounts over
+    // the pinned reference and those N files' ingest counts
+    val twin = graft.operators.Profile.psiOverCounts(
+        spark.read.parquet(refCounts)
+          .select(col("grp").as("source"), col("bucket"), col("n")),
+        DropStats.psiIngestCounts(spark.read.text(in), "production")
+          .select(col("grp").as("source"), col("bucket"), col("n")))
+      .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect().toSeq
+    assert(canon(spark.read.parquet(alarms)) == canon(twin))
+  }
+
   test("seasonal monitor == seasonalResiduals batch twin across a resume") {
     val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
     // season = 12 one-minute buckets (a single outlier among nb
