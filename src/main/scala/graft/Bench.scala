@@ -92,8 +92,9 @@ object Bench {
     "qsample_neyman", "qmix_temperature", "qpack_manifest", "qtext_rake",
     // round-13 additions: production-vocab BPE apply (the 1024-merge
     // vocabulary-JOIN formulation), its merge-table bootstrap, and the
-    // quantile-cut perplexity buckets
+    // quantile-cut perplexity buckets, and the typed k-hop leakage pair
     "qtext_merge_chains", "qtext_bpe_apply_vocab", "qtext_ppl_quantile",
+    "qgraph_khop_typed", "qgraph_khop_leakage",
     // vectors / profiling / splits / layout / multimodal / sampling / packing
     "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",
     "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",

@@ -863,6 +863,69 @@ object Graph {
     dist.select(col("id").as("node_id"), col("dist"))
   }
 
+  /** [[kHopDistances]] with a PER-HOP edge-label mask (C148b) — the
+    * typed-frontier question leakage audits actually ask: not "is
+    * this eval doc within 2 hops of training" but "within 2 hops
+    * THROUGH WHICH edge types" (doc→domain→doc, never doc→author→doc).
+    * `hopLabels(h-1)` is the set of edge labels hop h may traverse;
+    * dist(x) = the minimum h such that some path reaches x whose i-th
+    * edge's label ∈ hopLabels(i-1).
+    *
+    * The plain-BFS anti-join is INVALID here and deliberately absent:
+    * in C148, a node reached at hop h₁ never needs re-expansion at
+    * h₂ > h₁ because any continuation through it is no shorter — but
+    * with per-hop masks the continuation LANGUAGE differs by hop
+    * index, so a node must expand at every hop it is reachable at.
+    * The state space is therefore (id, hop) — each round's frontier
+    * is the exact-h reachable set (distinct; ≤|V| rows), the output
+    * is min dist per node. Same shuffle bill as C148 (k node-keyed
+    * shuffles of (long, long) rows, checkpoint-truncated per round);
+    * the hop masks filter the edge side BEFORE the join, so each
+    * round joins only the labels it may use. Unreached nodes are
+    * ABSENT (honest absence). With every mask equal to the full label
+    * set this reduces exactly to [[kHopDistances]] (spec-pinned). */
+  def kHopDistancesLabeled(edges: DataFrame, src: Column, dst: Column,
+                           label: Column, seeds: DataFrame, seedId: Column,
+                           hopLabels: Seq[Seq[String]],
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(hopLabels.nonEmpty && hopLabels.size <= 64,
+      s"hopLabels must give 1..64 hops, got ${hopLabels.size}")
+    require(hopLabels.forall(_.nonEmpty),
+      "every hop needs a non-empty label mask (an empty mask is an " +
+        "unreachable hop — cut the sequence there instead)")
+    val und0 = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"),
+        label.cast("string").as("lbl"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d") && col("lbl").isNotNull)
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"), col("lbl"))
+      .distinct()
+    val und = und0.select(col("a").as("u"), col("b").as("v"), col("lbl"))
+      .unionAll(und0.select(col("b").as("u"), col("a").as("v"), col("lbl")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = graft.operators.Curation.truncateLineage(
+      seeds.select(seedId.cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L)),
+      checkpointDir)
+    var states = frontier
+    var h = 1
+    while (h <= hopLabels.size && !frontier.isEmpty) {
+      val mask = hopLabels(h - 1)
+      val next = graft.operators.Curation.truncateLineage(
+        frontier.join(und.filter(col("lbl").isin(mask: _*)),
+            col("id") === col("u"))
+          .select(col("v").as("id")).distinct()
+          .withColumn("dist", lit(h.toLong)),
+        checkpointDir)
+      states = graft.operators.Curation.truncateLineage(
+        states.unionByName(next), checkpointDir)
+      frontier = next
+      h += 1
+    }
+    states.groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      .select(col("id").as("node_id"), col("dist"))
+  }
+
   /** C148 registered: 4-hop BFS from the doc%10 seed set over the
     * shared two-family edge fixture — directly comparable to
     * qgraph_ppr's decayed mass on the same seeds. Oracle: recursive
@@ -896,6 +959,89 @@ object Graph {
       SELECT id AS node_id, CAST(MIN(dist) AS BIGINT) AS dist
       FROM r GROUP BY id
       ORDER BY node_id"""))
+
+  /** Shared C148b oracle chain: labeled canonical edges ('hub' =
+    * doc→doc%50, 'tree' = doc→doc÷2), the per-hop allowed-label VALUES
+    * table (hop 1 hub-only, hop 2 tree-only, hop 3 both), train-split
+    * seeds, and the (id, dist) state recursion with the label
+    * predicate IN the join — UNION set semantics bounds the states at
+    * |V|·(k+1). Ends at CTE `ld` = min feasible hop per node. */
+  private val khopLabeledCtes: String = """
+      WITH RECURSIVE eraw AS (
+        SELECT doc_id AS src, doc_id % 50 AS dst, 'hub' AS lbl FROM documents
+        UNION ALL
+        SELECT doc_id AS src, doc_id // 2 AS dst, 'tree' AS lbl FROM documents),
+      eu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, lbl
+             FROM eraw WHERE src <> dst),
+      e AS (SELECT a AS u, b AS v, lbl FROM eu UNION ALL SELECT b, a, lbl FROM eu),
+      allowed AS (SELECT * FROM (VALUES (1, 'hub'), (2, 'tree'),
+                                        (3, 'hub'), (3, 'tree')) t(hop, lbl)),
+      seeds AS (SELECT DISTINCT doc_id AS id FROM documents
+                WHERE doc_id % 10 = 0 AND doc_id % 5 < 3),
+      r AS (SELECT id, 0 AS dist FROM seeds
+            UNION
+            SELECT e.v AS id, r.dist + 1 AS dist
+            FROM r JOIN e ON e.u = r.id
+                   JOIN allowed al ON al.hop = r.dist + 1 AND al.lbl = e.lbl
+            WHERE r.dist < 3),
+      ld AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY id)"""
+
+  // C148b registered: 3 typed hops (hub, then tree, then either) from
+  // the TRAIN-split members of the doc%10 seed set — per-node minimum
+  // feasible hop, every row hash-gated.
+  val qKhopTyped = Q(
+    "qgraph_khop_typed",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"), lit("hub").as("lbl"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst"), lit("tree").as("lbl")))
+      val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0 &&
+        pmod(col("doc_id"), lit(5L)) < 3)
+      kHopDistancesLabeled(edges, col("src"), col("dst"), col("lbl"),
+          seeds, col("doc_id"),
+          hopLabels = Seq(Seq("hub"), Seq("tree"), Seq("hub", "tree")))
+        .orderBy(col("node_id"))
+    },
+    Some(khopLabeledCtes + """
+      SELECT id AS node_id, dist FROM ld ORDER BY node_id"""))
+
+  /** C148b composed with the C116 leakage-audit read: the same typed
+    * reach, rolled up to (split, dist) — how many eval/val docs sit
+    * within each feasible typed hop of the train seeds. Off-train
+    * rows at small dist ARE the leakage exposure (the C116 question
+    * asked of hop structure instead of a dedup pair frame). */
+  val qKhopLeakage = Q(
+    "qgraph_khop_leakage",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id"), lit(50L)).as("dst"), lit("hub").as("lbl"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("doc_id div 2").as("dst"), lit("tree").as("lbl")))
+      val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0 &&
+        pmod(col("doc_id"), lit(5L)) < 3)
+      val reach = kHopDistancesLabeled(edges, col("src"), col("dst"), col("lbl"),
+        seeds, col("doc_id"),
+        hopLabels = Seq(Seq("hub"), Seq("tree"), Seq("hub", "tree")))
+      val split = when(pmod(col("doc_id"), lit(5L)) === 4, lit("eval"))
+        .when(pmod(col("doc_id"), lit(5L)) === 3, lit("val"))
+        .otherwise(lit("train"))
+      reach.join(Tables(s, dir).documents.select(col("doc_id"), split.as("split")),
+          col("node_id") === col("doc_id"))
+        .groupBy(col("split"), col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("split"), col("dist"))
+    },
+    Some(khopLabeledCtes + """
+      SELECT (CASE WHEN d.doc_id % 5 = 4 THEN 'eval'
+                   WHEN d.doc_id % 5 = 3 THEN 'val'
+                   ELSE 'train' END) AS split,
+             ld.dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM ld JOIN documents d ON d.doc_id = ld.id
+      GROUP BY 1, 2
+      ORDER BY split, dist"""))
 
   /** Log₂-bucketed degree distribution (SURVEY.md §2.C104) — the
     * power-law audit every link-graph consumer runs first: a web
@@ -1306,5 +1452,6 @@ object Graph {
       ORDER BY community"""))
 
   val all: Seq[Q] = Seq(qPageRank, qHits, qLabelProp, qTriangles, qKCore, qPpr,
-    qDegrees, qAssortativity, qCoreness, qModularity, qKhop)
+    qDegrees, qAssortativity, qCoreness, qModularity, qKhop,
+    qKhopTyped, qKhopLeakage)
 }

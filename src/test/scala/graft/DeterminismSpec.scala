@@ -86,8 +86,10 @@ class DeterminismSpec extends AnyFunSuite {
     // r13: the vocabulary-JOIN BPE apply — the collected merge array
     // (array_sort on step), the per-doc position reassembly (array_sort
     // on pos) and the chain builder's rank/step windows must all be
-    // partitioning-invariant for the byte-exact token stream to hold
-    "qtext_merge_chains", "qtext_bpe_apply_vocab")
+    // partitioning-invariant for the byte-exact token stream to hold;
+    // the typed BFS runs hop-indexed set states with a min-dist agg —
+    // set semantics must make it partitioning-invariant like C148
+    "qtext_merge_chains", "qtext_bpe_apply_vocab", "qgraph_khop_typed")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

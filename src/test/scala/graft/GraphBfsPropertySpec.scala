@@ -60,6 +60,84 @@ class GraphBfsPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Hop-indexed reference BFS under per-hop label masks: state is
+    * (node, hop) — NO visited-set pruning, because later hops speak a
+    * different label language. */
+  private def refLabeledBfs(edges: Seq[(Long, Long, String)], seeds: Seq[Long],
+                            masks: Seq[Set[String]]): Map[Long, Long] = {
+    val und = edges.filter { case (a, b, _) => a != b }
+      .flatMap { case (a, b, l) => Seq((a, b, l), (b, a, l)) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    var h = 0
+    while (h < masks.size && frontier.nonEmpty) {
+      val next = frontier.flatMap(u => und.getOrElse(u, Nil))
+        .collect { case (v, l) if masks(h)(l) => v }
+      dist = dist ++ next.filterNot(dist.contains).map(_ -> (h + 1L))
+      frontier = next
+      h += 1
+    }
+    dist
+  }
+
+  private val labeledGen: Gen[(Seq[(Long, Long, String)], Seq[Long], Seq[Set[String]])] =
+    for {
+      n <- Gen.chooseNum(4, 20)
+      m <- Gen.chooseNum(3, 40)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L),
+        Gen.chooseNum(0L, n - 1L), Gen.oneOf("x", "y", "z")))
+      nSeeds <- Gen.chooseNum(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.chooseNum(0L, n - 1L))
+      k <- Gen.chooseNum(1, 4)
+      masks <- Gen.listOfN(k, Gen.someOf("x", "y", "z").map(_.toSet)
+        .suchThat(_.nonEmpty))
+    } yield (edges, seeds.distinct, masks)
+
+  test("kHopDistancesLabeled equals the hop-indexed reference on arbitrary graphs") {
+    for (((edges, seeds, masks), i) <-
+           sample(labeledGen, seed = 43L, n = 5).zipWithIndex) {
+      val got = Graph.kHopDistancesLabeled(edges.toDF("s", "d", "l"),
+          col("s"), col("d"), col("l"), seeds.toDF("id"), col("id"),
+          masks.map(_.toSeq.sorted))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLabeledBfs(edges, seeds, masks),
+        s"case $i: edges=$edges seeds=$seeds masks=$masks")
+    }
+  }
+
+  test("kHopDistancesLabeled with full masks reduces to kHopDistances") {
+    for (((edges, seeds, k), i) <- sample(graphGen, seed = 47L, n = 3).zipWithIndex) {
+      val lbl = edges.map { case (a, b) => (a, b, if ((a + b) % 2 == 0) "x" else "y") }
+      val full = Graph.kHopDistancesLabeled(lbl.toDF("s", "d", "l"),
+          col("s"), col("d"), col("l"), seeds.toDF("id"), col("id"),
+          Seq.fill(k)(Seq("x", "y")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plain = Graph.kHopDistances(edges.toDF("s", "d"), col("s"), col("d"),
+          seeds.toDF("id"), col("id"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(full == plain, s"case $i: edges=$edges seeds=$seeds k=$k")
+    }
+  }
+
+  test("kHopDistancesLabeled re-expands an already-reached node at a later hop") {
+    // path 1 -x- 2 -y- 3; node 2 is ALSO a seed. An anti-joined BFS
+    // would never expand 2 at hop 2 (it is labeled at dist 0), losing
+    // 3; hop-indexed states must find 3 at dist 2 via seed 1.
+    val edges = Seq((1L, 2L, "x"), (2L, 3L, "y"))
+    val got = Graph.kHopDistancesLabeled(edges.toDF("s", "d", "l"),
+        col("s"), col("d"), col("l"), Seq(1L, 2L).toDF("id"), col("id"),
+        Seq(Seq("x"), Seq("y")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 2L), s"got $got")
+    // and the mask genuinely blocks: y-only on hop 1 reaches nothing new
+    val blocked = Graph.kHopDistancesLabeled(edges.toDF("s", "d", "l"),
+        col("s"), col("d"), col("l"), Seq(1L).toDF("id"), col("id"),
+        Seq(Seq("y")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blocked == Map(1L -> 0L), s"got $blocked")
+  }
+
   test("psiByGroup is non-negative on arbitrary snapshot pairs") {
     val snapGen: Gen[(Seq[Long], Seq[Long])] = for {
       a <- Gen.chooseNum(2, 15); b <- Gen.chooseNum(2, 15)

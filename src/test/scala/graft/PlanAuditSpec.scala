@@ -174,6 +174,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "query's crossJoin(broadcast(total)) — the 1-row token-count total " +
       "onto the vocab frame, never the corpus; the bucket stage itself is " +
       "a collected 2-scalar cut plus a map-side when-chain"),
+    "qtext_ppl_quantile" -> ("the same embedded qtext_unigram_lp " +
+      "crossJoin(broadcast(total)) as qtext_ppl_bucket — the 1-row " +
+      "token-count total onto the vocab frame; the quantile cut is a " +
+      "collected 2-element sketch scalar plus a map-side when-chain"),
     "qprofile_drift" -> ("crossJoin(broadcast(tot)) where tot is the 1-row " +
       "(tot_old, tot_new) sum over the ~10²-row category frame — both sides " +
       "bounded by category cardinality, never corpus-sized"),
