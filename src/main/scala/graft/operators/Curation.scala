@@ -325,6 +325,55 @@ object Curation {
       when(ts.isNull, lit(null).cast("string")).otherwise(label))
   }
 
+  /** [[splitByTime]] with QUANTILE-derived boundaries (C66b; the
+    * "offline quantile job" splitByTime's scaladoc delegates cut
+    * derivation to, as a real entry point) — `splits` are (label,
+    * percent) summing to 100 in temporal order, the last label the
+    * future tail: cuts land at the timestamp DISTRIBUTION's own
+    * cumulative fractions, so a burst-heavy corpus still yields
+    * ~80/10/10 BY ROW COUNT where range fractions of [min, max] would
+    * hand nearly everything to one window (one far-future event drags
+    * a range cut past the whole corpus). Cut = the sketch's quantile
+    * element + 1, so `ts < cut` keeps every row at or below that
+    * element on the earlier side (exact ECDF behavior where the
+    * sketch is exact — spec-pinned).
+    *
+    * Approximate cut SELECTION (Greenwald-Khanna, rank error bounded
+    * by `accuracy`) → the q10b/no_oracle discipline; labeling is
+    * still [[splitByTime]]'s exact integer when-chain, NULL
+    * timestamps still get a NULL split. A label whose quantile ties
+    * the previous cut covers zero rows (point-mass distributions) —
+    * its cut is dropped and the rows flow to the next label, honest
+    * rather than a strictly-increasing require failure. Scale shape:
+    * one mergeable one-pass sketch aggregate (no sort, no window),
+    * then the map-side when-chain. */
+  def splitByTimeQuantile(df: DataFrame, ts: Column,
+                          splits: Seq[(String, Int)],
+                          accuracy: Int = 100000): DataFrame = {
+    require(splits.size >= 2,
+      s"need at least two splits (the last is the tail window), got $splits")
+    require(splits.map(_._2).sum == 100, s"split pcts must sum to 100, got $splits")
+    require(splits.forall(_._2 > 0), s"split pcts must be positive, got $splits")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val fracs = splits.map(_._2).scanLeft(0)(_ + _).tail.dropRight(1)
+    val qs = df
+      .agg(percentile_approx(ts.cast("long"),
+        array(fracs.map(f => lit(f / 100.0)): _*), lit(accuracy)).as("qs"))
+      .head()
+    // empty / all-NULL frame: no distribution to cut — every dated row
+    // would be a contradiction (there are none); undated rows keep
+    // their NULL split through the delegate
+    if (qs.isNullAt(0))
+      return splitByTime(df, ts, Seq(splits.head._1 -> Long.MinValue),
+        tailLabel = splits.last._1)
+    val cutVals = qs.getSeq[Long](0)
+    val inc = splits.dropRight(1).map(_._1).zip(cutVals.map(_ + 1L))
+      .foldLeft(Vector.empty[(String, Long)]) { case (acc, (n, c)) =>
+        if (acc.nonEmpty && c <= acc.last._2) acc else acc :+ (n -> c)
+      }
+    splitByTime(df, ts, inc, tailLabel = splits.last._1)
+  }
+
   /** Exact stratified split (C123): within every stratum (source,
     * lang, …) EXACTLY floor(n_src · valNum/valDen) rows go to `val`,
     * the rest to `train` — the split a small-or-skewed-strata corpus

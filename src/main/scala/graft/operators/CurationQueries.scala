@@ -1129,6 +1129,26 @@ object CurationQueries {
     * float interpolation order). The boundary derivation is a 1-row
     * min/max scalar fetch (the zorder stats idiom), never a corpus
     * collect; the split itself is a map-side when-chain. */
+  // C66b: the quantile-cut temporal split — the 100 TB boundary
+  // policy (range fractions of [min, max] hand a burst-heavy corpus's
+  // whole row mass to one window). Approximate cut selection → no
+  // DuckDB oracle (the q10b discipline: driver records rows-only);
+  // CurationSpec pins the cuts to the exact ECDF on a skewed fixture
+  // and the tie/NULL/empty contracts.
+  val qSplitTemporalQ = Q(
+    "qsplit_temporal_q",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(expr("ts div 1000").as("ts_us"))
+      Curation.splitByTimeQuantile(ev, col("ts_us"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy(col("split"))
+    },
+    None)
+
   val qSplitTemporal = Q(
     "qsplit_temporal",
     (s, dir) => {
@@ -1598,7 +1618,8 @@ object CurationQueries {
     qClustersStar, qApply, qApplyBest, qPackShards, qPackSequences,
     qPackLengthBuckets, qSourceCap, qMixApply, qPipeline,
     qContam, qSplit, qSplitClustered, qSampleBudget, qPreprocess, qMixPlan,
-    qCorpusDiff, qSplitTemporal, qRecipe, qSoftDedup, qBlocklist, qSampleWeighted,
+    qCorpusDiff, qSplitTemporal, qSplitTemporalQ, qRecipe, qSoftDedup,
+    qBlocklist, qSampleWeighted,
     qSampleWeightedGroup, qDsir, qDsirSample, qContamSem, qContamSpans,
     qContamRm, qPackEpoch, qSplitLeakage, qSplitLeakageCl, qCorpusPatch,
     qSplitStratified, qDedupReport, qNeyman, qMixTemperature,

@@ -842,6 +842,48 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile temporal split: exact ECDF on a skewed fixture where range cuts fail") {
+    import spark.implicits._
+    // 9 dense early timestamps + one far-future burst: range-fraction
+    // cuts at min + 0.8/0.9·span (800/900) would put ALL ten rows in
+    // train; quantile cuts must split 8/1/1 by row count
+    val df = ((1L to 9L) :+ 1000L).toDF("ts")
+    val got = Curation.splitByTimeQuantile(df, col("ts"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact ECDF: q(0.8) element = 8, q(0.9) = 9; cut = element + 1,
+    // so rows <= the quantile element land on the earlier side
+    assert(got == ((1L to 8L).map(_ -> "train") ++
+      Seq(9L -> "val", 1000L -> "test")).toMap, s"got $got")
+
+    // point-mass distribution: tied quantile cuts drop honestly — the
+    // middle label covers zero rows, everything below the single cut
+    // is train, nothing is stranded
+    val mass = Seq.fill(6)(5L).toDF("ts")
+    val tied = Curation.splitByTimeQuantile(mass, col("ts"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(_.getString(1))
+    assert(tied.forall(_ == "train"), s"got ${tied.toSeq}")
+
+    // NULL ts keeps the splitByTime NULL contract; all-NULL frames
+    // produce no dated labels at all
+    val withNull = Seq(Some(3L), Some(4L), None).toDF("ts")
+    val ns = Curation.splitByTimeQuantile(withNull, col("ts"),
+        Seq("train" -> 50, "test" -> 50))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(ns(None) == None && ns(Some(3L)) == Some("train"), s"got $ns")
+    val allNull = Curation.splitByTimeQuantile(
+        Seq[Option[Long]](None, None).toDF("ts"), col("ts"),
+        Seq("train" -> 80, "test" -> 20))
+      .collect().map(r => r.isNullAt(1))
+    assert(allNull.forall(identity), "all-NULL frame: every split is NULL")
+
+    intercept[IllegalArgumentException] {
+      Curation.splitByTimeQuantile(df, col("ts"), Seq("only" -> 100))
+    }
+  }
+
   test("integrity profile counts orphans, matches, and duplicate ids") {
     import spark.implicits._
     // left: 1 2 2 3 — dup id 2, orphan 3; right: 1 2 4 4 — dup id 4, orphan 4
