@@ -1147,6 +1147,114 @@ object Similarity {
       queries, queryId, queryVec, k, shortlist)
   }
 
+  // --- C154: binary quantization (1-bit Hamming) ---------------------------
+
+  /** 1-bit binary-quantization train (C154; the rung below [[sqTopK]]'s
+    * SQ8 on the compression ladder — 32× smaller than float32, the
+    * 2024 embedding-DB default for the first-pass scan): the
+    * per-dimension threshold is the corpus MEAN, carried as exact
+    * integers — (d, s, n) with s = Σ round(x_d·1e6) and n the corpus
+    * count, so bit d of any vector is `round(x_d·1e6)·n > s_d`
+    * (multiply through by n: the mean never materializes as a float —
+    * the arBuckets all-integer argmin trick — and the bit is identical
+    * in any engine). Long bound: |x|·1e6·n overflows past n·|x| ≈
+    * 9·10¹²; swap the sum to decimal(38,0) past that (the C37 rule). */
+  def bqTrain(corpus: DataFrame, id: Column, vec: Column): DataFrame =
+    corpus.select(vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(posexplode(transform(col("v"),
+        x => round(x * lit(1e6)).cast("long"))).as(Seq("d", "xfx")))
+      .groupBy(col("d"))
+      .agg(sum(col("xfx")).as("s"), count(lit(1)).as("n"))
+
+  /** 1-row dense (ss, ns) threshold arrays ordered by dimension — the
+    * bounded broadcast the encode stage crossJoins (the sqStatsRow
+    * class). */
+  private def bqStatsRow(stats: DataFrame): DataFrame =
+    stats.agg(array_sort(collect_list(
+        struct(col("d"), col("s"), col("n")))).as("t"))
+      .select(transform(col("t"), e => e("s")).as("ss"),
+        transform(col("t"), e => e("n")).as("ns"))
+
+  /** Threshold + pack over a frame carrying `ss`/`ns`: bit d =
+    * vfx_d·n > s_d, packed 32 bits per long word (NOT 64: the fold is
+    * `acc·2 + bit`, and a set bit 63 would wrap the long silently in
+    * Spark while DuckDB's checked BIGINT multiply ERRORS — 32-bit
+    * words keep every intermediate positive and exact in both). Word
+    * order and bit significance are fold order — both sides pack
+    * identically, which is all Hamming needs. */
+  private def bqWordsExpr(v: Column): Column =
+    graft.functions.Cols.let(
+      transform(v, (x, i) =>
+        when(round(x * lit(1e6)).cast("long") * element_at(col("ns"), i + 1) >
+          element_at(col("ss"), i + 1), lit(1L)).otherwise(lit(0L)))) { bits =>
+      transform(
+        sequence(lit(0), ((size(bits) + lit(31)) / lit(32)).cast("int") - 1),
+        w => aggregate(slice(bits, w * 32 + 1, lit(32)), lit(0L),
+          (acc, b) => acc * 2 + b))
+    }
+
+  /** Binary codes for a frame under trained thresholds: `(vec_id,
+    * codes)` with codes = array of ⌈d/32⌉ longs. One codegen map pass
+    * over a bounded 1-row stats broadcast; NULL vectors excluded (the
+    * bruteTopK contract). */
+  def bqEncode(df: DataFrame, id: Column, vec: Column,
+               stats: DataFrame): DataFrame =
+    df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .crossJoin(broadcast(bqStatsRow(stats)))
+      .select(col("vec_id"), bqWordsExpr(col("v")).as("codes"))
+
+  /** Pay-once BQ index build: (stats, codes) — persist both as parquet
+    * and search any later query batch without touching corpus vectors
+    * until the re-rank (the sqIndex discipline). */
+  def bqIndex(corpus: DataFrame, id: Column,
+              vec: Column): (DataFrame, DataFrame) = {
+    val stats = bqTrain(corpus, id, vec)
+    (stats, bqEncode(corpus, id, vec, stats))
+  }
+
+  /** BQ ANN search against a prebuilt [[bqIndex]]: Hamming-distance
+    * shortlist over the packed words → exact cosine re-rank. The
+    * approximate stage reads ⌈d/32⌉ longs per corpus row (32× less
+    * than float32 vectors) and scores with xor + bit_count — exact
+    * INTEGER distances, so unlike the SQ/PQ float scores the shortlist
+    * boundary needs no quantization discipline at all; ties break on
+    * neighbor id. Queries encode under the SAME corpus thresholds.
+    * With `shortlist ≥ |corpus| − 1` the result EQUALS [[bruteTopK]]
+    * (spec-pinned). */
+  def bqTopKAgainstIndex(stats: DataFrame, codes: DataFrame,
+                         corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                         queries: DataFrame, queryId: Column, queryVec: Column,
+                         k: Int, shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("d", "s", "n").forall(stats.columns.contains),
+      s"stats frame must carry (d, s, n); got ${stats.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    val qc = bqEncode(queries, queryId, queryVec, stats)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(qc), col("neighbor_id") =!= col("query_id"))
+      // approx = NEGATED Hamming so the shared shortlist's desc order
+      // ranks nearest-first
+      .withColumn("approx",
+        -aggregate(zip_with(col("codes"), col("qcodes"),
+          (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, t) => acc + t))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Inline BQ top-k: train → encode → search in one call. */
+  def bqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             k: Int, shortlist: Int): DataFrame = {
+    val (stats, codes) = bqIndex(corpus, corpusId, corpusVec)
+    bqTopKAgainstIndex(stats, codes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, shortlist)
+  }
+
   /** IVF+PQ composed search (the FAISS-style index architecture,
     * complete): the coarse quantizer's probed cells bound WHICH
     * vectors are scored, the product quantizer's codes bound WHAT is

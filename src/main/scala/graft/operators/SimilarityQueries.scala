@@ -1034,6 +1034,64 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** C154: 1-bit binary-quantized ANN under a full algorithm-parity
+    * oracle: the per-dim integer mean thresholds (order-independent
+    * exact sums), the multiply-through-by-n bit rule, the 32-bit fold
+    * packing, the xor+bit_count Hamming shortlist (exact INTEGERS —
+    * the one approximate scan in this module whose shortlist boundary
+    * needs no float-quantization discipline) and the exact re-rank
+    * are mirrored term-for-term; the re-rank tail is qann_sq's proven
+    * formulation. */
+  val qBq = Q(
+    "qann_bq",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.bqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      fx AS (SELECT vec_id,
+               [CAST(ROUND(v[i] * 1000000) AS BIGINT) FOR i IN range(1, len(v)+1)] AS vfx
+             FROM e),
+      st AS (SELECT i AS d, CAST(SUM(vfx[i]) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM fx, UNNEST(range(1, len(vfx)+1)) u(i) GROUP BY i),
+      sr AS (SELECT list(s ORDER BY d) AS ss, list(n ORDER BY d) AS ns FROM st),
+      bits AS (SELECT f.vec_id,
+                 [CASE WHEN f.vfx[i] * sr.ns[i] > sr.ss[i] THEN 1 ELSE 0 END
+                  FOR i IN range(1, len(f.vfx)+1)] AS b
+               FROM fx f, sr),
+      words AS (SELECT vec_id,
+                  [list_reduce(list_prepend(CAST(0 AS BIGINT), b[(w-1)*32+1 : (w-1)*32+32]),
+                     (acc, x) -> acc * 2 + x)
+                   FOR w IN range(1, CAST(ceil(len(b)/32.0) AS INT)+1)] AS cw
+                FROM bits),
+      qw AS (SELECT vec_id AS query_id, cw AS qcw FROM words WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum([bit_count(xor(c.cw[i], q.qcw[i]))
+                     FOR i IN range(1, len(c.cw)+1)]) AS BIGINT) AS hm
+                 FROM words c JOIN qw q ON c.vec_id != q.query_id),
+      sl AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hm ASC, neighbor_id) AS srn
+               FROM scored) t WHERE srn <= 50),
+      q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+      rr AS (SELECT sl.query_id, sl.neighbor_id,
+               list_cosine_similarity(c.v, qq.v) AS cos
+             FROM sl JOIN e c ON c.vec_id = sl.neighbor_id
+                   JOIN q qq ON qq.vec_id = sl.query_id),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+              ROUND(cos, 4) AS cosine
+            FROM rr)
+      SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
     * synthetic blob takes), integer gray averaging, the 64 dHash bit
@@ -1670,7 +1728,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qRecall, qRecallCurve, qDecode,
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

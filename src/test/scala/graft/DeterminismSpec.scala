@@ -88,8 +88,11 @@ class DeterminismSpec extends AnyFunSuite {
     // on pos) and the chain builder's rank/step windows must all be
     // partitioning-invariant for the byte-exact token stream to hold;
     // the typed BFS runs hop-indexed set states with a min-dist agg —
-    // set semantics must make it partitioning-invariant like C148
-    "qtext_merge_chains", "qtext_bpe_apply_vocab", "qgraph_khop_typed")
+    // set semantics must make it partitioning-invariant like C148;
+    // BQ's threshold sums are map-side long partials in any order and
+    // its Hamming shortlist boundary is exact integers — prove both
+    "qtext_merge_chains", "qtext_bpe_apply_vocab", "qgraph_khop_typed",
+    "qann_bq")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()

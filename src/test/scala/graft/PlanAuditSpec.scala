@@ -107,6 +107,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "table onto the codes frame and the bounded query set for scoring (the " +
       "qann_brute_topk shape); corpus rows carry byte codes, never vectors, " +
       "until the shortlist-only exact re-rank"),
+    "qann_bq" -> ("the BQ crossJoins broadcast a 1-row per-dim threshold " +
+      "table onto the codes frame and the bounded query set for the Hamming " +
+      "scan (the qann_sq shape); corpus rows carry ceil(d/32) packed longs, " +
+      "never vectors, until the shortlist-only exact re-rank"),
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),

@@ -546,6 +546,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getLong(1) == 3L, s"nearest to (1,5) among (1,-3),(1,0) is (1,0); got $top")
   }
 
+  test("BQ: full shortlist equals bruteTopK; bit/pack hand fixture; index round-trip") {
+    import spark.implicits._
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val qset = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+
+    // shortlist >= corpus-1 => the exact re-rank sees every candidate
+    val brute = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5).collect().map(_.toString).sorted
+    val full = Similarity.bqTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5, shortlist = n).collect()
+      .map(_.toString).sorted
+    assert(full.toSeq == brute.toSeq, "full-shortlist BQ must equal bruteTopK")
+
+    // hand fixture: 3 vectors, 2 dims. Dim sums: s1 = (1+3+5)e6 = 9e6,
+    // s2 = (4+2+0)e6 = 6e6, n = 3. Bits (x*3e6 > s): v1 = (3e6>9e6 → 0,
+    // 12e6>6e6 → 1) = [0,1]; v2 = (9e6, 6e6 → 0,0); v3 = (15e6>9e6 → 1,
+    // 0 → 0). One 32-bit word per vector via acc*2+bit: 01b=1, 00b=0,
+    // 10b=2.
+    val tiny = Seq((1L, Seq(1.0f, 4.0f)), (2L, Seq(3.0f, 2.0f)),
+      (3L, Seq(5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (ts, tc) = Similarity.bqIndex(tiny, col("vec_id"), col("embedding"))
+    val codes = tc.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes == Map(1L -> Seq(1L), 2L -> Seq(0L), 3L -> Seq(2L)),
+      s"got $codes")
+
+    // index round-trip: parquet-materialized search == inline
+    val dir = java.nio.file.Files.createTempDirectory("bqidx").toString
+    val (stats, bcodes) = Similarity.bqIndex(e, col("vec_id"), col("embedding"))
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    bcodes.write.mode("overwrite").parquet(s"$dir/codes")
+    val inline = Similarity.bqTopKAgainstIndex(stats, bcodes,
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, shortlist = 32).collect().map(_.toString).sorted
+    val rt = Similarity.bqTopKAgainstIndex(
+      spark.read.parquet(s"$dir/stats"), spark.read.parquet(s"$dir/codes"),
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, shortlist = 32).collect().map(_.toString).sorted
+    assert(rt.toSeq == inline.toSeq, "parquet round-trip must equal inline search")
+    assert(Similarity.bqEncode(e, col("vec_id"), col("embedding"), stats)
+      .select(size(col("codes"))).head().getInt(0) == 2,
+      "64 dims must pack into 2 32-bit words")
+    // a frame missing its contract columns fails fast, not silently
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bqTopKAgainstIndex(bcodes, bcodes, e, col("vec_id"),
+        col("embedding"), qset, col("vec_id"), col("embedding"), 5, 32)
+    }
+    assert(ex.getMessage.contains("stats frame must carry"))
+  }
+
   test("annRecall: self is 1.0, disjoint is 0.0, partial counts exactly") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
