@@ -1042,17 +1042,9 @@ object SimilarityQueries {
     * needs no float-quantization discipline) and the exact re-rank
     * are mirrored term-for-term; the re-rank tail is qann_sq's proven
     * formulation. */
-  val qBq = Q(
-    "qann_bq",
-    (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      Similarity.bqTopK(
-          e, col("vec_id"), col("embedding"),
-          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-          k = 5, shortlist = 50)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""
+  /** The C154 oracle chain at a given shortlist — shared by the main
+    * query (50) and the recall gate's tighter leg (20). */
+  private def bqOracleSql(shortlist: Int): String = s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
                  WHERE embedding IS NOT NULL),
       fx AS (SELECT vec_id,
@@ -1079,7 +1071,7 @@ object SimilarityQueries {
       sl AS (SELECT query_id, neighbor_id FROM (
                SELECT query_id, neighbor_id,
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hm ASC, neighbor_id) AS srn
-               FROM scored) t WHERE srn <= 50),
+               FROM scored) t WHERE srn <= $shortlist),
       q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
       rr AS (SELECT sl.query_id, sl.neighbor_id,
                list_cosine_similarity(c.v, qq.v) AS cos
@@ -1090,7 +1082,48 @@ object SimilarityQueries {
               ROUND(cos, 4) AS cosine
             FROM rr)
       SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""
+
+  val qBq = Q(
+    "qann_bq",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.bqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bqOracleSql(50)))
+
+  /** C154b: the BQ recall gate — recall@5 of the Hamming shortlist at
+    * a TIGHT shortlist (20 of 500) against the brute truth: the
+    * decision table for how small the 32×-cheaper first pass can cut
+    * before precision pays. Composes the two proven oracle chains
+    * (each referenced once — the CTE-inlining discipline). */
+  val qBqRecall = Q(
+    "qann_bq_recall",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val qset = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"), k = 5)
+      val res = Similarity.bqTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+        k = 5, shortlist = 20)
+      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
+           res AS (SELECT query_id, neighbor_id FROM (${bqOracleSql(20)}) tr)
+      SELECT t.query_id,
+        CAST(COUNT(*) AS BIGINT) AS truth_n,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+      FROM truth t LEFT JOIN res r
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+      ORDER BY t.query_id"""))
 
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
@@ -1728,7 +1761,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qRecall, qRecallCurve, qDecode,
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

@@ -111,6 +111,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "table onto the codes frame and the bounded query set for the Hamming " +
       "scan (the qann_sq shape); corpus rows carry ceil(d/32) packed longs, " +
       "never vectors, until the shortlist-only exact re-rank"),
+    "qann_bq_recall" -> ("EMBEDS qann_brute_topk as its truth side and " +
+      "qann_bq as its result side — the same bounded 1-row threshold and " +
+      "query-set broadcasts; the recall join itself is an exact " +
+      "(query, neighbor) equi-join over two queries×k frames"),
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),
