@@ -1037,9 +1037,10 @@ object Keywords {
     * word key (the ONE string-keyed shuffle this formulation pays —
     * AQE broadcasts the dictionary when it fits) and reassemble per
     * doc via an array_sort on the unique occurrence position; (4) docs
-    * with zero words are recovered by an id-keyed left join back (a
-    * column-pruned second pass over (id, text) — cheaper than
-    * persisting the corpus between passes).
+    * with zero words are recovered by an id-keyed left join back whose
+    * scan reads ONLY (id, carry) — `n_words` is the occurrence count
+    * the reassembly aggregation already carries, so the fat text
+    * column is never read a third time.
     *
     * Pre-tokenizer contract mirrors [[bpeApply]]: lowercased
     * whitespace words; non-printable-ASCII words pass through as one
@@ -1051,7 +1052,7 @@ object Keywords {
                      carry: Seq[(String, Column)] = Nil): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val reserved = Set("doc_id", "n_words", "n_tokens", "fertility", "tokens",
-      "ws", "toks", "pos", "word", "wtoks", "marr")
+      "ws", "toks", "pos", "word", "wtoks", "marr", "nw")
     val clash = carry.map(_._1).toSet.intersect(reserved)
     require(clash.isEmpty,
       s"bpeApplyJoined carry names collide with its internals: " +
@@ -1078,19 +1079,20 @@ object Keywords {
         // only non-ASCII words miss the dictionary → atomic unk token
         coalesce(col("wtoks"), array(concat(col("word"), lit("</w>")))).as("wtoks"))
       .groupBy(col("doc_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"), col("wtoks")))),
-        e => e("wtoks"))).as("toks"))
+      .agg(count(lit(1)).as("nw"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("wtoks")))),
+          e => e("wtoks"))).as("toks"))
     val carried = carry.map { case (n, c) => c.as(n) }
     val carriedRefs = carry.map { case (n, _) => col(n) }
-    df.select(id.as("doc_id") +: carried :+
-        size(wsOf).cast("long").as("n_words"): _*)
+    df.select(id.as("doc_id") +: carried: _*)
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id") +: carriedRefs :+ col("n_words") :+
+      .select(col("doc_id") +: carriedRefs :+
+        coalesce(col("nw"), lit(0L)).as("n_words") :+
         when(col("toks").isNull, lit(0L))
           .otherwise(size(col("toks")).cast("long")).as("n_tokens") :+
-        when(col("n_words") > 0,
-          round(size(col("toks")).cast("double") / col("n_words").cast("double"), 6))
+        when(col("nw") > 0,
+          round(size(col("toks")).cast("double") / col("nw").cast("double"), 6))
           .as("fertility") :+
         coalesce(array_join(col("toks"), " "), lit("")).as("tokens"): _*)
   }
