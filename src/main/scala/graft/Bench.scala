@@ -95,7 +95,7 @@ object Bench {
     // quantile-cut perplexity buckets, and the typed k-hop leakage pair
     "qtext_merge_chains", "qtext_bpe_apply_vocab", "qtext_ppl_quantile",
     "qgraph_khop_typed", "qgraph_khop_leakage", "qsplit_temporal_q",
-    "qann_bq", "qann_bq_recall",
+    "qann_bq", "qann_bq_recall", "qtext_fertility_vocab",
     // vectors / profiling / splits / layout / multimodal / sampling / packing
     "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",
     "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",

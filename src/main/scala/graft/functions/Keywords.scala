@@ -1163,7 +1163,22 @@ object Keywords {
     * NULL (nothing was tokenized), never 0 or a division error. */
   def fertilityBySource(df: DataFrame, id: Column, text: Column,
                         source: Column, merges: DataFrame): DataFrame =
-    bpeApply(df, id, text, merges, carry = Seq("source" -> source))
+    fertilityRollup(bpeApply(df, id, text, merges,
+      carry = Seq("source" -> source)))
+
+  /** [[fertilityBySource]] under a PRODUCTION-SIZE merge table
+    * (C125b): the same rollup over [[bpeApplyJoined]] — `source` rides
+    * the carry columns through the codegen stages AND the id-keyed
+    * zero-word recovery join, so no corpus join-back recovers it in
+    * this formulation either. One rollup definition shared with the
+    * literal path — a fertility fix can't diverge them. */
+  def fertilityBySourceJoined(df: DataFrame, id: Column, text: Column,
+                              source: Column, merges: DataFrame): DataFrame =
+    fertilityRollup(bpeApplyJoined(df, id, text, merges,
+      carry = Seq("source" -> source)))
+
+  private def fertilityRollup(applied: DataFrame): DataFrame =
+    applied
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),

@@ -1522,7 +1522,20 @@ object TextQueries {
           chains.unionByName(filler))
         .orderBy(col("doc_id"))
     },
-    Some("WITH RECURSIVE " + mergeChainCtes + """,
+    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes + """
+    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           CASE WHEN a.n_words > 0
+                THEN ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END AS fertility,
+           COALESCE(a.tokens, '') AS tokens
+    FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id"""))
+
+  /** The C153 per-doc tokenization chain under the 1024-row vocab
+    * table (fill → mt → 1024-step recursive replay → per-doc `ag`),
+    * shared by the apply and production-fertility oracles — one chain,
+    * two consumers, a replay fix can't diverge them. */
+  private def bpeVocabTokCtes: String = """,
     fill AS (SELECT '#' || CAST(k AS VARCHAR) AS l_sym,
                     '#' || CAST(k AS VARCHAR) AS r_sym,
                     '#' || CAST(k AS VARCHAR) || '#' || CAST(k AS VARCHAR) AS merged,
@@ -1570,14 +1583,44 @@ object TextQueries {
     ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
                   CAST(SUM(length(syms)) AS BIGINT) AS n_tokens,
                   array_to_string(flatten(list(syms ORDER BY i)), ' ') AS tokens
-           FROM tk GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
-           COALESCE(a.n_tokens, 0) AS n_tokens,
-           CASE WHEN a.n_words > 0
-                THEN ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END AS fertility,
-           COALESCE(a.tokens, '') AS tokens
-    FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
-    ORDER BY d.doc_id"""))
+           FROM tk GROUP BY doc_id)"""
+
+  // C125b: per-source fertility under the PRODUCTION-vocab table — the
+  // C125 rollup inheriting C153's joined formulation (and exercising
+  // bpeApplyJoined's carry path at driver level: `source` rides the
+  // codegen stages and the id-keyed recovery join, no corpus
+  // join-back). Oracle = the shared replay chain + the proven C125
+  // rollup; the chain is referenced once (CTE-inlining discipline).
+  val qFertilityVocab = Q(
+    "qtext_fertility_vocab",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val chains = Keywords.wordChainMerges(docs, col("text"), topWords = 256)
+      val nReal = chains.count()
+      val nFill = math.max(0L, 1024L - nReal)
+      val filler = s.range(1, nFill + 1).toDF("k")
+        .select((col("k") + nReal).cast("long").as("step"),
+          concat(lit("#"), col("k").cast("string")).as("l_sym"),
+          concat(lit("#"), col("k").cast("string")).as("r_sym"),
+          concat(lit("#"), col("k").cast("string"), lit("#"),
+            col("k").cast("string")).as("merged"))
+      Keywords.fertilityBySourceJoined(docs, col("doc_id"), col("text"),
+          col("source"), chains.unionByName(filler))
+        .orderBy(col("source"))
+    },
+    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes + """,
+    per AS (SELECT d.doc_id, d.source,
+              COALESCE(a.n_words, 0) AS n_words,
+              COALESCE(a.n_tokens, 0) AS n_tokens
+            FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(n_words) > 0
+                THEN ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6)
+           END AS fertility
+    FROM per GROUP BY source
+    ORDER BY source"""))
 
   // C126: inverted-index build at PHRASE (bigram) grain — this
   // corpus's unigram vocabulary is 31 near-ubiquitous terms (every df
@@ -2119,7 +2162,7 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
-    qBpeApplyVocab, qPplBuckets, qPplQuantile, qReadability,
+    qBpeApplyVocab, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

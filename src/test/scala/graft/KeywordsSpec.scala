@@ -463,6 +463,27 @@ class KeywordsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("collide"))
   }
 
+  test("fertilityBySourceJoined equals fertilityBySource row-for-row; carry rides the recovery join") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val merges = Keywords.bpeTrain(train, col("text"), 2)
+    // srcB's only doc is zero-word: its source must survive the
+    // id-keyed recovery join (the carry path the joined formulation
+    // alone exercises)
+    val docs = Seq((1L, "aaa aaaa", "srcA"), (2L, "aa", "srcA"), (3L, "", "srcB"))
+      .toDF("doc_id", "text", "source")
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("source").collect().map(_.toSeq).toSeq
+    val lit16 = rows(Keywords.fertilityBySource(docs, col("doc_id"), col("text"),
+      col("source"), merges))
+    val joined = rows(Keywords.fertilityBySourceJoined(docs, col("doc_id"),
+      col("text"), col("source"), merges))
+    assert(lit16.nonEmpty && joined == lit16)
+    assert(joined.map(_.head).toSet == Set("srcA", "srcB"))
+  }
+
   private def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
 
   test("bpeApply merge order matters: later merges see earlier merges' symbols") {

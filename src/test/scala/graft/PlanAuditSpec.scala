@@ -91,6 +91,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 1-ROW collected merge-array frame (the whole 1024-merge table " +
       "as one array<struct> row) joined onto the distinct-word dictionary " +
       "frame — never the corpus; occurrences rejoin by word-keyed equi-join"),
+    "qtext_fertility_vocab" -> ("embeds qtext_bpe_apply_vocab's joined " +
+      "formulation, so it inherits the same 1-row merge-array " +
+      "crossJoin(broadcast(marr)) onto the distinct-word frame; the " +
+      "rollup itself is one source-keyed map-side-combined aggregation"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_heavyhitters" -> ("crossJoin(broadcast(total)) where total is the " +
