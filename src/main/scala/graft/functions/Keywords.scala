@@ -784,6 +784,20 @@ object Keywords {
     * same output contract, cuts at the score distribution's own
     * tertiles. Zero-token docs are 'unscored': no sentinel score is
     * an honest probability for "nothing to score".
+    *
+    * Boundary inclusion: the range cuts label with `>=` (a score
+    * EXACTLY at a cut lands in the UPPER bucket) while
+    * [[pplBucketsQuantile]] labels strictly `>` against its sketch
+    * cut elements (an exact-cut score lands in the LOWER bucket) —
+    * the quantile cuts are actual corpus scores, and "the cut element
+    * itself stays below the boundary" is what its rank-ECDF spec
+    * pins. Same output contract otherwise, but a caller swapping cut
+    * policies must expect exact-boundary docs to move buckets.
+    *
+    * Cache lifetime: the returned frame reads the persisted scored
+    * frame (one scoring pass serves both the stats fetch and the
+    * labeling); the CALLER owns that cache — unpersisting here would
+    * force a second full scoring pass when the result materializes.
     */
   def pplBuckets(df: DataFrame, id: Column, text: Column): DataFrame = {
     val scored = unigramLogProb(df, id, text)
@@ -794,10 +808,13 @@ object Keywords {
     val stats = scored.agg(min(col("lp_mean_micro")), max(col("lp_mean_micro")))
       .collect()(0)
     // empty corpus / all-unscored: min is NULL, there are no cuts —
-    // every row (if any) is honestly 'unscored'
-    if (stats.isNullAt(0))
+    // every row (if any) is honestly 'unscored'; the cache buys
+    // nothing on this path, so release it before returning
+    if (stats.isNullAt(0)) {
+      scored.unpersist(blocking = false)
       return scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),
         lit("unscored").as("bucket"))
+    }
     val (mn, mx) = (stats.getLong(0), stats.getLong(1))
     val c1 = mn + (mx - mn) / 3
     val c2 = mn + (2 * (mx - mn)) / 3
@@ -832,7 +849,16 @@ object Keywords {
     * Scale shape: identical to [[pplBuckets]] except the 1-row stats
     * fetch is the sketch aggregate (map-side partials, mergeable —
     * one pass, no sort, no window); labeling stays a map-side
-    * when-chain. */
+    * when-chain.
+    *
+    * Boundary inclusion: labels compare strictly `>` against the cut
+    * elements (the cut element itself lands in the LOWER bucket —
+    * what the rank-ECDF spec pins), where [[pplBuckets]]'s range
+    * variant uses `>=` against its lerp cuts: a doc scoring exactly
+    * at a boundary moves buckets between the two policies.
+    *
+    * Cache lifetime: as in [[pplBuckets]], the returned frame reads
+    * the persisted scored frame and the CALLER owns that cache. */
   def pplBucketsQuantile(df: DataFrame, id: Column, text: Column,
                          accuracy: Int = 100000): DataFrame = {
     require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
@@ -846,10 +872,13 @@ object Keywords {
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cs"))
       .collect()(0)
     // empty corpus / all-unscored: the sketch sees no values — every
-    // row (if any) is honestly 'unscored'
-    if (cuts.isNullAt(0))
+    // row (if any) is honestly 'unscored'; the cache buys nothing on
+    // this path, so release it before returning
+    if (cuts.isNullAt(0)) {
+      scored.unpersist(blocking = false)
       return scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),
         lit("unscored").as("bucket"))
+    }
     val cs = cuts.getSeq[Long](0)
     val (c1, c2) = (cs(0), cs(1))
     scored.select(col("doc_id"), col("n_tokens"), col("lp_mean_micro"),

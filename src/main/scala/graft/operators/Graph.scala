@@ -842,25 +842,33 @@ object Graph {
     val und = und0.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und0.select(col("b").as("u"), col("a").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = graft.operators.Curation.truncateLineage(
-      seeds.select(seedId.cast("long").as("id")).distinct()
-        .withColumn("dist", lit(0L)),
-      checkpointDir)
-    var frontier = dist
-    var h = 1L
-    while (h <= k && !frontier.isEmpty) {
-      val next = graft.operators.Curation.truncateLineage(
-        frontier.join(und, col("id") === col("u"))
-          .select(col("v").as("id")).distinct()
-          .join(dist, Seq("id"), "left_anti")
-          .withColumn("dist", lit(h)),
+    try {
+      var dist = graft.operators.Curation.truncateLineage(
+        seeds.select(seedId.cast("long").as("id")).distinct()
+          .withColumn("dist", lit(0L)),
         checkpointDir)
-      dist = graft.operators.Curation.truncateLineage(
-        dist.unionByName(next), checkpointDir)
-      frontier = next
-      h += 1
+      var frontier = dist
+      var h = 1L
+      while (h <= k && !frontier.isEmpty) {
+        val next = graft.operators.Curation.truncateLineage(
+          frontier.join(und, col("id") === col("u"))
+            .select(col("v").as("id")).distinct()
+            .join(dist, Seq("id"), "left_anti")
+            .withColumn("dist", lit(h)),
+          checkpointDir)
+        dist = graft.operators.Curation.truncateLineage(
+          dist.unionByName(next), checkpointDir)
+        frontier = next
+        h += 1
+      }
+      dist.select(col("id").as("node_id"), col("dist"))
+    } finally {
+      // every round's frame is eagerly checkpoint-truncated, so the
+      // returned result no longer reads the edge cache — release it
+      // here (the bpeTrain/PageRank try/finally idiom) instead of
+      // leaking it for the session's lifetime
+      und.unpersist(blocking = false): Unit
     }
-    dist.select(col("id").as("node_id"), col("dist"))
   }
 
   /** [[kHopDistances]] with a PER-HOP edge-label mask (C148b) — the
@@ -903,27 +911,34 @@ object Graph {
     val und = und0.select(col("a").as("u"), col("b").as("v"), col("lbl"))
       .unionAll(und0.select(col("b").as("u"), col("a").as("v"), col("lbl")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = graft.operators.Curation.truncateLineage(
-      seeds.select(seedId.cast("long").as("id")).distinct()
-        .withColumn("dist", lit(0L)),
-      checkpointDir)
-    var states = frontier
-    var h = 1
-    while (h <= hopLabels.size && !frontier.isEmpty) {
-      val mask = hopLabels(h - 1)
-      val next = graft.operators.Curation.truncateLineage(
-        frontier.join(und.filter(col("lbl").isin(mask: _*)),
-            col("id") === col("u"))
-          .select(col("v").as("id")).distinct()
-          .withColumn("dist", lit(h.toLong)),
+    try {
+      var frontier = graft.operators.Curation.truncateLineage(
+        seeds.select(seedId.cast("long").as("id")).distinct()
+          .withColumn("dist", lit(0L)),
         checkpointDir)
-      states = graft.operators.Curation.truncateLineage(
-        states.unionByName(next), checkpointDir)
-      frontier = next
-      h += 1
+      var states = frontier
+      var h = 1
+      while (h <= hopLabels.size && !frontier.isEmpty) {
+        val mask = hopLabels(h - 1)
+        val next = graft.operators.Curation.truncateLineage(
+          frontier.join(und.filter(col("lbl").isin(mask: _*)),
+              col("id") === col("u"))
+            .select(col("v").as("id")).distinct()
+            .withColumn("dist", lit(h.toLong)),
+          checkpointDir)
+        states = graft.operators.Curation.truncateLineage(
+          states.unionByName(next), checkpointDir)
+        frontier = next
+        h += 1
+      }
+      states.groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .select(col("id").as("node_id"), col("dist"))
+    } finally {
+      // rounds are eagerly checkpoint-truncated — the returned frame
+      // never reads the edge cache, so release it (the kHopDistances
+      // try/finally idiom) instead of leaking it for the session
+      und.unpersist(blocking = false): Unit
     }
-    states.groupBy(col("id")).agg(min(col("dist")).as("dist"))
-      .select(col("id").as("node_id"), col("dist"))
   }
 
   /** C148 registered: 4-hop BFS from the doc%10 seed set over the

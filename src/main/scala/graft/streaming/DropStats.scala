@@ -352,8 +352,10 @@ object DropStats {
 
   /** The shared monitor plumbing all three anomaly detectors ride:
     * tail `inputDir`, collapse each micro-batch map-side to
-    * (grp, bucket) partial counts appended to `countsDir` (raw lines
-    * never persist; a bucket spanning batches sums on read), then
+    * (grp, bucket) partial counts written to `countsDir/batch=<id>`
+    * with overwrite semantics (raw lines never persist; a bucket
+    * spanning batches sums on read; a REPLAYED batch overwrites its
+    * own partition instead of double-appending), then
     * recompute the full verdict frame from the summed table and stage
     * it into `alarmsDir` (write-aside + delete/rename — a reader can
     * see a missing dir for two metadata ops, never a partial one).
@@ -396,9 +398,24 @@ object DropStats {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent per-batch counts: each micro-batch OVERWRITES its
+        // own batchId-named partition dir instead of appending to the
+        // shared table — a replayed batch (rename-failure retry below,
+        // or a restart that re-runs the last uncommitted batch) lands
+        // on its own dir and replaces it, never double-appending its
+        // counts into every later recompute. The read below sums the
+        // whole partitioned table; the discovered `batch` column is
+        // dropped by the (grp, bucket) rollup.
         batch.groupBy(col("grp"), col("bucket"))
           .agg(count(lit(1)).as("n"))
-          .write.mode("append").parquet(countsDir)
+          .write.mode("overwrite")
+          .parquet(countsDir.stripSuffix("/") + s"/batch=$batchId")
+        // a recompute that persists its input (seasonal) leaves a cache
+        // entry rooted at countsDir; writing to the batch=<id> CHILD no
+        // longer auto-invalidates the parent-rooted entry the way the
+        // old direct append did — refresh explicitly or a later batch
+        // recomputes over stale cached counts
+        batch.sparkSession.catalog.refreshByPath(countsDir)
         val counts = batch.sparkSession.read.parquet(countsDir)
           .groupBy(col("grp"), col("bucket")).agg(sum(col("n")).as("n"))
         // batchId-suffixed staging: a driver death between write and

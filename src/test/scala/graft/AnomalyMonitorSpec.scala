@@ -114,6 +114,41 @@ class AnomalyMonitorSpec extends AnyFunSuite {
     assert(canon(spark.read.parquet(alarms)) == canon(twin))
   }
 
+  test("a REPLAYED micro-batch is idempotent: no double-counted partials") {
+    val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
+    Files.write(Paths.get(in, "p1.log"),
+      lines(0, 10, Map("app0" -> 3, "app1" -> 3)).asJava)
+    DropStats.startSpikeMonitor(spark, in, ck, counts, alarms,
+      "production", bucketSeconds = 60, k = 2.0).awaitTermination()
+    val once = spark.read.parquet(counts)
+      .agg(sum(col("n"))).head().getLong(0)
+
+    // simulate a crash AFTER the batch's side effects but BEFORE the
+    // commit log records it: remove commits/0 so the restarted stream
+    // replays batch 0 over the same offsets — the replay must
+    // OVERWRITE its own batch=0 partition, never double-append
+    assert(Files.deleteIfExists(Paths.get(ck, "commits", "0")),
+      "test setup: expected a commit file for batch 0")
+    // the local ChecksumFileSystem leaves a .0.crc sidecar that would
+    // fail the rewrite's rename — a real HDFS/S3 crash wouldn't have it
+    Files.deleteIfExists(Paths.get(ck, "commits", ".0.crc")): Unit
+    DropStats.startSpikeMonitor(spark, in, ck, counts, alarms,
+      "production", bucketSeconds = 60, k = 2.0).awaitTermination()
+    spark.catalog.refreshByPath(counts)
+    val twice = spark.read.parquet(counts)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(twice == once,
+      s"replayed batch must not inflate the counts table: $once -> $twice")
+
+    // and the recomputed verdicts still match the batch twin
+    val twin = DropStats.rateSpikes(allParsed(in),
+      col("container_app"), expr("unix_seconds(timestamp) div 60"), k = 2.0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "bucket", "n", "mean_n", "sd_n", "spike")
+        .orderBy("grp", "bucket").collect().toSeq
+    assert(canon(spark.read.parquet(alarms)) == canon(twin))
+  }
+
   test("seasonal monitor == seasonalResiduals batch twin across a resume") {
     val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
     // season = 12 one-minute buckets (a single outlier among nb
