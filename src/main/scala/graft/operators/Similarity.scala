@@ -1157,15 +1157,19 @@ object Similarity {
     * count, so bit d of any vector is `round(x_d·1e6)·n > s_d`
     * (multiply through by n: the mean never materializes as a float —
     * the arBuckets all-integer argmin trick — and the bit is identical
-    * in any engine). Long bound: |x|·1e6·n overflows past n·|x| ≈
-    * 9·10¹²; swap the sum to decimal(38,0) past that (the C37 rule). */
+    * in any engine). The per-dim sum `s` ACCUMULATES in decimal(38,0)
+    * (the C37/recencyAllocation rule — a documented long bound is a
+    * bound someone will cross silently; DuckDB's HUGEINT sum is the
+    * oracle twin), so train never wraps at any corpus size; the
+    * encode-side compare multiplies in decimal too ([[bqWordsExpr]]). */
   def bqTrain(corpus: DataFrame, id: Column, vec: Column): DataFrame =
     corpus.select(vec.cast("array<double>").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && size(col("v")) > 0)
       .select(posexplode(transform(col("v"),
         x => round(x * lit(1e6)).cast("long"))).as(Seq("d", "xfx")))
       .groupBy(col("d"))
-      .agg(sum(col("xfx")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("xfx").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
 
   /** 1-row dense (ss, ns) threshold arrays ordered by dimension — the
     * bounded broadcast the encode stage crossJoins (the sqStatsRow
@@ -1182,26 +1186,36 @@ object Similarity {
     * Spark while DuckDB's checked BIGINT multiply ERRORS — 32-bit
     * words keep every intermediate positive and exact in both). Word
     * order and bit significance are fold order — both sides pack
-    * identically, which is all Hamming needs. */
+    * identically, which is all Hamming needs. The threshold compare
+    * multiplies vfx·n in decimal(38,0) (matching [[bqTrain]]'s decimal
+    * `s`), so the encode side can't silently wrap either. A
+    * zero-length vector yields an EMPTY code array (enforced by the
+    * `when` guard — without it `sequence(0, -1)` would auto-step DOWN
+    * and emit two spurious zero words); [[bqEncode]] additionally
+    * filters such vectors out, the bruteTopK empty-input contract. */
   private def bqWordsExpr(v: Column): Column =
     graft.functions.Cols.let(
       transform(v, (x, i) =>
-        when(round(x * lit(1e6)).cast("long") * element_at(col("ns"), i + 1) >
-          element_at(col("ss"), i + 1), lit(1L)).otherwise(lit(0L)))) { bits =>
-      transform(
-        sequence(lit(0), ((size(bits) + lit(31)) / lit(32)).cast("int") - 1),
-        w => aggregate(slice(bits, w * 32 + 1, lit(32)), lit(0L),
-          (acc, b) => acc * 2 + b))
+        when(round(x * lit(1e6)).cast("decimal(38,0)") *
+            element_at(col("ns"), i + 1) > element_at(col("ss"), i + 1),
+          lit(1L)).otherwise(lit(0L)))) { bits =>
+      when(size(bits) > 0,
+        transform(
+          sequence(lit(0), ((size(bits) + lit(31)) / lit(32)).cast("int") - 1),
+          w => aggregate(slice(bits, w * 32 + 1, lit(32)), lit(0L),
+            (acc, b) => acc * 2 + b)))
+        .otherwise(array().cast("array<bigint>"))
     }
 
   /** Binary codes for a frame under trained thresholds: `(vec_id,
     * codes)` with codes = array of ⌈d/32⌉ longs. One codegen map pass
-    * over a bounded 1-row stats broadcast; NULL vectors excluded (the
-    * bruteTopK contract). */
+    * over a bounded 1-row stats broadcast; NULL and EMPTY vectors
+    * excluded (the bruteTopK contract — an empty embedding has no bits
+    * to quantize and must not enter the Hamming shortlist). */
   def bqEncode(df: DataFrame, id: Column, vec: Column,
                stats: DataFrame): DataFrame =
     df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && size(col("v")) > 0)
       .crossJoin(broadcast(bqStatsRow(stats)))
       .select(col("vec_id"), bqWordsExpr(col("v")).as("codes"))
 
@@ -1236,15 +1250,19 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
     val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(qc), col("neighbor_id") =!= col("query_id"))
-      // approx = NEGATED Hamming so the shared shortlist's desc order
-      // ranks nearest-first
-      .withColumn("approx",
-        -aggregate(zip_with(col("codes"), col("qcodes"),
-          (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, t) => acc + t))
+      .withColumn("approx", bqHammingNeg(col("codes"), col("qcodes")))
     exactReRank(pqShortlist(scored, shortlist),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
+
+  /** NEGATED Hamming distance between two packed code arrays (so the
+    * shared shortlist's desc order ranks nearest-first) — ONE
+    * definition shared by the linear BQ scan and the IVF-bounded
+    * composition, exact integers via xor + bit_count. */
+  private def bqHammingNeg(codes: Column, qcodes: Column): Column =
+    -aggregate(zip_with(codes, qcodes,
+      (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
 
   /** Inline BQ top-k: train → encode → search in one call. */
   def bqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
@@ -1253,6 +1271,63 @@ object Similarity {
     val (stats, codes) = bqIndex(corpus, corpusId, corpusVec)
     bqTopKAgainstIndex(stats, codes, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, k, shortlist)
+  }
+
+  /** IVF + BQ composed search (C154c — the FAISS IVF+binary-refine
+    * shape): the plain BQ scan is linear BY DESIGN (32× cheaper bytes
+    * over the whole corpus); composing it with the coarse quantizer
+    * makes the first pass CORPUS-BOUNDED — a query Hamming-scores only
+    * the ⌈d/32⌉-long codes of its nprobe probed cells' members
+    * (nprobe/nlist of the corpus), then exact-re-ranks the shortlist.
+    * Both ingredients keep their own proven recipes: candidates are
+    * [[ivfTopKAgainstIndex]]'s id-only (query_id, neighbor_id) pairs
+    * from the stored cells, the Hamming scorer is
+    * [[bqTopKAgainstIndex]]'s single [[bqHammingNeg]] definition. With
+    * `nprobe = nlist` the candidate set is every non-self pair, so the
+    * result EQUALS plain [[bqTopK]] at the same shortlist
+    * (spec-pinned — the probe bounds WHICH codes are scored, never how).
+    * Scale: the per-query cell probe is a broadcast centroid compare;
+    * candidate ids shuffle as (long, long); codes attach by one
+    * id-keyed join; corpus vectors are read for the shortlist only. */
+  def ivfBqTopKAgainstIndex(centroids: DataFrame, cells: DataFrame,
+                            stats: DataFrame, codes: DataFrame,
+                            corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                            queries: DataFrame, queryId: Column, queryVec: Column,
+                            k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    require(Seq("vec_id", "cell").forall(cells.columns.contains),
+      s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
+    require(Seq("d", "s", "n").forall(stats.columns.contains),
+      s"stats frame must carry (d, s, n); got ${stats.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    val cand = ivfCandOf(
+      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
+    val qc = bqEncode(queries, queryId, queryVec, stats)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val scored = cand
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+        "neighbor_id")
+      .join(broadcast(qc), "query_id")
+      .withColumn("approx", bqHammingNeg(col("codes"), col("qcodes")))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Inline IVF+BQ top-k: train both quantizers, encode, search. */
+  def ivfBqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                nlist: Int, nprobe: Int, k: Int, shortlist: Int,
+                ivfIters: Int = 1): DataFrame = {
+    val (cents, cells) = ivfIndex(corpus, corpusId, corpusVec, nlist, ivfIters)
+    val (stats, codes) = bqIndex(corpus, corpusId, corpusVec)
+    ivfBqTopKAgainstIndex(cents, cells, stats, codes,
+      corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, nprobe, shortlist)
   }
 
   /** IVF+PQ composed search (the FAISS-style index architecture,

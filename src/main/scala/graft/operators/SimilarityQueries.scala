@@ -1042,14 +1042,18 @@ object SimilarityQueries {
     * needs no float-quantization discipline) and the exact re-rank
     * are mirrored term-for-term; the re-rank tail is qann_sq's proven
     * formulation. */
-  /** The C154 oracle chain at a given shortlist — shared by the main
-    * query (50) and the recall gate's tighter leg (20). */
-  private def bqOracleSql(shortlist: Int): String = s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-                 WHERE embedding IS NOT NULL),
+  /** The C154 threshold/bit/pack chain as CTEs over an existing
+    * `e(vec_id, v)` — fx (fixed-point components, NULL/empty vectors
+    * excluded: the bqEncode contract), st (per-dim exact-integer
+    * threshold sums), sr (1-row dense arrays), bits (vfx·n > s), words
+    * (32-bit pack fold). ONE definition shared by the linear-scan
+    * oracle ([[bqOracleSql]]) and the IVF-bounded composition
+    * ([[ivfBqOracleSql]]), mirroring bqWordsExpr being the one Spark
+    * definition. */
+  private val bqWordCtes: String = """
       fx AS (SELECT vec_id,
                [CAST(ROUND(v[i] * 1000000) AS BIGINT) FOR i IN range(1, len(v)+1)] AS vfx
-             FROM e),
+             FROM e WHERE v IS NOT NULL AND len(v) > 0),
       st AS (SELECT i AS d, CAST(SUM(vfx[i]) AS BIGINT) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
              FROM fx, UNNEST(range(1, len(vfx)+1)) u(i) GROUP BY i),
@@ -1062,7 +1066,13 @@ object SimilarityQueries {
                   [list_reduce(list_prepend(CAST(0 AS BIGINT), b[(w-1)*32+1 : (w-1)*32+32]),
                      (acc, x) -> acc * 2 + x)
                    FOR w IN range(1, CAST(ceil(len(b)/32.0) AS INT)+1)] AS cw
-                FROM bits),
+                FROM bits)"""
+
+  /** The C154 oracle chain at a given shortlist — shared by the main
+    * query (50) and the recall gate's tighter leg (20). */
+  private def bqOracleSql(shortlist: Int): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      $bqWordCtes,
       qw AS (SELECT vec_id AS query_id, cw AS qcw FROM words WHERE vec_id < 10),
       scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
                    CAST(list_sum([bit_count(xor(c.cw[i], q.qcw[i]))
@@ -1124,6 +1134,50 @@ object SimilarityQueries {
         ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
       GROUP BY t.query_id
       ORDER BY t.query_id"""))
+
+  /** C154c oracle: the proven trained-IVF candidate chain (cells0 →
+    * probe → cand, the qann_ivf_trained recipe verbatim) feeding the
+    * proven BQ word chain's Hamming rank — the composition is a JOIN
+    * of the two green oracles, exactly mirroring the Spark side where
+    * ivfBqTopKAgainstIndex joins ivfCandOf's pairs to bqHammingNeg.
+    * `hscored` avoids the `scored` name reRankSql owns. */
+  private def ivfBqOracleSql(k: Int, nprobe: Int, shortlist: Int): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ${ivfProbeCtes(nprobe, nq = 10)},
+      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+               FROM qprobe q JOIN acell a ON a.cell = q.cell
+               WHERE a.vec_id != q.query_id),
+      $bqWordCtes,
+      qw AS (SELECT vec_id AS query_id, cw AS qcw FROM words WHERE vec_id < 10),
+      hscored AS (SELECT cand.query_id, cand.neighbor_id,
+                    CAST(list_sum([bit_count(xor(c.cw[i], q.qcw[i]))
+                      FOR i IN range(1, len(c.cw)+1)]) AS BIGINT) AS hm
+                  FROM cand JOIN words c ON c.vec_id = cand.neighbor_id
+                       JOIN qw q ON q.query_id = cand.query_id),
+      sl AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hm ASC, neighbor_id) AS srn
+               FROM hscored) t WHERE srn <= $shortlist),
+      ${reRankSql("sl", k)}"""
+
+  /** C154c: IVF+BQ — the composition that makes the 32×-cheaper BQ
+    * first pass CORPUS-BOUNDED (probe nprobe cells, Hamming-score only
+    * their members' packed codes, exact re-rank): the FAISS
+    * IVF+binary-refine architecture. Both quantizers train by their
+    * already-proven engine-reproducible recipes, so the whole
+    * composition sits under one DuckDB oracle (the C39 pattern). */
+  val qIvfBq = Q(
+    "qann_ivf_bq",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfBqTopK(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          nlist = 10, nprobe = 2, k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfBqOracleSql(k = 5, nprobe = 2, shortlist = 20)))
 
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
@@ -1761,7 +1815,8 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qRecall, qRecallCurve, qDecode,
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
+    qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

@@ -119,6 +119,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "qann_bq as its result side — the same bounded 1-row threshold and " +
       "query-set broadcasts; the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k frames"),
+    "qann_ivf_bq" -> ("the qann_ivf_trained nlist-row centroid broadcasts " +
+      "(Lloyd train + assign + probe) plus qann_bq's bounded 1-row threshold " +
+      "crossJoins for encoding; the Hamming scan itself joins candidate ids " +
+      "to codes by EQUI-join — the composition's whole point is that it " +
+      "scores only probed-cell members, nprobe/nlist of the corpus"),
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),

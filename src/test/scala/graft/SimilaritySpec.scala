@@ -595,6 +595,79 @@ class SimilaritySpec extends AnyFunSuite {
         col("embedding"), qset, col("vec_id"), col("embedding"), 5, 32)
     }
     assert(ex.getMessage.contains("stats frame must carry"))
+
+    // empty/NULL vectors never enter the code table (an empty
+    // embedding has no bits — without the guard sequence(0,-1) would
+    // step DOWN and emit two spurious zero words)
+    val withEmpty = Seq((1L, Seq(1.0f, 4.0f)), (2L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(3L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val encoded = Similarity.bqEncode(withEmpty, col("vec_id"),
+      col("embedding"), ts).orderBy("vec_id").collect()
+    assert(encoded.map(_.getLong(0)).toSeq == Seq(1L),
+      "empty and NULL embeddings must be excluded from the code table")
+    assert(encoded.head.getSeq[Long](1).nonEmpty)
+  }
+
+  test("IVF+BQ: full probe equals plain BQ; contract guards fail fast") {
+    import spark.implicits._
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val qset = e.filter(col("vec_id") < 5)
+    // nprobe = nlist => the candidate set is every non-self pair, so
+    // the IVF bound changes WHICH codes are scored, never how — the
+    // composed search must equal the linear BQ scan exactly
+    val plain = Similarity.bqTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5, shortlist = 25)
+      .collect().map(_.toString).sorted
+    val composed = Similarity.ivfBqTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"),
+      nlist = 8, nprobe = 8, k = 5, shortlist = 25)
+      .collect().map(_.toString).sorted
+    assert(composed.toSeq == plain.toSeq,
+      "full-probe IVF+BQ must equal the linear BQ scan")
+
+    // contract guards: each index frame checked by name
+    val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"),
+      col("embedding"), nlist = 4)
+    val (stats, codes) = Similarity.bqIndex(e, col("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfBqTopKAgainstIndex(cells, cells, stats, codes,
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"),
+        col("embedding"), k = 5, nprobe = 2, shortlist = 10)
+    }
+    assert(ex.getMessage.contains("centroid frame must carry"))
+  }
+
+  test("BQ append parity: frozen-stats encode is the append path") {
+    // the ivfPqResAppend-style law, stated for BQ: (1) re-encoding the
+    // index's own rows against its FROZEN stats reproduces its codes
+    // exactly — so appending is just bqEncode(newRows, stats), no
+    // retrain, no re-encode of the existing corpus; (2) a grown index
+    // under a full shortlist equals bruteTopK over the union, proving
+    // appended codes are first-class citizens of the Hamming scan
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val old = e.filter(col("vec_id") % 7 =!= 0)
+    val add = e.filter(col("vec_id") % 7 === 0)
+    val (stats, oldCodes) = Similarity.bqIndex(old, col("vec_id"), col("embedding"))
+
+    val reEnc = Similarity.bqEncode(old, col("vec_id"), col("embedding"), stats)
+    assert(reEnc.collect().map(_.toString).sorted.toSeq ==
+      oldCodes.collect().map(_.toString).sorted.toSeq,
+      "re-encoding the index's own rows must reproduce its codes byte-for-byte")
+
+    val grown = oldCodes.unionByName(
+      Similarity.bqEncode(add, col("vec_id"), col("embedding"), stats))
+    val qset = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val viaIndex = Similarity.bqTopKAgainstIndex(stats, grown,
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, shortlist = n).collect().map(_.toString).sorted
+    val brute = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaIndex.toSeq == brute.toSeq,
+      "grown index under full shortlist must equal bruteTopK over the union")
   }
 
   test("annRecall: self is 1.0, disjoint is 0.0, partial counts exactly") {
