@@ -11,15 +11,32 @@ import org.apache.spark.sql.functions._
   * plans the multi-countDistinct via Expand, so the table is scanned
   * once) and unpivoted to a row per column.
   *
-  * At 100 TB swap `countDistinct` for `approx_count_distinct`: the
-  * Expand multiplies the shuffled data by the distinct-column count,
-  * and an exact global distinct per column is rarely worth that —
-  * the HLL sketch is one pass with constant state. The exact variant
-  * is what the oracle can verify, so it is what ships here.
+  * The exact variant carries the DuckDB oracle; its 100 TB twin is
+  * [[Profile.profileApprox]] — approx_count_distinct (HLL), one scan
+  * with constant state and NO Expand multiplication, registered
+  * `no_oracle` and spec-bounded against the exact frame.
   */
 object Profile {
 
-  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame =
+    profileWith(df, columns, c => countDistinct(col(c)))
+
+  /** [[profile]] with the 100 TB distinct counter (D8's prescribed
+    * swap, now a real entry point): `approx_count_distinct` is an HLL
+    * sketch — ONE scan with constant per-column state and NO Expand,
+    * where the exact multi-countDistinct multiplies the shuffled rows
+    * by the distinct-column count. Row and non-null counts stay exact
+    * (they cost nothing extra); only `n_distinct` is approximate, with
+    * standard error `rsd` (the q16b discipline: registered
+    * `no_oracle`, spec-bounded against the exact twin). */
+  def profileApprox(df: DataFrame, columns: Seq[String],
+                    rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    profileWith(df, columns, c => approx_count_distinct(col(c), rsd))
+  }
+
+  private def profileWith(df: DataFrame, columns: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
     // names are spliced into a stack() expression — reject anything
     // that isn't a plain identifier rather than mis-parse it
     columns.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -28,7 +45,7 @@ object Profile {
     val aggs = count(lit(1)).as("n_rows") +:
       columns.flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c")))
+        distinctAgg(c).as(s"nd_$c")))
     val stacked = columns
       .map(c => s"'$c', n_rows, nn_$c, nd_$c")
       .mkString(", ")
@@ -53,6 +70,18 @@ object Profile {
       selects.mkString("", "\n      UNION ALL\n      ",
         "\n      ORDER BY column_name")
     })
+
+  /** D8b: the approx profile as a registered entry point. `no_oracle`
+    * by construction (HLL is approximate); the spec bounds every
+    * per-column estimate against the exact twin and pins the plan
+    * shape (no Expand — the entire point of the swap). */
+  val qProfileApprox = Q(
+    "qprofile_table_approx",
+    (s, dir) => {
+      Profile.profileApprox(Tables(s, dir).events, EventCols)
+        .orderBy(col("column_name"))
+    },
+    None)
 
   /** Per-source corpus summary — the mixture-planning view a curation
     * run starts from (how much of each domain, how long, how diverse).
@@ -418,11 +447,11 @@ object Profile {
     * group — each is a per-group SORT, the honest cost of an exact
     * order statistic (spills, never buffers: row_number's frame is
     * running). The count and the two per-group medians broadcast back
-    * (group cardinality = sources, small). At 100 TB prefer
-    * `approx_percentile(x, 0.5)` for both medians — one pass, constant
-    * state, the D8 tradeoff — at the cost of the oracle-exact
-    * boundary. NULL metrics can't be judged: excluded from the stats,
-    * flagged false, carried with NULL deviation. */
+    * (group cardinality = sources, small). The 100 TB twin is
+    * [[robustOutliersApprox]] — both medians from one-pass mergeable
+    * sketches, no per-group sorts. NULL metrics can't be judged:
+    * excluded from the stats, flagged false, carried with NULL
+    * deviation. */
   def robustOutliers(df: DataFrame, id: Column, group: Column, value: Column,
                      kNum: Long = 9, kDen: Long = 2): DataFrame = {
     require(kNum > 0 && kDen > 0, s"need positive k ratio, got $kNum/$kDen")
@@ -455,6 +484,65 @@ object Profile {
           abs(col("x") - col("med")) * lit(kDen) > lit(kNum) * col("mad"),
           lit(false)).as("outlier"))
   }
+
+  /** [[robustOutliers]] with SKETCHED medians (C91's prescribed
+    * 100 TB path, now a real entry point — the C70b/C66b discipline):
+    * same contract and output columns, but the per-group median and
+    * MAD come from `approx_percentile(·, 0.5, accuracy)` — Spark's
+    * Greenwald-Khanna summaries, mergeable map-side partials with
+    * constant state — so the two per-group SORTS of the exact variant
+    * become two sketch aggregation passes: at 100 TB an exact order
+    * statistic per (source, metric) is a corpus sort per statistic,
+    * which is exactly the cost this swap deletes.
+    *
+    * What stays exact: the returned med/mad are ACTUAL corpus values
+    * (GK returns elements, never interpolates), so `dev` and the
+    * cross-multiplied `outlier` compare are still exact integers —
+    * only the RANK of the chosen cut values is approximate, bounded
+    * by `accuracy` (exact when a group's row count stays under it).
+    * Registered `no_oracle` by construction; the spec pins the
+    * rank-ECDF bound and exact-fixture equality with [[robustOutliers]]
+    * up to the even-n median convention.
+    *
+    * Scale shape: three column-pruned scans of (id, group, x) — one
+    * per sketch pass plus the flag projection — zero sorts, zero
+    * windows; the ≤|groups|-row stats frames broadcast back. */
+  def robustOutliersApprox(df: DataFrame, id: Column, group: Column,
+                           value: Column, kNum: Long = 9, kDen: Long = 2,
+                           accuracy: Int = 100000): DataFrame = {
+    require(kNum > 0 && kDen > 0, s"need positive k ratio, got $kNum/$kDen")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val base = df.select(id.as("doc_id"), group.as("source"),
+        value.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val med = base.groupBy(col("source"))
+      .agg(percentile_approx(col("x"), lit(0.5), lit(accuracy)).as("med"))
+    val mad = base.join(broadcast(med), "source")
+      .select(col("source"), abs(col("x") - col("med")).as("dev"))
+      .groupBy(col("source"))
+      .agg(percentile_approx(col("dev"), lit(0.5), lit(accuracy)).as("mad"))
+    val stats = med.join(mad, "source")
+    df.select(id.as("doc_id"), group.as("source"),
+        value.cast("long").as("x"))
+      .join(broadcast(stats), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("x"),
+        col("med"), col("mad"),
+        abs(col("x") - col("med")).as("dev"),
+        coalesce(
+          abs(col("x") - col("med")) * lit(kDen) > lit(kNum) * col("mad"),
+          lit(false)).as("outlier"))
+  }
+
+  /** C91b registered: the approx screen at the same 2·MAD cut as C91.
+    * `no_oracle` by construction (sketch-selected cuts); the spec pins
+    * it to the exact twin on fixtures where the sketch is exact. */
+  val qOutliersApprox = Q(
+    "qprofile_outliers_q",
+    (s, dir) =>
+      Profile.robustOutliersApprox(Tables(s, dir).documents,
+          col("doc_id"), col("source"), col("n_chars"), kNum = 2, kDen = 1)
+        .orderBy(col("doc_id")),
+    None)
 
   /** C91 registered at kNum=2/kDen=1 (2·MAD): the synthetic lengths
     * are near-uniform (MAD ≈ 100 per source), so the Hampel default
@@ -1103,6 +1191,7 @@ object Profile {
              ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
       FROM a ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(qSourceSim, qProfile, qProfileSources, qLengths, qIntegrity, qDrift,
-    qOverlap, qOutliers, qKeySkew, qKappa, qReliability, qHllRollup, qTtr, qPsi)
+  val all: Seq[Q] = Seq(qSourceSim, qProfile, qProfileApprox, qProfileSources,
+    qLengths, qIntegrity, qDrift, qOverlap, qOutliers, qOutliersApprox,
+    qKeySkew, qKappa, qReliability, qHllRollup, qTtr, qPsi)
 }

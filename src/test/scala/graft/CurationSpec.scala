@@ -716,6 +716,73 @@ class CurationSpec extends AnyFunSuite {
     assert(!got(10L)._3 && got(10L)._1 == Some(2L), s"null row: ${got(10L)}")
   }
 
+  test("approx robust outliers: exact-fixture parity with the exact twin, rank-ECDF bound, no sorts") {
+    import spark.implicits._
+    // same fixture as the exact test — group sizes (5, 4) sit far
+    // under accuracy, so the GK sketch is exact and the only possible
+    // divergence is the even-n median convention
+    val df = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(10L)), (3L, "a", Some(12L)),
+      (4L, "a", Some(14L)), (5L, "a", Some(1000L)),
+      (6L, "b", Some(1L)), (7L, "b", Some(2L)), (8L, "b", Some(3L)),
+      (9L, "b", Some(4L)), (10L, "b", None)).toDF("doc_id", "src", "x")
+    val approx = graft.operators.Profile.robustOutliersApprox(df,
+      col("doc_id"), col("src"), col("x"), kNum = 2, kDen = 1)
+    val got = approx.collect().map(r => r.getLong(0) ->
+      (Option(r.get(3)), Option(r.get(4)), r.getBoolean(6))).toMap
+    assert(got.size == 10, "every input row present")
+
+    // rank-ECDF bound: the returned med/mad are ACTUAL corpus values
+    // whose rank brackets n/2 (GK returns elements, never lerps)
+    val aVals = Seq(10L, 10L, 12L, 14L, 1000L)
+    val aMed = got(1L)._1.get.asInstanceOf[Long]
+    assert(aVals.contains(aMed), s"median must be a corpus value: $aMed")
+    val below = aVals.count(_ < aMed); val atOrBelow = aVals.count(_ <= aMed)
+    assert(below < 3 && atOrBelow >= 2, s"median rank out of bounds: $aMed")
+    // odd-n group: conventions agree, so stats match the exact twin
+    assert(got(1L)._1 == Some(12L) && got(1L)._2 == Some(2L), s"a: ${got(1L)}")
+
+    // flag parity with the exact twin (group b's even-n median could
+    // legally differ by convention, but its flags don't at this cut)
+    val exact = graft.operators.Profile.robustOutliers(df, col("doc_id"),
+        col("src"), col("x"), kNum = 2, kDen = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got.view.mapValues(_._3).toMap == exact,
+      "approx flags must equal the exact twin on an exact-sketch fixture")
+
+    // the point of the swap: no per-group sort anywhere in the plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx path must not plan a window:\n$plan")
+  }
+
+  test("profileApprox: exact rows/non-null, bounded distinct error, no Expand") {
+    val events = graft.sources.Tables(spark, sf).events
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val exact = graft.operators.Profile.profile(events, cols)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approxDf = graft.operators.Profile.profileApprox(events, cols, rsd = 0.02)
+    val approx = approxDf.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((c, (nr, nn, nd)) <- approx) {
+      assert((nr, nn) == (exact(c)._1, exact(c)._2),
+        s"$c: row/non-null counts must stay exact")
+      val truth = exact(c)._3.toDouble
+      assert(math.abs(nd - truth) <= math.max(1.0, 5 * 0.02 * truth),
+        s"$c: HLL estimate $nd vs exact $truth outside 5*rsd")
+    }
+    // the point of the swap: one scan, no Expand multiplication
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    assert(graft.operators.Profile.profile(events, cols)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "sanity: the exact twin is the one that pays the Expand")
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.profileApprox(events, cols, rsd = 1.5)
+    }: Unit
+  }
+
   test("per-group weighted sample: exact k per group, equals the flat sampler per group") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))
