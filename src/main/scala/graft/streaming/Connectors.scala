@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   * consumer semantics — where to start, how hard to pull) is real and
   * unit-tested; `stream()` wires it to `spark.readStream` and resolves
   * only when the matching connector jar is on the cluster classpath.
+  *
+  * The integration status is MACHINE-CHECKED, not prose:
+  * ConnectorIntegrationSpec probes provider resolution at runtime —
+  * in this container it asserts the failure is exactly Spark's
+  * missing-provider error (and that no kafka/kinesis jar exists on
+  * /opt/spark/jars), and on a deployment that carries the connector
+  * it upgrades to a real produce→consume round-trip behind
+  * `GRAFT_KAFKA_IT=1` + `GRAFT_KAFKA_BOOTSTRAP` (an embedded
+  * localhost KRaft broker works — it is the jars this sandbox lacks,
+  * not the network).
   */
 object Connectors {
 
