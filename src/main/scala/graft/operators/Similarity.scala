@@ -1264,6 +1264,75 @@ object Similarity {
       (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
       lit(0L), (acc, t) => acc + t)
 
+  /** Asymmetric BQ search (C154d — production BQ's better half, the
+    * standard practice in the modern vector-DB literature): the CORPUS
+    * stays 1-bit packed (identical storage/IO to [[bqTopKAgainstIndex]])
+    * but the QUERY is never quantized — each corpus row scores
+    * `Σ_d qfx_d · (2·b_d − 1)`, the query's fixed-point components
+    * summed with the corpus bit pattern's signs. Keeping the query's
+    * magnitudes recovers recall the symmetric Hamming pass throws away
+    * (a query component near the threshold contributes ~nothing here
+    * but a full ±1 bit there) at identical index bytes; the honest
+    * price is compute — d sign-sums per row instead of d/32 xor words
+    * (BQ scans are storage/IO-bound, which is why production systems
+    * take this trade).
+    *
+    * Integer discipline: qfx = round(q_d·1e6) are the module's
+    * once-rounded exact integers and the bits are exact, so the score
+    * is an exact integer — the shortlist boundary needs no float
+    * discipline, same as Hamming. Bits unpack from the stored words
+    * arithmetically (shift/mask with compile-time shift constants from
+    * the 32-bit fold's layout), so the scan still READS only ⌈d/32⌉
+    * longs per row; `dim` comes from the stats table (a bounded 1-row
+    * fetch, the index's own dimensionality record). With
+    * `shortlist ≥ |corpus| − 1` the exact re-rank sees every candidate
+    * and the result EQUALS [[bruteTopK]] (spec-pinned); at equal TIGHT
+    * shortlists the spec pins recall ≥ the symmetric scan on the
+    * benchmark corpus. */
+  def bqTopKAsymmetricAgainstIndex(stats: DataFrame, codes: DataFrame,
+                                   corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                                   queries: DataFrame, queryId: Column, queryVec: Column,
+                                   k: Int, shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("d", "s", "n").forall(stats.columns.contains),
+      s"stats frame must carry (d, s, n); got ${stats.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    val dim = stats.count().toInt
+    require(dim > 0, "stats table is empty — train before searching")
+    val qf = queries
+      .select(queryId.as("query_id"), queryVec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("query_id"),
+        transform(col("v"), x => round(x * lit(1e6)).cast("long")).as("qfx"))
+    // Σ_d qfx_d·(2b_d−1) as a compile-time sum over dims: word index,
+    // in-word shift and the short-last-word length are constants of
+    // the 32-bit fold's layout, so each term is one shift+mask on an
+    // already-read long — the row still reads only its packed words
+    val score = (0 until dim).map { d =>
+      val w = d / 32
+      val lw = math.min(32, dim - w * 32)
+      val sh = lw - 1 - (d % 32)
+      val bit = shiftright(element_at(col("codes"), w + 1), sh)
+        .bitwiseAND(lit(1L))
+      element_at(col("qfx"), d + 1) * (bit * lit(2L) - lit(1L))
+    }.reduce(_ + _)
+    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(qf), col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", score)
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Inline asymmetric BQ top-k: train → encode → search. */
+  def bqTopKAsymmetric(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                       queries: DataFrame, queryId: Column, queryVec: Column,
+                       k: Int, shortlist: Int): DataFrame = {
+    val (stats, codes) = bqIndex(corpus, corpusId, corpusVec)
+    bqTopKAsymmetricAgainstIndex(stats, codes, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, shortlist)
+  }
+
   /** Inline BQ top-k: train → encode → search in one call. */
   def bqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
              queries: DataFrame, queryId: Column, queryVec: Column,

@@ -1135,6 +1135,43 @@ object SimilarityQueries {
       GROUP BY t.query_id
       ORDER BY t.query_id"""))
 
+  /** C154d oracle: same word chain, but the query side keeps its
+    * fixed-point components (fx, never thresholded) and each corpus
+    * row scores Σ qfx·(2b−1) — scored from the `bits` CTE, which the
+    * words pack verbatim, so a wrong Spark-side UNPACK (shift/mask
+    * layout) breaks parity here. */
+  private def bqAsymOracleSql(k: Int, shortlist: Int): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      $bqWordCtes,
+      qf AS (SELECT vec_id AS query_id, vfx AS qfx FROM fx WHERE vec_id < 10),
+      ascored AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+                    CAST(list_sum([q.qfx[i] * (2 * b.b[i] - 1)
+                      FOR i IN range(1, len(b.b)+1)]) AS BIGINT) AS sc
+                  FROM bits b JOIN qf q ON b.vec_id != q.query_id),
+      sl AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS srn
+               FROM ascored) t WHERE srn <= $shortlist),
+      ${reRankSql("sl", k)}"""
+
+  /** C154d: asymmetric BQ — the corpus stays 1-bit packed (identical
+    * index bytes) but the query is never quantized; each row scores
+    * the query's fixed-point components under the bit pattern's signs.
+    * Registered at the recall gate's tight 20-of-500 cut so its
+    * numbers sit directly beside qann_bq_recall's symmetric leg. */
+  val qBqAsym = Q(
+    "qann_bq_asym",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (stats, codes) = Similarity.bqIndex(e, col("vec_id"), col("embedding"))
+      Similarity.bqTopKAsymmetricAgainstIndex(stats, codes,
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bqAsymOracleSql(k = 5, shortlist = 20)))
+
   /** C154c oracle: the proven trained-IVF candidate chain (cells0 →
     * probe → cand, the qann_ivf_trained recipe verbatim) feeding the
     * proven BQ word chain's Hamming rank — the composition is a JOIN
@@ -1816,7 +1853,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
-    qRecall, qRecallCurve, qDecode,
+    qBqAsym, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

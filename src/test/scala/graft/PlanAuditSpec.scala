@@ -119,6 +119,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "qann_bq as its result side — the same bounded 1-row threshold and " +
       "query-set broadcasts; the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k frames"),
+    "qann_bq_asym" -> ("qann_bq's bounded 1-row threshold crossJoin for the " +
+      "index encode plus the bounded query-set broadcast for the sign-sum " +
+      "scan (the qann_sq shape); corpus rows still carry only ceil(d/32) " +
+      "packed longs until the shortlist-only exact re-rank"),
     "qann_ivf_bq" -> ("the qann_ivf_trained nlist-row centroid broadcasts " +
       "(Lloyd train + assign + probe) plus qann_bq's bounded 1-row threshold " +
       "crossJoins for encoding; the Hamming scan itself joins candidate ids " +

@@ -639,6 +639,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("centroid frame must carry"))
   }
 
+  test("asymmetric BQ: full shortlist equals bruteTopK; recall beats symmetric at an equal tight cut") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val qset = e.filter(col("vec_id") < 10)
+    val n = e.count().toInt
+
+    // same re-rank contract: a full shortlist washes out the scorer
+    val brute = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5)
+      .collect().map(_.toString).sorted
+    val full = Similarity.bqTopKAsymmetric(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5, shortlist = n)
+      .collect().map(_.toString).sorted
+    assert(full.toSeq == brute.toSeq, "full-shortlist asym BQ must equal bruteTopK")
+
+    // identical index bytes, equal tight cut: keeping the query's
+    // magnitudes must not LOSE recall vs quantizing it to bits too
+    val truth = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5)
+    def hits(res: org.apache.spark.sql.DataFrame): Long =
+      Similarity.annRecall(truth, res)
+        .agg(org.apache.spark.sql.functions.sum(col("hits"))).head().getLong(0)
+    val symHits = hits(Similarity.bqTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5, shortlist = 20))
+    val asymHits = hits(Similarity.bqTopKAsymmetric(e, col("vec_id"),
+      col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, shortlist = 20))
+    assert(asymHits >= symHits,
+      s"asymmetric recall must not trail symmetric at equal shortlist: $asymHits vs $symHits")
+  }
+
   test("BQ append parity: frozen-stats encode is the append path") {
     // the ivfPqResAppend-style law, stated for BQ: (1) re-encoding the
     // index's own rows against its FROZEN stats reproduces its codes
