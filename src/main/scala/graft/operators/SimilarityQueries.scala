@@ -1216,6 +1216,38 @@ object SimilarityQueries {
     },
     Some(ivfBqOracleSql(k = 5, nprobe = 2, shortlist = 20)))
 
+  /** C154e: the composed pass's recall gate — recall@5 of IVF+BQ at
+    * the production settings (nprobe 2 of 10 cells × the tight
+    * 20-of-500 shortlist) against the brute truth: the decision table
+    * for the JOINT cost of the cell bound and the Hamming cut, read
+    * beside C154b (shortlist alone) and C53 (cells alone) to see which
+    * bound is eating the recall. Composes two proven oracle chains,
+    * each referenced once (the CTE-inlining discipline). */
+  val qIvfBqRecall = Q(
+    "qann_ivf_bq_recall",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val qset = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"), k = 5)
+      val res = Similarity.ivfBqTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+        nlist = 10, nprobe = 2, k = 5, shortlist = 20)
+      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
+           res AS (SELECT query_id, neighbor_id
+                   FROM (${ivfBqOracleSql(k = 5, nprobe = 2, shortlist = 20)}) tr)
+      SELECT t.query_id,
+        CAST(COUNT(*) AS BIGINT) AS truth_n,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+      FROM truth t LEFT JOIN res r
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+      ORDER BY t.query_id"""))
+
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
     * synthetic blob takes), integer gray averaging, the 64 dHash bit
@@ -1853,7 +1885,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
-    qBqAsym, qRecall, qRecallCurve, qDecode,
+    qIvfBqRecall, qBqAsym, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

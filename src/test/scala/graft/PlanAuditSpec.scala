@@ -128,6 +128,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "crossJoins for encoding; the Hamming scan itself joins candidate ids " +
       "to codes by EQUI-join — the composition's whole point is that it " +
       "scores only probed-cell members, nprobe/nlist of the corpus"),
+    "qann_ivf_bq_recall" -> ("EMBEDS qann_brute_topk as its truth side and " +
+      "qann_ivf_bq as its result side — the same bounded centroid/threshold/" +
+      "query-set broadcasts; the recall join itself is an exact " +
+      "(query, neighbor) equi-join over two queries×k frames"),
     "qann_recall" -> ("the recall gate EMBEDS qann_brute_topk as its truth side " +
       "(same bounded query-set broadcast); the recall join itself is an exact " +
       "(query, neighbor) equi-join over two queries×k result frames"),
