@@ -92,7 +92,16 @@ class DeterminismSpec extends AnyFunSuite {
     // BQ's threshold sums are map-side long partials in any order and
     // its Hamming shortlist boundary is exact integers — prove both
     "qtext_merge_chains", "qtext_bpe_apply_vocab", "qgraph_khop_typed",
-    "qann_bq")
+    "qann_bq",
+    // r14: the composed IVF+BQ pass (Lloyd cells + decimal threshold
+    // sums + integer Hamming boundary stacked — any stage leaking
+    // partition order moves the shortlist), the asymmetric sign-sum
+    // scan (per-dim decimal/long products summed map-side), and the
+    // approx profile/outlier entry points (GK and HLL sketches are
+    // merge-order-sensitive ONLY if the implementation cheats —
+    // Spark's are mergeable by contract; prove the outputs hold)
+    "qann_ivf_bq", "qann_bq_asym", "qprofile_outliers_q",
+    "qprofile_table_approx")
 
   test("hash- and order-sensitive queries are invariant to shuffle partitioning") {
     val alt = spark.newSession()
