@@ -451,7 +451,10 @@ object Profile {
     * [[robustOutliersApprox]] — both medians from one-pass mergeable
     * sketches, no per-group sorts. NULL metrics can't be judged:
     * excluded from the stats, flagged false, carried with NULL
-    * deviation. */
+    * deviation. Cache lifetime: the returned frame reads the two
+    * persisted rank inputs (base, dev) — the CALLER owns those
+    * caches; unpersisting here would re-sort the corpus when the
+    * result materializes (the pplBuckets contract). */
   def robustOutliers(df: DataFrame, id: Column, group: Column, value: Column,
                      kNum: Long = 9, kDen: Long = 2): DataFrame = {
     require(kNum > 0 && kDen > 0, s"need positive k ratio, got $kNum/$kDen")

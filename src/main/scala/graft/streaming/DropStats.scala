@@ -454,6 +454,13 @@ object DropStats {
           throw new java.io.IOException(
             s"monitor: rename $staging -> $alarmsDir failed")
         }
+        // a recompute that persists its input (seasonalResiduals
+        // OverCounts) would otherwise leave one cache entry PER
+        // MICRO-BATCH in a long-running monitor (each batch's counts
+        // frame is a fresh plan) — the verdicts are on disk now, so
+        // drop any entry keyed on this batch's counts plan; a no-op
+        // when the recompute never persisted
+        counts.unpersist(blocking = false): Unit
       }
       .start()
   }
