@@ -1300,6 +1300,15 @@ object Similarity {
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
     val dim = stats.count().toInt
     require(dim > 0, "stats table is empty — train before searching")
+    // the scorer below unrolls one shift/mask/multiply term per dim
+    // into a single straight-line codegen'd expression — the fastest
+    // shape for embedding-sized d, but a 10^4-term tree would stress
+    // the codegen method splitter; enforce the bound rather than
+    // document it (the bqTrain rule). Past it, the same integers are
+    // expressible as a dynamic fold (SQL shiftright accepts a column
+    // shift) — add that variant when a >4096-dim corpus shows up.
+    require(dim <= 4096,
+      s"asymmetric scorer unrolls per-dim terms; got dim=$dim > 4096")
     val qf = queries
       .select(queryId.as("query_id"), queryVec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
@@ -1387,7 +1396,11 @@ object Similarity {
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
 
-  /** Inline IVF+BQ top-k: train both quantizers, encode, search. */
+  /** Inline IVF+BQ top-k: train both quantizers, encode, search.
+    * (The asymmetric scorer composes the same way — swap
+    * [[bqHammingNeg]] for the sign-sum over the identical candidate
+    * frame — kept un-registered until a recall gap motivates it; both
+    * ingredients are independently oracle-proven.) */
   def ivfBqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                 queries: DataFrame, queryId: Column, queryVec: Column,
                 nlist: Int, nprobe: Int, k: Int, shortlist: Int,
