@@ -669,6 +669,59 @@ class SimilaritySpec extends AnyFunSuite {
       s"asymmetric recall must not trail symmetric at equal shortlist: $asymHits vs $symHits")
   }
 
+  test("asymmetric unpack layout: one-hot probes recover every bit at word-boundary dims") {
+    import spark.implicits._
+    // the sign-sum scorer reads bits back OUT of the packed words via
+    // shift/mask constants derived from the 32-bit fold's layout; the
+    // risky case is the SHORT LAST WORD (fold length < 32). Probe
+    // with one-hot queries: qfx is 1e6 at dim d and 0 elsewhere, so
+    // approx-score = ±1e6 reveals exactly bit d. Cover dims spanning
+    // 1 word, exact word boundaries, and boundary±1.
+    for (dim <- Seq(1, 31, 32, 33, 64, 65)) {
+      // three deterministic corpus vectors over `dim` dims; the +0.5
+      // offset keeps every component (and so every vector) nonzero —
+      // the re-rank's normalize contract
+      def v(seed: Int): Seq[Float] =
+        (0 until dim).map(d => ((seed * 31 + d * 7) % 11 - 5) + 0.5f)
+      val corpus = Seq((101L, v(1)), (102L, v(2)), (103L, v(3)))
+        .toDF("vec_id", "embedding")
+      val (stats, codes) = Similarity.bqIndex(corpus, col("vec_id"), col("embedding"))
+      // ground-truth bits straight from the threshold rule
+      val st = stats.orderBy("d").collect()
+        .map(r => (r.get(0).toString.toLong,
+          r.getDecimal(1).longValueExact(), r.getLong(2)))
+      val truthBits: Map[Long, Seq[Int]] = Seq(1, 2, 3).map { s =>
+        (100L + s) -> (0 until dim).map { d =>
+          val vfx = math.round(v(s)(d).toDouble * 1e6)
+          val (_, sSum, n) = st(d)
+          if (vfx * n > sSum) 1 else 0
+        }
+      // (v never emits 0f, so no corpus vector is all-zero)
+      }.toMap
+      for (d <- Seq(0, dim / 2, dim - 1).distinct) {
+        val probe = Seq((900L + d.toLong,
+          (0 until dim).map(i => if (i == d) 1.0f else 0.0f)))
+          .toDF("vec_id", "embedding")
+        // k=3, full shortlist: the probe's exact re-rank output is not
+        // what we need — read the bit back through the SCORES instead
+        // by ranking: with a one-hot query, approx = 1e6 iff bit d is
+        // set, else -1e6; neighbors with bit set must outrank unset
+        val got = Similarity.bqTopKAsymmetricAgainstIndex(stats, codes,
+          corpus, col("vec_id"), col("embedding"),
+          probe, col("vec_id"), col("embedding"), k = 3, shortlist = 1)
+          .collect()
+        // shortlist=1 keeps ONLY the top-approx neighbor: it must be
+        // one whose bit d is maximal among the corpus (ties on id)
+        val bitsAtD = truthBits.view.mapValues(_(d)).toMap
+        val maxBit = bitsAtD.values.max
+        val expected = bitsAtD.filter(_._2 == maxBit).keys.min
+        assert(got.length == 1 && got.head.getLong(1) == expected,
+          s"dim=$dim probe d=$d: expected neighbor $expected " +
+            s"(bits $bitsAtD), got ${got.toSeq}")
+      }
+    }
+  }
+
   test("BQ append parity: frozen-stats encode is the append path") {
     // the ivfPqResAppend-style law, stated for BQ: (1) re-encoding the
     // index's own rows against its FROZEN stats reproduces its codes
