@@ -639,6 +639,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("centroid frame must carry"))
   }
 
+  test("IVF+BQ index persistence: all four artifacts round-trip through parquet") {
+    // the composition's pay-once story: centroids + cells (coarse
+    // quantizer) and stats + codes (binary quantizer) all materialize
+    // as parquet and searching against the reloaded artifacts is
+    // result-identical — per-part round-trips are proven elsewhere;
+    // this pins the COMPOSED search against reloaded everything
+    // (incl. the decimal(38,0) stats sums surviving the format hop)
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val qset = e.filter(col("vec_id") < 5)
+    val (cents, cells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+      nlist = 8)
+    val (stats, codes) = Similarity.bqIndex(e, col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfbqidx").toString
+    cents.write.parquet(s"$dir/cents"); cells.write.parquet(s"$dir/cells")
+    stats.write.parquet(s"$dir/stats"); codes.write.parquet(s"$dir/codes")
+    def search(ce: org.apache.spark.sql.DataFrame, cl: org.apache.spark.sql.DataFrame,
+               st: org.apache.spark.sql.DataFrame, co: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfBqTopKAgainstIndex(ce, cl, st, co,
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3, shortlist = 20).collect().map(_.toString).sorted.toSeq
+    val inline = search(cents, cells, stats, codes)
+    val rt = search(
+      spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/stats"), spark.read.parquet(s"$dir/codes"))
+    assert(rt == inline, "reloaded composed index must search identically")
+  }
+
   test("asymmetric BQ: full shortlist equals bruteTopK; recall beats symmetric at an equal tight cut") {
     val e = graft.sources.Tables(spark, sf).embeddings
     val qset = e.filter(col("vec_id") < 10)
