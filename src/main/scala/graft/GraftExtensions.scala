@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{BloomMightContain, BpeSegment, CdcChunks, Fnv1a64, Mix64, NfcNormalize, SortedIntersectCount, SyslogParse, VecDot, WinnowSelect}
+import graft.functions.{BloomMightContain, BpeSegment, CdcChunks, Fnv1a64, HammingDistance, Mix64, NfcNormalize, SortedIntersectCount, SyslogParse, VecDot, WinnowSelect}
 
 /** Session extension installing graft's custom Catalyst functions
   * (register with `SparkSession.builder().withExtensions(new
@@ -19,7 +19,7 @@ object GraftExtensions {
     Fnv1a64.descriptor, VecDot.descriptor, SortedIntersectCount.descriptor,
     SyslogParse.descriptor, NfcNormalize.descriptor, BloomMightContain.descriptor,
     BpeSegment.descriptor, WinnowSelect.descriptor, CdcChunks.descriptor,
-    Mix64.descriptor)
+    Mix64.descriptor, HammingDistance.descriptor)
 
   /** Idempotent runtime registration for sessions that already existed
     * before graft was on the classpath (`withExtensions` only applies at

@@ -88,6 +88,65 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hamming distance between two packed-bit code arrays (array<long>,
+  * the C154 BQ layout: 32 used bits per word) — the kernel under the
+  * binary-quantized ANN first pass. The HOF formulation
+  * (`aggregate(zip_with(codes, qcodes, xor→bit_count))`) allocates an
+  * intermediate array and two lambda frames per word; this is
+  * Long.bitCount(xor) in a tight loop over the unsafe data — and the
+  * BQ scan is exactly the loop that runs once per (corpus row ×
+  * query) at 100 TB. Measured ~12× on 2M rows × 10 queries × 16
+  * words at local[16] (HOF 2.86 s best-of-3 vs kernel 0.23 s,
+  * identical sums). On EQUAL word counts — the only well-formed BQ
+  * input; both sides encode under one stats table — it is the same
+  * left-to-right sum of the same exact integers, so swapping
+  * formulations cannot move the shortlist (spec-pinned). Mismatched
+  * counts are malformed: the kernel sums the shorter prefix (the HOF
+  * chain would instead NULL-pad via zip_with and void the whole
+  * distance — neither behavior is meaningful, prefix just stays
+  * total). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_hamming requires (array<bigint>, array<bigint>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HammingDistance.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDistance {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hamming"),
+    new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+    (children: Seq[Expression]) => HammingDistance(children(0), children(1)))
+}
+
 object SortedIntersectCount {
   def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()

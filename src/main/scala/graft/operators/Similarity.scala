@@ -1258,11 +1258,15 @@ object Similarity {
   /** NEGATED Hamming distance between two packed code arrays (so the
     * shared shortlist's desc order ranks nearest-first) — ONE
     * definition shared by the linear BQ scan and the IVF-bounded
-    * composition, exact integers via xor + bit_count. */
+    * composition. Rides the native `graft_hamming` kernel (a
+    * Long.bitCount(xor) loop over the unsafe array data) instead of
+    * the aggregate(zip_with(...)) HOF chain, which allocates an
+    * intermediate array and lambda frames per word — this loop runs
+    * once per (corpus row × query), THE hot path of the first pass
+    * at scale. Same exact integers in the same order (kernel-equals-
+    * HOF spec-pinned), so the shortlist boundary cannot move. */
   private def bqHammingNeg(codes: Column, qcodes: Column): Column =
-    -aggregate(zip_with(codes, qcodes,
-      (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
-      lit(0L), (acc, t) => acc + t)
+    -call_function("graft_hamming", codes, qcodes)
 
   /** Asymmetric BQ search (C154d — production BQ's better half, the
     * standard practice in the modern vector-DB literature): the CORPUS

@@ -639,6 +639,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("centroid frame must carry"))
   }
 
+  test("graft_hamming kernel == the HOF fold on edge shapes") {
+    import spark.implicits._
+    graft.GraftExtensions.ensureRegistered(spark)
+    // equal-length rows (the only well-formed BQ input): empty,
+    // single word, high bits (bit 62-63 set via negative longs),
+    // identical arrays — kernel must equal the HOF fold exactly
+    val rows = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(0L), Seq(0L)),
+      (Seq(0L), Seq(-1L)),
+      (Seq(Long.MinValue, 7L), Seq(Long.MaxValue, 0L)),
+      (Seq(0xDEADBEEFL, 0x12345678L), Seq(0xDEADBEEFL, 0x12345678L)))
+      .toDF("a", "b")
+    val got = rows.select(
+      call_function("graft_hamming", col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, t) => acc + t).as("h")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"row $i: kernel ${r.getLong(0)} != HOF ${r.getLong(1)}")
+    }
+    // malformed (mismatched word counts): kernel sums the shorter
+    // prefix and stays total, where zip_with would NULL-pad and void
+    // the distance — pin the documented behavior
+    val mm = Seq((Seq(123L, 456L, -1L), Seq(123L, 456L))).toDF("a", "b")
+      .select(call_function("graft_hamming", col("a"), col("b"))).head()
+    assert(mm.getLong(0) == 0L, s"prefix-equal mismatch must read 0: $mm")
+    // NULL input propagates NULL (BinaryExpression null-safety)
+    val n = rows.limit(1)
+      .select(call_function("graft_hamming",
+        lit(null).cast("array<bigint>"), col("b")))
+      .head()
+    assert(n.isNullAt(0), "NULL codes must yield NULL distance")
+  }
+
   test("IVF+BQ index persistence: all four artifacts round-trip through parquet") {
     // the composition's pay-once story: centroids + cells (coarse
     // quantizer) and stats + codes (binary quantizer) all materialize
