@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * dedup/ANN operators: ~20-50× per-pair speedup, which is the difference
   * between "runs at 100 TB" and "doesn't".
   *
-  * Preconditions (documented, not checked per-element): arrays carry no
-  * null elements — graft builds them with transform/sort_array over
-  * non-null source columns.
+  * Preconditions for [[VecDot]]/[[SortedIntersectCount]] (documented,
+  * not checked per-element): arrays carry no null elements — graft
+  * builds them with transform/sort_array over non-null source columns.
+  * [[HammingDistance]] CHECKS (length match + no nulls, clear error):
+  * it is the one kernel whose silent-prefix answer would look
+  * plausible to a SQL caller.
   */
 
 /** Dot product of two array<double> columns (same element order as the
@@ -101,10 +104,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * input; both sides encode under one stats table — it is the same
   * left-to-right sum of the same exact integers, so swapping
   * formulations cannot move the shortlist (spec-pinned). Mismatched
-  * counts are malformed: the kernel sums the shorter prefix (the HOF
-  * chain would instead NULL-pad via zip_with and void the whole
-  * distance — neither behavior is meaningful, prefix just stays
-  * total). */
+  * word counts or null elements are malformed and RAISE a clear error
+  * (the function is registered session-wide, so arbitrary SQL reaches
+  * it: a silent shorter-prefix sum — or the garbage/NPE a raw
+  * getLong on a null element reads — would be a plausible-looking
+  * wrong number; internal BQ callers always pass equal-length
+  * non-null codes and never hit either branch). */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -131,10 +136,16 @@ case class HammingDistance(left: Expression, right: Expression)
 
 object HammingDistance {
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_hamming: code arrays must be the same length, got $n and ${b.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_hamming: code arrays must carry no null elements (index $i)")
       s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
       i += 1
     }

@@ -1194,11 +1194,7 @@ object Similarity {
     * and emit two spurious zero words); [[bqEncode]] additionally
     * filters such vectors out, the bruteTopK empty-input contract. */
   private def bqWordsExpr(v: Column): Column =
-    graft.functions.Cols.let(
-      transform(v, (x, i) =>
-        when(round(x * lit(1e6)).cast("decimal(38,0)") *
-            element_at(col("ns"), i + 1) > element_at(col("ss"), i + 1),
-          lit(1L)).otherwise(lit(0L)))) { bits =>
+    graft.functions.Cols.let(bqBitsExpr(v)) { bits =>
       when(size(bits) > 0,
         transform(
           sequence(lit(0), ((size(bits) + lit(31)) / lit(32)).cast("int") - 1),
@@ -1206,6 +1202,47 @@ object Similarity {
             (acc, b) => acc * 2 + b)))
         .otherwise(array().cast("array<bigint>"))
     }
+
+  /** The threshold stage of [[bqWordsExpr]] on its own: the per-dim
+    * 0/1 bit array under a frame's `ss`/`ns` broadcast. ONE definition
+    * shared by the word pack and the drift monitor's bit-population
+    * counts, so the monitored distribution can never diverge from what
+    * the codes actually store. */
+  private def bqBitsExpr(v: Column): Column =
+    transform(v, (x, i) =>
+      when(round(x * lit(1e6)).cast("decimal(38,0)") *
+          element_at(col("ns"), i + 1) > element_at(col("ss"), i + 1),
+        lit(1L)).otherwise(lit(0L)))
+
+  /** Per-(vector, dimension) bit rows under FROZEN stats — the BQ
+    * drift monitor's bucket shape (C154h): each incoming vector emits
+    * one `(grp, bucket)` row per dimension with `bucket = 2·d + bit`,
+    * so the bucket distribution IS the per-dimension bit population
+    * (buckets 2d and 2d+1 split each dimension's mass). As the
+    * embedding distribution drifts away from the training corpus, the
+    * per-dim populations leave the trained ~50/50 split and C152's PSI
+    * over these buckets moves — the retrain trigger for the streaming
+    * index. The bit rule is [[bqBitsExpr]], the SAME expression the
+    * stored words pack, so the monitor watches exactly what the index
+    * contains. Scale shape: a d× map-side explode that collapses to
+    * ≤ 2d rows per partition before any shuffle (the bqTrain shape). */
+  def bqBitBuckets(df: DataFrame, vec: Column, stats: DataFrame): DataFrame =
+    df.select(vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .crossJoin(broadcast(bqStatsRow(stats)))
+      .select(posexplode(bqBitsExpr(col("v"))).as(Seq("d", "bit")))
+      .select(lit("bq").as("grp"),
+        (col("d").cast("long") * 2 + col("bit")).as("bucket"))
+
+  /** [[bqBitBuckets]] rolled up to `(grp, bucket, n)` — the batch side
+    * of the drift monitor's twin law, and how a REFERENCE window
+    * becomes the pinned counts table
+    * [[graft.streaming.StreamIndex.startBqDriftMonitor]] compares
+    * against (run it over the TRAINING corpus — or any healthy window
+    * — and write the result to `refCountsDir`). */
+  def bqBitCounts(df: DataFrame, vec: Column, stats: DataFrame): DataFrame =
+    bqBitBuckets(df, vec, stats)
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
 
   /** Binary codes for a frame under trained thresholds: `(vec_id,
     * codes)` with codes = array of ⌈d/32⌉ longs. One codegen map pass
@@ -1285,10 +1322,13 @@ object Similarity {
     * once-rounded exact integers and the bits are exact, so the score
     * is an exact integer — the shortlist boundary needs no float
     * discipline, same as Hamming. Bits unpack from the stored words
-    * arithmetically (shift/mask with compile-time shift constants from
-    * the 32-bit fold's layout), so the scan still READS only ⌈d/32⌉
-    * longs per row; `dim` comes from the stats table (a bounded 1-row
-    * fetch, the index's own dimensionality record). With
+    * arithmetically (shift/mask from the 32-bit fold's layout — the
+    * [[bqAsymScore]] dispatch: compile-time constants unrolled up to
+    * [[AsymUnrollLimit]], a dynamic fold past it), so the scan still
+    * READS only ⌈d/32⌉ longs per row; `dim` comes from the stats table
+    * (a bounded 1-row fetch, the index's own dimensionality record). A
+    * query vector whose length differs from dim fails fast
+    * ([[bqAsymQueryFx]]) instead of NULL-scoring. With
     * `shortlist ≥ |corpus| − 1` the exact re-rank sees every candidate
     * and the result EQUALS [[bruteTopK]] (spec-pinned); at equal TIGHT
     * shortlists the spec pins recall ≥ the symmetric scan on the
@@ -1304,25 +1344,57 @@ object Similarity {
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
     val dim = stats.count().toInt
     require(dim > 0, "stats table is empty — train before searching")
-    // the scorer below unrolls one shift/mask/multiply term per dim
-    // into a single straight-line codegen'd expression — the fastest
-    // shape for embedding-sized d, but a 10^4-term tree would stress
-    // the codegen method splitter; enforce the bound rather than
-    // document it (the bqTrain rule). Past it, the same integers are
-    // expressible as a dynamic fold (SQL shiftright accepts a column
-    // shift) — add that variant when a >4096-dim corpus shows up.
-    require(dim <= 4096,
-      s"asymmetric scorer unrolls per-dim terms; got dim=$dim > 4096")
-    val qf = queries
+    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(bqAsymQueryFx(queries, queryId, queryVec, dim)),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", bqAsymScore(dim))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** The asymmetric query projection: once-rounded fixed-point
+    * components under the index's dimensionality CONTRACT — a query
+    * vector whose length differs from the trained dim has no defined
+    * unpack alignment against the stored words, so it fails fast
+    * per-row (raise_error inside the projection, the distributed twin
+    * of the driver-side stats/codes `require` guards) instead of
+    * NULL-scoring into the shortlist tail (`element_at` past the end
+    * returns NULL in default mode, which would silently sink the
+    * whole row's score). */
+  private def bqAsymQueryFx(queries: DataFrame, queryId: Column,
+                            queryVec: Column, dim: Int): DataFrame =
+    queries
       .select(queryId.as("query_id"), queryVec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .select(col("query_id"),
-        transform(col("v"), x => round(x * lit(1e6)).cast("long")).as("qfx"))
-    // Σ_d qfx_d·(2b_d−1) as a compile-time sum over dims: word index,
-    // in-word shift and the short-last-word length are constants of
-    // the 32-bit fold's layout, so each term is one shift+mask on an
-    // already-read long — the row still reads only its packed words
-    val score = (0 until dim).map { d =>
+        when(size(col("v")) === dim,
+            transform(col("v"), x => round(x * lit(1e6)).cast("long")))
+          .otherwise(raise_error(concat(
+            lit(s"asymmetric query vector dim mismatch: index dim=$dim, got "),
+            size(col("v")).cast("string"))))
+          .as("qfx"))
+
+  /** Past this dim the unrolled scorer's straight-line expression tree
+    * would stress the codegen method splitter; [[bqAsymScore]] switches
+    * to the dynamic fold — one code path choice invisible to callers. */
+  private[graft] val AsymUnrollLimit = 4096
+
+  /** Scorer dispatch over a frame carrying `codes`/`qfx`: identical
+    * exact integers either way ([[bqAsymScoreFolded]] equality
+    * spec-pinned against [[bqAsymScoreUnrolled]]), so the shortlist
+    * boundary cannot depend on which path ran. */
+  private def bqAsymScore(dim: Int): Column =
+    if (dim <= AsymUnrollLimit) bqAsymScoreUnrolled(dim)
+    else bqAsymScoreFolded(dim)
+
+  /** Σ_d qfx_d·(2b_d−1) as a compile-time sum over dims: word index,
+    * in-word shift and the short-last-word length are constants of
+    * the 32-bit fold's layout, so each term is one shift+mask on an
+    * already-read long — the row still reads only its packed words.
+    * The fastest shape for embedding-sized d (straight-line codegen,
+    * no per-element lambda frames), bounded at [[AsymUnrollLimit]]. */
+  private[graft] def bqAsymScoreUnrolled(dim: Int): Column =
+    (0 until dim).map { d =>
       val w = d / 32
       val lw = math.min(32, dim - w * 32)
       val sh = lw - 1 - (d % 32)
@@ -1330,12 +1402,25 @@ object Similarity {
         .bitwiseAND(lit(1L))
       element_at(col("qfx"), d + 1) * (bit * lit(2L) - lit(1L))
     }.reduce(_ + _)
-    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
-      .join(broadcast(qf), col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx", score)
-    exactReRank(pqShortlist(scored, shortlist),
-      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
-  }
+
+  /** The same sign-sum as a dynamic fold over `sequence(0, dim−1)` —
+    * the dim > [[AsymUnrollLimit]] path: the word index, in-word shift
+    * (a COLUMN shift via SQL `shiftright`, which the Scala functions
+    * API doesn't expose) and short-last-word length become runtime
+    * arithmetic on the dimension variable instead of compile-time
+    * constants. Same longs, same left-to-right accumulation, so the
+    * result is bit-identical to the unrolled tree (spec-pinned at
+    * d=64/96); the per-element lambda frames are the honest price of
+    * an unbounded dim. */
+  private[graft] def bqAsymScoreFolded(dim: Int): Column =
+    aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, d) => {
+      val w = floor(d / lit(32)).cast("int")
+      val lw = least(lit(32), lit(dim) - w * lit(32))
+      val sh = lw - lit(1) - (d % lit(32))
+      val bit = call_function("shiftright",
+        element_at(col("codes"), w + 1), sh).bitwiseAND(lit(1L))
+      acc + element_at(col("qfx"), d + 1) * (bit * lit(2L) - lit(1L))
+    })
 
   /** Inline asymmetric BQ top-k: train → encode → search. */
   def bqTopKAsymmetric(corpus: DataFrame, corpusId: Column, corpusVec: Column,
@@ -1400,11 +1485,7 @@ object Similarity {
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
 
-  /** Inline IVF+BQ top-k: train both quantizers, encode, search.
-    * (The asymmetric scorer composes the same way — swap
-    * [[bqHammingNeg]] for the sign-sum over the identical candidate
-    * frame — kept un-registered until a recall gap motivates it; both
-    * ingredients are independently oracle-proven.) */
+  /** Inline IVF+BQ top-k: train both quantizers, encode, search. */
   def ivfBqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                 queries: DataFrame, queryId: Column, queryVec: Column,
                 nlist: Int, nprobe: Int, k: Int, shortlist: Int,
@@ -1412,6 +1493,62 @@ object Similarity {
     val (cents, cells) = ivfIndex(corpus, corpusId, corpusVec, nlist, ivfIters)
     val (stats, codes) = bqIndex(corpus, corpusId, corpusVec)
     ivfBqTopKAgainstIndex(cents, cells, stats, codes,
+      corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, nprobe, shortlist)
+  }
+
+  /** IVF + ASYMMETRIC BQ composed search (C154g — [[ivfBqTopKAgainstIndex]]
+    * with [[bqTopKAsymmetricAgainstIndex]]'s scorer): the coarse
+    * quantizer bounds WHICH packed codes are scored (nprobe/nlist of
+    * the corpus, id-only candidate pairs) and the float query scores
+    * each candidate's bit pattern with its own fixed-point magnitudes
+    * — the recall recovery of the asymmetric pass at the corpus bound
+    * of the IVF pass, identical index bytes to both. Candidates are
+    * [[ivfCandOf]]'s pairs from the stored cells (the probe bounds
+    * WHICH codes are scored, never how), the scorer is the single
+    * [[bqAsymScore]] definition, so with `nprobe = nlist` the result
+    * EQUALS plain [[bqTopKAsymmetric]] at the same shortlist
+    * (spec-pinned). Exact-integer scores end-to-end; same (long, long)
+    * shuffle shape as the symmetric composition. */
+  def ivfBqTopKAsymmetricAgainstIndex(centroids: DataFrame, cells: DataFrame,
+                                      stats: DataFrame, codes: DataFrame,
+                                      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                                      queries: DataFrame, queryId: Column, queryVec: Column,
+                                      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    require(Seq("vec_id", "cell").forall(cells.columns.contains),
+      s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
+    require(Seq("d", "s", "n").forall(stats.columns.contains),
+      s"stats frame must carry (d, s, n); got ${stats.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    val dim = stats.count().toInt
+    require(dim > 0, "stats table is empty — train before searching")
+    val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    val cand = ivfCandOf(
+      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
+    val scored = cand
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+        "neighbor_id")
+      .join(broadcast(bqAsymQueryFx(queries, queryId, queryVec, dim)),
+        "query_id")
+      .withColumn("approx", bqAsymScore(dim))
+    exactReRank(pqShortlist(scored, shortlist),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Inline IVF + asymmetric BQ top-k: train both quantizers, encode,
+    * search. */
+  def ivfBqTopKAsymmetric(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          nlist: Int, nprobe: Int, k: Int, shortlist: Int,
+                          ivfIters: Int = 1): DataFrame = {
+    val (cents, cells) = ivfIndex(corpus, corpusId, corpusVec, nlist, ivfIters)
+    val (stats, codes) = bqIndex(corpus, corpusId, corpusVec)
+    ivfBqTopKAsymmetricAgainstIndex(cents, cells, stats, codes,
       corpus, corpusId, corpusVec, queries, queryId, queryVec,
       k, nprobe, shortlist)
   }

@@ -1248,6 +1248,52 @@ object SimilarityQueries {
       GROUP BY t.query_id
       ORDER BY t.query_id"""))
 
+  /** C154g oracle: the trained-IVF candidate chain (the qann_ivf_bq
+    * recipe verbatim) feeding the asymmetric sign-sum rank (the
+    * qann_bq_asym scorer CTE over the candidate pairs, scored from the
+    * `bits` CTE the words pack verbatim) — the composition is again a
+    * JOIN of two green oracles, exactly mirroring the Spark side where
+    * ivfBqTopKAsymmetricAgainstIndex joins ivfCandOf's pairs to the
+    * bqAsymScore sign-sum. */
+  private def ivfBqAsymOracleSql(k: Int, nprobe: Int, shortlist: Int): String = s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ${ivfProbeCtes(nprobe, nq = 10)},
+      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+               FROM qprobe q JOIN acell a ON a.cell = q.cell
+               WHERE a.vec_id != q.query_id),
+      $bqWordCtes,
+      qf AS (SELECT vec_id AS query_id, vfx AS qfx FROM fx WHERE vec_id < 10),
+      ascored AS (SELECT cand.query_id, cand.neighbor_id,
+                    CAST(list_sum([q.qfx[i] * (2 * b.b[i] - 1)
+                      FOR i IN range(1, len(b.b)+1)]) AS BIGINT) AS sc
+                  FROM cand JOIN bits b ON b.vec_id = cand.neighbor_id
+                       JOIN qf q ON q.query_id = cand.query_id),
+      sl AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS srn
+               FROM ascored) t WHERE srn <= $shortlist),
+      ${reRankSql("sl", k)}"""
+
+  /** C154g: IVF + asymmetric BQ — the composed pass with the
+    * recall-recovering scorer: the coarse quantizer bounds WHICH packed
+    * codes are scored, the never-quantized query scores each
+    * candidate's bit pattern with its own fixed-point magnitudes.
+    * Registered at qann_ivf_bq's exact settings (nprobe 2 of 10,
+    * shortlist 20) so the two compositions' recall reads side by side;
+    * the asym-beats-sym gate at these settings is spec-pinned. */
+  val qIvfBqAsym = Q(
+    "qann_ivf_bq_asym",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfBqTopKAsymmetric(
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          nlist = 10, nprobe = 2, k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfBqAsymOracleSql(k = 5, nprobe = 2, shortlist = 20)))
+
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
     * synthetic blob takes), integer gray averaging, the 64 dHash bit
@@ -1885,7 +1931,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
-    qIvfBqRecall, qBqAsym, qRecall, qRecallCurve, qDecode,
+    qIvfBqRecall, qBqAsym, qIvfBqAsym, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

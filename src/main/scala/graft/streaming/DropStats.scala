@@ -385,14 +385,65 @@ object DropStats {
     * — a TIME bucket for the rate detectors, a VALUE bucket for the
     * distribution-drift monitor — and everything downstream (partial-
     * count appends, full recompute, staged rename) is shared. */
+  /** One-time layout migration at monitor start: the counts table
+    * changed from flat appended part files to `batch=<id>` partition
+    * dirs (the replay-idempotence fix). A monitor restarted over a
+    * pre-existing FLAT countsDir would write `batch=N` alongside the
+    * legacy root-level part files, and the next
+    * `spark.read.parquet(countsDir)` would fail partition discovery
+    * (conflicting directory structures) — bricking the monitor until
+    * the directory is hand-migrated. Detect root-level data files once
+    * at start and MOVE them into a `batch=legacy` partition: their
+    * counts keep summing into every recompute (the discovered `batch`
+    * column is dropped by the (grp, bucket) rollup either way), and
+    * `legacy` can never collide with a numeric micro-batch id. A
+    * failed rename raises loudly — a half-migrated dir must not start
+    * streaming. */
+  private[streaming] def migrateLegacyCounts(spark: SparkSession,
+                                             countsDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(countsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      // metadata sidecars (_SUCCESS, .crc) are not data; ChecksumFileSystem
+      // hides and co-renames the .crc sidecars itself
+      val rootFiles = fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (rootFiles.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(dir, "batch=legacy")
+        fs.mkdirs(legacy)
+        rootFiles.foreach { st =>
+          val to = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
+          if (!fs.rename(st.getPath, to))
+            throw new java.io.IOException(
+              s"monitor: legacy counts migration failed moving ${st.getPath} to $to")
+        }
+      }
+    }
+  }
+
   private def startBucketMonitor(spark: SparkSession, inputDir: String,
                                  checkpointDir: String, countsDir: String,
                                  alarmsDir: String)
                                 (prep: DataFrame => DataFrame)
-                                (recompute: DataFrame => DataFrame): StreamingQuery = {
+                                (recompute: DataFrame => DataFrame): StreamingQuery =
+    startBucketMonitorOver(spark, spark.readStream.text(inputDir),
+      checkpointDir, countsDir, alarmsDir)(prep)(recompute)
+
+  /** [[startBucketMonitor]] over an arbitrary streaming SOURCE frame —
+    * the text-lines default above is the log monitors' shape; the BQ
+    * index drift monitor ([[StreamIndex.startBqDriftMonitor]]) rides
+    * the identical partial-count/staged-rename plumbing over a parquet
+    * embedding stream. */
+  private[streaming] def startBucketMonitorOver(spark: SparkSession, source: DataFrame,
+                                                checkpointDir: String, countsDir: String,
+                                                alarmsDir: String)
+                                               (prep: DataFrame => DataFrame)
+                                               (recompute: DataFrame => DataFrame): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
-    val lines = spark.readStream.text(inputDir)
-    prep(lines)
+    migrateLegacyCounts(spark, countsDir)
+    prep(source)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -37,8 +37,8 @@ object StreamIndex {
     * bytes than the raw float32 vectors it consumes, and nothing
     * corpus-sized is ever read back. Drift discipline: frozen
     * thresholds slowly stale as the embedding distribution moves —
-    * monitor with C152's PSI over a code-bit or score distribution
-    * and retrain+re-encode as a batch job when it alarms (the
+    * run [[startBqDriftMonitor]] beside this append and
+    * retrain+re-encode as a batch job when it alarms (the
     * standard production split: cheap streaming appends, rare
     * deliberate rebuilds). */
   def startBqIndexAppend(spark: SparkSession, inputDir: String,
@@ -46,17 +46,58 @@ object StreamIndex {
                          checkpointDir: String, statsDir: String,
                          codesDir: String): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
+    // the frozen stats are d rows, read ONCE per query start and
+    // pinned (the neardup_screen pattern) — not re-read per micro-batch
+    val stats = spark.read.parquet(statsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val stats = batch.sparkSession.read.parquet(statsDir)
         graft.operators.Similarity.bqEncode(batch, col(id), col(vec), stats)
           .write.mode("overwrite")
           .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
       }
       .start()
+  }
+
+  /** Streaming BQ drift monitor (C154h — the retrain trigger
+    * [[startBqIndexAppend]]'s scaladoc prescribes): tail the SAME
+    * embedding stream, maintain per-dimension bit-population partial
+    * counts under the frozen stats (bucket = 2·d + bit, the
+    * [[graft.operators.Similarity.bqBitBuckets]] shape — exactly the
+    * bit rule the stored words pack), and after every micro-batch
+    * recompute PSI against the TRAINING corpus's pinned bit
+    * populations at `refCountsDir`
+    * (`Similarity.bqBitCounts(trainingCorpus, vec, stats)` written to
+    * parquet). Read the alarms with the C152 folklore (< 0.1 stable,
+    * 0.1–0.25 investigate, > 0.25 moved → retrain+re-encode). Rides
+    * [[DropStats]]'s partial-count plumbing verbatim, so replay
+    * idempotence, staged alarm renames, and the batch-twin law
+    * (output after N files ≡ `Profile.psiOverCounts(ref,
+    * bqBitCounts(those N files))`) all carry over; the
+    * smoothing/micro-nat tree is psiOverCounts' single definition, so
+    * the monitor inherits the oracle-gated exactness. */
+  def startBqDriftMonitor(spark: SparkSession, inputDir: String,
+                          schema: StructType, vec: String,
+                          checkpointDir: String, statsDir: String,
+                          countsDir: String, alarmsDir: String,
+                          refCountsDir: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val stats = spark.read.parquet(statsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DropStats.startBucketMonitorOver(spark,
+      spark.readStream.schema(schema).parquet(inputDir),
+      checkpointDir, countsDir, alarmsDir)(
+      batch => graft.operators.Similarity.bqBitBuckets(batch, col(vec), stats)) {
+      counts =>
+        val ref = counts.sparkSession.read.parquet(refCountsDir)
+          .select(col("grp").as("source"), col("bucket"), col("n"))
+        graft.operators.Profile.psiOverCounts(ref,
+            counts.select(col("grp").as("source"), col("bucket"), col("n")))
+          .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    }
   }
 }

@@ -149,6 +149,56 @@ class AnomalyMonitorSpec extends AnyFunSuite {
     assert(canon(spark.read.parquet(alarms)) == canon(twin))
   }
 
+  test("a pre-partition-layout (flat) countsDir migrates to batch=legacy and keeps summing") {
+    val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
+    // simulate the OLD layout: a monitor that appended partial counts
+    // as root-level part files (pre batch=<id> partitioning) — counts
+    // for minutes 0..9, whose source files have since been retired
+    // from the input dir (so a fresh checkpoint won't re-ingest them)
+    val legacyLines = lines(0, 10, Map("app0" -> 3, "app1" -> 3))
+    graft.logs.LogColumns.enhance(
+        spark.createDataset(legacyLines)(org.apache.spark.sql.Encoders.STRING).toDF("value"),
+        col("value"), "production")
+      .filter(col("timestamp").isNotNull)
+      .select(col("container_app").as("grp"),
+        expr("unix_seconds(timestamp) div 60").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(counts) // tmp() pre-creates the dir
+    val legacyTotal = spark.read.parquet(counts)
+      .agg(sum(col("n"))).head().getLong(0)
+
+    // restart the monitor over the flat dir with only NEW input: the
+    // start-time migration must move the root part files into
+    // batch=legacy so batch=0 can land beside them — without it the
+    // post-batch read fails partition discovery and bricks the monitor
+    Files.write(Paths.get(in, "p2.log"),
+      lines(10, 11, Map("app0" -> 3, "app1" -> 15)).asJava)
+    DropStats.startSpikeMonitor(spark, in, ck, counts, alarms,
+      "production", bucketSeconds = 60, k = 2.0).awaitTermination()
+    spark.catalog.refreshByPath(counts)
+    assert(!Files.list(Paths.get(counts)).iterator().asScala
+        .exists(p => p.toFile.isFile && p.getFileName.toString.startsWith("part-")),
+      "no root-level part files may remain after migration")
+    assert(Files.isDirectory(Paths.get(counts, "batch=legacy")),
+      "legacy part files move into a batch=legacy partition")
+    val total = spark.read.parquet(counts).agg(sum(col("n"))).head().getLong(0)
+    assert(total == legacyTotal + 18,
+      s"legacy counts keep summing beside the new batch: $legacyTotal -> $total")
+
+    // and the verdicts equal the batch twin over legacy + new lines
+    val allLines = legacyLines ++ lines(10, 11, Map("app0" -> 3, "app1" -> 15))
+    val twin = DropStats.rateSpikes(
+      graft.logs.LogColumns.enhance(
+          spark.createDataset(allLines)(org.apache.spark.sql.Encoders.STRING).toDF("value"),
+          col("value"), "production")
+        .filter(col("timestamp").isNotNull),
+      col("container_app"), expr("unix_seconds(timestamp) div 60"), k = 2.0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "bucket", "n", "mean_n", "sd_n", "spike")
+        .orderBy("grp", "bucket").collect().toSeq
+    assert(canon(spark.read.parquet(alarms)) == canon(twin))
+  }
+
   test("seasonal monitor == seasonalResiduals batch twin across a resume") {
     val in = tmp(); val ck = tmp(); val counts = tmp(); val alarms = tmp()
     // season = 12 one-minute buckets (a single outlier among nb

@@ -128,6 +128,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "crossJoins for encoding; the Hamming scan itself joins candidate ids " +
       "to codes by EQUI-join — the composition's whole point is that it " +
       "scores only probed-cell members, nprobe/nlist of the corpus"),
+    "qann_ivf_bq_asym" -> ("qann_ivf_bq's nlist-row centroid broadcasts plus " +
+      "qann_bq's bounded 1-row threshold crossJoin for the index encode; the " +
+      "sign-sum scan joins candidate ids to codes by EQUI-join and broadcasts " +
+      "only the bounded fixed-point query set — same nprobe/nlist corpus bound " +
+      "as the symmetric composition"),
     "qann_ivf_bq_recall" -> ("EMBEDS qann_brute_topk as its truth side and " +
       "qann_ivf_bq as its result side — the same bounded centroid/threshold/" +
       "query-set broadcasts; the recall join itself is an exact " +

@@ -661,12 +661,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getLong(0) == r.getLong(1),
         s"row $i: kernel ${r.getLong(0)} != HOF ${r.getLong(1)}")
     }
-    // malformed (mismatched word counts): kernel sums the shorter
-    // prefix and stays total, where zip_with would NULL-pad and void
-    // the distance — pin the documented behavior
-    val mm = Seq((Seq(123L, 456L, -1L), Seq(123L, 456L))).toDF("a", "b")
-      .select(call_function("graft_hamming", col("a"), col("b"))).head()
-    assert(mm.getLong(0) == 0L, s"prefix-equal mismatch must read 0: $mm")
+    // malformed (mismatched word counts): the function is registered
+    // session-wide, so arbitrary SQL reaches it — a silent
+    // shorter-prefix sum would be a plausible-looking wrong number;
+    // the kernel raises a clear error instead
+    val mmEx = intercept[Exception] {
+      Seq((Seq(123L, 456L, -1L), Seq(123L, 456L))).toDF("a", "b")
+        .select(call_function("graft_hamming", col("a"), col("b"))).head()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(rootMessages(mmEx).exists(_.contains("graft_hamming: code arrays must be the same length")),
+      s"mismatched word counts must raise the clear kernel error: $mmEx")
+    // malformed (null element): raw getLong over a null slot would NPE
+    // in interpreted mode or read garbage from UnsafeArrayData — the
+    // kernel raises the clear error in both modes
+    val nullElemEx = intercept[Exception] {
+      spark.sql("SELECT graft_hamming(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))").head()
+    }
+    assert(rootMessages(nullElemEx).exists(_.contains("graft_hamming: code arrays must carry no null elements")),
+      s"null code elements must raise the clear kernel error: $nullElemEx")
     // NULL input propagates NULL (BinaryExpression null-safety)
     val n = rows.limit(1)
       .select(call_function("graft_hamming",
@@ -728,8 +743,97 @@ class SimilaritySpec extends AnyFunSuite {
     val asymHits = hits(Similarity.bqTopKAsymmetric(e, col("vec_id"),
       col("embedding"), qset, col("vec_id"), col("embedding"),
       k = 5, shortlist = 20))
+    // NOTE: asym >= sym is an empirical property of THIS benchmark
+    // corpus (deterministic today), not a mathematical invariant of
+    // the two scorers — a per-query flip under a benign fixture change
+    // is possible. If a regeneration of the embedding generator or
+    // the shortlist constant flips it, re-audit the fixture before
+    // suspecting a scorer bug.
     assert(asymHits >= symHits,
       s"asymmetric recall must not trail symmetric at equal shortlist: $asymHits vs $symHits")
+  }
+
+  test("IVF+asym-BQ: full probe equals the linear asym scan; recall reads beside symmetric") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+    val qset = e.filter(col("vec_id") < 5)
+    // nprobe = nlist => the candidate set is every non-self pair — the
+    // IVF bound changes WHICH codes are sign-sum-scored, never how,
+    // so the composed search must equal the linear asymmetric scan
+    val plain = Similarity.bqTopKAsymmetric(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5, shortlist = 25)
+      .collect().map(_.toString).sorted
+    val composed = Similarity.ivfBqTopKAsymmetric(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"),
+      nlist = 8, nprobe = 8, k = 5, shortlist = 25)
+      .collect().map(_.toString).sorted
+    assert(composed.toSeq == plain.toSeq,
+      "full-probe IVF+asym-BQ must equal the linear asymmetric BQ scan")
+
+    // the registered settings' recall gate: at the SAME cell bound and
+    // shortlist, keeping the query's magnitudes must not lose recall
+    // vs the symmetric Hamming composition (fixture-pinned like the
+    // linear-scan gate above — an empirical property of the benchmark
+    // corpus, not an invariant; re-audit the fixture if it flips)
+    val q10 = e.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      q10, col("vec_id"), col("embedding"), k = 5)
+    def hits(res: org.apache.spark.sql.DataFrame): Long =
+      Similarity.annRecall(truth, res)
+        .agg(org.apache.spark.sql.functions.sum(col("hits"))).head().getLong(0)
+    val symHits = hits(Similarity.ivfBqTopK(e, col("vec_id"), col("embedding"),
+      q10, col("vec_id"), col("embedding"),
+      nlist = 10, nprobe = 2, k = 5, shortlist = 20))
+    val asymHits = hits(Similarity.ivfBqTopKAsymmetric(e, col("vec_id"), col("embedding"),
+      q10, col("vec_id"), col("embedding"),
+      nlist = 10, nprobe = 2, k = 5, shortlist = 20))
+    assert(asymHits >= symHits,
+      s"IVF+asym recall must not trail IVF+sym at equal settings: $asymHits vs $symHits")
+  }
+
+  test("asym scorer: dynamic fold == unrolled tree; malformed query vectors fail fast") {
+    import spark.implicits._
+    // equality of the two scorer formulations at d=64 (exact word
+    // boundary) and d=96 (three full words) — same longs, same
+    // left-to-right accumulation, so bit-identical scores; this is
+    // what makes the AsymUnrollLimit dispatch invisible to callers
+    for (dim <- Seq(64, 96)) {
+      def v(seed: Int): Seq[Float] =
+        (0 until dim).map(d => ((seed * 31 + d * 7) % 11 - 5) + 0.5f)
+      val corpus = (1 to 6).map(s => (100L + s, v(s))).toDF("vec_id", "embedding")
+      val (stats, codes) = Similarity.bqIndex(corpus, col("vec_id"), col("embedding"))
+      val qfx = (1 to 2).map(s => (900L + s, v(s + 7))).toDF("vec_id", "embedding")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * lit(1e6)).cast("long")).as("qfx"))
+      val frame = codes.crossJoin(qfx)
+      val got = frame.select(col("vec_id"), col("query_id"),
+          Similarity.bqAsymScoreUnrolled(dim).as("u"),
+          Similarity.bqAsymScoreFolded(dim).as("f"))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(r.getLong(2) == r.getLong(3),
+          s"dim=$dim (${r.getLong(0)}, ${r.getLong(1)}): unrolled ${r.getLong(2)} != folded ${r.getLong(3)}")
+      }
+    }
+
+    // a query vector SHORTER than the index dim has no defined unpack
+    // alignment — it must error loudly per-row, never NULL-score into
+    // the shortlist tail (element_at past the end is NULL in default
+    // mode, which would sink the row silently)
+    val corpus = (1 to 6).map(s => (100L + s,
+        (0 until 8).map(d => ((s * 31 + d * 7) % 11 - 5) + 0.5f)))
+      .toDF("vec_id", "embedding")
+    val shortQ = Seq((900L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.bqTopKAsymmetric(corpus, col("vec_id"), col("embedding"),
+        shortQ, col("vec_id"), col("embedding"), k = 3, shortlist = 5)
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("asymmetric query vector dim mismatch")),
+      s"short query vector must fail fast with the dim-mismatch error: $ex")
   }
 
   test("asymmetric unpack layout: one-hot probes recover every bit at word-boundary dims") {

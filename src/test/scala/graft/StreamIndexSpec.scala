@@ -96,4 +96,59 @@ class StreamIndexSpec extends AnyFunSuite {
     assert(viaStream == viaBatch,
       "search over the streamed codes must equal the batch-built index")
   }
+
+  test("BQ drift monitor == psiOverCounts batch twin; a shifted stream alarms") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp(); val statsDir = tmp() + "/stats"
+    val countsDir = tmp() + "/counts"; val alarmsDir = tmp() + "/alarms"
+    val refCountsDir = tmp() + "/ref"
+
+    // train once, freeze; the reference window is the TRAINING corpus's
+    // own bit populations under those frozen thresholds
+    Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    val stats = spark.read.parquet(statsDir)
+    Similarity.bqBitCounts(e, col("embedding"), stats)
+      .write.parquet(refCountsDir)
+
+    // phase 1: a same-distribution half arrives — PSI reads stable
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    dropFile(half1, in, "p1.parquet")
+    StreamIndex.startBqDriftMonitor(spark, in, e.schema, "embedding",
+      ck, statsDir, countsDir, alarmsDir, refCountsDir).awaitTermination()
+    val calm = spark.read.parquet(alarmsDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(calm.keySet == Set("bq") && calm("bq") < 0.1,
+      s"a same-distribution window must read stable: $calm")
+
+    // phase 2 (checkpoint resume): the embedding distribution moves —
+    // a constant +10 shift pushes every component past its trained
+    // mean, so per-dim bit populations collapse toward all-ones and
+    // PSI crosses the 'moved' threshold (the retrain trigger)
+    val shifted = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).cast("array<float>")
+        .as("embedding"))
+    dropFile(shifted, in, "p2.parquet")
+    StreamIndex.startBqDriftMonitor(spark, in, e.schema, "embedding",
+      ck, statsDir, countsDir, alarmsDir, refCountsDir).awaitTermination()
+    val moved = spark.read.parquet(alarmsDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(moved("bq") > 0.25,
+      s"the shifted window's bit populations must alarm: $moved")
+
+    // the twin law: monitor output after N files == psiOverCounts over
+    // the pinned reference and those N files' bit counts — the
+    // monitored math IS the batch operator's single definition
+    val live = half1.unionByName(shifted)
+    val twin = graft.operators.Profile.psiOverCounts(
+        spark.read.parquet(refCountsDir)
+          .select(col("grp").as("source"), col("bucket"), col("n")),
+        Similarity.bqBitCounts(live, col("embedding"), stats)
+          .select(col("grp").as("source"), col("bucket"), col("n")))
+      .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect().toSeq
+    assert(canon(spark.read.parquet(alarmsDir)) == canon(twin))
+  }
 }
