@@ -55,14 +55,64 @@ object Media {
           channels = 3L, nBytes = n)
     }
 
-    /** Resize to a w×h×3 RGB buffer. Real images: nearest-neighbor
-      * pixel sampling of the decoded raster (pure integer index math —
-      * deterministic, no AWT Graphics, headless-safe). Non-image
-      * blobs: STUB stride-sample of the byte stream — same fixed-size
-      * output contract either way. */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    /** Resize to a w×h×3 RGB buffer. Real images: `"nearest"`
+      * (default) samples the decoded raster by pure integer index math;
+      * `"bilinear"` — the standard preprocessing-stack filter — blends
+      * the 2×2 neighborhood with Q16 FIXED-POINT weights (half-pixel
+      * center mapping, edge-clamped), so it is exactly as
+      * deterministic as nearest: every weight and product is an
+      * integer, no float crosses the result (golden-pixel
+      * spec-pinned). Both paths are pure JVM loops — no AWT Graphics,
+      * headless-safe. Non-image blobs: STUB stride-sample of the byte
+      * stream under EITHER method (a fake raster has no geometry to
+      * interpolate) — same fixed-size output contract throughout.
+      * dHash/pHash stay on nearest: their cross-engine oracles mirror
+      * that sampling term-for-term. */
+    def resize(bytes: Array[Byte], w: Int, h: Int,
+               method: String = "nearest"): Array[Byte] = {
+      require(method == "nearest" || method == "bilinear",
+        s"resize method must be 'nearest' or 'bilinear', got '$method'")
       val out = new Array[Byte](w * h * 3)
       readImage(bytes) match {
+        case Some(img) if method == "bilinear" =>
+          val sw = img.getWidth; val sh = img.getHeight
+          // half-pixel centers in Q16: src = (dst + 0.5)·s/d − 0.5,
+          // clamped to the raster — align-corners=false, the
+          // torchvision/PIL default geometry
+          def coordQ(i: Int, dst: Int, src: Int): Long = {
+            val q = ((2L * i + 1) * src << 16) / (2L * dst) - (1L << 15)
+            math.max(0L, math.min(q, (src - 1).toLong << 16))
+          }
+          var y = 0
+          while (y < h) {
+            val syQ = coordQ(y, h, sh)
+            val y0 = (syQ >> 16).toInt
+            val fy = syQ & 0xffffL
+            val y1 = math.min(y0 + 1, sh - 1)
+            var x = 0
+            while (x < w) {
+              val sxQ = coordQ(x, w, sw)
+              val x0 = (sxQ >> 16).toInt
+              val fx = sxQ & 0xffffL
+              val x1 = math.min(x0 + 1, sw - 1)
+              val p00 = img.getRGB(x0, y0); val p10 = img.getRGB(x1, y0)
+              val p01 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+              val o = (y * w + x) * 3
+              var c = 0
+              while (c < 3) {
+                val sh8 = 16 - 8 * c
+                val top = ((p00 >> sh8) & 0xff) * (65536L - fx) +
+                  ((p10 >> sh8) & 0xff) * fx
+                val bot = ((p01 >> sh8) & 0xff) * (65536L - fx) +
+                  ((p11 >> sh8) & 0xff) * fx
+                out(o + c) =
+                  ((top * (65536L - fy) + bot * fy + (1L << 31)) >> 32).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
         case Some(img) =>
           var y = 0
           while (y < h) {
@@ -240,8 +290,10 @@ object Media {
   }
 
   /** Resize every blob to w×h×3 bytes via the per-partition codec
-    * boundary (same seam as [[decodeMeta]]). */
-  def resize(df: DataFrame, id: Column, blob: Column, w: Int, h: Int): DataFrame = {
+    * boundary (same seam as [[decodeMeta]]); `method` is
+    * [[MediaCodec.resize]]'s `"nearest"` (default) or `"bilinear"`. */
+  def resize(df: DataFrame, id: Column, blob: Column, w: Int, h: Int,
+             method: String = "nearest"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long").as("media_id"), blob.as("media"))
@@ -249,7 +301,7 @@ object Media {
       .mapPartitions { it =>
         // NULL blob ("no media") propagates as NULL, same contract as frames()
         it.map { case (mid, bytes) =>
-          (mid, if (bytes == null) null else MediaCodec.resize(bytes, w, h))
+          (mid, if (bytes == null) null else MediaCodec.resize(bytes, w, h, method))
         }
       }
       .toDF("media_id", "resized")

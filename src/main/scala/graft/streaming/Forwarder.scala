@@ -96,15 +96,71 @@ object Forwarder {
       .withColumn("rawlog", graft.functions.TextFunctions.redactPiiLogSafe(col("rawlog")))
       .withColumn("json", serialized)
 
+  /** The route-output METRIC leg (A18 — the reference's alerts shape,
+    * /root/reference/kvconfig.yml:5-10, applied to the FORWARDED
+    * stream): records whose matched route declares an `output:` block
+    * are delivered as metric POINTS — the json column becomes
+    * `{series, value, dimensions, stat_type}` with `value` read from
+    * the record's `value_field` and each dimension name resolved to
+    * that record field's value — instead of the plain NDJSON record.
+    * This closes the reference's own loop: its stats goroutine logs
+    * the per-minute drop-stats rollup as a LOG LINE
+    * (stats.go:31-38, `log.TraceD("drop-stats", tmp)`) that the
+    * forwarder then routes to the alert sink as a gauge point on
+    * `total_dropped`. Field resolution prefers the enhanced STRUCTURED
+    * column when the frame carries it (title, level, container_app, …)
+    * and falls back to the record's kayvee payload
+    * (`kayveeField(rawlog, name)`) — which is where `total_dropped`
+    * lives. Routes without an output block keep their plain NDJSON
+    * json untouched; everything still flows through the ONE
+    * NdjsonBatchSink seam (batching/retry/DLQ identical for points
+    * and records). Pure codegen column rewrites — the leg adds no
+    * shuffle and no second delivery pass. */
+  private[streaming] def metricJson(df: DataFrame,
+                                    routes: Seq[Routing.Route]): DataFrame = {
+    val withOut = routes.filter(_.output.isDefined)
+    if (withOut.isEmpty) df
+    else {
+      val stringFields = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSet
+      def fieldValue(name: String): Column =
+        if (name.isEmpty) lit(null).cast("string")
+        else if (stringFields(name)) col(name)
+        else LogColumns.kayveeField(col("rawlog"), name)
+      def pointOf(o: Routing.Output): Column = to_json(struct(
+        lit(o.series).as("series"),
+        fieldValue(o.valueField).cast("double").as("value"),
+        map_from_arrays(
+            array(o.dimensions.map(lit): _*).cast("array<string>"),
+            array(o.dimensions.map(fieldValue): _*).cast("array<string>"))
+          .as("dimensions"),
+        lit(o.statType).as("stat_type")))
+      df.withColumn("json",
+        withOut.foldRight(col("json")) { (r, acc) =>
+          when(col("stream") === r.name, pointOf(r.output.get)).otherwise(acc)
+        })
+    }
+  }
+
   /** Start the streaming forwarder. The record source defaults to
     * [[FileLinesSource]] over `conf.inputDir`; pass any other
     * [[RecordSource]] to swap the consumer without touching the
     * pipeline — the same seam where the reference wires its KCL batch
-    * consumer to the sender (/root/reference/main.go:63-64). */
+    * consumer to the sender (/root/reference/main.go:63-64).
+    *
+    * `routeTable`: a parsed kvconfig route table (the reference's
+    * `SetGlobalRouting` surface). When non-empty it compiles to the
+    * routing column (unless an explicit `route` overrides it) AND
+    * enables the [[metricJson]] alert leg for routes carrying an
+    * `output:` block. */
   def start(spark: SparkSession, conf: Config, delivery: Delivery,
             route: Option[Column] = None,
-            source: Option[RecordSource] = None): StreamingQuery = {
-    val r = route.getOrElse(lit(conf.streamName))
+            source: Option[RecordSource] = None,
+            routeTable: Seq[Routing.Route] = Nil): StreamingQuery = {
+    val r = route.getOrElse(
+      if (routeTable.nonEmpty) Routing.column(routeTable, conf.streamName)
+      else lit(conf.streamName))
     val src = source
       .getOrElse(FileLinesSource(conf.inputDir, conf.maxFilesPerTrigger))
     val transformed = transform(src.stream(spark), conf.deployEnv, r)
@@ -156,10 +212,14 @@ object Forwarder {
       case None => identity
     }
     val sink = new NdjsonBatchSink(delivery, conf.sink)
+    // metric rewrite LAST: the near-dup screen keys on the PLAIN
+    // record json (a replayed record must dedup whether or not its
+    // route emits points), then matched records become their points
     delivered.writeStream
       .option("checkpointLocation", conf.checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((df: DataFrame, id: Long) => sink.process(screen(df), id))
+      .foreachBatch((df: DataFrame, id: Long) =>
+        sink.process(metricJson(screen(df), routeTable), id))
       .start()
   }
 

@@ -490,6 +490,60 @@ class SimilaritySpec extends AnyFunSuite {
       (p(0) & 0xff) == 200 && (p(1) & 0xff) == 100 && (p(2) & 0xff) == 50))
   }
 
+  test("bilinear resize: golden pixels from the Q16 fixed-point blend") {
+    import spark.implicits._
+    // 2×2 gray PNG [10 30; 50 70]: with half-pixel centers a 4×4
+    // upsample puts the output centers at source fractions
+    // {clamp 0, 0.25, 0.75, clamp 1}, so every blend weight is an
+    // exact Q16 quarter and the expected bytes are exact integers —
+    // golden pixels derivable by hand, no float tolerance anywhere
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, gray(10)); img.setRGB(1, 0, gray(30))
+    img.setRGB(0, 1, gray(50)); img.setRGB(1, 1, gray(70))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in this JDK?")
+    val png = bos.toByteArray
+
+    val expected = Seq(
+      10, 15, 25, 30,
+      20, 25, 35, 40,
+      40, 45, 55, 60,
+      50, 55, 65, 70)
+    val bl = Media.MediaCodec.resize(png, 4, 4, method = "bilinear")
+    val grays = bl.grouped(3).map { p =>
+      // gray source ⇒ all three channels carry the same blend
+      assert(p(0) == p(1) && p(1) == p(2))
+      p(0) & 0xff
+    }.toSeq
+    assert(grays == expected, s"golden pixels: $grays vs $expected")
+
+    // nearest on the same fixture block-replicates instead of blending
+    val nn = Media.MediaCodec.resize(png, 4, 4)
+      .grouped(3).map(_(0) & 0xff).toSeq
+    assert(nn == Seq(10, 10, 30, 30, 10, 10, 30, 30,
+      50, 50, 70, 70, 50, 50, 70, 70))
+
+    // identity: resizing to the source dims reproduces the raster
+    // exactly under either method (all fracs are 0 after clamping)
+    assert(Media.MediaCodec.resize(png, 2, 2, "bilinear").toSeq ==
+      Media.MediaCodec.resize(png, 2, 2, "nearest").toSeq)
+
+    // the stub path (non-image blob) ignores the method — a fake
+    // raster has no geometry to interpolate
+    val blob = "definitely not an image".getBytes("UTF-8")
+    assert(Media.MediaCodec.resize(blob, 4, 4, "bilinear").toSeq ==
+      Media.MediaCodec.resize(blob, 4, 4, "nearest").toSeq)
+
+    // and through the Spark seam
+    val df = Seq((1L, png)).toDF("media_id", "media")
+    val viaSpark = Media.resize(df, col("media_id"), col("media"),
+        w = 4, h = 4, method = "bilinear")
+      .head().getAs[Array[Byte]]("resized")
+    assert(viaSpark.toSeq == bl.toSeq)
+  }
+
   test("truncated image bytes fall back to the stub instead of failing the batch") {
     import spark.implicits._
     // PNG magic but garbage body: ImageIO either returns null or throws

@@ -418,6 +418,78 @@ class StreamingSpec extends AnyFunSuite {
       row.getLong(2) == 3L))
   }
 
+  test("forwarder metric leg: a routed drop-stats LINE lands as a gauge point on total_dropped") {
+    // the reference's own loop: its stats goroutine logs the per-minute
+    // rollup as a LOG LINE (stats.go:31-38) that the forwarder then
+    // routes by the SHIPPED kvconfig to the alert sink as a metric
+    // point — plus a second route exercising dimensions + a payload
+    // value field with structured-column dimension resolution
+    val yml =
+      """routes:
+        |  dropped-logs-alert:
+        |    matchers:
+        |      title: ["drop-stats"]
+        |    output:
+        |      type: "alerts"
+        |      series: "kinesis-to-firehose-log-search.drop-stats"
+        |      dimensions: []
+        |      stat_type: "gauge"
+        |      value_field: "total_dropped"
+        |  latency-metrics:
+        |    matchers:
+        |      title: ["lat"]
+        |    output:
+        |      type: "alerts"
+        |      series: "app.latency"
+        |      dimensions: ["container_app", "level"]
+        |      stat_type: "histogram"
+        |      value_field: "latency"
+        |""".stripMargin
+    val routes = graft.streaming.Routing.parseKvConfig(yml)
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    val statsLine =
+      "2024-01-01T00:05:00+00:00 host-s production--kinesis-to-firehose/" +
+        "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-s[1]: " +
+        """{"title":"drop-stats","total_dropped":7,"app_count":2}"""
+    val latLine =
+      "2024-01-01T00:06:00+00:00 host-l production--app7/" +
+        "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-l[2]: " +
+        """{"title":"lat","level":"info","latency":12.5}"""
+    writeLines(in, "a.log", sampleLines(6) ++ Seq(statsLine, latLine))
+    Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out),
+      routeTable = routes).awaitTermination()
+
+    def streamLines(stream: String): Seq[String] =
+      Files.walk(Paths.get(out, stream)).iterator().asScala
+        .filter(_.toString.endsWith(".ndjson"))
+        .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    // the drop-stats record became a gauge point on the alert stream,
+    // value read from the record's payload field
+    val alert = streamLines("dropped-logs-alert")
+    assert(alert.size == 1, s"exactly the drop-stats line routes to the alert: $alert")
+    val p = spark.read.json(spark.createDataset(alert)(org.apache.spark.sql.Encoders.STRING))
+      .head()
+    assert(p.getAs[String]("series") == "kinesis-to-firehose-log-search.drop-stats")
+    assert(p.getAs[String]("stat_type") == "gauge")
+    assert(p.getAs[Double]("value") == 7.0)
+    // the dimensioned route: names resolve against the enhanced
+    // structured columns, the value against the kayvee payload
+    val lat = streamLines("latency-metrics")
+    assert(lat.size == 1)
+    val lp = spark.read.json(spark.createDataset(lat)(org.apache.spark.sql.Encoders.STRING))
+      .head()
+    assert(lp.getAs[String]("series") == "app.latency")
+    assert(lp.getAs[Double]("value") == 12.5)
+    assert(lp.getAs[org.apache.spark.sql.Row]("dimensions").getValuesMap[String](
+      Seq("container_app", "level")) == Map("container_app" -> "app7", "level" -> "info"))
+    // unmatched records still deliver as PLAIN NDJSON on the default
+    // stream — the metric leg rewrites only its routes' records
+    val main = streamLines("main")
+    assert(main.size == 6)
+    assert(main.forall(_.contains("\"rawlog\"")),
+      "default-stream records keep the full NDJSON record shape")
+  }
+
   test("routedSummary falls through matchers on absent or non-string fields") {
     import spark.implicits._
     // `level` in the summary shape is a MAP and `container_app` does not
