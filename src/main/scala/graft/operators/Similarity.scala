@@ -377,6 +377,31 @@ object Similarity {
       corpusCells.select(col("neighbor_id").as("vec_id"), col("cell")))
   }
 
+  /** Nearest-centroid assignment of NEW vectors under a FROZEN
+    * [[ivfIndex]] centroid table — the cells-side APPEND path, the
+    * coarse-quantizer analogue of bqEncode-under-frozen-stats: the
+    * argmax (and its grp-asc tie-break) is [[assignCells]]'s single
+    * definition shared with the index build, so re-assigning the
+    * index's own rows reproduces its cells exactly and a streamed
+    * vector lands in precisely the cell the batch build would have
+    * chosen (spec-pinned). Without this leg a streamed vector has
+    * codes but NO cell, and every cell-bounded composition (IVF+BQ,
+    * IVF+PQ) silently misses it — the append story must grow BOTH
+    * index tables. NULL/empty vectors are excluded (the bqEncode
+    * contract). One codegen scoring pass against the broadcast
+    * nlist-row centroid table; returns `(vec_id, cell)`. */
+  def ivfAssignAgainstIndex(df: DataFrame, id: Column, vec: Column,
+                            centroids: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    require(Seq("cell", "cv").forall(centroids.columns.contains),
+      s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
+    assignCells(
+      df.select(id.as("neighbor_id"), vec.cast("array<double>").as("v"))
+        .filter(col("v").isNotNull && size(col("v")) > 0),
+      centroids.select(col("cell").as("grp"), col("cv")))
+      .select(col("neighbor_id").as("vec_id"), col("cell"))
+  }
+
   /** [[ivfTopK]] with the centroid/assignment stage served from a
     * prebuilt [[ivfIndex]]: queries probe the broadcast centroid
     * table, candidates come from the stored cells table (id-keyed),

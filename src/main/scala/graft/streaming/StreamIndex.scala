@@ -63,6 +63,50 @@ object StreamIndex {
       .start()
   }
 
+  /** Streaming IVF CELL maintenance (C154i — the cells half of the
+    * composed index's append story): [[startBqIndexAppend]] grows the
+    * codes table, but the cell-bounded compositions (IVF+BQ, IVF+PQ)
+    * candidate-join on the CELLS table too — a streamed vector with
+    * codes but no cell is silently invisible to every composed search.
+    * This leg assigns each micro-batch's vectors to their nearest
+    * FROZEN centroid
+    * ([[graft.operators.Similarity.ivfAssignAgainstIndex]] — the
+    * build's own argmax definition, so a streamed vector lands in
+    * exactly the cell the batch build would have chosen) and appends
+    * `(vec_id, cell)` rows to `cellsDir/batch=<id>` with the same
+    * overwrite-mode replay idempotence as the codes leg. Run BOTH legs
+    * over the same input stream (separate checkpoints) and the full
+    * four-artifact composed search keeps seeing every appended vector
+    * (spec-pinned: full probe + full shortlist over the grown tables ≡
+    * bruteTopK over the union). Per batch: one codegen scoring pass
+    * against the bounded nlist-row centroid broadcast; only (long,
+    * long) rows land on disk. Centroid drift is the same retrain
+    * discipline as the stats table — [[startBqDriftMonitor]] alarms
+    * cover both frozen artifacts (they stale together: both are
+    * corpus-distribution summaries). */
+  def startIvfCellAppend(spark: SparkSession, inputDir: String,
+                         schema: StructType, id: String, vec: String,
+                         checkpointDir: String, centroidsDir: String,
+                         cellsDir: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    // the frozen centroids are nlist rows, read ONCE per query start
+    // and pinned (the startBqIndexAppend discipline)
+    val cents = spark.read.parquet(centroidsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .ivfAssignAgainstIndex(batch, col(id), col(vec), cents)
+          .write.mode("overwrite")
+          .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
+      }
+      .start()
+  }
+
   /** Streaming BQ drift monitor (C154h — the retrain trigger
     * [[startBqIndexAppend]]'s scaladoc prescribes): tail the SAME
     * embedding stream, maintain per-dimension bit-population partial

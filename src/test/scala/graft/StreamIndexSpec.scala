@@ -97,6 +97,65 @@ class StreamIndexSpec extends AnyFunSuite {
       "search over the streamed codes must equal the batch-built index")
   }
 
+  test("streamed IVF cells == frozen-centroid assign; composed search sees appended vectors") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ckCells = tmp(); val ckCodes = tmp()
+    val centsDir = tmp() + "/cents"; val cellsDir = tmp() + "/cells"
+    val statsDir = tmp() + "/stats"; val codesDir = tmp() + "/codes"
+
+    // train BOTH quantizers on the INITIAL corpus only, freeze all four
+    // artifacts; the initial cells/codes land as their own partitions
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    val (cents, cells1) = Similarity.ivfIndex(half1, col("vec_id"),
+      col("embedding"), nlist = 8)
+    cents.write.parquet(centsDir)
+    cells1.write.parquet(s"$cellsDir/batch=initial")
+    Similarity.bqTrain(half1, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    val stats = spark.read.parquet(statsDir)
+    Similarity.bqEncode(half1, col("vec_id"), col("embedding"), stats)
+      .write.parquet(s"$codesDir/batch=initial")
+
+    // stream the NEW vectors through BOTH append legs (separate
+    // checkpoints over the same input)
+    dropFile(half2, in, "p2.parquet")
+    StreamIndex.startIvfCellAppend(spark, in, e.schema, "vec_id", "embedding",
+      ckCells, centsDir, cellsDir).awaitTermination()
+    StreamIndex.startBqIndexAppend(spark, in, e.schema, "vec_id", "embedding",
+      ckCodes, statsDir, codesDir).awaitTermination()
+    spark.catalog.refreshByPath(cellsDir); spark.catalog.refreshByPath(codesDir)
+
+    // law 1: the grown cells table == the frozen-centroid batch assign
+    // of the UNION (assignCells is the build's own definition, so the
+    // initial rows reproduce too — the append-parity shape)
+    val grownCells = spark.read.parquet(cellsDir).select("vec_id", "cell")
+    assert(grownCells.collect().map(_.toString).sorted.toSeq ==
+      Similarity.ivfAssignAgainstIndex(e, col("vec_id"), col("embedding"),
+          spark.read.parquet(centsDir))
+        .collect().map(_.toString).sorted.toSeq,
+      "streamed cells must equal the frozen-centroid batch assign of the union")
+
+    // law 2: the four-artifact composed search SEES the appended
+    // vectors — at full probe + full shortlist it equals bruteTopK
+    // over the union (without the cells leg, every odd vec_id would
+    // silently vanish from the candidate join)
+    val qset = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val viaStream = Similarity.ivfBqTopKAgainstIndex(
+      spark.read.parquet(centsDir), grownCells,
+      stats, spark.read.parquet(codesDir).select("vec_id", "codes"),
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, nprobe = 8, shortlist = n)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStream == brute,
+      "full-probe/full-shortlist composed search over the grown tables must equal bruteTopK over the union")
+  }
+
   test("BQ drift monitor == psiOverCounts batch twin; a shifted stream alarms") {
     val e = graft.sources.Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding"))
