@@ -1248,6 +1248,29 @@ object SimilarityQueries {
       GROUP BY t.query_id
       ORDER BY t.query_id"""))
 
+  /** C154h's batch twin under the driver gate: per-dimension bit
+    * populations of the whole corpus under its own trained thresholds
+    * (bucket = 2·d + bit — the EXACT distribution the streaming drift
+    * monitor accumulates and PSIs). The oracle unnests the pre-pack
+    * `bits` CTE, so the monitored distribution is hash-pinned to the
+    * same bit rule the stored words pack. */
+  val qBqBitCounts = Q(
+    "qann_bq_bitcounts",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val stats = Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      Similarity.bqBitCounts(e, col("embedding"), stats)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      $bqWordCtes,
+      db AS (SELECT u.i - 1 AS d, b[u.i] AS bit
+             FROM bits, UNNEST(range(1, len(b)+1)) u(i))
+      SELECT 'bq' AS grp, CAST(2*d + bit AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM db GROUP BY 2 ORDER BY bucket"""))
+
   /** C154g oracle: the trained-IVF candidate chain (the qann_ivf_bq
     * recipe verbatim) feeding the asymmetric sign-sum rank (the
     * qann_bq_asym scorer CTE over the candidate pairs, scored from the
@@ -1931,7 +1954,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
-    qIvfBqRecall, qBqAsym, qIvfBqAsym, qRecall, qRecallCurve, qDecode,
+    qIvfBqRecall, qBqAsym, qIvfBqAsym, qBqBitCounts, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

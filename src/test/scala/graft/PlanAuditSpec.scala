@@ -128,6 +128,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "crossJoins for encoding; the Hamming scan itself joins candidate ids " +
       "to codes by EQUI-join — the composition's whole point is that it " +
       "scores only probed-cell members, nprobe/nlist of the corpus"),
+    "qann_bq_bitcounts" -> ("qann_bq's bounded 1-row threshold crossJoin onto " +
+      "the corpus for the bit explode; everything after is a map-side-combined " +
+      "(grp, bucket) rollup bounded at 2·dim rows"),
     "qann_ivf_bq_asym" -> ("qann_ivf_bq's nlist-row centroid broadcasts plus " +
       "qann_bq's bounded 1-row threshold crossJoin for the index encode; the " +
       "sign-sum scan joins candidate ids to codes by EQUI-join and broadcasts " +
