@@ -402,6 +402,32 @@ object Similarity {
       .select(col("neighbor_id").as("vec_id"), col("cell"))
   }
 
+  /** Cell-occupancy counts of a frame under FROZEN [[ivfIndex]]
+    * centroids — `(grp='ivf', bucket=cell, n)`, the IVF drift
+    * monitor's distribution (C154j) and its batch twin: as the
+    * embedding distribution moves away from the training corpus, the
+    * per-cell occupancy leaves the trained shape (mass collapsing into
+    * few cells is the recall-and-skew killer: probes miss and the
+    * occupied cells' candidate lists balloon), and C152's PSI over
+    * these buckets is the retrain trigger — the coarse quantizer's
+    * analogue of [[bqBitCounts]]. Assignment is
+    * [[ivfAssignAgainstIndex]] (the build's own argmax), so the
+    * monitored occupancy is exactly the cells table's distribution;
+    * registered as `qann_ivf_cellcounts` under the trained-cells
+    * oracle. Bounded output: ≤ nlist rows. */
+  def ivfCellCounts(df: DataFrame, id: Column, vec: Column,
+                    centroids: DataFrame): DataFrame =
+    ivfCellBuckets(df, id, vec, centroids)
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** [[ivfCellCounts]] before the rollup — one `(grp, bucket)` row per
+    * vector, the shape the streaming monitor's shared partial-count
+    * plumbing expects (it counts map-side itself). */
+  def ivfCellBuckets(df: DataFrame, id: Column, vec: Column,
+                     centroids: DataFrame): DataFrame =
+    ivfAssignAgainstIndex(df, id, vec, centroids)
+      .select(lit("ivf").as("grp"), col("cell").cast("long").as("bucket"))
+
   /** [[ivfTopK]] with the centroid/assignment stage served from a
     * prebuilt [[ivfIndex]]: queries probe the broadcast centroid
     * table, candidates come from the stored cells table (id-keyed),

@@ -1271,6 +1271,28 @@ object SimilarityQueries {
              CAST(COUNT(*) AS BIGINT) AS n
       FROM db GROUP BY 2 ORDER BY bucket"""))
 
+  /** C154j's batch twin under the driver gate: trained-IVF cell
+    * occupancy via the frozen-centroid assignment operator the
+    * streaming monitor rides — the oracle rolls up the SAME `acell`
+    * chain every composed-search oracle candidate-joins, so a drifted
+    * argmax (tie-break included) breaks hash parity here. */
+  val qIvfCellCounts = Q(
+    "qann_ivf_cellcounts",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, _) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+        nlist = 10)
+      Similarity.ivfCellCounts(e, col("vec_id"), col("embedding"), cents)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      ${trainedCellsCtes(nlist = 10)},
+      ${ivfProbeCtes(nprobe = 1, nq = 1)}
+      SELECT 'ivf' AS grp, CAST(cell AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM acell GROUP BY 2 ORDER BY bucket"""))
+
   /** C154g oracle: the trained-IVF candidate chain (the qann_ivf_bq
     * recipe verbatim) feeding the asymmetric sign-sum rank (the
     * qann_bq_asym scorer CTE over the candidate pairs, scored from the
@@ -1954,7 +1976,8 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
-    qIvfBqRecall, qBqAsym, qIvfBqAsym, qBqBitCounts, qRecall, qRecallCurve, qDecode,
+    qIvfBqRecall, qBqAsym, qIvfBqAsym, qBqBitCounts, qIvfCellCounts,
+    qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

@@ -432,10 +432,16 @@ object DropStats {
       checkpointDir, countsDir, alarmsDir)(prep)(recompute)
 
   /** [[startBucketMonitor]] over an arbitrary streaming SOURCE frame —
-    * the text-lines default above is the log monitors' shape; the BQ
-    * index drift monitor ([[StreamIndex.startBqDriftMonitor]]) rides
-    * the identical partial-count/staged-rename plumbing over a parquet
-    * embedding stream. */
+    * the text-lines default above is the log monitors' shape; the
+    * index drift monitors ([[StreamIndex.startBqDriftMonitor]],
+    * [[StreamIndex.startIvfDriftMonitor]]) ride the identical
+    * partial-count/staged-rename plumbing over a parquet embedding
+    * stream. `prep` maps a micro-batch to its (grp, bucket) rows and
+    * runs INSIDE foreachBatch (batch context, not on the streaming
+    * frame): all preps here are stateless so the output is identical,
+    * and it lets a prep carry a batch-only operator — the IVF
+    * monitor's nearest-centroid argmax is a groupBy, which streaming
+    * append mode would reject as an unwatermarked aggregation. */
   private[streaming] def startBucketMonitorOver(spark: SparkSession, source: DataFrame,
                                                 checkpointDir: String, countsDir: String,
                                                 alarmsDir: String)
@@ -443,12 +449,13 @@ object DropStats {
                                                (recompute: DataFrame => DataFrame): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
     migrateLegacyCounts(spark, countsDir)
-    prep(source)
+    source
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch = prep(rawBatch)
         // idempotent per-batch counts: each micro-batch OVERWRITES its
         // own batchId-named partition dir instead of appending to the
         // shared table — a replayed batch (rename-failure retry below,

@@ -107,6 +107,43 @@ object StreamIndex {
       .start()
   }
 
+  /** Streaming IVF drift monitor (C154j — [[startIvfCellAppend]]'s
+    * retrain trigger, the coarse-quantizer twin of
+    * [[startBqDriftMonitor]]): accumulate per-CELL occupancy partial
+    * counts of the incoming vectors under the frozen centroids
+    * (`Similarity.ivfCellBuckets` — the build's own argmax, so the
+    * monitored occupancy is exactly what lands in the cells table) and
+    * PSI them per micro-batch against the training corpus's pinned
+    * occupancy at `refCountsDir`
+    * (`Similarity.ivfCellCounts(trainingCorpus, id, vec, centroids)`
+    * written to parquet). Mass collapsing into few cells is the
+    * composed search's recall-and-skew killer — probes miss moved
+    * vectors and the hot cells' candidate lists balloon — so alarm on
+    * the same C152 folklore and retrain+re-encode as a batch job.
+    * Same shared plumbing, so replay idempotence, staged renames, and
+    * the batch-twin law all carry over. */
+  def startIvfDriftMonitor(spark: SparkSession, inputDir: String,
+                           schema: StructType, id: String, vec: String,
+                           checkpointDir: String, centroidsDir: String,
+                           countsDir: String, alarmsDir: String,
+                           refCountsDir: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val cents = spark.read.parquet(centroidsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DropStats.startBucketMonitorOver(spark,
+      spark.readStream.schema(schema).parquet(inputDir),
+      checkpointDir, countsDir, alarmsDir)(
+      batch => graft.operators.Similarity
+        .ivfCellBuckets(batch, col(id), col(vec), cents)) {
+      counts =>
+        val ref = counts.sparkSession.read.parquet(refCountsDir)
+          .select(col("grp").as("source"), col("bucket"), col("n"))
+        graft.operators.Profile.psiOverCounts(ref,
+            counts.select(col("grp").as("source"), col("bucket"), col("n")))
+          .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    }
+  }
+
   /** Streaming BQ drift monitor (C154h — the retrain trigger
     * [[startBqIndexAppend]]'s scaladoc prescribes): tail the SAME
     * embedding stream, maintain per-dimension bit-population partial

@@ -128,6 +128,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "crossJoins for encoding; the Hamming scan itself joins candidate ids " +
       "to codes by EQUI-join — the composition's whole point is that it " +
       "scores only probed-cell members, nprobe/nlist of the corpus"),
+    "qann_ivf_cellcounts" -> ("qann_ivf_trained's bounded nlist-row centroid " +
+      "broadcasts (Lloyd train + the frozen-centroid assignment); everything " +
+      "after is a map-side-combined (grp, cell) rollup bounded at nlist rows"),
     "qann_bq_bitcounts" -> ("qann_bq's bounded 1-row threshold crossJoin onto " +
       "the corpus for the bit explode; everything after is a map-side-combined " +
       "(grp, bucket) rollup bounded at 2·dim rows"),

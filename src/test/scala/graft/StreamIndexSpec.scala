@@ -156,6 +156,58 @@ class StreamIndexSpec extends AnyFunSuite {
       "full-probe/full-shortlist composed search over the grown tables must equal bruteTopK over the union")
   }
 
+  test("IVF drift monitor == psiOverCounts batch twin; collapsed occupancy alarms") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp(); val centsDir = tmp() + "/cents"
+    val countsDir = tmp() + "/counts"; val alarmsDir = tmp() + "/alarms"
+    val refCountsDir = tmp() + "/ref"
+
+    val (cents, _) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+      nlist = 8)
+    cents.write.parquet(centsDir)
+    val frozen = spark.read.parquet(centsDir)
+    Similarity.ivfCellCounts(e, col("vec_id"), col("embedding"), frozen)
+      .write.parquet(refCountsDir)
+
+    // phase 1: a same-distribution half — occupancy shape holds
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    dropFile(half1, in, "p1.parquet")
+    StreamIndex.startIvfDriftMonitor(spark, in, e.schema, "vec_id", "embedding",
+      ck, centsDir, countsDir, alarmsDir, refCountsDir).awaitTermination()
+    val calm = spark.read.parquet(alarmsDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(calm.keySet == Set("ivf") && calm("ivf") < 0.1,
+      s"a same-distribution window must read stable: $calm")
+
+    // phase 2 (resume): every vector snaps to one corner of the space
+    // (all-constant embeddings) — the whole stream lands in one cell,
+    // the occupancy collapse that kills probes and balloons candidate
+    // lists; PSI must cross the 'moved' threshold
+    val collapsed = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), _ => lit(1.0f)).cast("array<float>")
+        .as("embedding"))
+    dropFile(collapsed, in, "p2.parquet")
+    StreamIndex.startIvfDriftMonitor(spark, in, e.schema, "vec_id", "embedding",
+      ck, centsDir, countsDir, alarmsDir, refCountsDir).awaitTermination()
+    val moved = spark.read.parquet(alarmsDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(moved("ivf") > 0.25,
+      s"collapsed occupancy must alarm: $moved")
+
+    // twin law: alarms == psiOverCounts(ref, ivfCellCounts(all files))
+    val live = half1.unionByName(collapsed)
+    val twin = graft.operators.Profile.psiOverCounts(
+        spark.read.parquet(refCountsDir)
+          .select(col("grp").as("source"), col("bucket"), col("n")),
+        Similarity.ivfCellCounts(live, col("vec_id"), col("embedding"), frozen)
+          .select(col("grp").as("source"), col("bucket"), col("n")))
+      .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect().toSeq
+    assert(canon(spark.read.parquet(alarmsDir)) == canon(twin))
+  }
+
   test("BQ drift monitor == psiOverCounts batch twin; a shifted stream alarms") {
     val e = graft.sources.Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding"))
