@@ -107,6 +107,52 @@ object StreamIndex {
       .start()
   }
 
+  /** COMPOSED index append (C154i's single-stream form): grow the
+    * codes AND cells tables from ONE stream under ONE checkpoint. Two
+    * separate legs ([[startBqIndexAppend]] + [[startIvfCellAppend]])
+    * are each correct, but their checkpoints advance independently —
+    * one leg can commit batches the other hasn't processed, and during
+    * that lag a vector sits in codes without a cell (or vice versa)
+    * and is invisible to the composed search's candidate⋈codes join.
+    * Here both artifacts are written inside the SAME micro-batch
+    * before its commit, so at every committed offset the two tables
+    * cover exactly the same vectors; a crash between the two writes
+    * leaves an uncommitted batch whose replay overwrites BOTH
+    * `batch=<id>` partitions (the idempotence pattern heals the
+    * half-written window). The batch is pinned across its two
+    * consumers — without the persist each write would re-read the
+    * input file separately. */
+  def startComposedIndexAppend(spark: SparkSession, inputDir: String,
+                               schema: StructType, id: String, vec: String,
+                               checkpointDir: String, statsDir: String,
+                               centroidsDir: String, codesDir: String,
+                               cellsDir: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val stats = spark.read.parquet(statsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.read.parquet(centroidsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.operators.Similarity.bqEncode(pinned, col(id), col(vec), stats)
+            .write.mode("overwrite")
+            .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
+          graft.operators.Similarity
+            .ivfAssignAgainstIndex(pinned, col(id), col(vec), cents)
+            .write.mode("overwrite")
+            .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
+        } finally pinned.unpersist(blocking = false): Unit
+      }
+      .start()
+  }
+
   /** Streaming IVF drift monitor (C154j — [[startIvfCellAppend]]'s
     * retrain trigger, the coarse-quantizer twin of
     * [[startBqDriftMonitor]]): accumulate per-CELL occupancy partial

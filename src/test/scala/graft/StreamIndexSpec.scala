@@ -156,6 +156,83 @@ class StreamIndexSpec extends AnyFunSuite {
       "full-probe/full-shortlist composed search over the grown tables must equal bruteTopK over the union")
   }
 
+  test("composed append: one checkpoint grows codes AND cells in lockstep, replay heals both") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp()
+    val centsDir = tmp() + "/cents"; val cellsDir = tmp() + "/cells"
+    val statsDir = tmp() + "/stats"; val codesDir = tmp() + "/codes"
+
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    val (cents, cells1) = Similarity.ivfIndex(half1, col("vec_id"),
+      col("embedding"), nlist = 8)
+    cents.write.parquet(centsDir)
+    cells1.write.parquet(s"$cellsDir/batch=initial")
+    Similarity.bqTrain(half1, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    val stats = spark.read.parquet(statsDir)
+    Similarity.bqEncode(half1, col("vec_id"), col("embedding"), stats)
+      .write.parquet(s"$codesDir/batch=initial")
+
+    dropFile(half2, in, "p2.parquet")
+    StreamIndex.startComposedIndexAppend(spark, in, e.schema, "vec_id",
+      "embedding", ck, statsDir, centsDir, codesDir, cellsDir)
+      .awaitTermination()
+    spark.catalog.refreshByPath(cellsDir); spark.catalog.refreshByPath(codesDir)
+
+    // lockstep law: at the committed offset, codes and cells cover
+    // exactly the same vectors — the lag window two independent
+    // checkpoints would open cannot exist here
+    def ids(dir: String) = spark.read.parquet(dir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(codesDir) == ids(cellsDir),
+      "codes and cells must cover exactly the same vectors")
+
+    // both twins hold: frozen-stats encode and frozen-centroid assign
+    assert(spark.read.parquet(codesDir).select("vec_id", "codes")
+        .collect().map(_.toString).sorted.toSeq ==
+      Similarity.bqEncode(e, col("vec_id"), col("embedding"), stats)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(spark.read.parquet(cellsDir).select("vec_id", "cell")
+        .collect().map(_.toString).sorted.toSeq ==
+      Similarity.ivfAssignAgainstIndex(e, col("vec_id"), col("embedding"),
+          spark.read.parquet(centsDir))
+        .collect().map(_.toString).sorted.toSeq)
+
+    // replay: drop the last commit so the batch re-runs — BOTH
+    // partitions overwrite, neither table duplicates (the heal path
+    // for a crash between the two writes)
+    val commits = Paths.get(ck, "commits")
+    val last = Files.list(commits).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.matches("\\d+"))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(last)
+    Files.deleteIfExists(Paths.get(ck, "commits", "." + last.getFileName + ".crc"))
+    StreamIndex.startComposedIndexAppend(spark, in, e.schema, "vec_id",
+      "embedding", ck, statsDir, centsDir, codesDir, cellsDir)
+      .awaitTermination()
+    spark.catalog.refreshByPath(cellsDir); spark.catalog.refreshByPath(codesDir)
+    assert(ids(codesDir) == ids(cellsDir))
+    assert(ids(codesDir).size == ids(codesDir).distinct.size,
+      "a replayed batch must not duplicate rows in either table")
+
+    // and the grown four-artifact index searches correctly
+    val qset = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val viaStream = Similarity.ivfBqTopKAgainstIndex(
+      spark.read.parquet(centsDir),
+      spark.read.parquet(cellsDir).select("vec_id", "cell"),
+      stats, spark.read.parquet(codesDir).select("vec_id", "codes"),
+      e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+      k = 5, nprobe = 8, shortlist = n)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Similarity.bruteTopK(e, col("vec_id"), col("embedding"),
+      qset, col("vec_id"), col("embedding"), k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStream == brute)
+  }
+
   test("IVF drift monitor == psiOverCounts batch twin; collapsed occupancy alarms") {
     val e = graft.sources.Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding"))
