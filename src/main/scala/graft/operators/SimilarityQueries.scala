@@ -1339,6 +1339,37 @@ object SimilarityQueries {
     },
     Some(ivfBqAsymOracleSql(k = 5, nprobe = 2, shortlist = 20)))
 
+  /** C154g's recall gate beside C154e: recall@5 of IVF+asym-BQ at the
+    * SAME production settings as the symmetric composition's gate
+    * (nprobe 2 of 10 × shortlist 20) against the brute truth — read
+    * the two tables side by side to see what the query's magnitudes
+    * buy back at an identical cell bound and identical index bytes.
+    * Composes two proven oracle chains, each referenced once. */
+  val qIvfBqAsymRecall = Q(
+    "qann_ivf_bq_asym_recall",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val qset = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteTopK(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"), k = 5)
+      val res = Similarity.ivfBqTopKAsymmetric(
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+        nlist = 10, nprobe = 2, k = 5, shortlist = 20)
+      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
+           res AS (SELECT query_id, neighbor_id
+                   FROM (${ivfBqAsymOracleSql(k = 5, nprobe = 2, shortlist = 20)}) tr)
+      SELECT t.query_id,
+        CAST(COUNT(*) AS BIGINT) AS truth_n,
+        CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        ROUND(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+      FROM truth t LEFT JOIN res r
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+      ORDER BY t.query_id"""))
+
   /** Full algorithm-parity oracle for perceptual image near-dup: the
     * stub raster (stride byte-sample — the deterministic path every
     * synthetic blob takes), integer gray averaging, the 64 dHash bit
@@ -1976,8 +2007,8 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
-    qIvfBqRecall, qBqAsym, qIvfBqAsym, qBqBitCounts, qIvfCellCounts,
-    qRecall, qRecallCurve, qDecode,
+    qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
+    qIvfCellCounts, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

@@ -139,6 +139,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "sign-sum scan joins candidate ids to codes by EQUI-join and broadcasts " +
       "only the bounded fixed-point query set — same nprobe/nlist corpus bound " +
       "as the symmetric composition"),
+    "qann_ivf_bq_asym_recall" -> ("EMBEDS qann_brute_topk as its truth side " +
+      "and qann_ivf_bq_asym as its result side — the same bounded centroid/" +
+      "threshold/query-set broadcasts; the recall join itself is an exact " +
+      "(query, neighbor) equi-join over two queries×k frames"),
     "qann_ivf_bq_recall" -> ("EMBEDS qann_brute_topk as its truth side and " +
       "qann_ivf_bq as its result side — the same bounded centroid/threshold/" +
       "query-set broadcasts; the recall join itself is an exact " +
