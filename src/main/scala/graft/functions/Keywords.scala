@@ -369,6 +369,63 @@ object Keywords {
       stats = mergedStats)
   }
 
+  /** The DELETE half of [[textIndexAppend]] — fold a removal batch
+    * OUT of an existing index with work linear in the removed docs'
+    * postings and ZERO re-tokenization: the docs to drop are located
+    * in the index's OWN postings (removal needs ids only, never the
+    * original text — the GDPR/takedown shape, where the text may
+    * already be gone), their per-term (df, ctf) mass is aggregated
+    * and SUBTRACTED from `terms` via one left-merge (terms whose df
+    * reaches 0 drop — a full rebuild would never have seen them),
+    * postings/docs anti-join away, and the 1-row stats shrink by the
+    * removed docs' count and token mass. Spec pins
+    * remove(X) ≡ rebuild-without(X) frame-for-frame AND
+    * search-for-search (the [[textIndexAppend]] parity law inverted).
+    * Ids absent from the index are no-ops — remove(absent) ≡
+    * rebuild-without(absent) ≡ unchanged — so a delete list may be
+    * replayed idempotently.
+    *
+    * Scale shape: `ids`' first column is the key; the removed-postings
+    * locate is a semi-join on doc_id (delete lists are 10¹-10⁶ rows —
+    * AQE broadcasts small ones), the term merge moves only the
+    * REMOVED docs' distinct terms, and the history's postings are
+    * anti-joined, never rewritten row-by-row. A removal approaching
+    * the corpus size is rebuild territory, same contract as the
+    * append side's retrain-on-drift. */
+  def textIndexRemove(ix: TextIndex, ids: DataFrame): TextIndex = {
+    val keyType = ix.docs.schema("doc_id").dataType
+    val rem = ids.select(col(ids.columns.head).cast(keyType).as("doc_id"))
+      .distinct()
+    val remTf = ix.postings.join(rem, Seq("doc_id"), "left_semi")
+    val hasCtf = ix.terms.columns.contains("ctf")
+    val remTerms = remTf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df_rem"), sum(col("tf")).as("__ctf_rem"))
+    val mergedTerms0 = ix.terms
+      .join(remTerms, Seq("term"), "left")
+      .withColumn("df", col("df") - coalesce(col("__df_rem"), lit(0L)))
+      .filter(col("df") > 0)
+    val mergedTerms =
+      if (hasCtf) mergedTerms0
+        .select(col("term"), col("df"),
+          (col("ctf") - coalesce(col("__ctf_rem"), lit(0L))).as("ctf"))
+      else mergedTerms0.select(col("term"), col("df"))
+    // stats shrink by the docs ACTUALLY present (replayed/absent ids
+    // must not drive n_docs negative); the coalesce guards an empty
+    // removal set (sum over zero rows is NULL, not 0)
+    val remStats = ix.docs.join(rem, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("__n_rem"),
+        coalesce(sum(col("dl")), lit(0L)).as("__t_rem"))
+    val mergedStats = ix.stats.crossJoin(broadcast(remStats))
+      .select((col("n_docs") - col("__n_rem")).as("n_docs"),
+        (coalesce(col("total_tokens"), lit(0L)) - col("__t_rem"))
+          .as("total_tokens"))
+    TextIndex(
+      postings = ix.postings.join(rem, Seq("doc_id"), "left_anti"),
+      terms = mergedTerms,
+      docs = ix.docs.join(rem, Seq("doc_id"), "left_anti"),
+      stats = mergedStats)
+  }
+
   /** Dictionary tagging (C135) — taxonomy/topic labeling of a corpus
     * against a curated term list, the FlashText/gazetteer problem: a
     * `(tag, term)` dictionary where terms are single words OR

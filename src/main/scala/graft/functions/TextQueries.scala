@@ -1899,6 +1899,32 @@ object TextQueries {
     },
     Some(bm25OracleSql))
 
+  /** Index DELETE propagation under the SAME oracle a fourth time
+    * (qtext_bm25_inc's discipline inverted): append a junk quarter —
+    * real documents re-id'd past the corpus (so the junk SHARES terms
+    * with surviving docs: the df-subtract must land on terms that
+    * remain, not just vanish) — then [[Keywords.textIndexRemove]] the
+    * junk ids and search. The pruned index must be hash-identical to
+    * never having indexed the junk at all; any residue in dfs, ctf,
+    * dl or the stats row breaks equality with qtext_bm25's proven
+    * oracle. */
+  val qBm25Rm = Q(
+    "qtext_bm25_rm",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val junk = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val grown = Keywords.textIndexAppend(
+        Keywords.textIndex(docs, col("doc_id"), col("text")),
+        junk, col("doc_id"), col("text"))
+      val pruned = Keywords.textIndexRemove(grown, junk.select(col("doc_id")))
+      Keywords.bm25AgainstIndex(pruned, Bm25QueryTerms.toDF("query_id", "term"),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25OracleSql))
+
   /** C145: the MRR gate run as a SELF-RETRIEVAL eval — each of the
     * first 20 docs queries the index with its own first 3 tokens and
     * the doc itself is the relevant answer (the classic zero-label
@@ -2163,6 +2189,6 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
     qBpeApplyVocab, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
-    qBm25, qBm25Indexed, qBm25Inc, qQl, qHybrid, qZipf, qLmRef, qKnRef,
+    qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

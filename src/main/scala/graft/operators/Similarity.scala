@@ -1825,6 +1825,42 @@ object Similarity {
       narrowCodes(codes, ksub))
   }
 
+  /** The DELETE half of every keyed ANN artifact ([[ivfPqResAppend]]'s
+    * inverse, and the BQ/SQ/IVF code tables' too): drop a removal
+    * batch from a `vec_id`-keyed index table by anti-join. Stats,
+    * centroids and codebooks stay FROZEN — removal is not drift (the
+    * remaining rows' codes were computed against those artifacts and
+    * stay exactly right; only NEW distributions drift, and the
+    * monitors watch for that). Ids absent from the table are no-ops,
+    * so delete lists replay idempotently. Spec pins
+    * remove(X) ≡ rebuild-without(X) frame-for-frame AND
+    * search-for-search under the frozen artifacts.
+    *
+    * Scale shape: one anti-join on the key — the history is never
+    * rewritten row-by-row, and a small delete list broadcasts under
+    * AQE. */
+  def indexRemove(table: DataFrame, ids: DataFrame,
+                  key: String = "vec_id"): DataFrame = {
+    require(table.columns.contains(key),
+      s"index table must carry '$key'; got ${table.columns.mkString(", ")}")
+    val keyType = table.schema(key).dataType
+    val rem = ids.select(col(ids.columns.head).cast(keyType).as(key)).distinct()
+    table.join(rem, Seq(key), "left_anti")
+  }
+
+  /** [[indexRemove]] applied to an [[ivfPqResIndex]]'s BOTH keyed
+    * artifacts in lockstep — cells and codes must shrink together or
+    * a searched candidate has no code (or a code no cell). Centroids
+    * and codebooks stay frozen per the [[indexRemove]] contract. */
+  def ivfPqResRemove(cells: DataFrame, codes: DataFrame,
+                     ids: DataFrame): (DataFrame, DataFrame) = {
+    require(Seq("vec_id", "cell").forall(cells.columns.contains),
+      s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
+    require(Seq("vec_id", "codes").forall(codes.columns.contains),
+      s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
+    (indexRemove(cells, ids), indexRemove(codes, ids))
+  }
+
   /** [[ivfPqResTopK]] with every build artifact served from a prebuilt
     * [[ivfPqResIndex]]. `corpus` supplies full vectors for the exact
     * re-rank only. */

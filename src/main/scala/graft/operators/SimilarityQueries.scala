@@ -782,6 +782,38 @@ object SimilarityQueries {
     },
     Some(ivfPqResOracleSql))
 
+  /** Index DELETE propagation under the SAME full oracle a third time
+    * (qann_ivfpq_app inverted): grow the built index with a junk
+    * slice — real vectors re-id'd past the corpus, encoded through
+    * the frozen-artifact append path so their rows interleave into
+    * the same cells/codes tables — then [[Similarity.ivfPqResRemove]]
+    * the junk ids and search. The pruned index must be
+    * hash-identical to never having appended at all; a code row
+    * surviving its cell row (or vice versa) breaks the lockstep
+    * contract and this oracle. */
+  val qIvfPqRm = Q(
+    "qann_ivfpq_rm",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+        e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8,
+        ivfIters = 1, pqIters = 1)
+      val junk = e.filter(col("vec_id") % 5 === 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val (junkCells, junkCodes) = Similarity.ivfPqResAppend(
+        cents, books, junk, col("vec_id"), col("embedding"), m = 4, ksub = 8)
+      val (prunedCells, prunedCodes) = Similarity.ivfPqResRemove(
+        cells.unionByName(junkCells), codes.unionByName(junkCodes),
+        junk.select(col("vec_id")))
+      Similarity.ivfPqResTopKAgainstIndex(
+          cents, prunedCells, books, prunedCodes,
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqResOracleSql))
+
   val qDecode = Q(
     "qmm_decode_meta",
     (s, dir) => {
@@ -2006,7 +2038,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qSq, qBq, qBqRecall, qIvfBq,
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qSq, qBq, qBqRecall, qIvfBq,
     qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
     qIvfCellCounts, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,

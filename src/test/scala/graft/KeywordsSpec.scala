@@ -396,6 +396,68 @@ class KeywordsSpec extends AnyFunSuite {
     assert(rows(grown) == rows(full) && rows(full).nonEmpty)
   }
 
+  test("textIndexRemove equals rebuild-without frame-for-frame and search-for-search") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit, not}
+    import graft.sources.Tables
+    val docs = Tables(spark, SparkTest.sf).documents
+    val dropped = pmod(col("doc_id"), lit(4)) === 3
+    val rebuilt = Keywords.textIndex(docs.filter(not(dropped)),
+      col("doc_id"), col("text"))
+    val pruned = Keywords.textIndexRemove(
+      Keywords.textIndex(docs, col("doc_id"), col("text")),
+      docs.filter(dropped).select(col("doc_id")))
+    def sorted(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(pruned.terms) == sorted(rebuilt.terms))
+    assert(sorted(pruned.docs) == sorted(rebuilt.docs))
+    assert(sorted(pruned.stats) == sorted(rebuilt.stats))
+    assert(sorted(pruned.postings) == sorted(rebuilt.postings))
+    val queries = Seq(("q1", "hash"), ("q2", "vector")).toDF("query_id", "term")
+    def rows(ix: Keywords.TextIndex) =
+      Keywords.bm25AgainstIndex(ix, queries, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(pruned) == rows(rebuilt) && rows(rebuilt).nonEmpty)
+    // QL reads ctf — the remove must have maintained it exactly too
+    def qlRows(ix: Keywords.TextIndex) =
+      Keywords.qlAgainstIndex(ix, queries, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(qlRows(pruned) == qlRows(rebuilt) && qlRows(rebuilt).nonEmpty)
+    // replayed and never-indexed ids are no-ops: the delete list is
+    // idempotent and removing nothing changes nothing
+    val again = Keywords.textIndexRemove(pruned,
+      docs.filter(dropped).select(col("doc_id"))
+        .unionByName(Seq(-999L).toDF("doc_id")))
+    assert(sorted(again.terms) == sorted(rebuilt.terms))
+    assert(sorted(again.stats) == sorted(rebuilt.stats))
+    assert(sorted(again.postings) == sorted(rebuilt.postings))
+  }
+
+  test("textIndexRemove: full removal empties the index; legacy df-only index stays df-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "alpha beta beta"), (2L, "gamma alpha"),
+      (3L, "beta delta")).toDF("doc_id", "text")
+    val ix = Keywords.textIndex(docs, col("doc_id"), col("text"))
+    val empty = Keywords.textIndexRemove(ix, Seq(1L, 2L, 3L).toDF("doc_id"))
+    assert(empty.postings.count() == 0 && empty.terms.count() == 0 &&
+      empty.docs.count() == 0)
+    val st = empty.stats.collect().head
+    assert(st.getLong(0) == 0L && st.getLong(1) == 0L,
+      "an emptied index must read (0, 0), the coalesced-build contract")
+    val legacy = ix.copy(terms = ix.terms.drop("ctf"))
+    val prunedLegacy = Keywords.textIndexRemove(legacy, Seq(3L).toDF("doc_id"))
+    assert(!prunedLegacy.terms.columns.contains("ctf"),
+      "a df-only index must stay df-only after remove, not grow a NULL ctf")
+    val rebuilt = Keywords.textIndex(docs.filter(col("doc_id") =!= 3L),
+      col("doc_id"), col("text"))
+    def sorted(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(prunedLegacy.terms) == sorted(rebuilt.terms.drop("ctf")))
+    assert(sorted(prunedLegacy.docs) == sorted(rebuilt.docs))
+  }
+
   test("textIndexAppend tolerates a legacy df-only index; QL falls back and matches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -173,6 +173,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "append path adds only the |inc|·nlist map-side centroid-score " +
       "crossJoin (broadcast nlist-row centroid frame), the same shape the " +
       "build's assignment uses; the cells/codes unions are metadata-only"),
+    "qann_ivfpq_rm" -> ("the qann_ivfpq_app shapes exactly (bounded " +
+      "qann_ivfpq_res broadcasts plus the append's nlist-row centroid " +
+      "crossJoin); the remove itself adds only vec_id-keyed anti-joins — " +
+      "no new broadcast or cartesian"),
     "qann_filtered" -> ("embeds qann_brute_topk over the predicate-filtered " +
       "corpus — the same bounded query-set broadcast; the scale path is " +
       "qann_filtered_ivf"),
@@ -238,6 +242,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "read from its parquet table"),
     "qtext_bm25_inc" -> ("the qtext_bm25 stats broadcast plus the append's " +
       "1-row x 1-row stats merge — both sides single-row scalar frames"),
+    "qtext_bm25_rm" -> ("the qtext_bm25_inc shapes (stats broadcast, 1-row " +
+      "x 1-row append stats merge) plus the remove's own 1-row x 1-row " +
+      "stats shrink — every crossJoin factor a single-row scalar frame; " +
+      "the postings/docs prune is a keyed anti-join"),
     "qtext_mrr" -> ("EMBEDS the qtext_bm25 chain (same 1-row stats " +
       "broadcast, bounded self-retrieval query set); the eval itself " +
       "runs on <= |queries| rows after the top-k"),

@@ -343,6 +343,54 @@ class SimilaritySpec extends AnyFunSuite {
       s"grown-index full-probe ${grown.take(3)} vs brute ${brute.take(3)}")
   }
 
+  test("ivfPqResRemove equals the frozen-artifact rebuild-without, frame and search") {
+    // the append parity law inverted: encoding corpus-minus-X against
+    // the SAME frozen centroids/books is what a rebuild-without would
+    // store, and the keyed anti-join must reproduce it exactly — then
+    // the searches over both index forms must agree row-for-row
+    val e = Tables(spark, sf).embeddings
+    val dropped = col("vec_id") % 4 === 1
+    val q = e.filter(col("vec_id") < 10)
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    val (prunedCells, prunedCodes) = Similarity.ivfPqResRemove(
+      cells, codes, e.filter(dropped).select(col("vec_id")))
+    // rebuild-without under the frozen artifacts = append path over
+    // the surviving rows (spec above pins append ≡ build encode)
+    val (rbCells, rbCodes) = Similarity.ivfPqResAppend(
+      cents, books, e.filter(not(dropped)), col("vec_id"), col("embedding"),
+      m = 4, ksub = 8)
+    def cellRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toList)).toSeq.sortBy(_._1)
+    assert(cellRows(prunedCells) == cellRows(rbCells))
+    assert(codeRows(prunedCodes) == codeRows(rbCodes))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaRemove = rows(Similarity.ivfPqResTopKAgainstIndex(
+      cents, prunedCells, books, prunedCodes,
+      e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30))
+    val viaRebuild = rows(Similarity.ivfPqResTopKAgainstIndex(
+      cents, rbCells, books, rbCodes,
+      e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30))
+    assert(viaRemove == viaRebuild && viaRebuild.nonEmpty)
+    // replayed and never-indexed ids are no-ops (idempotent delete list)
+    import spark.implicits._
+    val again = Similarity.indexRemove(prunedCells,
+      e.filter(dropped).select(col("vec_id"))
+        .unionByName(Seq(-999L).toDF("vec_id")))
+    assert(cellRows(again) == cellRows(prunedCells))
+    // a table without the key fails fast, not silently
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.indexRemove(cents, e.select(col("vec_id")))
+    }
+    assert(ex.getMessage.contains("must carry 'vec_id'"))
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
