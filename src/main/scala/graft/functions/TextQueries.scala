@@ -1865,14 +1865,18 @@ object TextQueries {
       import s.implicits._
       val ix = Keywords.textIndex(Tables(s, dir).documents,
         col("doc_id"), col("text"))
+      // the four artifacts round-trip through the atomic
+      // generation-publish path (one gen=<n> dir + commit marker, read
+      // resolved once) — the driver gate thus pins that a published
+      // generation serves the exact frames the build produced
       val base = graft.Q.scratchDir(s, "q_bm25idx")
-      def rt(f: org.apache.spark.sql.DataFrame, name: String) = {
-        f.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$base/$name")
-        s.read.parquet(s"$base/$name")
-      }
-      val stored = Keywords.TextIndex(rt(ix.postings, "postings"),
-        rt(ix.terms, "terms"), rt(ix.docs, "docs"), rt(ix.stats, "stats"))
+      graft.sources.Layout.publishIndexVersion(s, base, Map(
+        "postings" -> ix.postings, "terms" -> ix.terms,
+        "docs" -> ix.docs, "stats" -> ix.stats))
+      val (_, art) = graft.sources.Layout.readIndexVersion(s, base,
+        Seq("postings", "terms", "docs", "stats"))
+      val stored = Keywords.TextIndex(art("postings"), art("terms"),
+        art("docs"), art("stats"))
       Keywords.bm25AgainstIndex(stored, Bm25QueryTerms.toDF("query_id", "term"),
           k = 10)
         .orderBy(col("query_id"), col("rank"))

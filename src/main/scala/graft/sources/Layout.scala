@@ -198,4 +198,121 @@ object Layout {
       .sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(table)
   }
+
+  private val CommitMarker = "_COMMITTED"
+  private val GenPrefix = "gen="
+
+  private def genOf(name: String): Option[Long] =
+    if (name.startsWith(GenPrefix)) name.stripPrefix(GenPrefix).toLongOption
+    else None
+
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path,
+                       committedOnly: Boolean): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      genOf(st.getPath.getName).filter { _ =>
+        !committedOnly ||
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker))
+      }
+    }
+
+  /** Atomic multi-artifact index publish — a retrain rewrites
+    * stats/centroids/codes/cells TOGETHER, and a reader that catches
+    * new centroids with old codes scores garbage with full confidence.
+    * Each publish writes every artifact into a fresh `gen=<n>/`
+    * directory and then creates one zero-length `_COMMITTED` marker —
+    * a single atomic file create (the streaming commit-log idiom) is
+    * the entire commit point. [[readIndexVersion]] resolves the
+    * highest COMMITTED generation once and serves all artifacts from
+    * that one directory, so a read sees gen N or gen N+1 in full,
+    * never a mix; a publish that crashes mid-write leaves an
+    * uncommitted (hence invisible) directory and gen N intact, and the
+    * next publish numbers PAST the debris rather than resurrecting it.
+    * Old generations are retained (in-flight readers keep a consistent
+    * snapshot); reclaim with [[pruneIndexVersions]] once the reader
+    * horizon has moved on.
+    *
+    * Single-PUBLISHER contract (readers are unlimited): retrain is a
+    * singleton batch job — two concurrent publishers could pick the
+    * same generation number and interleave artifact writes before
+    * either commits; the marker create arbitrates (second `create`
+    * fails loudly), but the survivor's artifacts may be clobbered, so
+    * serialize publishes. Object-store note: file create is atomic on
+    * HDFS/posix; on eventual-consistency stores front with a
+    * consistent metadata layer. Returns the published generation. */
+  def publishIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String,
+                          artifacts: Map[String, DataFrame]): Long = {
+    require(artifacts.nonEmpty, "publishIndexVersion needs >= 1 artifact")
+    require(artifacts.keys.forall(n => n.nonEmpty && !n.contains("/") &&
+        !n.startsWith("_")),
+      s"artifact names must be plain dir names; got ${artifacts.keys.mkString(", ")}")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // number past EVERY existing dir, committed or not — reusing a
+    // crashed publish's number would blend its partial artifacts in
+    val next = listGens(fs, root, committedOnly = false)
+      .foldLeft(-1L)(math.max) + 1
+    val genDir = new org.apache.hadoop.fs.Path(root, s"$GenPrefix$next")
+    artifacts.foreach { case (name, df) =>
+      df.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(genDir, name).toString)
+    }
+    if (!fs.createNewFile(new org.apache.hadoop.fs.Path(genDir, CommitMarker)))
+      throw new java.io.IOException(
+        s"publishIndexVersion: commit marker already exists under $genDir — " +
+          "concurrent publisher? (single-publisher contract)")
+    next
+  }
+
+  /** Highest committed generation under `indexDir`, if any. */
+  def currentIndexGen(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listGens(fs, root, committedOnly = true) match {
+      case Nil => None
+      case gens => Some(gens.max)
+    }
+  }
+
+  /** One consistent multi-artifact read: resolve the current committed
+    * generation ONCE, then serve every named artifact from that single
+    * `gen=<n>/` directory — a publish landing mid-read cannot mix in,
+    * because the resolved paths never move. Fails loudly on a missing
+    * generation or artifact (an index dir with no committed generation
+    * is an unpublished index, not an empty one). */
+  def readIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, names: Seq[String])
+      : (Long, Map[String, DataFrame]) = {
+    require(names.nonEmpty, "readIndexVersion needs >= 1 artifact name")
+    val gen = currentIndexGen(spark, indexDir).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed index generation under $indexDir"))
+    val base = s"${indexDir.stripSuffix("/")}/$GenPrefix$gen"
+    (gen, names.map(n => n -> spark.read.parquet(s"$base/$n")).toMap)
+  }
+
+  /** Reclaim old generations: keep the newest `keep` COMMITTED
+    * generations, delete older committed ones AND all uncommitted
+    * debris below the current generation (crashed publishes). Run it
+    * only once the reader horizon has passed the pruned generations —
+    * a reader pinned on a pruned gen fails its next scan. */
+  def pruneIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = listGens(fs, root, committedOnly = true).sorted
+    if (committed.isEmpty) return 0
+    val keepSet = committed.takeRight(keep).toSet
+    val current = committed.max
+    val doomed = listGens(fs, root, committedOnly = false)
+      .filter(g => g < current && !keepSet.contains(g))
+    doomed.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$GenPrefix$g"), true)
+    }
+    doomed.size
+  }
 }

@@ -211,4 +211,83 @@ class LayoutSpec extends AnyFunSuite {
       graft.sources.Layout.mergeSnapshot(base, inc.drop("text"), "doc_id")
     }
   }
+
+  // one synthetic "index version": every artifact row carries the gen
+  // number, so a read that mixed generations is detectable in-data
+  private def genArtifacts(g: Long) = {
+    import spark.implicits._
+    Map(
+      "centroids" -> Seq((g, "c")).toDF("gen", "kind"),
+      "cells" -> Seq((g, "a"), (g, "b")).toDF("gen", "kind"),
+      "books" -> Seq((g, "bk")).toDF("gen", "kind"),
+      "codes" -> Seq((g, "cd"), (g, "cd2")).toDF("gen", "kind"))
+  }
+
+  private val ArtNames = Seq("centroids", "cells", "books", "codes")
+
+  test("publishIndexVersion: reads see one generation in full, never a mix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixver").toString
+    // no committed generation yet = unpublished index, loud failure
+    intercept[java.util.NoSuchElementException] {
+      Layout.readIndexVersion(spark, dir, ArtNames)
+    }
+    assert(Layout.currentIndexGen(spark, dir).isEmpty)
+    // interleave publishes with reads — each read's four artifacts
+    // must agree on ONE generation stamp (the mixed-read detector)
+    (0L to 2L).foreach { g =>
+      val published = Layout.publishIndexVersion(spark, dir, genArtifacts(g))
+      assert(published == g)
+      val (gen, art) = Layout.readIndexVersion(spark, dir, ArtNames)
+      assert(gen == g)
+      val stamps = ArtNames.flatMap(n =>
+        art(n).select("gen").collect().map(_.getLong(0))).toSet
+      assert(stamps == Set(g),
+        s"read after publish($g) mixed generations: $stamps")
+    }
+    // a reader that resolved gen N before a publish keeps its full
+    // consistent snapshot: old generations are retained, paths frozen
+    val (genBefore, artBefore) = Layout.readIndexVersion(spark, dir, ArtNames)
+    Layout.publishIndexVersion(spark, dir, genArtifacts(3L))
+    val stale = ArtNames.flatMap(n =>
+      artBefore(n).select("gen").collect().map(_.getLong(0))).toSet
+    assert(stale == Set(genBefore),
+      "an in-flight reader must keep its resolved generation after a publish")
+    assert(Layout.currentIndexGen(spark, dir).contains(3L))
+  }
+
+  test("publishIndexVersion: a crashed publish is invisible and never resurrected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixcrash").toString
+    Layout.publishIndexVersion(spark, dir, genArtifacts(0L))
+    // simulate a publisher that died after writing artifacts but
+    // BEFORE the commit marker: raw writes into gen=1, no _COMMITTED
+    genArtifacts(99L).foreach { case (n, df) =>
+      df.write.parquet(s"$dir/gen=1/$n")
+    }
+    val (gen, art) = Layout.readIndexVersion(spark, dir, ArtNames)
+    assert(gen == 0L, "an uncommitted generation must stay invisible")
+    assert(art("cells").select("gen").collect().map(_.getLong(0)).toSet == Set(0L))
+    // the next publish numbers PAST the debris — gen=1's partial
+    // artifacts can never blend into a committed generation
+    assert(Layout.publishIndexVersion(spark, dir, genArtifacts(2L)) == 2L)
+    assert(Layout.readIndexVersion(spark, dir, ArtNames)._1 == 2L)
+    // prune: keep the newest committed gen; older committed AND the
+    // crashed debris go, the current generation survives
+    Layout.publishIndexVersion(spark, dir, genArtifacts(3L))
+    // keep=2 retains committed gens {2, 3}; committed gen=0 and the
+    // crashed debris gen=1 go
+    val pruned = Layout.pruneIndexVersions(spark, dir, keep = 2)
+    assert(pruned == 2, s"expected gen=0 and debris gen=1 pruned, got $pruned")
+    assert(Layout.readIndexVersion(spark, dir, ArtNames)._1 == 3L)
+    assert(!new java.io.File(s"$dir/gen=1").exists())
+    assert(new java.io.File(s"$dir/gen=2").exists())
+    // contract guards fail fast
+    intercept[IllegalArgumentException] {
+      Layout.publishIndexVersion(spark, dir, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.publishIndexVersion(spark, dir,
+        Map("_bad" -> Seq((1L, "x")).toDF("gen", "kind")))
+    }
+  }
 }

@@ -282,14 +282,16 @@ class SimilaritySpec extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]
         .elementType == org.apache.spark.sql.types.ByteType,
       s"IVFADC codes not byte-typed: ${codes.schema("codes").dataType}")
+    // the four artifacts round-trip through the atomic
+    // generation-publish path — the IVFADC reader's versioned form
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
-    cents.write.parquet(s"$dir/centroids")
-    cells.write.parquet(s"$dir/cells")
-    books.write.parquet(s"$dir/books")
-    codes.write.parquet(s"$dir/codes")
+    graft.sources.Layout.publishIndexVersion(spark, dir, Map(
+      "centroids" -> cents, "cells" -> cells,
+      "books" -> books, "codes" -> codes))
+    val (_, art) = graft.sources.Layout.readIndexVersion(spark, dir,
+      Seq("centroids", "cells", "books", "codes"))
     val viaIndex = rows(Similarity.ivfPqResTopKAgainstIndex(
-      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/cells"),
-      spark.read.parquet(s"$dir/books"), spark.read.parquet(s"$dir/codes"),
+      art("centroids"), art("cells"), art("books"), art("codes"),
       e, col("vec_id"), col("embedding"),
       q, col("vec_id"), col("embedding"),
       m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30))
