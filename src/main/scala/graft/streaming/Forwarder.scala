@@ -115,22 +115,40 @@ object Forwarder {
     * json untouched; everything still flows through the ONE
     * NdjsonBatchSink seam (batching/retry/DLQ identical for points
     * and records). Pure codegen column rewrites — the leg adds no
-    * shuffle and no second delivery pass. */
+    * shuffle and no second delivery pass.
+    *
+    * Structured resolution consults ONLY the record's own enhanced
+    * fields ([[MetricStructuredFields]]) — never the pipeline's
+    * bookkeeping columns (value/rawlog/json/stream/content_hash),
+    * which would silently shadow a same-named kayvee payload field
+    * (a payload field literally named `stream` must read the payload,
+    * not the router's column). A record whose value_field resolves
+    * NULL (absent, or non-numeric) is delivered as the PLAIN NDJSON
+    * record, never as a point missing its `value` key — to_json drops
+    * null fields, and a value-less point is a silently malformed
+    * delivery where the full record is at least diagnosable. */
+  private[streaming] val MetricStructuredFields: Set[String] = Set(
+    "timestamp", "hostname", "programname", "pid", "container_env",
+    "container_app", "container_task", "title", "level", "deploy_env")
+
   private[streaming] def metricJson(df: DataFrame,
                                     routes: Seq[Routing.Route]): DataFrame = {
     val withOut = routes.filter(_.output.isDefined)
     if (withOut.isEmpty) df
     else {
       val stringFields = df.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+        case f if f.dataType == org.apache.spark.sql.types.StringType &&
+          MetricStructuredFields(f.name) => f.name
       }.toSet
       def fieldValue(name: String): Column =
         if (name.isEmpty) lit(null).cast("string")
         else if (stringFields(name)) col(name)
         else LogColumns.kayveeField(col("rawlog"), name)
+      def valueOf(o: Routing.Output): Column =
+        fieldValue(o.valueField).cast("double")
       def pointOf(o: Routing.Output): Column = to_json(struct(
         lit(o.series).as("series"),
-        fieldValue(o.valueField).cast("double").as("value"),
+        valueOf(o).as("value"),
         map_from_arrays(
             array(o.dimensions.map(lit): _*).cast("array<string>"),
             array(o.dimensions.map(fieldValue): _*).cast("array<string>"))
@@ -138,7 +156,9 @@ object Forwarder {
         lit(o.statType).as("stat_type")))
       df.withColumn("json",
         withOut.foldRight(col("json")) { (r, acc) =>
-          when(col("stream") === r.name, pointOf(r.output.get)).otherwise(acc)
+          when(col("stream") === r.name && valueOf(r.output.get).isNotNull,
+              pointOf(r.output.get))
+            .otherwise(acc)
         })
     }
   }

@@ -13,6 +13,40 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamIndex {
 
+  /** Release a query's pinned frozen-artifact frames when it
+    * terminates. Every append/monitor start pins its stats/centroid
+    * frame once per query (not per micro-batch) — but AvailableNow
+    * queries are typically restarted on a schedule, and without this
+    * each restart would strand one more small cached relation in the
+    * driver's cache for the app lifetime. A listener keyed on the
+    * query id unpersists on termination and deregisters itself; the
+    * isActive re-check closes the race where a tiny AvailableNow run
+    * terminates before the listener lands (double-unpersist is a
+    * no-op). */
+  private def unpersistOnTermination(spark: SparkSession,
+                                     query: StreamingQuery,
+                                     pinned: Seq[DataFrame]): StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          pinned.foreach(_.unpersist(blocking = false))
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!query.isActive) {
+      pinned.foreach(_.unpersist(blocking = false))
+      spark.streams.removeListener(listener)
+    }
+    query
+  }
+
   /** Tail a directory of embedding parquet files and append each
     * micro-batch's 1-bit codes to a partitioned codes table.
     *
@@ -50,17 +84,19 @@ object StreamIndex {
     // pinned (the neardup_screen pattern) — not re-read per micro-batch
     val stats = spark.read.parquet(statsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.bqEncode(batch, col(id), col(vec), stats)
-          .write.mode("overwrite")
-          .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
-      }
-      .start()
+    unpersistOnTermination(spark,
+      spark.readStream.schema(schema).parquet(inputDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Similarity.bqEncode(batch, col(id), col(vec), stats)
+            .write.mode("overwrite")
+            .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
+        }
+        .start(),
+      Seq(stats))
   }
 
   /** Streaming IVF CELL maintenance (C154i — the cells half of the
@@ -93,18 +129,20 @@ object StreamIndex {
     // and pinned (the startBqIndexAppend discipline)
     val cents = spark.read.parquet(centroidsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity
-          .ivfAssignAgainstIndex(batch, col(id), col(vec), cents)
-          .write.mode("overwrite")
-          .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
-      }
-      .start()
+    unpersistOnTermination(spark,
+      spark.readStream.schema(schema).parquet(inputDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Similarity
+            .ivfAssignAgainstIndex(batch, col(id), col(vec), cents)
+            .write.mode("overwrite")
+            .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
+        }
+        .start(),
+      Seq(cents))
   }
 
   /** COMPOSED index append (C154i's single-stream form): grow the
@@ -132,25 +170,27 @@ object StreamIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = spark.read.parquet(centroidsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pinned = batch.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          graft.operators.Similarity.bqEncode(pinned, col(id), col(vec), stats)
-            .write.mode("overwrite")
-            .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
-          graft.operators.Similarity
-            .ivfAssignAgainstIndex(pinned, col(id), col(vec), cents)
-            .write.mode("overwrite")
-            .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
-        } finally pinned.unpersist(blocking = false): Unit
-      }
-      .start()
+    unpersistOnTermination(spark,
+      spark.readStream.schema(schema).parquet(inputDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val pinned = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            graft.operators.Similarity.bqEncode(pinned, col(id), col(vec), stats)
+              .write.mode("overwrite")
+              .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
+            graft.operators.Similarity
+              .ivfAssignAgainstIndex(pinned, col(id), col(vec), cents)
+              .write.mode("overwrite")
+              .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
+          } finally pinned.unpersist(blocking = false): Unit
+        }
+        .start(),
+      Seq(stats, cents))
   }
 
   /** Streaming IVF drift monitor (C154j — [[startIvfCellAppend]]'s
@@ -176,18 +216,20 @@ object StreamIndex {
     graft.GraftExtensions.ensureRegistered(spark)
     val cents = spark.read.parquet(centroidsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    DropStats.startBucketMonitorOver(spark,
-      spark.readStream.schema(schema).parquet(inputDir),
-      checkpointDir, countsDir, alarmsDir)(
-      batch => graft.operators.Similarity
-        .ivfCellBuckets(batch, col(id), col(vec), cents)) {
-      counts =>
-        val ref = counts.sparkSession.read.parquet(refCountsDir)
-          .select(col("grp").as("source"), col("bucket"), col("n"))
-        graft.operators.Profile.psiOverCounts(ref,
-            counts.select(col("grp").as("source"), col("bucket"), col("n")))
-          .select(col("source").as("grp"), col("n_buckets"), col("psi"))
-    }
+    unpersistOnTermination(spark,
+      DropStats.startBucketMonitorOver(spark,
+        spark.readStream.schema(schema).parquet(inputDir),
+        checkpointDir, countsDir, alarmsDir)(
+        batch => graft.operators.Similarity
+          .ivfCellBuckets(batch, col(id), col(vec), cents)) {
+        counts =>
+          val ref = counts.sparkSession.read.parquet(refCountsDir)
+            .select(col("grp").as("source"), col("bucket"), col("n"))
+          graft.operators.Profile.psiOverCounts(ref,
+              counts.select(col("grp").as("source"), col("bucket"), col("n")))
+            .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+      },
+      Seq(cents))
   }
 
   /** Streaming BQ drift monitor (C154h — the retrain trigger
@@ -215,16 +257,18 @@ object StreamIndex {
     graft.GraftExtensions.ensureRegistered(spark)
     val stats = spark.read.parquet(statsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    DropStats.startBucketMonitorOver(spark,
-      spark.readStream.schema(schema).parquet(inputDir),
-      checkpointDir, countsDir, alarmsDir)(
-      batch => graft.operators.Similarity.bqBitBuckets(batch, col(vec), stats)) {
-      counts =>
-        val ref = counts.sparkSession.read.parquet(refCountsDir)
-          .select(col("grp").as("source"), col("bucket"), col("n"))
-        graft.operators.Profile.psiOverCounts(ref,
-            counts.select(col("grp").as("source"), col("bucket"), col("n")))
-          .select(col("source").as("grp"), col("n_buckets"), col("psi"))
-    }
+    unpersistOnTermination(spark,
+      DropStats.startBucketMonitorOver(spark,
+        spark.readStream.schema(schema).parquet(inputDir),
+        checkpointDir, countsDir, alarmsDir)(
+        batch => graft.operators.Similarity.bqBitBuckets(batch, col(vec), stats)) {
+        counts =>
+          val ref = counts.sparkSession.read.parquet(refCountsDir)
+            .select(col("grp").as("source"), col("bucket"), col("n"))
+          graft.operators.Profile.psiOverCounts(ref,
+              counts.select(col("grp").as("source"), col("bucket"), col("n")))
+            .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+      },
+      Seq(stats))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
@@ -95,6 +96,33 @@ class StreamIndexSpec extends AnyFunSuite {
       k = 5, shortlist = 32).collect().map(_.toString).sorted.toSeq
     assert(viaStream == viaBatch,
       "search over the streamed codes must equal the batch-built index")
+  }
+
+  test("append queries release their pinned frozen frames on termination") {
+    // scheduled AvailableNow restarts must not strand one cached
+    // stats/centroid relation per run for the app lifetime — the
+    // termination listener unpersists the pinned frames
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val statsDir = tmp() + "/stats"
+    Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { i =>
+      val in = tmp(); val ck = tmp(); val codesDir = tmp() + s"/codes$i"
+      dropFile(e.limit(5), in, "p.parquet")
+      StreamIndex.startBqIndexAppend(spark, in, e.schema, "vec_id",
+        "embedding", ck, statsDir, codesDir).awaitTermination()
+    }
+    // the terminated-event delivery is async on the listener bus
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var now = spark.sparkContext.getPersistentRDDs.size
+    while (now > baseline && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      now = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(now <= baseline,
+      s"restarted appends strand pinned frames: $baseline cached before, $now after")
   }
 
   test("streamed IVF cells == frozen-centroid assign; composed search sees appended vectors") {
@@ -338,5 +366,74 @@ class StreamIndexSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("grp").collect().toSeq
     assert(canon(spark.read.parquet(alarmsDir)) == canon(twin))
+  }
+
+  test("drift alarms compose into the forwarder metric leg as gauge points") {
+    // the reference's own alert loop (stats goroutine logs a rollup
+    // LINE; the forwarder's kvconfig output: block turns it into a
+    // metric point) applied to the ENGINE'S OWN health: a BQ drift
+    // alarm row, logged kayvee-style, lands on the alert sink as a
+    // gauge point on series bq-drift.psi with the alarm's psi as value
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp(); val statsDir = tmp() + "/stats"
+    val countsDir = tmp() + "/counts"; val alarmsDir = tmp() + "/alarms"
+    val refCountsDir = tmp() + "/ref"
+    Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    Similarity.bqBitCounts(e, col("embedding"),
+        spark.read.parquet(statsDir))
+      .write.parquet(refCountsDir)
+    // a +10-shifted window alarms past the 'moved' threshold
+    val shifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).cast("array<float>")
+        .as("embedding"))
+    dropFile(shifted, in, "p1.parquet")
+    StreamIndex.startBqDriftMonitor(spark, in, e.schema, "embedding",
+      ck, statsDir, countsDir, alarmsDir, refCountsDir).awaitTermination()
+    val alarm = spark.read.parquet(alarmsDir).collect().head
+    val psi = alarm.getDouble(alarm.fieldIndex("psi"))
+    assert(psi > 0.25)
+
+    // the monitor's alert job logs each alarm row as a kayvee line
+    // (the stats.go:31-38 shape) into the forwarder's input
+    val logLine =
+      "2024-01-01T00:05:00+00:00 host-m production--graft-index-monitor/" +
+        "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-m[1]: " +
+        s"""{"title":"bq-drift","grp":"${alarm.getString(0)}","psi":$psi}"""
+    val routes = graft.streaming.Routing.parseKvConfig(
+      """routes:
+        |  bq-drift-alerts:
+        |    matchers:
+        |      title: ["bq-drift"]
+        |    output:
+        |      type: "alerts"
+        |      series: "bq-drift.psi"
+        |      dimensions: ["grp"]
+        |      stat_type: "gauge"
+        |      value_field: "psi"
+        |""".stripMargin)
+    val fwdIn = tmp(); val fwdOut = tmp(); val fwdCk = tmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fwdIn, "alarms.log"),
+      java.util.Arrays.asList(logLine))
+    graft.streaming.Forwarder.start(spark,
+      graft.streaming.Forwarder.Config(fwdIn, fwdCk),
+      new graft.sinks.FileDelivery(fwdOut),
+      routeTable = routes).awaitTermination()
+    val delivered = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(fwdOut, "bq-drift-alerts"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f).asScala.iterator).toSeq
+    assert(delivered.size == 1, s"exactly the alarm line routes: $delivered")
+    val p = spark.read.json(
+        spark.createDataset(delivered)(org.apache.spark.sql.Encoders.STRING))
+      .head()
+    assert(p.getAs[String]("series") == "bq-drift.psi")
+    assert(p.getAs[String]("stat_type") == "gauge")
+    assert(math.abs(p.getAs[Double]("value") - psi) < 1e-9)
+    assert(p.getAs[org.apache.spark.sql.Row]("dimensions")
+      .getAs[String]("grp") == alarm.getString(0))
   }
 }

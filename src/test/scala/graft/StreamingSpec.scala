@@ -490,6 +490,67 @@ class StreamingSpec extends AnyFunSuite {
       "default-stream records keep the full NDJSON record shape")
   }
 
+  test("forwarder metric leg: payload fields shadowed by internal columns, and null values") {
+    // two hardening contracts: (1) a kayvee payload field that happens
+    // to be named like a pipeline bookkeeping column (stream, json)
+    // must resolve to the PAYLOAD — the internal column would
+    // otherwise silently supply the router's own state as the metric;
+    // (2) a record on a metric route whose value_field is absent or
+    // non-numeric delivers as the PLAIN record, never as a point
+    // missing its `value` key (to_json drops null fields)
+    val yml =
+      """routes:
+        |  collide-metrics:
+        |    matchers:
+        |      title: ["coll"]
+        |    output:
+        |      type: "alerts"
+        |      series: "coll.series"
+        |      dimensions: ["json", "container_app"]
+        |      stat_type: "gauge"
+        |      value_field: "stream"
+        |  novalue-metrics:
+        |    matchers:
+        |      title: ["nov"]
+        |    output:
+        |      type: "alerts"
+        |      series: "nov.series"
+        |      stat_type: "gauge"
+        |      value_field: "missing_field"
+        |""".stripMargin
+    val routes = graft.streaming.Routing.parseKvConfig(yml)
+    val in = tmp(); val out = tmp(); val ck = tmp()
+    def line(payload: String) =
+      "2024-01-01T00:05:00+00:00 host-c production--app9/" +
+        "arn%3Aaws%3Aecs%3Aus-west-1%3A1%3Atask%2Ft-c[1]: " + payload
+    writeLines(in, "a.log", Seq(
+      line("""{"title":"coll","stream":"42.5","json":"payload-json"}"""),
+      line("""{"title":"nov","other":"x"}""")))
+    Forwarder.start(spark, Forwarder.Config(in, ck), new FileDelivery(out),
+      routeTable = routes).awaitTermination()
+    def streamLines(stream: String): Seq[String] =
+      Files.walk(Paths.get(out, stream)).iterator().asScala
+        .filter(_.toString.endsWith(".ndjson"))
+        .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    val coll = streamLines("collide-metrics")
+    assert(coll.size == 1)
+    val cp = spark.read.json(spark.createDataset(coll)(org.apache.spark.sql.Encoders.STRING))
+      .head()
+    // value came from the payload's "stream" field, not the router's
+    // stream column (which holds the route name, a non-number)
+    assert(cp.getAs[Double]("value") == 42.5)
+    // dimension "json" read the payload too; the structured
+    // container_app still resolves from the enhanced column
+    assert(cp.getAs[org.apache.spark.sql.Row]("dimensions").getValuesMap[String](
+      Seq("json", "container_app")) ==
+      Map("json" -> "payload-json", "container_app" -> "app9"))
+    // the value-less record delivered as the full plain NDJSON record
+    val nov = streamLines("novalue-metrics")
+    assert(nov.size == 1)
+    assert(nov.head.contains("\"rawlog\"") && !nov.head.contains("\"series\""),
+      s"a null-valued metric record must stay a plain record: ${nov.head}")
+  }
+
   test("routedSummary falls through matchers on absent or non-string fields") {
     import spark.implicits._
     // `level` in the summary shape is a MAP and `container_app` does not
