@@ -63,42 +63,67 @@ case class BpeSegment(left: Expression, right: Expression) extends BinaryExpress
 object BpeSegment {
   private final val EndMark = "</w>"
 
-  /** Static so generated code can call it. */
+  /** Static so generated code can call it.
+    *
+    * Production-vocab cost shape (C153): the loop is O(merges ×
+    * |syms|) like the original fold, but allocation-LIGHT so a 32k-50k
+    * shipped-tokenizer table is practical — merge symbols compare as
+    * UTF8String byte-views (zero decode; the original's 3 String
+    * decodes per merge row put ~100k allocations per word at 32k
+    * merges), a presence pre-scan skips the rebuild pass for the vast
+    * majority of rows that touch nothing, and a fully-merged word
+    * (one symbol left — frequent words chain to a single token) exits
+    * early. Results are BIT-IDENTICAL to the original (byte equality
+    * IS string equality; same greedy pend-pass); output symbols are
+    * CLONED because views into the incoming row buffer would alias
+    * memory the runtime reuses for the next row. */
   def compute(word: UTF8String, merges: ArrayData): ArrayData = {
     val w = word.toString
-    var syms = new java.util.ArrayList[String](w.length + 1)
+    var syms = new java.util.ArrayList[UTF8String](w.length + 1)
     var i = 0
     while (i < w.length) {
       val cp = w.codePointAt(i)
       val cc = Character.charCount(cp)
-      syms.add(w.substring(i, i + cc))
+      syms.add(UTF8String.fromString(w.substring(i, i + cc)))
       i += cc
     }
-    syms.add(EndMark)
+    syms.add(UTF8String.fromString(EndMark))
     val n = merges.numElements()
     var k = 0
-    while (k < n) {
+    while (k < n && syms.size > 1) {
       val row = merges.getStruct(k, 3)
-      val a = row.getUTF8String(0).toString
-      val b = row.getUTF8String(1).toString
-      val m = row.getUTF8String(2).toString
-      val out = new java.util.ArrayList[String](syms.size)
-      var pend: String = null
+      val a = row.getUTF8String(0)
+      val b = row.getUTF8String(1)
+      // presence pre-scan: only rebuild when the pair occurs
+      var found = false
       var j = 0
-      while (j < syms.size) {
-        val x = syms.get(j)
-        if (pend != null && pend == a && x == b) { out.add(m); pend = null }
-        else if (pend == null) pend = x
-        else { out.add(pend); pend = x }
+      val last = syms.size - 1
+      while (!found && j < last) {
+        if (a.equals(syms.get(j)) && b.equals(syms.get(j + 1))) found = true
         j += 1
       }
-      if (pend != null) out.add(pend)
-      syms = out
+      if (found) {
+        val m = row.getUTF8String(2)
+        val out = new java.util.ArrayList[UTF8String](syms.size)
+        var pend: UTF8String = null
+        j = 0
+        while (j < syms.size) {
+          val x = syms.get(j)
+          if (pend != null && pend.equals(a) && x.equals(b)) {
+            out.add(m); pend = null
+          }
+          else if (pend == null) pend = x
+          else { out.add(pend); pend = x }
+          j += 1
+        }
+        if (pend != null) out.add(pend)
+        syms = out
+      }
       k += 1
     }
     val arr = new Array[Any](syms.size)
     var t = 0
-    while (t < syms.size) { arr(t) = UTF8String.fromString(syms.get(t)); t += 1 }
+    while (t < syms.size) { arr(t) = syms.get(t).clone(); t += 1 }
     new GenericArrayData(arr)
   }
 

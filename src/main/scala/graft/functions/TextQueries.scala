@@ -1522,7 +1522,7 @@ object TextQueries {
           chains.unionByName(filler))
         .orderBy(col("doc_id"))
     },
-    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes + """
+    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes() + """
     SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
            COALESCE(a.n_tokens, 0) AS n_tokens,
            CASE WHEN a.n_words > 0
@@ -1531,11 +1531,57 @@ object TextQueries {
     FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
     ORDER BY d.doc_id"""))
 
-  /** The C153 per-doc tokenization chain under the 1024-row vocab
-    * table (fill → mt → 1024-step recursive replay → per-doc `ag`),
-    * shared by the apply and production-fertility oracles — one chain,
-    * two consumers, a replay fix can't diverge them. */
-  private def bpeVocabTokCtes: String = """,
+  // C153b: the C153 apply at the SHIPPED-tokenizer table size — the
+  // same word chains plus 32768 inert pad rows ('#k' two-char symbols
+  // can never be adjacent: initial symbols are single code points and
+  // no real merge builds a '#'-prefixed form), so the Spark side
+  // genuinely broadcasts and kernel-scans a ~33k-row table per
+  // distinct word while the oracle replays the real merges only
+  // (inert rows are no-ops by construction — replaying 32k no-op
+  // recursive-CTE steps would only re-derive that). Byte-exact
+  // `tokens` parity under the driver gate proves the 1-row array
+  // broadcast, the kernel loop and the distinct-word join shape all
+  // hold at production vocab size.
+  val qBpeApply32k = Q(
+    "qtext_bpe_apply_32k",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val chains = Keywords.wordChainMerges(docs, col("text"), topWords = 256)
+      val nReal = chains.count() // bounded: ≤ topWords · maxWordLen rows
+      val filler = s.range(1, 32769L).toDF("k")
+        .select((col("k") + nReal).cast("long").as("step"),
+          concat(lit("#"), col("k").cast("string")).as("l_sym"),
+          concat(lit("#"), col("k").cast("string")).as("r_sym"),
+          concat(lit("#"), col("k").cast("string"), lit("#"),
+            col("k").cast("string")).as("merged"))
+      Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"),
+          chains.unionByName(filler))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE " + mergeChainCtes +
+      bpeVocabTokCtes(includeFill = false) + """
+    SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           CASE WHEN a.n_words > 0
+                THEN ROUND(CAST(a.n_tokens AS DOUBLE) / a.n_words, 6) END AS fertility,
+           COALESCE(a.tokens, '') AS tokens
+    FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id"""))
+
+  /** The C153 per-doc tokenization chain under the production-vocab
+    * table (fill → mt → step-wise recursive replay → per-doc `ag`),
+    * shared by the apply, production-fertility and 32k-table oracles —
+    * one chain, three consumers, a replay fix can't diverge them.
+    * `includeFill = false` replays the REAL merges only: the C153b
+    * oracle's pad rows are PROVABLY inert (two-char '#k' symbols can
+    * never be adjacent — initial symbols are single code points and no
+    * real merge builds a '#'-prefixed form), so the expected tokens
+    * are the realm-only replay while the Spark side genuinely carries
+    * the full padded table; replaying 32k no-op steps in a recursive
+    * CTE would only burn the oracle's time re-deriving that no-op. */
+  private def bpeVocabTokCtes(includeFill: Boolean = true): String = {
+    val mt =
+      if (includeFill) """
     fill AS (SELECT '#' || CAST(k AS VARCHAR) AS l_sym,
                     '#' || CAST(k AS VARCHAR) AS r_sym,
                     '#' || CAST(k AS VARCHAR) || '#' || CAST(k AS VARCHAR) AS merged,
@@ -1546,7 +1592,12 @@ object TextQueries {
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY grp, ord) AS BIGINT) AS step,
              l_sym, r_sym, merged
       FROM (SELECT 0 AS grp, ord, l_sym, r_sym, merged FROM realm
-            UNION ALL SELECT 1, ord, l_sym, r_sym, merged FROM fill)),
+            UNION ALL SELECT 1, ord, l_sym, r_sym, merged FROM fill)),"""
+      else """
+    mt AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY ord) AS BIGINT) AS step,
+             l_sym, r_sym, merged FROM realm),"""
+    "," + mt + """
     nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mt),
     rec AS (
       SELECT word, CAST(0 AS BIGINT) AS st,
@@ -1584,6 +1635,7 @@ object TextQueries {
                   CAST(SUM(length(syms)) AS BIGINT) AS n_tokens,
                   array_to_string(flatten(list(syms ORDER BY i)), ' ') AS tokens
            FROM tk GROUP BY doc_id)"""
+  }
 
   // C125b: per-source fertility under the PRODUCTION-vocab table — the
   // C125 rollup inheriting C153's joined formulation (and exercising
@@ -1608,7 +1660,7 @@ object TextQueries {
           col("source"), chains.unionByName(filler))
         .orderBy(col("source"))
     },
-    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes + """,
+    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes() + """,
     per AS (SELECT d.doc_id, d.source,
               COALESCE(a.n_words, 0) AS n_words,
               COALESCE(a.n_tokens, 0) AS n_tokens
@@ -2192,7 +2244,7 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
-    qBpeApplyVocab, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
+    qBpeApplyVocab, qBpeApply32k, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

@@ -580,6 +580,47 @@ class KeywordsSpec extends AnyFunSuite {
     assert(lit16.nonEmpty && joined == lit16)
   }
 
+  test("bpeApplyJoined holds at a production-size merge table (>=32k merges)") {
+    import SparkTest.spark
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.Tables
+    // the C153 claim at the shipped-tokenizer size: 32768 inert merges
+    // over two-char symbols that can never be adjacent (initial symbols
+    // are single code points; the inert pairs fire before any real
+    // merge could build them) placed FIRST, the real word-chain table
+    // renumbered AFTER them — the worst case for the kernel, which must
+    // scan past all 32k no-ops before anything fires. Forward replay
+    // makes the inert rows no-ops, so the 32k-table apply must equal
+    // the real-table-only apply byte-for-byte — proving the 1-row
+    // array broadcast, the kernel loop and the distinct-word join all
+    // carry a production-size table.
+    val docs = Tables(spark, SparkTest.sf).documents
+    val real = Keywords.wordChainMerges(docs, col("text"), topWords = 64)
+    val nJunk = 32768L
+    val junk = spark.range(1, nJunk + 1).toDF("step")
+      .select(col("step").cast("long").as("step"),
+        concat(lit("#"), col("step").cast("string")).as("l_sym"),
+        concat(lit("#"), col("step").cast("string")).as("r_sym"),
+        concat(lit("#"), col("step").cast("string"), lit("#"),
+          col("step").cast("string")).as("merged"))
+    val big = junk.unionByName(
+      real.select((col("step") + nJunk).as("step"),
+        col("l_sym"), col("r_sym"), col("merged")))
+    assert(big.count() >= 32768 + 64)
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val expected = rows(Keywords.bpeApplyJoined(docs, col("doc_id"),
+      col("text"), real))
+    val got = rows(Keywords.bpeApplyJoined(docs, col("doc_id"),
+      col("text"), big))
+    assert(expected.nonEmpty && got == expected)
+    // the real merges actually fired through the 32k table (fertility
+    // below the char-level ceiling somewhere), so the equality is not
+    // vacuous
+    assert(got.exists(r => r(2).asInstanceOf[Long] < 2 * r(1).asInstanceOf[Long]),
+      "no merge fired — the 32k law would be vacuously true")
+  }
+
   test("bpeApplyJoined: hand segmentation, atomic unk, NULL text, empty table, carry guard") {
     import SparkTest.spark
     import spark.implicits._

@@ -91,6 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 1-ROW collected merge-array frame (the whole 1024-merge table " +
       "as one array<struct> row) joined onto the distinct-word dictionary " +
       "frame — never the corpus; occurrences rejoin by word-keyed equi-join"),
+    "qtext_bpe_apply_32k" -> ("the qtext_bpe_apply_vocab shape at the " +
+      "shipped-tokenizer table size — the same 1-ROW collected " +
+      "merge-array crossJoin(broadcast(marr)) onto the distinct-word " +
+      "frame (one array row now holding ~33k structs, still one row); " +
+      "occurrences rejoin by word-keyed equi-join"),
     "qtext_fertility_vocab" -> ("embeds qtext_bpe_apply_vocab's joined " +
       "formulation, so it inherits the same 1-row merge-array " +
       "crossJoin(broadcast(marr)) onto the distinct-word frame; the " +
