@@ -62,18 +62,67 @@ object Media {
       * center mapping, edge-clamped), so it is exactly as
       * deterministic as nearest: every weight and product is an
       * integer, no float crosses the result (golden-pixel
-      * spec-pinned). Both paths are pure JVM loops — no AWT Graphics,
-      * headless-safe. Non-image blobs: STUB stride-sample of the byte
-      * stream under EITHER method (a fake raster has no geometry to
-      * interpolate) — same fixed-size output contract throughout.
-      * dHash/pHash stay on nearest: their cross-engine oracles mirror
-      * that sampling term-for-term. */
+      * spec-pinned); `"area"` — the PIL/torchvision `antialias=True`
+      * downscale default — averages each destination cell's FULL
+      * source footprint with exact rational coverage weights (bilinear
+      * reads only a 2×2 neighborhood, so at large downscale factors it
+      * aliases: most source pixels never touch the output). Every area
+      * weight is an integer overlap in 1/w (resp. 1/h) source-pixel
+      * units, the pixel is ONE rational `Σ p·wx·wy / (sw·sh)` rounded
+      * half-up — the bilinear Q16 discipline tightened to exactness.
+      * All paths are pure JVM loops — no AWT Graphics, headless-safe.
+      * Non-image blobs: STUB stride-sample of the byte stream under
+      * ANY method (a fake raster has no geometry to filter) — same
+      * fixed-size output contract throughout. dHash/pHash stay on
+      * nearest: their cross-engine oracles mirror that sampling
+      * term-for-term. */
     def resize(bytes: Array[Byte], w: Int, h: Int,
                method: String = "nearest"): Array[Byte] = {
-      require(method == "nearest" || method == "bilinear",
-        s"resize method must be 'nearest' or 'bilinear', got '$method'")
+      require(method == "nearest" || method == "bilinear" || method == "area",
+        s"resize method must be 'nearest', 'bilinear' or 'area', got '$method'")
       val out = new Array[Byte](w * h * 3)
       readImage(bytes) match {
+        case Some(img) if method == "area" =>
+          val sw = img.getWidth; val sh = img.getHeight
+          // dest cell (x, y) covers source [x·sw/w, (x+1)·sw/w) ×
+          // [y·sh/h, (y+1)·sh/h); in 1/w (resp. 1/h) source-pixel
+          // units every overlap is an integer and Σwx·Σwy = sw·sh
+          val den = sw.toLong * sh.toLong
+          var y = 0
+          while (y < h) {
+            val top = y.toLong * sh; val bot = (y + 1).toLong * sh
+            val j0 = (top / h).toInt; val j1 = ((bot - 1) / h).toInt
+            var x = 0
+            while (x < w) {
+              val lef = x.toLong * sw; val rig = (x + 1).toLong * sw
+              val i0 = (lef / w).toInt; val i1 = ((rig - 1) / w).toInt
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var j = j0
+              while (j <= j1) {
+                val wy = math.min(bot, (j + 1).toLong * h) -
+                  math.max(top, j.toLong * h)
+                var i = i0
+                while (i <= i1) {
+                  val wx = math.min(rig, (i + 1).toLong * w) -
+                    math.max(lef, i.toLong * w)
+                  val p = img.getRGB(i, j)
+                  val wgt = wx * wy
+                  sr += ((p >> 16) & 0xff) * wgt
+                  sg += ((p >> 8) & 0xff) * wgt
+                  sb += (p & 0xff) * wgt
+                  i += 1
+                }
+                j += 1
+              }
+              val o = (y * w + x) * 3
+              // half-up: (2·sum + den) / (2·den), all exact longs
+              out(o) = (((sr << 1) + den) / (den << 1)).toByte
+              out(o + 1) = (((sg << 1) + den) / (den << 1)).toByte
+              out(o + 2) = (((sb << 1) + den) / (den << 1)).toByte
+              x += 1
+            }
+            y += 1
+          }
         case Some(img) if method == "bilinear" =>
           val sw = img.getWidth; val sh = img.getHeight
           // half-pixel centers in Q16: src = (dst + 0.5)·s/d − 0.5,
@@ -291,7 +340,8 @@ object Media {
 
   /** Resize every blob to w×h×3 bytes via the per-partition codec
     * boundary (same seam as [[decodeMeta]]); `method` is
-    * [[MediaCodec.resize]]'s `"nearest"` (default) or `"bilinear"`. */
+    * [[MediaCodec.resize]]'s `"nearest"` (default), `"bilinear"` or
+    * `"area"`. */
   def resize(df: DataFrame, id: Column, blob: Column, w: Int, h: Int,
              method: String = "nearest"): DataFrame = {
     val spark = df.sparkSession

@@ -594,6 +594,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaSpark.toSeq == bl.toSeq)
   }
 
+  test("area resize: golden pixels from exact rational coverage averaging") {
+    import spark.implicits._
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // 4×4 gray ramp halved to 2×2: each output is the EXACT mean of
+    // its 2×2 block — bilinear at this factor reads only the inner
+    // 2×2 neighborhood of each cell; area reads every source pixel
+    val img4 = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img4.setRGB(x, y, gray(y * 4 + x match {
+        case i => (i * 16) % 256
+      }))
+    val got22 = Media.MediaCodec.resize(png(img4), 2, 2, method = "area")
+      .grouped(3).map { p =>
+        assert(p(0) == p(1) && p(1) == p(2)); p(0) & 0xff
+      }.toSeq
+    // block means: values v = 16·(4y+x); mean of {(0,1,4,5),(2,3,6,7),
+    // (8,9,12,13),(10,11,14,15)}·16 = {40, 72, 168, 200}
+    assert(got22 == Seq(40, 72, 168, 200), s"got $got22")
+    // full collapse: the 1×1 area resize is the exact global mean
+    // (Σ 16·i / 16 = 120); every source pixel contributed
+    val got11 = Media.MediaCodec.resize(png(img4), 1, 1, "area").toSeq
+    assert((got11.head & 0xff) == 120, s"got $got11")
+    // fractional footprints: 3×1 grays [10, 20, 40] to 2×1 — dest 0
+    // covers pixel0 fully + half of pixel1: (2·10 + 20)/3 = 13.33 → 13;
+    // dest 1 covers half of pixel1 + pixel2: (20 + 2·40)/3 = 33.33 → 33
+    val img3 = new java.awt.image.BufferedImage(3, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img3.setRGB(0, 0, gray(10)); img3.setRGB(1, 0, gray(20))
+    img3.setRGB(2, 0, gray(40))
+    val got21 = Media.MediaCodec.resize(png(img3), 2, 1, "area")
+      .grouped(3).map(_(0) & 0xff).toSeq
+    assert(got21 == Seq(13, 33), s"got $got21")
+    // identity: resizing to the source dims is the exact raster under
+    // every method (each footprint is exactly one pixel)
+    assert(Media.MediaCodec.resize(png(img3), 3, 1, "area").toSeq ==
+      Media.MediaCodec.resize(png(img3), 3, 1, "nearest").toSeq)
+    // the stub path ignores the method, as for bilinear
+    val blob = "definitely not an image".getBytes("UTF-8")
+    assert(Media.MediaCodec.resize(blob, 4, 4, "area").toSeq ==
+      Media.MediaCodec.resize(blob, 4, 4, "nearest").toSeq)
+    // and through the Spark seam
+    val df = Seq((1L, png(img4))).toDF("media_id", "media")
+    val viaSpark = Media.resize(df, col("media_id"), col("media"),
+        w = 2, h = 2, method = "area")
+      .head().getAs[Array[Byte]]("resized")
+    assert(viaSpark.grouped(3).map(_(0) & 0xff).toSeq == Seq(40, 72, 168, 200))
+    // an unknown method fails fast at the codec boundary
+    val ex = intercept[org.apache.spark.SparkException] {
+      Media.resize(df, col("media_id"), col("media"), 2, 2, "cubic").collect()
+    }
+    assert(ex.getMessage.contains("resize method") ||
+      ex.getCause != null)
+  }
+
   test("truncated image bytes fall back to the stub instead of failing the batch") {
     import spark.implicits._
     // PNG magic but garbage body: ImageIO either returns null or throws
