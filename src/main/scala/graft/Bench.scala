@@ -99,7 +99,15 @@ object Bench {
     // vectors / profiling / splits / layout / multimodal / sampling / packing
     "qvec_centroid", "qvec_pca", "qvec_silhouette", "qprofile_table", "qsplit_assign",
     "qlayout_bucketed_join", "qmm_dhash_pairs", "qsample_hash",
-    "qpack_shards")
+    "qpack_shards",
+    // round-16 additions: the r13-r15 BQ/IVF compositions, asymmetric
+    // passes, recall gates and drift twins (previously full-sweep-only,
+    // so a regression in the hottest module was invisible to
+    // BENCH_r{N}); plus this round's index-remove and 32k-vocab paths
+    "qann_ivf_bq", "qann_ivf_bq_recall", "qann_bq_asym",
+    "qann_ivf_bq_asym", "qann_ivf_bq_asym_recall", "qann_bq_bitcounts",
+    "qann_ivf_cellcounts", "qann_ivfpq_rm", "qtext_bm25_rm",
+    "qtext_bpe_apply_32k")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

@@ -426,6 +426,25 @@ object Keywords {
       stats = mergedStats)
   }
 
+  /** Re-crawl index maintenance (the UPSERT [[textIndexAppend]]'s
+    * scaladoc prescribes): replace the `updated` docs' contribution
+    * wholesale — [[textIndexRemove]] their CURRENT rows out of the
+    * index (located from its own postings; the old text need not
+    * exist anywhere), then [[textIndexAppend]] the new crawls. Work is
+    * linear in the updated batch on both legs, zero in the history;
+    * ids the index has never seen degrade to a plain append (the
+    * remove leg no-ops), so one upsert call serves mixed
+    * new-plus-re-crawled batches. Spec pins
+    * upsert(X') ≡ rebuild-with(X') frame-for-frame AND
+    * search-for-search; the registered query oracle-gates a
+    * genuinely-modified quarter under a modified-corpus DuckDB
+    * replay. */
+  def textIndexUpsert(ix: TextIndex, updated: DataFrame,
+                      id: Column, text: Column): TextIndex =
+    textIndexAppend(
+      textIndexRemove(ix, updated.select(id)),
+      updated, id, text)
+
   /** Dictionary tagging (C135) — taxonomy/topic labeling of a corpus
     * against a curated term list, the FlashText/gazetteer problem: a
     * `(tag, term)` dictionary where terms are single words OR

@@ -1734,9 +1734,10 @@ object TextQueries {
     * ranked (query_id, doc_id, n_hit_terms, score_micro, rank) frame.
     * ONE definition so the three index-path oracles and the MRR eval
     * can't diverge from qtext_bm25's proven arithmetic. */
-  private def bm25RankCtes(k1: Double = 1.2, b: Double = 0.75): String = s"""
+  private def bm25RankCtes(k1: Double = 1.2, b: Double = 0.75,
+                           src: String = "documents"): String = s"""
       toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-               FROM documents),
+               FROM $src),
       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
              FROM toks WHERE term <> '' GROUP BY 1, 2),
       dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -1980,6 +1981,48 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(bm25OracleSql))
+
+  /** Re-crawl UPSERT under a genuinely-MODIFIED corpus oracle: a
+    * quarter of the docs is re-crawled with two tokens appended
+    * (changing their dl, the corpus total_tokens and avgdl — every
+    * doc's score moves, not just the touched quarter's), the index
+    * built on the ORIGINAL corpus is upserted with the new crawls,
+    * and the search must hash-match DuckDB's replay over the
+    * modified corpus. Any stale residue (old dl, double-counted dfs,
+    * an un-removed posting) shifts score_micro and breaks parity. */
+  private lazy val bm25UpsertOracleSql: String = {
+    val vals = Bm25QueryTerms
+      .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+    s"""
+      WITH docs2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1
+                  THEN text || ' graftrecrawl graftrecrawl'
+                  ELSE text END AS text
+           FROM documents),
+      q AS (SELECT DISTINCT query_id, lower(term) AS term
+            FROM (VALUES $vals) v(query_id, term)),
+      ${bm25RankCtes(src = "docs2")}
+      SELECT query_id, rank, doc_id, n_hit_terms, score_micro
+      FROM r WHERE rank <= 10
+      ORDER BY query_id, rank"""
+  }
+
+  val qBm25Upsert = Q(
+    "qtext_bm25_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val recrawled = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graftrecrawl graftrecrawl")).as("text"))
+      val upserted = Keywords.textIndexUpsert(
+        Keywords.textIndex(docs, col("doc_id"), col("text")),
+        recrawled, col("doc_id"), col("text"))
+      Keywords.bm25AgainstIndex(upserted, Bm25QueryTerms.toDF("query_id", "term"),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25UpsertOracleSql))
 
   /** C145: the MRR gate run as a SELF-RETRIEVAL eval — each of the
     * first 20 docs queries the index with its own first 3 tokens and
@@ -2245,6 +2288,6 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
     qBpeApplyVocab, qBpeApply32k, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
-    qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qQl, qHybrid, qZipf, qLmRef, qKnRef,
+    qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qBm25Upsert, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

@@ -1861,6 +1861,30 @@ object Similarity {
     (indexRemove(cells, ids), indexRemove(codes, ids))
   }
 
+  /** Re-crawl maintenance for the IVFADC artifacts ([[indexRemove]] ∘
+    * [[ivfPqResAppend]], the [[graft.functions.Keywords.textIndexUpsert]]
+    * shape): drop the updated ids' current cells/codes rows in
+    * lockstep, then assign + encode the new vectors against the SAME
+    * frozen centroids/codebook. Ids the index has never seen degrade
+    * to a plain append (the remove leg no-ops). Returns the pruned
+    * tables with the re-encoded rows unioned on — work linear in the
+    * updated batch, zero in the history. Centroid/codebook staleness
+    * is the append side's documented drift contract: upsert keeps the
+    * artifacts frozen (the monitors watch the distribution), retrain
+    * is the deliberate batch job behind [[sources.Layout
+    * .publishIndexVersion]]. Spec pins upsert(X') ≡ frozen-artifact
+    * rebuild-with(X') frame-for-frame AND search-for-search. */
+  def ivfPqResUpsert(centroids: DataFrame, books: DataFrame,
+                     cells: DataFrame, codes: DataFrame,
+                     updated: DataFrame, updId: Column, updVec: Column,
+                     m: Int, ksub: Int): (DataFrame, DataFrame) = {
+    val (prunedCells, prunedCodes) =
+      ivfPqResRemove(cells, codes, updated.select(updId))
+    val (newCells, newCodes) =
+      ivfPqResAppend(centroids, books, updated, updId, updVec, m, ksub)
+    (prunedCells.unionByName(newCells), prunedCodes.unionByName(newCodes))
+  }
+
   /** [[ivfPqResTopK]] with every build artifact served from a prebuilt
     * [[ivfPqResIndex]]. `corpus` supplies full vectors for the exact
     * re-rank only. */

@@ -814,6 +814,35 @@ object SimilarityQueries {
     },
     Some(ivfPqResOracleSql))
 
+  /** Re-crawl UPSERT under the SAME full oracle a fourth time: a 20%
+    * slice is re-crawled with IDENTICAL vectors — the remove leg drops
+    * its cells/codes rows, the append leg re-encodes them against the
+    * frozen artifacts, and by the append-parity law (the build path's
+    * own per-row functions) the reassembled index must be
+    * hash-identical to the untouched build. The modified-content form
+    * is spec-pinned (upsert(X') ≡ frozen-artifact rebuild-with(X'));
+    * this registered form driver-gates the composition's plumbing. */
+  val qIvfPqUpsert = Q(
+    "qann_ivfpq_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+        e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8,
+        ivfIters = 1, pqIters = 1)
+      val slice = e.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"), col("embedding"))
+      val (upCells, upCodes) = Similarity.ivfPqResUpsert(
+        cents, books, cells, codes, slice, col("vec_id"), col("embedding"),
+        m = 4, ksub = 8)
+      Similarity.ivfPqResTopKAgainstIndex(
+          cents, upCells, books, upCodes,
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqResOracleSql))
+
   val qDecode = Q(
     "qmm_decode_meta",
     (s, dir) => {
@@ -2038,7 +2067,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qSq, qBq, qBqRecall, qIvfBq,
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qIvfPqUpsert, qSq, qBq, qBqRecall, qIvfBq,
     qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
     qIvfCellCounts, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,

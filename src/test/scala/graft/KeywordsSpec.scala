@@ -434,6 +434,45 @@ class KeywordsSpec extends AnyFunSuite {
     assert(sorted(again.postings) == sorted(rebuilt.postings))
   }
 
+  test("textIndexUpsert equals rebuild-with frame-for-frame; new ids degrade to append") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit, not, concat, when}
+    import graft.sources.Tables
+    val docs = Tables(spark, SparkTest.sf).documents
+    val touched = pmod(col("doc_id"), lit(4)) === 1
+    // re-crawl a quarter with genuinely changed text
+    val recrawled = docs.filter(touched)
+      .select(col("doc_id"), concat(col("text"), lit(" zzz")).as("text"))
+    val upserted = Keywords.textIndexUpsert(
+      Keywords.textIndex(docs, col("doc_id"), col("text")),
+      recrawled, col("doc_id"), col("text"))
+    val rebuilt = Keywords.textIndex(
+      docs.select(col("doc_id"),
+        when(touched, concat(col("text"), lit(" zzz")))
+          .otherwise(col("text")).as("text")),
+      col("doc_id"), col("text"))
+    def sorted(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(upserted.terms) == sorted(rebuilt.terms))
+    assert(sorted(upserted.docs) == sorted(rebuilt.docs))
+    assert(sorted(upserted.stats) == sorted(rebuilt.stats))
+    assert(sorted(upserted.postings) == sorted(rebuilt.postings))
+    val queries = Seq(("q1", "hash"), ("q2", "zzz")).toDF("query_id", "term")
+    def rows(ix: Keywords.TextIndex) =
+      Keywords.bm25AgainstIndex(ix, queries, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(upserted) == rows(rebuilt) && rows(rebuilt).nonEmpty)
+    // a mixed batch whose ids are NEW degrades to a plain append
+    val fresh = Seq((900001L, "brand new crawl")).toDF("doc_id", "text")
+    val mixed = Keywords.textIndexUpsert(rebuilt, fresh,
+      col("doc_id"), col("text"))
+    val appended = Keywords.textIndexAppend(rebuilt, fresh,
+      col("doc_id"), col("text"))
+    assert(sorted(mixed.terms) == sorted(appended.terms))
+    assert(sorted(mixed.stats) == sorted(appended.stats))
+  }
+
   test("textIndexRemove: full removal empties the index; legacy df-only index stays df-only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -182,6 +182,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "qann_ivfpq_res broadcasts plus the append's nlist-row centroid " +
       "crossJoin); the remove itself adds only vec_id-keyed anti-joins — " +
       "no new broadcast or cartesian"),
+    "qann_ivfpq_upsert" -> ("remove ∘ append: the qann_ivfpq_rm shapes " +
+      "(bounded qann_ivfpq_res broadcasts, the append leg's nlist-row " +
+      "centroid crossJoin, vec_id-keyed anti-joins) — the union of the " +
+      "two legs adds no new broadcast or cartesian"),
     "qann_filtered" -> ("embeds qann_brute_topk over the predicate-filtered " +
       "corpus — the same bounded query-set broadcast; the scale path is " +
       "qann_filtered_ivf"),
@@ -251,6 +255,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "x 1-row append stats merge) plus the remove's own 1-row x 1-row " +
       "stats shrink — every crossJoin factor a single-row scalar frame; " +
       "the postings/docs prune is a keyed anti-join"),
+    "qtext_bm25_upsert" -> ("remove ∘ append: the qtext_bm25_rm shapes " +
+      "exactly (1-row stats broadcasts on the search, the remove's and " +
+      "append's 1-row x 1-row stats merges, keyed anti-joins on the " +
+      "prune) — the composition adds no new broadcast or cartesian"),
     "qtext_mrr" -> ("EMBEDS the qtext_bm25 chain (same 1-row stats " +
       "broadcast, bounded self-retrieval query set); the eval itself " +
       "runs on <= |queries| rows after the top-k"),

@@ -393,6 +393,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must carry 'vec_id'"))
   }
 
+  test("ivfPqResUpsert with modified vectors equals the frozen-artifact rebuild-with") {
+    // the re-crawl law: remove the slice's rows, re-encode its NEW
+    // vectors against the SAME frozen centroids/books — the result
+    // must equal encoding the whole UPDATED corpus under those
+    // artifacts (which the append-parity spec pins as the build's own
+    // per-row function)
+    val e = Tables(spark, sf).embeddings
+    val touched = col("vec_id") % 4 === 2
+    val modified = e.filter(touched)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).cast("array<float>")
+          .as("embedding"))
+    val updatedCorpus = e.filter(not(touched))
+      .select(col("vec_id"), col("embedding")).unionByName(modified)
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    val (upCells, upCodes) = Similarity.ivfPqResUpsert(
+      cents, books, cells, codes, modified, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8)
+    val (rbCells, rbCodes) = Similarity.ivfPqResAppend(
+      cents, books, updatedCorpus, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8)
+    def cellRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toList)).toSeq.sortBy(_._1)
+    assert(cellRows(upCells) == cellRows(rbCells))
+    assert(codeRows(upCodes) == codeRows(rbCodes))
+    // search-for-search over the upserted vs rebuilt-with tables
+    val q = updatedCorpus.filter(col("vec_id") < 10)
+    def rows(cl: org.apache.spark.sql.DataFrame, cd: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResTopKAgainstIndex(
+          cents, cl, books, cd,
+          updatedCorpus, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val viaUpsert = rows(upCells, upCodes)
+    assert(viaUpsert == rows(rbCells, rbCodes) && viaUpsert.nonEmpty)
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
