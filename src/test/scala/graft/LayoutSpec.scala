@@ -255,6 +255,65 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.currentIndexGen(spark, dir).contains(3L))
   }
 
+  test("the retrain loop: publish gen N+1 after retrain, readers never mix real artifacts") {
+    import org.apache.spark.sql.functions.{col, transform, lit, not}
+    import graft.operators.Similarity
+    // the drift monitors prescribe "retrain+re-encode as a batch job";
+    // this is that job's publish step with REAL IVFADC artifacts: the
+    // corpus drifts, a retrain rewrites all four artifacts, the flip
+    // is atomic, and both the pre-flip reader and the post-flip reader
+    // hold a searchable CONSISTENT four-artifact set
+    val e = Tables(spark, sf).embeddings
+    val old = e.filter(col("vec_id") % 4 =!= 1)
+    val drifted = e.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(5.0f)).cast("array<float>")
+          .as("embedding"))
+    val full = old.select(col("vec_id"), col("embedding")).unionByName(drifted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-retrain").toString
+    def publishBuild(corpus: org.apache.spark.sql.DataFrame): Long = {
+      val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+        corpus, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+      Layout.publishIndexVersion(spark, dir, Map(
+        "centroids" -> cents, "cells" -> cells,
+        "books" -> books, "codes" -> codes))
+    }
+    assert(publishBuild(old) == 0L)
+    // a reader resolves gen 0 BEFORE the retrain lands
+    val (g0, art0) = Layout.readIndexVersion(spark, dir,
+      Seq("centroids", "cells", "books", "codes"))
+    assert(g0 == 0L)
+    // retrain on the drifted corpus, publish gen 1
+    assert(publishBuild(full) == 1L)
+    val (g1, art1) = Layout.readIndexVersion(spark, dir,
+      Seq("centroids", "cells", "books", "codes"))
+    assert(g1 == 1L)
+    def search(art: Map[String, org.apache.spark.sql.DataFrame],
+               corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResTopKAgainstIndex(
+          art("centroids"), art("cells"), art("books"), art("codes"),
+          corpus, col("vec_id"), col("embedding"),
+          corpus.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // the post-flip reader's generation IS the retrained build: its
+    // search equals the inline path over the retrained corpus
+    val inline = Similarity.ivfPqResTopK(
+        full, col("vec_id"), col("embedding"),
+        full.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(search(art1, full) == inline && inline.nonEmpty)
+    // the pre-flip reader still searches its CONSISTENT gen-0 set —
+    // old artifacts, old corpus, no mixed-generation scoring
+    val oldInline = Similarity.ivfPqResTopK(
+        old, col("vec_id"), col("embedding"),
+        old.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(search(art0, old) == oldInline && oldInline.nonEmpty)
+  }
+
   test("publishIndexVersion: a crashed publish is invisible and never resurrected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ixcrash").toString

@@ -98,6 +98,45 @@ class StreamIndexSpec extends AnyFunSuite {
       "search over the streamed codes must equal the batch-built index")
   }
 
+  test("compacting the streamed codes table preserves search results exactly") {
+    // the small-files remedy composed with the streaming appends: an
+    // AvailableNow leg writes one file set per batch partition, and at
+    // production cadence the codes table becomes a million-file
+    // listing — Layout.compact rewrites it to target-size files, and
+    // the BQ search over the compacted table must equal the original
+    // row-for-row (compaction is layout, never content)
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp(); val statsDir = tmp() + "/stats"
+    val codesDir = tmp() + "/codes"; val compactDir = tmp() + "/compact"
+    Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    // three micro-batches = three batch=<id> partitions, many files
+    (0 to 2).foreach { i =>
+      dropFile(e.filter(col("vec_id") % 3 === i), in, s"p$i.parquet")
+      StreamIndex.startBqIndexAppend(spark, in, e.schema, "vec_id",
+        "embedding", ck, statsDir, codesDir).awaitTermination()
+    }
+    graft.sources.Layout.compact(spark, codesDir, compactDir,
+      targetBytes = 64L * 1024 * 1024)
+    val stats = spark.read.parquet(statsDir)
+    val q = e.filter(col("vec_id") < 5)
+    def rows(codesPath: String) =
+      Similarity.bqTopKAgainstIndex(stats,
+          spark.read.parquet(codesPath).select("vec_id", "codes"),
+          e, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"), k = 5, shortlist = 20)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val original = rows(codesDir)
+    assert(rows(compactDir) == original && original.nonEmpty)
+    // fewer data files after compaction (the point of the exercise)
+    def nFiles(p: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    assert(nFiles(compactDir) < nFiles(codesDir),
+      s"compaction must shrink the file count: ${nFiles(compactDir)} vs ${nFiles(codesDir)}")
+  }
+
   test("append queries release their pinned frozen frames on termination") {
     // scheduled AvailableNow restarts must not strand one cached
     // stats/centroid relation per run for the app lifetime — the
