@@ -214,33 +214,40 @@ object Forwarder {
     // over the whole historical corpus every batch). The per-batch
     // work is then only the small increment's prep plus the joins,
     // and nothing batch-sized is left pinned across triggers.
-    val screen: DataFrame => DataFrame = conf.nearDupScreen match {
-      case Some(s) =>
-        val index = spark.read.parquet(s.indexDir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val indexBands = graft.operators.Dedup.minhashIndexBands(
-            index, s.bands, s.rows, s.maxBucket)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        batch => {
-          val keyed = batch.withColumn("__nd_id", md5(col("json")))
-          val hits = graft.operators.Dedup.minhashLshPairsAgainstBandedIndex(
-              keyed, col("__nd_id"), col(s.column), index, indexBands,
-              s.n, s.bands, s.rows, s.threshold, s.seed, s.maxBucket)
-            .select(col("new_id").as("__nd_id")).distinct()
-          keyed.join(hits, Seq("__nd_id"), "left_anti").drop("__nd_id")
-        }
-      case None => identity
-    }
+    val (screen, screenPinned): (DataFrame => DataFrame, Seq[DataFrame]) =
+      conf.nearDupScreen match {
+        case Some(s) =>
+          val index = spark.read.parquet(s.indexDir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val indexBands = graft.operators.Dedup.minhashIndexBands(
+              index, s.bands, s.rows, s.maxBucket)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val f: DataFrame => DataFrame = batch => {
+            val keyed = batch.withColumn("__nd_id", md5(col("json")))
+            val hits = graft.operators.Dedup.minhashLshPairsAgainstBandedIndex(
+                keyed, col("__nd_id"), col(s.column), index, indexBands,
+                s.n, s.bands, s.rows, s.threshold, s.seed, s.maxBucket)
+              .select(col("new_id").as("__nd_id")).distinct()
+            keyed.join(hits, Seq("__nd_id"), "left_anti").drop("__nd_id")
+          }
+          (f, Seq(index, indexBands))
+        case None => (identity[DataFrame] _, Nil)
+      }
     val sink = new NdjsonBatchSink(delivery, conf.sink)
     // metric rewrite LAST: the near-dup screen keys on the PLAIN
     // record json (a replayed record must dedup whether or not its
-    // route emits points), then matched records become their points
-    delivered.writeStream
-      .option("checkpointLocation", conf.checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch((df: DataFrame, id: Long) =>
-        sink.process(metricJson(screen(df), routeTable), id))
-      .start()
+    // route emits points), then matched records become their points.
+    // The screen's pinned index frames release on termination (the
+    // StreamIndex discipline — scheduled restarts must not strand one
+    // cached corpus-index pair per run).
+    StreamIndex.unpersistOnTermination(spark,
+      delivered.writeStream
+        .option("checkpointLocation", conf.checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((df: DataFrame, id: Long) =>
+          sink.process(metricJson(screen(df), routeTable), id))
+        .start(),
+      screenPinned)
   }
 
   /** Convenience: forward to local NDJSON files. */

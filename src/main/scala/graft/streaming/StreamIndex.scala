@@ -23,9 +23,9 @@ object StreamIndex {
     * isActive re-check closes the race where a tiny AvailableNow run
     * terminates before the listener lands (double-unpersist is a
     * no-op). */
-  private def unpersistOnTermination(spark: SparkSession,
-                                     query: StreamingQuery,
-                                     pinned: Seq[DataFrame]): StreamingQuery = {
+  private[streaming] def unpersistOnTermination(spark: SparkSession,
+                                                query: StreamingQuery,
+                                                pinned: Seq[DataFrame]): StreamingQuery = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val listener = new StreamingQueryListener {
       override def onQueryStarted(

@@ -146,6 +146,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(delivered.head.contains("completely different content"))
     assert(!delivered.exists(_.contains("zeta eta iota")),
       "the near-duplicate increment leaked past the screen")
+
+    // TAKEDOWN through the screen index: removing the historical doc's
+    // signature row (indexRemove, the doc_id-keyed anti-join — the
+    // same takedown primitive as the ANN/text indexes) must let a
+    // near-duplicate of the REMOVED doc deliver again — a taken-down
+    // document must not keep suppressing content from beyond the grave
+    val prunedIdx = tmp() + "/minhash_index_pruned"
+    graft.operators.Similarity.indexRemove(
+        spark.read.parquet(idx), Seq(1L).toDF("doc_id"), key = "doc_id")
+      .write.parquet(prunedIdx)
+    val in2 = tmp(); val out2 = tmp(); val ck2 = tmp()
+    writeLines(in2, "inc.log", Seq(line(nearDup)))
+    Forwarder.start(spark,
+      Forwarder.Config(in2, ck2,
+        nearDupScreen = Some(Forwarder.NearDupScreen(prunedIdx))),
+      new FileDelivery(out2)).awaitTermination()
+    val redelivered = Files.walk(Paths.get(out2, "main")).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(f => Files.readAllLines(f).asScala.iterator).toSeq
+    assert(redelivered.size == 1 && redelivered.head.contains("zeta eta iota"),
+      s"the near-dup must deliver once its anchor is removed: $redelivered")
+
+    // the screen's pinned index frames release on termination (the
+    // StreamIndex discipline) — scheduled restarts must not strand one
+    // cached corpus-index pair per run; async listener bus, so poll
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    val before = cached
+    val in3 = tmp(); val out3 = tmp(); val ck3 = tmp()
+    writeLines(in3, "inc.log", Seq(line(fresh)))
+    Forwarder.start(spark,
+      Forwarder.Config(in3, ck3,
+        nearDupScreen = Some(Forwarder.NearDupScreen(idx))),
+      new FileDelivery(out3)).awaitTermination()
+    while (cached > before && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(cached <= before,
+      s"screen left pinned index frames behind: $before cached before, $cached after")
   }
 
   test("enhance auto-detects RFC3339 and RFC3164 shapes per record") {
