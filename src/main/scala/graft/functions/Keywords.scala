@@ -445,6 +445,32 @@ object Keywords {
       textIndexRemove(ix, updated.select(id)),
       updated, id, text)
 
+  /** CDC-driven index sync (the full corpus-versioning composition):
+    * advance an index built on corpus v1 to corpus v2 using a
+    * [[graft.operators.Curation.corpusDiff]]-shaped feed
+    * `(doc_id, status ∈ added|changed|removed|unchanged)` and the v2
+    * payloads — removed ∪ changed ids are [[textIndexRemove]]d,
+    * added ∪ changed docs [[textIndexAppend]]ed from v2, unchanged
+    * history untouched. This is the nightly-snapshot shape: diff two
+    * corpus versions once (payload-free md5 comparison), then pay
+    * index work proportional to the CHANGE SET, never the corpus.
+    * Oracle-gated with all three change kinds live in one query;
+    * sync(v1→v2) ≡ rebuild-on-v2 is the composition of the two parity
+    * laws already pinned per leg. */
+  def textIndexSync(ix: TextIndex, diff: DataFrame, newCorpus: DataFrame,
+                    id: Column, text: Column): TextIndex = {
+    require(Seq("doc_id", "status").forall(diff.columns.contains),
+      s"diff must carry (doc_id, status); got ${diff.columns.mkString(", ")}")
+    val stale = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val freshIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    val fresh = newCorpus.select(id.as("doc_id"), text.as("__sync_text"))
+      .join(freshIds, Seq("doc_id"), "left_semi")
+    textIndexAppend(textIndexRemove(ix, stale),
+      fresh, col("doc_id"), col("__sync_text"))
+  }
+
   /** Dictionary tagging (C135) — taxonomy/topic labeling of a corpus
     * against a curated term list, the FlashText/gazetteer problem: a
     * `(tag, term)` dictionary where terms are single words OR

@@ -2024,6 +2024,56 @@ object TextQueries {
     },
     Some(bm25UpsertOracleSql))
 
+  /** CDC index sync with all three change kinds LIVE in one gated
+    * query: v2 drops a seventh of the corpus (removed), appends two
+    * tokens to another seventh (changed), and adds re-id'd copies of
+    * a third (added). The diff comes from the REAL corpusDiff
+    * operator (payload-free md5 comparison), the sync pays index work
+    * proportional to the change set, and the search must hash-match
+    * DuckDB's replay over v2 — any unremoved posting, stale df, or
+    * missed add breaks parity. */
+  private lazy val bm25SyncOracleSql: String = {
+    val vals = Bm25QueryTerms
+      .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+    s"""
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 1 THEN text || ' graftsync'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 != 5
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 2),
+      q AS (SELECT DISTINCT query_id, lower(term) AS term
+            FROM (VALUES $vals) v(query_id, term)),
+      ${bm25RankCtes(src = "docs2")}
+      SELECT query_id, rank, doc_id, n_hit_terms, score_micro
+      FROM r WHERE rank <= 10
+      ORDER BY query_id, rank"""
+  }
+
+  val qBm25Sync = Q(
+    "qtext_bm25_sync",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 5)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(col("text"), lit(" graftsync")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      val diff = graft.operators.Curation.corpusDiff(
+        docs, v2, col("doc_id"), col("text"))
+      val synced = Keywords.textIndexSync(
+        Keywords.textIndex(docs, col("doc_id"), col("text")),
+        diff, v2, col("doc_id"), col("text"))
+      Keywords.bm25AgainstIndex(synced, Bm25QueryTerms.toDF("query_id", "term"),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bm25SyncOracleSql))
+
   /** C145: the MRR gate run as a SELF-RETRIEVAL eval — each of the
     * first 20 docs queries the index with its own first 3 tokens and
     * the doc itself is the relevant answer (the classic zero-label
@@ -2288,6 +2338,6 @@ object TextQueries {
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
     qBpeApplyVocab, qBpeApply32k, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
-    qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qBm25Upsert, qQl, qHybrid, qZipf, qLmRef, qKnRef,
+    qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qBm25Upsert, qBm25Sync, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

@@ -1885,6 +1885,35 @@ object Similarity {
     (prunedCells.unionByName(newCells), prunedCodes.unionByName(newCodes))
   }
 
+  /** CDC-driven ANN index sync ([[graft.functions.Keywords
+    * .textIndexSync]]'s IVFADC twin): advance the cells/codes tables
+    * from corpus v1 to v2 using a corpusDiff-shaped feed — removed ∪
+    * changed ids drop in lockstep, added ∪ changed vectors encode
+    * against the SAME frozen centroids/codebook from the v2 payloads.
+    * Index work proportional to the change set, never the corpus;
+    * artifacts stay frozen per the [[indexRemove]] contract (retrain
+    * is the monitors' deliberate batch job). Spec pins
+    * sync(v1→v2) ≡ frozen-artifact encode of v2. */
+  def ivfPqResSync(centroids: DataFrame, books: DataFrame,
+                   cells: DataFrame, codes: DataFrame,
+                   diff: DataFrame, newCorpus: DataFrame,
+                   newId: Column, newVec: Column,
+                   m: Int, ksub: Int): (DataFrame, DataFrame) = {
+    require(Seq("doc_id", "status").forall(diff.columns.contains),
+      s"diff must carry (doc_id, status); got ${diff.columns.mkString(", ")}")
+    val stale = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val freshIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    val fresh = newCorpus.select(newId.as("__sync_id"), newVec.as("__sync_v"))
+      .join(freshIds.select(col("doc_id").as("__sync_id")),
+        Seq("__sync_id"), "left_semi")
+    val (prunedCells, prunedCodes) = ivfPqResRemove(cells, codes, stale)
+    val (newCells, newCodes) = ivfPqResAppend(centroids, books,
+      fresh, col("__sync_id"), col("__sync_v"), m, ksub)
+    (prunedCells.unionByName(newCells), prunedCodes.unionByName(newCodes))
+  }
+
   /** [[ivfPqResTopK]] with every build artifact served from a prebuilt
     * [[ivfPqResIndex]]. `corpus` supplies full vectors for the exact
     * re-rank only. */

@@ -473,6 +473,38 @@ class KeywordsSpec extends AnyFunSuite {
     assert(sorted(mixed.stats) == sorted(appended.stats))
   }
 
+  test("textIndexSync advances v1's index to v2 exactly — adds, changes and removes") {
+    import SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit, concat, when}
+    import graft.sources.Tables
+    val v1 = Tables(spark, SparkTest.sf).documents.select(col("doc_id"), col("text"))
+    val v2 = v1.filter(pmod(col("doc_id"), lit(7)) =!= 5)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 1, concat(col("text"), lit(" zzz")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(pmod(col("doc_id"), lit(7)) === 2)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+    val diff = graft.operators.Curation.corpusDiff(v1, v2,
+      col("doc_id"), col("text"))
+    val synced = Keywords.textIndexSync(
+      Keywords.textIndex(v1, col("doc_id"), col("text")),
+      diff, v2, col("doc_id"), col("text"))
+    val rebuilt = Keywords.textIndex(v2, col("doc_id"), col("text"))
+    def sorted(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sorted(synced.terms) == sorted(rebuilt.terms))
+    assert(sorted(synced.docs) == sorted(rebuilt.docs))
+    assert(sorted(synced.stats) == sorted(rebuilt.stats))
+    assert(sorted(synced.postings) == sorted(rebuilt.postings))
+    // a diff frame without its contract columns fails fast
+    val ex = intercept[IllegalArgumentException] {
+      Keywords.textIndexSync(rebuilt, diff.drop("status"), v2,
+        col("doc_id"), col("text"))
+    }
+    assert(ex.getMessage.contains("doc_id, status"))
+  }
+
   test("textIndexRemove: full removal empties the index; legacy df-only index stays df-only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

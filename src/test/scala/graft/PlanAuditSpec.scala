@@ -259,6 +259,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "exactly (1-row stats broadcasts on the search, the remove's and " +
       "append's 1-row x 1-row stats merges, keyed anti-joins on the " +
       "prune) — the composition adds no new broadcast or cartesian"),
+    "qtext_bm25_sync" -> ("the qtext_bm25_upsert shapes (1-row stats " +
+      "broadcasts and merges, keyed anti-joins) — the diff itself is a " +
+      "payload-free doc_id-keyed full-outer md5 compare, and the change-" +
+      "set cuts are id-keyed semi-joins; no new broadcast or cartesian"),
     "qtext_mrr" -> ("EMBEDS the qtext_bm25 chain (same 1-row stats " +
       "broadcast, bounded self-retrieval query set); the eval itself " +
       "runs on <= |queries| rows after the top-k"),

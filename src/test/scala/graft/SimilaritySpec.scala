@@ -434,6 +434,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaUpsert == rows(rbCells, rbCodes) && viaUpsert.nonEmpty)
   }
 
+  test("ivfPqResSync advances v1's tables to v2 under the frozen artifacts") {
+    // the CDC law: removed ∪ changed rows drop in lockstep, added ∪
+    // changed vectors encode against the SAME frozen centroids/books —
+    // the result must equal encoding corpus v2 under those artifacts
+    val e = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
+    val v2 = e.filter(col("vec_id") % 7 =!= 5)
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 1,
+          transform(col("embedding"), x => x * lit(3.0f)).cast("array<float>"))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(e.filter(col("vec_id") % 7 === 2)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("embedding")))
+    // corpusDiff keys on an md5 of the payload bytes — reuse it over a
+    // stable string rendering of the vector
+    val diff = graft.operators.Curation.corpusDiff(
+      e.select(col("vec_id"), col("embedding").cast("string").as("p")),
+      v2.select(col("vec_id"), col("embedding").cast("string").as("p")),
+      col("vec_id"), col("p"))
+      .select(col("doc_id"), col("status"))
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    val (syncCells, syncCodes) = Similarity.ivfPqResSync(
+      cents, books, cells, codes, diff, v2, col("vec_id"), col("embedding"),
+      m = 4, ksub = 8)
+    val (rbCells, rbCodes) = Similarity.ivfPqResAppend(
+      cents, books, v2, col("vec_id"), col("embedding"), m = 4, ksub = 8)
+    def cellRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toList)).toSeq.sortBy(_._1)
+    assert(cellRows(syncCells) == cellRows(rbCells))
+    assert(codeRows(syncCodes) == codeRows(rbCodes))
+  }
+
   // measured 0.32 at shortlist=20 (nprobe=3 of 10 cells, m=4, ksub=8;
   // deterministic FNV-seeded trains), pinned at measured − 0.1
   private val RecallFloorIvfPq = 0.22
