@@ -74,7 +74,11 @@ object StreamIndex {
     * run [[startBqDriftMonitor]] beside this append and
     * retrain+re-encode as a batch job when it alarms (the
     * standard production split: cheap streaming appends, rare
-    * deliberate rebuilds). */
+    * deliberate rebuilds). The retrain's four rewritten artifacts
+    * publish atomically via
+    * [[graft.sources.Layout.publishIndexVersion]] — readers flip
+    * generations whole, never mixed — and append legs restart
+    * against the new generation's tables. */
   def startBqIndexAppend(spark: SparkSession, inputDir: String,
                          schema: StructType, id: String, vec: String,
                          checkpointDir: String, statsDir: String,
@@ -205,7 +209,9 @@ object StreamIndex {
     * written to parquet). Mass collapsing into few cells is the
     * composed search's recall-and-skew killer — probes miss moved
     * vectors and the hot cells' candidate lists balloon — so alarm on
-    * the same C152 folklore and retrain+re-encode as a batch job.
+    * the same C152 folklore and retrain+re-encode as a batch job
+    * (publish the rewritten artifacts atomically via
+    * [[graft.sources.Layout.publishIndexVersion]]).
     * Same shared plumbing, so replay idempotence, staged renames, and
     * the batch-twin law all carry over. */
   def startIvfDriftMonitor(spark: SparkSession, inputDir: String,
