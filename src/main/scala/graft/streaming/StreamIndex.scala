@@ -79,15 +79,42 @@ object StreamIndex {
     * [[graft.sources.Layout.publishIndexVersion]] — readers flip
     * generations whole, never mixed — and append legs restart
     * against the new generation's tables. */
+  /** Tombstone guard for the append legs: a takedown
+    * ([[graft.operators.Similarity.indexRemove]]) cleans the BATCH
+    * tables, but a late-arriving or replayed stream file can
+    * re-encode the removed id — deleted content resurrected by the
+    * ingest path. Each micro-batch anti-joins the tombstone id table
+    * before encoding (the same keyed-anti-join primitive as the
+    * remove itself); readers of the still-growing streamed dir apply
+    * the SAME guard as `indexRemove(read(codesDir), tombstones)` until
+    * the next compaction materializes the pruned table. The frame is
+    * read once per query start and pinned like the frozen artifacts —
+    * AvailableNow restarts (the scheduled-ingest shape) pick up new
+    * tombstones at each start. */
+  private def tombstoneGuard(spark: SparkSession, id: String,
+                             tombstonesDir: Option[String])
+      : (DataFrame => DataFrame, Seq[DataFrame]) =
+    tombstonesDir match {
+      case Some(dir) =>
+        val ts = spark.read.parquet(dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val f: DataFrame => DataFrame = batch =>
+          batch.join(ts.select(col(ts.columns.head).as(id)), Seq(id), "left_anti")
+        (f, Seq(ts))
+      case None => (identity[DataFrame] _, Nil)
+    }
+
   def startBqIndexAppend(spark: SparkSession, inputDir: String,
                          schema: StructType, id: String, vec: String,
                          checkpointDir: String, statsDir: String,
-                         codesDir: String): StreamingQuery = {
+                         codesDir: String,
+                         tombstonesDir: Option[String] = None): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
     // the frozen stats are d rows, read ONCE per query start and
     // pinned (the neardup_screen pattern) — not re-read per micro-batch
     val stats = spark.read.parquet(statsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (guard, guardPinned) = tombstoneGuard(spark, id, tombstonesDir)
     unpersistOnTermination(spark,
       spark.readStream.schema(schema).parquet(inputDir)
         .writeStream
@@ -95,12 +122,12 @@ object StreamIndex {
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Similarity.bqEncode(batch, col(id), col(vec), stats)
+          graft.operators.Similarity.bqEncode(guard(batch), col(id), col(vec), stats)
             .write.mode("overwrite")
             .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
         }
         .start(),
-      Seq(stats))
+      stats +: guardPinned)
   }
 
   /** Streaming IVF CELL maintenance (C154i — the cells half of the
@@ -127,12 +154,14 @@ object StreamIndex {
   def startIvfCellAppend(spark: SparkSession, inputDir: String,
                          schema: StructType, id: String, vec: String,
                          checkpointDir: String, centroidsDir: String,
-                         cellsDir: String): StreamingQuery = {
+                         cellsDir: String,
+                         tombstonesDir: Option[String] = None): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
     // the frozen centroids are nlist rows, read ONCE per query start
     // and pinned (the startBqIndexAppend discipline)
     val cents = spark.read.parquet(centroidsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (guard, guardPinned) = tombstoneGuard(spark, id, tombstonesDir)
     unpersistOnTermination(spark,
       spark.readStream.schema(schema).parquet(inputDir)
         .writeStream
@@ -141,12 +170,12 @@ object StreamIndex {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.operators.Similarity
-            .ivfAssignAgainstIndex(batch, col(id), col(vec), cents)
+            .ivfAssignAgainstIndex(guard(batch), col(id), col(vec), cents)
             .write.mode("overwrite")
             .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
         }
         .start(),
-      Seq(cents))
+      cents +: guardPinned)
   }
 
   /** COMPOSED index append (C154i's single-stream form): grow the
@@ -168,12 +197,14 @@ object StreamIndex {
                                schema: StructType, id: String, vec: String,
                                checkpointDir: String, statsDir: String,
                                centroidsDir: String, codesDir: String,
-                               cellsDir: String): StreamingQuery = {
+                               cellsDir: String,
+                               tombstonesDir: Option[String] = None): StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(spark)
     val stats = spark.read.parquet(statsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = spark.read.parquet(centroidsDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (guard, guardPinned) = tombstoneGuard(spark, id, tombstonesDir)
     unpersistOnTermination(spark,
       spark.readStream.schema(schema).parquet(inputDir)
         .writeStream
@@ -181,7 +212,9 @@ object StreamIndex {
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val pinned = batch.persist(
+          // the guard runs BEFORE the pin so both artifact writes see
+          // the same tombstone-filtered rows
+          val pinned = guard(batch).persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             graft.operators.Similarity.bqEncode(pinned, col(id), col(vec), stats)
@@ -194,7 +227,7 @@ object StreamIndex {
           } finally pinned.unpersist(blocking = false): Unit
         }
         .start(),
-      Seq(stats, cents))
+      Seq(stats, cents) ++ guardPinned)
   }
 
   /** Streaming IVF drift monitor (C154j — [[startIvfCellAppend]]'s

@@ -98,6 +98,49 @@ class StreamIndexSpec extends AnyFunSuite {
       "search over the streamed codes must equal the batch-built index")
   }
 
+  test("tombstoned ids never land in streamed codes/cells; untombstoned rows unaffected") {
+    // the takedown half of the STREAMING path: indexRemove cleans the
+    // batch tables, but a late-arriving stream file re-encodes the
+    // removed id unless the append legs guard on the tombstone list —
+    // deleted content must not be resurrected by ingest
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp(); val statsDir = tmp() + "/stats"
+    val centsDir = tmp() + "/cents"; val codesDir = tmp() + "/codes"
+    val cellsDir = tmp() + "/cells"; val tombsDir = tmp() + "/tombstones"
+    Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    val (cents, _, _, _) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    cents.write.parquet(centsDir)
+    import spark.implicits._
+    val tombstoned = e.filter(col("vec_id") % 5 === 0)
+    tombstoned.select(col("vec_id")).write.parquet(tombsDir)
+    // the "late file" carries tombstoned AND live rows
+    dropFile(e.limit(50), in, "late.parquet")
+    StreamIndex.startComposedIndexAppend(spark, in, e.schema, "vec_id",
+        "embedding", ck, statsDir, centsDir, codesDir, cellsDir,
+        tombstonesDir = Some(tombsDir))
+      .awaitTermination()
+    val codeIds = spark.read.parquet(codesDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val cellIds = spark.read.parquet(cellsDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = e.limit(50).filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(codeIds == expected && cellIds == expected,
+      s"tombstoned ids leaked: codes ${codeIds.size} cells ${cellIds.size} " +
+        s"expected ${expected.size}")
+    // untombstoned rows encode exactly as the unguarded path would
+    val stats = spark.read.parquet(statsDir)
+    val direct = Similarity.bqEncode(
+        e.limit(50).filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), stats)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.read.parquet(codesDir).select("vec_id", "codes")
+      .collect().map(_.toString).sorted.toSeq == direct)
+  }
+
   test("compacting the streamed codes table preserves search results exactly") {
     // the small-files remedy composed with the streaming appends: an
     // AvailableNow leg writes one file set per batch partition, and at
