@@ -107,7 +107,9 @@ object Bench {
     "qann_ivf_bq", "qann_ivf_bq_recall", "qann_bq_asym",
     "qann_ivf_bq_asym", "qann_ivf_bq_asym_recall", "qann_bq_bitcounts",
     "qann_ivf_cellcounts", "qann_ivfpq_rm", "qtext_bm25_rm",
-    "qtext_bpe_apply_32k")
+    "qtext_bpe_apply_32k",
+    // the rest of the r16 index lifecycle: upsert and CDC sync
+    "qtext_bm25_upsert", "qtext_bm25_sync", "qann_ivfpq_upsert")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under
