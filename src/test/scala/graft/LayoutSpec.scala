@@ -340,6 +340,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readIndexVersion(spark, dir, ArtNames)._1 == 3L)
     assert(!new java.io.File(s"$dir/gen=1").exists())
     assert(new java.io.File(s"$dir/gen=2").exists())
+    // an IN-FLIGHT publish (uncommitted generation ABOVE the current
+    // committed one) survives pruning — only debris BELOW current is
+    // reaped; deleting a publisher's half-written dir under it would
+    // turn its commit into a corrupt generation
+    genArtifacts(98L).foreach { case (n, df) =>
+      df.write.parquet(s"$dir/gen=9/$n")
+    }
+    assert(Layout.pruneIndexVersions(spark, dir, keep = 1) == 1,
+      "only committed gen=2 should prune; the in-flight gen=9 must survive")
+    assert(new java.io.File(s"$dir/gen=9").exists(),
+      "pruning deleted an in-flight publish above the current generation")
+    assert(Layout.readIndexVersion(spark, dir, ArtNames)._1 == 3L)
     // contract guards fail fast
     intercept[IllegalArgumentException] {
       Layout.publishIndexVersion(spark, dir, Map.empty)
