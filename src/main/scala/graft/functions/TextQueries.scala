@@ -1532,16 +1532,19 @@ object TextQueries {
     ORDER BY d.doc_id"""))
 
   // C153b: the C153 apply at the SHIPPED-tokenizer table size — the
-  // same word chains plus 32768 inert pad rows ('#k' two-char symbols
-  // can never be adjacent: initial symbols are single code points and
-  // no real merge builds a '#'-prefixed form), so the Spark side
-  // genuinely broadcasts and kernel-scans a ~33k-row table per
-  // distinct word while the oracle replays the real merges only
-  // (inert rows are no-ops by construction — replaying 32k no-op
-  // recursive-CTE steps would only re-derive that). Byte-exact
-  // `tokens` parity under the driver gate proves the 1-row array
-  // broadcast, the kernel loop and the distinct-word join shape all
-  // hold at production vocab size.
+  // same word chains plus 32768 inert pad rows. Pad symbols are
+  // '\u0001k' — \u0001 (a control char) sits OUTSIDE the tokenizable alphabet
+  // (wordChainMerges admits only [\x21-\x7e] words), so no real
+  // symbol, at ANY corpus, can ever equal a pad symbol and no pad
+  // rule can ever fire; a '#'-prefixed pad would be inert only for
+  // corpora where no real merge happens to build '#'-forms. So the
+  // Spark side genuinely broadcasts and kernel-scans a ~33k-row table
+  // per distinct word while the oracle replays the real merges only
+  // (inert rows are no-ops by CONSTRUCTION, not by corpus accident —
+  // replaying 32k no-op recursive-CTE steps would only re-derive
+  // that). Byte-exact `tokens` parity under the driver gate proves
+  // the 1-row array broadcast, the kernel loop and the distinct-word
+  // join shape all hold at production vocab size.
   val qBpeApply32k = Q(
     "qtext_bpe_apply_32k",
     (s, dir) => {
@@ -1550,9 +1553,9 @@ object TextQueries {
       val nReal = chains.count() // bounded: ≤ topWords · maxWordLen rows
       val filler = s.range(1, 32769L).toDF("k")
         .select((col("k") + nReal).cast("long").as("step"),
-          concat(lit("#"), col("k").cast("string")).as("l_sym"),
-          concat(lit("#"), col("k").cast("string")).as("r_sym"),
-          concat(lit("#"), col("k").cast("string"), lit("#"),
+          concat(lit("\u0001"), col("k").cast("string")).as("l_sym"),
+          concat(lit("\u0001"), col("k").cast("string")).as("r_sym"),
+          concat(lit("\u0001"), col("k").cast("string"), lit("\u0001"),
             col("k").cast("string")).as("merged"))
       Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"),
           chains.unionByName(filler))
@@ -1573,12 +1576,13 @@ object TextQueries {
     * shared by the apply, production-fertility and 32k-table oracles —
     * one chain, three consumers, a replay fix can't diverge them.
     * `includeFill = false` replays the REAL merges only: the C153b
-    * oracle's pad rows are PROVABLY inert (two-char '#k' symbols can
-    * never be adjacent — initial symbols are single code points and no
-    * real merge builds a '#'-prefixed form), so the expected tokens
-    * are the realm-only replay while the Spark side genuinely carries
-    * the full padded table; replaying 32k no-op steps in a recursive
-    * CTE would only burn the oracle's time re-deriving that no-op. */
+    * pad rows are PROVABLY inert at any corpus — their '\u0001k'
+    * symbols contain a code point outside the [\x21-\x7e] word
+    * alphabet, so no real segmentation symbol can ever equal one —
+    * so the expected tokens are the realm-only replay while the Spark
+    * side genuinely carries the full padded table; replaying 32k
+    * no-op steps in a recursive CTE would only burn the oracle's time
+    * re-deriving that no-op. */
   private def bpeVocabTokCtes(includeFill: Boolean = true): String = {
     val mt =
       if (includeFill) """

@@ -108,6 +108,18 @@ object LogColumns {
 
   // --- parse + enhance (A1/A4) -----------------------------------------
 
+  /** The structured field names [[enhance]] adds beyond the `rawlog`
+    * passthrough — the SINGLE definition shared by the forwarder's
+    * NDJSON serializer and its metric leg's structured-field
+    * whitelist (Forwarder.MetricStructuredFields). Keeping one list
+    * means a new enhanced field can never silently fall back to
+    * kayvee-payload resolution in the metric leg while the serializer
+    * already emits it; LogColumnsSpec pins that `enhance`'s added
+    * column set is exactly `rawlog` plus these names. */
+  val EnhancedFieldNames: Seq[String] = Seq(
+    "timestamp", "hostname", "programname", "pid", "container_env",
+    "container_app", "container_task", "title", "level", "deploy_env")
+
   /** Full parse+enhance of a rsyslog line column — the batch/streaming-
     * shared core of the forwarder, mirroring the field surface of the
     * reference's ParseAndEnhance call. The line SHAPE is auto-detected

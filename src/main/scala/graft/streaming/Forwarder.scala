@@ -82,9 +82,7 @@ object Forwarder {
   }
 
   private def serialized: Column = LogColumns.toNdjson(
-    col("timestamp"), col("hostname"), col("programname"), col("pid"),
-    col("container_env"), col("container_app"), col("container_task"),
-    col("title"), col("level"), col("deploy_env"), col("rawlog"))
+    (LogColumns.EnhancedFieldNames.map(col) :+ col("rawlog")): _*)
 
   /** The delivery-time scrub (see Config.scrubPii): rewrite the
     * free-text fields with the log-safe redaction chain and
@@ -126,10 +124,12 @@ object Forwarder {
     * NULL (absent, or non-numeric) is delivered as the PLAIN NDJSON
     * record, never as a point missing its `value` key — to_json drops
     * null fields, and a value-less point is a silently malformed
-    * delivery where the full record is at least diagnosable. */
-  private[streaming] val MetricStructuredFields: Set[String] = Set(
-    "timestamp", "hostname", "programname", "pid", "container_env",
-    "container_app", "container_task", "title", "level", "deploy_env")
+    * delivery where the full record is at least diagnosable.
+    * Derived from [[LogColumns.EnhancedFieldNames]] — the one list the
+    * serializer also reads — so growing `enhance` grows this whitelist
+    * in lockstep instead of silently diverging. */
+  private[streaming] val MetricStructuredFields: Set[String] =
+    LogColumns.EnhancedFieldNames.toSet
 
   private[streaming] def metricJson(df: DataFrame,
                                     routes: Seq[Routing.Route]): DataFrame = {

@@ -19,10 +19,13 @@ object StreamIndex {
     * queries are typically restarted on a schedule, and without this
     * each restart would strand one more small cached relation in the
     * driver's cache for the app lifetime. A listener keyed on the
-    * query id unpersists on termination and deregisters itself; the
-    * isActive re-check closes the race where a tiny AvailableNow run
-    * terminates before the listener lands (double-unpersist is a
-    * no-op). */
+    * RUN id (unique per run — the query id is checkpoint-stable, so a
+    * delayed termination event from the PREVIOUS run on the async
+    * listener bus would match the next restart's listener and
+    * unpersist its pinned frames mid-run) unpersists on termination
+    * and deregisters itself; the isActive re-check closes the race
+    * where a tiny AvailableNow run terminates before the listener
+    * lands (double-unpersist is a no-op). */
   private[streaming] def unpersistOnTermination(spark: SparkSession,
                                                 query: StreamingQuery,
                                                 pinned: Seq[DataFrame]): StreamingQuery = {
@@ -34,7 +37,7 @@ object StreamIndex {
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
+        if (e.runId == query.runId) {
           pinned.foreach(_.unpersist(blocking = false))
           spark.streams.removeListener(this)
         }
@@ -98,8 +101,15 @@ object StreamIndex {
       case Some(dir) =>
         val ts = spark.read.parquet(dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // mirror Similarity.indexRemove exactly: cast the tombstone ids
+        // to the batch id column's type and distinct them — a tombstone
+        // table written with a different id type (int vs long, string
+        // ids) must behave like the batch-side remove it guards for
         val f: DataFrame => DataFrame = batch =>
-          batch.join(ts.select(col(ts.columns.head).as(id)), Seq(id), "left_anti")
+          batch.join(
+            ts.select(col(ts.columns.head)
+              .cast(batch.schema(id).dataType).as(id)).distinct(),
+            Seq(id), "left_anti")
         (f, Seq(ts))
       case None => (identity[DataFrame] _, Nil)
     }

@@ -133,4 +133,17 @@ class LogColumnsSpec extends AnyFunSuite {
       ("a", 20L, 1L, "INFO fine"),
       ("b", 2L, 2L, "WARN later\n  at Frame3")), s"got ${got.toSeq}")
   }
+
+  test("EnhancedFieldNames is exactly enhance's added column set") {
+    // the coupling contract: the forwarder's serializer AND its metric
+    // leg's structured-field whitelist both read EnhancedFieldNames,
+    // and this pins that the list tracks what enhance actually builds —
+    // grow enhance without growing the list and this fails
+    val in = one(haproxyLine).withColumnRenamed("line", "value")
+    val out = LogColumns.enhance(in, col("value"), "production")
+    val added = out.columns.toSet -- in.columns.toSet
+    assert(added == LogColumns.EnhancedFieldNames.toSet + "rawlog",
+      s"enhance added $added but EnhancedFieldNames declares " +
+        s"${LogColumns.EnhancedFieldNames.toSet}")
+  }
 }
