@@ -200,6 +200,7 @@ object Layout {
   }
 
   private val CommitMarker = "_COMMITTED"
+  private val ClaimMarker = "_CLAIM"
   private val GenPrefix = "gen="
 
   private def genOf(name: String): Option[Long] =
@@ -233,28 +234,55 @@ object Layout {
     * snapshot); reclaim with [[pruneIndexVersions]] once the reader
     * horizon has moved on.
     *
-    * Single-PUBLISHER contract (readers are unlimited): retrain is a
-    * singleton batch job — two concurrent publishers could pick the
-    * same generation number and interleave artifact writes before
-    * either commits; the marker create arbitrates (second `create`
-    * fails loudly), but the survivor's artifacts may be clobbered, so
-    * serialize publishes. Object-store note: file create is atomic on
-    * HDFS/posix; on eventual-consistency stores front with a
-    * consistent metadata layer. Returns the published generation. */
+    * Racing publishers are SELF-ARBITRATING at claim time: before any
+    * artifact write, the publisher claims its generation directory
+    * with one atomic `_CLAIM` file create — of two publishers racing
+    * to the same number, the loser fails at the claim, before it can
+    * interleave a single byte into a directory the winner will commit.
+    * (`_COMMITTED` stays the READ barrier; `_CLAIM` is the WRITE
+    * barrier.) A failed claimer simply retries: its next listing
+    * numbers past the claimed directory. Object-store note: file
+    * create is atomic on HDFS/posix; on eventual-consistency stores
+    * front with a consistent metadata layer. Returns the published
+    * generation. */
   def publishIndexVersion(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String,
                           artifacts: Map[String, DataFrame]): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // number past EVERY existing dir, committed, claimed or crashed —
+    // reusing a crashed publish's number would blend its partial
+    // artifacts in
+    val next = listGens(fs, root, committedOnly = false)
+      .foldLeft(-1L)(math.max) + 1
+    publishIndexVersionAt(spark, indexDir, next, artifacts)
+  }
+
+  /** Claim → write → commit at a FIXED generation number — the core of
+    * [[publishIndexVersion]], split out so the two-publisher race is
+    * spec-testable at a staged number. The claim is the FIRST write:
+    * one atomic file create (the same idiom as the commit marker)
+    * lands before any artifact byte, so whichever publisher claims
+    * second fails here with the target directory untouched by it. */
+  private[graft] def publishIndexVersionAt(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      gen: Long, artifacts: Map[String, DataFrame]): Long = {
+    require(gen >= 0, s"generation must be >= 0, got $gen")
     require(artifacts.nonEmpty, "publishIndexVersion needs >= 1 artifact")
     require(artifacts.keys.forall(n => n.nonEmpty && !n.contains("/") &&
         !n.startsWith("_")),
       s"artifact names must be plain dir names; got ${artifacts.keys.mkString(", ")}")
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // number past EVERY existing dir, committed or not — reusing a
-    // crashed publish's number would blend its partial artifacts in
-    val next = listGens(fs, root, committedOnly = false)
-      .foldLeft(-1L)(math.max) + 1
-    val genDir = new org.apache.hadoop.fs.Path(root, s"$GenPrefix$next")
+    val genDir = new org.apache.hadoop.fs.Path(root, s"$GenPrefix$gen")
+    val claimed =
+      try fs.createNewFile(new org.apache.hadoop.fs.Path(genDir, ClaimMarker))
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (!claimed)
+      throw new java.io.IOException(
+        s"publishIndexVersion: gen=$gen already claimed under $indexDir — " +
+          "racing publisher lost at claim time (nothing was written); " +
+          "retry to number past it")
     artifacts.foreach { case (name, df) =>
       df.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(genDir, name).toString)
@@ -262,8 +290,8 @@ object Layout {
     if (!fs.createNewFile(new org.apache.hadoop.fs.Path(genDir, CommitMarker)))
       throw new java.io.IOException(
         s"publishIndexVersion: commit marker already exists under $genDir — " +
-          "concurrent publisher? (single-publisher contract)")
-    next
+          "claimed directory was committed by someone else (corrupted claim?)")
+    gen
   }
 
   /** Highest committed generation under `indexDir`, if any. */

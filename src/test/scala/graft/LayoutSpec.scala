@@ -361,4 +361,59 @@ class LayoutSpec extends AnyFunSuite {
         Map("_bad" -> Seq((1L, "x")).toDF("gen", "kind")))
     }
   }
+
+  // recursive (relative-path -> md5) snapshot: "byte-intact" below
+  // means the winner's committed directory is file-for-file identical
+  private def snapshot(d: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(d)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        base.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("publishIndexVersion: a racing publisher fails at claim time; winner byte-intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixrace").toString
+    Layout.publishIndexVersion(spark, dir, genArtifacts(0L))
+    // stage ordering 1 — both publishers resolved next=1; the winner
+    // claims, writes and commits first, then the loser arrives at the
+    // SAME staged number: it must fail at the claim, before it can
+    // interleave a single byte into the committed directory
+    assert(Layout.publishIndexVersionAt(spark, dir, 1L, genArtifacts(1L)) == 1L)
+    val winnerBytes = snapshot(s"$dir/gen=1")
+    val ex = intercept[java.io.IOException] {
+      Layout.publishIndexVersionAt(spark, dir, 1L, genArtifacts(77L))
+    }
+    assert(ex.getMessage.contains("claim"), s"unexpected failure: ${ex.getMessage}")
+    assert(snapshot(s"$dir/gen=1") == winnerBytes,
+      "the losing publisher modified the winner's committed directory")
+    val (g, art) = Layout.readIndexVersion(spark, dir, ArtNames)
+    assert(g == 1L &&
+      art("cells").select("gen").collect().map(_.getLong(0)).toSet == Set(1L))
+    // stage ordering 2 — the first claimer is SLOW (claim landed, no
+    // artifacts yet): the second publisher at the same number must
+    // still fail at claim and leave the claim-only directory untouched
+    assert(new java.io.File(s"$dir/gen=2").mkdirs())
+    assert(new java.io.File(s"$dir/gen=2/_CLAIM").createNewFile())
+    intercept[java.io.IOException] {
+      Layout.publishIndexVersionAt(spark, dir, 2L, genArtifacts(88L))
+    }
+    assert(new java.io.File(s"$dir/gen=2").list().toSeq == Seq("_CLAIM"),
+      "the loser wrote into a directory another publisher had claimed")
+    // the claimed-but-uncommitted dir stays invisible to readers, and
+    // the PUBLIC numbering path numbers past it rather than colliding
+    assert(Layout.readIndexVersion(spark, dir, ArtNames)._1 == 1L)
+    assert(Layout.publishIndexVersion(spark, dir, genArtifacts(3L)) == 3L)
+    // once the reader horizon moved on, the crashed claim is debris
+    // below the current generation and prunes like any other husk
+    assert(Layout.pruneIndexVersions(spark, dir, keep = 1) == 3,
+      "expected committed gens 0,1 and the crashed claim gen=2 pruned")
+    assert(!new java.io.File(s"$dir/gen=2").exists())
+    assert(Layout.readIndexVersion(spark, dir, ArtNames)._1 == 3L)
+  }
 }
