@@ -109,7 +109,10 @@ object Bench {
     "qann_ivf_cellcounts", "qann_ivfpq_rm", "qtext_bm25_rm",
     "qtext_bpe_apply_32k",
     // the rest of the r16 index lifecycle: upsert and CDC sync
-    "qtext_bm25_upsert", "qtext_bm25_sync", "qann_ivfpq_upsert")
+    "qtext_bm25_upsert", "qtext_bm25_sync", "qann_ivfpq_upsert",
+    // round-17: the retrain loop's publish leg (build → publish →
+    // read → search, all four artifacts through one generation)
+    "qann_ivfpq_pub")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

@@ -843,6 +843,39 @@ object SimilarityQueries {
     },
     Some(ivfPqResOracleSql))
 
+  /** C158: the retrain loop's PUBLISH leg driver-gated end-to-end
+    * under the SAME full oracle a fifth time (the qtext_bm25_indexed
+    * discipline extended to the index family a retrain actually
+    * rewrites): build the four IVFADC artifacts, land them through
+    * [[graft.sources.Layout.publishIndexVersion]] (one `gen=<n>` dir +
+    * atomic commit marker), resolve them back with `readIndexVersion`
+    * (one generation, never a mix), and serve the search purely from
+    * the PUBLISHED frames. Oracle equality with qann_ivfpq_res proves
+    * the publish/read round-trip changes the storage model — never one
+    * scored bit — which is exactly the atomicity obligation of a
+    * 100 TB retrain: readers flip generations whole. */
+  val qIvfPqPub = Q(
+    "qann_ivfpq_pub",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+        e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8,
+        ivfIters = 1, pqIters = 1)
+      val base = graft.Q.scratchDir(s, "q_ivfpq_pub")
+      graft.sources.Layout.publishIndexVersion(s, base, Map(
+        "centroids" -> cents, "cells" -> cells,
+        "books" -> books, "codes" -> codes))
+      val (_, art) = graft.sources.Layout.readIndexVersion(s, base,
+        Seq("centroids", "cells", "books", "codes"))
+      Similarity.ivfPqResTopKAgainstIndex(
+          art("centroids"), art("cells"), art("books"), art("codes"),
+          e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqResOracleSql))
+
   val qDecode = Q(
     "qmm_decode_meta",
     (s, dir) => {
@@ -2067,7 +2100,8 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(qBrute, qLsh, qIvf, qIvfTrained, qIvfIndexed, qIvfTrained2,
     qKnnLabel, qKnnGraph, qGraphSearch, qAri, qFiltered, qFilteredIvf, qMmr, qHardNeg,
-    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qIvfPqUpsert, qSq, qBq, qBqRecall, qIvfBq,
+    qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qIvfPqUpsert, qIvfPqPub,
+    qSq, qBq, qBqRecall, qIvfBq,
     qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
     qIvfCellCounts, qRecall, qRecallCurve, qDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,

@@ -186,6 +186,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "(bounded qann_ivfpq_res broadcasts, the append leg's nlist-row " +
       "centroid crossJoin, vec_id-keyed anti-joins) — the union of the " +
       "two legs adds no new broadcast or cartesian"),
+    "qann_ivfpq_pub" -> ("the qann_ivfpq_res broadcasts exactly — the " +
+      "publish/read round-trip swaps the artifact frames' storage for " +
+      "parquet scans of the committed generation and adds no join at all"),
     "qann_filtered" -> ("embeds qann_brute_topk over the predicate-filtered " +
       "corpus — the same bounded query-set broadcast; the scale path is " +
       "qann_filtered_ivf"),
