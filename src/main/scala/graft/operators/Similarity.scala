@@ -436,7 +436,8 @@ object Similarity {
   def ivfTopKAgainstIndex(centroids: DataFrame, cells: DataFrame,
                           corpus: DataFrame, corpusId: Column, corpusVec: Column,
                           queries: DataFrame, queryId: Column, queryVec: Column,
-                          k: Int, nprobe: Int = 2): DataFrame = {
+                          k: Int, nprobe: Int = 2,
+                          tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     require(Seq("cell", "cv").forall(centroids.columns.contains),
       s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
@@ -444,7 +445,8 @@ object Similarity {
       s"cells frame must carry (vec_id, cell); got ${cells.columns.mkString(", ")}")
     val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
     val cand = ivfCandOf(
-      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      tombstoneGuarded(cells, tombstones)
+        .select(col("vec_id").as("neighbor_id"), col("cell")),
       ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
     exactReRank(cand, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, k)
@@ -1328,7 +1330,8 @@ object Similarity {
   def bqTopKAgainstIndex(stats: DataFrame, codes: DataFrame,
                          corpus: DataFrame, corpusId: Column, corpusVec: Column,
                          queries: DataFrame, queryId: Column, queryVec: Column,
-                         k: Int, shortlist: Int): DataFrame = {
+                         k: Int, shortlist: Int,
+                         tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     require(Seq("d", "s", "n").forall(stats.columns.contains),
       s"stats frame must carry (d, s, n); got ${stats.columns.mkString(", ")}")
@@ -1336,7 +1339,8 @@ object Similarity {
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
     val qc = bqEncode(queries, queryId, queryVec, stats)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
-    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+    val scored = tombstoneGuarded(codes, tombstones)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(qc), col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", bqHammingNeg(col("codes"), col("qcodes")))
     exactReRank(pqShortlist(scored, shortlist),
@@ -1387,7 +1391,8 @@ object Similarity {
   def bqTopKAsymmetricAgainstIndex(stats: DataFrame, codes: DataFrame,
                                    corpus: DataFrame, corpusId: Column, corpusVec: Column,
                                    queries: DataFrame, queryId: Column, queryVec: Column,
-                                   k: Int, shortlist: Int): DataFrame = {
+                                   k: Int, shortlist: Int,
+                                   tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     require(Seq("d", "s", "n").forall(stats.columns.contains),
       s"stats frame must carry (d, s, n); got ${stats.columns.mkString(", ")}")
@@ -1395,7 +1400,8 @@ object Similarity {
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
     val dim = stats.count().toInt
     require(dim > 0, "stats table is empty — train before searching")
-    val scored = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+    val scored = tombstoneGuarded(codes, tombstones)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(bqAsymQueryFx(queries, queryId, queryVec, dim)),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", bqAsymScore(dim))
@@ -1521,7 +1527,8 @@ object Similarity {
                             stats: DataFrame, codes: DataFrame,
                             corpus: DataFrame, corpusId: Column, corpusVec: Column,
                             queries: DataFrame, queryId: Column, queryVec: Column,
-                            k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+                            k: Int, nprobe: Int, shortlist: Int,
+                            tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     require(Seq("cell", "cv").forall(centroids.columns.contains),
       s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
@@ -1532,13 +1539,17 @@ object Similarity {
     require(Seq("vec_id", "codes").forall(codes.columns.contains),
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
     val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
+    // guarding BOTH keyed artifacts keeps the lockstep contract: a
+    // tombstoned id must neither seed a candidate nor carry a code
     val cand = ivfCandOf(
-      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      tombstoneGuarded(cells, tombstones)
+        .select(col("vec_id").as("neighbor_id"), col("cell")),
       ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
     val qc = bqEncode(queries, queryId, queryVec, stats)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
     val scored = cand
-      .join(codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+      .join(tombstoneGuarded(codes, tombstones)
+          .select(col("vec_id").as("neighbor_id"), col("codes")),
         "neighbor_id")
       .join(broadcast(qc), "query_id")
       .withColumn("approx", bqHammingNeg(col("codes"), col("qcodes")))
@@ -1575,7 +1586,8 @@ object Similarity {
                                       stats: DataFrame, codes: DataFrame,
                                       corpus: DataFrame, corpusId: Column, corpusVec: Column,
                                       queries: DataFrame, queryId: Column, queryVec: Column,
-                                      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+                                      k: Int, nprobe: Int, shortlist: Int,
+                                      tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     require(Seq("cell", "cv").forall(centroids.columns.contains),
       s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
@@ -1589,10 +1601,12 @@ object Similarity {
     require(dim > 0, "stats table is empty — train before searching")
     val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
     val cand = ivfCandOf(
-      cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+      tombstoneGuarded(cells, tombstones)
+        .select(col("vec_id").as("neighbor_id"), col("cell")),
       ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
     val scored = cand
-      .join(codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+      .join(tombstoneGuarded(codes, tombstones)
+          .select(col("vec_id").as("neighbor_id"), col("codes")),
         "neighbor_id")
       .join(broadcast(bqAsymQueryFx(queries, queryId, queryVec, dim)),
         "query_id")
@@ -1848,6 +1862,19 @@ object Similarity {
     table.join(rem, Seq(key), "left_anti")
   }
 
+  /** The one-argument form of the StreamIndex reader contract: a
+    * still-growing streamed artifact dir must be read through
+    * `indexRemove(table, tombstones)` until the next compaction
+    * materializes the pruned table — passing the tombstone frame here
+    * makes that guard an ARGUMENT of every `AgainstIndex` search
+    * instead of caller folklore. `None` = the artifact is already
+    * compacted/pruned (the batch-maintained case); the guard itself is
+    * the same keyed anti-join as the takedown, so search-with-
+    * tombstones ≡ search-over-rebuilt-without (spec-pinned). */
+  private def tombstoneGuarded(table: DataFrame,
+                               tombstones: Option[DataFrame]): DataFrame =
+    tombstones.map(indexRemove(table, _)).getOrElse(table)
+
   /** [[indexRemove]] applied to an [[ivfPqResIndex]]'s BOTH keyed
     * artifacts in lockstep — cells and codes must shrink together or
     * a searched candidate has no code (or a code no cell). Centroids
@@ -1922,7 +1949,8 @@ object Similarity {
                                corpus: DataFrame, corpusId: Column, corpusVec: Column,
                                queries: DataFrame, queryId: Column, queryVec: Column,
                                m: Int, ksub: Int, k: Int, nprobe: Int,
-                               shortlist: Int): DataFrame = {
+                               shortlist: Int,
+                               tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     require(Seq("cell", "cv").forall(centroids.columns.contains),
       s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
@@ -1933,10 +1961,14 @@ object Similarity {
     require(Seq("vec_id", "codes").forall(codes.columns.contains),
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
     val cvecs = centroids.select(col("cell").as("grp"), col("cv"))
-    val corpusCells = cells.select(col("vec_id").as("neighbor_id"), col("cell"))
+    // both keyed artifacts guarded in lockstep (the ivfPqResRemove
+    // contract): a tombstoned id neither seeds a candidate nor scores
+    val corpusCells = tombstoneGuarded(cells, tombstones)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
     val cand = ivfCandOf(corpusCells,
       ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
-    resAdcSearch(cvecs, corpusCells, books, codes, cand,
+    resAdcSearch(cvecs, corpusCells, books,
+      tombstoneGuarded(codes, tombstones), cand,
       corpus, corpusId, corpusVec, queries, queryId, queryVec,
       m, ksub, k, shortlist)
   }

@@ -89,8 +89,11 @@ object StreamIndex {
     * ingest path. Each micro-batch anti-joins the tombstone id table
     * before encoding (the same keyed-anti-join primitive as the
     * remove itself); readers of the still-growing streamed dir apply
-    * the SAME guard as `indexRemove(read(codesDir), tombstones)` until
-    * the next compaction materializes the pruned table. The frame is
+    * the SAME guard by passing `tombstones = Some(read(tombstonesDir))`
+    * to the `AgainstIndex` search they run (one argument, not caller
+    * folklore — search-with-tombstones ≡ search-over-removed-index is
+    * spec-pinned per family) until the next compaction materializes
+    * the pruned table. The frame is
     * read once per query start and pinned like the frozen artifacts —
     * AvailableNow restarts (the scheduled-ingest shape) pick up new
     * tombstones at each start. */

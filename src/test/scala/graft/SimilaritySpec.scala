@@ -393,6 +393,100 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("must carry 'vec_id'"))
   }
 
+  test("tombstone-guarded AgainstIndex searches equal searching the removed index") {
+    // the StreamIndex reader contract as one ARGUMENT: a still-growing
+    // streamed artifact dir is searched with `tombstones = Some(ts)`
+    // instead of the caller hand-folding indexRemove over every
+    // artifact — and the guard must be EXACTLY the takedown: for every
+    // family, search(full artifacts, tombstones) ≡ search(removed
+    // artifacts) row-for-row, which the remove specs pin ≡ searching
+    // the rebuilt-without index. The tombstone frame is deliberately
+    // int-typed, duplicated and arbitrarily named — the indexRemove
+    // cast/distinct contract must hold here too.
+    import spark.implicits._
+    val e = Tables(spark, sf).embeddings
+    val dead = col("vec_id") % 4 === 1
+    val q = e.filter(col("vec_id") < 10)
+    val ts = e.filter(dead).select(col("vec_id").cast("int").as("doc"))
+    val tsDup = ts.unionByName(ts) // replayed takedowns are no-ops
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def assertLaw(guarded: Seq[(Long, Long, Long, Double)],
+                  removed: Seq[(Long, Long, Long, Double)], fam: String): Unit = {
+      assert(guarded == removed && removed.nonEmpty,
+        s"$fam: guarded ${guarded.take(3)} vs removed ${removed.take(3)}")
+      assert(!guarded.exists(_._2 % 4 == 1), // (query_id, NEIGHBOR, rank, cos)
+        s"$fam: a tombstoned id surfaced as a neighbor")
+    }
+    // IVFADC: both keyed artifacts guarded in lockstep
+    val (cents, cells, books, codes) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    val (rmCells, rmCodes) = Similarity.ivfPqResRemove(cells, codes, ts)
+    assertLaw(
+      rows(Similarity.ivfPqResTopKAgainstIndex(cents, cells, books, codes,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30,
+        tombstones = Some(tsDup))),
+      rows(Similarity.ivfPqResTopKAgainstIndex(cents, rmCells, books, rmCodes,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)),
+      "ivfPqRes")
+    // plain IVF: the cells table is the streamed artifact
+    val (icents, icells) = Similarity.ivfIndex(e, col("vec_id"), col("embedding"),
+      nlist = 10)
+    assertLaw(
+      rows(Similarity.ivfTopKAgainstIndex(icents, icells,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3, tombstones = Some(tsDup))),
+      rows(Similarity.ivfTopKAgainstIndex(icents,
+        Similarity.indexRemove(icells, ts),
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3)),
+      "ivf")
+    // BQ symmetric + asymmetric: the codes table is the streamed artifact
+    val (stats, bqCodes) = Similarity.bqIndex(e, col("vec_id"), col("embedding"))
+    assertLaw(
+      rows(Similarity.bqTopKAgainstIndex(stats, bqCodes,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, shortlist = 30, tombstones = Some(tsDup))),
+      rows(Similarity.bqTopKAgainstIndex(stats,
+        Similarity.indexRemove(bqCodes, ts),
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, shortlist = 30)),
+      "bq")
+    assertLaw(
+      rows(Similarity.bqTopKAsymmetricAgainstIndex(stats, bqCodes,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, shortlist = 30, tombstones = Some(tsDup))),
+      rows(Similarity.bqTopKAsymmetricAgainstIndex(stats,
+        Similarity.indexRemove(bqCodes, ts),
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, shortlist = 30)),
+      "bq_asym")
+    // composed IVF+BQ, both scorers: cells AND codes guarded in lockstep
+    assertLaw(
+      rows(Similarity.ivfBqTopKAgainstIndex(icents, icells, stats, bqCodes,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3, shortlist = 30, tombstones = Some(tsDup))),
+      rows(Similarity.ivfBqTopKAgainstIndex(icents,
+        Similarity.indexRemove(icells, ts), stats,
+        Similarity.indexRemove(bqCodes, ts),
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3, shortlist = 30)),
+      "ivf_bq")
+    assertLaw(
+      rows(Similarity.ivfBqTopKAsymmetricAgainstIndex(icents, icells, stats, bqCodes,
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3, shortlist = 30, tombstones = Some(tsDup))),
+      rows(Similarity.ivfBqTopKAsymmetricAgainstIndex(icents,
+        Similarity.indexRemove(icells, ts), stats,
+        Similarity.indexRemove(bqCodes, ts),
+        e, col("vec_id"), col("embedding"), q, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 3, shortlist = 30)),
+      "ivf_bq_asym")
+  }
+
   test("ivfPqResUpsert with modified vectors equals the frozen-artifact rebuild-with") {
     // the re-crawl law: remove the slice's rows, re-encode its NEW
     // vectors against the SAME frozen centroids/books — the result
