@@ -301,6 +301,67 @@ object StreamIndex {
     * bqBitCounts(those N files))`) all carry over; the
     * smoothing/micro-nat tree is psiOverCounts' single definition, so
     * the monitor inherits the oracle-gated exactness. */
+  /** The tombstone guard's documented endgame as ONE named primitive
+    * (remove → compact → publish): read each streamed `batch=<id>`
+    * artifact dir, anti-join the tombstone list out of it (the same
+    * keyed [[graft.operators.Similarity.indexRemove]] the takedown
+    * uses), rewrite to target-size files, and land everything through
+    * [[graft.sources.Layout.publishIndexVersion]] as one committed
+    * generation. Until now this was a hand-rolled composition —
+    * `Layout.compact` is content-preserving by contract, so nothing
+    * owned the "materialize the pruned table" step.
+    *
+    * `streamed` maps artifact name → its streamed dir; the discovered
+    * `batch` ingest-bookkeeping column is dropped (publish layout,
+    * not ingest history). `frozen` artifacts (stats / centroids /
+    * codebooks — removal is not drift, they stay exactly right) ride
+    * into the SAME generation unchanged, so a reader of the published
+    * gen holds a complete consistent artifact set and searches it
+    * with `tombstones = None`. Per-artifact file sizing follows
+    * `Layout.compact`: partition count from the ACTUAL input bytes
+    * over `targetBytes` (coalesce when merging suffices, repartition
+    * when the input has too few splits). Scale shape: one column-
+    * pruned scan + one broadcast-able anti-join per artifact, work
+    * linear in the streamed table — nothing corpus-sized on the
+    * driver. After the new generation's readers take over, point the
+    * append legs' dirs at a fresh location (or the published gen's)
+    * and reap the old `batch=` tree + applied tombstones; a takedown
+    * landing AFTER this read is the next compaction's work, exactly
+    * like one landing mid-run of an AvailableNow append.
+    *
+    * Returns the published generation. Parity law (spec-pinned):
+    * the compacted generation ≡ rebuild-without-tombstoned
+    * frame-for-frame, and a search over the published gen matches the
+    * tombstone-guarded streamed read row-for-row. */
+  def compactStreamedIndex(spark: SparkSession,
+                           streamed: Map[String, String],
+                           tombstonesDir: Option[String],
+                           indexDir: String,
+                           frozen: Map[String, DataFrame] = Map.empty,
+                           targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(streamed.nonEmpty,
+      "compactStreamedIndex needs >= 1 streamed artifact dir")
+    require(streamed.keySet.intersect(frozen.keySet).isEmpty,
+      s"artifact named both streamed and frozen: " +
+        streamed.keySet.intersect(frozen.keySet).mkString(", "))
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val ts = tombstonesDir.map(d => spark.read.parquet(d))
+    val pruned = streamed.map { case (name, dir) =>
+      val raw = spark.read.parquet(dir).drop("batch")
+      val guarded = ts.map(graft.operators.Similarity.indexRemove(raw, _))
+        .getOrElse(raw)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = math.max(1, math.ceil(
+        fs.getContentSummary(p).getLength.toDouble / targetBytes).toInt)
+      val sized =
+        if (guarded.rdd.getNumPartitions < parts) guarded.repartition(parts)
+        else guarded.coalesce(parts)
+      name -> sized
+    }
+    graft.sources.Layout.publishIndexVersion(spark, indexDir, pruned ++ frozen)
+  }
+
   def startBqDriftMonitor(spark: SparkSession, inputDir: String,
                           schema: StructType, vec: String,
                           checkpointDir: String, statsDir: String,

@@ -180,6 +180,89 @@ class StreamIndexSpec extends AnyFunSuite {
       s"compaction must shrink the file count: ${nFiles(compactDir)} vs ${nFiles(codesDir)}")
   }
 
+  test("compactStreamedIndex: remove→compact→publish in one call equals rebuild-without") {
+    // the tombstone guard's endgame as a named primitive: takedowns
+    // land AFTER ingest (the streamed tables still carry the dead
+    // rows), and one call must materialize the pruned table into a
+    // committed generation that readers search with tombstones = None
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp(); val statsDir = tmp() + "/stats"
+    val centsDir = tmp() + "/cents"; val codesDir = tmp() + "/codes"
+    val cellsDir = tmp() + "/cells"; val tombsDir = tmp() + "/tombstones"
+    val ixDir = tmp() + "/index"
+    Similarity.bqTrain(e, col("vec_id"), col("embedding"))
+      .write.parquet(statsDir)
+    val (cents, _, _, _) = Similarity.ivfPqResIndex(
+      e, col("vec_id"), col("embedding"), nlist = 10, m = 4, ksub = 8)
+    cents.write.parquet(centsDir)
+    // three UNGUARDED micro-batches — the takedown hasn't happened yet
+    (0 to 2).foreach { i =>
+      dropFile(e.filter(col("vec_id") % 3 === i), in, s"p$i.parquet")
+      StreamIndex.startComposedIndexAppend(spark, in, e.schema, "vec_id",
+        "embedding", ck, statsDir, centsDir, codesDir, cellsDir)
+        .awaitTermination()
+    }
+    // now the takedown lands
+    e.filter(col("vec_id") % 5 === 0).select("vec_id").write.parquet(tombsDir)
+    val stats = spark.read.parquet(statsDir)
+    val centroids = spark.read.parquet(centsDir)
+    val gen = StreamIndex.compactStreamedIndex(spark,
+      Map("codes" -> codesDir, "cells" -> cellsDir), Some(tombsDir), ixDir,
+      frozen = Map("stats" -> stats, "centroids" -> centroids),
+      targetBytes = 64L * 1024 * 1024)
+    assert(gen == 0L)
+    val (g, art) = graft.sources.Layout.readIndexVersion(spark, ixDir,
+      Seq("codes", "cells", "stats", "centroids"))
+    assert(g == 0L)
+    // frame law: the published artifacts ≡ rebuild-without-tombstoned
+    // (frozen-stats encode / frozen-centroid assign of the survivors);
+    // the batch ingest-bookkeeping column is gone
+    val survivors = e.filter(col("vec_id") % 5 =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(art("codes").columns.toSeq == Seq("vec_id", "codes"))
+    assert(art("cells").columns.toSeq.sorted == Seq("cell", "vec_id"))
+    assert(canon(art("codes")) == canon(Similarity.bqEncode(
+      survivors, col("vec_id"), col("embedding"), stats)))
+    assert(canon(art("cells").select("vec_id", "cell")) ==
+      canon(Similarity.ivfAssignAgainstIndex(
+        survivors, col("vec_id"), col("embedding"), centroids)))
+    assert(canon(art("stats")) == canon(stats) &&
+      canon(art("centroids")) == canon(centroids))
+    // search law: the published generation with NO tombstones matches
+    // the guarded streamed read row-for-row
+    val q = e.filter(col("vec_id") < 5)
+    def rows(cells: org.apache.spark.sql.DataFrame,
+             codes: org.apache.spark.sql.DataFrame,
+             ts: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfBqTopKAgainstIndex(centroids, cells, stats, codes,
+          e, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"),
+          k = 5, nprobe = 3, shortlist = 20, tombstones = ts)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val viaPublished = rows(art("cells"), art("codes"), None)
+    val viaGuardedStream = rows(
+      spark.read.parquet(cellsDir), spark.read.parquet(codesDir),
+      Some(spark.read.parquet(tombsDir)))
+    assert(viaPublished == viaGuardedStream && viaPublished.nonEmpty)
+    // and it IS a compaction: fewer data files than the batch= tree
+    def nFiles(p: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    assert(nFiles(s"$ixDir/gen=0/codes") < nFiles(codesDir),
+      s"publish must shrink the file count: ${nFiles(s"$ixDir/gen=0/codes")} " +
+        s"vs ${nFiles(codesDir)}")
+    // contract guards
+    intercept[IllegalArgumentException] {
+      StreamIndex.compactStreamedIndex(spark, Map.empty, None, ixDir)
+    }
+    intercept[IllegalArgumentException] {
+      StreamIndex.compactStreamedIndex(spark, Map("stats" -> codesDir),
+        None, ixDir, frozen = Map("stats" -> stats))
+    }
+  }
+
   test("append queries release their pinned frozen frames on termination") {
     // scheduled AvailableNow restarts must not strand one cached
     // stats/centroid relation per run for the app lifetime — the
