@@ -111,8 +111,9 @@ object Bench {
     // the rest of the r16 index lifecycle: upsert and CDC sync
     "qtext_bm25_upsert", "qtext_bm25_sync", "qann_ivfpq_upsert",
     // round-17: the retrain loop's publish leg (build → publish →
-    // read → search, all four artifacts through one generation)
-    "qann_ivfpq_pub")
+    // read → search, all four artifacts through one generation) and
+    // the WAV/PCM audio codec boundary
+    "qann_ivfpq_pub", "qmm_wav_meta")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

@@ -309,6 +309,78 @@ object Media {
         col("hamming"))
   }
 
+  /** Typed metadata the WAV decoder emits per audio blob. */
+  final case class WavMeta(sampleRate: Long, channels: Long, bitDepth: Long,
+                           nFrames: Long, durationMicros: Long, nBytes: Long)
+
+  /** WAV/PCM audio codec — the one audio container the JVM decodes
+    * natively (`javax.sound.sampled`, the imageio precedent): real
+    * header parse + PCM payload for RIFF/WAVE blobs, deterministic
+    * STUB for everything else (this corpus's synthetic blobs carry no
+    * real audio), and corrupt magic-bearing bytes fall back to the
+    * stub exactly like images do — a malformed header must land in
+    * the stub path, never fail the partition task. */
+  object MediaCodecWav {
+    /** Cheap magic gate (RIFF....WAVE) so non-audio blobs in a mixed
+      * corpus never pay the audio-system reader lookup. */
+    private def looksLikeWav(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+        b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+    private def open(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+      if (!looksLikeWav(bytes)) None
+      else try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** STUB meta for non-WAV blobs, deterministic from the byte length
+      * alone — formulas arbitrary but FIXED and integer-exact, so the
+      * registered oracle replays them in SQL (the image-stub
+      * discipline). sample_rate ≥ 8000 by construction: the duration
+      * division can never hit zero. */
+    private[graft] def stubMeta(n: Long): WavMeta = {
+      val channels = 1L + n % 2L
+      val bitDepth = 8L * (1L + n % 3L)
+      val sampleRate = 8000L + (n * 3L) % 40001L
+      val nFrames = n / (channels * (bitDepth / 8L))
+      WavMeta(sampleRate, channels, bitDepth, nFrames,
+        nFrames * 1000000L / sampleRate, n)
+    }
+
+    /** Decode sample_rate / channels / bit_depth / frame count /
+      * duration. Duration is exact integer µs: frames·10⁶/rate (WAV
+      * stores the rate as a u32 — it IS an integer). */
+    def decode(bytes: Array[Byte]): WavMeta = open(bytes) match {
+      case Some(in) =>
+        try {
+          val f = in.getFormat
+          val rate = math.round(f.getSampleRate.toDouble)
+          val nFrames = math.max(0L, in.getFrameLength)
+          WavMeta(rate, f.getChannels.toLong, f.getSampleSizeInBits.toLong,
+            nFrames, if (rate > 0) nFrames * 1000000L / rate else 0L,
+            bytes.length.toLong)
+        } finally in.close()
+      case None => stubMeta(bytes.length.toLong)
+    }
+
+    /** PCM payload + frame size — the data the stride-sample contract
+      * operates on. Real WAVs: the decoded stream's bytes (header
+      * stripped) under the format's own frame size (channels ×
+      * bytes-per-sample); stub blobs: the raw bytes under the stub
+      * meta's frame size. */
+    def pcm(bytes: Array[Byte]): (Array[Byte], Int) = open(bytes) match {
+      case Some(in) =>
+        try (in.readAllBytes(), math.max(1, in.getFormat.getFrameSize))
+        finally in.close()
+      case None =>
+        val m = stubMeta(bytes.length.toLong)
+        (bytes, (m.channels * (m.bitDepth / 8L)).toInt)
+    }
+  }
+
   /** Attach a binary media column derived from a text column (the test
     * corpus carries no real media; UTF-8 bytes stand in for a blob). */
   def withFakeBlob(df: DataFrame, text: Column): DataFrame =
@@ -336,6 +408,70 @@ object Media {
         }
       }
       .toDF("media_id", "width", "height", "channels", "n_bytes")
+  }
+
+  /** Decode WAV/PCM audio metadata via the per-partition codec
+    * boundary — [[decodeMeta]]'s audio twin, same seam, same NULL
+    * contract (NULL blob = "no media" → NULL metadata). Real RIFF/WAVE
+    * blobs parse through `javax.sound.sampled`; everything else takes
+    * the deterministic stub (the registered query's oracle replays the
+    * stub formulas; the real-parse path is golden-pinned in WavSpec on
+    * an in-memory-authored WAV). */
+  def decodeWavMeta(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mid, bytes) =>
+          if (bytes == null)
+            (mid, Option.empty[Long], Option.empty[Long], Option.empty[Long],
+              Option.empty[Long], Option.empty[Long], Option.empty[Long])
+          else {
+            val m = MediaCodecWav.decode(bytes)
+            (mid, Some(m.sampleRate), Some(m.channels), Some(m.bitDepth),
+              Some(m.nFrames), Some(m.durationMicros), Some(m.nBytes))
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "bit_depth",
+        "n_frames", "duration_us", "n_bytes")
+  }
+
+  /** Every `stride`-th TYPED PCM frame of each audio blob — the
+    * [[sampleFrames]] contract (keep frame indexes ≡ 0 mod stride, a
+    * short trailing frame survives) applied to the DECODER's frame
+    * grid (frame = channels × bytes-per-sample, header stripped)
+    * instead of a caller-guessed byte count; stub blobs sample the raw
+    * bytes on the stub meta's grid, so the column-op
+    * `sampleFrames(frames(blob, fb), stride)` over the same payload is
+    * the law WavSpec pins. NULL blob → NULL, empty payload → empty
+    * array (the [[frames]] contract). */
+  def wavFrames(df: DataFrame, id: Column, blob: Column,
+                stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mid, bytes) =>
+          if (bytes == null) (mid, null: Array[Array[Byte]])
+          else {
+            val (payload, fb) = MediaCodecWav.pcm(bytes)
+            val n = (payload.length + fb - 1) / fb // ceil: short tail kept
+            val out = Array.newBuilder[Array[Byte]]
+            var i = 0
+            while (i < n) {
+              out += java.util.Arrays.copyOfRange(
+                payload, i * fb, math.min((i + 1) * fb, payload.length))
+              i += stride
+            }
+            (mid, out.result())
+          }
+        }
+      }
+      .toDF("media_id", "pcm_frames")
   }
 
   /** Resize every blob to w×h×3 bytes via the per-partition codec

@@ -892,6 +892,33 @@ object SimilarityQueries {
       FROM documents
       ORDER BY media_id"""))
 
+  /** C159: WAV/PCM audio metadata (r17 — the qmm_decode_meta
+    * discipline on the audio codec): the synthetic blobs are not WAVs,
+    * so every row takes the DETERMINISTIC stub whose integer-exact
+    * formulas the oracle replays verbatim — the driver gate thus pins
+    * the codec boundary's plumbing (schema, NULL contract, stub
+    * dispatch) while the REAL `javax.sound.sampled` parse is
+    * golden-pinned in WavSpec on an in-memory-authored WAV. */
+  val qWavMeta = Q(
+    "qmm_wav_meta",
+    (s, dir) => {
+      val docs = Media.withFakeBlob(Tables(s, dir).documents, col("text"))
+      Media.decodeWavMeta(docs, col("doc_id"), col("media"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH n AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+                 FROM documents),
+      m AS (SELECT doc_id, n,
+              1 + n % 2 AS channels,
+              8 * (1 + n % 3) AS bit_depth,
+              8000 + (n * 3) % 40001 AS sample_rate
+            FROM n),
+      f AS (SELECT *, n // (channels * (bit_depth // 8)) AS n_frames FROM m)
+      SELECT doc_id AS media_id, sample_rate, channels, bit_depth, n_frames,
+             n_frames * 1000000 // sample_rate AS duration_us, n AS n_bytes
+      FROM f ORDER BY media_id"""))
+
   /** C143: aspect-ratio bucketing over decode metadata — the all-
     * integer nearest-ratio argmin (keys multiplied through by
     * lcm(dens) so no float ratio forms; ties to the earlier ladder
@@ -2103,7 +2130,7 @@ object SimilarityQueries {
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qIvfPqUpsert, qIvfPqPub,
     qSq, qBq, qBqRecall, qIvfBq,
     qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
-    qIvfCellCounts, qRecall, qRecallCurve, qDecode,
+    qIvfCellCounts, qRecall, qRecallCurve, qDecode, qWavMeta,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }
