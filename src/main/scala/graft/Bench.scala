@@ -111,9 +111,10 @@ object Bench {
     // the rest of the r16 index lifecycle: upsert and CDC sync
     "qtext_bm25_upsert", "qtext_bm25_sync", "qann_ivfpq_upsert",
     // round-17: the retrain loop's publish leg (build → publish →
-    // read → search, all four artifacts through one generation) and
-    // the WAV/PCM audio codec boundary
-    "qann_ivfpq_pub", "qmm_wav_meta")
+    // read → search, all four artifacts through one generation), the
+    // WAV/PCM audio codec boundary, and the exact-collapse → near-dup
+    // two-stage pipeline the sf1 scale smoke motivated
+    "qann_ivfpq_pub", "qmm_wav_meta", "qdedup_ngram_collapsed")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

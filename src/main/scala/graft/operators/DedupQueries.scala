@@ -50,6 +50,48 @@ object DedupQueries {
     },
     Some(BruteJaccardSql))
 
+  /** C4b: the exact-collapse → near-dup two-stage pipeline as one
+    * gated query. The oracle collapses exactly like `qdedup_exact`'s
+    * (same md5-of-normalized-text groups, MIN keep_id, copy counts),
+    * then runs the SAME brute Jaccard truth over the representatives
+    * and attaches both sides' multiplicities — so the gate pins the
+    * collapse, the restricted pairing AND the copy-count carry in one
+    * hash. On this corpus every group is a singleton (copies 1/1),
+    * which is the honest plumbing check; the dup-heavy law
+    * (collapsed(m-dup corpus) ≡ plain(corpus) with copies = m, at
+    * sf0.1-level cost on the 10× proxy) is spec-pinned in DedupSpec. */
+  val qNgramCollapsed = Q(
+    "qdedup_ngram_collapsed",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.ngramJaccardPairsCollapsed(t.documents, col("doc_id"), col("text"),
+          n = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH g AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h,
+                   MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+                 FROM documents GROUP BY 1),
+      reps AS (SELECT d.doc_id, d.text, g.n_copies
+               FROM documents d JOIN g ON d.doc_id = g.keep_id),
+      d AS (SELECT doc_id, string_split(text, ' ') w FROM reps),
+      sh AS (SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, length(w))]) s
+             FROM d),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               length(list_intersect(a.s, b.s)) AS n_inter,
+               ROUND(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / length(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             ga.n_copies AS copies_a, gb.n_copies AS copies_b
+      FROM pairs p
+      JOIN g ga ON ga.keep_id = p.doc_a
+      JOIN g gb ON gb.keep_id = p.doc_b
+      WHERE p.n_inter > 0 AND p.jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   // MinHash-LSH at 32 bands × 2 rows: P(candidate | j=0.5) ≈ 1-0.75^32
   // ≈ 0.9999, so on this data the verified output equals the brute-force
   // truth — the same oracle doubles as a 100%-recall check.
@@ -855,7 +897,7 @@ object DedupQueries {
       GROUP BY kd.doc_id
       ORDER BY kd.doc_id"""))
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qSourceMatrix,
+  val all: Seq[Q] = Seq(qExact, qNgram, qNgramCollapsed, qMinhash, qSimhash, qSourceMatrix,
     qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
     qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs, qCdcRm)

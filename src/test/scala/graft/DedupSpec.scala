@@ -34,6 +34,44 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("collapsed ngram pairs on an m-dup corpus equal plain pairs on the base corpus with copies = m") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
+    val c = "completely different content with no overlap whatsoever at all here"
+    val base = Seq(1L -> a, 2L -> b, 3L -> c)
+    val m = 3
+    // m verbatim copies per doc, replica ids strictly above the base id
+    // so keep-first collapse lands on the base ids
+    val dup = docs(base.flatMap { case (id, t) =>
+      (0 until m).map(k => (id + 100L * k, t)) }: _*)
+    val plain = Dedup.ngramJaccardPairs(docs(base: _*),
+        col("doc_id"), col("text"), n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val coll = Dedup.ngramJaccardPairsCollapsed(dup,
+        col("doc_id"), col("text"), n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p._1, p._2))
+    // pair-for-pair the plain answer on the base corpus...
+    assert(coll.map(t => (t._1, t._2, t._3)).toSeq == plain.toSeq, s"got ${coll.toSeq}")
+    assert(plain.nonEmpty) // fixture sanity: the law isn't vacuous
+    // ...with the collapsed multiplicity carried on both sides
+    assert(coll.forall(t => t._4 == m && t._5 == m))
+    // the quadratic output the collapse exists to avoid: the naive pass
+    // on the dup corpus pays C(m,2) J=1 pairs per dup set plus m·m
+    // copies of every real near-dup pair
+    val naive = Dedup.ngramJaccardPairs(dup, col("doc_id"), col("text"),
+      n = 2, threshold = 0.5).count()
+    assert(naive == base.size * m * (m - 1) / 2 + plain.length * m * m, s"naive $naive")
+    // dup-free corpus: collapsed IS plain with copies 1/1 (the gated
+    // query's form on the synthetic documents table)
+    val free = Dedup.ngramJaccardPairsCollapsed(docs(base: _*),
+        col("doc_id"), col("text"), n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p._1, p._2))
+    assert(free.map(t => (t._1, t._2, t._3)).toSeq == plain.toSeq)
+    assert(free.forall(t => t._4 == 1L && t._5 == 1L))
+  }
+
   test("incremental minhash emits cross-side pairs only, never within a side") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
