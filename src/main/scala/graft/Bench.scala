@@ -113,8 +113,9 @@ object Bench {
     // round-17: the retrain loop's publish leg (build → publish →
     // read → search, all four artifacts through one generation), the
     // WAV/PCM audio codec boundary, and the exact-collapse → near-dup
-    // two-stage pipeline the sf1 scale smoke motivated
-    "qann_ivfpq_pub", "qmm_wav_meta", "qdedup_ngram_collapsed")
+    // two-stage pipelines the sf1 scale smoke motivated
+    "qann_ivfpq_pub", "qmm_wav_meta", "qdedup_ngram_collapsed",
+    "qdedup_minhash_collapsed")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

@@ -324,18 +324,43 @@ object Dedup {
     * plain(corpus) pair-for-pair with copies = m). */
   def ngramJaccardPairsCollapsed(df: DataFrame, id: Column, text: Column,
                                  n: Int = 2, threshold: Double = 0.5,
-                                 maxBucket: Int = 10000): DataFrame = {
+                                 maxBucket: Int = 10000): DataFrame =
+    collapsedPairs(df, id, text) { (reps, rid, rtext) =>
+      ngramJaccardPairs(reps, rid, rtext, n, threshold, maxBucket)
+    }
+
+  /** [[minhashLshPairs]] behind the same exact-duplicate collapse —
+    * the C4b two-stage shape applied to the banded-LSH family (C2b).
+    * Beyond the quadratic OUTPUT bill the collapse always avoids, for
+    * MinHash it also protects the INDEX: m verbatim copies share one
+    * signature, so every band bucket a dup-set lands in carries m× the
+    * rows, and `maxBucket`'s recall cap starts evicting real buckets
+    * at 1/m the true corpus diversity. Collapsing first keeps bucket
+    * occupancy at distinct-content scale. Same output contract as
+    * [[ngramJaccardPairsCollapsed]]. */
+  def minhashLshPairsCollapsed(df: DataFrame, id: Column, text: Column,
+                               n: Int = 2, bands: Int = 16, rows: Int = 4,
+                               threshold: Double = 0.5, seed: Long = 42L,
+                               maxBucket: Int = 1000): DataFrame =
+    collapsedPairs(df, id, text) { (reps, rid, rtext) =>
+      minhashLshPairs(reps, rid, rtext, n, bands, rows, threshold, seed, maxBucket)
+    }
+
+  /** The shared two-stage combinator behind the `*Collapsed` near-dup
+    * variants: [[exactGroups]] collapse (keep-first) → `pairFn` over
+    * the representatives only → each side's copy count joined back.
+    * Representatives carry their own text forward via an id-keyed join
+    * against the collapsed (keep_id, n_copies) frame — only ids and
+    * counts shuffle on that side; the broad text column rides the
+    * corpus scan it already lives in. `pairFn` must return
+    * (doc_a, doc_b, jaccard) keyed by the ids it was handed. */
+  private def collapsedPairs(df: DataFrame, id: Column, text: Column)
+      (pairFn: (DataFrame, Column, Column) => DataFrame): DataFrame = {
     val groups = exactGroups(df, id, text)
       .select(col("keep_id"), col("n_copies"))
-    // representatives carry their own text forward via an id-keyed
-    // join against the collapsed (keep_id, n_copies) frame — only ids
-    // and counts shuffle on this side; the broad text column rides the
-    // corpus scan it already lives in
     val reps = df.select(id.as("doc_id"), text.as("__rep_text"))
       .join(groups.withColumnRenamed("keep_id", "doc_id"), "doc_id")
-    val pairs = ngramJaccardPairs(reps, col("doc_id"), col("__rep_text"),
-      n, threshold, maxBucket)
-    pairs
+    pairFn(reps, col("doc_id"), col("__rep_text"))
       .join(groups.select(col("keep_id").as("doc_a"),
         col("n_copies").as("copies_a")), "doc_a")
       .join(groups.select(col("keep_id").as("doc_b"),

@@ -60,15 +60,7 @@ object DedupQueries {
     * which is the honest plumbing check; the dup-heavy law
     * (collapsed(m-dup corpus) ≡ plain(corpus) with copies = m, at
     * sf0.1-level cost on the 10× proxy) is spec-pinned in DedupSpec. */
-  val qNgramCollapsed = Q(
-    "qdedup_ngram_collapsed",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      Dedup.ngramJaccardPairsCollapsed(t.documents, col("doc_id"), col("text"),
-          n = 2, threshold = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some("""
+  private val CollapsedBruteJaccardSql = """
       WITH g AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) h,
                    MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
                  FROM documents GROUP BY 1),
@@ -90,7 +82,32 @@ object DedupQueries {
       JOIN g ga ON ga.keep_id = p.doc_a
       JOIN g gb ON gb.keep_id = p.doc_b
       WHERE p.n_inter > 0 AND p.jaccard >= 0.5
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
+
+  val qNgramCollapsed = Q(
+    "qdedup_ngram_collapsed",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.ngramJaccardPairsCollapsed(t.documents, col("doc_id"), col("text"),
+          n = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(CollapsedBruteJaccardSql))
+
+  /** C2b: the collapse applied to the MinHash-LSH family. Same brute
+    * collapsed truth as C4b's oracle — at 32 bands × 2 rows the LSH
+    * candidate recall at J=0.5 is ≈0.9999 (the qdedup_minhash_lsh
+    * argument), so equality against the exact truth is forced and the
+    * oracle doubles as a recall gate over the collapsed path. */
+  val qMinhashCollapsed = Q(
+    "qdedup_minhash_collapsed",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.minhashLshPairsCollapsed(t.documents, col("doc_id"), col("text"),
+          n = 2, bands = 32, rows = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(CollapsedBruteJaccardSql))
 
   // MinHash-LSH at 32 bands × 2 rows: P(candidate | j=0.5) ≈ 1-0.75^32
   // ≈ 0.9999, so on this data the verified output equals the brute-force
@@ -897,7 +914,8 @@ object DedupQueries {
       GROUP BY kd.doc_id
       ORDER BY kd.doc_id"""))
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qNgramCollapsed, qMinhash, qSimhash, qSourceMatrix,
+  val all: Seq[Q] = Seq(qExact, qNgram, qNgramCollapsed, qMinhash, qMinhashCollapsed,
+    qSimhash, qSourceMatrix,
     qEmbedding, qEmbeddingLsh,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
     qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs, qCdcRm)

@@ -72,6 +72,43 @@ class DedupSpec extends AnyFunSuite {
     assert(free.forall(t => t._4 == 1L && t._5 == 1L))
   }
 
+  test("collapsed minhash keeps the m-dup law AND protects bucket recall from duplicate inflation") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
+    val c = "completely different content with no overlap whatsoever at all here"
+    val base = Seq(1L -> a, 2L -> b, 3L -> c)
+    val m = 3
+    val dup = docs(base.flatMap { case (id, t) =>
+      (0 until m).map(k => (id + 100L * k, t)) }: _*)
+    val plain = Dedup.minhashLshPairs(docs(base: _*),
+        col("doc_id"), col("text"), n = 2, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(plain.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L))) // fixture sanity
+    // the C4b law holds for the LSH family too: collapsed(m-dup) ≡
+    // plain(base) pair-for-pair with copies = m
+    val coll = Dedup.minhashLshPairsCollapsed(dup,
+        col("doc_id"), col("text"), n = 2, bands = 32, rows = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p._1, p._2))
+    assert(coll.map(t => (t._1, t._2, t._3)).toSeq == plain.toSeq, s"got ${coll.toSeq}")
+    assert(coll.forall(t => t._4 == m && t._5 == m))
+    // the MinHash-specific failure mode the collapse prevents: verbatim
+    // copies share a signature, so every band bucket the (a, b) pair
+    // shares holds all 2m rows — at maxBucket = m the naive pass drops
+    // EVERY such bucket (whole-bucket eviction) and loses the real
+    // near-dup deterministically, while the collapsed pass's buckets
+    // hold ≤ 2 rows and keep it
+    val naiveCapped = Dedup.minhashLshPairs(dup, col("doc_id"), col("text"),
+        n = 2, bands = 32, rows = 2, threshold = 0.5, maxBucket = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => (x % 100) != (y % 100) } // cross-content pairs only
+    assert(naiveCapped.isEmpty, s"naive kept $naiveCapped despite bucket eviction")
+    val collCapped = Dedup.minhashLshPairsCollapsed(dup, col("doc_id"), col("text"),
+        n = 2, bands = 32, rows = 2, threshold = 0.5, maxBucket = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(collCapped.toSeq == Seq((1L, 2L)), s"got ${collCapped.toSeq}")
+  }
+
   test("incremental minhash emits cross-side pairs only, never within a side") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
