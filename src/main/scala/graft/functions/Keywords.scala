@@ -26,7 +26,7 @@ object Keywords {
     * center). ONE definition so a tokenization change can't silently
     * diverge the tf-idf and unigram-LM vocabularies. clearCache-managed
     * like the dedup signature caches. */
-  private def docTermCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+  private[graft] def docTermCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), explode(split(lower(text), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -93,8 +93,16 @@ object Keywords {
   final case class TextIndex(postings: DataFrame, terms: DataFrame,
                              docs: DataFrame, stats: DataFrame)
 
-  def textIndex(df: DataFrame, id: Column, text: Column): TextIndex = {
-    val tf = docTermCounts(df, id, text)
+  def textIndex(df: DataFrame, id: Column, text: Column): TextIndex =
+    textIndexFromPostings(docTermCounts(df, id, text))
+
+  /** The index frames derived from an already-built (doc_id, term, tf)
+    * postings frame — the [[textIndex]] body behind the tokenize step,
+    * exposed so a caller that owns the postings' cache lifetime (the
+    * streaming append leg, which must unpersist per micro-batch
+    * instead of stranding one cached tf frame per batch for the app
+    * lifetime) can reuse the ONE aggregation definition set. */
+  private[graft] def textIndexFromPostings(tf: DataFrame): TextIndex = {
     val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     TextIndex(
       postings = tf.select(col("doc_id"), col("term"), col("tf")),

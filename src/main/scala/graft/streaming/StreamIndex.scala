@@ -243,6 +243,124 @@ object StreamIndex {
       Seq(stats, cents) ++ guardPinned)
   }
 
+  /** Streaming BM25 TEXT-index maintenance (C160 — the retrieval twin
+    * of the ANN append legs, closing the one streaming-maintenance
+    * asymmetry left: embeddings had three streamed ingest paths while
+    * the text index could only grow by batch [[graft.functions
+    * .Keywords.textIndexAppend]] calls): tail a documents parquet
+    * stream and land each micro-batch's index contribution as
+    * PER-BATCH PARTIAL frames — `postings/batch=<id>`,
+    * `docs/batch=<id>`, `terms/batch=<id>` (the batch's own per-term
+    * df/ctf), `stats/batch=<id>` (the batch's 1-row count/token mass).
+    *
+    * Why partials instead of merged frames: df/ctf/avgdl are not
+    * frozen artifacts — every append changes them, and a streamed
+    * read-merge-rewrite of a vocabulary table per micro-batch is the
+    * read-modify-write cycle streaming ingest exists to avoid. But
+    * df/ctf/stats merge by PURE ADDITION ([[graft.functions.Keywords
+    * .textIndexAppend]]'s outer-merge is associative+commutative), so
+    * the partials ARE the index: [[readStreamedTextIndex]] folds them
+    * with one vocab-bounded `groupBy(term).sum` and a #batches-row
+    * stats sum — work proportional to the vocabulary, never the
+    * corpus — and postings/docs union by partition discovery, exactly
+    * the shape the batch append produces under term-bucketed storage.
+    *
+    * Contract stack (each leg proven elsewhere, composed here):
+    *  - Per batch, ONE tokenize pass ([[graft.functions.Keywords
+    *    .docTermCounts]] cached for the four derived writes, and
+    *    unpersisted per batch — not stranded for the app lifetime);
+    *    the frame definitions are [[graft.functions.Keywords
+    *    .textIndexFromPostings]]'s own, so the streamed partials
+    *    cannot drift from the batch build's.
+    *  - Each micro-batch OVERWRITES its own `batch=<id>` partitions
+    *    (replay idempotence — a replayed batch replaces its own
+    *    output instead of double-counting df/ctf mass).
+    *  - Tombstone guard at ingest: a late or replayed file must not
+    *    resurrect a taken-down doc's postings (same keyed anti-join
+    *    as the ANN legs). Readers of the still-growing dir pass
+    *    `tombstones` to [[readStreamedTextIndex]], which routes the
+    *    guard through [[graft.functions.Keywords.textIndexRemove]] —
+    *    for text a takedown must also subtract df/ctf/stats mass, so
+    *    the guard IS the remove primitive, not a bare filter (the
+    *    same reason the text `AgainstIndex` searches take no
+    *    tombstone argument).
+    *  - New-ids-only caller contract, inherited from
+    *    [[graft.functions.Keywords.textIndexAppend]]: a re-crawled
+    *    id must be tombstoned (or compacted out) first — streamed
+    *    partials are additive, so a re-sent id would double-count.
+    *
+    * Scale shape: per batch, one explode+aggregate over the new docs
+    * only; nothing corpus-sized is read back, the vocabulary merge is
+    * deferred to read time where it costs one bounded aggregation.
+    * Compaction endgame: [[compactStreamedIndex]]'s discipline
+    * applies frame-by-frame (anti-join tombstones via
+    * [[graft.functions.Keywords.textIndexRemove]], drop the `batch`
+    * column, rewrite to target-size files, publish as one
+    * generation). */
+  def startTextIndexAppend(spark: SparkSession, inputDir: String,
+                           schema: StructType, id: String, text: String,
+                           checkpointDir: String, indexDir: String,
+                           tombstonesDir: Option[String] = None): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val base = indexDir.stripSuffix("/")
+    val (guard, guardPinned) = tombstoneGuard(spark, id, tombstonesDir)
+    unpersistOnTermination(spark,
+      spark.readStream.schema(schema).parquet(inputDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // one tokenize pass per batch; the cached tf frame feeds all
+          // four derived writes and is released before the next batch
+          val tf = graft.functions.Keywords.docTermCounts(
+            guard(batch), col(id), col(text))
+          try {
+            val ix = graft.functions.Keywords.textIndexFromPostings(tf)
+            ix.postings.write.mode("overwrite")
+              .parquet(s"$base/postings/batch=$batchId")
+            ix.terms.write.mode("overwrite")
+              .parquet(s"$base/terms/batch=$batchId")
+            ix.docs.write.mode("overwrite")
+              .parquet(s"$base/docs/batch=$batchId")
+            ix.stats.write.mode("overwrite")
+              .parquet(s"$base/stats/batch=$batchId")
+          } finally tf.unpersist(blocking = false): Unit
+        }
+        .start(),
+      guardPinned)
+  }
+
+  /** Assemble a [[graft.functions.Keywords.TextIndex]] from a
+    * [[startTextIndexAppend]] output tree: postings/docs by partition
+    * discovery (the `batch` bookkeeping column dropped by selection),
+    * per-term df/ctf partials folded with one vocab-bounded sum,
+    * per-batch stats rows folded to the 1-row corpus stats (coalesced
+    * so an all-empty stream still yields (0, 0), matching the batch
+    * build's empty-corpus contract). With `tombstones`, the assembled
+    * index routes through [[graft.functions.Keywords
+    * .textIndexRemove]] — df/ctf/stats mass subtracted, not merely
+    * filtered — so search over a guarded streamed read ≡ search over
+    * the rebuilt-without corpus (spec-pinned). */
+  def readStreamedTextIndex(spark: SparkSession, indexDir: String,
+                            tombstones: Option[DataFrame] = None)
+      : graft.functions.Keywords.TextIndex = {
+    val base = indexDir.stripSuffix("/")
+    val ix = graft.functions.Keywords.TextIndex(
+      postings = spark.read.parquet(s"$base/postings")
+        .select(col("doc_id"), col("term"), col("tf")),
+      terms = spark.read.parquet(s"$base/terms")
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("ctf")).as("ctf")),
+      docs = spark.read.parquet(s"$base/docs")
+        .select(col("doc_id"), col("dl")),
+      stats = spark.read.parquet(s"$base/stats")
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("total_tokens")), lit(0L)).as("total_tokens")))
+    tombstones.map(ts => graft.functions.Keywords.textIndexRemove(ix, ts))
+      .getOrElse(ix)
+  }
+
   /** Streaming IVF drift monitor (C154j — [[startIvfCellAppend]]'s
     * retrain trigger, the coarse-quantizer twin of
     * [[startBqDriftMonitor]]): accumulate per-CELL occupancy partial

@@ -98,6 +98,104 @@ class StreamIndexSpec extends AnyFunSuite {
       "search over the streamed codes must equal the batch-built index")
   }
 
+  test("streamed text index == batch build across resume and replay; guarded read == rebuild-without") {
+    import graft.functions.Keywords
+    val d = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    val in = tmp(); val ck = tmp(); val ixDir = tmp() + "/tix"
+    val half1 = d.filter(col("doc_id") % 2 === 0)
+    val half2 = d.filter(col("doc_id") % 2 === 1)
+
+    def canon(ix: Keywords.TextIndex): Seq[Seq[String]] = Seq(
+      ix.postings.select("doc_id", "term", "tf")
+        .collect().map(_.toString).sorted.toSeq,
+      ix.terms.select("term", "df", "ctf")
+        .collect().map(_.toString).sorted.toSeq,
+      ix.docs.select("doc_id", "dl").collect().map(_.toString).sorted.toSeq,
+      ix.stats.select("n_docs", "total_tokens")
+        .collect().map(_.toString).toSeq)
+    def readIx(ts: Option[org.apache.spark.sql.DataFrame] = None) = {
+      Seq("postings", "terms", "docs", "stats")
+        .foreach(f => spark.catalog.refreshByPath(s"$ixDir/$f"))
+      StreamIndex.readStreamedTextIndex(spark, ixDir, ts)
+    }
+
+    // first file: streamed partials assemble to exactly the batch build
+    dropFile(half1, in, "p1.parquet")
+    StreamIndex.startTextIndexAppend(spark, in, d.schema, "doc_id", "text",
+      ck, ixDir).awaitTermination()
+    assert(canon(readIx()) ==
+      canon(Keywords.textIndex(half1, col("doc_id"), col("text"))),
+      "streamed partials must assemble to the batch build of file 1")
+
+    // checkpoint resume: only the new file is tokenized; the assembled
+    // index equals the batch build over the union
+    dropFile(half2, in, "p2.parquet")
+    StreamIndex.startTextIndexAppend(spark, in, d.schema, "doc_id", "text",
+      ck, ixDir).awaitTermination()
+    val full = canon(Keywords.textIndex(d, col("doc_id"), col("text")))
+    assert(canon(readIx()) == full,
+      "after resume the assembled index must equal the batch build of the union")
+
+    // replay: re-running the final batch must REPLACE its partials
+    // (overwrite idempotence), never double-count df/ctf/stats mass
+    val commits = Paths.get(ck, "commits")
+    val last = Files.list(commits).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.matches("\\d+"))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(last)
+    Files.deleteIfExists(Paths.get(ck, "commits", "." + last.getFileName + ".crc"))
+    StreamIndex.startTextIndexAppend(spark, in, d.schema, "doc_id", "text",
+      ck, ixDir).awaitTermination()
+    assert(canon(readIx()) == full,
+      "a replayed batch must not duplicate or lose index mass")
+
+    // the streamed read is a first-class search input: BM25 over the
+    // assembled index equals BM25 over the batch-built index
+    val qterms = d.select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 2).distinct().orderBy(col("t")).limit(4)
+      .collect().map(_.getString(0))
+    val queries = spark.createDataFrame(
+      qterms.zipWithIndex.map { case (t, i) => (i.toLong % 2, t) }.toSeq)
+      .toDF("query_id", "term")
+    val viaStream = Keywords.bm25AgainstIndex(readIx(), queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val viaBatch = Keywords.bm25AgainstIndex(
+        Keywords.textIndex(d, col("doc_id"), col("text")), queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStream.nonEmpty, "fixture broken: query terms must match")
+    assert(viaStream == viaBatch,
+      "search over the streamed read must equal the batch-built index")
+
+    // takedown AFTER ingest: the guarded reader routes through
+    // textIndexRemove, so df/ctf/stats mass is SUBTRACTED, not merely
+    // filtered — the guarded read equals the rebuild-without corpus
+    val gone = d.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val tsDir = tmp() + "/tombstones"
+    // mis-typed on purpose: the guard must cast like textIndexRemove
+    gone.select(col("doc_id").cast("int")).write.parquet(tsDir)
+    val ts = spark.read.parquet(tsDir)
+    val survivors = d.join(gone, Seq("doc_id"), "left_anti")
+    assert(canon(readIx(Some(ts))) ==
+      canon(Keywords.textIndex(survivors, col("doc_id"), col("text"))),
+      "guarded streamed read must equal the rebuild-without index")
+
+    // ingest guard: a LATE file resurrecting taken-down ids (plus one
+    // fresh doc) must land only the fresh doc's partials
+    val late = d.filter(col("doc_id") % 7 === 3)
+      .unionByName(d.filter(col("doc_id") === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    dropFile(late, in, "p3.parquet")
+    StreamIndex.startTextIndexAppend(spark, in, d.schema, "doc_id", "text",
+      ck, ixDir, tombstonesDir = Some(tsDir)).awaitTermination()
+    val fresh = d.filter(col("doc_id") === 4)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    assert(canon(readIx()) ==
+      canon(Keywords.textIndex(d.unionByName(fresh),
+        col("doc_id"), col("text"))),
+      "the late file must contribute only its untombstoned rows")
+  }
+
   test("tombstoned ids never land in streamed codes/cells; untombstoned rows unaffected") {
     // the takedown half of the STREAMING path: indexRemove cleans the
     // batch tables, but a late-arriving stream file re-encodes the
