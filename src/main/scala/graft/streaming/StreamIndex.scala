@@ -468,16 +468,66 @@ object StreamIndex {
       val raw = spark.read.parquet(dir).drop("batch")
       val guarded = ts.map(graft.operators.Similarity.indexRemove(raw, _))
         .getOrElse(raw)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = math.max(1, math.ceil(
-        fs.getContentSummary(p).getLength.toDouble / targetBytes).toInt)
-      val sized =
-        if (guarded.rdd.getNumPartitions < parts) guarded.repartition(parts)
-        else guarded.coalesce(parts)
-      name -> sized
+      name -> sizedToSource(spark, guarded, dir, targetBytes)
     }
     graft.sources.Layout.publishIndexVersion(spark, indexDir, pruned ++ frozen)
+  }
+
+  /** The compactors' shared file-sizing rule: partition `df` so each
+    * output file lands near `targetBytes`, sized from the SOURCE
+    * tree's actual bytes (an upper bound after pruning/merging — a
+    * compaction may only shrink). One definition so the ANN and text
+    * compactors cannot diverge on the D9 sizing discipline. */
+  private def sizedToSource(spark: SparkSession, df: DataFrame,
+                            srcDir: String, targetBytes: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = math.max(1, math.ceil(
+      fs.getContentSummary(p).getLength.toDouble / targetBytes).toInt)
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts)
+    else df.coalesce(parts)
+  }
+
+  /** [[compactStreamedIndex]]'s TEXT twin — the [[startTextIndexAppend]]
+    * tree's endgame in one call: assemble the streamed partials
+    * ([[readStreamedTextIndex]], whose tombstone path routes through
+    * [[graft.functions.Keywords.textIndexRemove]] so df/ctf/stats mass
+    * is SUBTRACTED), materialize the four MERGED frames at target-size
+    * files, and land them through [[graft.sources.Layout
+    * .publishIndexVersion]] as one committed generation. After this,
+    * readers take [[readPublishedTextIndex]] — no per-query vocabulary
+    * fold, no tombstone bookkeeping, no batch= small files — and the
+    * ingest leg restarts against a fresh streamed tree whose partials
+    * layer over the published base via [[graft.functions.Keywords
+    * .textIndexAppend]]'s additive law. Work linear in the streamed
+    * tree: one scan per artifact + the vocab-bounded term fold. */
+  def compactStreamedTextIndex(spark: SparkSession, streamedDir: String,
+                               tombstonesDir: Option[String],
+                               indexDir: String,
+                               targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = streamedDir.stripSuffix("/")
+    val ix = readStreamedTextIndex(spark, streamedDir,
+      tombstonesDir.map(d => spark.read.parquet(d)))
+    val frames = Map("postings" -> ix.postings, "terms" -> ix.terms,
+      "docs" -> ix.docs, "stats" -> ix.stats)
+    graft.sources.Layout.publishIndexVersion(spark, indexDir,
+      frames.map { case (n, df) =>
+        n -> sizedToSource(spark, df, s"$base/$n", targetBytes) })
+  }
+
+  /** Resolve the current committed generation of a
+    * [[compactStreamedTextIndex]] (or any four-artifact text-index)
+    * publish tree as a ready-to-search [[graft.functions.Keywords
+    * .TextIndex]] — the one-generation-never-a-mix read contract of
+    * [[graft.sources.Layout.readIndexVersion]], shaped for
+    * [[graft.functions.Keywords.bm25AgainstIndex]]. */
+  def readPublishedTextIndex(spark: SparkSession, indexDir: String)
+      : (Long, graft.functions.Keywords.TextIndex) = {
+    val (gen, m) = graft.sources.Layout.readIndexVersion(spark, indexDir,
+      Seq("postings", "terms", "docs", "stats"))
+    (gen, graft.functions.Keywords.TextIndex(
+      m("postings"), m("terms"), m("docs"), m("stats")))
   }
 
   def startBqDriftMonitor(spark: SparkSession, inputDir: String,

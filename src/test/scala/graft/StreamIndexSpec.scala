@@ -31,6 +31,15 @@ class StreamIndexSpec extends AnyFunSuite {
     Files.move(part, Paths.get(dir, name)): Unit
   }
 
+  private def canonText(ix: graft.functions.Keywords.TextIndex): Seq[Seq[String]] = Seq(
+    ix.postings.select("doc_id", "term", "tf")
+      .collect().map(_.toString).sorted.toSeq,
+    ix.terms.select("term", "df", "ctf")
+      .collect().map(_.toString).sorted.toSeq,
+    ix.docs.select("doc_id", "dl").collect().map(_.toString).sorted.toSeq,
+    ix.stats.select("n_docs", "total_tokens")
+      .collect().map(_.toString).toSeq)
+
   private def canonCodes(path: String) = {
     spark.catalog.refreshByPath(path)
     spark.read.parquet(path).select("vec_id", "codes")
@@ -106,14 +115,7 @@ class StreamIndexSpec extends AnyFunSuite {
     val half1 = d.filter(col("doc_id") % 2 === 0)
     val half2 = d.filter(col("doc_id") % 2 === 1)
 
-    def canon(ix: Keywords.TextIndex): Seq[Seq[String]] = Seq(
-      ix.postings.select("doc_id", "term", "tf")
-        .collect().map(_.toString).sorted.toSeq,
-      ix.terms.select("term", "df", "ctf")
-        .collect().map(_.toString).sorted.toSeq,
-      ix.docs.select("doc_id", "dl").collect().map(_.toString).sorted.toSeq,
-      ix.stats.select("n_docs", "total_tokens")
-        .collect().map(_.toString).toSeq)
+    def canon(ix: Keywords.TextIndex) = canonText(ix)
     def readIx(ts: Option[org.apache.spark.sql.DataFrame] = None) = {
       Seq("postings", "terms", "docs", "stats")
         .foreach(f => spark.catalog.refreshByPath(s"$ixDir/$f"))
@@ -194,6 +196,65 @@ class StreamIndexSpec extends AnyFunSuite {
       canon(Keywords.textIndex(d.unionByName(fresh),
         col("doc_id"), col("text"))),
       "the late file must contribute only its untombstoned rows")
+  }
+
+  test("compacting the streamed text index publishes the rebuild-without generation") {
+    import graft.functions.Keywords
+    val d = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    val in = tmp(); val ck = tmp(); val ixDir = tmp() + "/tix"
+    // two streamed files, takedowns landing AFTER ingest
+    dropFile(d.filter(col("doc_id") % 2 === 0), in, "p1.parquet")
+    StreamIndex.startTextIndexAppend(spark, in, d.schema, "doc_id", "text",
+      ck, ixDir).awaitTermination()
+    dropFile(d.filter(col("doc_id") % 2 === 1), in, "p2.parquet")
+    StreamIndex.startTextIndexAppend(spark, in, d.schema, "doc_id", "text",
+      ck, ixDir).awaitTermination()
+    val gone = d.filter(col("doc_id") % 5 === 1).select(col("doc_id"))
+    val tsDir = tmp() + "/tombstones"
+    gone.select(col("doc_id").cast("int")).write.parquet(tsDir)
+
+    // one call: assemble − tombstones → target-size files → committed gen
+    val pub = tmp() + "/pub"
+    val gen = StreamIndex.compactStreamedTextIndex(spark, ixDir, Some(tsDir), pub)
+    val (readGen, ix) = StreamIndex.readPublishedTextIndex(spark, pub)
+    assert(readGen == gen)
+    val survivors = d.join(gone, Seq("doc_id"), "left_anti")
+    assert(canonText(ix) ==
+      canonText(Keywords.textIndex(survivors, col("doc_id"), col("text"))),
+      "the published generation must equal the rebuild-without index")
+
+    // search over the published gen == the tombstone-guarded streamed read
+    val qterms = d.select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 2).distinct().orderBy(col("t")).limit(4)
+      .collect().map(_.getString(0))
+    val queries = spark.createDataFrame(
+      qterms.zipWithIndex.map { case (t, i) => (i.toLong % 2, t) }.toSeq)
+      .toDF("query_id", "term")
+    val viaPub = Keywords.bm25AgainstIndex(ix, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val viaGuarded = Keywords.bm25AgainstIndex(
+        StreamIndex.readStreamedTextIndex(spark, ixDir,
+          Some(spark.read.parquet(tsDir))), queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaPub.nonEmpty, "fixture broken: query terms must match")
+    assert(viaPub == viaGuarded,
+      "search over the published gen must equal the guarded streamed read")
+
+    // the batch= small files are gone: each published artifact holds
+    // fewer part files than its streamed tree (2 batches -> 1 merged)
+    def parts(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    Seq("postings", "terms", "docs", "stats").foreach { f =>
+      assert(parts(s"$pub/gen=$gen/$f") < parts(s"$ixDir/$f"),
+        s"$f: compaction must shrink the file count")
+    }
   }
 
   test("tombstoned ids never land in streamed codes/cells; untombstoned rows unaffected") {
