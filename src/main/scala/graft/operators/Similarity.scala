@@ -1823,6 +1823,24 @@ object Similarity {
   def ivfPqResAppend(centroids: DataFrame, books: DataFrame,
                      increment: DataFrame, incId: Column, incVec: Column,
                      m: Int, ksub: Int): (DataFrame, DataFrame) = {
+    val (cells, codes, _) =
+      ivfPqResAppendPinned(centroids, books, increment, incId, incVec, m, ksub)
+    (cells, codes)
+  }
+
+  /** [[ivfPqResAppend]] with its internal pinned assignment frame
+    * returned as the third element, for callers that own the cache
+    * lifetime (the streaming append leg, which must unpersist per
+    * micro-batch instead of stranding one cached frame per batch for
+    * the app lifetime — the batch API's pin is clearCache-managed
+    * like every other signature cache). Unpersist it only after BOTH
+    * returned frames are materialized: codes derive from the pinned
+    * assignment via the residual join. */
+  private[graft] def ivfPqResAppendPinned(centroids: DataFrame, books: DataFrame,
+                                          increment: DataFrame,
+                                          incId: Column, incVec: Column,
+                                          m: Int, ksub: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.GraftExtensions.ensureRegistered(increment.sparkSession)
     require(Seq("cell", "cv").forall(centroids.columns.contains),
       s"centroid frame must carry (cell, cv); got ${centroids.columns.mkString(", ")}")
@@ -1836,7 +1854,7 @@ object Similarity {
     val resid = residualFrame(increment, incId, incVec, cells, cvecs)
     val codes = pqEncode(resid, col("rid"), col("r"), m, books)
     (cells.select(col("neighbor_id").as("vec_id"), col("cell")),
-      narrowCodes(codes, ksub))
+      narrowCodes(codes, ksub), cells)
   }
 
   /** The DELETE half of every keyed ANN artifact ([[ivfPqResAppend]]'s

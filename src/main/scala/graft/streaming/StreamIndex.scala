@@ -243,6 +243,62 @@ object StreamIndex {
       Seq(stats, cents) ++ guardPinned)
   }
 
+  /** Streaming IVFADC maintenance (C161 — [[startComposedIndexAppend]]
+    * for the RESIDUAL-PQ family, the index the retrain loop actually
+    * publishes): each micro-batch is assigned and residual-encoded
+    * against the FROZEN centroids + codebook via [[graft.operators
+    * .Similarity.ivfPqResAppend]]'s own per-row functions (the C156
+    * append-parity law: appending the index's rows reproduces its
+    * tables exactly), and `(vec_id, cell)` + `(vec_id, codes)` land
+    * in lockstep `batch=<id>` overwrite partitions under ONE
+    * checkpoint — at every committed offset the two tables cover
+    * exactly the same vectors, so a streamed vector is never visible
+    * to the candidate join without its code (or vice versa). The
+    * internal assignment pin is released per micro-batch
+    * ([[graft.operators.Similarity.ivfPqResAppendPinned]]), not
+    * stranded per batch for the app lifetime. Readers of the
+    * still-growing dirs pass `tombstones` to
+    * `ivfPqResTopKAgainstIndex` (the shared reader-guard argument);
+    * compaction + atomic re-publish is [[compactStreamedIndex]] with
+    * the frozen centroids/books riding along — the full retrain-loop
+    * lifecycle (C158's publish leg) now has a streaming ingest edge
+    * for its own index family, not just the BQ one. Per batch:
+    * |batch|·nlist map-side centroid scores against the bounded
+    * nlist-row broadcast plus one m·ksub-bounded encode; only (long,
+    * long) and (long, array<int>) rows land on disk. */
+  def startIvfPqResIndexAppend(spark: SparkSession, inputDir: String,
+                               schema: StructType, id: String, vec: String,
+                               checkpointDir: String, centroidsDir: String,
+                               booksDir: String, cellsDir: String,
+                               codesDir: String, m: Int, ksub: Int,
+                               tombstonesDir: Option[String] = None): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val cents = spark.read.parquet(centroidsDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = spark.read.parquet(booksDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (guard, guardPinned) = tombstoneGuard(spark, id, tombstonesDir)
+    unpersistOnTermination(spark,
+      spark.readStream.schema(schema).parquet(inputDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (cells, codes, pinned) =
+            graft.operators.Similarity.ivfPqResAppendPinned(
+              cents, books, guard(batch), col(id), col(vec), m, ksub)
+          try {
+            cells.write.mode("overwrite")
+              .parquet(cellsDir.stripSuffix("/") + s"/batch=$batchId")
+            codes.write.mode("overwrite")
+              .parquet(codesDir.stripSuffix("/") + s"/batch=$batchId")
+          } finally pinned.unpersist(blocking = false): Unit
+        }
+        .start(),
+      Seq(cents, books) ++ guardPinned)
+  }
+
   /** Streaming BM25 TEXT-index maintenance (C160 — the retrieval twin
     * of the ANN append legs, closing the one streaming-maintenance
     * asymmetry left: embeddings had three streamed ingest paths while

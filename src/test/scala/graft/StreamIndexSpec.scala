@@ -585,6 +585,96 @@ class StreamIndexSpec extends AnyFunSuite {
     assert(viaStream == brute)
   }
 
+  test("IVFADC streamed append: lockstep frozen-artifact encode, replay heal, publish-leg search parity") {
+    val e = graft.sources.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp(); val ck = tmp()
+    val centsDir = tmp() + "/cents"; val booksDir = tmp() + "/books"
+    val cellsDir = tmp() + "/cells"; val codesDir = tmp() + "/codes"
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+
+    // build (train) on the first half; its cells/codes seed the tables
+    val (cents, cells1, books, codes1) = Similarity.ivfPqResIndex(
+      half1, col("vec_id"), col("embedding"), nlist = 8, m = 4, ksub = 16)
+    cents.write.parquet(centsDir); books.write.parquet(booksDir)
+    cells1.write.parquet(s"$cellsDir/batch=initial")
+    codes1.write.parquet(s"$codesDir/batch=initial")
+
+    dropFile(half2, in, "p2.parquet")
+    StreamIndex.startIvfPqResIndexAppend(spark, in, e.schema, "vec_id",
+      "embedding", ck, centsDir, booksDir, cellsDir, codesDir,
+      m = 4, ksub = 16).awaitTermination()
+    spark.catalog.refreshByPath(cellsDir); spark.catalog.refreshByPath(codesDir)
+
+    // lockstep law: one checkpoint grows both keyed artifacts together
+    def ids(dir: String) = spark.read.parquet(dir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(codesDir) == ids(cellsDir),
+      "cells and codes must cover exactly the same vectors")
+
+    // frozen-artifact twin: the grown tables equal the batch
+    // frozen-artifact encode of the union (the C156 append-parity law
+    // makes re-encoding half1 reproduce its build rows exactly)
+    val centsT = spark.read.parquet(centsDir)
+    val booksT = spark.read.parquet(booksDir)
+    val (bCells, bCodes) = Similarity.ivfPqResAppend(centsT, booksT,
+      e, col("vec_id"), col("embedding"), m = 4, ksub = 16)
+    assert(spark.read.parquet(cellsDir).select("vec_id", "cell")
+        .collect().map(_.toString).sorted.toSeq ==
+      bCells.collect().map(_.toString).sorted.toSeq,
+      "streamed cells must equal the frozen-centroid batch assign")
+    assert(spark.read.parquet(codesDir).select("vec_id", "codes")
+        .collect().map(_.toString).sorted.toSeq ==
+      bCodes.collect().map(_.toString).sorted.toSeq,
+      "streamed codes must equal the frozen-codebook batch encode")
+
+    // replay: both partitions overwrite, neither table duplicates
+    val commits = Paths.get(ck, "commits")
+    val last = Files.list(commits).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.matches("\\d+"))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(last)
+    Files.deleteIfExists(Paths.get(ck, "commits", "." + last.getFileName + ".crc"))
+    StreamIndex.startIvfPqResIndexAppend(spark, in, e.schema, "vec_id",
+      "embedding", ck, centsDir, booksDir, cellsDir, codesDir,
+      m = 4, ksub = 16).awaitTermination()
+    spark.catalog.refreshByPath(cellsDir); spark.catalog.refreshByPath(codesDir)
+    assert(ids(codesDir) == ids(cellsDir))
+    assert(ids(codesDir).size == ids(codesDir).distinct.size,
+      "a replayed batch must not duplicate rows in either table")
+
+    // the retrain-loop lifecycle closes over the streamed tree:
+    // compact + publish the four artifacts as one generation, search
+    // from the published frames — storage model changes, no scored bit
+    val pub = tmp() + "/pub"
+    val gen = StreamIndex.compactStreamedIndex(spark,
+      Map("cells" -> cellsDir, "codes" -> codesDir),
+      tombstonesDir = None, indexDir = pub,
+      frozen = Map("centroids" -> centsT, "books" -> booksT))
+    val (readGen, arts) = graft.sources.Layout.readIndexVersion(spark, pub,
+      Seq("centroids", "books", "cells", "codes"))
+    assert(readGen == gen)
+    val qset = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    def search(cells: org.apache.spark.sql.DataFrame,
+               codes: org.apache.spark.sql.DataFrame,
+               cen: org.apache.spark.sql.DataFrame,
+               bk: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResTopKAgainstIndex(cen, cells, bk, codes,
+        e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
+        m = 4, ksub = 16, k = 5, nprobe = 8, shortlist = n)
+        .collect().map(_.toString).sorted.toSeq
+    val viaPub = search(arts("cells").select("vec_id", "cell"),
+      arts("codes").select("vec_id", "codes"), arts("centroids"), arts("books"))
+    val viaStream = search(
+      spark.read.parquet(cellsDir).select("vec_id", "cell"),
+      spark.read.parquet(codesDir).select("vec_id", "codes"), centsT, booksT)
+    assert(viaPub.nonEmpty)
+    assert(viaPub == viaStream,
+      "search from the published generation must equal the streamed read")
+  }
+
   test("IVF drift monitor == psiOverCounts batch twin; collapsed occupancy alarms") {
     val e = graft.sources.Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding"))
