@@ -115,7 +115,9 @@ object Bench {
     // WAV/PCM audio codec boundary, and the exact-collapse → near-dup
     // two-stage pipelines the sf1 scale smoke motivated
     "qann_ivfpq_pub", "qmm_wav_meta", "qdedup_ngram_collapsed",
-    "qdedup_minhash_collapsed")
+    "qdedup_minhash_collapsed",
+    // the tokenizer-drift monitor's driver-gated batch twin
+    "qtext_fertility_counts")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

@@ -1316,6 +1316,42 @@ object Keywords {
     fertilityRollup(bpeApplyJoined(df, id, text, merges,
       carry = Seq("source" -> source)))
 
+  /** Per-doc tokenizer-fertility BUCKETS under a FROZEN merge table —
+    * the drift surface of the one frozen TEXT artifact (C153's trained
+    * BPE merges), playing exactly the role
+    * [[graft.operators.Similarity.bqBitBuckets]] plays for the
+    * quantizer's thresholds: fertility mass creeping upward means the
+    * vocabulary no longer fits the incoming corpus (domain drift,
+    * mojibake, a new language) and every downstream sequence pays the
+    * extra tokens — the tokenizer-retrain trigger. One
+    * `(grp = source, bucket)` row per token-bearing doc (zero-word
+    * docs carry no fertility, the [[fertilityBySource]] NULL
+    * contract), bucket = QUARTER-UNIT per-doc fertility
+    * (`(4·n_tokens) div n_words`, exact integer): fertility lives in
+    * [1, ~avg word length], so the power-of-two length recipe would
+    * collapse the whole range into two or three cells — quarter units
+    * give PSI mass room to move. The vocabulary-JOIN formulation, so
+    * production-size merge tables apply (the monitor pins the frame
+    * once per query start). */
+  def fertilityBuckets(df: DataFrame, id: Column, text: Column,
+                       source: Column, merges: DataFrame): DataFrame =
+    bpeApplyJoined(df, id, text, merges, carry = Seq("source" -> source))
+      .filter(col("n_words") > 0)
+      .select(col("source").cast("string").as("grp"),
+        expr("(4L * n_tokens) div n_words").as("bucket"))
+
+  /** [[fertilityBuckets]] rolled up to `(grp, bucket, n)` — the batch
+    * side of the fertility drift monitor's twin law, and how a
+    * REFERENCE window becomes the pinned counts table
+    * [[graft.streaming.StreamIndex.startFertilityDriftMonitor]]
+    * compares against (run it over the tokenizer's TRAINING corpus —
+    * or any healthy window — and write the result to
+    * `refCountsDir`). */
+  def fertilityCounts(df: DataFrame, id: Column, text: Column,
+                      source: Column, merges: DataFrame): DataFrame =
+    fertilityBuckets(df, id, text, source, merges)
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+
   private def fertilityRollup(applied: DataFrame): DataFrame =
     applied
       .groupBy(col("source"))

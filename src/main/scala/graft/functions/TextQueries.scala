@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-backed text-analysis queries over `documents`
@@ -1505,21 +1506,31 @@ object TextQueries {
   // recursive CTE over steps (state = (word, step, syms); one
   // list_reduce state machine per step — the proven C69 fold), then
   // reassembles docs via the C85 chain. Byte-exact `tokens` parity.
+  /** The 1024-row production-shaped merge table the vocab-grade gated
+    * queries share: the corpus's real top-word merge chains padded to
+    * 1024 with '#k' self-pair rows the oracle replays alongside
+    * (bpeVocabTokCtes' fill arm — parity by replay, so the pad's
+    * tokenizability never matters; the 32k query's corpus-proof
+    * U+0001 pad is the realm-only-replay variant). */
+  private def paddedVocab1024(s: SparkSession, docs: DataFrame): DataFrame = {
+    val chains = Keywords.wordChainMerges(docs, col("text"), topWords = 256)
+    val nReal = chains.count() // bounded: ≤ topWords · maxWordLen rows
+    val nFill = math.max(0L, 1024L - nReal)
+    val filler = s.range(1, nFill + 1).toDF("k")
+      .select((col("k") + nReal).cast("long").as("step"),
+        concat(lit("#"), col("k").cast("string")).as("l_sym"),
+        concat(lit("#"), col("k").cast("string")).as("r_sym"),
+        concat(lit("#"), col("k").cast("string"), lit("#"),
+          col("k").cast("string")).as("merged"))
+    chains.unionByName(filler)
+  }
+
   val qBpeApplyVocab = Q(
     "qtext_bpe_apply_vocab",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val chains = Keywords.wordChainMerges(docs, col("text"), topWords = 256)
-      val nReal = chains.count() // bounded: ≤ topWords · maxWordLen rows
-      val nFill = math.max(0L, 1024L - nReal)
-      val filler = s.range(1, nFill + 1).toDF("k")
-        .select((col("k") + nReal).cast("long").as("step"),
-          concat(lit("#"), col("k").cast("string")).as("l_sym"),
-          concat(lit("#"), col("k").cast("string")).as("r_sym"),
-          concat(lit("#"), col("k").cast("string"), lit("#"),
-            col("k").cast("string")).as("merged"))
       Keywords.bpeApplyJoined(docs, col("doc_id"), col("text"),
-          chains.unionByName(filler))
+          paddedVocab1024(s, docs))
         .orderBy(col("doc_id"))
     },
     Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes() + """
@@ -1651,17 +1662,8 @@ object TextQueries {
     "qtext_fertility_vocab",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val chains = Keywords.wordChainMerges(docs, col("text"), topWords = 256)
-      val nReal = chains.count()
-      val nFill = math.max(0L, 1024L - nReal)
-      val filler = s.range(1, nFill + 1).toDF("k")
-        .select((col("k") + nReal).cast("long").as("step"),
-          concat(lit("#"), col("k").cast("string")).as("l_sym"),
-          concat(lit("#"), col("k").cast("string")).as("r_sym"),
-          concat(lit("#"), col("k").cast("string"), lit("#"),
-            col("k").cast("string")).as("merged"))
       Keywords.fertilityBySourceJoined(docs, col("doc_id"), col("text"),
-          col("source"), chains.unionByName(filler))
+          col("source"), paddedVocab1024(s, docs))
         .orderBy(col("source"))
     },
     Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes() + """,
@@ -1677,6 +1679,29 @@ object TextQueries {
            END AS fertility
     FROM per GROUP BY source
     ORDER BY source"""))
+
+  // C162 batch twin, driver-gated (the qann_bq_bitcounts discipline):
+  // the per-(source, quarter-bucket) fertility distribution the
+  // streaming drift monitor PSIs — hash parity pins the exact bucket
+  // rule ((4·n_tokens) div n_words over the joined apply) the pinned
+  // reference table and every monitored window are built from.
+  val qFertilityCounts = Q(
+    "qtext_fertility_counts",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Keywords.fertilityCounts(docs, col("doc_id"), col("text"),
+          col("source"), paddedVocab1024(s, docs))
+        .orderBy(col("grp"), col("bucket"))
+    },
+    Some("WITH RECURSIVE " + mergeChainCtes + bpeVocabTokCtes() + """,
+    per AS (SELECT d.source, a.n_words, a.n_tokens
+            FROM documents d JOIN ag a ON a.doc_id = d.doc_id
+            WHERE a.n_words > 0)
+    SELECT source AS grp,
+           CAST((4 * n_tokens) // n_words AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM per GROUP BY 1, 2
+    ORDER BY grp, bucket"""))
 
   // C126: inverted-index build at PHRASE (bigram) grain — this
   // corpus's unigram vocabulary is 31 near-ubiquitous terms (every df
@@ -2341,7 +2366,8 @@ object TextQueries {
     qRepetition, qGopher, qVocab, qBoilerplate, qBoilerplateRm, qDomains,
     qUnigramLp, qBigramLp, qEntropy, qMojibake, qHtml, qNfc, qClassifier,
     qOov, qPmi, qPiiSources, qChunk, qBpe, qBpeApply, qMergeChains,
-    qBpeApplyVocab, qBpeApply32k, qFertilityVocab, qPplBuckets, qPplQuantile, qReadability,
+    qBpeApplyVocab, qBpeApply32k, qFertilityVocab, qFertilityCounts,
+    qPplBuckets, qPplQuantile, qReadability,
     qBm25, qBm25Indexed, qBm25Inc, qBm25Rm, qBm25Upsert, qBm25Sync, qQl, qHybrid, qZipf, qLmRef, qKnRef,
     qHeavyHitters, qFertility, qIndex, qTrainLr, qTag, qRake, qMrr, qScripts)
 }

@@ -586,6 +586,49 @@ object StreamIndex {
       m("postings"), m("terms"), m("docs"), m("stats")))
   }
 
+  /** Streaming TOKENIZER-fertility drift monitor (C162 —
+    * [[startBqDriftMonitor]] for the one frozen TEXT artifact, the
+    * trained BPE merge table): per micro-batch, each incoming doc's
+    * quarter-unit fertility bucket under the FROZEN merges
+    * ([[graft.functions.Keywords.fertilityBuckets]] — the same joined
+    * apply the production tokenizer runs, so the monitored
+    * distribution IS what downstream sequences pay), per-SOURCE PSI
+    * against the training corpus's pinned fertility distribution at
+    * `refCountsDir` ([[graft.functions.Keywords.fertilityCounts]]
+    * builds the reference AND is the batch twin). Fertility mass
+    * creeping upward means the vocabulary no longer fits the incoming
+    * corpus — domain drift, mojibake, a new language — and the remedy
+    * is the same deliberate batch job as the quantizer's: retrain the
+    * merges (C153), re-apply, publish. Rides DropStats' shared
+    * partial-count plumbing (replay-idempotent `batch=<id>` counts,
+    * staged alarm renames, raw text never persisted — only bounded
+    * (source, bucket) rows land), so the twin law, resume and replay
+    * guarantees carry over unchanged. */
+  def startFertilityDriftMonitor(spark: SparkSession, inputDir: String,
+                                 schema: StructType, id: String, text: String,
+                                 source: String, checkpointDir: String,
+                                 mergesDir: String, countsDir: String,
+                                 alarmsDir: String,
+                                 refCountsDir: String): StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val merges = spark.read.parquet(mergesDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unpersistOnTermination(spark,
+      DropStats.startBucketMonitorOver(spark,
+        spark.readStream.schema(schema).parquet(inputDir),
+        checkpointDir, countsDir, alarmsDir)(
+        batch => graft.functions.Keywords.fertilityBuckets(
+          batch, col(id), col(text), col(source), merges)) {
+        counts =>
+          val ref = counts.sparkSession.read.parquet(refCountsDir)
+            .select(col("grp").as("source"), col("bucket"), col("n"))
+          graft.operators.Profile.psiOverCounts(ref,
+              counts.select(col("grp").as("source"), col("bucket"), col("n")))
+            .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+      },
+      Seq(merges))
+  }
+
   def startBqDriftMonitor(spark: SparkSession, inputDir: String,
                           schema: StructType, vec: String,
                           checkpointDir: String, statsDir: String,

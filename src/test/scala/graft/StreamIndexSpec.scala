@@ -782,6 +782,66 @@ class StreamIndexSpec extends AnyFunSuite {
     assert(canon(spark.read.parquet(alarmsDir)) == canon(twin))
   }
 
+  test("fertility drift monitor == psiOverCounts batch twin; a word-doubled stream alarms") {
+    import graft.functions.Keywords
+    val d = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("source"))
+    val in = tmp(); val ck = tmp(); val mergesDir = tmp() + "/merges"
+    val countsDir = tmp() + "/counts"; val alarmsDir = tmp() + "/alarms"
+    val refCountsDir = tmp() + "/ref"
+
+    // train once, freeze; the reference window is the training
+    // corpus's own fertility distribution under those frozen merges
+    Keywords.bpeTrain(d, col("text"), merges = 16).write.parquet(mergesDir)
+    val merges = spark.read.parquet(mergesDir)
+    Keywords.fertilityCounts(d, col("doc_id"), col("text"), col("source"),
+      merges).write.parquet(refCountsDir)
+
+    // phase 1: a same-distribution window arrives (the corpus itself —
+    // per-source samples at this sf are tens of docs, so a half-split
+    // would read sampling noise, not drift) — every source stable
+    val half1 = d
+    dropFile(half1, in, "p1.parquet")
+    StreamIndex.startFertilityDriftMonitor(spark, in, d.schema, "doc_id",
+      "text", "source", ck, mergesDir, countsDir, alarmsDir, refCountsDir)
+      .awaitTermination()
+    val calm = spark.read.parquet(alarmsDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(calm.nonEmpty && calm.values.forall(_ < 0.1),
+      s"a same-distribution window must read stable per source: $calm")
+
+    // phase 2 (checkpoint resume): every word doubles in length, so
+    // per-word tokens under the FROZEN merges roughly double while the
+    // word count holds — fertility mass shifts wholesale into higher
+    // quarter-buckets, the vocabulary-no-longer-fits signature
+    val doubled = d
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1$1").as("text"),
+        col("source"))
+    dropFile(doubled, in, "p2.parquet")
+    StreamIndex.startFertilityDriftMonitor(spark, in, d.schema, "doc_id",
+      "text", "source", ck, mergesDir, countsDir, alarmsDir, refCountsDir)
+      .awaitTermination()
+    val moved = spark.read.parquet(alarmsDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(moved.values.forall(_ > 0.25),
+      s"the word-doubled window must alarm every source: $moved")
+
+    // the twin law: monitor output after N files == psiOverCounts over
+    // the pinned reference and those N files' fertility counts
+    val live = half1.unionByName(doubled)
+    val twin = graft.operators.Profile.psiOverCounts(
+        spark.read.parquet(refCountsDir)
+          .select(col("grp").as("source"), col("bucket"), col("n")),
+        Keywords.fertilityCounts(live, col("doc_id"), col("text"),
+            col("source"), merges)
+          .select(col("grp").as("source"), col("bucket"), col("n")))
+      .select(col("source").as("grp"), col("n_buckets"), col("psi"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect().toSeq
+    assert(canon(spark.read.parquet(alarmsDir)) == canon(twin))
+  }
+
   test("drift alarms compose into the forwarder metric leg as gauge points") {
     // the reference's own alert loop (stats goroutine logs a rollup
     // LINE; the forwarder's kvconfig output: block turns it into a
