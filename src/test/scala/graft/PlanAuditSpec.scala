@@ -100,6 +100,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "formulation, so it inherits the same 1-row merge-array " +
       "crossJoin(broadcast(marr)) onto the distinct-word frame; the " +
       "rollup itself is one source-keyed map-side-combined aggregation"),
+    "qtext_fertility_counts" -> ("the same embedded joined-apply shape as " +
+      "qtext_fertility_vocab (1-row merge-array crossJoin(broadcast(marr)) " +
+      "onto the distinct-word frame); the quarter-bucket rollup is one " +
+      "(source, bucket)-keyed map-side-combined count"),
     "qtext_tfidf" -> "crossJoin(broadcast(n)) where n is a 1-row corpus count",
     "qtext_vocab" -> "crossJoin(broadcast(total)) where total is a 1-row token-count sum",
     "qtext_heavyhitters" -> ("crossJoin(broadcast(total)) where total is the " +
