@@ -312,6 +312,11 @@ object TextFunctions {
           val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
           ((p - col("y").cast("double")) * lit(1e6)).cast("long").as("e_micro")
         })
+        // consumed TWICE below (the e_tot scalar and the per-bucket
+        // gradient) — without the cache boundary each consumer re-runs
+        // the feats⋈w margin pass and the labels join; the frame is
+        // (doc_id, e_micro), 16 bytes a row
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // decimal(38,0) accumulation: each |e_micro·x| term is ≤ 1e12,
       // so a LONG sum wraps silently past ~9e6 feature rows per
       // bucket while the DuckDB oracle promotes to HUGEINT. A
@@ -338,6 +343,8 @@ object TextFunctions {
       // planner re-walks the whole unrolled history at every step —
       // the qgraph_hits/coreness lesson applied at train time
       w = graft.operators.Curation.truncateLineage(w, None)
+      // eager truncate above already ran both errs consumers
+      errs.unpersist(false)
     }
     w.join(mu, "bucket").select(col("bucket"), col("w"), col("m"))
   }

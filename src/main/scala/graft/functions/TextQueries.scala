@@ -830,7 +830,7 @@ object TextQueries {
         .select(col("doc_id"), col("s_fp"),
           (col("s_fp") >= 0L).as("pred"),
           col("passes").cast("long").as("y"))
-        .orderBy(col("doc_id"))
+        .transform(Q.orderedDump(_, col("doc_id")))
     },
     Some(s"""
       WITH tk AS (SELECT doc_id, u.t AS t
@@ -1754,7 +1754,7 @@ object TextQueries {
       import s.implicits._
       Keywords.bm25TopK(Tables(s, dir).documents, col("doc_id"), col("text"),
           Bm25QueryTerms.toDF("query_id", "term"), k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bm25OracleSql))
 
@@ -1865,7 +1865,7 @@ object TextQueries {
       import s.implicits._
       Keywords.qlTopK(Tables(s, dir).documents, col("doc_id"), col("text"),
           Bm25QueryTerms.toDF("query_id", "term"), k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(s"""$qlSharedHead,
       ${qlCtes(mu = 300.0)}
@@ -1895,7 +1895,7 @@ object TextQueries {
       val a = Keywords.bm25AgainstIndex(ix, qs, k = 20)
       val b = Keywords.qlAgainstIndex(ix, qs, k = 20)
       Keywords.rrfFuse(a, b, kRrf = 60, topK = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some {
       val k1 = 1.2; val b = 0.75
@@ -1961,7 +1961,7 @@ object TextQueries {
         art("docs"), art("stats"))
       Keywords.bm25AgainstIndex(stored, Bm25QueryTerms.toDF("query_id", "term"),
           k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bm25OracleSql))
 
@@ -1981,7 +1981,7 @@ object TextQueries {
         col("doc_id"), col("text"))
       Keywords.bm25AgainstIndex(grown, Bm25QueryTerms.toDF("query_id", "term"),
           k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bm25OracleSql))
 
@@ -2007,7 +2007,7 @@ object TextQueries {
       val pruned = Keywords.textIndexRemove(grown, junk.select(col("doc_id")))
       Keywords.bm25AgainstIndex(pruned, Bm25QueryTerms.toDF("query_id", "term"),
           k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bm25OracleSql))
 
@@ -2049,7 +2049,7 @@ object TextQueries {
         recrawled, col("doc_id"), col("text"))
       Keywords.bm25AgainstIndex(upserted, Bm25QueryTerms.toDF("query_id", "term"),
           k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bm25UpsertOracleSql))
 
@@ -2099,7 +2099,7 @@ object TextQueries {
         diff, v2, col("doc_id"), col("text"))
       Keywords.bm25AgainstIndex(synced, Bm25QueryTerms.toDF("query_id", "term"),
           k = 10)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bm25SyncOracleSql))
 

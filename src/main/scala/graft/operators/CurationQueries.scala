@@ -302,7 +302,7 @@ object CurationQueries {
       val members = Curation.connectedComponents(pairs, col("doc_a"), col("doc_b"))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       Curation.dedupReport(t.documents, col("doc_id"), col("n_chars"), members)
-        .orderBy(col("cluster_size"))
+        .transform(Q.orderedDump(_, col("cluster_size")))
     },
     Some(s"""
       WITH RECURSIVE ${DedupQueries.simhashPairCtes(3)},
@@ -682,7 +682,7 @@ object CurationQueries {
       val t = Tables(s, dir)
       val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
       Curation.clustersStar(pairs, col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_id"))
+        .transform(Q.orderedDump(_, col("doc_id")))
     },
     Some(ClustersOracle))
 

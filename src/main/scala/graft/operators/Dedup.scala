@@ -356,8 +356,16 @@ object Dedup {
     * (doc_a, doc_b, jaccard) keyed by the ids it was handed. */
   private def collapsedPairs(df: DataFrame, id: Column, text: Column)
       (pairFn: (DataFrame, Column, Column) => DataFrame): DataFrame = {
+    // PERSISTED: three consumers read the collapsed group table (the
+    // reps feed and both copies joins), and its subtree is marked
+    // nondeterministic (the NULL-hash row key in exactGroups), so
+    // Spark can NEVER reuse its exchange — without the cache boundary
+    // each consumer re-runs the full-corpus md5 scan+agg. The frame
+    // is (keep_id, n_copies): 16 bytes a row at distinct-content
+    // cardinality, the cheapest thing in the pipeline to hold.
     val groups = exactGroups(df, id, text)
       .select(col("keep_id"), col("n_copies"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = df.select(id.as("doc_id"), text.as("__rep_text"))
       .join(groups.withColumnRenamed("keep_id", "doc_id"), "doc_id")
     pairFn(reps, col("doc_id"), col("__rep_text"))

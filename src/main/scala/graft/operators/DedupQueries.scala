@@ -46,7 +46,7 @@ object DedupQueries {
     (s, dir) => {
       val t = Tables(s, dir)
       Dedup.ngramJaccardPairs(t.documents, col("doc_id"), col("text"), n = 2, threshold = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .transform(Q.orderedDump(_, col("doc_a"), col("doc_b")))
     },
     Some(BruteJaccardSql))
 
@@ -90,7 +90,7 @@ object DedupQueries {
       val t = Tables(s, dir)
       Dedup.ngramJaccardPairsCollapsed(t.documents, col("doc_id"), col("text"),
           n = 2, threshold = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .transform(Q.orderedDump(_, col("doc_a"), col("doc_b")))
     },
     Some(CollapsedBruteJaccardSql))
 
@@ -105,7 +105,7 @@ object DedupQueries {
       val t = Tables(s, dir)
       Dedup.minhashLshPairsCollapsed(t.documents, col("doc_id"), col("text"),
           n = 2, bands = 32, rows = 2, threshold = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .transform(Q.orderedDump(_, col("doc_a"), col("doc_b")))
     },
     Some(CollapsedBruteJaccardSql))
 
@@ -118,7 +118,7 @@ object DedupQueries {
       val t = Tables(s, dir)
       Dedup.minhashLshPairs(t.documents, col("doc_id"), col("text"),
           n = 2, bands = 32, rows = 2, threshold = 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .transform(Q.orderedDump(_, col("doc_a"), col("doc_b")))
     },
     Some(BruteJaccardSql))
 
@@ -171,7 +171,7 @@ object DedupQueries {
     (s, dir) => {
       val t = Tables(s, dir)
       Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .transform(Q.orderedDump(_, col("doc_a"), col("doc_b")))
     },
     Some(simhashOracleSql(maxDist = 3)))
 
@@ -188,7 +188,7 @@ object DedupQueries {
         maxDist = 3)
       graft.operators.Profile.crossSourceDupMatrix(pairs, t.documents,
           col("doc_id"), col("source"))
-        .orderBy(col("source_a"), col("source_b"))
+        .transform(Q.orderedDump(_, col("source_a"), col("source_b")))
     },
     Some(s"""
       WITH ${simhashPairCtes(maxDist = 3)},

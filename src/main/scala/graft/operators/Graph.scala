@@ -145,7 +145,7 @@ object Graph {
         .unionAll(d.select(col("doc_id").as("src"),
           expr("doc_id div 2").as("dst")))
       pageRank(edges, col("src"), col("dst"), iters = 5)
-        .orderBy(col("node_id"))
+        .transform(Q.orderedDump(_, col("node_id")))
     },
     Some(pageRankOracleSql(5, 850000L)))
 
