@@ -117,7 +117,9 @@ object Bench {
     "qann_ivfpq_pub", "qmm_wav_meta", "qdedup_ngram_collapsed",
     "qdedup_minhash_collapsed",
     // the tokenizer-drift monitor's driver-gated batch twin
-    "qtext_fertility_counts")
+    "qtext_fertility_counts",
+    // r17 third wave: the real-decode audio feature gate
+    "qmm_wav_features")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

@@ -379,6 +379,78 @@ object Media {
         val m = stubMeta(bytes.length.toLong)
         (bytes, (m.channels * (m.bitDepth / 8L)).toInt)
     }
+
+    /** Author a mono 16-bit 8 kHz PCM WAV whose sample i is
+      * `floorMod(seed·31 + i·17, 65536) − 32768` — the deterministic
+      * corpus synthesizer behind the real-decode driver gate
+      * (`qmm_wav_features`): the registered query authors GENUINE
+      * RIFF bytes through `AudioSystem.write`, pushes them back
+      * through the real `javax.sound.sampled` parse, and the oracle
+      * replays this formula in SQL — so the gate proves the decoder
+      * recovers the authored samples bit-exactly, not merely that a
+      * stub formula replays. */
+    def authorPcm16(seed: Long, nSamples: Int): Array[Byte] = {
+      require(nSamples >= 0, s"nSamples must be >= 0, got $nSamples")
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = java.lang.Math.floorMod(seed * 31L + i * 17L, 65536L) - 32768L
+        data(2 * i) = (s & 0xffL).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xffL).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+
+    /** Decoded integer sample stream: real WAVs read the decoded
+      * payload under the format's OWN depth/endianness/signedness
+      * (16-bit exact; 8-bit PCM is unsigned by the WAV spec →
+      * centered to −128..127; wider depths sign-extend); stub blobs
+      * read their raw bytes as centered unsigned 8-bit. Channels stay
+      * interleaved — window features treat the sample stream, which
+      * for fixed window sizes is per-frame-aligned when the window is
+      * a channel multiple. */
+    def samples(bytes: Array[Byte]): Array[Int] = open(bytes) match {
+      case Some(in) =>
+        try {
+          val f = in.getFormat
+          val payload = in.readAllBytes()
+          val bps = math.max(1, f.getSampleSizeInBits / 8)
+          val n = payload.length / bps
+          val signed = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val out = new Array[Int](n)
+          val bits = bps * 8
+          var i = 0
+          while (i < n) {
+            var v = 0L
+            if (f.isBigEndian) {
+              var j = 0
+              while (j < bps) { v = (v << 8) | (payload(i * bps + j) & 0xffL); j += 1 }
+            } else {
+              var j = bps - 1
+              while (j >= 0) { v = (v << 8) | (payload(i * bps + j) & 0xffL); j -= 1 }
+            }
+            out(i) =
+              if (signed) ((v << (64 - bits)) >> (64 - bits)).toInt
+              else (v - (1L << (bits - 1))).toInt
+            i += 1
+          }
+          out
+        } finally in.close()
+      case None =>
+        val out = new Array[Int](bytes.length)
+        var i = 0
+        while (i < out.length) { out(i) = (bytes(i) & 0xff) - 128; i += 1 }
+        out
+    }
   }
 
   /** Attach a binary media column derived from a text column (the test
@@ -472,6 +544,83 @@ object Media {
         }
       }
       .toDF("media_id", "pcm_frames")
+  }
+
+  /** Attach a GENUINE authored WAV blob per row (the audio twin of
+    * [[withFakeBlob]], one rung more real): `nSamples` 16-bit mono
+    * samples under [[MediaCodecWav.authorPcm16]]'s pinned formula,
+    * written through the real `AudioSystem` encoder at the codec
+    * boundary. Rows carry real RIFF bytes, so everything downstream
+    * takes the REAL parse path — the feed the `qmm_wav_features`
+    * driver gate decodes back. */
+  def withAuthoredWav(df: DataFrame, id: Column, nSamples: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), nSamples.cast("int").as("ns"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (mid, ns) => (mid, MediaCodecWav.authorPcm16(mid, ns)) }
+      }
+      .toDF("media_id", "media")
+  }
+
+  /** Decoded PCM sample stream per blob via the per-partition codec
+    * boundary — `(media_id, samples array<int>)` under
+    * [[MediaCodecWav.samples]]'s depth/endianness/signedness rules.
+    * NULL blob ("no media") → NULL array, the [[decodeMeta]]
+    * contract. The array column is the handoff point to the
+    * DECLARATIVE feature ops ([[pcmWindowFeatures]]): decode is the
+    * only thing that needs the imperative seam. */
+  def wavSamples(df: DataFrame, id: Column, blob: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), blob.as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (mid, bytes) =>
+          (mid, if (bytes == null) null else MediaCodecWav.samples(bytes))
+        }
+      }
+      .toDF("media_id", "samples")
+  }
+
+  /** Per-window integer PCM features over a decoded sample array —
+    * `array<struct<win_idx, n_samples, energy, peak, zcr>>`, pure
+    * column ops (codegen'd higher-order functions, no codec, no UDF):
+    * window w covers samples [w·W, w·W+W) (the last window may be
+    * short), `energy` = Σ s², `peak` = max |s|, `zcr` counts sign
+    * flips between CONSECUTIVE samples INSIDE the window (no
+    * cross-window pair; a zero sample never flips). All arithmetic is
+    * 64-bit integer exact — the registered oracle replays it
+    * verbatim. NULL samples → NULL; empty → empty array. */
+  def pcmWindowFeatures(samples: Column, window: Int): Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // ceil division in pure int math; the greatest(…,1) guard keeps
+    // sequence() ascending for empty arrays — the bogus single window
+    // it creates is filtered by its n_samples == 0
+    val nw = greatest(
+      floor((size(samples) + lit(window - 1)) / lit(window)).cast("int"), lit(1))
+    // NULL samples ("no media") → NULL features: without the explicit
+    // guard, greatest() IGNORES the null window count and a bogus
+    // empty-array result forms — absence of media is not zero windows
+    when(samples.isNull, lit(null)).otherwise(filter(
+      transform(sequence(lit(0), nw - lit(1)), w => {
+        val sl = slice(samples, w * window + 1, lit(window))
+        struct(
+          w.cast("long").as("win_idx"),
+          size(sl).cast("long").as("n_samples"),
+          aggregate(sl, lit(0L), (acc, x) =>
+            acc + x.cast("long") * x.cast("long")).as("energy"),
+          aggregate(sl, lit(0L), (acc, x) =>
+            greatest(acc, abs(x.cast("long")))).as("peak"),
+          when(size(sl) >= 2,
+            aggregate(sequence(lit(2), size(sl)), lit(0L), (acc, j) =>
+              acc + when(element_at(sl, j - 1).cast("long") *
+                  element_at(sl, j).cast("long") < 0, lit(1L))
+                .otherwise(lit(0L))))
+            .otherwise(lit(0L)).as("zcr"))
+      }),
+      s => s.getField("n_samples") > 0))
   }
 
   /** Resize every blob to w×h×3 bytes via the per-partition codec

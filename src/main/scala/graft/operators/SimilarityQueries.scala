@@ -18,7 +18,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -87,7 +87,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, dim = 64)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(lshOracleSql(dim = 64, tables = 16, planesPerTable = 4, seed = 42L, k = 5)))
 
@@ -168,7 +168,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"), col("label"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql("cells0 AS (SELECT vec_id, label AS grp FROM embeddings)",
       k = 5, nprobe = 2)))
@@ -228,7 +228,7 @@ object SimilarityQueries {
           indexed, col("vec_id"), col("embedding"), col("cell"),
           indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
 
@@ -248,7 +248,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2)))
 
@@ -270,7 +270,7 @@ object SimilarityQueries {
           indexed, col("vec_id"), col("embedding"), col("cell"),
           indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           prefixDims = 16, k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10, dim = Some(16)),
       k = 5, nprobe = 2, probeDim = Some(16))))
@@ -294,7 +294,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e, col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2,
       nq = Int.MaxValue)))
@@ -314,7 +314,7 @@ object SimilarityQueries {
           pmod(col("label"), lit(2)) === 0,
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some("""
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -348,7 +348,7 @@ object SimilarityQueries {
           pmod(col("label"), lit(2)) === 0,
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10), k = 5, nprobe = 2,
       candFilter =
@@ -366,7 +366,7 @@ object SimilarityQueries {
       Similarity.hardNegatives(
           e, col("vec_id"), col("embedding"),
           pairs, col("a"), col("p"), k = 5, margin = 0.0)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -453,7 +453,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
           k = 3, shortlist = 20, lambda = 0.5)
-        .orderBy(col("query_id"), col("step"))
+        .transform(Q.orderedDump(_, col("query_id"), col("step")))
     },
     Some(mmrOracleSql(nq = 5, shortlist = 20, k = 3, lam = 0.5)))
 
@@ -472,7 +472,7 @@ object SimilarityQueries {
           indexed, col("vec_id"), col("embedding"), col("cell"),
           indexed.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfOracleSql(trainedCellsCtes(nlist = 10, iters = 2), k = 5, nprobe = 2)))
 
@@ -605,7 +605,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           m = 4, ksub = 8, k = 5, shortlist = 50, iters = 1)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(pqOracleSql(m = 4, ksub = 8, dsub = 16, k = 5, shortlist = 50, nq = 10)))
 
@@ -622,7 +622,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           m = 4, ksub = 8, k = 5, shortlist = 50, iters = 2)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(pqOracleSql(m = 4, ksub = 8, dsub = 16, k = 5, shortlist = 50,
       nq = 10, iters = 2)))
@@ -641,7 +641,7 @@ object SimilarityQueries {
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
           ivfIters = 1, pqIters = 1)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -746,7 +746,7 @@ object SimilarityQueries {
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           nlist = 10, nprobe = 3, m = 4, ksub = 8, k = 5, shortlist = 30,
           ivfIters = 1, pqIters = 1)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfPqResOracleSql))
 
@@ -778,7 +778,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfPqResOracleSql))
 
@@ -810,7 +810,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfPqResOracleSql))
 
@@ -839,7 +839,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfPqResOracleSql))
 
@@ -872,7 +872,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           m = 4, ksub = 8, k = 5, nprobe = 3, shortlist = 30)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfPqResOracleSql))
 
@@ -918,6 +918,49 @@ object SimilarityQueries {
       SELECT doc_id AS media_id, sample_rate, channels, bit_depth, n_frames,
              n_frames * 1000000 // sample_rate AS duration_us, n AS n_bytes
       FROM f ORDER BY media_id"""))
+
+  /** C163 (r17): REAL end-to-end audio decode under the oracle — the
+    * one leg `qmm_wav_meta` could not cover (the synthetic corpus has
+    * no real audio, so that gate pins only the stub dispatch). Here
+    * the query AUTHORS a genuine 16-bit mono WAV per document through
+    * the real `AudioSystem` encoder, decodes it back through the real
+    * `javax.sound.sampled` parse, and computes integer-exact windowed
+    * PCM features (energy / peak / zero-crossings) with pure codegen
+    * column ops; the oracle replays the authoring formula and the
+    * feature arithmetic in SQL. Any header mis-parse, byte-order or
+    * signedness slip, or off-by-one in the window slicing breaks the
+    * hash — this is the image-codec `qmm_byte_histogram` discipline
+    * upgraded to prove the DECODER, not just the plumbing. */
+  val qWavFeatures = Q(
+    "qmm_wav_features",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val wavs = Media.withAuthoredWav(docs, col("doc_id"),
+        lit(64L) + pmod(col("doc_id"), lit(129L)))
+      Media.wavSamples(wavs, col("media_id"), col("media"))
+        .select(col("media_id"),
+          explode(Media.pcmWindowFeatures(col("samples"), 32)).as("f"))
+        .select(col("media_id"), col("f.win_idx").as("win_idx"),
+          col("f.n_samples").as("n_samples"), col("f.energy").as("energy"),
+          col("f.peak").as("peak"), col("f.zcr").as("zcr"))
+        .transform(Q.orderedDump(_, col("media_id"), col("win_idx")))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS ns FROM documents),
+      s AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+              ((doc_id * 31 + CAST(u.i AS BIGINT) * 17) % 65536) - 32768 AS v
+            FROM d, UNNEST(range(ns)) AS u(i)),
+      z AS (SELECT doc_id, i, v, i // 32 AS win_idx,
+              LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+            FROM s)
+      SELECT doc_id AS media_id, win_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(v * v) AS BIGINT) AS energy,
+             CAST(MAX(abs(v)) AS BIGINT) AS peak,
+             CAST(SUM(CASE WHEN i % 32 > 0 AND pv * v < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS zcr
+      FROM z GROUP BY 1, 2
+      ORDER BY media_id, win_idx"""))
 
   /** C143: aspect-ratio bucketing over decode metadata — the all-
     * integer nearest-ratio argmin (keys multiplied through by
@@ -1001,7 +1044,7 @@ object SimilarityQueries {
       val res = Similarity.lshTopK(
         e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
         k = 5, dim = 64)
-      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+      Similarity.annRecall(truth, res).transform(Q.orderedDump(_, col("query_id")))
     },
     Some(s"""
       WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
@@ -1122,7 +1165,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, shortlist = 50)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -1223,7 +1266,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, shortlist = 50)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bqOracleSql(50)))
 
@@ -1242,7 +1285,7 @@ object SimilarityQueries {
       val res = Similarity.bqTopK(
         e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
         k = 5, shortlist = 20)
-      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+      Similarity.annRecall(truth, res).transform(Q.orderedDump(_, col("query_id")))
     },
     Some(s"""
       WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
@@ -1289,7 +1332,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, shortlist = 20)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(bqAsymOracleSql(k = 5, shortlist = 20)))
 
@@ -1333,7 +1376,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           nlist = 10, nprobe = 2, k = 5, shortlist = 20)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfBqOracleSql(k = 5, nprobe = 2, shortlist = 20)))
 
@@ -1354,7 +1397,7 @@ object SimilarityQueries {
       val res = Similarity.ivfBqTopK(
         e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
         nlist = 10, nprobe = 2, k = 5, shortlist = 20)
-      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+      Similarity.annRecall(truth, res).transform(Q.orderedDump(_, col("query_id")))
     },
     Some(s"""
       WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
@@ -1456,7 +1499,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           nlist = 10, nprobe = 2, k = 5, shortlist = 20)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(ivfBqAsymOracleSql(k = 5, nprobe = 2, shortlist = 20)))
 
@@ -1476,7 +1519,7 @@ object SimilarityQueries {
       val res = Similarity.ivfBqTopKAsymmetric(
         e, col("vec_id"), col("embedding"), qset, col("vec_id"), col("embedding"),
         nlist = 10, nprobe = 2, k = 5, shortlist = 20)
-      Similarity.annRecall(truth, res).orderBy(col("query_id"))
+      Similarity.annRecall(truth, res).transform(Q.orderedDump(_, col("query_id")))
     },
     Some(s"""
       WITH truth AS (SELECT query_id, neighbor_id FROM (${qBrute.oracle.get}) tb),
@@ -1957,7 +2000,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -2093,7 +2136,7 @@ object SimilarityQueries {
           e, col("vec_id"), col("embedding"),
           e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 5, nprobe = 1)
-        .orderBy(col("query_id"), col("rank"))
+        .transform(Q.orderedDump(_, col("query_id"), col("rank")))
     },
     Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -2130,7 +2173,7 @@ object SimilarityQueries {
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qIvfPqUpsert, qIvfPqPub,
     qSq, qBq, qBqRecall, qIvfBq,
     qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
-    qIvfCellCounts, qRecall, qRecallCurve, qDecode, qWavMeta,
+    qIvfCellCounts, qRecall, qRecallCurve, qDecode, qWavMeta, qWavFeatures,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }
