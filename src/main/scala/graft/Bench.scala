@@ -118,8 +118,8 @@ object Bench {
     "qdedup_minhash_collapsed",
     // the tokenizer-drift monitor's driver-gated batch twin
     "qtext_fertility_counts",
-    // r17 third wave: the real-decode audio feature gate
-    "qmm_wav_features")
+    // r17 third wave: the real-decode audio + image gates
+    "qmm_wav_features", "qmm_png_decode")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

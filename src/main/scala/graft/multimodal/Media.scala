@@ -189,6 +189,36 @@ object Media {
       out
     }
 
+    /** Author a genuine RGB PNG whose pixel (x, y) is the pinned
+      * channel formula `R = floorMod(seed·31 + x·7 + y·13, 256)`,
+      * `G = floorMod(seed·17 + x·11 + y·3, 256)`,
+      * `B = floorMod(seed·23 + x·5 + y·19, 256)` — the image twin of
+      * [[MediaCodecWav.authorPcm16]]: the `qmm_png_decode` driver
+      * gate writes real PNG bytes through the real `ImageIO` encoder,
+      * decodes them back through the real parse, and the oracle
+      * replays this formula — PNG is lossless 8-bit truecolor, so the
+      * round-trip must be bit-exact. */
+    def authorPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      require(w >= 1 && h >= 1, s"dims must be >= 1, got ${w}x$h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = java.lang.Math.floorMod(seed * 31L + x * 7L + y * 13L, 256L).toInt
+          val g = java.lang.Math.floorMod(seed * 17L + x * 11L + y * 3L, 256L).toInt
+          val b = java.lang.Math.floorMod(seed * 23L + x * 5L + y * 19L, 256L).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** 64-bit difference hash over the 9×8 [[resize]] raster: bit
       * `y*8 + x` set when gray(x+1, y) > gray(x, y), gray = integer
       * mean of the RGB bytes. Same contract for real and stub
@@ -560,6 +590,24 @@ object Media {
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.map { case (mid, ns) => (mid, MediaCodecWav.authorPcm16(mid, ns)) }
+      }
+      .toDF("media_id", "media")
+  }
+
+  /** Attach a GENUINE authored PNG blob per row — [[withAuthoredWav]]'s
+    * image sibling, under [[MediaCodec.authorPng]]'s pinned pixel
+    * formula. Rows carry real PNG bytes, so every downstream decode
+    * takes the REAL `ImageIO` parse — the feed for the
+    * `qmm_png_decode` driver gate. */
+  def withAuthoredPng(df: DataFrame, id: Column,
+                      w: Column, h: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"),
+        w.cast("int").as("w"), h.cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (mid, pw, ph) => (mid, MediaCodec.authorPng(mid, pw, ph)) }
       }
       .toDF("media_id", "media")
   }

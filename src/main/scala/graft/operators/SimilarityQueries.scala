@@ -962,6 +962,57 @@ object SimilarityQueries {
       FROM z GROUP BY 1, 2
       ORDER BY media_id, win_idx"""))
 
+  /** C164 (r17): REAL end-to-end image decode under the oracle —
+    * `qmm_wav_features`' image sibling, closing the same gap for the
+    * `ImageIO` path (every other image gate feeds fake blobs, so only
+    * the stub dispatch was driver-gated; the real parse lived in
+    * specs). Authors a genuine PNG per document through the real
+    * encoder (pixel formula pinned at [[Media.MediaCodec.authorPng]]),
+    * drives the real decode through `decodeMeta` (header parse:
+    * width/height/channels) AND the nearest-resize kernel (raster
+    * access: every byte of the 4×4×3 output unpivoted), and the
+    * oracle replays the pixel formula + the integer index mapping
+    * `src = dst·srcDim div 4`. PNG is lossless 8-bit truecolor, so
+    * any decode, channel-order, or resize-geometry slip breaks the
+    * hash on some (media_id, pos). */
+  val qPngDecode = Q(
+    "qmm_png_decode",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pngs = Media.withAuthoredPng(docs, col("doc_id"),
+        lit(4L) + pmod(col("doc_id"), lit(13L)),
+        lit(4L) + pmod(col("doc_id") * lit(3L), lit(11L)))
+      val meta = Media.decodeMeta(pngs, col("media_id"), col("media"))
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+      val px = Media.resize(pngs, col("media_id"), col("media"), 4, 4)
+        .select(col("media_id"), posexplode(expr(
+          "transform(sequence(0, 47), i -> " +
+            "CAST(conv(hex(substring(resized, i + 1, 1)), 16, 10) AS BIGINT))"))
+          .as(Seq("pos", "value")))
+      meta.join(px, "media_id")
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("pos").cast("long").as("pos"), col("value"))
+        .transform(Q.orderedDump(_, col("media_id"), col("pos")))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+                 FROM documents),
+      cells AS (SELECT doc_id, w, h, CAST(u.p AS BIGINT) AS pos
+                FROM d, UNNEST(range(48)) AS u(p)),
+      m AS (SELECT doc_id, w, h, pos,
+              (pos % 12) // 3 AS x, pos // 12 AS y, pos % 3 AS c
+            FROM cells),
+      src AS (SELECT doc_id, w, h, pos, c,
+              (x * w) // 4 AS sx, (y * h) // 4 AS sy
+            FROM m)
+      SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+             CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, pos,
+             CAST(CASE c
+               WHEN 0 THEN (doc_id * 31 + sx * 7 + sy * 13) % 256
+               WHEN 1 THEN (doc_id * 17 + sx * 11 + sy * 3) % 256
+               ELSE (doc_id * 23 + sx * 5 + sy * 19) % 256 END AS BIGINT) AS value
+      FROM src ORDER BY media_id, pos"""))
+
   /** C143: aspect-ratio bucketing over decode metadata — the all-
     * integer nearest-ratio argmin (keys multiplied through by
     * lcm(dens) so no float ratio forms; ties to the earlier ladder
@@ -2173,7 +2224,7 @@ object SimilarityQueries {
     qPq, qPq2, qIvfPq, qIvfPqRes, qIvfPqApp, qIvfPqRm, qIvfPqUpsert, qIvfPqPub,
     qSq, qBq, qBqRecall, qIvfBq,
     qIvfBqRecall, qBqAsym, qIvfBqAsym, qIvfBqAsymRecall, qBqBitCounts,
-    qIvfCellCounts, qRecall, qRecallCurve, qDecode, qWavMeta, qWavFeatures,
+    qIvfCellCounts, qRecall, qRecallCurve, qDecode, qWavMeta, qWavFeatures, qPngDecode,
     qFrames, qArBuckets, qHistogram, qDhash, qPhash, qCentroid, qProto, qInertia,
     qDbi, qSil, qMips, qRp, qPca, qStandardize, qMatryoshka, qIvfMrl)
 }

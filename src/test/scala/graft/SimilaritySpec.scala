@@ -709,6 +709,40 @@ class SimilaritySpec extends AnyFunSuite {
       (p(0) & 0xff) == 200 && (p(1) & 0xff) == 100 && (p(2) & 0xff) == 50))
   }
 
+  test("authorPng → decode → resize: the real ImageIO round-trip recovers " +
+      "the pinned pixel formula (the qmm_png_decode law)") {
+    import spark.implicits._
+    def px(seed: Long, x: Int, y: Int): (Int, Int, Int) = (
+      java.lang.Math.floorMod(seed * 31L + x * 7L + y * 13L, 256L).toInt,
+      java.lang.Math.floorMod(seed * 17L + x * 11L + y * 3L, 256L).toInt,
+      java.lang.Math.floorMod(seed * 23L + x * 5L + y * 19L, 256L).toInt)
+    // lossless truecolor: the decoded raster must be bit-identical to
+    // the authored formula, for several seeds and ragged dims
+    for ((seed, w, h) <- Seq((0L, 1, 1), (7L, 4, 5), (123L, 16, 9))) {
+      val png = Media.MediaCodec.authorPng(seed, w, h)
+      val m = Media.MediaCodec.decode(png)
+      assert((m.width, m.height, m.channels) == ((w.toLong, h.toLong, 3L)))
+      // nearest resize back to the SOURCE dims is the identity raster
+      val rz = Media.MediaCodec.resize(png, w, h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val (r, g, b) = px(seed, x, y)
+        assert(((rz(o) & 0xff, rz(o + 1) & 0xff, rz(o + 2) & 0xff)) == ((r, g, b)),
+          s"seed=$seed ($x,$y)")
+      }
+    }
+    // the gate's own 4×4 mapping: dest (x,y) reads src (x·w div 4, y·h div 4)
+    val (seed, w, h) = (41L, 9, 7)
+    val df = Seq((seed, Media.MediaCodec.authorPng(seed, w, h))).toDF("media_id", "media")
+    val rz = Media.resize(df, col("media_id"), col("media"), 4, 4)
+      .head().getAs[Array[Byte]]("resized")
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      val (r, g, b) = px(seed, x * w / 4, y * h / 4)
+      assert(((rz(o) & 0xff, rz(o + 1) & 0xff, rz(o + 2) & 0xff)) == ((r, g, b)))
+    }
+  }
+
   test("bilinear resize: golden pixels from the Q16 fixed-point blend") {
     import spark.implicits._
     // 2×2 gray PNG [10 30; 50 70]: with half-pixel centers a 4×4
