@@ -118,8 +118,11 @@ object Bench {
     "qdedup_minhash_collapsed",
     // the tokenizer-drift monitor's driver-gated batch twin
     "qtext_fertility_counts",
-    // r17 third wave: the real-decode audio + image gates
-    "qmm_wav_features", "qmm_png_decode")
+    // r17 third wave: the real-decode audio + image gates, and the
+    // collapse reaching the embedding family (the sf1 full-sweep
+    // disposition made code)
+    "qmm_wav_features", "qmm_png_decode", "qdedup_embedding_collapsed",
+    "qdedup_embedding_lsh_collapsed")
 
   /** The noise gate's bound on the MEDIAN per-query pass spread: this
     * box's healthy interleaved sweeps post median spreads well under

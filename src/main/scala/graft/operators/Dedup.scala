@@ -1335,6 +1335,81 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact-duplicate groups keyed by an ARBITRARY expression —
+    * [[exactGroups]]'s collapse generalized past text. C5b keys on the
+    * embedding array ITSELF: value equality, so no serialization
+    * format enters the loop and the oracle's `GROUP BY embedding`
+    * replays it exactly (hashing the vector to a string would put a
+    * float-formatting parity question in the middle of the collapse).
+    * Same NULL contract as [[exactGroups]]: a NULL key never dedups
+    * against another NULL key — null rows take a row-unique guard
+    * column (materialized in a Project; aggregates reject
+    * nondeterministic grouping exprs) and stay singletons, so the
+    * VISIBLE output is deterministic. */
+  private[graft] def exactGroupsByKey(df: DataFrame, id: Column,
+                                      key: Column): DataFrame =
+    df.select(id.as("doc_id"), key.as("__k"))
+      .withColumn("__nullg",
+        when(col("__k").isNotNull, lit(0L))
+          .otherwise(monotonically_increasing_id()))
+      .groupBy(col("__k"), col("__nullg"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** The [[collapsedPairs]] combinator for the EMBEDDING family (C5b):
+    * exact-vector collapse → `pairFn` over representatives → copy
+    * counts joined back. Same persist rationale as the text side: the
+    * group table has three consumers and its subtree is
+    * nondeterministic (the NULL-key guard), so no exchange reuse
+    * exists without the cache boundary; the frame is two longs a row
+    * at distinct-vector cardinality. */
+  private def collapsedVecPairs(df: DataFrame, id: Column, vec: Column)
+      (pairFn: (DataFrame, Column, Column) => DataFrame): DataFrame = {
+    val groups = exactGroupsByKey(df, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = df.select(id.as("vec_id"), vec.as("__rep_vec"))
+      .join(groups.select(col("keep_id").as("vec_id")), "vec_id")
+    pairFn(reps, col("vec_id"), col("__rep_vec"))
+      .join(groups.select(col("keep_id").as("vec_a"),
+        col("n_copies").as("copies_a")), "vec_a")
+      .join(groups.select(col("keep_id").as("vec_b"),
+        col("n_copies").as("copies_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        col("copies_a"), col("copies_b"))
+  }
+
+  /** [[embeddingCosinePairs]] behind the exact-vector collapse — the
+    * C4b/C2b two-stage shape reaching the embedding family, motivated
+    * by the r17 sf1 full sweep: on the 10×-replica proxy the naive
+    * pair listing scaled 13.2× (every vector a 10-dup set → 45
+    * cosine-1 pairs each saying nothing value-equality didn't already
+    * say), the same quadratic-multiplicity output bill the text
+    * collapse closed. Pairs are between `keep_id`s with each side's
+    * copy count carried; a dup-free corpus reproduces
+    * [[embeddingCosinePairs]] with copies 1/1. */
+  def embeddingCosinePairsCollapsed(df: DataFrame, id: Column, vec: Column,
+                                    threshold: Double,
+                                    blocks: Int = 16): DataFrame =
+    collapsedVecPairs(df, id, vec) { (reps, rid, rvec) =>
+      embeddingCosinePairs(reps, rid, rvec, threshold, blocks)
+    }
+
+  /** [[embeddingCosinePairsLsh]] behind the same collapse — beyond the
+    * output bill, for LSH the collapse also protects the INDEX (the
+    * C2b argument verbatim): m exact copies share every signature, so
+    * each bucket they land in carries m× the rows and `maxBucket`'s
+    * recall cap starts evicting real buckets at 1/m the corpus's true
+    * diversity. */
+  def embeddingCosinePairsLshCollapsed(df: DataFrame, id: Column, vec: Column,
+                                       threshold: Double, dim: Int,
+                                       tables: Int = 16, planesPerTable: Int = 4,
+                                       seed: Long = 42L,
+                                       maxBucket: Int = 100000): DataFrame =
+    collapsedVecPairs(df, id, vec) { (reps, rid, rvec) =>
+      embeddingCosinePairsLsh(reps, rid, rvec, threshold, dim, tables,
+        planesPerTable, seed, maxBucket)
+    }
+
   /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     * embedding space with the k-means quantizer, then near-dedup ONLY
     * within each cluster — the published recipe for semantic dedup at

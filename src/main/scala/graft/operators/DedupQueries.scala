@@ -239,7 +239,9 @@ object DedupQueries {
     * qdedup_embedding is BY DESIGN at this gapless 0.4 threshold — both
     * engines miss the same pairs, which is what the oracle checks. */
   private def lshPairOracleSql(dim: Int, tables: Int, planesPerTable: Int,
-                               seed: Long, maxBucket: Int, threshold: Double): String = {
+                               seed: Long, maxBucket: Int, threshold: Double,
+                               srcCtes: String = "", src: String = "embeddings",
+                               copiesFrom: Option[String] = None): String = {
     def chain(p: Seq[Double]): String =
       p.zipWithIndex.map { case (w, i) => s"v[${i + 1}]*($w)" }.mkString(" + ")
     val bcols = (0 until tables).map { t =>
@@ -252,8 +254,22 @@ object DedupQueries {
     val unpivot = (0 until tables)
       .map(t => s"SELECT vec_id, $t AS table_id, b$t AS bucket FROM sig")
       .mkString(" UNION ALL ")
+    val finalSelect = copiesFrom match {
+      case Some(g) =>
+        s"""SELECT s.vec_a, s.vec_b, s.cosine,
+             ga.n_copies AS copies_a, gb.n_copies AS copies_b
+           FROM scored s JOIN $g ga ON ga.keep_id = s.vec_a
+                         JOIN $g gb ON gb.keep_id = s.vec_b
+           WHERE s.cosine >= $threshold
+           ORDER BY s.vec_a, s.vec_b"""
+      case None =>
+        s"""SELECT vec_a, vec_b, cosine
+           FROM scored
+           WHERE cosine >= $threshold
+           ORDER BY vec_a, vec_b"""
+    }
     s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      WITH $srcCtes e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM $src),
       sig AS (SELECT vec_id, $bcols FROM e),
       brows AS ($unpivot),
       capped AS (
@@ -273,10 +289,7 @@ object DedupQueries {
         FROM cand
         JOIN e ea ON ea.vec_id = cand.vec_a
         JOIN e eb ON eb.vec_id = cand.vec_b)
-      SELECT vec_a, vec_b, cosine
-      FROM scored
-      WHERE cosine >= $threshold
-      ORDER BY vec_a, vec_b"""
+      $finalSelect"""
   }
 
   val qEmbeddingLsh = Q(
@@ -289,6 +302,80 @@ object DedupQueries {
     },
     Some(lshPairOracleSql(dim = 64, tables = 16, planesPerTable = 4,
       seed = 42L, maxBucket = 100000, threshold = 0.4)))
+
+  /** The dup-union CTEs both C5b oracles share: every base vector
+    * duplicated once under a shifted id, collapsed by GROUPING ON THE
+    * EMBEDDING ITSELF (value equality — the same rule the Spark
+    * collapse applies, no serialization format in between), keep-min
+    * ids, copy counts, and the representative frame the pair search
+    * runs over. Unlike C4b's corpus (all singletons at the gate), the
+    * collapse here does real work IN the driver gate: every group is
+    * a 2-dup set, so any slip in the collapse, the rep restriction or
+    * the copy carry shifts the hash. */
+  private val DupUnionCtes = """
+      u AS (SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, embedding FROM embeddings),
+      g AS (SELECT embedding AS emb, MIN(vec_id) AS keep_id,
+              CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM u GROUP BY embedding),
+      reps AS (SELECT g.keep_id AS vec_id, u.embedding
+               FROM u JOIN g ON u.vec_id = g.keep_id),"""
+
+  /** C5b: the exact-collapse → near-dup pipeline reaching the
+    * EMBEDDING family — built in direct response to the r17 sf1 full
+    * sweep, where the naive pair listing scaled 13.2× on the
+    * 10×-replica proxy (every vector a 10-dup set → 45 cosine-1.0
+    * pairs each). The registered corpus is the base embeddings
+    * UNIONED with a shifted-id copy of themselves, so the gate runs
+    * the collapse against REAL 2-dup groups: output = exactly the
+    * base qdedup_embedding pairs with copies 2/2, and the oracle
+    * recomputes the whole chain (group-by-embedding collapse, rep
+    * pairing, copy carry) rather than assuming the construction. */
+  val qEmbeddingCollapsed = Q(
+    "qdedup_embedding_collapsed",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val dup = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+      Dedup.embeddingCosinePairsCollapsed(e.unionByName(dup),
+          col("vec_id"), col("embedding"), threshold = 0.4)
+        .transform(Q.orderedDump(_, col("vec_a"), col("vec_b")))
+    },
+    Some(s"""
+      WITH $DupUnionCtes
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM reps),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT p.vec_a, p.vec_b, p.cosine,
+             ga.n_copies AS copies_a, gb.n_copies AS copies_b
+      FROM pairs p
+      JOIN g ga ON ga.keep_id = p.vec_a
+      JOIN g gb ON gb.keep_id = p.vec_b
+      WHERE p.cosine >= 0.4
+      ORDER BY vec_a, vec_b"""))
+
+  /** C5c: the same collapse in front of the LSH candidate path — the
+    * C2b index-protection argument for embeddings (m exact copies
+    * share every signature, so bucket occupancy and the `maxBucket`
+    * recall cap degrade with multiplicity, not corpus diversity). The
+    * oracle is the FULL algorithm-parity LSH chain over the collapsed
+    * representatives plus the recomputed copy carry. */
+  val qEmbeddingLshCollapsed = Q(
+    "qdedup_embedding_lsh_collapsed",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val dup = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+      Dedup.embeddingCosinePairsLshCollapsed(e.unionByName(dup),
+          col("vec_id"), col("embedding"), threshold = 0.4, dim = 64)
+        .transform(Q.orderedDump(_, col("vec_a"), col("vec_b")))
+    },
+    Some(lshPairOracleSql(dim = 64, tables = 16, planesPerTable = 4,
+      seed = 42L, maxBucket = 100000, threshold = 0.4,
+      srcCtes = DupUnionCtes + "\n", src = "reps", copiesFrom = Some("g"))))
 
   /** SemDedup under a FULL algorithm-parity oracle: the k-means cells
     * are [[SimilarityQueries.trainedCellsCtes]]'s proven-identical
@@ -916,7 +1003,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(qExact, qNgram, qNgramCollapsed, qMinhash, qMinhashCollapsed,
     qSimhash, qSourceMatrix,
-    qEmbedding, qEmbeddingLsh,
+    qEmbedding, qEmbeddingLsh, qEmbeddingCollapsed, qEmbeddingLshCollapsed,
     qSemantic, qIncremental, qPassage, qPassageRm, qExactInc, qBloomInc, qLines,
     qLinesWd, qUrl, qWinnow, qContainment, qEditDist, qCdc, qCdcPairs, qCdcRm)
 }

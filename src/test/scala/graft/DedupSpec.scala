@@ -109,6 +109,56 @@ class DedupSpec extends AnyFunSuite {
     assert(collCapped.toSeq == Seq((1L, 2L)), s"got ${collCapped.toSeq}")
   }
 
+  test("collapsed embedding pairs keep the m-dup law with copies = m, " +
+      "for both the blocked-exact and LSH paths (C5b)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+    val v1 = Seq(1f, 0f, 0f, 0f)
+    val v2 = Seq(0.95f, 0.3122499f, 0f, 0f) // unit; cos(v1,v2) = 0.95
+    val v3 = Seq(0f, 0f, 1f, 0f)            // orthogonal to both
+    val base = Seq(1L -> v1, 2L -> v2, 3L -> v3)
+    val m = 3
+    // m verbatim copies per vector, replica ids above the base id so
+    // keep-first collapse lands on base ids
+    val dup = vecs(base.flatMap { case (id, v) =>
+      (0 until m).map(k => (id + 100L * k, v)) }: _*)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    def quints(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).sortBy(p => (p._1, p._2)).toSeq
+    val plain = triples(Dedup.embeddingCosinePairs(vecs(base: _*),
+      col("vec_id"), col("embedding"), threshold = 0.5))
+    assert(plain.nonEmpty) // fixture sanity: the law isn't vacuous
+    val coll = quints(Dedup.embeddingCosinePairsCollapsed(dup,
+      col("vec_id"), col("embedding"), threshold = 0.5))
+    assert(coll.map(t => (t._1, t._2, t._3)) == plain, s"got $coll")
+    assert(coll.forall(t => t._4 == m && t._5 == m))
+    // the quadratic bill the collapse avoids: C(m,2) cos=1 pairs per
+    // dup set plus m·m copies of every real near-dup pair
+    val naive = Dedup.embeddingCosinePairs(dup, col("vec_id"),
+      col("embedding"), threshold = 0.5).count()
+    assert(naive == base.size * m * (m - 1) / 2 + plain.size * m * m,
+      s"naive $naive")
+    // the LSH candidate path keeps the same law (deterministic planes)
+    val plainL = triples(Dedup.embeddingCosinePairsLsh(vecs(base: _*),
+      col("vec_id"), col("embedding"), threshold = 0.5, dim = 4))
+    val collL = quints(Dedup.embeddingCosinePairsLshCollapsed(dup,
+      col("vec_id"), col("embedding"), threshold = 0.5, dim = 4))
+    assert(collL.map(t => (t._1, t._2, t._3)) == plainL, s"got $collL")
+    assert(collL.forall(t => t._4 == m && t._5 == m))
+    // NULL embeddings stay singletons (absence of a vector is not
+    // equality of vectors): two null rows neither merge, pair, nor
+    // perturb the real output
+    val withNulls = dup.unionByName(
+      Seq(998L, 999L).map(i => (i, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    assert(quints(Dedup.embeddingCosinePairsCollapsed(withNulls,
+      col("vec_id"), col("embedding"), threshold = 0.5)) == coll)
+  }
+
   test("incremental minhash emits cross-side pairs only, never within a side") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "the quick brown fox jumps over the lazy dog near the river bend" // ~a
