@@ -67,7 +67,18 @@ object Q {
     * operators themselves return unordered frames, and a 100 TB
     * caller who needs a total order over a corpus-sized result
     * should use `orderBy` there — the range sort IS the scalable
-    * path, and its sampling tax amortizes over large outputs. */
+    * path, and its sampling tax amortizes over large outputs.
+    *
+    * When to use which (same-window A/B over 14 gates, r17): the
+    * dump wins when the lineage ABOVE the last exchange is expensive
+    * to re-execute — heavy verify joins, a broadcast whose
+    * nondeterministic subtree defeats reuse — and the rows are thin
+    * (id/id/score). `orderBy` wins when the final frame sits on a
+    * checkpoint or cached scan (iterative graph ops: the sampling
+    * pass re-reads it nearly for free, while the dump pays a real
+    * extra shuffle) or when rows are wide (text-carrying apply
+    * outputs: a single task then sorts and writes the whole corpus).
+    * Measure before switching a gate either way. */
   def orderedDump(df: DataFrame,
                   cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)

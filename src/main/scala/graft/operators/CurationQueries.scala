@@ -669,7 +669,7 @@ object CurationQueries {
       val t = Tables(s, dir)
       val pairs = Dedup.simhashPairs(t.documents, col("doc_id"), col("text"), maxDist = 3)
       Curation.clusters(pairs, col("doc_a"), col("doc_b"))
-        .orderBy(col("doc_id"))
+        .transform(Q.orderedDump(_, col("doc_id")))
     },
     Some(ClustersOracle))
 

@@ -215,7 +215,7 @@ object DedupQueries {
     (s, dir) => {
       val t = Tables(s, dir)
       Dedup.embeddingCosinePairs(t.embeddings, col("vec_id"), col("embedding"), threshold = 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))
+        .transform(Q.orderedDump(_, col("vec_a"), col("vec_b")))
     },
     Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -843,7 +843,7 @@ object DedupQueries {
       Dedup.editDistancePairs(
           Tables(s, dir).documents.select(col("doc_id"), title.as("t")),
           col("doc_id"), col("t"), maxDist = 1)
-        .orderBy(col("id_a"), col("id_b"))
+        .transform(Q.orderedDump(_, col("id_a"), col("id_b")))
     },
     Some("""
       WITH t AS (

@@ -806,7 +806,7 @@ object Graph {
       val seeds = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
       personalizedPageRank(edges, col("src"), col("dst"),
           seeds, col("doc_id"), iters = 5)
-        .orderBy(col("node_id"))
+        .transform(Q.orderedDump(_, col("node_id")))
     },
     Some(pprOracleSql(5, 850000L)))
 
