@@ -224,6 +224,25 @@ object Dedup {
       .otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** Pin a CPU-dense thin-row stage to full cluster parallelism
+    * (optimization guide §2.5 — byte-blind coalescing is a skew of CPU,
+    * not bytes). AQE's partition coalescing sees only shuffle BYTES
+    * (`parallelismFirst` floors at minPartitionSize = 1 MB); the
+    * near-dup candidate frames are a few dozen bytes a row while each
+    * row's VERIFY (sorted-hash merge-intersect, d-dim dot) costs
+    * thousands of cycles. Measured at sf0.1: qdedup_ngram_collapsed's
+    * candidate+verify chain was coalesced to TWO post-shuffle
+    * partitions holding 21 s of CPU — 11.6 s wall on 32 idle cores;
+    * with this pin the same chain runs 32-wide at 2.2 s wall. An
+    * explicit partition count disables AQE coalescing for exactly this
+    * one exchange; `defaultParallelism` (total scheduler cores) scales
+    * with the cluster rather than baking in a local constant. The
+    * keyed form keeps the exchange hash-partitioned, so a same-key
+    * aggregate directly downstream (the candidate `distinct`) reuses
+    * it without another shuffle. */
+  private def cpuWide(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   // --- C4: n-gram Jaccard via inverted-index candidates -----------------
 
   /** Near-duplicate pairs by n-word-shingle Jaccard ≥ threshold, found
@@ -281,8 +300,13 @@ object Dedup {
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("shingle"))))
-    val prefix = ranked.filter(
-      col("pos") <= col("sh_n") - ceil(col("sh_n") * threshold) + 1)
+    // cpuWide: the self-join + candidate-dedup stage runs on this
+    // exchange's partitioning; its rows are thin but its work (the
+    // prefix join and the partial distinct) is CPU-dense, so AQE's
+    // byte-based coalescing must not shrink it
+    val prefix = cpuWide(ranked.filter(
+      col("pos") <= col("sh_n") - ceil(col("sh_n") * threshold) + 1),
+      col("shingle"))
     // length filter (lossless): j(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t.
     // positional filter (lossless, PPJoin): a shared shingle at ranks
     // (i, j) bounds the overlap by 1 + min(|a|−i, |b|−j), which must
@@ -295,6 +319,11 @@ object Dedup {
           col("b.sh_n") * threshold <= col("a.sh_n") &&
           lit(1) + least(col("a.sh_n") - col("a.pos"), col("b.sh_n") - col("b.pos")) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // cpuWide BEFORE the distinct: the distinct's aggregate reuses the
+      // pinned hash exchange (same keys), and the VERIFY joins below —
+      // all broadcast — inherit its parallelism instead of an AQE-
+      // coalesced 1-2 partitions for ~30 s of merge-intersect CPU
+      .transform(cpuWide(_, col("doc_a"), col("doc_b")))
       .distinct()
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -724,7 +753,11 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, left: DataFrame, right: DataFrame,
                             aName: String, bName: String,
                             threshold: Double): DataFrame =
-    cand
+    // cpuWide: the exact-Jaccard verify (sorted-hash merge-intersect
+    // per candidate row) is the CPU center of every LSH path, and the
+    // candidate frame it runs on is bytes-tiny — precisely the shape
+    // AQE's byte-based coalescing starves (see cpuWide)
+    cpuWide(cand, col(aName))
       .join(left.select(col("doc_id").as(aName), col("sh").as("sh_a")), aName)
       .join(right.select(col("doc_id").as(bName), col("sh").as("sh_b")), bName)
       .withColumn("jaccard", round(jaccardHashed(col("sh_a"), col("sh_b")), 4))
@@ -1327,7 +1360,10 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cand
+    // cpuWide: the exact-cosine verify (d-dim dot per candidate) on a
+    // bytes-tiny candidate frame — same AQE-starvation shape as the
+    // text verifies (see cpuWide)
+    cpuWide(cand, col("vec_a"))
       .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
