@@ -274,11 +274,22 @@ object TextFunctions {
     *
     * Scale shape: the feature frame is built ONCE (one tokenize+hash
     * pass, persisted); each step is one broadcast of the ≤nBuckets+1-
-    * row weight frame onto it, one per-doc and one per-bucket
+    * row weight table onto it, one per-doc and one per-bucket
     * partial-agg shuffle (ids and longs only — text never moves after
-    * featurization), and a ≤nBuckets+1-row update join. C, E and the
-    * doc count ride as broadcast 1-row frames — no driver-side action
-    * in the lazy plan; everything map-side-combines.
+    * featurization). The MODEL STATE (w, m, C, E, n) lives on the
+    * driver — the d×d-PCA / BPE-merge-table convention for bounded
+    * model-sized frames: per step exactly TWO model-sized collects
+    * (the ≤nBuckets+1-row gradient and the 1-row error total) and the
+    * fixed-point update arithmetic runs in plain Scala with
+    * bit-identical semantics (Long wrap ≡ Spark non-ANSI long sum,
+    * BigDecimal exactness ≡ decimal(38,0), BigDecimal.doubleValue ≡
+    * the decimal→double cast, Double.toLong ≡ the double→long cast).
+    * The r17 optimization pass measured the previous all-DataFrame
+    * weight pipeline (per-step broadcast-join tree + eager
+    * localCheckpoint to keep the planner from re-walking the unrolled
+    * history) at ~26 scheduler jobs per GD step — 129 jobs, 7.3 s at
+    * sf0.1, nearly all fixed per-job overhead on a 257-row frame; the
+    * driver-held model runs the same trajectory in ~4 jobs per step.
     *
     * Returns the model frame `(bucket, w, m)` (weights AND centering
     * means, both 1e6 fixed-point) — [[hashedLogisticScoreJoined]]'s
@@ -289,64 +300,80 @@ object TextFunctions {
                           lr: Double): org.apache.spark.sql.DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     require(lr > 0, s"lr must be positive, got $lr")
+    val spark = df.sparkSession
+    import spark.implicits._
     val feats = hashedShareFeatures(df, id, text, nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: read once per GD step (the margin join); two longs a
+    // row. Dropped with every other signature cache by clearCache.
     val labels = df.select(id.as("doc_id"), label.cast("long").as("y"))
-    val nDocs = df.select(count(lit(1)).as("n_docs"))
-    val mu = feats.groupBy(col("bucket"))
-      .agg(sum(col("x")).as("sx"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("bucket"), expr("sx div n_docs").as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var w = mu.select(col("bucket"), lit(0L).as("w"))
+    // ONE model-sized collect seeds everything: the −2 length
+    // pseudo-bucket appears EXACTLY once per document (including
+    // NULL/empty-text docs — the hashedShareFeatures contract), so its
+    // row count IS n_docs and no separate count job runs. m = sx div n
+    // — Java long division ≡ Spark's IntegralDivide on longs
+    // (truncation toward zero; x ≥ 0 here anyway).
+    val sxRows: Array[(Long, Long, Long)] = feats.groupBy(col("bucket"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs: Long = sxRows.collectFirst { case (-2L, _, c) => c }.getOrElse(0L)
+    val muRows: Array[(Long, Long)] = sxRows
+      .map { case (b, sx, _) => b -> (if (nDocs == 0) 0L else sx / nDocs) }
+    val w = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val zero = java.math.BigDecimal.ZERO
     for (_ <- 0 until steps) {
-      val cFrame = w.join(mu, "bucket")
-        .agg(coalesce(sum(col("w") * col("m")), lit(0L)).as("c0"))
-      val errs = feats.join(broadcast(w), "bucket")
+      // C = Σ w_b·m_b: Long multiply+sum with wrap semantics — exactly
+      // Spark's non-ANSI long arithmetic, and order-independent
+      val c0: Long = muRows.map { case (b, mb) => w(b) * mb }.sum
+      val wDf = muRows.map { case (b, _) => (b, w(b)) }.toSeq
+        .toDF("bucket", "w") // LocalRelation: broadcasts without a job
+      val errs = feats.join(broadcast(wDf), "bucket")
         .groupBy(col("doc_id"))
         .agg(sum(col("x") * col("w")).as("sraw"))
         .join(labels, "doc_id")
-        .crossJoin(broadcast(cFrame))
         .select(col("doc_id"), {
-          val z = (col("sraw") - col("c0")).cast("double") / lit(1e12)
+          val z = (col("sraw") - lit(c0)).cast("double") / lit(1e12)
           val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
           ((p - col("y").cast("double")) * lit(1e6)).cast("long").as("e_micro")
         })
-        // consumed TWICE below (the e_tot scalar and the per-bucket
-        // gradient) — without the cache boundary each consumer re-runs
-        // the feats⋈w margin pass and the labels join; the frame is
-        // (doc_id, e_micro), 16 bytes a row
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // decimal(38,0) accumulation: each |e_micro·x| term is ≤ 1e12,
       // so a LONG sum wraps silently past ~9e6 feature rows per
       // bucket while the DuckDB oracle promotes to HUGEINT. A
       // decimal sum is exact to 38 digits (the HUGEINT behavior),
       // and the exact integer → double conversion rounds to nearest
       // in both engines, so parity holds at any corpus size.
-      val eTot = errs.agg(coalesce(
-        sum(col("e_micro").cast("decimal(38,0)")),
-        lit(0L).cast("decimal(38,0)")).as("e_tot"))
-      val grad = feats.join(errs, "doc_id")
-        .groupBy(col("bucket"))
-        .agg(sum((col("e_micro") * col("x")).cast("decimal(38,0)")).as("graw"))
-      w = w.join(grad, Seq("bucket"), "left")
-        .join(mu, "bucket")
-        .crossJoin(broadcast(eTot))
-        .crossJoin(broadcast(nDocs))
-        .select(col("bucket"),
-          (col("w") - ((coalesce(col("graw"), lit(0L).cast("decimal(38,0)"))
-            - col("m").cast("decimal(38,0)") * col("e_tot"))
-            .cast("double") / lit(1e12) / col("n_docs").cast("double")
-            * lit(lr) * lit(1e6)).cast("long")).as("w"))
-      // eager tiny checkpoint (≤ nBuckets+1 rows): without it the
-      // weight lineage nests one broadcast-join tree per step and the
-      // planner re-walks the whole unrolled history at every step —
-      // the qgraph_hits/coreness lesson applied at train time
-      w = graft.operators.Curation.truncateLineage(w, None)
-      // eager truncate above already ran both errs consumers
-      errs.unpersist(false)
+      // ONE model-sized collect per step: E = Σ_d e_d rides the SAME
+      // aggregate as the per-bucket e·x sums — the −2 pseudo-bucket
+      // holds exactly one feats row per document, so its per-bucket
+      // Σe IS the total (decimal sums are exact, hence
+      // order-independent), and errs is consumed once so it needs no
+      // cache boundary.
+      val gradRows: Array[(Long, java.math.BigDecimal, java.math.BigDecimal)] =
+        feats.join(errs, "doc_id")
+          .groupBy(col("bucket"))
+          .agg(sum((col("e_micro") * col("x")).cast("decimal(38,0)")).as("graw"),
+            sum(col("e_micro").cast("decimal(38,0)")).as("esum"))
+          .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
+      val grad: Map[Long, java.math.BigDecimal] =
+        gradRows.map(t => t._1 -> t._2).toMap
+      val eTot: java.math.BigDecimal =
+        gradRows.collectFirst { case (-2L, _, e) => e }.getOrElse(zero)
+      // w_b −= trunc(lr·(g_b − m_b·E)/1e12/n·1e6): BigDecimal
+      // subtract/multiply are exact (≡ decimal(38,0) below overflow),
+      // doubleValue is the decimal→double cast, the double chain is
+      // the same left-associated IEEE tree, toLong is the double→long
+      // truncation — one pinned tree, bit-identical to the DataFrame
+      // form this replaced (oracle-checked at sf0.001/0.01/0.1)
+      muRows.foreach { case (b, mb) =>
+        val diff = grad.getOrElse(b, zero)
+          .subtract(java.math.BigDecimal.valueOf(mb).multiply(eTot))
+        val step = diff.doubleValue / 1e12 / nDocs.toDouble * lr * 1e6
+        w(b) = w(b) - step.toLong
+      }
     }
-    w.join(mu, "bucket").select(col("bucket"), col("w"), col("m"))
+    muRows.map { case (b, mb) => (b, w(b), mb) }.toSeq.toDF("bucket", "w", "m")
   }
 
   /** Score documents with a [[trainHashedLogistic]] model frame:
