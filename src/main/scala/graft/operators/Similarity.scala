@@ -220,20 +220,94 @@ object Similarity {
                     nlist: Int, iters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
-    var cells = corpus.select(id.as("vec_id"),
-      pmod(call_function("fnv1a64", concat(lit("ivf:"), id.cast("string"))),
-        lit(nlist.toLong)).as("cell"))
-    for (_ <- 0 until iters) {
-      val cents = centroidFrame(v.join(cells, "vec_id"), col("cell"), col("v"))
-      cells = v.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("grp"),
-          VectorFunctions.cosine(col("v"), col("cv")).as("s"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
-        .select(col("vec_id"), (-col("m.ng")).as("cell"))
-    }
-    cells
+    v.select(col("vec_id"),
+      trainCellExpr(v, col("v"), col("vec_id"), nlist, iters).as("cell"))
   }
+
+  /** The k-means train loop as an EXPRESSION over the corpus scan
+    * (r17 optimization, guide §2.4/§8): each Lloyd step collects the
+    * fixed-point centroid table to the driver (bounded by nlist — the
+    * same rows the old form broadcast) and re-enters it as a literal,
+    * so the re-assignment argmax is [[cellExprOf]]'s codegen fold
+    * instead of a corpus×nlist crossJoin + max-of-struct aggregation.
+    * That removes one corpus-sized Exchange per Lloyd step AND the
+    * downstream `corpus JOIN cells` re-attach every consumer used to
+    * pay (guide §8: decide with small state, never join the decision
+    * back onto the big table). Assignment values are bit-identical:
+    * the centroids are the same collected doubles and the fold
+    * replicates max(struct(s, -grp)) ordering exactly. */
+  private def trainCellExpr(v: DataFrame, vc: Column, idc: Column,
+                            nlist: Int, iters: Int): Column = {
+    var cell: Column = pmod(
+      call_function("fnv1a64", concat(lit("ivf:"), idc.cast("string"))),
+      lit(nlist.toLong))
+    for (_ <- 0 until iters)
+      cell = cellExprOf(vc, collectCents(centroidFrame(v, cell, vc)))
+    cell
+  }
+
+  /** Collect a bounded `(grp, cv)` centroid frame to the driver, grp
+    * ascending — nlist rows by construction (the documented broadcast
+    * contract: at 10⁹ vectors, √n centroids ≈ 16 MB). */
+  private def collectCents(cvecs: DataFrame): Seq[(Long, Seq[Double])] =
+    cvecs.select(col("grp").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** Driver-side centroids re-entered as a LocalRelation `(grp, cv)`
+    * frame — broadcasting it costs no Spark job (LocalTableScan
+    * collects on the driver), and the plan below it is a leaf instead
+    * of the whole train lineage. */
+  private def centsFrame(spark: org.apache.spark.sql.SparkSession,
+                         cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("grp", LongType),
+      StructField("cv", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (g, cv) =>
+        org.apache.spark.sql.Row(g, cv) }: _*), schema)
+  }
+
+  /** Nearest-centroid argmax against DRIVER-SIDE centroids as one
+    * codegen fold over a literal array — replicates
+    * `max(struct(s, -grp))` over a corpus×nlist crossJoin EXACTLY,
+    * including the edge semantics of Spark's struct ordering:
+    * grp-ascending iteration keeps the smallest grp on score ties;
+    * Spark's NaN-aware `>` keeps NaN as the largest score; a NULL
+    * score (NULL vector) loses to any non-NULL score, and an all-NULL
+    * row lands in the smallest grp (the first element, taken
+    * unconditionally). One Literal node regardless of nlist — no
+    * expression-tree growth, no exchange, no broadcast. */
+  private def cellExprOf(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    argmaxFold(v, typedLit(cents))
+
+  /** The fold body shared by the IVF cell argmax and the PQ codeword
+    * argmax: `entries` is an id-ascending `array<struct<_1, _2>>`
+    * column of (id, centroid) pairs; the result is the id whose
+    * centroid maximizes cosine(v, ·) under exactly
+    * `max(struct(s, -id))` semantics (see [[cellExprOf]]). */
+  private def argmaxFold(v: Column, entries: Column): Column =
+    aggregate(entries,
+      struct(lit(true).as("e"), lit(null).cast("double").as("s"),
+        lit(-1L).as("g")),
+      (acc, c) => {
+        val s = VectorFunctions.cosine(v, c.getField("_2"))
+        val take = acc.getField("e") ||
+          (acc.getField("s").isNull && s.isNotNull) ||
+          (s > acc.getField("s"))
+        when(take,
+            struct(lit(false).as("e"), s.as("s"),
+              c.getField("_1").cast("long").as("g")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("g"))
+
+  /** The assigned cell's centroid vector, via a literal grp→cv map —
+    * the residual computation's "re-attach" without a join. */
+  private def centLookup(cell: Column,
+                         cents: Seq[(Long, Seq[Double])]): Column =
+    element_at(typedLit(cents.toMap), cell)
 
   /** √n default for the IVF cell count — the standard IVF sizing rule:
     * with nlist ≈ √n, a search touches nprobe·n/nlist ≈ nprobe·√n
@@ -300,10 +374,10 @@ object Similarity {
     * pays it again. */
   private def ivfAssign(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                         cellSeed: Column): (DataFrame, DataFrame) = {
-    val cvecs = centroidFrame(corpus, cellSeed, corpusVec)
+    val cents = collectCents(centroidFrame(corpus, cellSeed, corpusVec))
     val c = corpus.select(corpusId.as("neighbor_id"),
       corpusVec.cast("array<double>").as("v"))
-    (cvecs, assignCells(c, cvecs))
+    (centsFrame(corpus.sparkSession, cents), assignCellsLit(c, cents))
   }
 
   /** Nearest-centroid assignment of a `(neighbor_id, v)` frame against
@@ -314,22 +388,46 @@ object Similarity {
     * so an appended vector lands in exactly the cell the build would
     * have assigned. */
   private def assignCells(c: DataFrame, cvecs: DataFrame): DataFrame =
-    cellScores(c, "neighbor_id", cvecs)
-      .groupBy(col("neighbor_id"))
-      .agg(max(struct(col("s"), (-col("grp")).as("ng"))).as("m"))
-      .select(col("neighbor_id"), (-col("m.ng")).as("cell"))
+    assignCellsLit(c, collectCents(cvecs))
+
+  /** [[assignCells]] against driver-side centroids: one [[cellExprOf]]
+    * codegen fold per row — no crossJoin, no argmax aggregation, no
+    * exchange. The assignment is a pure map over the input scan. */
+  private def assignCellsLit(c: DataFrame,
+                             cents: Seq[(Long, Seq[Double])]): DataFrame =
+    c.select(col("neighbor_id"), cellExprOf(col("v"), cents).as("cell"))
 
   /** Per-query top-`nprobe` cells against the broadcast centroids. */
   private def ivfProbes(queries: DataFrame, queryId: Column, queryVec: Column,
-                        cvecs: DataFrame, nprobe: Int): DataFrame = {
+                        cvecs: DataFrame, nprobe: Int): DataFrame =
+    ivfProbesLit(queries, queryId, queryVec, collectCents(cvecs), nprobe)
+
+  /** [[ivfProbes]] against driver-side centroids: per query, score the
+    * literal centroid array in one `transform`, order it with an
+    * explicit comparator replicating the old window's
+    * `ORDER BY s DESC, grp ASC` (Spark's NaN-aware `>` keeps NaN
+    * first, the explicit NULL arms keep NULL scores last, grp breaks
+    * ties), slice the top nprobe and explode — no crossJoin, no
+    * window exchange. */
+  private def ivfProbesLit(queries: DataFrame, queryId: Column,
+                           queryVec: Column, cents: Seq[(Long, Seq[Double])],
+                           nprobe: Int): DataFrame = {
     val q = queries.select(queryId.as("query_id"),
       queryVec.cast("array<double>").as("v"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("s").desc, col("grp"))
-    cellScores(q, "query_id", cvecs)
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("grp").as("cell"))
+    val scored = transform(typedLit(cents), c =>
+      struct(VectorFunctions.cosine(col("v"), c.getField("_2")).as("s"),
+        c.getField("_1").as("g")))
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("s") > r.getField("s"), lit(-1))
+        .when(r.getField("s") > l.getField("s"), lit(1))
+        .when(l.getField("s").isNull && r.getField("s").isNotNull, lit(1))
+        .when(l.getField("s").isNotNull && r.getField("s").isNull, lit(-1))
+        .when(l.getField("g") < r.getField("g"), lit(-1))
+        .when(l.getField("g") > r.getField("g"), lit(1))
+        .otherwise(lit(0))
+    q.select(col("query_id"),
+        explode(slice(array_sort(scored, cmp), 1, nprobe)).as("sc"))
+      .select(col("query_id"), col("sc.g").as("cell"))
   }
 
   /** Candidate pairs from a (cells, probes) pair — ids only, self
@@ -366,15 +464,17 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, id: Column, vec: Column,
                nlist: Int, iters: Int = 1): (DataFrame, DataFrame) = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val seed = ivfTrainCells(corpus, id, vec, nlist, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val indexed = corpus.select(id.as("__ivf_id"), vec.as("__ivf_v"))
-      .join(seed.withColumnsRenamed(
-        Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
-    val (cvecs, corpusCells) = ivfAssign(indexed,
-      col("__ivf_id"), col("__ivf_v"), col("__ivf_cell"))
-    (cvecs.select(col("grp").as("cell"), col("cv")),
-      corpusCells.select(col("neighbor_id").as("vec_id"), col("cell")))
+    // r17: the seed train, the final centroid aggregation and the
+    // re-assignment all ride driver-side centroid literals — the old
+    // seed persist + corpus-by-id re-attach join are gone (guide §8);
+    // the corpus pays exactly the train-time aggregations and one
+    // assignment map.
+    val v = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val seedCell = trainCellExpr(v, col("v"), col("vec_id"), nlist, iters)
+    val cents = collectCents(centroidFrame(v, seedCell, col("v")))
+    (centsFrame(corpus.sparkSession, cents)
+        .select(col("grp").as("cell"), col("cv")),
+      v.select(col("vec_id"), cellExprOf(col("v"), cents).as("cell")))
   }
 
   /** Nearest-centroid assignment of NEW vectors under a FROZEN
@@ -859,17 +959,105 @@ object Similarity {
         s => s.getField("centroid")).as("cv"))
       .select(col("grp.sub").as("sub"), col("grp.code").as("code"), col("cv"))
 
-  /** Per-(vector, subspace) nearest-codeword assignment: argmax cosine
-    * over the broadcast codebook (bounded by m·ksub rows), code-asc
-    * tie-break — the same combiner-friendly max-of-struct as the IVF
-    * assignment, never a window over the corpus. */
-  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
-    subs.join(broadcast(books), "sub")
-      .select(col("vec_id"), col("sub"), col("code"),
-        VectorFunctions.cosine(col("sv"), col("cv")).as("s"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max(struct(col("s"), (-col("code")).as("nc"))).as("m"))
-      .select(col("vec_id"), col("sub"), (-col("m.nc")).as("code"))
+  /** Collect a bounded `(sub, code, cv)` codebook to the driver,
+    * (sub, code) ascending — m·ksub rows by construction (the same
+    * rows the old form broadcast per assignment pass). */
+  private def collectBooks(books: DataFrame): Seq[(Int, Long, Seq[Double])] =
+    books.select(col("sub").cast("int"), col("code").cast("long"),
+        col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** Driver-side codebook re-entered as a LocalRelation
+    * `(sub, code, cv)` frame (the [[centsFrame]] story for PQ). */
+  private def booksFrame(spark: org.apache.spark.sql.SparkSession,
+                         bks: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("sub", IntegerType),
+      StructField("code", LongType), StructField("cv", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(bks.map { case (s, c, cv) =>
+        org.apache.spark.sql.Row(s, c, cv) }: _*), schema)
+  }
+
+  /** Per-sub codeword entries, dense over sub 0..m-1 (code ascending
+    * within each sub) — the literal the per-row codeword argmax folds
+    * over via `element_at(..., sub + 1)`. */
+  private def booksBySub(bks: Seq[(Int, Long, Seq[Double])],
+                         m: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val g = bks.groupBy(_._1)
+    (0 until m).map(s =>
+      g.getOrElse(s, Seq.empty).map(t => (t._2, t._3)).sortBy(_._1))
+  }
+
+  /** Dense slot → codeword table (empty vector for dropped codewords —
+    * [[graft.functions.VecDot]]'s min-length loop makes their dot 0.0,
+    * exactly the old dense-transform's `coalesce(…, 0.0)` slot). */
+  private def slotCvs(bks: Seq[(Int, Long, Seq[Double])], m: Int,
+                      ksub: Int): Seq[Seq[Double]] = {
+    val a = Array.fill[Seq[Double]](m * ksub)(Seq.empty)
+    bks.foreach { case (s, c, cv) => a(s * ksub + c.toInt) = cv }
+    a.toSeq
+  }
+
+  /** Driver-side replica of [[graft.functions.VecDot.compute]] — the
+    * identical IEEE left-to-right accumulation over the min length, so
+    * model-artifact tables computed on the driver (cell correction
+    * tables, codeword norms) are bit-equal to the old in-engine
+    * aggregations. */
+  private def dotS(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Per-(vector, subspace) nearest-codeword assignment against the
+    * DRIVER-SIDE codebook: one [[argmaxFold]] per exploded subvector
+    * row — code-asc iteration keeps the `max(struct(s, -code))`
+    * tie-break; no broadcast join, no argmax aggregation, no
+    * exchange. */
+  private def booksMap(bks: Seq[(Int, Long, Seq[Double])])
+      : Map[Int, Seq[(Long, Seq[Double])]] =
+    bks.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(t => (t._2, t._3)).sortBy(_._1) }
+
+  /** The per-subvector-row codeword argmax as a column over a
+    * `(vec_id, sub, sv)` frame — [[argmaxFold]] against the
+    * driver-side codebook's per-sub entries. */
+  private def pqCodeCol(bks: Seq[(Int, Long, Seq[Double])]): Column =
+    argmaxFold(col("sv"), element_at(typedLit(booksMap(bks)), col("sub")))
+
+  /** The whole per-vector code array as ONE map expression — the
+    * [[pqSubvectors]] slicing, the per-sub codeword argmax and the
+    * [[pqCodesOf]] re-pack fused into a single codegen pass over the
+    * corpus scan (r17: the explode → argmax-aggregate → collect_list
+    * chain cost two corpus-sized exchanges per encode). */
+  private def pqCodesArr(v: Column, m: Int,
+                         bks: Seq[(Int, Long, Seq[Double])]): Column = {
+    val bl = typedLit(booksBySub(bks, m))
+    graft.functions.Cols.let(v) { vv =>
+      graft.functions.Cols.let((size(vv) / lit(m)).cast("int")) { dsub =>
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          argmaxFold(slice(vv, j * dsub + 1, dsub), element_at(bl, j + 1)))
+      }
+    }
+  }
+
+  /** [[pqEncode]] against a driver-side codebook: a pure map over the
+    * corpus — same row-drop contract as the exploded form (NULL
+    * vectors vanish via the posexplode there, the filter here) and
+    * the same per-row dim % m assert. */
+  private def pqEncodeLit(corpus: DataFrame, id: Column, vec: Column, m: Int,
+                          bks: Seq[(Int, Long, Seq[Double])]): DataFrame =
+    corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .filter(coalesce(assert_true(pmod(size(col("v")), lit(m)) === 0,
+        concat(lit("pq: vector dim "), size(col("v")).cast("string"),
+          lit(s" is not divisible by m=$m"))), lit(true)))
+      .select(col("vec_id"), pqCodesArr(col("v"), m, bks).as("codes"))
 
   /** Product-quantization codebook training (SURVEY.md §2.C38): m
     * independent per-subspace quantizers of ksub codewords each,
@@ -885,28 +1073,36 @@ object Similarity {
   def pqTrainCodebooks(corpus: DataFrame, id: Column, vec: Column,
                        m: Int, ksub: Int, iters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    pqTrainOn(
-      pqSubvectors(corpus, id, vec, m)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      ksub, iters)
+    val subs0 = pqSubvectors(corpus, id, vec, m)
+    // r17: one Lloyd step consumes the subvector frame exactly once
+    // (the codebook aggregation — assignment is a literal fold now),
+    // so the cache boundary only pays for itself past one iteration
+    val subs = if (iters > 1)
+      subs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else subs0
+    booksFrame(corpus.sparkSession, pqTrainLit(subs, ksub, iters))
   }
 
-  /** Train over an (already persisted) subvector frame — shared by the
-    * standalone train API and [[pqTopK]], whose encode step reuses the
-    * SAME frame instead of re-slicing the corpus. */
-  private def pqTrainOn(subs: DataFrame, ksub: Int, iters: Int): DataFrame = {
+  /** The PQ train loop against driver-side codebooks (r17, the
+    * [[trainCellExpr]] story per subspace): each iteration aggregates
+    * the codebook from the subvector frame under the previous
+    * assignment EXPRESSION, collects it (m·ksub bounded rows — the
+    * same rows the old form broadcast), and re-enters it as the next
+    * assignment's literal. No join, no broadcast, no argmax exchange
+    * per step. */
+  private def pqTrainLit(subs: DataFrame, ksub: Int,
+                         iters: Int): Seq[(Int, Long, Seq[Double])] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    var codes = subs.select(col("vec_id"), col("sub"),
-      pmod(call_function("fnv1a64",
-          concat(lit("pq:"), col("sub").cast("string"),
-            lit(":"), col("vec_id").cast("string"))),
-        lit(ksub.toLong)).as("code"))
-    var books: DataFrame = null
+    var codeCol: Column = pmod(call_function("fnv1a64",
+        concat(lit("pq:"), col("sub").cast("string"),
+          lit(":"), col("vec_id").cast("string"))),
+      lit(ksub.toLong))
+    var bks: Seq[(Int, Long, Seq[Double])] = Seq.empty
     for (_ <- 0 until iters) {
-      books = pqCodebookOf(subs.join(codes, Seq("vec_id", "sub")))
-      codes = pqAssign(subs, books)
+      bks = collectBooks(pqCodebookOf(subs.withColumn("code", codeCol)))
+      codeCol = pqCodeCol(bks)
     }
-    books
+    bks
   }
 
   /** Collapse a per-(vector, subspace) assignment to the per-vector
@@ -927,7 +1123,7 @@ object Similarity {
   def pqEncode(corpus: DataFrame, id: Column, vec: Column, m: Int,
                books: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    pqCodesOf(pqAssign(pqSubvectors(corpus, id, vec, m), books))
+    pqEncodeLit(corpus, id, vec, m, collectBooks(books))
   }
 
   /** PQ-ADC top-k search: train → encode → asymmetric-distance
@@ -953,27 +1149,38 @@ object Similarity {
     * lutd[sub·ksub + code] = dot(query subvector, codeword). Empty
     * codewords hold 0.0: they are never assigned, so the slot is never
     * read; density keeps the positional indexing valid. */
-  private def pqLuts(queries: DataFrame, queryId: Column, queryVec: Column,
-                     m: Int, ksub: Int, books: DataFrame): DataFrame =
-    pqSubvectors(queries, queryId, queryVec, m)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(books), "sub")
-      .select(col("query_id"), (col("sub") * ksub + col("code")).as("slot"),
-        VectorFunctions.dot(col("sv"), col("cv")).as("d"))
-      .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("d")))).as("mp"))
+  private def pqLutsLit(queries: DataFrame, queryId: Column, queryVec: Column,
+                        m: Int, ksub: Int,
+                        bks: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    // dense slot→codeword literal: lutd[sub·ksub + code] =
+    // dot(query subvector, codeword), 0.0 for dropped codewords
+    // (empty literal vector ⇒ min-length dot = 0.0, the old dense
+    // transform's coalesce slot) — one map over the query frame, no
+    // subvector explode, no codebook join, no per-query aggregation.
+    // NULL query vectors drop (the posexplode contract of the old
+    // form); the per-row dim % m assert is unchanged.
+    val sl = typedLit(slotCvs(bks, m, ksub))
+    queries
+      .select(queryId.as("query_id"), queryVec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .filter(coalesce(assert_true(pmod(size(col("v")), lit(m)) === 0,
+        concat(lit("pq: vector dim "), size(col("v")).cast("string"),
+          lit(s" is not divisible by m=$m"))), lit(true)))
       .select(col("query_id"),
-        transform(sequence(lit(0), lit(m * ksub - 1)),
-          s => coalesce(element_at(col("mp"), s), lit(0.0))).as("lutd"))
+        graft.functions.Cols.let(col("v")) { vv =>
+          graft.functions.Cols.let((size(vv) / lit(m)).cast("int")) { dsub =>
+            transform(sl, (cvs, i) => VectorFunctions.dot(
+              slice(vv, (i / ksub) * dsub + 1, dsub), cvs))
+          }
+        }.as("lutd"))
+  }
 
-  /** 1-row dense codeword squared-norm table, same slot layout. */
-  private def pqN2Row(books: DataFrame, m: Int, ksub: Int): DataFrame =
-    books
-      .select((col("sub") * ksub + col("code")).as("slot"),
-        VectorFunctions.dot(col("cv"), col("cv")).as("n2"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("n2")))).as("mp"))
-      .select(transform(sequence(lit(0), lit(m * ksub - 1)),
-        s => coalesce(element_at(col("mp"), s), lit(0.0))).as("n2arr"))
+  /** Dense codeword squared-norm literal, same slot layout — computed
+    * on the driver with [[dotS]] (bit-equal to the old in-engine
+    * aggregation over the codebook). */
+  private def pqN2Lit(bks: Seq[(Int, Long, Seq[Double])], m: Int,
+                      ksub: Int): Column =
+    typedLit(slotCvs(bks, m, ksub).map(cv => dotS(cv, cv)))
 
   /** LEFT-ASSOCIATED m-term fold of `arr[j·ksub + codes[j]]` over the
     * row's `codes` column (the oracles reproduce the association, so
@@ -1005,27 +1212,41 @@ object Similarity {
     * the train-time cache sat pinned and unread. Shared by [[pqTopK]]
     * and [[ivfPqTopK]] so a train/encode change can't diverge them.
     * Returns (codebook, codes). */
+  private def pqTrainEncodeLit(corpus: DataFrame, id: Column, vec: Column,
+                               m: Int, ksub: Int, iters: Int)
+      : (Seq[(Int, Long, Seq[Double])], DataFrame) = {
+    val subs0 = pqSubvectors(corpus, id, vec, m)
+    // the exploded frame feeds only the per-iteration codebook
+    // aggregation now (encode is a literal-fold map over the corpus),
+    // so the cache boundary pays for itself only past one iteration
+    val subs = if (iters > 1)
+      subs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else subs0
+    val bks = pqTrainLit(subs, ksub, iters)
+    (bks, pqEncodeLit(corpus, id, vec, m, bks))
+  }
+
   private def pqTrainEncode(corpus: DataFrame, id: Column, vec: Column,
                             m: Int, ksub: Int, iters: Int): (DataFrame, DataFrame) = {
-    val subs = pqSubvectors(corpus, id, vec, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = pqTrainOn(subs, ksub, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (books, pqCodesOf(pqAssign(subs, books)))
+    val (bks, codes) = pqTrainEncodeLit(corpus, id, vec, m, ksub, iters)
+    (booksFrame(corpus.sparkSession, bks), codes)
   }
 
   /** The ADC-scan + shortlist + exact-re-rank tail shared by
     * [[pqTopK]] and [[pqTopKAgainstIndex]] — ONE definition so the
     * trained-inline and prebuilt-index searches can't diverge. */
-  private def pqAdcSearch(books: DataFrame, codes: DataFrame,
+  private def pqAdcSearch(bks: Seq[(Int, Long, Seq[Double])], codes: DataFrame,
                           corpus: DataFrame, corpusId: Column, corpusVec: Column,
                           queries: DataFrame, queryId: Column, queryVec: Column,
                           m: Int, ksub: Int, k: Int, shortlist: Int): DataFrame = {
+    // the codeword-norm row rides as a literal column now — the old
+    // 1-row crossJoin broadcast is gone; the LUT frame still
+    // broadcasts (it carries per-QUERY data)
     val scored = codes
-      .crossJoin(broadcast(pqN2Row(books, m, ksub)))
-      .crossJoin(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)))
+      .crossJoin(broadcast(pqLutsLit(queries, queryId, queryVec, m, ksub, bks)))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        pqAdcScore(m, ksub).as("approx"))
+        (pqFold(col("lutd"), m, ksub)
+          / sqrt(pqFold(pqN2Lit(bks, m, ksub), m, ksub))).as("approx"))
     exactReRank(pqShortlist(scored, shortlist),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
@@ -1035,8 +1256,8 @@ object Similarity {
              m: Int, ksub: Int, k: Int, shortlist: Int,
              iters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val (books, codes) = pqTrainEncode(corpus, corpusId, corpusVec, m, ksub, iters)
-    pqAdcSearch(books, codes, corpus, corpusId, corpusVec,
+    val (bks, codes) = pqTrainEncodeLit(corpus, corpusId, corpusVec, m, ksub, iters)
+    pqAdcSearch(bks, codes, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, m, ksub, k, shortlist)
   }
 
@@ -1081,7 +1302,7 @@ object Similarity {
       s"codebook frame must carry (sub, code, cv); got ${books.columns.mkString(", ")}")
     require(Seq("vec_id", "codes").forall(codes.columns.contains),
       s"codes frame must carry (vec_id, codes); got ${codes.columns.mkString(", ")}")
-    pqAdcSearch(books, codes, corpus, corpusId, corpusVec,
+    pqAdcSearch(collectBooks(books), codes, corpus, corpusId, corpusVec,
       queries, queryId, queryVec, m, ksub, k, shortlist)
   }
 
@@ -1644,25 +1865,25 @@ object Similarity {
                 nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
                 shortlist: Int, ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    // persisted like prototypicality's cells: ivfCandidates consumes
-    // the assignment twice (centroid agg + re-assignment) — without
-    // the boundary the Lloyd train pipeline executes twice
-    val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, ivfIters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // a minimal private projection: joining the trained cells onto the
-    // caller's frame directly would collide if it already carries a
-    // `cell` column (e.g. an ivfTopK-style pre-indexed corpus)
-    val indexed = corpus.select(corpusId.as("__ivf_id"), corpusVec.as("__ivf_v"))
-      .join(cells.withColumnsRenamed(
-        Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
-    val cand = ivfCandidates(indexed, col("__ivf_id"), col("__ivf_v"),
-      col("__ivf_cell"), queries, queryId, queryVec, nprobe)
-    val (books, codes) = pqTrainEncode(corpus, corpusId, corpusVec, m, ksub, pqIters)
+    // r17: the seed train, final centroid aggregation and both
+    // assignments ride driver-side literals — the old seed persist,
+    // the corpus-by-id re-attach join, and the per-assignment argmax
+    // exchanges are gone (guide §2.4/§8)
+    val v = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("v"))
+    val seedCell = trainCellExpr(v, col("v"), col("vec_id"), nlist, ivfIters)
+    val cents = collectCents(centroidFrame(v, seedCell, col("v")))
+    val acell = v.select(col("vec_id").as("neighbor_id"),
+      cellExprOf(col("v"), cents).as("cell"))
+    val cand = ivfCandOf(acell,
+      ivfProbesLit(queries, queryId, queryVec, cents, nprobe))
+    val (bks, codes) = pqTrainEncodeLit(corpus, corpusId, corpusVec, m, ksub, pqIters)
     val scored = cand
       .join(codes, col("neighbor_id") === codes("vec_id"))
-      .join(broadcast(pqLuts(queries, queryId, queryVec, m, ksub, books)), "query_id")
-      .crossJoin(broadcast(pqN2Row(books, m, ksub)))
-      .select(col("query_id"), col("neighbor_id"), pqAdcScore(m, ksub).as("approx"))
+      .join(broadcast(pqLutsLit(queries, queryId, queryVec, m, ksub, bks)), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (pqFold(col("lutd"), m, ksub)
+          / sqrt(pqFold(pqN2Lit(bks, m, ksub), m, ksub))).as("approx"))
     exactReRank(pqShortlist(scored, shortlist),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
@@ -1693,11 +1914,11 @@ object Similarity {
                    nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
                    shortlist: Int, ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
     graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
-    val (cvecs, acell, books, codes) =
+    val (cents, acell, bks, codes) =
       ivfPqResBuild(corpus, corpusId, corpusVec, nlist, m, ksub, ivfIters, pqIters)
     val cand = ivfCandOf(acell,
-      ivfProbes(queries, queryId, queryVec, cvecs, nprobe))
-    resAdcSearch(cvecs, acell, books, codes, cand,
+      ivfProbesLit(queries, queryId, queryVec, cents, nprobe))
+    resAdcSearch(cents, acell, bks, codes, cand,
       corpus, corpusId, corpusVec, queries, queryId, queryVec,
       m, ksub, k, shortlist)
   }
@@ -1712,31 +1933,39 @@ object Similarity {
   private def ivfPqResBuild(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                             nlist: Int, m: Int, ksub: Int,
                             ivfIters: Int, pqIters: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cells = ivfTrainCells(corpus, corpusId, corpusVec, nlist, ivfIters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val indexed = corpus.select(corpusId.as("__ivf_id"), corpusVec.as("__ivf_v"))
-      .join(cells.withColumnsRenamed(
-        Map("vec_id" -> "__ivf_id", "cell" -> "__ivf_cell")), "__ivf_id")
-    val (cv0, cc0) = ivfAssign(indexed, col("__ivf_id"), col("__ivf_v"), col("__ivf_cell"))
-    val cvecs = cv0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val acell = cc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val resid = residualFrame(corpus, corpusId, corpusVec, acell, cvecs)
-    val (books, codes) = pqTrainEncode(resid, col("rid"), col("r"), m, ksub, pqIters)
-    (cvecs, acell, books, codes)
+      : (Seq[(Long, Seq[Double])], DataFrame,
+         Seq[(Int, Long, Seq[Double])], DataFrame) = {
+    // r17 (guide §8): centroids and codebooks are driver-side model
+    // state. The seed train, the re-assignment, the residual
+    // computation and the encode are all literal-fold MAPS over the
+    // corpus scan — the old form's seed persist, two corpus-by-id
+    // re-attach joins (trained cells, then residual vs assignment)
+    // and three per-pass argmax exchanges are gone. What remains
+    // corpus-sized: the per-iteration centroid/codebook aggregations
+    // (the irreducible train cost) and the assignment/encode maps.
+    val v = corpus.select(corpusId.as("vec_id"),
+      corpusVec.cast("array<double>").as("v"))
+    val seedCell = trainCellExpr(v, col("v"), col("vec_id"), nlist, ivfIters)
+    val cents = collectCents(centroidFrame(v, seedCell, col("v")))
+    val cellC = cellExprOf(col("v"), cents)
+    val acell = v.select(col("vec_id").as("neighbor_id"), cellC.as("cell"))
+    val resid = residualFrame(v, col("vec_id"), col("v"), cellC, cents)
+    val (bks, codes) = pqTrainEncodeLit(resid, col("rid"), col("r"), m, ksub, pqIters)
+    (cents, acell, bks, codes)
   }
 
-  /** `(rid, r)` residuals of each vector vs its assigned cell's
-    * centroid (broadcast nlist rows) — shared by the index build and
-    * the incremental append so the residual a late-arriving vector
-    * encodes is exactly the one the build would have computed. `cells`
-    * must carry `(neighbor_id, cell)`. */
+  /** `(rid, r)` residuals of each vector vs its ASSIGNED cell's
+    * centroid — the assignment is an expression and the centroid
+    * re-attach a literal map lookup ([[centLookup]]), so the frame is
+    * a pure map over `src` (shared by the index build and the
+    * incremental append so the residual a late-arriving vector
+    * encodes is exactly the one the build would have computed). */
   private def residualFrame(src: DataFrame, id: Column, vec: Column,
-                            cells: DataFrame, cvecs: DataFrame): DataFrame =
-    src.select(id.as("rid"), vec.cast("array<double>").as("rv"))
-      .join(cells.withColumnRenamed("neighbor_id", "rid"), "rid")
-      .join(broadcast(cvecs.select(col("grp").as("cell"), col("cv"))), "cell")
-      .select(col("rid"), zip_with(col("rv"), col("cv"), (a, b) => a - b).as("r"))
+                            cell: Column,
+                            cents: Seq[(Long, Seq[Double])]): DataFrame =
+    src.select(id.as("rid"),
+      zip_with(vec.cast("array<double>"), centLookup(cell, cents),
+        (a, b) => a - b).as("r"))
 
   /** The residual-ADC search tail shared by the inline and
     * index-backed paths: per-cell correction table + per-(query, cell)
